@@ -1,13 +1,432 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.kql.Kql
+import graft.ext.LlmOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder brief.
+  *
+  * Every entry below runs through the KQL engine (parser → planner →
+  * Catalyst) or the LlmOps extension library; the paired `oracleSql` is
+  * the ANSI-SQL equivalent the driver executes in DuckDB over the same
+  * parquet. Determinism rules (FIXTURES.md): every multi-row result ends
+  * in a total-order sort; double aggregates are decimal-cast or rounded.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+
+  /** Flagship query (TPC-H Q1 shape in KQL) on sf0.001; rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    kqlQ(TPCH_Q1)(spark, "/root/testdata/sf0.001")
+
+  private def kqlQ(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Kql.run(s, q, dir)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // Sums of 2-decimal money doubles go through exact integer cents so the
+  // result is bit-identical to the DuckDB oracle (double→decimal casts are
+  // NOT cross-engine stable: Spark casts via shortest-string repr).
+  private val TPCH_Q1 =
+    """lineitem
+      | where l_shipdate <= datetime(1998-09-02)
+      | summarize sum_qty=sum(tolong(round(l_quantity))),
+                  sbp=sum(tolong(round(l_extendedprice * 100))),
+                  sdp=sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000))),
+                  avg_qty=round(avg(l_quantity), 4),
+                  avg_price=round(avg(l_extendedprice), 4),
+                  count_order=count()
+        by l_returnflag, l_linestatus
+      | extend sum_base_price = todouble(sbp) / 100.0,
+               sum_disc_price = todouble(sdp) / 10000.0
+      | project-away sbp, sdp
+      | sort by l_returnflag asc, l_linestatus asc"""
+
+  // =============================================================== queries
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private lazy val inventory: List[(String, Q)] = List(
+
+    // ---------------------------------------------------- core relational
+    "q01_where_project" -> Q(kqlQ(
+      """lineitem
+        | where l_quantity > 30 and l_returnflag == 'A'
+        | project l_orderkey, l_linenumber, l_quantity,
+                  revenue = l_extendedprice * (1 - l_discount)
+        | sort by l_orderkey asc, l_linenumber asc
+        | take 100"""),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    "q02_tpch_q1" -> Q(kqlQ(TPCH_Q1),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price, ROUND(AVG(l_quantity), 4) AS avg_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price, CAST(COUNT(*) AS BIGINT) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    "q03_count" -> Q(kqlQ("""lineitem | count"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS Count FROM lineitem""")),
+
+    "q04_distinct" -> Q(kqlQ(
+      """lineitem | distinct l_returnflag, l_linestatus
+        | sort by l_returnflag asc, l_linestatus asc"""),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""")),
+
+    "q05_top" -> Q(kqlQ(
+      """lineitem | top 50 by l_extendedprice desc, l_orderkey asc, l_linenumber asc"""),
+      Some("""SELECT * FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""")),
+
+    "q06_extend_takebin" -> Q(kqlQ(
+      """events
+        | summarize n=count(), total_c=sum(tolong(round(value * 100))) by bin(ts, 1d)
+        | extend total = todouble(total_c) / 100.0
+        | project-away total_c
+        | sort by ts asc"""),
+      Some("""SELECT date_trunc('day', ts) AS ts, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q07_bin_numeric" -> Q(kqlQ(
+      """lineitem
+        | summarize n=count(), avg_price=round(avg(l_extendedprice), 4) by bin(l_quantity, 5)
+        | sort by l_quantity asc"""),
+      Some("""SELECT FLOOR(l_quantity / 5) * 5 AS l_quantity, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(l_extendedprice), 4) AS avg_price FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q08_agg_family" -> Q(kqlQ(
+      """lineitem
+        | summarize s=sum(tolong(round(l_quantity))), c=count(),
+                    ci=countif(l_discount > 0.05),
+                    si=sumif(tolong(round(l_quantity)), l_returnflag == 'A'),
+                    ai=round(avgif(l_quantity, l_returnflag == 'A'), 4),
+                    mn=min(l_quantity), mx=max(l_quantity),
+                    mnd=min(l_shipdate), mxd=max(l_shipdate),
+                    sd=round(stdev(l_quantity), 4), vr=round(variance(l_quantity), 4)
+        by l_linestatus
+        | sort by l_linestatus asc"""),
+      Some("""SELECT l_linestatus, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c, CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS ci, CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(ROUND(l_quantity) AS BIGINT) END) AS BIGINT) AS si, ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 4) AS ai, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, MIN(l_shipdate) AS mnd, MAX(l_shipdate) AS mxd, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd, ROUND(VAR_SAMP(l_quantity), 4) AS vr FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q09_tpch_q3" -> Q(kqlQ(
+      """customer
+        | where c_mktsegment == 'BUILDING'
+        | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+        | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+        | summarize rc=sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))
+            by o_orderkey, o_orderdate
+        | extend revenue = todouble(rc) / 10000.0
+        | project-away rc
+        | sort by revenue desc, o_orderkey asc
+        | take 20"""),
+      Some("""SELECT o_orderkey, o_orderdate, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 20""")),
+
+    "q10_tpch_q5" -> Q(kqlQ(
+      """region
+        | where r_name == 'ASIA'
+        | join kind=inner (nation) on $left.r_regionkey == $right.n_regionkey
+        | join kind=inner (customer) on $left.n_nationkey == $right.c_nationkey
+        | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+        | where o_orderdate >= datetime(1996-01-01) and o_orderdate < datetime(1997-01-01)
+        | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | where s_nationkey == n_nationkey
+        | summarize rc = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000))) by n_name
+        | extend revenue = todouble(rc) / 10000.0
+        | project-away rc
+        | sort by revenue desc, n_name asc"""),
+      Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM region JOIN nation ON r_regionkey = n_regionkey JOIN customer ON n_nationkey = c_nationkey JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN supplier ON l_suppkey = s_suppkey WHERE r_name = 'ASIA' AND s_nationkey = n_nationkey AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    "q11_join_leftouter" -> Q(kqlQ(
+      """customer
+        | join kind=leftouter (orders | summarize n_orders=count() by o_custkey)
+            on $left.c_custkey == $right.o_custkey
+        | project c_custkey, c_name, n_orders = coalesce(n_orders, 0)
+        | sort by c_custkey asc"""),
+      Some("""SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders FROM customer LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) o ON c_custkey = o_custkey ORDER BY c_custkey""")),
+
+    "q12_join_semi_anti" -> Q(kqlQ(
+      """customer
+        | join kind=leftsemi (orders | where o_totalprice > 300000) on $left.c_custkey == $right.o_custkey
+        | join kind=leftanti (orders | where o_orderstatus == 'F') on $left.c_custkey == $right.o_custkey
+        | project c_custkey, c_name
+        | sort by c_custkey asc"""),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY c_custkey""")),
+
+    "q13_lookup" -> Q(kqlQ(
+      """lineitem
+        | lookup (supplier) on $left.l_suppkey == $right.s_suppkey
+        | summarize tc=sum(tolong(round(l_extendedprice * 100))) by s_name
+        | extend total = todouble(tc) / 100.0
+        | project-away tc
+        | sort by s_name asc"""),
+      Some("""SELECT s_name, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1 ORDER BY 1""")),
+
+    "q14_union" -> Q(kqlQ(
+      """union (lineitem | where l_returnflag == 'A' | extend src='flagA'),
+              (lineitem | where l_returnflag == 'R' | extend src='flagR')
+        | summarize n=count() by src, l_linestatus
+        | sort by src asc, l_linestatus asc"""),
+      Some("""SELECT src, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT 'flagA' AS src, l_linestatus FROM lineitem WHERE l_returnflag = 'A' UNION ALL SELECT 'flagR', l_linestatus FROM lineitem WHERE l_returnflag = 'R') GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "q15_string_fns" -> Q(kqlQ(
+      """part
+        | project p_partkey, up=toupper(p_name), ln=strlen(p_name),
+                  sub=substring(p_type, 0, 5),
+                  brand_num=toint(extract('([0-9]+)$', 1, p_brand)),
+                  has_gear=iff(p_name contains 'GEAR', 1, 0)
+        | sort by p_partkey asc"""),
+      Some("""SELECT p_partkey, UPPER(p_name) AS up, CAST(LENGTH(p_name) AS BIGINT) AS ln, SUBSTRING(p_type, 1, 5) AS sub, CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INT) AS brand_num, CAST(CASE WHEN lower(p_name) LIKE '%gear%' THEN 1 ELSE 0 END AS BIGINT) AS has_gear FROM part ORDER BY p_partkey""")),
+
+    "q16_string_fns2" -> Q(kqlQ(
+      """documents
+        | project doc_id, n_tokens=array_length(split(text, ' ')),
+                  first_tok=split(text, ' ', 0), rev=reverse(lang),
+                  cat=strcat(lang, ':', source)
+        | sort by doc_id asc"""),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, string_split(text, ' ')[1] AS first_tok, reverse(lang) AS rev, lang || ':' || source AS cat FROM documents ORDER BY doc_id""")),
+
+    "q17_datetime_fns" -> Q(kqlQ(
+      """orders
+        | project o_orderkey, y=getyear(o_orderdate), mo=getmonth(o_orderdate),
+                  d=dayofmonth(o_orderdate), dow=dayofweek(o_orderdate),
+                  sod=startofday(o_orderdate), som=startofmonth(o_orderdate),
+                  wk=week_of_year(o_orderdate),
+                  nextweek=datetime_add('week', 1, o_orderdate),
+                  dd=datetime_diff('day', datetime(1998-01-01), o_orderdate)
+        | sort by o_orderkey asc"""),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS mo, CAST(dayofmonth(o_orderdate) AS INT) AS d, CAST(dayofweek(o_orderdate) AS INT) AS dow, date_trunc('day', o_orderdate) AS sod, date_trunc('month', o_orderdate) AS som, CAST(weekofyear(o_orderdate) AS INT) AS wk, o_orderdate + INTERVAL 7 DAY AS nextweek, CAST(datediff('day', date_trunc('day', o_orderdate), TIMESTAMP '1998-01-01') AS BIGINT) AS dd FROM orders ORDER BY o_orderkey""")),
+
+    "q18_window_fns" -> Q(kqlQ(
+      """events
+        | sort by user_id asc, ts asc, event_id asc
+        | extend rn=row_number(), prev_val=prev(value), next_val=next(value),
+                 cum=row_cumsum(value)
+        | project event_id, rn, prev_val, next_val, cum_r=round(cum, 4)
+        | sort by event_id asc"""),
+      Some("""SELECT event_id, rn, prev_val, next_val, cum_r FROM (SELECT event_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, LAG(value) OVER w AS prev_val, LEAD(value) OVER w AS next_val, ROUND(SUM(value) OVER (ORDER BY user_id, ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS cum_r FROM events WINDOW w AS (ORDER BY user_id, ts, event_id)) ORDER BY event_id""")),
+
+    "q19_sessionize" -> Q(kqlQ(
+      """events
+        | sort by user_id asc, ts asc, event_id asc
+        | extend prev_ts = prev(ts), prev_uid = prev(user_id)
+        | extend new_sess = iff(isnull(prev_ts) or prev_uid != user_id or ts - prev_ts > 30m, 1, 0)
+        | extend sess = row_cumsum(new_sess)
+        | summarize n=count() by user_id, sess
+        | summarize sessions=count(), avg_len=round(avg(n), 4) by user_id
+        | sort by user_id asc"""),
+      Some("""WITH s AS (SELECT user_id, ts, event_id, LAG(ts) OVER w AS prev_ts, LAG(user_id) OVER w AS prev_uid FROM events WINDOW w AS (ORDER BY user_id, ts, event_id)), f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR prev_uid != user_id OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM s), c AS (SELECT user_id, CAST(SUM(new_sess) OVER (ORDER BY user_id, ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f), g AS (SELECT user_id, sess, COUNT(*) AS n FROM c GROUP BY 1, 2) SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sessions, ROUND(AVG(n), 4) AS avg_len FROM g GROUP BY 1 ORDER BY user_id""")),
+
+    "q20_argmax" -> Q(kqlQ(
+      """orders
+        | summarize arg_max(o_orderkey, o_totalprice, o_orderdate) by o_orderstatus
+        | sort by o_orderstatus asc"""),
+      Some("""SELECT o_orderstatus, MAX(o_orderkey) AS o_orderkey, arg_max(o_totalprice, o_orderkey) AS o_totalprice, arg_max(o_orderdate, o_orderkey) AS o_orderdate FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "q21_percentile" -> Q(kqlQ(
+      """lineitem
+        | summarize p50=round(percentile(l_extendedprice, 50), 4),
+                    p95=round(percentile(l_extendedprice, 95), 4) by l_returnflag
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95 FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q22_count_distinct" -> Q(kqlQ(
+      """orders | summarize u=count_distinct(o_custkey) by o_orderstatus
+        | sort by o_orderstatus asc"""),
+      Some("""SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "q23_make_list" -> Q(kqlQ(
+      """nation | summarize names=array_sort_asc(make_list(n_name)) by n_regionkey
+        | sort by n_regionkey asc"""),
+      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    "q24_make_set" -> Q(kqlQ(
+      """lineitem | summarize flags=make_set(l_returnflag) by l_linestatus
+        | sort by l_linestatus asc"""),
+      Some("""SELECT l_linestatus, list_sort(list(DISTINCT l_returnflag)) AS flags FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q25_mvexpand" -> Q(kqlQ(
+      """documents
+        | project doc_id, toks=split(text, ' ')
+        | mv-expand toks
+        | summarize c=count() by tok=tostring(toks)
+        | sort by c desc, tok asc
+        | take 50"""),
+      Some("""SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1 ORDER BY c DESC, tok LIMIT 50""")),
+
+    "q26_parse" -> Q(kqlQ(
+      """events
+        | parse props with '{"k": ' kval:long '}'
+        | summarize total=sum(kval), n=count() by event_type
+        | sort by event_type asc"""),
+      Some("""SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '\{"k": (-?\d+)\}', 1) AS BIGINT)) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q27_dynamic_json" -> Q(kqlQ(
+      """events
+        | extend k = tolong(props.k)
+        | summarize avg_k=round(avg(k), 4), mx=max(k) by event_type
+        | sort by event_type asc"""),
+      Some("""SELECT event_type, ROUND(AVG(k), 4) AS avg_k, MAX(k) AS mx FROM (SELECT event_type, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events) GROUP BY 1 ORDER BY 1""")),
+
+    "q28_getschema" -> Q(kqlQ("""lineitem | getschema"""),
+      Some("""SELECT 'l_orderkey' AS ColumnName, CAST(0 AS BIGINT) AS ColumnOrdinal, 'long' AS ColumnType UNION ALL SELECT 'l_partkey', 1, 'long' UNION ALL SELECT 'l_suppkey', 2, 'long' UNION ALL SELECT 'l_linenumber', 3, 'int' UNION ALL SELECT 'l_quantity', 4, 'real' UNION ALL SELECT 'l_extendedprice', 5, 'real' UNION ALL SELECT 'l_discount', 6, 'real' UNION ALL SELECT 'l_tax', 7, 'real' UNION ALL SELECT 'l_returnflag', 8, 'string' UNION ALL SELECT 'l_linestatus', 9, 'string' UNION ALL SELECT 'l_shipdate', 10, 'datetime' ORDER BY ColumnOrdinal""")),
+
+    "q29_datatable" -> Q(kqlQ(
+      """datatable(name:string, v:long) ['a', 1, 'b', 2, 'c', 3]
+        | extend v2 = v * 10
+        | sort by name asc"""),
+      Some("""SELECT * FROM (VALUES ('a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)), ('b', 2, 20), ('c', 3, 30)) t(name, v, v2) ORDER BY name""")),
+
+    "q30_print_range" -> Q(kqlQ(
+      """range x from 1 to 1000 step 3
+        | summarize n=count(), s=sum(x), mx=max(x)"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s, CAST(MAX(x) AS BIGINT) AS mx FROM generate_series(1, 1000, 3) t(x)""")),
+
+    "q31_case" -> Q(kqlQ(
+      """lineitem
+        | extend qcat = case(l_quantity < 10, 'low', l_quantity < 30, 'mid', 'high')
+        | summarize n=count() by qcat, l_returnflag
+        | sort by qcat asc, l_returnflag asc"""),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qcat, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "q32_search" -> Q(kqlQ(
+      """events | search 'error' | summarize n=count() by event_type
+        | sort by event_type asc"""),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE lower(event_type) LIKE '%error%' OR lower(props) LIKE '%error%' GROUP BY 1 ORDER BY 1""")),
+
+    "q33_top_hitters" -> Q(kqlQ(
+      """documents | top-hitters 10 of source
+        | sort by aggregated_source desc, source asc"""),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS aggregated_source FROM documents GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""")),
+
+    "q34_innerunique" -> Q(kqlQ(
+      """lineitem
+        | project l_partkey
+        | join kind=innerunique (part) on $left.l_partkey == $right.p_partkey
+        | summarize n=count() by p_brand
+        | sort by p_brand asc"""),
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT l_partkey FROM lineitem) l JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1""")),
+
+    "q35_between_in" -> Q(kqlQ(
+      """lineitem
+        | where l_quantity between (10 .. 20) and l_returnflag in ('A', 'N')
+              and l_shipdate between (datetime(1996-01-01) .. datetime(1996-12-31))
+        | summarize n=count() by l_returnflag
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'N') AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31' GROUP BY 1 ORDER BY 1""")),
+
+    "q36_project_ops" -> Q(kqlQ(
+      """lineitem
+        | project-rename qty = l_quantity
+        | project-keep l_orderkey, l_linenumber, qty
+        | where qty > 45
+        | sort by l_orderkey asc, l_linenumber asc"""),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem WHERE l_quantity > 45 ORDER BY 1, 2""")),
+
+    "q37_string_predicates" -> Q(kqlQ(
+      """part
+        | where p_type startswith 'econ' and p_name has 'red'
+              and p_brand endswith '3' and p_name !contains 'bolt'
+        | project p_partkey, p_name, p_brand, p_type
+        | sort by p_partkey asc"""),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part WHERE lower(p_type) LIKE 'econ%' AND regexp_matches(p_name, '(?i)\bred\b') AND lower(p_brand) LIKE '%3' AND NOT (lower(p_name) LIKE '%bolt%') ORDER BY p_partkey""")),
+
+    "q38_make_series" -> Q(kqlQ(
+      """events
+        | make-series n=count() default=0 on ts
+            from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+        | sort by event_type asc"""),
+      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 DAY)) AS t), types AS (SELECT DISTINCT event_type FROM events), binned AS (SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2), filled AS (SELECT ty.event_type, g.t, COALESCE(b.cnt, 0) AS cnt FROM types ty CROSS JOIN grid g LEFT JOIN binned b ON b.event_type = ty.event_type AND b.d = g.t) SELECT event_type, list(cnt ORDER BY t) AS n, list(t ORDER BY t) AS ts FROM filled GROUP BY event_type ORDER BY event_type""")),
+
+    "q39_top_nested" -> Q(kqlQ(
+      """lineitem
+        | top-nested 3 of l_returnflag by sum(tolong(round(l_quantity))),
+          top-nested 2 of l_linestatus by count()
+        | sort by l_returnflag asc, l_linestatus asc"""),
+      Some("""WITH l1 AS (SELECT l_returnflag, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS agg1 FROM lineitem GROUP BY 1), r1 AS (SELECT * FROM l1 QUALIFY ROW_NUMBER() OVER (ORDER BY agg1 DESC, l_returnflag) <= 3), l2 AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS agg2 FROM lineitem WHERE l_returnflag IN (SELECT l_returnflag FROM r1) GROUP BY 1, 2), r2 AS (SELECT * FROM l2 QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY agg2 DESC, l_linestatus) <= 2) SELECT r1.l_returnflag, r1.agg1 AS aggregated_l_returnflag, r2.l_linestatus, r2.agg2 AS aggregated_l_linestatus FROM r1 JOIN r2 USING (l_returnflag) ORDER BY 1, 3""")),
+
+    "q40_rank" -> Q(kqlQ(
+      """lineitem
+        | sort by l_extendedprice desc
+        | extend rk = row_rank_min(l_extendedprice), drk = row_rank_dense(l_extendedprice)
+        | where rk <= 100
+        | project l_orderkey, l_linenumber, l_extendedprice, rk, drk
+        | sort by rk asc, l_orderkey asc, l_linenumber asc"""),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, rk, drk FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS rk, CAST(DENSE_RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS drk FROM lineitem) WHERE rk <= 100 ORDER BY rk, l_orderkey, l_linenumber""")),
+
+    "q41_let_bindings" -> Q(kqlQ(
+      """let cutoff = 45;
+        let heavy = lineitem | where l_quantity > cutoff;
+        heavy
+        | summarize n=count(), sc=sum(tolong(round(l_extendedprice * 100))) by l_returnflag
+        | extend s = todouble(sc) / 100.0
+        | project-away sc
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS s FROM lineitem WHERE l_quantity > 45 GROUP BY 1 ORDER BY 1""")),
+
+    "q42_multimodal_join" -> Q(kqlQ(
+      """documents
+        | join kind=inner (embeddings) on $left.doc_id == $right.vec_id
+        | summarize n=count(), avg_chars=round(avg(n_chars), 4) by label, lang
+        | sort by label asc, lang asc"""),
+      Some("""SELECT label, lang, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(n_chars), 4) AS avg_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------------ LLM-pipeline ops
+    "llm_dedup_exact" -> Q(
+      (s, dir) => LlmOps.dedupExact(docs(s, dir))
+        .select(col("keep_id"), col("n_copies")).orderBy("keep_id"),
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
+
+    "llm_jaccard_pairs" -> Q(
+      (s, dir) => LlmOps.jaccardPairs(docs(s, dir), 0.8, blockCol = Some("source")).orderBy("i", "j"),
+      Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT i, j, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jac FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8 ORDER BY i, j""")),
+
+    "llm_neardup_minhash" -> Q(
+      (s, dir) => LlmOps.nearDupPairsMinhash(docs(s, dir), 0.8).orderBy("i", "j"),
+      None), // LSH bucketing is hash-seeded; verified vs llm_jaccard_pairs in tests
+
+    "llm_simhash" -> Q(
+      (s, dir) => LlmOps.simHash(docs(s, dir)).orderBy("doc_id"),
+      None), // xxhash64-based; no cross-engine oracle
+
+    "llm_knn_cosine" -> Q(
+      (s, dir) => LlmOps.knnCosine(embs(s, dir), queryId = 0, k = 20),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    "llm_ann_lsh" -> Q(
+      (s, dir) => LlmOps.annCosineLsh(embs(s, dir), queryId = 0, k = 10),
+      None), // hyperplane seeds not replicable in SQL; recall checked in tests
+
+    "llm_similarity_pairs" -> Q(
+      (s, dir) => LlmOps.similarityPairs(embs(s, dir), 0.3).orderBy("i", "j"),
+      Some("""WITH pairs AS (SELECT a.label AS blk, a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT blk, i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2, 3) SELECT blk, i, j, ROUND(dp / (na * nb), 4) AS cos FROM dots WHERE dp / (na * nb) >= 0.3 ORDER BY i, j""")),
+
+    "llm_quality" -> Q(
+      (s, dir) => LlmOps.qualityScore(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_m, ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stopwords, ROUND(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS stop_ratio FROM documents ORDER BY doc_id""")),
+
+    "llm_fingerprint" -> Q(
+      (s, dir) => LlmOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) SELECT t.doc_id AS doc_id, md5(lower(d.text)) AS fp, list_aggregate(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), 'min') AS min_shingle_fp FROM t JOIN documents d ON t.doc_id = d.doc_id ORDER BY doc_id""")),
+
+    "llm_tfidf" -> Q(
+      (s, dir) => LlmOps.tfIdf(docs(s, dir)).orderBy("id", "term"),
+      Some("""WITH terms AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2), dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (SELECT DISTINCT id, term FROM terms) GROUP BY 1) SELECT id, term, tf, df, ROUND(tf * ln(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE) / df), 4) AS tfidf FROM tf JOIN dfx USING (term) ORDER BY id, term""")),
+
+    "llm_langid" -> Q(
+      (s, dir) => LlmOps.langId(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b')) + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bwith\b')) + len(regexp_extract_all(lower(text), '\bthat\b')) AS BIGINT) AS s_en, CAST(len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\bla\b')) + len(regexp_extract_all(lower(text), '\blos\b')) + len(regexp_extract_all(lower(text), '\bque\b')) + len(regexp_extract_all(lower(text), '\bcon\b')) AS BIGINT) AS s_es, CAST(len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b')) + len(regexp_extract_all(lower(text), '\bles\b')) + len(regexp_extract_all(lower(text), '\bque\b')) + len(regexp_extract_all(lower(text), '\bavec\b')) AS BIGINT) AS s_fr, CAST(len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bdie\b')) + len(regexp_extract_all(lower(text), '\bdas\b')) + len(regexp_extract_all(lower(text), '\bund\b')) + len(regexp_extract_all(lower(text), '\bmit\b')) AS BIGINT) AS s_de, CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh FROM documents) SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, CASE WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh' WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en' WHEN s_es >= s_fr AND s_es >= s_de THEN 'es' WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang FROM s ORDER BY doc_id""")),
+
+    "llm_multimodal_stub" -> Q(
+      (s, dir) => {
+        val withBin = docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8"))
+        LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
+          .select(col("doc_id"), col("media_size"), size(col("media_features")).cast("int").as("n_features"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_size, CAST(8 AS INT) AS n_features FROM documents ORDER BY doc_id""")),
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    inventory.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    inventory.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
 }

@@ -1,0 +1,93 @@
+package graft.kql
+
+/** KQL abstract syntax tree.
+  *
+  * Built from scratch for the Spark-native engine. The reference repo
+  * (yy-database/kql-engine) contains no AST of its own — its entire public
+  * API is an error scaffold (reference: projects/kql-core/src/lib.rs:7-9) —
+  * so this models the publicly documented Kusto Query Language surface
+  * (SURVEY.md §2), scoped to the driver fixtures.
+  */
+object Ast {
+
+  // ---------------------------------------------------------------- exprs
+  sealed trait Expr
+  /** Literal value. `value` is one of: Long, Double, String, Boolean, null,
+    * java.sql.Timestamp (datetime literal), Timespan (timespan literal). */
+  final case class Lit(value: Any) extends Expr
+  /** Timespan value carried as microseconds (KQL ticks are 100ns; µs is
+    * Spark's native timestamp resolution). */
+  final case class Timespan(micros: Long)
+  final case class Col(name: String) extends Expr
+  final case class Star() extends Expr
+  final case class App(fn: String, args: List[Expr]) extends Expr
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  final case class UnOp(op: String, e: Expr) extends Expr
+  /** d.k / d["k"] — dynamic member access (JSON path step). */
+  final case class PathGet(base: Expr, key: Expr) extends Expr
+  final case class InList(e: Expr, values: List[Expr], negated: Boolean,
+                          caseInsensitive: Boolean) extends Expr
+  final case class BetweenOp(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+
+  // ------------------------------------------------------------- sort keys
+  final case class SortKey(e: Expr, asc: Boolean, nullsFirst: Option[Boolean])
+
+  // ---------------------------------------------------------- tabular ops
+  sealed trait TabOp
+  final case class Where(pred: Expr) extends TabOp
+  /** project items: (alias, expr). Alias None means derive from expr. */
+  final case class Project(items: List[(Option[String], Expr)]) extends TabOp
+  final case class Extend(items: List[(Option[String], Expr)]) extends TabOp
+  final case class ProjectAway(patterns: List[String]) extends TabOp
+  final case class ProjectKeep(patterns: List[String]) extends TabOp
+  final case class ProjectRename(pairs: List[(String, String)]) extends TabOp // (new, old)
+  final case class ProjectReorder(cols: List[String]) extends TabOp
+  final case class Summarize(aggs: List[(Option[String], Expr)],
+                             by: List[(Option[String], Expr)]) extends TabOp
+  final case class Sort(keys: List[SortKey]) extends TabOp
+  final case class Take(n: Long) extends TabOp
+  final case class Top(n: Long, keys: List[SortKey]) extends TabOp
+  final case class DistinctOp(cols: List[Expr]) extends TabOp // Star() => all
+  final case class CountOp() extends TabOp
+  final case class JoinOp(kind: String, strategyHint: Option[String],
+                          right: Query, keys: List[JoinKey]) extends TabOp
+  /** on-key: leftName == rightName (plain `on c` means both sides `c`). */
+  final case class JoinKey(left: String, right: String)
+  final case class LookupOp(right: Query, keys: List[JoinKey]) extends TabOp
+  final case class UnionOp(kind: String, withSource: Option[String],
+                           others: List[Query]) extends TabOp
+  final case class MvExpand(cols: List[(Option[String], Expr)],
+                            withItemIndex: Option[String]) extends TabOp
+  /** `parse col with "prefix" name:type "sep" ...` compiled to segments. */
+  final case class ParseOp(source: Expr, segments: List[ParseSeg],
+                           dropNonMatching: Boolean) extends TabOp
+  sealed trait ParseSeg
+  final case class ParseLit(s: String) extends ParseSeg
+  final case class ParseCol(name: String, typ: Option[String]) extends ParseSeg
+  final case class GetSchemaOp() extends TabOp
+  final case class SerializeOp() extends TabOp
+  final case class SampleOp(n: Long) extends TabOp
+  final case class SearchOp(term: String) extends TabOp
+  final case class MakeSeries(aggs: List[(Option[String], Expr, Expr)], // (alias, aggExpr, default)
+                              axis: Expr, from: Expr, to: Expr, step: Expr,
+                              by: List[(Option[String], Expr)]) extends TabOp
+  final case class TopNested(levels: List[TopNestedLevel]) extends TabOp
+  final case class TopNestedLevel(n: Long, of: (Option[String], Expr),
+                                  by: (Option[String], Expr), asc: Boolean)
+  final case class InvokeOp(fn: String, args: List[Expr]) extends TabOp
+
+  // ------------------------------------------------------------- sources
+  sealed trait Source
+  final case class TableRef(name: String) extends Source
+  final case class DataTable(schema: List[(String, String)], rows: List[List[Expr]]) extends Source
+  final case class PrintSource(items: List[(Option[String], Expr)]) extends Source
+  final case class RangeSource(col: String, from: Expr, to: Expr, step: Expr) extends Source
+  /** union as a source: `union T1, T2 | ...` */
+  final case class UnionSource(kind: String, withSource: Option[String],
+                               tables: List[Query]) extends Source
+
+  // --------------------------------------------------------------- query
+  final case class Query(source: Source, ops: List[TabOp])
+  /** let name = scalar-expr | let name = (pipeline); then a final query. */
+  final case class Statements(lets: List[(String, Either[Expr, Query])], query: Query)
+}

@@ -1,0 +1,44 @@
+package graft.kql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/** Table-name → DataFrame resolution over a directory of parquet files
+  * (the driver fixture layout, TESTDATA.md). At cluster scale the same
+  * interface fronts a real metastore; here each table is one parquet
+  * path so Catalyst gets full pushdown/pruning on the scan.
+  */
+final class Catalog(spark: SparkSession, dir: String,
+                    extra: Map[String, DataFrame] = Map.empty) {
+  private val cache = scala.collection.mutable.Map[String, DataFrame]()
+
+  def table(name: String): DataFrame =
+    extra.getOrElse(name,
+      cache.getOrElseUpdate(name,
+        normalize(spark.read.parquet(s"$dir/$name.parquet"))))
+
+  /** Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces it as a
+    * ns-epoch long. Normalize such columns back to TimestampType (µs) so
+    * KQL datetime semantics apply. Fixture `events.ts` is the only case
+    * (FIXTURES.md); the name-based rule keeps this metadata-free. */
+  private def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == LongType && f.name == "ts")
+        d.withColumn(f.name, timestamp_micros((col(f.name) / 1000L).cast("long")))
+      // KQL datetime is a single UTC instant type; fold parquet
+      // TIMESTAMP_NTZ into session-UTC TIMESTAMP so every datetime op
+      // sees one type (session TZ is pinned UTC ⇒ same wall values).
+      else if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
+      else d
+    }
+
+  def withTable(name: String, df: DataFrame): Catalog =
+    new Catalog(spark, dir, extra + (name -> df))
+}
+
+object Catalog {
+  def apply(spark: SparkSession, dir: String): Catalog = new Catalog(spark, dir)
+}

@@ -1,0 +1,147 @@
+package graft.kql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** KQL scalar function registry → Spark `Column` combinators (SURVEY.md
+  * §2.8). Everything here stays inside whole-stage codegen: built-in
+  * functions only, no UDFs. Functions needing literal/typed argument
+  * inspection are special-cased in ExprPlanner instead.
+  */
+object Functions {
+
+  /** Regex-quote a literal string for use in Spark's regex-based fns. */
+  def rxQuote(s: String): String = java.util.regex.Pattern.quote(s)
+
+  private def f(fn: List[Column] => Column): List[Column] => Column = fn
+
+  val registry: Map[String, List[Column] => Column] = Map(
+    // ------------------------------------------------------------ string
+    "strlen" -> f { case c :: Nil => length(c).cast("long") },
+    "tolower" -> f { case c :: Nil => lower(c) },
+    "toupper" -> f { case c :: Nil => upper(c) },
+    "strcat" -> f { cs => concat_ws("", cs: _*) }, // KQL: nulls act as empty
+    "strcat_delim" -> f { case d :: rest => call_function("concat_ws", (d :: rest): _*) },
+    "strcat_array" -> f { case a :: d :: Nil => call_function("array_join", a, d) },
+    "reverse" -> f { case c :: Nil => reverse(c) },
+    "strrep" -> f { case c :: n :: Nil => repeat(c, n) },
+    "indexof" -> f { case s :: sub :: Nil => (call_function("instr", s, sub) - 1).cast("long") },
+    "trim_ws" -> f { case c :: Nil => trim(c) },
+    "hash_sha256" -> f { case c :: Nil => sha2(c.cast("string"), 256) },
+    "hash_md5" -> f { case c :: Nil => md5(c.cast("string")) },
+    "hash" -> f { case c :: Nil => xxhash64(c) },
+    "base64_encode_tostring" -> f { case c :: Nil => base64(c.cast("binary")) },
+    "base64_decode_tostring" -> f { case c :: Nil => decode(unbase64(c), "UTF-8") },
+    "url_encode" -> f { case c :: Nil => url_encode(c) },
+    "url_decode" -> f { case c :: Nil => url_decode(c) },
+    "isempty" -> f { case c :: Nil => c.isNull || c === lit("") },
+    "isnotempty" -> f { case c :: Nil => c.isNotNull && c =!= lit("") },
+    "isnull" -> f { case c :: Nil => c.isNull },
+    "isnotnull" -> f { case c :: Nil => c.isNotNull },
+    // --------------------------------------------------------- conversion
+    "tostring" -> f { case c :: Nil => coalesce(c.cast("string"), lit("")) },
+    "toint" -> f { case c :: Nil => c.cast("int") },
+    "tolong" -> f { case c :: Nil => c.cast("long") },
+    "todouble" -> f { case c :: Nil => c.cast("double") },
+    "toreal" -> f { case c :: Nil => c.cast("double") },
+    "todecimal" -> f { case c :: Nil => c.cast("decimal(38,18)") },
+    "tobool" -> f { case c :: Nil => c.cast("boolean") },
+    "toboolean" -> f { case c :: Nil => c.cast("boolean") },
+    "todatetime" -> f { case c :: Nil => c.cast("timestamp") },
+    "toguid" -> f { case c :: Nil => c.cast("string") },
+    "tohex" -> f { case c :: Nil => lower(hex(c)) },
+    // --------------------------------------------------------------- math
+    "abs" -> f { case c :: Nil => abs(c) },
+    "ceiling" -> f { case c :: Nil => ceil(c) },
+    "exp" -> f { case c :: Nil => exp(c) },
+    "exp2" -> f { case c :: Nil => pow(lit(2d), c) },
+    "exp10" -> f { case c :: Nil => pow(lit(10d), c) },
+    "log" -> f { case c :: Nil => log(c) },
+    "log2" -> f { case c :: Nil => log2(c) },
+    "log10" -> f { case c :: Nil => log10(c) },
+    "pow" -> f { case b :: e :: Nil => pow(b, e) },
+    "sqrt" -> f { case c :: Nil => sqrt(c) },
+    "sign" -> f { case c :: Nil => signum(c) },
+    "pi" -> f { _ => lit(math.Pi) },
+    "degrees" -> f { case c :: Nil => degrees(c) },
+    "radians" -> f { case c :: Nil => radians(c) },
+    "sin" -> f { case c :: Nil => sin(c) }, "cos" -> f { case c :: Nil => cos(c) },
+    "tan" -> f { case c :: Nil => tan(c) }, "asin" -> f { case c :: Nil => asin(c) },
+    "acos" -> f { case c :: Nil => acos(c) }, "atan" -> f { case c :: Nil => atan(c) },
+    "atan2" -> f { case y :: x :: Nil => atan2(y, x) },
+    "isnan" -> f { case c :: Nil => isnan(c) },
+    "isinf" -> f { case c :: Nil => c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity) },
+    "isfinite" -> f { case c :: Nil => !isnan(c) && c =!= lit(Double.PositiveInfinity) && c =!= lit(Double.NegativeInfinity) },
+    "max_of" -> f { cs => greatest(cs: _*) },
+    "min_of" -> f { cs => least(cs: _*) },
+    "coalesce" -> f { cs => coalesce(cs: _*) },
+    // ----------------------------------------------------------- datetime
+    "now" -> f { _ => current_timestamp() },
+    "getyear" -> f { case c :: Nil => year(c) },
+    "getmonth" -> f { case c :: Nil => month(c) },
+    "dayofmonth" -> f { case c :: Nil => dayofmonth(c) },
+    "dayofyear" -> f { case c :: Nil => dayofyear(c) },
+    "hourofday" -> f { case c :: Nil => hour(c) },
+    "minuteofhour" -> f { case c :: Nil => minute(c) },
+    "secondofminute" -> f { case c :: Nil => second(c) },
+    // KQL dayofweek(ts) = timespan since Sunday → expose as int days 0-6
+    "dayofweek" -> f { case c :: Nil => dayofweek(c) - 1 },
+    "week_of_year" -> f { case c :: Nil => weekofyear(c) },
+    "startofday" -> f { case c :: Nil => date_trunc("day", c) },
+    "startofmonth" -> f { case c :: Nil => date_trunc("month", c) },
+    "startofyear" -> f { case c :: Nil => date_trunc("year", c) },
+    // KQL weeks start Sunday; Spark date_trunc('week') is Monday (SURVEY §7.4)
+    "startofweek" -> f { case c :: Nil =>
+      to_timestamp(date_sub(to_date(c), dayofweek(c) - 1)) },
+    "endofday" -> f { case c :: Nil =>
+      timestamp_micros(unix_micros(date_trunc("day", c)) + 86400000000L - 1L) },
+    "endofmonth" -> f { case c :: Nil =>
+      timestamp_micros(unix_micros(add_months(date_trunc("month", c), 1).cast("timestamp")) - 1L) },
+    "endofyear" -> f { case c :: Nil =>
+      timestamp_micros(unix_micros(add_months(date_trunc("year", c), 12).cast("timestamp")) - 1L) },
+    "unixtime_seconds_todatetime" -> f { case c :: Nil => timestamp_seconds(c) },
+    "unixtime_milliseconds_todatetime" -> f { case c :: Nil => timestamp_millis(c.cast("long")) },
+    "unixtime_microseconds_todatetime" -> f { case c :: Nil => timestamp_micros(c.cast("long")) },
+    "make_datetime" -> f {
+      case y :: m :: d :: Nil => make_timestamp(y, m, d, lit(0), lit(0), lit(0))
+      case y :: m :: d :: h :: mi :: s :: Nil => make_timestamp(y, m, d, h, mi, s)
+    },
+    // ------------------------------------------------- dynamic/array/json
+    "parse_json" -> f { case c :: Nil => c },
+    "todynamic" -> f { case c :: Nil => c },
+    "pack_array" -> f { cs => array(cs: _*) },
+    "array_length" -> f { case c :: Nil => size(c).cast("long") },
+    "array_concat" -> f { cs => concat(cs: _*) },
+    "array_slice" -> f { case a :: lo :: hi :: Nil => slice(a, lo + 1, hi - lo + 1) }, // 0-based inclusive
+    "array_index_of" -> f { case a :: v :: Nil => (array_position(a, v) - 1).cast("long") },
+    "array_sort_asc" -> f { case a :: Nil => array_sort(a) },
+    "array_sort_desc" -> f { case a :: Nil => sort_array(a, asc = false) },
+    "array_reverse" -> f { case a :: Nil => reverse(a) },
+    "array_sum" -> f { case a :: Nil =>
+      aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double")) },
+    "array_avg" -> f { case a :: Nil =>
+      aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double")) / size(a) },
+    "array_min" -> f { case a :: Nil => array_min(a) },
+    "array_max" -> f { case a :: Nil => array_max(a) },
+    "set_union" -> f { case a :: b :: Nil => array_sort(array_union(a, b)) },
+    "set_intersect" -> f { case a :: b :: Nil => array_sort(array_intersect(a, b)) },
+    "set_difference" -> f { case a :: b :: Nil => array_sort(array_except(a, b)) },
+    "set_has_element" -> f { case a :: v :: Nil => array_contains(a, v) },
+    "array_repeat" -> f { case v :: n :: Nil => array_repeat(v, n.cast("int")) },
+    "zip" -> f { case a :: b :: Nil => arrays_zip(a, b) },
+    "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
+    "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
+    // ------------------------------------------------------------- geo
+    "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
+      haversineMeters(lon1, lat1, lon2, lat2) },
+  )
+
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = lit(6371000.0)
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+}

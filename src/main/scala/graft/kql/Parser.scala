@@ -1,0 +1,657 @@
+package graft.kql
+
+import Ast._
+import Lexer._
+
+/** Hand-written recursive-descent KQL parser (SURVEY.md §3.2 E1).
+  * No parser-generator deps (offline env). Keeps the raw source around so
+  * unquoted `datetime(2024-01-01)` literals can be sliced verbatim.
+  */
+final class Parser(src: String) {
+  private val toks: Vector[Tok] = Lexer.lex(src)
+  private var p = 0
+
+  final case class ParseError(msg: String, pos: Int)
+    extends RuntimeException(s"$msg at offset $pos: ...${src.drop(pos).take(40)}")
+
+  private def cur: Tok = toks(p)
+  private def ahead(k: Int): Tok = toks(math.min(p + k, toks.length - 1))
+  private def bump(): Tok = { val t = cur; p += 1; t }
+  private def fail(msg: String): Nothing = throw ParseError(msg, cur.pos)
+
+  private def isIdent(s: String): Boolean = cur match {
+    case TIdent(x, _) => x.equalsIgnoreCase(s); case _ => false }
+  private def isSym(s: String): Boolean = cur match {
+    case TSym(x, _) => x == s; case _ => false }
+  private def eatIdent(s: String): Unit =
+    if (isIdent(s)) p += 1 else fail(s"expected '$s'")
+  private def eatSym(s: String): Unit =
+    if (isSym(s)) p += 1 else fail(s"expected '$s'")
+  private def tryIdent(s: String): Boolean = { if (isIdent(s)) { p += 1; true } else false }
+  private def trySym(s: String): Boolean = { if (isSym(s)) { p += 1; true } else false }
+  private def identName(): String = cur match {
+    case TIdent(s, _) => p += 1; s
+    case TStr(s, _) => p += 1; s // ["quoted column"] style handled elsewhere; bare string ok
+    case _ => fail("expected identifier")
+  }
+
+  // ================================================================ entry
+  def parseStatements(): Statements = {
+    val lets = List.newBuilder[(String, Either[Expr, Query])]
+    while (isIdent("let")) {
+      p += 1
+      val name = identName()
+      eatSym("=")
+      // a '|' at paren-depth 0 before ';' ⇒ tabular let; lone ident ⇒ table
+      // alias; otherwise scalar expr.
+      val isTabular = {
+        var k = p; var depth = 0; var sawPipe = false; var done = false
+        while (!done) toks(k) match {
+          case TSym("(", _) | TSym("[", _) => depth += 1; k += 1
+          case TSym(")", _) | TSym("]", _) => depth -= 1; k += 1
+          case TSym("|", _) if depth == 0 => sawPipe = true; done = true
+          case TSym(";", _) if depth == 0 => done = true
+          case TEof(_) => done = true
+          case _ => k += 1
+        }
+        sawPipe || (toks(p).isInstanceOf[TIdent] &&
+          (toks(p + 1) match { case TSym(";", _) => true; case _ => false }))
+      }
+      if (isTabular) lets += name -> Right(parseQuery())
+      else lets += name -> Left(parseExpr())
+      eatSym(";")
+    }
+    val q = parseQuery()
+    cur match {
+      case TEof(_) => ()
+      case TSym(";", _) if ahead(1).isInstanceOf[TEof] => ()
+      case _ => fail("trailing tokens after query")
+    }
+    Statements(lets.result(), q)
+  }
+
+  // ================================================================ query
+  def parseQuery(): Query = {
+    val source = parseSource()
+    val ops = List.newBuilder[TabOp]
+    while (trySym("|")) ops += parseTabOp()
+    Query(source, ops.result())
+  }
+
+  private def parseSource(): Source = {
+    if (trySym("(")) { val q = parseQuery(); eatSym(")"); return q.source match {
+      case s if q.ops.isEmpty => s
+      case _ => fail("parenthesized piped source only allowed in join/union")
+    } }
+    cur match {
+      case TIdent(kw, _) if kw.equalsIgnoreCase("datatable") =>
+        p += 1; parseDatatable()
+      case TIdent(kw, _) if kw.equalsIgnoreCase("print") =>
+        p += 1; PrintSource(parseNamedExprList())
+      case TIdent(kw, _) if kw.equalsIgnoreCase("range") =>
+        p += 1
+        val col = identName()
+        eatIdent("from"); val from = parseExpr()
+        eatIdent("to"); val to = parseExpr()
+        eatIdent("step"); val step = parseExpr()
+        RangeSource(col, from, to, step)
+      case TIdent(kw, _) if kw.equalsIgnoreCase("union") =>
+        p += 1
+        val (kind, withSource) = parseUnionParams()
+        val tables = parseUnionOperands()
+        UnionSource(kind, withSource, tables)
+      case TIdent(name, _) =>
+        p += 1; TableRef(name)
+      case _ => fail("expected table source")
+    }
+  }
+
+  private def parseDatatable(): DataTable = {
+    eatSym("(")
+    val schema = List.newBuilder[(String, String)]
+    var more = true
+    while (more) {
+      val n = identName(); eatSym(":"); val t = identName()
+      schema += n -> t
+      more = trySym(",")
+    }
+    eatSym(")")
+    eatSym("[")
+    val flat = List.newBuilder[Expr]
+    while (!isSym("]")) {
+      flat += parseExpr()
+      if (!isSym("]")) eatSym(",")
+    }
+    eatSym("]")
+    val cols = schema.result()
+    val vals = flat.result()
+    if (cols.nonEmpty && vals.length % cols.length != 0)
+      fail(s"datatable values (${vals.length}) not a multiple of schema width (${cols.length})")
+    DataTable(cols, vals.grouped(cols.length).toList)
+  }
+
+  // ============================================================= tab ops
+  private def parseTabOp(): TabOp = cur match {
+    case TIdent(kw, _) =>
+      val k = kw.toLowerCase
+      p += 1
+      k match {
+        case "where" | "filter" => Where(parseExpr())
+        case "project" => Project(parseNamedExprList())
+        case "extend" => Extend(parseNamedExprList())
+        case "project-away" => ProjectAway(parseIdentList())
+        case "project-keep" => ProjectKeep(parseIdentList())
+        case "project-rename" =>
+          val pairs = List.newBuilder[(String, String)]
+          var more = true
+          while (more) {
+            val nw = identName(); eatSym("="); val old = identName()
+            pairs += nw -> old; more = trySym(",")
+          }
+          ProjectRename(pairs.result())
+        case "project-reorder" => ProjectReorder(parseIdentList())
+        case "summarize" => parseSummarize()
+        case "sort" | "order" => eatIdent("by"); Sort(parseSortKeys())
+        case "take" | "limit" => Take(parseLong())
+        case "top" =>
+          val n = parseLong(); eatIdent("by"); Top(n, parseSortKeys())
+        case "top-hitters" =>
+          val n = parseLong(); eatIdent("of"); val c = parseExpr()
+          val byAgg = if (tryIdent("by")) Some(parseExpr()) else None
+          // modeled as summarize+top: planner handles
+          TopNested(List(TopNestedLevel(n, (None, c),
+            (None, byAgg.getOrElse(App("count", Nil))), asc = false)))
+        case "distinct" =>
+          if (trySym("*")) DistinctOp(List(Star()))
+          else {
+            val cols = List.newBuilder[Expr]
+            var more = true
+            while (more) { cols += parseExpr(); more = trySym(",") }
+            DistinctOp(cols.result())
+          }
+        case "count" => CountOp()
+        case "join" => parseJoin()
+        case "lookup" =>
+          val right = parseJoinRight()
+          eatIdent("on")
+          LookupOp(right, parseJoinKeys())
+        case "union" =>
+          val (kind, withSource) = parseUnionParams()
+          UnionOp(kind, withSource, parseUnionOperands())
+        case "mv-expand" =>
+          val items = parseNamedExprList()
+          // optional `with_itemindex=ix` comes FIRST in real KQL; accept both
+          MvExpand(items, None)
+        case "parse" => parseParse(dropNonMatching = false)
+        case "parse-where" => parseParse(dropNonMatching = true)
+        case "getschema" => GetSchemaOp()
+        case "serialize" => SerializeOp()
+        case "sample" => SampleOp(parseLong())
+        case "search" =>
+          cur match {
+            case TStr(s, _) => p += 1; SearchOp(s)
+            case _ => fail("search expects a string literal")
+          }
+        case "make-series" => parseMakeSeries()
+        case "top-nested" => parseTopNested()
+        case "invoke" =>
+          val fn = identName()
+          val args = List.newBuilder[Expr]
+          eatSym("(")
+          while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
+          eatSym(")")
+          InvokeOp(fn, args.result())
+        case other => fail(s"unknown operator '$other'")
+      }
+    case _ => fail("expected operator after |")
+  }
+
+  private def parseLong(): Long = cur match {
+    case TNum(v: Long, _) => p += 1; v
+    case _ => fail("expected integer literal")
+  }
+
+  private def parseIdentList(): List[String] = {
+    val out = List.newBuilder[String]
+    var more = true
+    while (more) {
+      cur match {
+        case TIdent(s, _) =>
+          p += 1
+          if (trySym("*")) out += s + "*" else out += s
+        case TSym("*", _) => p += 1; out += "*"
+        case _ => fail("expected column name")
+      }
+      more = trySym(",")
+    }
+    out.result()
+  }
+
+  /** name = expr | expr   (comma list) */
+  private def parseNamedExprList(): List[(Option[String], Expr)] = {
+    val out = List.newBuilder[(Option[String], Expr)]
+    var more = true
+    while (more) {
+      out += parseNamedExpr()
+      more = trySym(",")
+    }
+    out.result()
+  }
+
+  private def parseNamedExpr(): (Option[String], Expr) = {
+    (cur, ahead(1)) match {
+      case (TIdent(name, _), TSym("=", _)) if !(ahead(2) match {
+            case TSym("=", _) => true; case _ => false }) => // not '=='
+        p += 2
+        (Some(name), parseExpr())
+      case _ => (None, parseExpr())
+    }
+  }
+
+  private def parseSortKeys(): List[SortKey] = {
+    val out = List.newBuilder[SortKey]
+    var more = true
+    while (more) {
+      val e = parseExpr()
+      // KQL default sort order is DESC (SURVEY §7.4)
+      var asc = false
+      var explicit = false
+      if (tryIdent("asc")) { asc = true; explicit = true }
+      else if (tryIdent("desc")) { asc = false; explicit = true }
+      var nullsFirst: Option[Boolean] = None
+      if (tryIdent("nulls")) {
+        if (tryIdent("first")) nullsFirst = Some(true)
+        else { eatIdent("last"); nullsFirst = Some(false) }
+      }
+      val _ = explicit
+      out += SortKey(e, asc, nullsFirst)
+      more = trySym(",")
+    }
+    out.result()
+  }
+
+  private def parseSummarize(): Summarize = {
+    // `summarize by g` (no aggs) is legal
+    if (tryIdent("by")) return Summarize(Nil, parseNamedExprList())
+    val aggs = List.newBuilder[(Option[String], Expr)]
+    var more = true
+    while (more) {
+      aggs += parseNamedExpr()
+      more = trySym(",")
+    }
+    val by = if (tryIdent("by")) parseNamedExprList() else Nil
+    Summarize(aggs.result(), by)
+  }
+
+  private def parseJoin(): JoinOp = {
+    var kind = "innerunique"
+    var hint: Option[String] = None
+    var inParams = true
+    while (inParams) {
+      if (isIdent("kind") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+        p += 2; kind = identName().toLowerCase
+      } else if (isIdent("hint") && (ahead(1) match { case TSym(".", _) => true; case _ => false })) {
+        p += 2 // hint .
+        val hname = identName() // strategy / num_partitions ...
+        eatSym("=")
+        val hval = cur match {
+          case TIdent(s, _) => p += 1; s
+          case TNum(v, _) => p += 1; v.toString
+          case _ => fail("expected hint value")
+        }
+        if (hname.equalsIgnoreCase("strategy")) hint = Some(hval.toLowerCase)
+      } else inParams = false
+    }
+    val right = parseJoinRight()
+    eatIdent("on")
+    JoinOp(kind, hint, right, parseJoinKeys())
+  }
+
+  private def parseJoinRight(): Query = {
+    if (trySym("(")) { val q = parseQuery(); eatSym(")"); q }
+    else Query(TableRef(identName()), Nil)
+  }
+
+  private def parseJoinKeys(): List[JoinKey] = {
+    val out = List.newBuilder[JoinKey]
+    var more = true
+    while (more) {
+      if (trySym("$")) {
+        eatIdent("left"); eatSym("."); val l = identName()
+        eatSym("=="); eatSym("$"); eatIdent("right"); eatSym("."); val r = identName()
+        out += JoinKey(l, r)
+      } else {
+        val c = identName()
+        out += JoinKey(c, c)
+      }
+      more = trySym(",")
+    }
+    out.result()
+  }
+
+  private def parseUnionParams(): (String, Option[String]) = {
+    var kind = "outer"
+    var withSource: Option[String] = None
+    var more = true
+    while (more) {
+      if (isIdent("kind") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+        p += 2; kind = identName().toLowerCase
+      } else if (isIdent("withsource") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+        p += 2; withSource = Some(identName())
+      } else more = false
+    }
+    (kind, withSource)
+  }
+
+  private def parseUnionOperands(): List[Query] = {
+    val out = List.newBuilder[Query]
+    var more = true
+    while (more) {
+      if (trySym("(")) { out += parseQuery(); eatSym(")") }
+      else out += Query(TableRef(identName()), Nil)
+      more = trySym(",")
+    }
+    out.result()
+  }
+
+  private def parseParse(dropNonMatching: Boolean): ParseOp = {
+    // optional kind=simple|regex
+    if (isIdent("kind") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+      p += 2; identName()
+    }
+    val source = parseExpr()
+    eatIdent("with")
+    val segs = List.newBuilder[ParseSeg]
+    var done = false
+    while (!done) {
+      cur match {
+        case TStr(s, _) => p += 1; segs += ParseLit(s)
+        case TSym("*", _) => p += 1; segs += ParseCol("", None) // wildcard skip
+        case TIdent(n, _) if !n.equalsIgnoreCase("with") =>
+          p += 1
+          val typ = if (trySym(":")) Some(identName()) else None
+          segs += ParseCol(n, typ)
+        case _ => done = true
+      }
+      cur match {
+        case TEof(_) | TSym("|", _) | TSym(";", _) => done = true
+        case _ => ()
+      }
+    }
+    ParseOp(source, segs.result(), dropNonMatching)
+  }
+
+  private def parseMakeSeries(): MakeSeries = {
+    val aggs = List.newBuilder[(Option[String], Expr, Expr)]
+    var more = true
+    while (more) {
+      val (alias, e) = parseNamedExpr()
+      val dflt: Expr =
+        if (isIdent("default") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+          p += 2; parseExpr()
+        } else Lit(0L)
+      aggs += ((alias, e, dflt))
+      more = trySym(",")
+    }
+    eatIdent("on")
+    val axis = parseExpr()
+    var from: Expr = null; var to: Expr = null; var step: Expr = null
+    if (tryIdent("from")) { from = parseExpr(); eatIdent("to"); to = parseExpr() }
+    else if (tryIdent("in")) { eatIdent("range"); eatSym("("); from = parseExpr()
+      eatSym(","); to = parseExpr(); eatSym(","); step = parseExpr(); eatSym(")") }
+    if (step == null) { eatIdent("step"); step = parseExpr() }
+    val by = if (tryIdent("by")) parseNamedExprList() else Nil
+    if (from == null || to == null) fail("make-series requires from/to bounds")
+    MakeSeries(aggs.result(), axis, from, to, step, by)
+  }
+
+  private def parseTopNested(): TopNested = {
+    val levels = List.newBuilder[TopNestedLevel]
+    var more = true
+    while (more) {
+      val n = parseLong()
+      eatIdent("of")
+      val of = parseNamedExpr()
+      eatIdent("by")
+      val by = parseNamedExpr()
+      val asc = if (tryIdent("asc")) true else { tryIdent("desc"); false }
+      levels += TopNestedLevel(n, of, by, asc)
+      more = trySym(",") && { eatIdent("top-nested"); true }
+    }
+    TopNested(levels.result())
+  }
+
+  // ================================================================ exprs
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (isIdent("or")) { p += 1; l = BinOp("or", l, parseAnd()) }
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parseCmp()
+    while (isIdent("and")) { p += 1; l = BinOp("and", l, parseCmp()) }
+    l
+  }
+
+  private val strOps = Set("contains", "has", "startswith", "endswith",
+    "hasprefix", "hassuffix", "contains_cs", "has_cs", "startswith_cs",
+    "endswith_cs", "matches")
+
+  private def parseCmp(): Expr = {
+    var l = parseAdd()
+    var done = false
+    while (!done) {
+      cur match {
+        case TSym(op @ ("==" | "!=" | "<" | "<=" | ">" | ">=" | "=~" | "!~" | "<>"), _) =>
+          p += 1
+          val r = parseAdd()
+          l = BinOp(if (op == "<>") "!=" else op, l, r)
+        case TSym("!", _) =>
+          // !contains / !has / !in / !startswith / !endswith / !between
+          ahead(1) match {
+            case TIdent(w, _) if strOps.contains(w.toLowerCase) =>
+              p += 2
+              if (w.equalsIgnoreCase("matches")) eatIdent("regex")
+              l = UnOp("not", BinOp(w.toLowerCase, l, parseAdd()))
+            case TIdent(w, _) if w.equalsIgnoreCase("in") =>
+              p += 2
+              val ci = trySym("~")
+              l = parseInTail(l, negated = true, ci)
+            case TIdent(w, _) if w.equalsIgnoreCase("between") =>
+              p += 2
+              l = parseBetweenTail(l, negated = true)
+            case _ => done = true
+          }
+        case TIdent(w, _) if strOps.contains(w.toLowerCase) =>
+          p += 1
+          if (w.equalsIgnoreCase("matches")) eatIdent("regex")
+          l = BinOp(w.toLowerCase, l, parseAdd())
+        case TIdent(w, _) if w.equalsIgnoreCase("in") =>
+          p += 1
+          val ci = trySym("~")
+          l = parseInTail(l, negated = false, ci)
+        case TIdent(w, _) if w.equalsIgnoreCase("between") =>
+          p += 1
+          l = parseBetweenTail(l, negated = false)
+        case _ => done = true
+      }
+    }
+    l
+  }
+
+  private def parseInTail(l: Expr, negated: Boolean, ci: Boolean): Expr = {
+    eatSym("(")
+    val vals = List.newBuilder[Expr]
+    while (!isSym(")")) { vals += parseExpr(); if (!isSym(")")) eatSym(",") }
+    eatSym(")")
+    InList(l, vals.result(), negated, ci)
+  }
+
+  private def parseBetweenTail(l: Expr, negated: Boolean): Expr = {
+    eatSym("(")
+    val lo = parseExpr()
+    eatSym("..")
+    val hi = parseExpr()
+    eatSym(")")
+    BetweenOp(l, lo, hi, negated)
+  }
+
+  private def parseAdd(): Expr = {
+    var l = parseMul()
+    var done = false
+    while (!done) cur match {
+      case TSym("+", _) => p += 1; l = BinOp("+", l, parseMul())
+      case TSym("-", _) => p += 1; l = BinOp("-", l, parseMul())
+      case _ => done = true
+    }
+    l
+  }
+
+  private def parseMul(): Expr = {
+    var l = parseUnary()
+    var done = false
+    while (!done) cur match {
+      case TSym("*", _) => p += 1; l = BinOp("*", l, parseUnary())
+      case TSym("/", _) => p += 1; l = BinOp("/", l, parseUnary())
+      case TSym("%", _) => p += 1; l = BinOp("%", l, parseUnary())
+      case _ => done = true
+    }
+    l
+  }
+
+  private def parseUnary(): Expr = cur match {
+    case TSym("-", _) => p += 1; UnOp("-", parseUnary())
+    case TIdent(w, _) if w.equalsIgnoreCase("not") && (ahead(1) match {
+          case TSym("(", _) => true; case _ => false }) =>
+      p += 1; UnOp("not", parsePostfix())
+    case _ => parsePostfix()
+  }
+
+  private def parsePostfix(): Expr = {
+    var e = parsePrimary()
+    var done = false
+    while (!done) cur match {
+      case TSym(".", _) =>
+        p += 1
+        val field = identName()
+        e = PathGet(e, Lit(field))
+      case TSym("[", _) =>
+        p += 1
+        val idx = parseExpr()
+        eatSym("]")
+        e = PathGet(e, idx)
+      case _ => done = true
+    }
+    e
+  }
+
+  /** functions whose argument is sliced raw from source (unquoted literal) */
+  private val rawArgFns = Set("datetime", "date", "time", "timespan")
+
+  private def parsePrimary(): Expr = cur match {
+    case TNum(v, _) => p += 1; Lit(v)
+    case TStr(s, _) => p += 1; Lit(s)
+    case TTimespan(us, _) => p += 1; Lit(Timespan(us))
+    case TSym("(", _) =>
+      p += 1; val e = parseExpr(); eatSym(")"); e
+    case TSym("*", _) => p += 1; Star()
+    case TIdent(w, _) if w.equalsIgnoreCase("true") => p += 1; Lit(true)
+    case TIdent(w, _) if w.equalsIgnoreCase("false") => p += 1; Lit(false)
+    case TIdent(w, _) if w.equalsIgnoreCase("null") => p += 1; Lit(null)
+    case TIdent(w, _) if w.equalsIgnoreCase("dynamic") && (ahead(1) match {
+          case TSym("(", _) => true; case _ => false }) =>
+      // dynamic([1,2,3]) / dynamic({"k":1}) — slice raw JSON text
+      p += 1
+      Lit(sliceRawParens())
+    case TIdent(w, _) if rawArgFns.contains(w.toLowerCase) && (ahead(1) match {
+          case TSym("(", _) => true; case _ => false }) =>
+      val fn = w.toLowerCase
+      p += 1
+      val raw = sliceRawParens().trim
+      val unq = if ((raw.startsWith("\"") && raw.endsWith("\"")) ||
+                    (raw.startsWith("'") && raw.endsWith("'"))) raw.substring(1, raw.length - 1)
+                else raw
+      if (fn == "datetime" || fn == "date") Lit(Literals.parseDatetime(unq))
+      else Lit(Literals.parseTimespan(unq))
+    case TIdent(w, _) if (ahead(1) match { case TSym("(", _) => true; case _ => false }) =>
+      p += 1 // fn name
+      p += 1 // (
+      val args = List.newBuilder[Expr]
+      while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
+      eatSym(")")
+      App(w.toLowerCase, args.result())
+    case TIdent(w, _) => p += 1; Col(w)
+    case TSym("[", _) if (ahead(1) match { case TStr(_, _) => true; case _ => false }) =>
+      // ['column name'] quoting
+      p += 1
+      val name = cur match { case TStr(s, _) => p += 1; s; case _ => fail("bad") }
+      eatSym("]")
+      Col(name)
+    case _ => fail("expected expression")
+  }
+
+  /** Consume a balanced `( ... )` group and return the RAW source between
+    * the parens (used for datetime/timespan/dynamic literals whose payload
+    * doesn't tokenize as KQL). */
+  private def sliceRawParens(): String = {
+    val open = cur
+    eatSym("(")
+    val startPos = open.pos + 1
+    var depth = 1
+    var endPos = startPos
+    while (depth > 0) {
+      cur match {
+        case TSym("(", _) => depth += 1; p += 1
+        case TSym(")", pos) => depth -= 1; endPos = pos; p += 1
+        case TEof(_) => fail("unterminated ( )")
+        case _ => p += 1
+      }
+    }
+    src.substring(startPos, endPos)
+  }
+}
+
+/** Datetime / timespan literal parsing shared by lexer-adjacent code. */
+object Literals {
+  def parseDatetime(s: String): java.sql.Timestamp = {
+    val t = s.trim
+    val iso =
+      if (t.length == 10) t + " 00:00:00"
+      else t.replace("T", " ")
+    // pad fractional seconds if missing
+    java.sql.Timestamp.valueOf(
+      if (iso.contains(".")) iso else iso + ".0")
+  }
+
+  /** KQL timespan string forms: "1.02:03:04.5" (d.hh:mm:ss.frac),
+    * "02:03:04", or unit forms "1h"/"90m" (already lexed elsewhere). */
+  def parseTimespan(s: String): Ast.Timespan = {
+    val t = s.trim
+    val unitRe = "(?i)^([0-9]+(?:\\.[0-9]+)?)\\s*(d|day|days|h|hr|hour|hours|m|min|minute|minutes|s|sec|second|seconds|ms|millisecond|milliseconds|tick|ticks)$".r
+    t match {
+      case unitRe(num, unit) =>
+        val mult = unit.toLowerCase match {
+          case "d" | "day" | "days" => 86400e6
+          case "h" | "hr" | "hour" | "hours" => 3600e6
+          case "m" | "min" | "minute" | "minutes" => 60e6
+          case "s" | "sec" | "second" | "seconds" => 1e6
+          case "ms" | "millisecond" | "milliseconds" => 1e3
+          case _ => 0.1
+        }
+        Ast.Timespan((num.toDouble * mult).round)
+      case _ =>
+        val re = "^(?:([0-9]+)\\.)?([0-9]{1,2}):([0-9]{2}):([0-9]{2})(?:\\.([0-9]+))?$".r
+        t match {
+          case re(d, h, m, sec, frac) =>
+            val days = if (d == null) 0L else d.toLong
+            val fracUs = if (frac == null) 0L
+              else (("0." + frac).toDouble * 1e6).round
+            Ast.Timespan(((days * 86400L + h.toLong * 3600 + m.toLong * 60 + sec.toLong) * 1000000L) + fracUs)
+          case _ => throw new IllegalArgumentException(s"bad timespan literal: $s")
+        }
+    }
+  }
+}

@@ -1,0 +1,958 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+
+/** KQL AST → Spark DataFrame planner (SURVEY.md §3.2 step 2).
+  *
+  * Every tabular operator becomes one declarative DataFrame transformation;
+  * Catalyst owns everything below the logical plan (pushdown, pruning,
+  * join strategy, codegen — SURVEY.md §4.2). No RDDs, no UDFs, no
+  * collect-based control flow: all operators here stay distributed and
+  * shuffle only where their semantics require (join/summarize/sort).
+  */
+final class Planner(spark: SparkSession, catalog: Catalog) {
+
+  private var letTables = Map.empty[String, DataFrame]
+  private var letScalars = Map.empty[String, Expr]
+  /** Current pipeline order (KQL `serialize`/`sort` state) for window fns. */
+  private var sortCols: List[Column] = Nil
+  private var serialized: Boolean = false
+
+  final case class PlanError(msg: String) extends RuntimeException(msg)
+
+  def planStatements(st: Statements): DataFrame = {
+    st.lets.foreach {
+      case (n, Left(e))  => letScalars += n -> e
+      case (n, Right(q)) => letTables += n -> plan(q)
+    }
+    plan(st.query)
+  }
+
+  def plan(q: Query): DataFrame = {
+    val (savedSort, savedSer) = (sortCols, serialized)
+    sortCols = Nil; serialized = false
+    var df = planSource(q.source)
+    q.ops.foreach { op => df = applyOp(df, op) }
+    val out = df
+    sortCols = savedSort; serialized = savedSer
+    out
+  }
+
+  // ============================================================== sources
+  private def planSource(s: Source): DataFrame = s match {
+    case TableRef(name) =>
+      letTables.getOrElse(name, catalog.table(name))
+    case DataTable(schema, rows) =>
+      val st = StructType(schema.map { case (n, t) => StructField(n, kqlType(t)) })
+      val data = rows.map { r =>
+        Row.fromSeq(r.zip(schema).map { case (e, (_, t)) => staticValue(e, t) })
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), st)
+    case PrintSource(items) =>
+      val one = spark.range(1).toDF()
+      one.select(items.zipWithIndex.map { case ((alias, e), i) =>
+        toCol(e, one).as(alias.getOrElse(s"print_$i"))
+      }: _*)
+    case RangeSource(colName, fromE, toE, stepE) =>
+      (staticValue(fromE, ""), staticValue(toE, ""), staticValue(stepE, "")) match {
+        case (f: java.lang.Long, t: java.lang.Long, st: java.lang.Long) =>
+          spark.range(f, t + 1, st).withColumnRenamed("id", colName)
+        case (f: java.sql.Timestamp, t: java.sql.Timestamp, st: java.lang.Long) =>
+          spark.range(1).select(explode(sequence(lit(f), lit(t),
+            expr(s"INTERVAL ${st} MICROSECOND"))).as(colName))
+        case other => throw PlanError(s"unsupported range bounds: $other")
+      }
+    case UnionSource(kind, withSource, tables) =>
+      planUnion(kind, withSource, tables.map(q => branchName(q) -> plan(q)))
+  }
+
+  private def branchName(q: Query): String = q.source match {
+    case TableRef(n) => n
+    case _ => "union_arg"
+  }
+
+  private def kqlType(t: String): DataType = t.toLowerCase match {
+    case "string" | "guid" | "dynamic" => StringType
+    case "long" => LongType
+    case "int" => IntegerType
+    case "real" | "double" => DoubleType
+    case "decimal" => DecimalType(38, 18)
+    case "bool" | "boolean" => BooleanType
+    case "datetime" | "date" => TimestampType
+    case "timespan" => LongType // µs
+    case other => throw PlanError(s"unknown KQL type '$other'")
+  }
+
+  /** Static (no-column) literal evaluation for datatable/range. */
+  private def staticValue(e: Expr, declared: String): Any = e match {
+    case Lit(Timespan(us)) => us
+    case Lit(v: Long) if declared.toLowerCase == "real" || declared.toLowerCase == "double" => v.toDouble
+    case Lit(v: Long) if declared.toLowerCase == "int" => v.toInt
+    case Lit(v) => v
+    case UnOp("-", inner) => staticValue(inner, declared) match {
+      case l: java.lang.Long => -l
+      case d: java.lang.Double => -d
+      case x => throw PlanError(s"cannot negate $x")
+    }
+    case BinOp(op, l, r) =>
+      val (lv, rv) = (staticValue(l, ""), staticValue(r, ""))
+      (lv, rv) match {
+        case (a: java.lang.Long, b: java.lang.Long) => op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case "%" => a % b
+          case _ => throw PlanError(s"static op $op")
+        }
+        case _ => throw PlanError(s"unsupported static expr: $e")
+      }
+    case other => throw PlanError(s"expected literal, got $other")
+  }
+
+  // ============================================================== tab ops
+  private def applyOp(df: DataFrame, op: TabOp): DataFrame = op match {
+    case Where(p) => df.filter(toCol(p, df))
+
+    case Project(items) =>
+      df.select(items.zipWithIndex.map { case ((alias, e), i) =>
+        toCol(e, df).as(alias.getOrElse(defaultName(e, i)))
+      }: _*)
+
+    case Extend(items) =>
+      items.zipWithIndex.foldLeft(df) { case (d, ((alias, e), i)) =>
+        d.withColumn(alias.getOrElse(defaultName(e, i)), toCol(e, d))
+      }
+
+    case ProjectAway(patterns) =>
+      val away = patterns.flatMap(p => matchCols(df.columns, p)).toSet
+      df.select(df.columns.filterNot(away).map(col): _*)
+
+    case ProjectKeep(patterns) =>
+      val keep = patterns.flatMap(p => matchCols(df.columns, p)).toSet
+      df.select(df.columns.filter(keep).map(col): _*)
+
+    case ProjectRename(pairs) =>
+      pairs.foldLeft(df) { case (d, (nw, old)) => d.withColumnRenamed(resolveName(d, old), nw) }
+
+    case ProjectReorder(cols) =>
+      val named = cols.map(resolveName(df, _))
+      val rest = df.columns.filterNot(named.toSet)
+      df.select((named ++ rest).map(col): _*)
+
+    case Sort(keys) =>
+      val ordered = keys.map(k => sortCol(k, df))
+      sortCols = ordered
+      serialized = true
+      df.orderBy(ordered: _*)
+
+    case Take(n) => df.limit(n.toInt)
+
+    case Top(n, keys) =>
+      val ordered = keys.map(k => sortCol(k, df))
+      sortCols = ordered
+      serialized = true
+      // orderBy+limit ⇒ Spark plans TakeOrderedAndProjectExec: true
+      // distributed top-k, no global sort (SURVEY §2.6)
+      df.orderBy(ordered: _*).limit(n.toInt)
+
+    case DistinctOp(List(Star())) => df.dropDuplicates()
+    case DistinctOp(cols) =>
+      df.select(cols.zipWithIndex.map { case (e, i) =>
+        toCol(e, df).as(defaultName(e, i)) }: _*).distinct()
+
+    case CountOp() => df.agg(count(lit(1)).as("Count"))
+
+    case j: JoinOp => planJoin(df, j)
+
+    case LookupOp(rightQ, keys) =>
+      // lookup = broadcast left-outer against a dimension table; right key
+      // columns dropped (SURVEY §2.3)
+      val right = plan(rightQ)
+      val rightRenamed = disambiguate(df, right, keys.map(_.right).toSet)
+      val cond = keys.map(k => df(resolveName(df, k.left)) ===
+        rightRenamed._1(rightRenamed._2.getOrElse(k.right, k.right))).reduce(_ && _)
+      val joined = df.join(broadcast(rightRenamed._1), cond, "left")
+      val dropCols = keys.map(k => rightRenamed._2.getOrElse(k.right, k.right))
+      dropCols.foldLeft(joined)((d, c) => d.drop(rightRenamed._1(c)))
+
+    case UnionOp(kind, withSource, others) =>
+      planUnion(kind, withSource,
+        ("self" -> df) :: others.map(q => branchName(q) -> plan(q)))
+
+    case MvExpand(items, withItemIndex) =>
+      items match {
+        case (alias, e) :: Nil =>
+          val c = toCol(e, df)
+          val name = alias.getOrElse(defaultName(e, 0))
+          val arrCol = typeOf(df, c) match {
+            case _: ArrayType => c
+            case StringType => from_json(c, ArrayType(StringType))
+            case t => throw PlanError(s"mv-expand over $t")
+          }
+          withItemIndex match {
+            case Some(ix) =>
+              val others = df.columns.map(col).toSeq
+              df.select(others :+ posexplode_outer(arrCol).as(Seq(ix, name)): _*)
+            case None =>
+              e match {
+                case Col(n) =>
+                  df.withColumn(resolveName(df, n), explode_outer(arrCol))
+                case _ => df.withColumn(name, explode_outer(arrCol))
+              }
+          }
+        case _ => throw PlanError("mv-expand: exactly one column supported")
+      }
+
+    case ParseOp(srcE, segs, dropNonMatching) =>
+      val srcCol = toCol(srcE, df)
+      val (pattern, captures) = compileParse(segs)
+      val withCols = captures.zipWithIndex.foldLeft(df) {
+        case (d, ((name, typ), i)) =>
+          val raw = regexp_extract(srcCol, pattern, i + 1)
+          val cast = typ.map(t => raw.cast(kqlType(t))).getOrElse(raw)
+          d.withColumn(name, cast)
+      }
+      if (dropNonMatching) withCols.filter(srcCol.rlike(pattern)) else withCols
+
+    case GetSchemaOp() =>
+      val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        Row(f.name, i.toLong, kqlTypeName(f.dataType))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(StructField("ColumnName", StringType),
+          StructField("ColumnOrdinal", LongType),
+          StructField("ColumnType", StringType))))
+
+    case SerializeOp() => serialized = true; df
+
+    case SampleOp(n) => df.orderBy(rand(42)).limit(n.toInt)
+
+    case SearchOp(term) =>
+      val strCols = df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name))
+      if (strCols.isEmpty) df.limit(0)
+      else df.filter(strCols.map(c => lower(c).contains(term.toLowerCase)).reduce(_ || _))
+
+    case ms: MakeSeries => planMakeSeries(df, ms)
+
+    case tn: TopNested => planTopNested(df, tn)
+
+    case InvokeOp(fn, _) => throw PlanError(s"invoke '$fn': stored functions not supported yet")
+
+    case s: Summarize => planSummarize(df, s)
+  }
+
+  /** KQL parse-pattern → anchored regex + ordered named captures.
+    * Each capture is lazy until the next literal; the trailing capture is
+    * greedy. Typed captures get narrower character classes. */
+  private def compileParse(segs: List[ParseSeg]): (String, List[(String, Option[String])]) = {
+    val sb = new StringBuilder("^")
+    val caps = List.newBuilder[(String, Option[String])]
+    segs.zipWithIndex.foreach {
+      case (ParseLit(s), _) => sb ++= java.util.regex.Pattern.quote(s)
+      case (ParseCol(name, typ), i) =>
+        val isLast = !segs.drop(i + 1).exists(_.isInstanceOf[ParseLit])
+        val body = typ.map(_.toLowerCase) match {
+          case Some("long") | Some("int") => "-?\\d+"
+          case Some("real") | Some("double") => "-?\\d+(?:\\.\\d+)?"
+          case _ => if (isLast) ".*" else ".*?"
+        }
+        if (name.isEmpty) sb ++= s"(?:$body)"
+        else { sb ++= s"($body)"; caps += name -> typ }
+    }
+    (sb.toString, caps.result())
+  }
+
+  private def kqlTypeName(t: DataType): String = t match {
+    case StringType => "string"
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "real"
+    case FloatType => "real"
+    case BooleanType => "bool"
+    case TimestampType => "datetime"
+    case _: DecimalType => "decimal"
+    case _: ArrayType => "dynamic"
+    case _: MapType | _: StructType => "dynamic"
+    case other => other.simpleString
+  }
+
+  private def matchCols(cols: Array[String], pattern: String): Seq[String] =
+    if (pattern.contains("*")) {
+      val rx = ("(?i)^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") + "$").r
+      cols.filter(c => rx.findFirstIn(c).isDefined).toSeq
+    } else Seq(resolveName0(cols, pattern))
+
+  private def sortCol(k: SortKey, df: DataFrame): Column = {
+    val c = toCol(k.e, df)
+    (k.asc, k.nullsFirst) match {
+      // KQL defaults: asc ⇒ nulls first, desc ⇒ nulls last (SURVEY §7.4)
+      case (true, None) => c.asc_nulls_first
+      case (false, None) => c.desc_nulls_last
+      case (true, Some(true)) => c.asc_nulls_first
+      case (true, Some(false)) => c.asc_nulls_last
+      case (false, Some(true)) => c.desc_nulls_first
+      case (false, Some(false)) => c.desc_nulls_last
+    }
+  }
+
+  // ================================================================ union
+  private def planUnion(kind: String, withSource: Option[String],
+                        branches: List[(String, DataFrame)]): DataFrame = {
+    val tagged = withSource match {
+      case Some(srcCol) => branches.map { case (n, d) => d.withColumn(srcCol, lit(n)) }
+      case None => branches.map(_._2)
+    }
+    kind match {
+      case "inner" =>
+        val common = tagged.map(_.columns.toSeq).reduce((a, b) => a.filter(b.contains))
+        tagged.map(d => d.select(common.map(col): _*)).reduce(_ union _)
+      case _ => // outer (default): null-pad missing columns
+        tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+  }
+
+  // ================================================================= join
+  /** Rename right-side columns colliding with left to `name1` (KQL join
+    * output convention); returns (renamedRight, originalName→newName). */
+  private def disambiguate(left: DataFrame, right: DataFrame,
+                           dropKeys: Set[String] = Set.empty): (DataFrame, Map[String, String]) = {
+    val leftCols = left.columns.map(_.toLowerCase).toSet
+    var renames = Map.empty[String, String]
+    var out = right
+    right.columns.foreach { c =>
+      if (leftCols.contains(c.toLowerCase)) {
+        var nn = c + "1"
+        var k = 1
+        while (out.columns.contains(nn) || leftCols.contains(nn.toLowerCase)) { k += 1; nn = c + k }
+        out = out.withColumnRenamed(c, nn)
+        renames += c -> nn
+      }
+    }
+    (out, renames)
+  }
+
+  private def planJoin(left: DataFrame, j: JoinOp): DataFrame = {
+    var right = plan(j.right)
+    val kind = j.kind match {
+      case "" | "innerunique" => "innerunique"
+      case k => k
+    }
+    // semi/anti keep only one side: no disambiguation needed beyond refs
+    kind match {
+      case "leftsemi" | "leftanti" | "leftantisemi" =>
+        val (r2, ren) = disambiguate(left, right)
+        val cond = j.keys.map(k => left(resolveName(left, k.left)) ===
+          r2(ren.getOrElse(resolveName0(right.columns, k.right), resolveName0(right.columns, k.right)))).reduce(_ && _)
+        val sk = if (kind == "leftsemi") "left_semi" else "left_anti"
+        left.join(maybeBroadcast(r2, j.strategyHint), cond, sk)
+      case "rightsemi" | "rightanti" | "rightantisemi" =>
+        val (l2, ren) = disambiguate(right, left)
+        val cond = j.keys.map(k => right(resolveName(right, k.right)) ===
+          l2(ren.getOrElse(resolveName0(left.columns, k.left), resolveName0(left.columns, k.left)))).reduce(_ && _)
+        val sk = if (kind == "rightsemi") "left_semi" else "left_anti"
+        right.join(l2, cond, sk)
+      case "cross" =>
+        left.crossJoin(maybeBroadcast(right, j.strategyHint))
+      case _ =>
+        val dedupLeft = kind match {
+          case "innerunique" =>
+            left.dropDuplicates(j.keys.map(k => resolveName(left, k.left)))
+          case _ => left
+        }
+        val (r2, ren) = disambiguate(dedupLeft, right)
+        val cond = j.keys.map(k => dedupLeft(resolveName(dedupLeft, k.left)) ===
+          r2(ren.getOrElse(resolveName0(right.columns, k.right), resolveName0(right.columns, k.right)))).reduce(_ && _)
+        val sparkKind = kind match {
+          case "innerunique" | "inner" => "inner"
+          case "leftouter" => "left"
+          case "rightouter" => "right"
+          case "fullouter" => "full"
+          case other => throw PlanError(s"unknown join kind '$other'")
+        }
+        dedupLeft.join(maybeBroadcast(r2, j.strategyHint), cond, sparkKind)
+    }
+  }
+
+  private def maybeBroadcast(df: DataFrame, hint: Option[String]): DataFrame = hint match {
+    case Some("broadcast") => broadcast(df)
+    case Some("shuffle") => df.hint("shuffle_hash")
+    case _ => df
+  }
+
+  // ============================================================ summarize
+  private def planSummarize(df: DataFrame, s: Summarize): DataFrame = {
+    val byCols = s.by.zipWithIndex.map { case ((alias, e), i) =>
+      toCol(e, df).as(alias.getOrElse(byDefaultName(e, i)))
+    }
+    val byNames = s.by.zipWithIndex.map { case ((alias, e), i) =>
+      alias.getOrElse(byDefaultName(e, i)) }
+
+    if (s.aggs.isEmpty) // `summarize by g` == distinct g
+      return df.select(byCols: _*).distinct()
+
+    // each agg item may expand to several columns (arg_max) or carry a
+    // post-agg unpack step
+    val aggCols = scala.collection.mutable.ListBuffer[Column]()
+    val unpacks = scala.collection.mutable.ListBuffer[(String, Seq[String])]() // structCol -> fieldNames
+
+    s.aggs.zipWithIndex.foreach { case ((alias, e), i) =>
+      e match {
+        case App(fn @ ("arg_max" | "arg_min"), byE :: rets) if rets.nonEmpty =>
+          val byC = toCol(byE, df)
+          val retCols: List[(String, Column)] = rets.flatMap {
+            case Star() => df.columns.toList.map(c => c -> col(c))
+            case r => List(defaultName(r, 0) -> toCol(r, df))
+          }
+          val byName = alias.getOrElse(defaultName(byE, i))
+          val packed = struct((byC.as("__by") :: retCols.map { case (n, c) => c.as(n) }): _*)
+          val structName = s"__arg$i"
+          val agg = if (fn == "arg_max") max_by(packed, byC) else min_by(packed, byC)
+          aggCols += agg.as(structName)
+          unpacks += structName -> (Seq("__by:" + byName) ++ retCols.map(_._1))
+        case _ =>
+          aggCols += toCol(e, df, agg = true).as(alias.getOrElse(aggDefaultName(e, i)))
+      }
+    }
+
+    var out = df.groupBy(byCols: _*).agg(aggCols.head, aggCols.tail.toSeq: _*)
+    // unpack arg_max/arg_min structs
+    unpacks.foreach { case (structName, fields) =>
+      fields.foreach { f =>
+        val (fieldName, outName) = if (f.startsWith("__by:")) ("__by", f.drop(5)) else (f, f)
+        out = out.withColumn(outName, col(structName).getField(fieldName))
+      }
+      out = out.drop(structName)
+    }
+    out
+  }
+
+  private def planAgg(e: Expr, df: DataFrame): Column = e match {
+    case App(fn, args) =>
+      def a(i: Int) = toCol(args(i), df)
+      fn match {
+        case "count" if args.isEmpty => count(lit(1))
+        case "count" => count(a(0))
+        case "countif" => count(when(a(0), 1))
+        case "sum" => sum(a(0))
+        case "sumif" => sum(when(a(1), a(0)))
+        case "avg" => avg(a(0))
+        case "avgif" => avg(when(a(1), a(0)))
+        case "min" => min(a(0))
+        case "minif" => min(when(a(1), a(0)))
+        case "max" => max(a(0))
+        case "maxif" => max(when(a(1), a(0)))
+        case "dcount" =>
+          val rsd = if (args.length > 1) accuracyToRsd(args(1)) else 0.02
+          approx_count_distinct(a(0), rsd)
+        case "dcountif" => approx_count_distinct(when(a(1), a(0)), 0.02)
+        case "count_distinct" => count_distinct(a(0))
+        case "count_distinctif" => count_distinct(when(a(1), a(0)))
+        case "percentile" =>
+          call_function("percentile", a(0), percentAsFraction(args(1), df))
+        case "percentile_approx" =>
+          percentile_approx(a(0), percentAsFraction(args(1), df), lit(10000))
+        case "take_any" | "any" => first(a(0), ignoreNulls = true)
+        case "make_list" if args.length == 1 => collect_list(a(0))
+        case "make_list" => slice(collect_list(a(0)), 1, staticValue(args(1), "").asInstanceOf[Long].toInt)
+        case "make_set" => array_sort(collect_set(a(0)))
+        case "make_list_if" => collect_list(when(a(1), a(0)))
+        case "make_set_if" => array_sort(collect_set(when(a(1), a(0))))
+        case "stdev" => stddev_samp(a(0))
+        case "stdevp" => stddev_pop(a(0))
+        case "variance" => var_samp(a(0))
+        case "variancep" => var_pop(a(0))
+        case "binary_all_and" => bit_and(a(0))
+        case "binary_all_or" => bit_or(a(0))
+        case "binary_all_xor" => bit_xor(a(0))
+        case "hll" => hll_sketch_agg(a(0))
+        case "max_by" => max_by(a(0), a(1))
+        case "min_by" => min_by(a(0), a(1))
+        case other => throw PlanError(s"unknown aggregate '$other'")
+      }
+    case other => throw PlanError(s"summarize expects aggregate call, got $other")
+  }
+
+  private def accuracyToRsd(e: Expr): Double = e match {
+    // KQL dcount accuracy 0..4 → rough rsd mapping
+    case Lit(l: Long) => l match {
+      case 0 => 0.1; case 1 => 0.02; case 2 => 0.01; case 3 => 0.005; case _ => 0.002
+    }
+    case _ => 0.02
+  }
+
+  private def percentAsFraction(e: Expr, df: DataFrame): Column = e match {
+    case Lit(l: Long) => lit(l.toDouble / 100.0)
+    case Lit(d: Double) => lit(d / 100.0)
+    case other => toCol(other, df) / 100.0
+  }
+
+  // =========================================================== make-series
+  private def planMakeSeries(df: DataFrame, ms: MakeSeries): DataFrame = {
+    val axisName = ms.axis match {
+      case Col(n) => resolveName(df, n)
+      case _ => throw PlanError("make-series axis must be a column")
+    }
+    val (fromTs, toTs, stepUs) = (ms.from, ms.to, ms.step) match {
+      case (Lit(f: java.sql.Timestamp), Lit(t: java.sql.Timestamp), Lit(Timespan(us))) => (f, t, us)
+      case other => throw PlanError(s"make-series needs datetime bounds + timespan step, got $other")
+    }
+    val byNames = ms.by.zipWithIndex.map { case ((alias, e), i) => alias.getOrElse(byDefaultName(e, i)) }
+    val byCols = ms.by.zipWithIndex.map { case ((alias, e), i) =>
+      toCol(e, df).as(alias.getOrElse(byDefaultName(e, i))) }
+    val aggNames = ms.aggs.zipWithIndex.map { case ((alias, e, _), i) => alias.getOrElse(aggDefaultName(e, i)) }
+
+    val axis = col(axisName)
+    val binned = df
+      .filter(axis >= lit(fromTs) && axis < lit(toTs))
+      .groupBy((byCols :+ timestamp_micros(
+        floor(unix_micros(axis) / lit(stepUs.toDouble)).cast("long") * stepUs).as(axisName)): _*)
+      .agg(toCol(ms.aggs.head._2, df, agg = true).as(aggNames.head),
+        ms.aggs.tail.zip(aggNames.tail).map { case ((_, e, _), n) =>
+          toCol(e, df, agg = true).as(n) }: _*)
+
+    // grid: one row per (group, bin); end-exclusive
+    val lastBin = fromTs.getTime * 1000 +
+      ((toTs.getTime * 1000 - fromTs.getTime * 1000 - 1) / stepUs) * stepUs
+    val gridSeq = sequence(lit(fromTs), lit(new java.sql.Timestamp(lastBin / 1000))
+      .cast("timestamp"), expr(s"INTERVAL $stepUs MICROSECOND"))
+    val groups =
+      if (byNames.isEmpty) spark.range(1).select(lit(1).as("__one"))
+      else df.select(byCols: _*).distinct()
+    val grid = groups.select((groups.columns.map(col) :+ explode(gridSeq).as(axisName)).toSeq: _*)
+
+    val joined = grid.join(binned, (byNames :+ axisName).toSeq, "left")
+    val filled = ms.aggs.zip(aggNames).foldLeft(joined) { case (d, ((_, _, dflt), n)) =>
+      d.withColumn(n, coalesce(col(n), toCol(dflt, d).cast(d.schema(n).dataType)))
+    }
+
+    // per group: sorted struct-collect → parallel arrays (SURVEY §7.4
+    // order-sensitive collect rule)
+    val packed = struct((col(axisName) +: aggNames.map(col)): _*)
+    val gb = if (byNames.isEmpty) filled.groupBy() else filled.groupBy(byNames.map(col): _*)
+    val arr = array_sort(collect_list(packed))
+    var out = gb.agg(arr.as("__series"))
+    out = out.withColumn(axisName, expr(s"transform(__series, x -> x.$axisName)"))
+    aggNames.foreach { n =>
+      out = out.withColumn(n, expr(s"transform(__series, x -> x.$n)"))
+    }
+    out.drop("__series")
+  }
+
+  // =========================================================== top-nested
+  private def planTopNested(df: DataFrame, tn: TopNested): DataFrame = {
+    var parents: List[String] = Nil
+    var acc: DataFrame = null
+    var current = df
+    tn.levels.zipWithIndex.foreach { case (lvl, i) =>
+      val ofName = lvl.of._1.getOrElse(defaultName(lvl.of._2, i))
+      val aggName = lvl.by._1.getOrElse(s"aggregated_$ofName")
+      val grouped = current
+        .groupBy((parents.map(col) :+ toCol(lvl.of._2, current).as(ofName)): _*)
+        .agg(toCol(lvl.by._2, current, agg = true).as(aggName))
+      val w = if (parents.isEmpty) Window.orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
+        else Window.partitionBy(parents.map(col): _*)
+          .orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
+      val ranked = grouped.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= lvl.n).drop("__rk")
+      acc = if (acc == null) ranked
+        else acc.join(ranked, parents.toSeq, "inner")
+      // restrict next level's input to surviving parent combos
+      current = current.join(
+        broadcast(ranked.select((parents :+ ofName).map(col): _*)),
+        (parents :+ ofName).toSeq, "left_semi")
+      parents = parents :+ ofName
+    }
+    acc
+  }
+
+  private def orderExpr(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc
+
+  // ============================================================== exprs
+  private[kql] def typeOf(df: DataFrame, c: Column): DataType =
+    try df.select(c).schema.head.dataType
+    catch { case _: Throwable => NullType }
+
+  private def resolveName(df: DataFrame, name: String): String =
+    resolveName0(df.columns, name)
+
+  private def resolveName0(cols: Array[String], name: String): String =
+    cols.find(_ == name).orElse {
+      val ci = cols.filter(_.equalsIgnoreCase(name))
+      if (ci.length == 1) Some(ci(0)) else None
+    }.getOrElse(throw PlanError(
+      s"column '$name' not found among [${cols.mkString(", ")}]"))
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case Col(n) => n
+    case PathGet(_, Lit(k: String)) => k
+    case App("bin", Col(n) :: _) => n
+    case App(_, Col(n) :: _) => n
+    case _ => s"Column$i"
+  }
+
+  private def byDefaultName(e: Expr, i: Int): String = e match {
+    case Col(n) => n
+    case App("bin", Col(n) :: _) => n
+    case PathGet(_, Lit(k: String)) => k
+    case _ => s"Column$i"
+  }
+
+  private def aggDefaultName(e: Expr, i: Int): String = e match {
+    case App("count", Nil) => "count_"
+    case App(fn, Col(n) :: _) => s"${fn}_$n"
+    case App(fn, _) => s"${fn}_$i"
+    case _ => s"Column$i"
+  }
+
+  private def windowSpec(df: DataFrame): org.apache.spark.sql.expressions.WindowSpec = {
+    if (sortCols.nonEmpty) Window.orderBy(sortCols: _*)
+    else if (serialized) Window.orderBy(monotonically_increasing_id())
+    else throw PlanError("window function requires `serialize` or `sort by` first")
+  }
+
+  private val windowFns = Set("row_number", "prev", "next", "row_cumsum",
+    "row_rank_dense", "row_rank_min")
+
+  private[kql] def toCol(e: Expr, df: DataFrame): Column = toCol(e, df, agg = false)
+
+  private[kql] def toCol(e: Expr, df: DataFrame, agg: Boolean): Column = e match {
+    case Lit(Timespan(us)) => lit(us)
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case Star() => col("*")
+    case Col(name) =>
+      if (letScalars.contains(name)) toCol(letScalars(name), df)
+      else col(resolveName(df, name))
+
+    case BinOp(op, l, r) => planBinOp(op, l, r, df, agg)
+    case UnOp("-", inner) => negate(toCol(inner, df, agg))
+    case UnOp("not", inner) => !toCol(inner, df, agg)
+    case UnOp(op, _) => throw PlanError(s"unknown unary op '$op'")
+
+    case PathGet(base, key) =>
+      val b = toCol(base, df)
+      typeOf(df, b) match {
+        case StringType => key match {
+          case Lit(k: String) => get_json_object(b, s"$$.$k")
+          case Lit(i: Long) => get_json_object(b, s"$$[$i]")
+          case other => throw PlanError(s"dynamic access needs literal key, got $other")
+        }
+        case _: ArrayType => element_at(b, toCol(key, df).cast("int") + 1)
+        case _: MapType => element_at(b, toCol(key, df))
+        case _: StructType => key match {
+          case Lit(k: String) => b.getField(k)
+          case other => throw PlanError(s"struct access needs literal key, got $other")
+        }
+        case t => throw PlanError(s"cannot index into $t")
+      }
+
+    case InList(e2, values, negated, ci) =>
+      val c = toCol(e2, df)
+      val base =
+        if (ci) lower(c).isin(values.map {
+          case Lit(s: String) => s.toLowerCase
+          case other => throw PlanError(s"in~ needs string literals, got $other")
+        }: _*)
+        else c.isin(values.map {
+          case Lit(Timespan(us)) => us
+          case Lit(v) => v
+          case other => throw PlanError(s"in() needs literals, got $other")
+        }: _*)
+      if (negated) !base else base
+
+    case BetweenOp(e2, lo, hi, negated) =>
+      val c = toCol(e2, df)
+      val base = c >= toCol(lo, df) && c <= toCol(hi, df)
+      if (negated) !base else base
+
+    case App(fn, args) =>
+      if (agg && aggFns.contains(fn)) planAgg(e, df)
+      else planApp(fn, args, df, agg)
+  }
+
+  private val aggFns: Set[String] = Set("count", "countif", "sum", "sumif",
+    "avg", "avgif", "min", "minif", "max", "maxif", "dcount", "dcountif",
+    "count_distinct", "count_distinctif", "percentile", "percentile_approx",
+    "take_any", "any", "make_list", "make_set", "make_list_if", "make_set_if",
+    "stdev", "stdevp", "variance", "variancep", "binary_all_and",
+    "binary_all_or", "binary_all_xor", "hll", "max_by", "min_by",
+    "arg_max", "arg_min")
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def planBinOp(op: String, l: Expr, r: Expr, df: DataFrame, agg: Boolean = false): Column = {
+    lazy val lc = toCol(l, df, agg)
+    lazy val rc = toCol(r, df, agg)
+    lazy val lt = typeOf(df, lc)
+    lazy val rt = typeOf(df, rc)
+    op match {
+      case "+" | "-" =>
+        (lt, l, r) match {
+          case (TimestampType, _, Lit(Timespan(us))) =>
+            timestamp_micros(if (op == "+") unix_micros(lc) + us else unix_micros(lc) - us)
+          case (TimestampType, _, _) if rt == TimestampType && op == "-" =>
+            unix_micros(lc) - unix_micros(rc) // KQL timespan == µs long here
+          case (TimestampType, _, _) if isIntegral(rt) =>
+            timestamp_micros(if (op == "+") unix_micros(lc) + rc else unix_micros(lc) - rc)
+          case _ if rt == TimestampType && op == "+" =>
+            timestamp_micros(unix_micros(rc) + lc)
+          case _ => if (op == "+") lc + rc else lc - rc
+        }
+      case "*" => lc * rc
+      case "/" =>
+        if (isIntegral(lt) && isIntegral(rt)) (lc.cast("double") / rc).cast("long")
+        else lc / rc
+      case "%" => lc % rc
+      case "==" => lc === rc
+      case "!=" => lc =!= rc
+      case "<" => lc < rc
+      case "<=" => lc <= rc
+      case ">" => lc > rc
+      case ">=" => lc >= rc
+      case "=~" => lower(lc) === lower(rc)
+      case "!~" => lower(lc) =!= lower(rc)
+      case "and" => lc && rc
+      case "or" => lc || rc
+      // ---- string predicate operators; KQL default = case-INsensitive
+      case "contains" => lower(lc).contains(lower(rc))
+      case "contains_cs" => lc.contains(rc)
+      case "startswith" => lower(lc).startsWith(lower(rc))
+      case "startswith_cs" => lc.startsWith(rc)
+      case "endswith" => lower(lc).endsWith(lower(rc))
+      case "endswith_cs" => lc.endsWith(rc)
+      case "has" => hasTerm(lc, r, df, cs = false)
+      case "has_cs" => hasTerm(lc, r, df, cs = true)
+      case "hasprefix" => r match {
+        case Lit(s: String) => lc.rlike("(?i)\\b" + Functions.rxQuote(s))
+        case _ => lower(lc).contains(lower(rc))
+      }
+      case "hassuffix" => r match {
+        case Lit(s: String) => lc.rlike("(?i)" + Functions.rxQuote(s) + "\\b")
+        case _ => lower(lc).contains(lower(rc))
+      }
+      case "matches" => r match {
+        case Lit(s: String) => lc.rlike(s)
+        case _ => throw PlanError("matches regex needs a literal pattern")
+      }
+      case other => throw PlanError(s"unknown binary op '$other'")
+    }
+  }
+
+  /** KQL `has`: whole-term match, case-insensitive by default. */
+  private def hasTerm(c: Column, term: Expr, df: DataFrame, cs: Boolean): Column = term match {
+    case Lit(s: String) =>
+      val flags = if (cs) "" else "(?i)"
+      c.rlike(flags + "\\b" + Functions.rxQuote(s) + "\\b")
+    case other =>
+      val t = toCol(other, df)
+      if (cs) c.contains(t) else lower(c).contains(lower(t))
+  }
+
+  private def litString(e: Expr, what: String): String = e match {
+    case Lit(s: String) => s
+    case other => throw PlanError(s"$what requires a string literal, got $other")
+  }
+
+  private def planApp(fn: String, args: List[Expr], df: DataFrame, agg: Boolean = false): Column = {
+    def a(i: Int): Column = toCol(args(i), df, agg)
+    fn match {
+      // ---------------------------------------------------- conditionals
+      case "iff" | "iif" => when(a(0), a(1)).otherwise(a(2))
+      case "case" =>
+        val pairs = args.dropRight(1).grouped(2).toList
+        val dflt = toCol(args.last, df, agg)
+        pairs.foldRight(dflt) { case (List(p, v), acc) =>
+          when(toCol(p, df, agg), toCol(v, df, agg)).otherwise(acc)
+        }
+      // ------------------------------------------------------------- bin
+      case "bin" | "floor" if args.length == 2 => planBin(args(0), args(1), df)
+      case "bin_at" if args.length == 3 =>
+        // bin_at(x, size, fixedPoint): bins aligned to fixedPoint
+        (typeOf(df, a(0)), args(1), args(2)) match {
+          case (TimestampType, Lit(Timespan(us)), Lit(fp: java.sql.Timestamp)) =>
+            val fpUs = fp.getTime * 1000
+            timestamp_micros(floor((unix_micros(a(0)) - fpUs) / lit(us.toDouble)).cast("long") * us + fpUs)
+          case _ => throw PlanError("bin_at supports datetime axis only")
+        }
+      // -------------------------------------------------------- datetime
+      case "ago" => args.head match {
+        case Lit(Timespan(us)) => timestamp_micros(unix_micros(current_timestamp()) - us)
+        case _ => throw PlanError("ago() needs a timespan literal")
+      }
+      case "datetime_add" =>
+        val part = litString(args(0), "datetime_add part").toLowerCase
+        val amount = a(1); val ts = a(2)
+        part match {
+          case "year" => add_months(ts, amount * 12).cast("timestamp")
+          case "quarter" => add_months(ts, amount * 3).cast("timestamp")
+          case "month" => add_months(ts, amount).cast("timestamp")
+          case "week" => timestamp_micros(unix_micros(ts) + amount.cast("long") * 604800000000L)
+          case "day" => timestamp_micros(unix_micros(ts) + amount.cast("long") * 86400000000L)
+          case "hour" => timestamp_micros(unix_micros(ts) + amount.cast("long") * 3600000000L)
+          case "minute" => timestamp_micros(unix_micros(ts) + amount.cast("long") * 60000000L)
+          case "second" => timestamp_micros(unix_micros(ts) + amount.cast("long") * 1000000L)
+          case other => throw PlanError(s"datetime_add part '$other'")
+        }
+      case "datetime_diff" =>
+        // boundary-crossing count (KQL semantics): diff of truncated values
+        val part = litString(args(0), "datetime_diff part").toLowerCase
+        val d1 = a(1); val d2 = a(2)
+        part match {
+          case "year" => (year(d1) - year(d2)).cast("long")
+          case "quarter" => ((year(d1) * 4 + quarter(d1)) - (year(d2) * 4 + quarter(d2))).cast("long")
+          case "month" => ((year(d1) * 12 + month(d1)) - (year(d2) * 12 + month(d2))).cast("long")
+          case "week" => ((unix_micros(date_trunc("week", d1)) - unix_micros(date_trunc("week", d2))) / 604800000000L).cast("long")
+          case "day" => ((unix_micros(date_trunc("day", d1)) - unix_micros(date_trunc("day", d2))) / 86400000000L).cast("long")
+          case "hour" => ((unix_micros(date_trunc("hour", d1)) - unix_micros(date_trunc("hour", d2))) / 3600000000L).cast("long")
+          case "minute" => ((unix_micros(date_trunc("minute", d1)) - unix_micros(date_trunc("minute", d2))) / 60000000L).cast("long")
+          case "second" => ((unix_micros(date_trunc("second", d1)) - unix_micros(date_trunc("second", d2))) / 1000000L).cast("long")
+          case other => throw PlanError(s"datetime_diff part '$other'")
+        }
+      case "format_datetime" =>
+        date_format(a(0), translateDatePattern(litString(args(1), "format_datetime pattern")))
+      case "totimespan" => args.head match {
+        case Lit(s: String) => lit(Literals.parseTimespan(s).micros)
+        case Lit(Timespan(us)) => lit(us)
+        case _ => a(0).cast("long")
+      }
+      case "make_timespan" =>
+        // make_timespan(hour, minute[, second]) → µs
+        val h = a(0).cast("long") * 3600000000L
+        val m = a(1).cast("long") * 60000000L
+        val s = if (args.length > 2) (a(2).cast("double") * 1e6).cast("long") else lit(0L)
+        h + m + s
+      // ---------------------------------------------------------- string
+      case "substring" =>
+        val src = a(0)
+        val start = a(1).cast("int") + 1 // KQL 0-based → Spark 1-based
+        if (args.length > 2) src.substr(start, a(2).cast("int"))
+        else src.substr(start, lit(Int.MaxValue))
+      case "split" =>
+        val delim = Functions.rxQuote(litString(args(1), "split delimiter"))
+        val arr = split(a(0), delim, -1)
+        if (args.length > 2) element_at(arr, a(2).cast("int") + 1)
+        else arr
+      case "trim" => regexpTrim(a(1), litString(args(0), "trim regex"), both = true, start = false)
+      case "trim_start" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = true)
+      case "trim_end" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = false)
+      case "replace_string" => call_function("replace", a(0), a(1), a(2))
+      case "replace_regex" => regexp_replace(a(0), litString(args(1), "replace_regex"), litString(args(2), "replacement"))
+      case "extract" =>
+        // extract(regex, captureGroup, source[, typeof])
+        val rx = litString(args(0), "extract regex")
+        val grp = args(1) match { case Lit(l: Long) => l.toInt; case _ => 1 }
+        regexp_extract(a(2), rx, grp)
+      case "extract_all" =>
+        regexp_extract_all(a(1), lit(litString(args(0), "extract_all regex")), lit(1))
+      case "countof" =>
+        val needle = args(1) match {
+          case Lit(s: String) =>
+            val kind = if (args.length > 2) litString(args(2), "countof kind") else "normal"
+            if (kind == "regex") s else Functions.rxQuote(s)
+          case _ => throw PlanError("countof needs literal needle")
+        }
+        regexp_count(a(0), lit(needle)).cast("long")
+      case "pad" | "pad_left" => lpad(a(0), staticValue(args(1), "").asInstanceOf[Long].toInt,
+        if (args.length > 2) litString(args(2), "pad char") else " ")
+      case "pad_right" => rpad(a(0), staticValue(args(1), "").asInstanceOf[Long].toInt,
+        if (args.length > 2) litString(args(2), "pad char") else " ")
+      // ------------------------------------------------------------ math
+      case "round" =>
+        if (args.length > 1) round(a(0), staticValue(args(1), "").asInstanceOf[Long].toInt)
+        else round(a(0))
+      case "rand" => if (args.isEmpty) rand(42) else (rand(42) * a(0).cast("double")).cast("long").cast("double")
+      // --------------------------------------------------------- dynamic
+      case "pack" | "bag_pack" =>
+        val pairs = args.grouped(2).toList.map {
+          case List(k, v) => toCol(v, df).as(litString(k, "pack key"))
+          case _ => throw PlanError("pack needs key/value pairs")
+        }
+        to_json(struct(pairs: _*))
+      case "pack_all" => to_json(struct(df.columns.map(col).toSeq: _*))
+      case "pack_dictionary" =>
+        val pairs = args.grouped(2).toList.flatMap {
+          case List(k, v) => List(lit(litString(k, "key")), toCol(v, df))
+          case _ => throw PlanError("pack needs pairs")
+        }
+        to_json(map(pairs: _*))
+      // --------------------------------------------------------- windows
+      case "row_number" =>
+        val base = row_number().over(windowSpec(df)).cast("long")
+        if (args.nonEmpty) base + toCol(args.head, df) - 1 else base
+      case "prev" =>
+        val n = if (args.length > 1) staticValue(args(1), "").asInstanceOf[Long].toInt else 1
+        if (args.length > 2) lag(a(0), n, staticValue(args(2), "")).over(windowSpec(df))
+        else lag(a(0), n).over(windowSpec(df))
+      case "next" =>
+        val n = if (args.length > 1) staticValue(args(1), "").asInstanceOf[Long].toInt else 1
+        if (args.length > 2) lead(a(0), n, staticValue(args(2), "")).over(windowSpec(df))
+        else lead(a(0), n).over(windowSpec(df))
+      case "row_cumsum" =>
+        sum(a(0)).over(windowSpec(df).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      case "row_rank_min" => rank().over(windowSpec(df)).cast("long")
+      case "row_rank_dense" => dense_rank().over(windowSpec(df)).cast("long")
+      // --------------------------------------------------------- default
+      case other =>
+        Functions.registry.get(other) match {
+          case Some(builder) => builder(args.map(toCol(_, df, agg)))
+          case None => throw PlanError(s"unknown function '$other'")
+        }
+    }
+  }
+
+  private def planBin(value: Expr, step: Expr, df: DataFrame): Column = {
+    val v = toCol(value, df)
+    typeOf(df, v) match {
+      case TimestampType =>
+        val us = step match {
+          case Lit(Timespan(u)) => u
+          case Lit(l: Long) => l
+          case other => throw PlanError(s"bin step on datetime must be timespan, got $other")
+        }
+        timestamp_micros(floor(unix_micros(v) / lit(us.toDouble)).cast("long") * us)
+      case t if isIntegral(t) =>
+        step match {
+          case Lit(stepL: Long) => (floor(v.cast("double") / stepL).cast("long") * stepL)
+          case Lit(d: Double) => floor(v.cast("double") / d) * d
+          case other => throw PlanError(s"bin step must be literal, got $other")
+        }
+      case _ =>
+        val s = step match {
+          case Lit(l: Long) => l.toDouble
+          case Lit(d: Double) => d
+          case other => throw PlanError(s"bin step must be literal, got $other")
+        }
+        floor(v.cast("double") / s) * s
+    }
+  }
+
+  private def regexpTrim(c: Column, rx: String, both: Boolean, start: Boolean): Column = {
+    val pat =
+      if (both) s"^(?:$rx)+|(?:$rx)+$$"
+      else if (start) s"^(?:$rx)+"
+      else s"(?:$rx)+$$"
+    regexp_replace(c, pat, "")
+  }
+
+  /** KQL/.NET datetime format → JVM SimpleDateFormat-ish translation. */
+  private def translateDatePattern(p: String): String =
+    p.replace("fffffff", "SSSSSSS").replace("ffffff", "SSSSSS")
+      .replace("fffff", "SSSSS").replace("ffff", "SSSS")
+      .replace("fff", "SSS").replace("ff", "SS").replace("f", "S")
+      .replace("tt", "a")
+}
+
+/** Facade: parse + plan a KQL query text against a catalog (entry E1). */
+object Kql {
+  def run(spark: SparkSession, query: String, catalog: Catalog): DataFrame =
+    new Planner(spark, catalog).planStatements(new Parser(query).parseStatements())
+
+  def run(spark: SparkSession, query: String, dir: String): DataFrame =
+    run(spark, query, Catalog(spark, dir))
+}
