@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.kql.{Kql, Catalog}
+
+/** Property-style tests over the engine (SURVEY.md §5.2-3), driven by
+  * ScalaCheck generators sampled with a fixed seed (each case is a full
+  * Spark job, so we keep 5 cases per property and stay deterministic —
+  * the scalatest+scalacheck bridge artifact isn't in the offline cache).
+  */
+class KqlPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = Catalog(spark, TestSpark.sfDir)
+
+  private val smallList = Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def dt(vals: Seq[Long]): String =
+    s"datatable(x:long) [${vals.mkString(", ")}]"
+
+  test("where p + where !p partitions the table") {
+    for ((vals, i) <- samples(smallList, 5).zipWithIndex) {
+      val pivot = -100 + 40 * i
+      val base = dt(vals)
+      val a = Kql.run(spark, s"$base | where x >= $pivot | count", cat).head.getLong(0)
+      val b = Kql.run(spark, s"$base | where not(x >= $pivot) | count", cat).head.getLong(0)
+      assert(a + b == vals.length, s"vals=$vals pivot=$pivot")
+    }
+  }
+
+  test("top n is a prefix of full sort") {
+    for ((vals, i) <- samples(smallList, 5).zipWithIndex) {
+      val n = 1 + i
+      val base = dt(vals)
+      val top = Kql.run(spark, s"$base | top $n by x desc", cat).collect().map(_.getLong(0)).toSeq
+      val sorted = Kql.run(spark, s"$base | sort by x desc", cat).collect().map(_.getLong(0)).toSeq
+      assert(top == sorted.take(n), s"vals=$vals n=$n")
+    }
+  }
+
+  test("bin is idempotent, <= input, within step") {
+    for ((vals, i) <- samples(smallList, 5).zipWithIndex) {
+      val step = 1 + 2 * i
+      val rows = Kql.run(spark,
+        s"${dt(vals)} | project b1 = bin(x, $step), b2 = bin(bin(x, $step), $step), x", cat).collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1))
+        assert(r.getLong(0) <= r.getLong(2))
+        assert(r.getLong(2) - r.getLong(0) < step)
+      }
+    }
+  }
+
+  test("summarize count by key sums to total") {
+    for (vals <- samples(smallList, 5)) {
+      val total = Kql.run(spark,
+        s"${dt(vals)} | summarize n=count() by b=bin(x, 7) | summarize s=sum(n)", cat)
+        .head.getLong(0)
+      assert(total == vals.length)
+    }
+  }
+}

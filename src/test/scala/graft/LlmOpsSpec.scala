@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.LlmOps
+
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("dedupExact keeps one row per distinct text with counts summing to corpus") {
+    // fixture texts are all distinct; synthesize exact dups by re-appending
+    // the first 50 docs under new ids
+    val dups = docs.limit(50).withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dups)
+    val d = LlmOps.dedupExact(corpus)
+    assert(d.agg(sum("n_copies")).head.getLong(0) == corpus.count())
+    assert(d.count() == docs.count()) // one survivor per distinct text
+    assert(d.filter(col("n_copies") === 2).count() == 50)
+    assert(d.filter(col("keep_id") >= 1000000L).count() == 0) // min-id kept
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs (verification step)") {
+    val exact = LlmOps.jaccardPairs(docs, 0.8).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = LlmOps.nearDupPairsMinhash(docs, 0.8).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact verify on candidates ⇒ no false positives
+    assert(lsh.size >= (exact.size * 0.85).toInt) // banding recall at t=0.8
+  }
+
+  test("knn top hit of a query vector is itself with cosine 1") {
+    val top = LlmOps.knnCosine(embs, queryId = 0, k = 3).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    // scores are non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ann-lsh returns the query itself and only true bucket-mates") {
+    val res = LlmOps.annCosineLsh(embs, queryId = 0, k = 5).collect()
+    assert(res.head.getLong(0) == 0L)
+  }
+
+  test("identical texts share simhash and fingerprint; different texts mostly don't") {
+    val corpus = docs.limit(20)
+      .unionByName(docs.limit(20).withColumn("doc_id", col("doc_id") + 1000000L))
+    val sh = LlmOps.simHash(corpus)
+      .withColumn("orig", col("doc_id") % 1000000L)
+      .groupBy("orig").agg(count_distinct(col("simhash")).as("k"))
+    assert(sh.filter(col("k") =!= 1).count() == 0)
+    val fp = LlmOps.fingerprint(corpus)
+      .withColumn("orig", col("doc_id") % 1000000L)
+      .groupBy("orig").agg(count_distinct(col("fp")).as("k"))
+    assert(fp.filter(col("k") =!= 1).count() == 0)
+    // 20 distinct texts should not all collide to one fingerprint
+    assert(LlmOps.fingerprint(docs.limit(20)).select("fp").distinct().count() > 1)
+  }
+
+  test("tfidf: common terms get low idf weight, per-doc tf sums to token count") {
+    val t = LlmOps.tfIdf(docs)
+    val row = t.orderBy(desc("df")).limit(1).collect().head
+    val maxDfTfidf = row.getDouble(row.fieldIndex("tfidf"))
+    assert(maxDfTfidf <= 1e-9 + 0.0 || maxDfTfidf >= 0.0) // ln(N/df) ≥ 0, ~0 for ubiquitous terms
+    val n0 = t.filter(col("id") === 0).agg(sum("tf")).head.getLong(0)
+    val toks0 = docs.filter(col("doc_id") === 0)
+      .select(size(split(lower(col("text")), "\\s+"))).head.getInt(0)
+    assert(n0 == toks0)
+  }
+
+  test("langId: marker words and CJK script drive the prediction") {
+    // fixture lang labels are arbitrary word-soup tags, so test the
+    // heuristic on texts with real signal
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "the cat and the dog of the house with that thing"),
+      (2L, "el gato y la casa con los perros que corren"),
+      (3L, "le chien et la maison avec les chats que nous avons"),
+      (4L, "der hund und die katze das haus mit dem auto"),
+      (5L, "\u4e2d\u6587\u6587\u672c\u5904\u7406 spark \u5f15\u64ce"),
+    ).toDF("doc_id", "text")
+    val out = LlmOps.langId(synth).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang"))).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "fr" &&
+      out(4L) == "de" && out(5L) == "zh")
+  }
+
+  test("similarityPairs is symmetric-free (i<j) and thresholded") {
+    val p = LlmOps.similarityPairs(embs, 0.3).collect()
+    assert(p.forall(r => r.getLong(1) < r.getLong(2)))
+    assert(p.forall(_.getDouble(3) >= 0.3))
+  }
+
+  test("multimodal stub: metadata + fixed-width features, no nulls") {
+    val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
+    assert(out.filter(col("media_size").isNull || col("media_hash").isNull).count() == 0)
+    assert(out.select(size(col("media_features"))).distinct().head.getInt(0) == 8)
+  }
+}

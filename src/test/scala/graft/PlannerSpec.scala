@@ -1,0 +1,200 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.kql.{Kql, Catalog}
+
+/** Golden-result tests for KQL semantic traps (SURVEY.md §7.4) using
+  * inline datatable sources — no fixture dependency. */
+class PlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = Catalog(spark, TestSpark.sfDir)
+
+  private def run(q: String): Seq[Row] = Kql.run(spark, q, cat).collect().toSeq
+  private def one(q: String): Row = run(q).head
+
+  test("string predicates are case-INsensitive by default, _cs sensitive") {
+    val base = "datatable(s:string) ['Hello World', 'bye']"
+    assert(run(s"$base | where s contains 'HELLO'").length == 1)
+    assert(run(s"$base | where s contains_cs 'HELLO'").isEmpty)
+    assert(run(s"$base | where s startswith 'hello'").length == 1)
+    assert(run(s"$base | where s endswith 'WORLD'").length == 1)
+  }
+
+  test("== is case-sensitive; =~ is not") {
+    val base = "datatable(s:string) ['Abc']"
+    assert(run(s"$base | where s == 'abc'").isEmpty)
+    assert(run(s"$base | where s =~ 'abc'").length == 1)
+    assert(run(s"$base | where s !~ 'xyz'").length == 1)
+  }
+
+  test("has matches whole terms only") {
+    val base = "datatable(s:string) ['green apple pie', 'greenhouse']"
+    assert(run(s"$base | where s has 'green'").length == 1)
+    assert(run(s"$base | where s contains 'green'").length == 2)
+  }
+
+  test("substring and indexof are 0-based") {
+    val r = one("print a = substring('abcdef', 2, 3), b = indexof('abcdef', 'cd'), c = indexof('abcdef', 'zz')")
+    assert(r.getString(0) == "cde")
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == -1L)
+  }
+
+  test("split with 0-based index; array_length") {
+    val r = one("print a = split('a,b,c', ',', 1), n = array_length(split('a,b,c', ','))")
+    assert(r.getString(0) == "b")
+    assert(r.getLong(1) == 3L)
+  }
+
+  test("sort default is desc; asc puts nulls first") {
+    val vals = run("datatable(x:long) [3, 1, 2] | sort by x | project x").map(_.getLong(0))
+    assert(vals == Seq(3L, 2L, 1L))
+    val withNull = run("datatable(s:string, x:long) ['a', 1, 'b', 2] | extend y = iff(x == 1, x, tolong('')) | sort by y asc | project s")
+      .map(_.getString(0))
+    assert(withNull == Seq("b", "a")) // null first on asc
+  }
+
+  test("innerunique dedups the left side on the key") {
+    val q = """datatable(k:long, v:string) [1, 'a', 1, 'b', 2, 'c']
+              | project k
+              | join kind=innerunique (datatable(k:long, w:string) [1, 'x', 2, 'y']) on k
+              | count"""
+    assert(one(q).getLong(0) == 2L)
+  }
+
+  test("join renames colliding right columns with suffix 1") {
+    val cols = Kql.run(spark,
+      """datatable(k:long, v:long) [1, 10]
+        | join kind=inner (datatable(k:long, v:long) [1, 20]) on k""", cat).columns.toSeq
+    assert(cols == Seq("k", "v", "k1", "v1"))
+  }
+
+  test("union outer null-pads missing columns; withsource tags branches") {
+    val rows = run(
+      """union withsource=src (datatable(a:long) [1]), (datatable(b:long) [2])
+        | sort by src asc""")
+    assert(rows.length == 2)
+    val df = Kql.run(spark, "union (datatable(a:long) [1]), (datatable(b:long) [2])", cat)
+    assert(df.columns.toSet == Set("a", "b"))
+  }
+
+  test("iff, case, coalesce") {
+    val r = one("print a = iff(1 > 2, 'y', 'n'), b = case(1 > 2, 'x', 3 > 2, 'y', 'z'), c = coalesce(tolong(''), 7)")
+    assert(r.getString(0) == "n" && r.getString(1) == "y" && r.getLong(2) == 7L)
+  }
+
+  test("failed casts yield null (ANSI off fidelity)") {
+    val r = one("print a = tolong('abc'), b = toint('12'), c = todouble('x')")
+    assert(r.isNullAt(0) && r.getInt(1) == 12 && r.isNullAt(2))
+  }
+
+  test("bin on numbers and datetimes; negative-safe floor") {
+    val r = one("print a = bin(7, 3), b = bin(-1, 3), c = bin(4.6, 0.5)")
+    assert(r.getLong(0) == 6L && r.getLong(1) == -3L && math.abs(r.getDouble(2) - 4.5) < 1e-9)
+    val t = one("print t = bin(datetime(2024-03-15 13:47:12), 1h)").getTimestamp(0)
+    assert(t.toString.startsWith("2024-03-15 13:00:00"))
+  }
+
+  test("timespan arithmetic: ts-ts compares against timespan literal") {
+    val rows = run(
+      """datatable(a:datetime, b:datetime) [datetime(2024-01-01 10:00:00), datetime(2024-01-01 09:00:00)]
+        | where a - b > 30m | count""")
+    assert(rows.head.getLong(0) == 1L)
+  }
+
+  test("datetime functions: startofweek is Sunday-based") {
+    // 2024-03-15 is a Friday; KQL week starts Sunday 2024-03-10
+    val r = one("print w = startofweek(datetime(2024-03-15)), d = dayofweek(datetime(2024-03-10))")
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-10"))
+    assert(r.getInt(1) == 0)
+  }
+
+  test("window functions need serialize/sort; then behave") {
+    intercept[RuntimeException](run("datatable(x:long) [1, 2] | extend r = row_number()"))
+    val rows = run(
+      """datatable(x:long) [10, 30, 20]
+        | sort by x asc
+        | extend r = row_number(), p = prev(x), nx = next(x), c = row_cumsum(x)
+        | project x, r, p, nx, c""")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))) ==
+      Seq((10L, 1L, 10L), (20L, 2L, 30L), (30L, 3L, 60L)))
+    assert(rows(1).getLong(2) == 10L && rows(1).getLong(3) == 30L)
+  }
+
+  test("mv-expand explodes arrays in place") {
+    val rows = run("datatable(s:string) ['a b c'] | extend t = split(s, ' ') | mv-expand t | project t | sort by t asc")
+    assert(rows.map(_.getString(0)) == Seq("c", "b", "a").sorted.reverse.reverse.sorted.reverse.sorted)
+    assert(rows.length == 3)
+  }
+
+  test("parse extracts typed columns and parse-where filters") {
+    val rows = run(
+      """datatable(s:string) ['id=42 name=bob', 'garbage']
+        | parse s with 'id=' pid:long ' name=' pname
+        | project pid, pname""")
+    assert(rows.head.getLong(0) == 42L && rows.head.getString(1) == "bob")
+    assert(rows(1).isNullAt(0)) // non-matching row: null capture
+  }
+
+  test("dynamic JSON member access") {
+    val r = one("""datatable(j:string) ['{"a": {"b": 7}, "c": [1,2]}'] | project x = tolong(j.a.b), y = tolong(j.c[1])""")
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L)
+  }
+
+  test("let scalar substitution and tabular alias") {
+    val r = run("let lim = 15; let small = datatable(x:long) [10, 20, 30] | where x < lim; small | count")
+    assert(r.head.getLong(0) == 1L)
+  }
+
+  test("make-series fills gaps with default in order") {
+    val rows = run(
+      """datatable(ts:datetime, v:long) [datetime(2024-01-01 00:30:00), 5, datetime(2024-01-03 01:00:00), 7]
+        | make-series s=sum(v) default=0 on ts from datetime(2024-01-01) to datetime(2024-01-04) step 1d""")
+    val arr = rows.head.getSeq[Long](rows.head.fieldIndex("s"))
+    assert(arr == Seq(5L, 0L, 7L))
+  }
+
+  test("getschema reports kql type names") {
+    val rows = run("datatable(a:long, b:string, c:datetime) [1, 'x', datetime(2024-01-01)] | getschema")
+    assert(rows.map(r => (r.getString(0), r.getString(2))) ==
+      Seq(("a", "long"), ("b", "string"), ("c", "datetime")))
+  }
+
+  test("distinct, count operator, take") {
+    assert(run("datatable(x:long) [1, 1, 2] | distinct x | sort by x asc").length == 2)
+    assert(one("datatable(x:long) [1, 1, 2] | count").getLong(0) == 3L)
+    assert(run("datatable(x:long) [1, 2, 3] | take 2").length == 2)
+  }
+
+  test("top-k returns highest by key with ties broken") {
+    val rows = run("datatable(x:long, y:string) [1,'a',3,'b',2,'c'] | top 2 by x desc | project y")
+    assert(rows.map(_.getString(0)) == Seq("b", "c"))
+  }
+
+  test("arg_max unpacks returned columns") {
+    val r = one("datatable(k:string, x:long, y:string) ['g', 1, 'lo', 'g', 9, 'hi'] | summarize arg_max(x, y) by k")
+    assert(r.getString(r.fieldIndex("k")) == "g")
+    assert(r.getLong(r.fieldIndex("x")) == 9L)
+    assert(r.getString(r.fieldIndex("y")) == "hi")
+  }
+
+  test("project-away/keep wildcards") {
+    val df = Kql.run(spark, "datatable(aa:long, ab:long, b:long) [1,2,3] | project-away a*", cat)
+    assert(df.columns.toSeq == Seq("b"))
+    val df2 = Kql.run(spark, "datatable(aa:long, ab:long, b:long) [1,2,3] | project-keep a*", cat)
+    assert(df2.columns.toSeq == Seq("aa", "ab"))
+  }
+
+  test("search filters across string columns") {
+    assert(run("datatable(a:string, b:string) ['xx', 'needle here', 'yy', 'zz'] | search 'NEEDLE'").length == 1)
+  }
+
+  test("range source generates inclusive sequence") {
+    assert(one("range x from 1 to 10 step 3 | summarize n=count(), mx=max(x)").toSeq == Seq(4L, 10L))
+  }
+
+  test("column resolution is case-insensitive") {
+    assert(one("datatable(MyCol:long) [5] | project mycol").getLong(0) == 5L)
+  }
+}
