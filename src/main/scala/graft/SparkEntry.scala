@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.kql.Kql
-import graft.ext.LlmOps
+import graft.ext.{LlmOps, TemporalOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder brief.
   *
@@ -419,6 +419,154 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_size, CAST(8 AS INT) AS n_features FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------- batch 2: joins etc.
+    "q43_join_rightouter" -> Q(kqlQ(
+      """orders
+        | where o_orderstatus == 'P'
+        | join kind=rightouter (customer) on $left.o_custkey == $right.c_custkey
+        | summarize n_p_orders=countif(isnotnull(o_orderkey)) by c_nationkey
+        | sort by c_nationkey asc"""),
+      Some("""SELECT c_nationkey, CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_p_orders FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o RIGHT JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1""")),
+
+    "q44_join_fullouter" -> Q(kqlQ(
+      """customer
+        | where c_custkey <= 100
+        | join kind=fullouter (orders | where o_custkey >= 50 | summarize n=count() by o_custkey)
+            on $left.c_custkey == $right.o_custkey
+        | project k = coalesce(c_custkey, o_custkey), n = coalesce(n, 0)
+        | sort by k asc"""),
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS k, COALESCE(n, 0) AS n FROM (SELECT * FROM customer WHERE c_custkey <= 100) c FULL JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey >= 50 GROUP BY 1) o ON c_custkey = o_custkey ORDER BY k""")),
+
+    "q45_join_rightsemi" -> Q(kqlQ(
+      """orders
+        | where o_totalprice > 200000
+        | join kind=rightsemi (customer) on $left.o_custkey == $right.c_custkey
+        | summarize n=count() by c_mktsegment
+        | sort by c_mktsegment asc"""),
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) GROUP BY 1 ORDER BY 1""")),
+
+    "q46_join_cross" -> Q(kqlQ(
+      """region
+        | join kind=cross (datatable(x:long) [1, 2])
+        | summarize n=count() by x
+        | sort by x asc"""),
+      Some("""SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM region CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2)) t(x) GROUP BY 1 ORDER BY 1""")),
+
+    "q47_broadcast_hint" -> Q(kqlQ(
+      """lineitem
+        | join kind=inner hint.strategy=broadcast (part | project p_partkey, p_type)
+            on $left.l_partkey == $right.p_partkey
+        | summarize n=count() by p_type
+        | sort by p_type asc"""),
+      Some("""SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1""")),
+
+    "q48_union_inner" -> Q(kqlQ(
+      """union kind=inner (orders | project k=o_custkey, amt=o_totalprice),
+              (customer | project k=c_custkey, amt=c_acctbal, extra=c_nationkey)
+        | summarize n=count(), sc=sum(tolong(round(amt * 100)))"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(amt * 100) AS BIGINT)) AS BIGINT) AS sc FROM (SELECT o_custkey AS k, o_totalprice AS amt FROM orders UNION ALL SELECT c_custkey, c_acctbal FROM customer)""")),
+
+    "q49_parse_where" -> Q(kqlQ(
+      """events
+        | parse-where props with '{"k": 1' rest:string '}'
+        | summarize n=count() by event_type
+        | sort by event_type asc"""),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE regexp_matches(props, '^\{"k": 1.*\}') GROUP BY 1 ORDER BY 1""")),
+
+    "q50_scalar_string_misc" -> Q(kqlQ(
+      """print s1 = trim(' ', '  hi  '), s2 = trim_start('0', '00042'),
+              s3 = replace_string('a-b-c', '-', '+'),
+              s4 = replace_regex('a1b22c', '[0-9]+', '#'),
+              s5 = countof('abcabc', 'bc'), s6 = strcat_delim('|', 'x', 'y', 'z'),
+              s7 = strrep('ab', 3), s8 = base64_encode_tostring('hello'),
+              s9 = base64_decode_tostring('aGVsbG8='), s10 = url_encode('a b&c'),
+              s11 = url_decode('a%20b%26c'), s12 = tohex(255),
+              s13 = toupper(substring('kusto', 1, 3)),
+              s14 = strcat_array(pack_array('a', 'b', 'c'), '-'),
+              s15 = array_index_of(pack_array('x', 'y'), 'y'),
+              s16 = tostring(array_sum(pack_array(1, 2, 3)))"""),
+      Some("""SELECT 'hi' AS s1, '42' AS s2, 'a+b+c' AS s3, 'a#b#c' AS s4, CAST(2 AS BIGINT) AS s5, 'x|y|z' AS s6, 'ababab' AS s7, 'aGVsbG8=' AS s8, 'hello' AS s9, 'a+b%26c' AS s10, 'a b&c' AS s11, 'ff' AS s12, 'UST' AS s13, 'a-b-c' AS s14, CAST(1 AS BIGINT) AS s15, '6.0' AS s16""")),
+
+    "q51_scalar_math" -> Q(kqlQ(
+      """print m1 = abs(-5), m2 = ceiling(3.2), m3 = bin(3.7, 1.0),
+              m4 = round(exp(1.0), 6), m5 = round(log(7.389056), 4),
+              m6 = round(log10(1000.0), 6), m7 = round(log2(8.0), 6),
+              m8 = pow(2.0, 10.0), m9 = sqrt(16.0), m10 = sign(-3.5),
+              m11 = round(pi(), 4), m12 = round(degrees(pi()), 4),
+              m13 = round(radians(180.0), 6),
+              m14 = max_of(1, 7, 3), m15 = min_of(1, 7, 3),
+              m16 = round(sin(0.5) + cos(0.5) + atan2(1.0, 1.0), 6),
+              m17 = isnan(todouble('nan'))"""),
+      Some("""SELECT CAST(5 AS BIGINT) AS m1, CAST(4 AS BIGINT) AS m2, 3.0 AS m3, 2.718282 AS m4, 2.0 AS m5, 3.0 AS m6, 3.0 AS m7, 1024.0 AS m8, 4.0 AS m9, -1.0 AS m10, 3.1416 AS m11, 180.0 AS m12, 3.141593 AS m13, CAST(7 AS BIGINT) AS m14, CAST(1 AS BIGINT) AS m15, 2.142406 AS m16, isnan(CAST('nan' AS DOUBLE)) AS m17""")),
+
+    "q52_scalar_datetime2" -> Q(kqlQ(
+      """print d1 = format_datetime(datetime(2024-03-05 04:05:06), 'yyyy-MM-dd HH:mm:ss'),
+              d2 = endofday(datetime(2024-03-05 10:00:00)),
+              d3 = endofmonth(datetime(2024-02-10)),
+              d4 = make_datetime(2024, 3, 5, 10, 30, 0),
+              d5 = datetime_diff('month', datetime(2024-03-05), datetime(2023-12-31)),
+              d6 = unixtime_seconds_todatetime(1700000000),
+              d7 = dayofyear(datetime(2024-03-01)),
+              d8 = week_of_year(datetime(2024-01-04)),
+              d9 = bin_at(datetime(2024-03-05 03:00:00), 1d, datetime(2024-01-01 12:00:00)),
+              d10 = datetime_add('quarter', 1, datetime(2023-11-15)),
+              d11 = datetime(2024-01-01) + 36h,
+              d12 = totimespan('02:30:00') / 60000000"""),
+      Some("""SELECT '2024-03-05 04:05:06' AS d1, TIMESTAMP '2024-03-05 23:59:59.999999' AS d2, TIMESTAMP '2024-02-29 23:59:59.999999' AS d3, TIMESTAMP '2024-03-05 10:30:00' AS d4, CAST(3 AS BIGINT) AS d5, TIMESTAMP '2023-11-14 22:13:20' AS d6, CAST(61 AS INT) AS d7, CAST(1 AS INT) AS d8, TIMESTAMP '2024-03-04 12:00:00' AS d9, TIMESTAMP '2024-02-15 00:00:00' AS d10, TIMESTAMP '2024-01-02 12:00:00' AS d11, CAST(150 AS BIGINT) AS d12""")),
+
+    "q53_sample" -> Q(kqlQ(
+      """lineitem | sample 100 | summarize n=count()"""),
+      Some("""SELECT CAST(100 AS BIGINT) AS n""")),
+
+    "q54_sample_distinct" -> Q(kqlQ(
+      """lineitem | sample-distinct 2 of l_returnflag | count"""),
+      Some("""SELECT CAST(2 AS BIGINT) AS Count""")),
+
+    "q55_dcount_approx" -> Q(kqlQ(
+      """orders | summarize d=dcount(o_custkey) by o_orderstatus
+        | sort by o_orderstatus asc"""),
+      None), // HLL estimate: no cross-engine oracle; accuracy pinned in tests
+
+    "q56_argmin" -> Q(kqlQ(
+      """orders
+        | summarize arg_min(o_orderkey, o_totalprice) by o_orderstatus
+        | sort by o_orderstatus asc"""),
+      Some("""SELECT o_orderstatus, MIN(o_orderkey) AS o_orderkey, arg_min(o_totalprice, o_orderkey) AS o_totalprice FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "q57_percentiles_multi" -> Q(kqlQ(
+      """lineitem
+        | summarize percentiles(l_quantity, 25, 50, 75) by l_returnflag
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS percentile_l_quantity_25, quantile_cont(l_quantity, 0.5) AS percentile_l_quantity_50, quantile_cont(l_quantity, 0.75) AS percentile_l_quantity_75 FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "q58_project_reorder" -> Q(kqlQ(
+      """nation | project-reorder n_name, n_nationkey | take 5 | sort by n_nationkey asc"""),
+      Some("""SELECT n_name, n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey LIMIT 5""")),
+
+    // ----------------------------------------- temporal correlation ops
+    "tmp_asof_join" -> Q(
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+        TemporalOps.asOfLastPrior(ev, "user_id", "ts", "event_id",
+            col("event_type") === "click", col("value"), "last_click_val")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(col("last_click_val"), 4).as("last_click_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value, ROUND(last_click_val, 4) AS last_click_val FROM (SELECT event_id, user_id, value, event_type, LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_val FROM events) WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    "tmp_range_join" -> Q(
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+        TemporalOps.rangeJoinPairs(ev, "user_id", "ts", "event_id", 120L * 1000000)
+          .groupBy(col("k").as("user_id")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -67,6 +67,7 @@ object Ast {
   final case class GetSchemaOp() extends TabOp
   final case class SerializeOp() extends TabOp
   final case class SampleOp(n: Long) extends TabOp
+  final case class SampleDistinctOp(n: Long, of: Expr) extends TabOp
   final case class SearchOp(term: String) extends TabOp
   final case class MakeSeries(aggs: List[(Option[String], Expr, Expr)], // (alias, aggExpr, default)
                               axis: Expr, from: Expr, to: Expr, step: Expr,

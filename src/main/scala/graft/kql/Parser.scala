@@ -187,6 +187,9 @@ final class Parser(src: String) {
         case "getschema" => GetSchemaOp()
         case "serialize" => SerializeOp()
         case "sample" => SampleOp(parseLong())
+        case "sample-distinct" =>
+          val n = parseLong(); eatIdent("of"); val c = parseExpr()
+          SampleDistinctOp(n, c)
         case "search" =>
           cur match {
             case TStr(s, _) => p += 1; SearchOp(s)
@@ -303,8 +306,8 @@ final class Parser(src: String) {
       } else inParams = false
     }
     val right = parseJoinRight()
-    eatIdent("on")
-    JoinOp(kind, hint, right, parseJoinKeys())
+    if (kind == "cross") JoinOp(kind, hint, right, Nil)
+    else { eatIdent("on"); JoinOp(kind, hint, right, parseJoinKeys()) }
   }
 
   private def parseJoinRight(): Query = {

@@ -229,6 +229,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     case SampleOp(n) => df.orderBy(rand(42)).limit(n.toInt)
 
+    case SampleDistinctOp(n, of) =>
+      df.select(toCol(of, df).as(defaultName(of, 0))).distinct()
+        .orderBy(rand(42)).limit(n.toInt)
+
     case SearchOp(term) =>
       val strCols = df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name))
       if (strCols.isEmpty) df.limit(0)
@@ -355,7 +359,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         val sk = if (kind == "rightsemi") "left_semi" else "left_anti"
         right.join(l2, cond, sk)
       case "cross" =>
-        left.crossJoin(maybeBroadcast(right, j.strategyHint))
+        val (r2, _) = disambiguate(left, right)
+        left.crossJoin(maybeBroadcast(r2, j.strategyHint))
       case _ =>
         val dedupLeft = kind match {
           case "innerunique" =>
@@ -400,6 +405,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     s.aggs.zipWithIndex.foreach { case ((alias, e), i) =>
       e match {
+        case App("percentiles", colE :: ps) if ps.nonEmpty =>
+          // KQL percentiles(x, 25, 50) → columns percentile_x_25, _50
+          val base = alias.getOrElse(s"percentile_${defaultName(colE, i)}")
+          ps.foreach { p =>
+            val pName = p match {
+              case Lit(l: Long) => l.toString
+              case Lit(d: Double) => d.toString.replace('.', '_')
+              case other => throw PlanError(s"percentiles needs literal percents, got $other")
+            }
+            aggCols += call_function("percentile", toCol(colE, df),
+              percentAsFraction(p, df)).as(s"${base}_$pName")
+          }
         case App(fn @ ("arg_max" | "arg_min"), byE :: rets) if rets.nonEmpty =>
           val byC = toCol(byE, df)
           val retCols: List[(String, Column)] = rets.flatMap {
