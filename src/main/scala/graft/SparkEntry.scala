@@ -544,6 +544,30 @@ object SparkEntry {
       """nation | project-reorder n_name, n_nationkey | take 5 | sort by n_nationkey asc"""),
       Some("""SELECT n_name, n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey LIMIT 5""")),
 
+    // ------------------------------------------------- time-series fns
+    "q59_series_fns" -> Q(kqlQ(
+      """print f = series_fit_line(pack_array(1.0, 3.0, 5.0, 7.0)),
+              m = series_fir(pack_array(1.0, 2.0, 3.0, 4.0), pack_array(1.0, 1.0)),
+              st = series_stats_dynamic(pack_array(1.0, 2.0, 3.0))
+        | project slope = round(f.slope, 6), icpt = round(f.interception, 6),
+                  r2 = round(f.rsquare, 6), m, st"""),
+      Some("""SELECT 2.0 AS slope, 1.0 AS icpt, 1.0 AS r2, [1.0, 1.5, 2.5, 3.5] AS m, '{"min":1.0,"max":3.0,"avg":2.0,"stdev":1.0,"sum":6.0,"len":3}' AS st""")),
+
+    "q60_series_trend" -> Q(kqlQ(
+      """events
+        | make-series n=count() default=0 on ts
+            from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+        | extend f = series_fit_line(n)
+        | project event_type, slope = round(f.slope, 4)
+        | sort by event_type asc"""),
+      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 DAY)) AS t), types AS (SELECT DISTINCT event_type FROM events), binned AS (SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2), filled AS (SELECT ty.event_type, g.t, COALESCE(b.cnt, 0) AS cnt FROM types ty CROSS JOIN grid g LEFT JOIN binned b ON b.event_type = ty.event_type AND b.d = g.t), idx AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) - 1 AS DOUBLE) AS i FROM filled) SELECT event_type, ROUND(regr_slope(cnt, i), 4) AS slope FROM idx GROUP BY 1 ORDER BY 1""")),
+
+    "q61_hll_sketch" -> Q(kqlQ(
+      """events
+        | summarize h = hll(user_id) by event_type
+        | summarize d = dcount_hll(hll_merge(h))"""),
+      None), // sketch estimate: accuracy pinned in tests, no SQL oracle
+
     // ----------------------------------------- temporal correlation ops
     "tmp_asof_join" -> Q(
       (s, dir) => {

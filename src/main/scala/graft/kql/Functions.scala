@@ -131,10 +131,60 @@ object Functions {
     "zip" -> f { case a :: b :: Nil => arrays_zip(a, b) },
     "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
     "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
+    // ------------------------------------------- time-series (§2.9)
+    // All pure higher-order array expressions — codegen-compatible, no UDFs.
+    "series_fit_line" -> f { case a :: Nil => seriesFitLine(a) },
+    "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    "series_stats_dynamic" -> f { case a :: Nil => seriesStats(a) },
+    "dcount_hll" -> f { case c :: Nil => hll_sketch_estimate(c) },
     // ------------------------------------------------------------- geo
     "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
       haversineMeters(lon1, lat1, lon2, lat2) },
   )
+
+  /** Least-squares line fit over a numeric series (x = 0..n-1), from the
+    * closed-form sums — one pass, no explode. Returns
+    * struct(slope, interception, rsquare). */
+  private def seriesFitLine(a: Column): Column = {
+    val n = size(a).cast("double")
+    val sy = aggregate(a, lit(0.0d), (acc, y) => acc + y.cast("double"))
+    val syy = aggregate(a, lit(0.0d), (acc, y) => acc + y.cast("double") * y.cast("double"))
+    val sx = (n - 1) * n / 2
+    val sxx = (n - 1) * n * (lit(2.0d) * n - 1) / 6
+    val sxy = aggregate(
+      zip_with(a, sequence(lit(0), size(a) - 1), (y, x) => y.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / n
+    val r2 = slope * slope * (sxx - sx * sx / n) / (syy - sy * sy / n)
+    struct(slope.as("slope"), icpt.as("interception"), r2.as("rsquare"))
+  }
+
+  /** Trailing FIR filter with coefficient normalization over the used
+    * prefix (KQL series_fir, center=false, normalize=true). */
+  private def seriesFir(a: Column, coefs: Column): Column = {
+    val m = size(coefs)
+    transform(sequence(lit(1), size(a)), i => {
+      val k = least(i, m)
+      val num = aggregate(sequence(lit(1), k), lit(0.0d),
+        (acc, j) => acc + element_at(coefs, j).cast("double") *
+          element_at(a, i - j + 1).cast("double"))
+      val den = aggregate(sequence(lit(1), k), lit(0.0d),
+        (acc, j) => acc + element_at(coefs, j).cast("double"))
+      num / den
+    })
+  }
+
+  private def seriesStats(a: Column): Column = {
+    val n = size(a).cast("double")
+    val sy = aggregate(a, lit(0.0d), (acc, y) => acc + y.cast("double"))
+    val syy = aggregate(a, lit(0.0d), (acc, y) => acc + y.cast("double") * y.cast("double"))
+    val avg = sy / n
+    val stdev = sqrt((syy - n * avg * avg) / (n - 1))
+    to_json(struct(array_min(a).cast("double").as("min"),
+      array_max(a).cast("double").as("max"), avg.as("avg"),
+      stdev.as("stdev"), sy.as("sum"), size(a).cast("long").as("len")))
+  }
 
   def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
     val r = lit(6371000.0)

@@ -485,6 +485,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         case "binary_all_or" => bit_or(a(0))
         case "binary_all_xor" => bit_xor(a(0))
         case "hll" => hll_sketch_agg(a(0))
+        case "hll_merge" => hll_union_agg(a(0))
         case "max_by" => max_by(a(0), a(1))
         case "min_by" => min_by(a(0), a(1))
         case other => throw PlanError(s"unknown aggregate '$other'")
@@ -695,8 +696,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     "count_distinct", "count_distinctif", "percentile", "percentile_approx",
     "take_any", "any", "make_list", "make_set", "make_list_if", "make_set_if",
     "stdev", "stdevp", "variance", "variancep", "binary_all_and",
-    "binary_all_or", "binary_all_xor", "hll", "max_by", "min_by",
-    "arg_max", "arg_min")
+    "binary_all_or", "binary_all_xor", "hll", "hll_merge", "max_by",
+    "min_by", "arg_max", "arg_min")
 
   private def isIntegral(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType => true

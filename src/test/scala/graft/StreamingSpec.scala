@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Drives the Structured Streaming path end-to-end with a MemoryStream:
+  * micro-batches → stateful window aggs → memory sink (SURVEY §2.10). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def mkStream(rows: Seq[Ev]): (MemoryStream[Ev], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows: _*)
+    (ms, ms.toDF())
+  }
+
+  private val batch1 = Seq(
+    Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:02:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 00:07:00"), 2, "view", 4.0),
+    Ev(4, ts("2024-01-01 00:11:00"), 2, "click", 8.0),
+  )
+
+  test("tumbling window agg over a stream matches the batch plan") {
+    val (_, df) = mkStream(batch1)
+    // complete mode: a single AvailableNow batch emits every window
+    // (append would hold windows open until a later batch advances the
+    // watermark)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.tumblingAgg(df, "5 minutes", "10 minutes"),
+      "t_tumble", "complete")
+    val batch = StreamingOps.tumblingAgg(spark.createDataFrame(batch1), "5 minutes", "10 minutes")
+    val streamed = out.orderBy("ts", "event_type").collect().map(_.toSeq).toSeq
+    val batched = batch.orderBy("ts", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+  }
+
+  test("session windows split on gap") {
+    val (_, df) = mkStream(batch1)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.sessionAgg(df, "3 minutes", "20 minutes"),
+      "t_sess", "complete")
+    val rows = out.orderBy("user_id", "sess_start").collect()
+    // user 1: events at 00:01/00:02 → one session of 2; user 2: 00:07 and
+    // 00:11 are > 3m apart → two sessions of 1
+    val byUser = rows.groupBy(_.getLong(rows.head.fieldIndex("user_id")))
+    assert(byUser(1L).length == 1 && byUser(1L).head.getLong(rows.head.fieldIndex("n_events")) == 2)
+    assert(byUser(2L).length == 2)
+  }
+
+  test("streaming dedup drops repeated ids within the watermark") {
+    val dup = batch1 ++ Seq(Ev(1, ts("2024-01-01 00:01:30"), 1, "click", 1.0))
+    val (_, df) = mkStream(dup)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.dedupStream(df, "event_id", "10 minutes"),
+      "t_dedup", "append")
+    assert(out.count() == 4) // 5 in, 1 duplicate id dropped
+  }
+
+  test("batch/stream parity: same builder runs on a static frame") {
+    val staticDf = spark.createDataFrame(batch1)
+    val agg = StreamingOps.tumblingAgg(staticDf, "5 minutes", "10 minutes")
+      .orderBy("ts", "event_type").collect()
+    assert(agg.map(_.getLong(2)).sum == 4) // all events counted
+  }
+}
