@@ -544,6 +544,33 @@ object SparkEntry {
       """nation | project-reorder n_name, n_nationkey | take 5 | sort by n_nationkey asc"""),
       Some("""SELECT n_name, n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey LIMIT 5""")),
 
+    "q62_toscalar" -> Q(kqlQ(
+      """let avg_price = toscalar(lineitem | summarize round(avg(l_extendedprice), 4));
+        lineitem | where l_extendedprice > avg_price | summarize n = count()"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_extendedprice > (SELECT ROUND(AVG(l_extendedprice), 4) FROM lineitem)""")),
+
+    "q63_parse_kv" -> Q(kqlQ(
+      """datatable(s:string) ['a=1 b=hot c=9.5', 'a=7 b=cold c=0.5']
+        | parse-kv s as (a:long, b:string, c:real) with (pair_delimiter=' ', kv_delimiter='=')
+        | project a, b, c
+        | sort by a asc"""),
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'hot', 9.5), (7, 'cold', 0.5)) t(a, b, c) ORDER BY a""")),
+
+    "q64_mvexpand_index" -> Q(kqlQ(
+      """datatable(s:string) ['x y z']
+        | extend t = split(s, ' ')
+        | mv-expand with_itemindex=ix t
+        | project ix, t
+        | sort by ix asc"""),
+      Some("""SELECT * FROM (VALUES (CAST(0 AS INT), 'x'), (1, 'y'), (2, 'z')) t(ix, t) ORDER BY ix""")),
+
+    "q65_pack_json" -> Q(kqlQ(
+      """nation
+        | where n_nationkey < 3
+        | project j = pack('k', n_nationkey, 'nm', n_name)
+        | sort by j asc"""),
+      Some("""SELECT '{"k":' || n_nationkey || ',"nm":"' || n_name || '"}' AS j FROM nation WHERE n_nationkey < 3 ORDER BY 1""")),
+
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(
       """print f = series_fit_line(pack_array(1.0, 3.0, 5.0, 7.0)),

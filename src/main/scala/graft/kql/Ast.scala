@@ -27,6 +27,8 @@ object Ast {
   final case class PathGet(base: Expr, key: Expr) extends Expr
   final case class InList(e: Expr, values: List[Expr], negated: Boolean,
                           caseInsensitive: Boolean) extends Expr
+  /** toscalar(tabular) — evaluated eagerly at plan time to a literal. */
+  final case class ToScalar(q: Query) extends Expr
   final case class BetweenOp(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
 
   // ------------------------------------------------------------- sort keys
@@ -61,6 +63,9 @@ object Ast {
   /** `parse col with "prefix" name:type "sep" ...` compiled to segments. */
   final case class ParseOp(source: Expr, segments: List[ParseSeg],
                            dropNonMatching: Boolean) extends TabOp
+  /** parse-kv col as (k1:t1, ...) with (pair_delimiter=' ', kv_delimiter='=') */
+  final case class ParseKv(source: Expr, keys: List[(String, String)],
+                           pairDelim: String, kvDelim: String) extends TabOp
   sealed trait ParseSeg
   final case class ParseLit(s: String) extends ParseSeg
   final case class ParseCol(name: String, typ: Option[String]) extends ParseSeg

@@ -14,9 +14,21 @@ final class Catalog(spark: SparkSession, dir: String,
   private val cache = scala.collection.mutable.Map[String, DataFrame]()
 
   def table(name: String): DataFrame =
-    extra.getOrElse(name,
-      cache.getOrElseUpdate(name,
-        normalize(spark.read.parquet(s"$dir/$name.parquet"))))
+    extra.getOrElse(name, cache.getOrElseUpdate(name, load(name)))
+
+  /** Parquet is the primary at-rest format; CSV/JSON fall back by file
+    * extension (ADX ingest formats, SURVEY §2.1). Local-FS existence
+    * check — a metastore fronts this on a real cluster. */
+  private def load(name: String): DataFrame = {
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (exists(s"$dir/$name.parquet")) normalize(spark.read.parquet(s"$dir/$name.parquet"))
+    else if (exists(s"$dir/$name.csv"))
+      normalize(spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$dir/$name.csv"))
+    else if (exists(s"$dir/$name.json"))
+      normalize(spark.read.json(s"$dir/$name.json"))
+    else normalize(spark.read.parquet(s"$dir/$name.parquet")) // error path
+  }
 
   /** Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
     * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces it as a

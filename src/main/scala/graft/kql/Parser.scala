@@ -179,11 +179,45 @@ final class Parser(src: String) {
           val (kind, withSource) = parseUnionParams()
           UnionOp(kind, withSource, parseUnionOperands())
         case "mv-expand" =>
+          var itemIndex: Option[String] = None
+          if (isIdent("with_itemindex") && (ahead(1) match {
+                case TSym("=", _) => true; case _ => false })) {
+            p += 2; itemIndex = Some(identName())
+          }
           val items = parseNamedExprList()
-          // optional `with_itemindex=ix` comes FIRST in real KQL; accept both
-          MvExpand(items, None)
+          MvExpand(items, itemIndex)
         case "parse" => parseParse(dropNonMatching = false)
         case "parse-where" => parseParse(dropNonMatching = true)
+        case "parse-kv" =>
+          val src = parseExpr()
+          eatIdent("as")
+          eatSym("(")
+          val keys = List.newBuilder[(String, String)]
+          var more = true
+          while (more) {
+            val n = identName(); eatSym(":"); val t = identName()
+            keys += n -> t; more = trySym(",")
+          }
+          eatSym(")")
+          var pairDelim = " "; var kvDelim = "="
+          if (tryIdent("with")) {
+            eatSym("(")
+            while (!isSym(")")) {
+              val pname = identName(); eatSym("=")
+              val pval = cur match {
+                case TStr(s2, _) => p += 1; s2
+                case _ => fail("expected string parameter")
+              }
+              pname.toLowerCase match {
+                case "pair_delimiter" => pairDelim = pval
+                case "kv_delimiter" => kvDelim = pval
+                case _ => ()
+              }
+              trySym(",")
+            }
+            eatSym(")")
+          }
+          ParseKv(src, keys.result(), pairDelim, kvDelim)
         case "getschema" => GetSchemaOp()
         case "serialize" => SerializeOp()
         case "sample" => SampleOp(parseLong())
@@ -569,6 +603,12 @@ final class Parser(src: String) {
       // dynamic([1,2,3]) / dynamic({"k":1}) — slice raw JSON text
       p += 1
       Lit(sliceRawParens())
+    case TIdent(w, _) if w.equalsIgnoreCase("toscalar") && (ahead(1) match {
+          case TSym("(", _) => true; case _ => false }) =>
+      p += 2 // toscalar (
+      val q = parseQuery()
+      eatSym(")")
+      ToScalar(q)
     case TIdent(w, _) if rawArgFns.contains(w.toLowerCase) && (ahead(1) match {
           case TSym("(", _) => true; case _ => false }) =>
       val fn = w.toLowerCase

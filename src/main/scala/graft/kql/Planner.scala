@@ -193,8 +193,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           }
           withItemIndex match {
             case Some(ix) =>
-              val others = df.columns.map(col).toSeq
-              df.select(others :+ posexplode_outer(arrCol).as(Seq(ix, name)): _*)
+              val replaced = e match { case Col(n) => Some(resolveName(df, n)); case _ => None }
+              val others = df.columns.filterNot(replaced.contains).map(col).toSeq
+              val outName = replaced.getOrElse(name)
+              df.select(others :+ posexplode_outer(arrCol).as(Seq(ix, outName)): _*)
             case None =>
               e match {
                 case Col(n) =>
@@ -215,6 +217,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           d.withColumn(name, cast)
       }
       if (dropNonMatching) withCols.filter(srcCol.rlike(pattern)) else withCols
+
+    case ParseKv(srcE, keys, pairDelim, kvDelim) =>
+      val m = str_to_map(toCol(srcE, df),
+        lit(java.util.regex.Pattern.quote(pairDelim)),
+        lit(java.util.regex.Pattern.quote(kvDelim)))
+      keys.foldLeft(df) { case (d, (k, t)) =>
+        d.withColumn(k, element_at(m, k).cast(kqlType(t)))
+      }
 
     case GetSchemaOp() =>
       val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -666,6 +676,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         }
         case t => throw PlanError(s"cannot index into $t")
       }
+
+    case ToScalar(q) =>
+      // evaluated eagerly at plan time (KQL toscalar semantics); the
+      // subquery must reduce to one row — a driver-side scalar, by design
+      val row = plan(q).limit(1).collect()
+      if (row.isEmpty) lit(null) else lit(row.head.get(0))
 
     case InList(e2, values, negated, ci) =>
       val c = toCol(e2, df)
