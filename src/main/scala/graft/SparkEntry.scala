@@ -571,6 +571,33 @@ object SparkEntry {
         | sort by j asc"""),
       Some("""SELECT '{"k":' || n_nationkey || ',"nm":"' || n_name || '"}' AS j FROM nation WHERE n_nationkey < 3 ORDER BY 1""")),
 
+    "q66_ip_geo_fns" -> Q(kqlQ(
+      """print i1 = parse_ipv4('192.168.1.10'),
+              i2 = format_ipv4(3232235786),
+              i3 = ipv4_is_in_range('192.168.1.10', '192.168.1.0/24'),
+              i4 = ipv4_is_in_range('192.168.2.10', '192.168.1.0/24'),
+              i5 = ipv4_is_in_range('10.0.0.1', '10.0.0.1'),
+              u = parse_url('https://host.example.com/a/b?q=1'),
+              g = round(geo_distance_2points(-122.4194, 37.7749, -73.9857, 40.7484), 0)"""),
+      Some("""SELECT CAST(3232235786 AS BIGINT) AS i1, '192.168.1.10' AS i2, true AS i3, false AS i4, true AS i5, '{"Scheme":"https","Host":"host.example.com","Path":"/a/b","Query":"q=1"}' AS u, 4129962.0 AS g""")),
+
+    "q67_row_window_session" -> Q(kqlQ(
+      """events
+        | sort by user_id asc, ts asc, event_id asc
+        | extend sess_start = row_window_session(ts, 1d, 30m)
+        | summarize n = count() by user_id, sess_start
+        | summarize sessions = count(), biggest = max(n) by user_id
+        | sort by user_id asc"""),
+      None), // sessions span user boundaries in serialized order (KQL
+             // fidelity); cross-checked against q19_sessionize in tests
+
+    "q68_takeany_binary" -> Q(kqlQ(
+      """nation
+        | summarize nm = take_any(n_name), band = binary_all_and(n_nationkey),
+                    bor = binary_all_or(n_nationkey) by n_nationkey
+        | sort by n_nationkey asc"""),
+      Some("""SELECT n_nationkey, MIN(n_name) AS nm, CAST(BIT_AND(n_nationkey) AS INT) AS band, CAST(BIT_OR(n_nationkey) AS INT) AS bor FROM nation GROUP BY 1 ORDER BY 1""")),
+
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(
       """print f = series_fit_line(pack_array(1.0, 3.0, 5.0, 7.0)),

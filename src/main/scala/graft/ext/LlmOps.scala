@@ -141,11 +141,11 @@ object LlmOps {
   def knnCosine(emb: DataFrame, queryId: Long, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"))
+      .select(col(vecCol).as("q_vec"), normD(col(vecCol)).as("q_nrm"))
     val scored = emb.crossJoin(broadcast(q))
       .select(col(idCol),
         round(dotD(col(vecCol), col("q_vec")) /
-          (normD(col(vecCol)) * normD(col("q_vec"))), 4).as("cos"))
+          (normD(col(vecCol)) * col("q_nrm")), 4).as("cos"))
     scored.orderBy(col("cos").desc, col(idCol).asc).limit(k)
   }
 
@@ -180,10 +180,14 @@ object LlmOps {
   def similarityPairs(emb: DataFrame, threshold: Double,
                       blockCol: String = "label", idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("i"), col(vecCol).as("va"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("j"), col(vecCol).as("vb"))
+    // norms once per row BEFORE the pair join — higher-order array exprs
+    // are interpreted (not codegen), so per-pair recompute is 3× the work
+    val withNorm = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), normD(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("blk"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("blk"), col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk")).filter(col("i") < col("j"))
-      .withColumn("cos", dotD(col("va"), col("vb")) / (normD(col("va")) * normD(col("vb"))))
+      .withColumn("cos", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }

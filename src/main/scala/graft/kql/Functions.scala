@@ -140,7 +140,37 @@ object Functions {
     // ------------------------------------------------------------- geo
     "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
       haversineMeters(lon1, lat1, lon2, lat2) },
+    // -------------------------------------------------------- IP (§2.8.7)
+    "parse_ipv4" -> f { case s :: Nil => parseIpv4(s) },
+    "format_ipv4" -> f { case n :: Nil =>
+      concat_ws(".", shiftright(n.cast("long"), 24) % 256,
+        shiftright(n.cast("long"), 16) % 256,
+        shiftright(n.cast("long"), 8) % 256, n.cast("long") % 256) },
+    "ipv4_is_in_range" -> f { case ip :: range :: Nil => ipv4InRange(ip, range) },
+    "parse_url" -> f { case u :: Nil =>
+      to_json(struct(parse_url(u, lit("PROTOCOL")).as("Scheme"),
+        parse_url(u, lit("HOST")).as("Host"),
+        parse_url(u, lit("PATH")).as("Path"),
+        parse_url(u, lit("QUERY")).as("Query"))) },
   )
+
+  /** Dotted-quad → long (KQL parse_ipv4). */
+  private def parseIpv4(s: Column): Column = {
+    val p = split(s, "\\.")
+    element_at(p, 1).cast("long") * 16777216L + element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L + element_at(p, 4).cast("long")
+  }
+
+  /** ip within 'a.b.c.d/prefix' (or exact ip when no prefix). */
+  private def ipv4InRange(ip: Column, range: Column): Column = {
+    val parts = split(range, "/")
+    val base = parseIpv4(element_at(parts, 1))
+    val prefix = when(size(parts) > 1, element_at(parts, 2).cast("int")).otherwise(lit(32))
+    // mask = 2^32 - 2^(32-prefix); pow is exact for integer exponents ≤ 32
+    val mask = lit(4294967296L) -
+      pow(lit(2.0), (lit(32) - prefix).cast("double")).cast("long")
+    parseIpv4(ip).bitwiseAND(mask) === base.bitwiseAND(mask)
+  }
 
   /** Least-squares line fit over a numeric series (x = 0..n-1), from the
     * closed-form sums — one pass, no explode. Returns

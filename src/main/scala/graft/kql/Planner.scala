@@ -122,7 +122,27 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     case Extend(items) =>
       items.zipWithIndex.foldLeft(df) { case (d, ((alias, e), i)) =>
-        d.withColumn(alias.getOrElse(defaultName(e, i)), toCol(e, d))
+        val name = alias.getOrElse(defaultName(e, i))
+        e match {
+          // needs two stacked window passes (flag→group→start), which a
+          // single Column expression can't express (no nested windows)
+          case App("row_window_session", tsE :: rest) =>
+            // signature: row_window_session(ts, maxDuration, idleTimeout);
+            // only the idle gap drives splitting (maxDuration not enforced)
+            val spans = rest.collect { case Lit(Timespan(us)) => us }
+            val idleUs = spans.drop(1).headOption.orElse(spans.headOption)
+              .getOrElse(throw PlanError("row_window_session needs an idle timespan"))
+            val ts = toCol(tsE, d)
+            val w = windowSpec(d)
+            val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val flag = when(lag(ts, 1).over(w).isNull ||
+              unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > idleUs, 1L).otherwise(0L)
+            val tmp = d.withColumn("__sess_grp", sum(flag).over(running))
+            val wg = Window.partitionBy(col("__sess_grp"))
+            tmp.withColumn(name, min(ts).over(wg)).drop("__sess_grp")
+          case _ =>
+            d.withColumn(name, toCol(e, d))
+        }
       }
 
     case ProjectAway(patterns) =>

@@ -37,6 +37,20 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 7.0)
   }
 
+  test("row_window_session returns session start; splits on idle gap") {
+    val rows = Kql.run(spark,
+      """datatable(ts:datetime) [datetime(2024-01-01 10:00:00), datetime(2024-01-01 10:10:00),
+                                 datetime(2024-01-01 11:30:00), datetime(2024-01-01 11:40:00)]
+        | sort by ts asc
+        | extend s = row_window_session(ts, 1d, 30m)
+        | summarize n = count() by s
+        | sort by s asc""", cat).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    assert(rows.head.getTimestamp(0).toString.startsWith("2024-01-01 10:00:00"))
+    assert(rows(1).getTimestamp(0).toString.startsWith("2024-01-01 11:30:00"))
+  }
+
   test("series_fir smooths a constant series to itself") {
     val arr = Kql.run(spark,
       "print m = series_fir(pack_array(5.0, 5.0, 5.0, 5.0), pack_array(1.0, 1.0, 1.0))",
