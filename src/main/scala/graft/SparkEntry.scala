@@ -56,9 +56,9 @@ object SparkEntry {
         | where l_quantity > 30 and l_returnflag == 'A'
         | project l_orderkey, l_linenumber, l_quantity,
                   revenue = l_extendedprice * (1 - l_discount)
-        | sort by l_orderkey asc, l_linenumber asc
+        | sort by l_orderkey asc, l_linenumber asc, revenue asc, l_quantity asc
         | take 100"""),
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber, revenue, l_quantity LIMIT 100""")),
 
     "q02_tpch_q1" -> Q(kqlQ(TPCH_Q1),
       Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price, ROUND(AVG(l_quantity), 4) AS avg_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price, CAST(COUNT(*) AS BIGINT) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
@@ -72,8 +72,8 @@ object SparkEntry {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""")),
 
     "q05_top" -> Q(kqlQ(
-      """lineitem | top 50 by l_extendedprice desc, l_orderkey asc, l_linenumber asc"""),
-      Some("""SELECT * FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""")),
+      """lineitem | top 50 by l_extendedprice desc, l_orderkey asc, l_linenumber asc, l_partkey asc, l_suppkey asc, l_quantity asc"""),
+      Some("""SELECT * FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity LIMIT 50""")),
 
     "q06_extend_takebin" -> Q(kqlQ(
       """events
@@ -314,8 +314,8 @@ object SparkEntry {
         | project-rename qty = l_quantity
         | project-keep l_orderkey, l_linenumber, qty
         | where qty > 45
-        | sort by l_orderkey asc, l_linenumber asc"""),
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem WHERE l_quantity > 45 ORDER BY 1, 2""")),
+        | sort by l_orderkey asc, l_linenumber asc, qty asc"""),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem WHERE l_quantity > 45 ORDER BY 1, 2, 3""")),
 
     "q37_string_predicates" -> Q(kqlQ(
       """part
@@ -597,6 +597,31 @@ object SparkEntry {
                     bor = binary_all_or(n_nationkey) by n_nationkey
         | sort by n_nationkey asc"""),
       Some("""SELECT n_nationkey, MIN(n_name) AS nm, CAST(BIT_AND(n_nationkey) AS INT) AS band, CAST(BIT_OR(n_nationkey) AS INT) AS bor FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    "q69_mv_apply" -> Q(kqlQ(
+      """documents
+        | project doc_id, toks = split(text, ' ')
+        | mv-apply toks on (where strlen(toks) > 4 | summarize long_toks = count())
+        | project doc_id, long_toks = coalesce(long_toks, 0)
+        | sort by doc_id asc"""),
+      Some("""SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS long_toks FROM documents ORDER BY doc_id""")),
+
+    "q70_let_lambda" -> Q(kqlQ(
+      """let disc_price = (p:real, d:real) { p * (1 - d) };
+        lineitem
+        | where l_quantity > 40
+        | project l_orderkey, l_linenumber, dp = disc_price(l_extendedprice, l_discount)
+        | sort by l_orderkey asc, l_linenumber asc, dp asc
+        | take 50"""),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS dp FROM lineitem WHERE l_quantity > 40 ORDER BY 1, 2, 3 LIMIT 50""")),
+
+    "q71_as_operator" -> Q(kqlQ(
+      """nation
+        | where n_regionkey == 0
+        | as africa
+        | union (africa)
+        | summarize n = count()"""),
+      Some("""SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM nation WHERE n_regionkey = 0""")),
 
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(

@@ -60,6 +60,10 @@ object Ast {
                            others: List[Query]) extends TabOp
   final case class MvExpand(cols: List[(Option[String], Expr)],
                             withItemIndex: Option[String]) extends TabOp
+  /** mv-apply x on ( subquery-ops ): per-row subtable pipeline. */
+  final case class MvApply(item: (Option[String], Expr), ops: List[TabOp]) extends TabOp
+  /** `T | as name` — bind the intermediate result. */
+  final case class AsOp(name: String) extends TabOp
   /** `parse col with "prefix" name:type "sep" ...` compiled to segments. */
   final case class ParseOp(source: Expr, segments: List[ParseSeg],
                            dropNonMatching: Boolean) extends TabOp
@@ -95,5 +99,6 @@ object Ast {
   // --------------------------------------------------------------- query
   final case class Query(source: Source, ops: List[TabOp])
   /** let name = scalar-expr | let name = (pipeline); then a final query. */
-  final case class Statements(lets: List[(String, Either[Expr, Query])], query: Query)
+  final case class Statements(lets: List[(String, Either[Expr, Query])], query: Query,
+                              funcs: Map[String, (List[String], Expr)] = Map.empty)
 }

@@ -38,10 +38,32 @@ final class Parser(src: String) {
   // ================================================================ entry
   def parseStatements(): Statements = {
     val lets = List.newBuilder[(String, Either[Expr, Query])]
+    var funcs = Map.empty[String, (List[String], Expr)]
     while (isIdent("let")) {
       p += 1
       val name = identName()
       eatSym("=")
+      // scalar lambda: let f = (x:long, ...) { expr };
+      val isLambda = isSym("(") && (((ahead(1), ahead(2))) match {
+        case (TIdent(_, _), TSym(":", _)) => true
+        case (TSym(")", _), _) => true
+        case _ => false
+      })
+      if (isLambda) {
+        p += 1 // (
+        val params = List.newBuilder[String]
+        while (!isSym(")")) {
+          params += identName(); eatSym(":"); identName() // type ignored
+          if (!isSym(")")) eatSym(",")
+        }
+        eatSym(")")
+        eatSym("{")
+        val body = parseExpr()
+        eatSym("}")
+        eatSym(";")
+        funcs += name -> ((params.result(), body))
+      } else {
+      
       // a '|' at paren-depth 0 before ';' ⇒ tabular let; lone ident ⇒ table
       // alias; otherwise scalar expr.
       val isTabular = {
@@ -60,6 +82,7 @@ final class Parser(src: String) {
       if (isTabular) lets += name -> Right(parseQuery())
       else lets += name -> Left(parseExpr())
       eatSym(";")
+      }
     }
     val q = parseQuery()
     cur match {
@@ -67,7 +90,7 @@ final class Parser(src: String) {
       case TSym(";", _) if ahead(1).isInstanceOf[TEof] => ()
       case _ => fail("trailing tokens after query")
     }
-    Statements(lets.result(), q)
+    Statements(lets.result(), q, funcs)
   }
 
   // ================================================================ query
@@ -178,6 +201,16 @@ final class Parser(src: String) {
         case "union" =>
           val (kind, withSource) = parseUnionParams()
           UnionOp(kind, withSource, parseUnionOperands())
+        case "mv-apply" =>
+          val item = parseNamedExpr()
+          eatIdent("on")
+          eatSym("(")
+          val ops = List.newBuilder[TabOp]
+          ops += parseTabOp()
+          while (trySym("|")) ops += parseTabOp()
+          eatSym(")")
+          MvApply(item, ops.result())
+        case "as" => AsOp(identName())
         case "mv-expand" =>
           var itemIndex: Option[String] = None
           if (isIdent("with_itemindex") && (ahead(1) match {

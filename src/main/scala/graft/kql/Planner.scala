@@ -24,12 +24,29 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
+  private var letFuncs = Map.empty[String, (List[String], Expr)]
+
   def planStatements(st: Statements): DataFrame = {
+    letFuncs = st.funcs
     st.lets.foreach {
       case (n, Left(e))  => letScalars += n -> e
       case (n, Right(q)) => letTables += n -> plan(q)
     }
     plan(st.query)
+  }
+
+  /** Macro-expand a user lambda call: substitute args for params in the
+    * body (KQL function declarations, SURVEY §2.11 — NOT Spark UDFs). */
+  private def substitute(e: Expr, env: Map[String, Expr]): Expr = e match {
+    case Col(n) if env.contains(n) => env(n)
+    case App(fn, args) => App(fn, args.map(substitute(_, env)))
+    case BinOp(op, l, r) => BinOp(op, substitute(l, env), substitute(r, env))
+    case UnOp(op, x) => UnOp(op, substitute(x, env))
+    case PathGet(b, k) => PathGet(substitute(b, env), substitute(k, env))
+    case InList(x, vs, n, ci) => InList(substitute(x, env), vs.map(substitute(_, env)), n, ci)
+    case BetweenOp(x, lo, hi, n) =>
+      BetweenOp(substitute(x, env), substitute(lo, env), substitute(hi, env), n)
+    case other => other
   }
 
   def plan(q: Query): DataFrame = {
@@ -226,6 +243,43 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           }
         case _ => throw PlanError("mv-expand: exactly one column supported")
       }
+
+    case MvApply(item, ops) =>
+      // Per-row subtable pipeline: explode with a row id, run the inner
+      // ops (summarize gets the row id as an extra key), join aggregates
+      // back to the source row. Row ids come from
+      // monotonically_increasing_id — deterministic per scan layout; a
+      // persisted surrogate key replaces it at warehouse scale.
+      val (alias, e) = item
+      val rid = "__mvapply_id"
+      val base = df.withColumn(rid, monotonically_increasing_id())
+      val arrCol = toCol(e, base)
+      val elemName = e match {
+        case Col(n) => resolveName(df, n)
+        case _ => alias.getOrElse(defaultName(e, 0))
+      }
+      val arr = typeOf(base, arrCol) match {
+        case _: ArrayType => arrCol
+        case StringType => from_json(arrCol, ArrayType(StringType))
+        case t => throw PlanError(s"mv-apply over $t")
+      }
+      var sub = base.withColumn(elemName, explode_outer(arr))
+      var aggregated = false
+      ops.foreach {
+        case Where(p) => sub = sub.filter(toCol(p, sub))
+        case ex: Extend => sub = applyOp(sub, ex)
+        case s2: Summarize =>
+          aggregated = true
+          sub = planSummarize(sub, Summarize(s2.aggs, s2.by :+ ((Some(rid), Col(rid): Expr))))
+        case Sort(_) => () // intra-subtable order is immaterial post-agg
+        case other => throw PlanError(s"mv-apply: unsupported inner op $other")
+      }
+      val joined = if (aggregated) base.join(sub, Seq(rid), "left") else sub
+      joined.drop(rid)
+
+    case AsOp(name) =>
+      letTables += name -> df
+      df
 
     case ParseOp(srcE, segs, dropNonMatching) =>
       val srcCol = toCol(srcE, df)
@@ -591,26 +645,26 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
   // =========================================================== top-nested
   private def planTopNested(df: DataFrame, tn: TopNested): DataFrame = {
+    // Each level aggregates the ORIGINAL frame by (parents :+ of) — one
+    // full-data pass per level — and the surviving-parent filter is a
+    // broadcast semi-join on the SMALL grouped result, never on raw rows.
     var parents: List[String] = Nil
     var acc: DataFrame = null
-    var current = df
     tn.levels.zipWithIndex.foreach { case (lvl, i) =>
       val ofName = lvl.of._1.getOrElse(defaultName(lvl.of._2, i))
       val aggName = lvl.by._1.getOrElse(s"aggregated_$ofName")
-      val grouped = current
-        .groupBy((parents.map(col) :+ toCol(lvl.of._2, current).as(ofName)): _*)
-        .agg(toCol(lvl.by._2, current, agg = true).as(aggName))
+      var grouped = df
+        .groupBy((parents.map(col) :+ toCol(lvl.of._2, df).as(ofName)): _*)
+        .agg(toCol(lvl.by._2, df, agg = true).as(aggName))
+      if (acc != null)
+        grouped = grouped.join(broadcast(acc.select(parents.map(col): _*).distinct()),
+          parents.toSeq, "left_semi")
       val w = if (parents.isEmpty) Window.orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
         else Window.partitionBy(parents.map(col): _*)
           .orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
       val ranked = grouped.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= lvl.n).drop("__rk")
-      acc = if (acc == null) ranked
-        else acc.join(ranked, parents.toSeq, "inner")
-      // restrict next level's input to surviving parent combos
-      current = current.join(
-        broadcast(ranked.select((parents :+ ofName).map(col): _*)),
-        (parents :+ ofName).toSeq, "left_semi")
+      acc = if (acc == null) ranked else acc.join(ranked, parents.toSeq, "inner")
       parents = parents :+ ofName
     }
     acc
@@ -723,7 +777,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       if (negated) !base else base
 
     case App(fn, args) =>
-      if (agg && aggFns.contains(fn)) planAgg(e, df)
+      if (letFuncs.contains(fn)) {
+        val (params, body) = letFuncs(fn)
+        if (params.length != args.length)
+          throw PlanError(s"function '$fn' expects ${params.length} args, got ${args.length}")
+        toCol(substitute(body, params.zip(args).toMap), df, agg)
+      }
+      else if (agg && aggFns.contains(fn)) planAgg(e, df)
       else planApp(fn, args, df, agg)
   }
 
