@@ -422,6 +422,14 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_size, CAST(8 AS INT) AS n_features FROM documents ORDER BY doc_id""")),
 
+    "llm_token_count" -> Q(
+      (s, dir) => LlmOps.tokenCount(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens, ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) AS chars_per_token FROM documents ORDER BY doc_id""")),
+
+    "llm_dedup_cosine" -> Q(
+      (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3).orderBy("vec_id"),
+      Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""")),
+
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(
       """orders
@@ -624,6 +632,37 @@ object SparkEntry {
         | union (africa)
         | summarize n = count()"""),
       Some("""SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM nation WHERE n_regionkey = 0""")),
+
+    "q72_rollup" -> Q(kqlQ(
+      """lineitem
+        | summarize n=count(), qty=sum(tolong(round(l_quantity))) by rollup(l_returnflag, l_linestatus)
+        | sort by l_returnflag asc, l_linestatus asc"""),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    "q73_scalar_datetime3" -> Q(kqlQ(
+      """print eow = endofweek(datetime(2024-03-15)),
+              moy = tolong(monthofyear(datetime(2024-03-15))),
+              qtr = datetime_part('quarter', datetime(2024-03-15)),
+              msec = datetime_part('millisecond', datetime(2024-03-15 10:20:30.1234)),
+              ts = format_timespan(totimespan('1.01:01:01'), 'd.hh:mm:ss'),
+              cmp = strcmp('abc', 'abd'),
+              asc1 = isascii('hello'),
+              asc2 = isascii('héllo')"""),
+      Some("""SELECT TIMESTAMP '2024-03-16 23:59:59.999999' AS eow, CAST(3 AS BIGINT) AS moy, CAST(1 AS BIGINT) AS qtr, CAST(123 AS BIGINT) AS msec, '1.01:01:01' AS ts, CAST(-1 AS BIGINT) AS cmp, true AS asc1, false AS asc2""")),
+
+    "q74_array_rotate_shift" -> Q(kqlQ(
+      """print rl = array_rotate_left(pack_array(1, 2, 3, 4, 5), 2),
+              rr = array_rotate_right(pack_array(1, 2, 3, 4, 5), 1),
+              sl = array_shift_left(pack_array(1, 2, 3, 4, 5), 2, -1),
+              sr = array_shift_right(pack_array(1, 2, 3, 4, 5), 2, 0),
+              sn = array_shift_left(pack_array(1, 2, 3), 1)"""),
+      Some("""SELECT [3,4,5,1,2] AS rl, [5,1,2,3,4] AS rr, [3,4,5,-1,-1] AS sl, [0,0,1,2,3] AS sr, [2,3,NULL] AS sn""")),
+
+    "q75_has_any_all" -> Q(kqlQ(
+      """documents
+        | where text has_any ('quick', 'zephyr') and text has_all ('the')
+        | summarize n = count()"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE (regexp_matches(lower(text), '\bquick\b') OR regexp_matches(lower(text), '\bzephyr\b')) AND regexp_matches(lower(text), '\bthe\b')""")),
 
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(

@@ -235,6 +235,21 @@ object LlmOps {
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate dedup: drop every vector that has a
+    * LOWER-id neighbor with cosine ≥ threshold inside its block (so one
+    * representative per near-dup neighborhood survives — the greedy
+    * min-id rule, deterministic without a transitive-closure pass).
+    * Candidate pairs come from [[similarityPairs]] (block-bounded); the
+    * drop step is a broadcast-able anti-join on the pair's j side. */
+  def dedupNearCosine(emb: DataFrame, threshold: Double,
+                      blockCol: String = "label", idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val dropIds = similarityPairs(emb, threshold, blockCol, idCol, vecCol)
+      .select(col("j").as(idCol)).distinct()
+    emb.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(blockCol))
+  }
+
   // ========================================================= text analysis
 
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
@@ -296,6 +311,20 @@ object LlmOps {
     docs.select(col(idCol),
       md5(lower(col(textCol))).as("fp"),
       array_min(transform(shingles, s => md5(s))).as("min_shingle_fp"))
+  }
+
+  /** Token counting for training-data budgeting: whitespace tokens plus a
+    * BPE-style pre-tokenization count (letter runs / digit runs /
+    * punctuation runs — the GPT-2-family pre-tokenizer shape, ASCII
+    * classes so every regex engine agrees) and a chars-per-token ratio.
+    * Pure per-row projection, no shuffle. */
+  def tokenCount(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val nWs = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val nBpe = regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
+    docs.select(col(idCol), nWs.as("n_ws_tokens"), nBpe.as("n_bpe_tokens"),
+      round(length(col(textCol)).cast("double") /
+        greatest(nBpe, lit(1L)), 4).as("chars_per_token"))
   }
 
   /** Corpus term frequency (top terms). One explode + one shuffle. */

@@ -18,6 +18,9 @@ object Functions {
   val registry: Map[String, List[Column] => Column] = Map(
     // ------------------------------------------------------------ string
     "strlen" -> f { case c :: Nil => length(c).cast("long") },
+    "strcmp" -> f { case a :: b :: Nil =>
+      when(a < b, -1L).when(a > b, 1L).otherwise(0L) },
+    "isascii" -> f { case c :: Nil => c.rlike("^\\p{ASCII}*$") },
     "tolower" -> f { case c :: Nil => lower(c) },
     "toupper" -> f { case c :: Nil => upper(c) },
     "strcat" -> f { cs => concat_ws("", cs: _*) }, // KQL: nulls act as empty
@@ -87,12 +90,16 @@ object Functions {
     // KQL dayofweek(ts) = timespan since Sunday → expose as int days 0-6
     "dayofweek" -> f { case c :: Nil => dayofweek(c) - 1 },
     "week_of_year" -> f { case c :: Nil => weekofyear(c) },
+    "monthofyear" -> f { case c :: Nil => month(c) },
     "startofday" -> f { case c :: Nil => date_trunc("day", c) },
     "startofmonth" -> f { case c :: Nil => date_trunc("month", c) },
     "startofyear" -> f { case c :: Nil => date_trunc("year", c) },
     // KQL weeks start Sunday; Spark date_trunc('week') is Monday (SURVEY §7.4)
     "startofweek" -> f { case c :: Nil =>
       to_timestamp(date_sub(to_date(c), dayofweek(c) - 1)) },
+    "endofweek" -> f { case c :: Nil =>
+      timestamp_micros(unix_micros(
+        to_timestamp(date_add(date_sub(to_date(c), dayofweek(c) - 1), 7))) - 1L) },
     "endofday" -> f { case c :: Nil =>
       timestamp_micros(unix_micros(date_trunc("day", c)) + 86400000000L - 1L) },
     "endofmonth" -> f { case c :: Nil =>
@@ -129,6 +136,16 @@ object Functions {
     "set_has_element" -> f { case a :: v :: Nil => array_contains(a, v) },
     "array_repeat" -> f { case v :: n :: Nil => array_repeat(v, n.cast("int")) },
     "zip" -> f { case a :: b :: Nil => arrays_zip(a, b) },
+    // rotate = cyclic shift; shift = drop + pad (KQL: negative n reverses
+    // direction for all four)
+    "array_rotate_left" -> f { case a :: n :: Nil => Functions.rotateLeft(a, n) },
+    "array_rotate_right" -> f { case a :: n :: Nil => Functions.rotateLeft(a, -n) },
+    "array_shift_left" -> f {
+      case a :: n :: Nil => Functions.shiftLeft(a, n, lit(null))
+      case a :: n :: fill :: Nil => Functions.shiftLeft(a, n, fill) },
+    "array_shift_right" -> f {
+      case a :: n :: Nil => Functions.shiftLeft(a, -n, lit(null))
+      case a :: n :: fill :: Nil => Functions.shiftLeft(a, -n, fill) },
     "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
     "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
     // ------------------------------------------- time-series (§2.9)
@@ -214,6 +231,29 @@ object Functions {
     to_json(struct(array_min(a).cast("double").as("min"),
       array_max(a).cast("double").as("max"), avg.as("avg"),
       stdev.as("stdev"), sy.as("sum"), size(a).cast("long").as("len")))
+  }
+
+  /** Cyclic left rotation by n (negative n rotates right). */
+  def rotateLeft(a: Column, n: Column): Column = {
+    val len = size(a)
+    val k = pmod(n.cast("int"), len)
+    when(len <= 0, a).otherwise(
+      when(k === 0, a).otherwise(
+        concat(slice(a, k + 1, len - k), slice(a, lit(1), k))))
+  }
+
+  /** Shift left by n dropping shifted-out elements, padding with `fill`
+    * (KQL array_shift_left; negative n shifts right). */
+  def shiftLeft(a: Column, n: Column, fill: Column): Column = {
+    val len = size(a)
+    val k = least(greatest(n.cast("int"), -len), len) // clamp to [-len, len]
+    // coerce fill (possibly untyped null) to the array's element type so
+    // concat(array<T>, array_repeat(fill, _)) type-checks
+    val fillT = when(lit(true), fill).otherwise(element_at(a, lit(1)))
+    val padded = (cnt: Column) => array_repeat(fillT, cnt)
+    when(len <= 0, a).otherwise(
+      when(k >= 0, concat(slice(a, k + 1, len - k), padded(k)))
+        .otherwise(concat(padded(-k), slice(a, lit(1), len + k))))
   }
 
   def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {

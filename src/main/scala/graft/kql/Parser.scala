@@ -543,6 +543,13 @@ final class Parser(src: String) {
           p += 1
           val ci = trySym("~")
           l = parseInTail(l, negated = false, ci)
+        case TIdent(w, _) if w.equalsIgnoreCase("has_any") || w.equalsIgnoreCase("has_all") =>
+          p += 1
+          eatSym("(")
+          val terms = List.newBuilder[Expr]
+          while (!isSym(")")) { terms += parseExpr(); if (!isSym(")")) eatSym(",") }
+          eatSym(")")
+          l = App(w.toLowerCase, l :: terms.result())
         case TIdent(w, _) if w.equalsIgnoreCase("between") =>
           p += 1
           l = parseBetweenTail(l, negated = false)

@@ -473,7 +473,9 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
   // ============================================================ summarize
   private def planSummarize(df: DataFrame, s: Summarize): DataFrame = {
-    val byCols = s.by.zipWithIndex.map { case ((alias, e), i) =>
+    // def, not val: `by rollup(...)`/`by cube(...)` must not reach toCol
+    // (rollup is a grouping construct, not a scalar function)
+    def byCols = s.by.zipWithIndex.map { case ((alias, e), i) =>
       toCol(e, df).as(alias.getOrElse(byDefaultName(e, i)))
     }
     val byNames = s.by.zipWithIndex.map { case ((alias, e), i) =>
@@ -518,7 +520,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       }
     }
 
-    var out = df.groupBy(byCols: _*).agg(aggCols.head, aggCols.tail.toSeq: _*)
+    // `by rollup(a, b)` / `by cube(a, b)` extension (SURVEY §2.4):
+    // hierarchical / all-combination subtotals via Spark's native
+    // grouping-set support (single shuffle, no plan expansion by us)
+    val grouped = s.by match {
+      case List((None, App(kind @ ("rollup" | "cube"), gArgs))) if gArgs.nonEmpty =>
+        val gCols = gArgs.zipWithIndex.map { case (e, i) =>
+          toCol(e, df).as(byDefaultName(e, i)) }
+        if (kind == "rollup") df.rollup(gCols: _*) else df.cube(gCols: _*)
+      case _ => df.groupBy(byCols: _*)
+    }
+    var out = grouped.agg(aggCols.head, aggCols.tail.toSeq: _*)
     // unpack arg_max/arg_min structs
     unpacks.foreach { case (structName, fields) =>
       fields.foreach { f =>
@@ -930,6 +942,52 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         }
       case "format_datetime" =>
         date_format(a(0), translateDatePattern(litString(args(1), "format_datetime pattern")))
+      case "has_any" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ || _)
+      case "has_all" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ && _)
+      case "datetime_part" =>
+        (litString(args(0), "datetime_part part").toLowerCase match {
+          case "year" => year(a(1))
+          case "quarter" => quarter(a(1))
+          case "month" => month(a(1))
+          case "week" | "week_of_year" => weekofyear(a(1))
+          case "day" => dayofmonth(a(1))
+          case "dayofyear" => dayofyear(a(1))
+          case "hour" => hour(a(1))
+          case "minute" => minute(a(1))
+          case "second" => second(a(1))
+          case "millisecond" => (unix_micros(a(1)) % 1000000L) / 1000L
+          case "microsecond" => unix_micros(a(1)) % 1000000L
+          case other => throw PlanError(s"datetime_part: unsupported part '$other'")
+        }).cast("long")
+      case "format_timespan" =>
+        // timespan is µs (SURVEY §1.2); supported patterns cover the KQL
+        // doc examples: d, dd, h/hh, m/mm, s/ss (longer runs zero-pad)
+        val us = a(0).cast("long")
+        val fmt = litString(args(1), "format_timespan pattern")
+        val parts = "(d+|h+|m+|s+)".r
+        val pieces = scala.collection.mutable.ListBuffer[Column]()
+        var rest = fmt
+        while (rest.nonEmpty) {
+          parts.findPrefixOf(rest) match {
+            case Some(run) =>
+              // Column./ is double division — keep the fields integral
+              val v = (run.head match {
+                case 'd' => floor(us / 86400000000L)
+                case 'h' => floor((us % 86400000000L) / 3600000000L)
+                case 'm' => floor((us % 3600000000L) / 60000000L)
+                case 's' => floor((us % 60000000L) / 1000000L)
+              }).cast("long")
+              // lpad truncates over-long values; keep them whole instead
+              val s = v.cast("string")
+              pieces += when(length(s) >= run.length, s)
+                .otherwise(lpad(s, run.length, "0"))
+              rest = rest.drop(run.length)
+            case None =>
+              pieces += lit(rest.head.toString)
+              rest = rest.tail
+          }
+        }
+        concat(pieces.toSeq: _*)
       case "totimespan" => args.head match {
         case Lit(s: String) => lit(Literals.parseTimespan(s).micros)
         case Lit(Timespan(us)) => lit(us)

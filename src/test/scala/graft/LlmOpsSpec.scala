@@ -94,6 +94,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p.forall(_.getDouble(3) >= 0.3))
   }
 
+  test("dedupNearCosine keeps the min-id representative of each near-dup pair") {
+    val kept = LlmOps.dedupNearCosine(embs, 0.3).collect().map(_.getLong(0)).toSet
+    val pairs = LlmOps.similarityPairs(embs, 0.3).collect()
+    // every dropped id appears as the j of some pair; every pair lost its j
+    pairs.foreach(r => assert(!kept.contains(r.getLong(2))))
+    // and ids never named as j survive
+    val js = pairs.map(_.getLong(2)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((all -- js) == kept)
+  }
+
+  test("tokenCount: bpe-ish runs count letters/digits/punct separately") {
+    val synth = Seq((1L, "abc de-f 42!")).toDF("doc_id", "text")
+    val r = LlmOps.tokenCount(synth).head()
+    assert(r.getLong(1) == 3L)                    // "abc", "de-f", "42!"
+    assert(r.getLong(2) == 6L)                    // abc·de·-·f·42·!
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")

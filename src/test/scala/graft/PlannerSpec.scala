@@ -197,4 +197,41 @@ class PlannerSpec extends AnyFunSuite {
   test("column resolution is case-insensitive") {
     assert(one("datatable(MyCol:long) [5] | project mycol").getLong(0) == 5L)
   }
+
+  test("summarize by rollup adds subtotal and grand-total rows") {
+    val rows = run(
+      """datatable(g:string, h:string, v:long) ['a','x',1, 'a','y',2, 'b','x',3]
+        | summarize s=sum(v) by rollup(g, h)""")
+    // 3 leaves + 2 g-subtotals + 1 grand total
+    assert(rows.length == 6)
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getLong(2) == 6L)
+    val aSub = rows.find(r => !r.isNullAt(0) && r.getString(0) == "a" && r.isNullAt(1)).get
+    assert(aSub.getLong(2) == 3L)
+  }
+
+  test("has_any / has_all match whole terms with OR / AND") {
+    val base = "datatable(s:string) ['the quick fox', 'lazy dog', 'quick dogs']"
+    assert(run(s"$base | where s has_any ('quick', 'lazy')").length == 3)
+    assert(run(s"$base | where s has_all ('quick', 'fox')").length == 1)
+    assert(run(s"$base | where s has_any ('dog')").length == 1) // whole term: not 'dogs'
+  }
+
+  test("array rotate and shift, including negative n and fill") {
+    val r = one("""print rl = array_rotate_left(pack_array(1,2,3,4,5), 7),
+                        sl = array_shift_left(pack_array(1,2,3), 5),
+                        sr = array_shift_right(pack_array(1,2,3), 1, 9)""")
+    assert(r.getSeq[Long](0) == Seq(3L, 4L, 5L, 1L, 2L)) // 7 mod 5 = 2
+    assert(r.getSeq[Any](1) == Seq(null, null, null))    // over-shift clamps
+    assert(r.getSeq[Long](2) == Seq(9L, 1L, 2L))
+  }
+
+  test("format_timespan and datetime_part") {
+    val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
+                        b = format_timespan(totimespan('90m'), 'hh:mm'),
+                        c = datetime_part('quarter', datetime(2024-11-05))""")
+    assert(r.getString(0) == "11.02:03:04")
+    assert(r.getString(1) == "01:30")
+    assert(r.getLong(2) == 4L)
+  }
 }
