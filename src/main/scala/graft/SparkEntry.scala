@@ -664,6 +664,15 @@ object SparkEntry {
         | summarize n = count()"""),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE (regexp_matches(lower(text), '\bquick\b') OR regexp_matches(lower(text), '\bzephyr\b')) AND regexp_matches(lower(text), '\bthe\b')""")),
 
+    "q76_invoke" -> Q(kqlQ(
+      """let bigqty = (T:(*), lo:long) { T | where l_quantity >= lo | summarize n = count() by l_returnflag | sort by l_returnflag asc };
+        lineitem | invoke bigqty(45)"""),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity >= 45 GROUP BY 1 ORDER BY 1""")),
+
+    "q77_series_outliers" -> Q(kqlQ(
+      """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
+      Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),
+
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(
       """print f = series_fit_line(pack_array(1.0, 3.0, 5.0, 7.0)),

@@ -98,7 +98,10 @@ object Ast {
 
   // --------------------------------------------------------------- query
   final case class Query(source: Source, ops: List[TabOp])
-  /** let name = scalar-expr | let name = (pipeline); then a final query. */
+  /** let name = scalar-expr | let name = (pipeline); then a final query.
+    * `funcs` are scalar lambdas; `tabFuncs` are tabular lambdas
+    * (tableParam, scalarParams, body) applied with the `invoke` operator. */
   final case class Statements(lets: List[(String, Either[Expr, Query])], query: Query,
-                              funcs: Map[String, (List[String], Expr)] = Map.empty)
+                              funcs: Map[String, (List[String], Expr)] = Map.empty,
+                              tabFuncs: Map[String, (String, List[String], Query)] = Map.empty)
 }

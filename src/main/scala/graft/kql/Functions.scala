@@ -152,6 +152,20 @@ object Functions {
     // All pure higher-order array expressions — codegen-compatible, no UDFs.
     "series_fit_line" -> f { case a :: Nil => seriesFitLine(a) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    // Tukey-fence outlier scores (k=1.5): 0 inside the fences, distance
+    // past the fence in IQR units outside (sign marks the direction)
+    "series_outliers" -> f { case a :: Nil =>
+      val sorted = array_sort(a)
+      val n = size(a)
+      val q1 = element_at(sorted, greatest(ceil(n * 0.25).cast("int"), lit(1)))
+      val q3 = element_at(sorted, greatest(ceil(n * 0.75).cast("int"), lit(1)))
+      val iqr = (q3 - q1).cast("double")
+      val lo = q1 - iqr * 1.5
+      val hi = q3 + iqr * 1.5
+      transform(a, x => when(iqr === 0d, lit(0.0))
+        .when(x > hi, (x - hi) / iqr)
+        .when(x < lo, (x - lo) / iqr)
+        .otherwise(lit(0.0))) },
     "series_stats_dynamic" -> f { case a :: Nil => seriesStats(a) },
     "dcount_hll" -> f { case c :: Nil => hll_sketch_estimate(c) },
     // ------------------------------------------------------------- geo

@@ -39,6 +39,7 @@ final class Parser(src: String) {
   def parseStatements(): Statements = {
     val lets = List.newBuilder[(String, Either[Expr, Query])]
     var funcs = Map.empty[String, (List[String], Expr)]
+    var tabFuncs = Map.empty[String, (String, List[String], Query)]
     while (isIdent("let")) {
       p += 1
       val name = identName()
@@ -51,17 +52,42 @@ final class Parser(src: String) {
       })
       if (isLambda) {
         p += 1 // (
-        val params = List.newBuilder[String]
+        val params = List.newBuilder[(String, Boolean)] // (name, isTabular)
         while (!isSym(")")) {
-          params += identName(); eatSym(":"); identName() // type ignored
+          val pn = identName(); eatSym(":")
+          // scalar type is an ident; a parenthesized type — (*) or an
+          // explicit schema — marks a tabular parameter (KQL functions)
+          val tabular = if (isSym("(")) {
+            var depth = 0
+            do {
+              cur match {
+                case TSym("(", _) => depth += 1
+                case TSym(")", _) => depth -= 1
+                case _ => ()
+              }
+              p += 1
+            } while (depth > 0)
+            true
+          } else { identName(); false }
+          params += ((pn, tabular))
           if (!isSym(")")) eatSym(",")
         }
         eatSym(")")
         eatSym("{")
-        val body = parseExpr()
-        eatSym("}")
-        eatSym(";")
-        funcs += name -> ((params.result(), body))
+        val ps = params.result()
+        if (ps.exists(_._2)) {
+          val (tabP, scalarPs) = (ps.filter(_._2), ps.filterNot(_._2))
+          if (tabP.length != 1) fail("tabular lambda needs exactly one table parameter")
+          val body = parseQuery()
+          eatSym("}")
+          eatSym(";")
+          tabFuncs += name -> ((tabP.head._1, scalarPs.map(_._1), body))
+        } else {
+          val body = parseExpr()
+          eatSym("}")
+          eatSym(";")
+          funcs += name -> ((ps.map(_._1), body))
+        }
       } else {
       
       // a '|' at paren-depth 0 before ';' ⇒ tabular let; lone ident ⇒ table
@@ -90,7 +116,7 @@ final class Parser(src: String) {
       case TSym(";", _) if ahead(1).isInstanceOf[TEof] => ()
       case _ => fail("trailing tokens after query")
     }
-    Statements(lets.result(), q, funcs)
+    Statements(lets.result(), q, funcs, tabFuncs)
   }
 
   // ================================================================ query

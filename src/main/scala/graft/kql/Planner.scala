@@ -25,9 +25,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
   private var letFuncs = Map.empty[String, (List[String], Expr)]
+  private var letTabFuncs = Map.empty[String, (String, List[String], Query)]
 
   def planStatements(st: Statements): DataFrame = {
     letFuncs = st.funcs
+    letTabFuncs = st.tabFuncs
     st.lets.foreach {
       case (n, Left(e))  => letScalars += n -> e
       case (n, Right(q)) => letTables += n -> plan(q)
@@ -326,7 +328,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     case tn: TopNested => planTopNested(df, tn)
 
-    case InvokeOp(fn, _) => throw PlanError(s"invoke '$fn': stored functions not supported yet")
+    case InvokeOp(fn, args) =>
+      // macro expansion, not a UDF: bind the pipeline input as the table
+      // param and the call args as scalar lets, then plan the body query
+      val (tabParam, scalarParams, body) = letTabFuncs.getOrElse(fn,
+        throw PlanError(s"invoke '$fn': no tabular let-function of that name"))
+      if (scalarParams.length != args.length)
+        throw PlanError(s"invoke '$fn' expects ${scalarParams.length} args, got ${args.length}")
+      val (savedT, savedS) = (letTables, letScalars)
+      letTables += tabParam -> df
+      letScalars ++= scalarParams.zip(args)
+      val out = plan(body)
+      letTables = savedT; letScalars = savedS
+      out
 
     case s: Summarize => planSummarize(df, s)
   }

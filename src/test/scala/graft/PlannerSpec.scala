@@ -226,6 +226,13 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2) == Seq(9L, 1L, 2L))
   }
 
+  test("invoke applies a tabular let-function with scalar args") {
+    val rows = run(
+      """let topv = (T:(*), k:long) { T | where v >= k | summarize n = count() };
+        datatable(v:long) [1, 5, 9] | invoke topv(5)""")
+    assert(rows.head.getLong(0) == 2L)
+  }
+
   test("format_timespan and datetime_part") {
     val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
                         b = format_timespan(totimespan('90m'), 'hh:mm'),
