@@ -698,10 +698,26 @@ object SparkEntry {
       None), // sketch estimate: accuracy pinned in tests, no SQL oracle
 
     // ----------------------------------------- temporal correlation ops
+    "tmp_funnel" -> Q(
+      (s, dir) => {
+        // funnel over epoch-µs longs: DuckDB's parquet reader TRUNCATES
+        // TIMESTAMP(NANOS) to its µs-native TIMESTAMP, so truncate the
+        // same way with integral `div` (Column./ is double division and
+        // loses ULPs at 1.7e18 ns)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000"))
+        TemporalOps.funnel(ev, "user_id", "ts", Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY 1), s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t_signup GROUP BY 1), s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) SELECT s1.user_id, epoch_us(t_signup) AS t_signup, epoch_us(t_click) AS t_click, epoch_us(t_purchase) AS t_purchase, CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT AS BIGINT) AS steps_completed FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) ORDER BY user_id""")),
+
     "tmp_asof_join" -> Q(
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         TemporalOps.asOfLastPrior(ev, "user_id", "ts", "event_id",
             col("event_type") === "click", col("value"), "last_click_val")
           .filter(col("event_type") === "purchase")
@@ -714,7 +730,7 @@ object SparkEntry {
     "tmp_range_join" -> Q(
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         TemporalOps.rangeJoinPairs(ev, "user_id", "ts", "event_id", 120L * 1000000)
           .groupBy(col("k").as("user_id")).agg(count(lit(1)).as("n_pairs"))
           .orderBy("user_id")

@@ -25,6 +25,36 @@ object TemporalOps {
     df.withColumn(out, last(when(marker, value), ignoreNulls = true).over(w))
   }
 
+  /** Ordered funnel matching — the batch emulation of KQL `scan` for its
+    * dominant use (sequential step predicates, no state assignments;
+    * SURVEY §2.10 marks the full step machine P3). Per key, computes the
+    * earliest timestamp each step could complete, where step k counts
+    * only at rows strictly after step k−1's completion:
+    * t₁ = min ts with cond₁;  tₖ = min ts with condₖ and ts > tₖ₋₁.
+    *
+    * One aggregation pass per step over the SAME key shuffle (Catalyst
+    * reuses the partitioning across the chained joins), so cost is
+    * K sequential map-side scans — no window over an unpartitioned
+    * frame, no state machine, distributes by key. */
+  def funnel(df: DataFrame, key: String, ts: String,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = df.filter(steps.head._2)
+      .groupBy(col(key)).agg(min(col(ts)).as(s"t_${steps.head._1}"))
+    steps.tail.zipWithIndex.foreach { case ((name, cond), i) =>
+      val prevT = s"t_${steps(i)._1}"
+      val nxt = df.filter(cond)
+        .select(col(key), col(ts).as("__ts"))
+        .join(acc.select(col(key), col(prevT).as("__prev")), Seq(key))
+        .filter(col("__ts") > col("__prev"))
+        .groupBy(col(key)).agg(min(col("__ts")).as(s"t_$name"))
+      acc = acc.join(nxt, Seq(key), "left")
+    }
+    val doneCols = steps.map { case (n, _) => col(s"t_$n") }
+    acc.withColumn("steps_completed",
+      doneCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).cast("long"))
+  }
+
   /** Range (interval) join: per `key`, all pairs (a, b) with
     * b.ts ∈ (a.ts, a.ts + windowUs]. Implemented with the bucketed
     * equi-join trick: each left row joins only its own and the next

@@ -38,7 +38,9 @@ final class Catalog(spark: SparkSession, dir: String,
   private def normalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == LongType && f.name == "ts")
-        d.withColumn(f.name, timestamp_micros((col(f.name) / 1000L).cast("long")))
+        // integral div: Column./ is double division, which loses ULPs on
+        // 1.7e18-scale ns epochs (up to ±128 ns → off-by-1µs truncations)
+        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
       // KQL datetime is a single UTC instant type; fold parquet
       // TIMESTAMP_NTZ into session-UTC TIMESTAMP so every datetime op
       // sees one type (session TZ is pinned UTC ⇒ same wall values).
