@@ -669,6 +669,21 @@ object SparkEntry {
         lineitem | invoke bigqty(45)"""),
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity >= 45 GROUP BY 1 ORDER BY 1""")),
 
+    "q78_pivot" -> Q(kqlQ(
+      """events
+        | project user_id, event_type
+        | evaluate pivot(event_type, count())
+        | sort by user_id asc"""),
+      Some("""PIVOT (SELECT user_id, event_type FROM events) ON event_type USING count(*) GROUP BY user_id ORDER BY user_id""")),
+
+    "q79_bag_unpack" -> Q(kqlQ(
+      """events
+        | project user_id, props
+        | evaluate bag_unpack(props)
+        | summarize s = sum(k) by user_id
+        | sort by user_id asc"""),
+      Some("""SELECT user_id, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1 ORDER BY 1""")),
+
     "q77_series_outliers" -> Q(kqlQ(
       """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
       Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),

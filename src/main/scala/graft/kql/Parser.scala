@@ -297,6 +297,13 @@ final class Parser(src: String) {
           while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
           eatSym(")")
           InvokeOp(fn, args.result())
+        case "evaluate" =>
+          val plugin = identName()
+          val args = List.newBuilder[Expr]
+          eatSym("(")
+          while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
+          eatSym(")")
+          EvaluateOp(plugin, args.result())
         case other => fail(s"unknown operator '$other'")
       }
     case _ => fail("expected operator after |")

@@ -343,6 +343,53 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       out
 
     case s: Summarize => planSummarize(df, s)
+
+    case EvaluateOp("pivot", pivotE :: rest) =>
+      // `evaluate pivot(col [, agg])` → Spark's native pivot (two-pass:
+      // distinct values then a pivoting hash aggregate). Group keys are
+      // every column not consumed by the pivot or the aggregate.
+      val pivotName = pivotE match {
+        case Col(n) => resolveName(df, n)
+        case other => throw PlanError(s"pivot expects a column, got $other")
+      }
+      val aggE = rest.headOption.getOrElse(App("count", Nil))
+      def colRefs(e: Expr): Set[String] = e match {
+        case Col(n) => Set(n)
+        case App(_, as) => as.flatMap(colRefs).toSet
+        case BinOp(_, l, r) => colRefs(l) ++ colRefs(r)
+        case UnOp(_, x) => colRefs(x)
+        case _ => Set.empty
+      }
+      val consumed = colRefs(aggE) + pivotName
+      val groupCols = df.columns.filterNot(c => consumed.exists(_.equalsIgnoreCase(c)))
+      val pivoted = df.groupBy(groupCols.map(col).toSeq: _*)
+        .pivot(pivotName).agg(toCol(aggE, df, agg = true))
+      // KQL pivot yields 0 (not null) for empty count cells
+      aggE match {
+        case App("count" | "countif", _) => pivoted.na.fill(0L)
+        case _ => pivoted
+      }
+
+    case EvaluateOp("bag_unpack", dynE :: Nil) =>
+      // schema-creating by definition: sample one non-null bag to infer
+      // the JSON shape (the single eager driver action besides toscalar),
+      // then expand columns with from_json — schema-on-read stays lazy
+      val c = toCol(dynE, df)
+      val sampled = df.select(c.as("__d")).na.drop().limit(1).collect()
+      if (sampled.isEmpty) df
+      else {
+        val sampleJson = sampled.head.getString(0)
+        val parsed = df.withColumn("__bag", from_json(c, schema_of_json(lit(sampleJson))))
+        val keep: Seq[String] = dynE match {
+          case Col(n) =>
+            val rn = resolveName(df, n)
+            df.columns.filterNot(_.equalsIgnoreCase(rn)).toSeq
+          case _ => df.columns.toSeq
+        }
+        parsed.select(keep.map(c => col(c)) :+ col("__bag.*"): _*)
+      }
+
+    case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
   }
 
   /** KQL parse-pattern → anchored regex + ordered named captures.

@@ -233,6 +233,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 2L)
   }
 
+  test("evaluate pivot spreads values into columns, count fills 0") {
+    val rows = run(
+      """datatable(g:string, t:string) ['u1','a', 'u1','a', 'u2','b']
+        | evaluate pivot(t, count())
+        | sort by g asc""")
+    // columns: g, a, b
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("u1", 2L, 0L), ("u2", 0L, 1L)))
+  }
+
+  test("evaluate bag_unpack expands JSON keys to typed columns") {
+    val rows = run(
+      """datatable(id:long, d:string) [1, '{"x": 5, "y": "a"}', 2, '{"x": 7, "y": "b"}']
+        | evaluate bag_unpack(d)
+        | project id, x, y
+        | sort by id asc""")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ==
+      Seq((1L, 5L, "a"), (2L, 7L, "b")))
+  }
+
   test("format_timespan and datetime_part") {
     val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
                         b = format_timespan(totimespan('90m'), 'hh:mm'),
