@@ -63,4 +63,41 @@ class KqlPropertySpec extends AnyFunSuite {
       assert(total == vals.length)
     }
   }
+
+  test("mv-expand emits exactly sum(array_length) rows") {
+    for (vals <- samples(smallList, 5)) {
+      val arr = vals.mkString(", ")
+      val q =
+        s"""datatable(id:long) [1]
+           | extend a = pack_array($arr)
+           | mv-expand a
+           | count"""
+      assert(Kql.run(spark, q, cat).head.getLong(0) == vals.length)
+    }
+  }
+
+  test("innerunique join result is a subset of inner join (per key, one left row)") {
+    for ((vals, i) <- samples(smallList, 5).zipWithIndex) {
+      val lhs = s"datatable(k:long, v:long) [${vals.flatMap(v => Seq(v % 5, v)).mkString(", ")}]"
+      val rhs = s"datatable(k:long, w:long) [0, 10, 1, 11, 2, 12, 3, 13, 4, 14, -1, 15, -2, 16, -3, 17, -4, 18]"
+      val inner = Kql.run(spark, s"$lhs | join kind=inner ($rhs) on k | count", cat).head.getLong(0)
+      val iu = Kql.run(spark, s"$lhs | join kind=innerunique ($rhs) on k | count", cat).head.getLong(0)
+      assert(iu <= inner)
+      // innerunique keeps exactly one left row per matched key
+      val keys = Kql.run(spark,
+        s"$lhs | join kind=inner ($rhs) on k | distinct k | count", cat).head.getLong(0)
+      assert(iu == keys)
+    }
+  }
+
+  test("make_set equals sorted distinct of make_list") {
+    for (vals <- samples(smallList, 5)) {
+      val r = Kql.run(spark,
+        s"${dt(vals)} | summarize s = make_set(x), l = make_list(x)", cat).head
+      val set = r.getSeq[Long](0)
+      val list = r.getSeq[Long](1)
+      assert(set == list.distinct.sorted)
+      assert(list.length == vals.length)
+    }
+  }
 }
