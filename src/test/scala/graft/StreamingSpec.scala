@@ -45,6 +45,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched)
   }
 
+  test("sliding windows overlap: each event lands in window/slide buckets") {
+    val (_, df) = mkStream(batch1)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.slidingAvg(df, "10 minutes", "5 minutes", "10 minutes"),
+      "t_slide", "complete")
+    val batch = StreamingOps.slidingAvg(spark.createDataFrame(batch1), "10 minutes", "5 minutes", "10 minutes")
+    val streamed = out.orderBy("ts").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch.orderBy("ts").collect().map(_.toSeq).toSeq)
+    // a 10m window sliding by 5m covers each instant twice
+    assert(out.count() >= 2) // overlapping windows emitted
+  }
+
   test("session windows split on gap") {
     val (_, df) = mkStream(batch1)
     val out = StreamingOps.runToMemory(spark,
