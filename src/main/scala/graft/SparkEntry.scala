@@ -422,6 +422,22 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_size, CAST(8 AS INT) AS n_features FROM documents ORDER BY doc_id""")),
 
+    "llm_ann_ivf" -> Q(
+      (s, dir) => LlmOps.annCosineIvf(embs(s, dir), queryId = 0, k = 10),
+      None), // k-means index is seeded but engine-specific; recall vs brute force pinned in tests
+
+    "llm_frame_sample" -> Q(
+      (s, dir) => {
+        val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        LlmOps.frameSample(withBin, "payload", nFrames = 4, frameBytes = 16)
+          // hex of the frame bytes, not md5: DuckDB's md5 is VARCHAR-only,
+          // and its blobs slice via hex(…) anyway — content-exact compare
+          .select(col("doc_id"), col("frame_idx"), col("frame_size"),
+            hex(col("frame")).as("frame_hex"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h, octet_length(CAST(text AS BLOB)) AS total FROM documents), g AS (SELECT doc_id, i AS frame_idx, substring(h, CAST(i * greatest(total - 16, 1) // 3 AS INT) * 2 + 1, 32) AS frame_hex FROM f, generate_series(0, 3) s(i)) SELECT doc_id, frame_idx, CAST(length(frame_hex) // 2 AS BIGINT) AS frame_size, frame_hex FROM g ORDER BY doc_id, frame_idx""")),
+
     "llm_token_count" -> Q(
       (s, dir) => LlmOps.tokenCount(docs(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens, ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) AS chars_per_token FROM documents ORDER BY doc_id""")),

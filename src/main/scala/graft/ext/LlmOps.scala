@@ -218,6 +218,45 @@ object LlmOps {
       .limit(k)
   }
 
+  /** ANN via IVF (inverted-file index): k-means partitions the corpus
+    * into nLists cells; a query scans only the nProbe cells whose
+    * centroids are nearest — the classic FAISS-style scale path, here
+    * with Spark MLlib KMeans as the trainer. Index build (fit) is an
+    * eager training pass, amortized across queries in a real deployment;
+    * search itself is a partition-pruned scan + TakeOrderedAndProject.
+    * Recall vs brute force is traded through nProbe. */
+  def annCosineIvf(emb: DataFrame, queryId: Long, k: Int, nLists: Int = 16,
+                   nProbe: Int = 2, seed: Long = 42,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // train on UNIT vectors: on the sphere, euclidean cells coincide with
+    // cosine neighborhoods (spherical k-means approximation) — without
+    // this, magnitude dominates the partitioning and recall collapses
+    val nrm = normD(col(vecCol))
+    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
+    val withVec = emb.withColumn("__uv", unit)
+      .withColumn("__fv", array_to_vector(col("__uv")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell").fit(withVec)
+    val assigned = model.transform(withVec).drop("__fv")
+    val qRow = assigned.filter(col(idCol) === queryId)
+      .select(col("__uv"), col("__cell")).head()
+    val qVec = qRow.getSeq[Double](0).toArray
+    // probe the nProbe nearest centroids (tiny driver-side math over
+    // nLists vectors — the index metadata, not the data)
+    val probes = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val qLit = array(qVec.map(lit): _*)
+    assigned.filter(col("__cell").isin(probes: _*))
+      .select(col(idCol),
+        round(dotD(col(vecCol), qLit) / (normD(col(vecCol)) * normD(qLit)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All vector pairs with cosine ≥ threshold, blocked by a grouping
     * column to bound the cross product (exact within blocks). */
   def similarityPairs(emb: DataFrame, threshold: Double,
@@ -365,4 +404,25 @@ object LlmOps {
     df.withColumn("media_features",
       array((0 until dims).map(d =>
         (xxhash64(col(binCol), lit(d)) % 1000).cast("double") / 1000.0): _*))
+
+  /** Frame sampling for video-like payloads: n evenly-spaced fixed-width
+    * byte windows per blob, one output row per frame (posexplode). The
+    * "decode" is a deterministic byte-slice STUB (no media libs in this
+    * container); the Spark plumbing — binary slicing, per-frame rows,
+    * per-frame fingerprints, no driver collect — is the real part. */
+  def frameSample(df: DataFrame, binCol: String, nFrames: Int = 4,
+                  frameBytes: Int = 16): DataFrame = {
+    val total = length(col(binCol))
+    val frames = transform(sequence(lit(0), lit(nFrames - 1)), i => {
+      // floor division: Column./ is double division and cross-engine
+      // int-casts disagree on rounding halves
+      val off = floor((i * greatest(total - frameBytes, lit(1))) /
+        lit(math.max(nFrames - 1, 1))).cast("int") + 1
+      col(binCol).substr(off, lit(frameBytes))
+    })
+    df.select(col("*"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_size", length(col("frame")).cast("long"))
+      .withColumn("frame_fp", md5(col("frame")))
+      .drop(binCol)
+  }
 }

@@ -112,6 +112,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 6L)                    // abc·de·-·f·42·!
   }
 
+  test("ann-ivf: self top-hit, recall grows with nProbe, full probe = brute force") {
+    val brute = LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    def recall(nProbe: Int): Int = {
+      val ivf = LlmOps.annCosineIvf(embs, queryId = 0, k = 10, nLists = 16, nProbe = nProbe)
+        .collect()
+      assert(ivf.head.getLong(0) == 0L) // query's own cell is always probed
+      ivf.map(_.getLong(0)).count(brute.contains)
+    }
+    val (r2, r8, rAll) = (recall(2), recall(8), recall(16))
+    assert(r2 >= 1 && r2 <= r8 && r8 <= rAll)
+    assert(rAll == 10) // probing every cell IS brute force
+  }
+
+  test("frameSample: n rows per doc, fixed frame width, deterministic fps") {
+    val withBin = docs.limit(10).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = LlmOps.frameSample(withBin, "payload", nFrames = 4, frameBytes = 16)
+    assert(out.count() == 40)
+    assert(out.groupBy("doc_id").count().filter(col("count") =!= 4).count() == 0)
+    val again = LlmOps.frameSample(withBin, "payload", nFrames = 4, frameBytes = 16)
+    assert(out.select("doc_id", "frame_idx", "frame_fp").collect().toSeq ==
+      again.select("doc_id", "frame_idx", "frame_fp").collect().toSeq)
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
