@@ -700,6 +700,11 @@ object SparkEntry {
         | sort by user_id asc"""),
       Some("""SELECT user_id, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "q80_render_materialize" -> Q(kqlQ(
+      """let m = materialize(lineitem | summarize n = count() by l_returnflag);
+        m | sort by l_returnflag asc | render barchart with (title = 'rows by flag')"""),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     "q77_series_outliers" -> Q(kqlQ(
       """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
       Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),

@@ -75,6 +75,8 @@ object Ast {
   final case class ParseCol(name: String, typ: Option[String]) extends ParseSeg
   final case class GetSchemaOp() extends TabOp
   final case class SerializeOp() extends TabOp
+  /** `render <chart> [with (...)]` — display directive, data passes through. */
+  final case class RenderOp() extends TabOp
   final case class SampleOp(n: Long) extends TabOp
   final case class SampleDistinctOp(n: Long, of: Expr) extends TabOp
   final case class SearchOp(term: String) extends TabOp
@@ -105,5 +107,6 @@ object Ast {
     * (tableParam, scalarParams, body) applied with the `invoke` operator. */
   final case class Statements(lets: List[(String, Either[Expr, Query])], query: Query,
                               funcs: Map[String, (List[String], Expr)] = Map.empty,
-                              tabFuncs: Map[String, (String, List[String], Query)] = Map.empty)
+                              tabFuncs: Map[String, (String, List[String], Query)] = Map.empty,
+                              materialized: Set[String] = Set.empty)
 }

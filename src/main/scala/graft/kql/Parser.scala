@@ -40,6 +40,7 @@ final class Parser(src: String) {
     val lets = List.newBuilder[(String, Either[Expr, Query])]
     var funcs = Map.empty[String, (List[String], Expr)]
     var tabFuncs = Map.empty[String, (String, List[String], Query)]
+    var materialized = Set.empty[String]
     while (isIdent("let")) {
       p += 1
       val name = identName()
@@ -105,7 +106,15 @@ final class Parser(src: String) {
         sawPipe || (toks(p).isInstanceOf[TIdent] &&
           (toks(p + 1) match { case TSym(";", _) => true; case _ => false }))
       }
-      if (isTabular) lets += name -> Right(parseQuery())
+      // let x = materialize(pipeline); → tabular let + cache marker
+      if (isIdent("materialize") && (ahead(1) match {
+            case TSym("(", _) => true; case _ => false })) {
+        p += 2
+        lets += name -> Right(parseQuery())
+        materialized += name
+        eatSym(")")
+      }
+      else if (isTabular) lets += name -> Right(parseQuery())
       else lets += name -> Left(parseExpr())
       eatSym(";")
       }
@@ -116,7 +125,7 @@ final class Parser(src: String) {
       case TSym(";", _) if ahead(1).isInstanceOf[TEof] => ()
       case _ => fail("trailing tokens after query")
     }
-    Statements(lets.result(), q, funcs, tabFuncs)
+    Statements(lets.result(), q, funcs, tabFuncs, materialized)
   }
 
   // ================================================================ query
@@ -279,6 +288,21 @@ final class Parser(src: String) {
           ParseKv(src, keys.result(), pairDelim, kvDelim)
         case "getschema" => GetSchemaOp()
         case "serialize" => SerializeOp()
+        case "render" =>
+          // visualization directive: consume `<chart> [with (k=v, ...)]`,
+          // semantics are a pass-through (the engine returns the data)
+          identName()
+          if (tryIdent("with")) {
+            eatSym("(")
+            var depth = 1
+            while (depth > 0) { cur match {
+              case TSym("(", _) => depth += 1
+              case TSym(")", _) => depth -= 1
+              case TEof(_) => fail("unterminated render with(...)")
+              case _ => ()
+            }; p += 1 }
+          }
+          RenderOp()
         case "sample" => SampleOp(parseLong())
         case "sample-distinct" =>
           val n = parseLong(); eatIdent("of"); val c = parseExpr()

@@ -32,7 +32,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     letTabFuncs = st.tabFuncs
     st.lets.foreach {
       case (n, Left(e))  => letScalars += n -> e
-      case (n, Right(q)) => letTables += n -> plan(q)
+      case (n, Right(q)) =>
+        val d = plan(q)
+        // KQL materialize(): cache the bound result across its uses
+        // (lazy persist — Spark caches on first action)
+        letTables += n -> (if (st.materialized(n)) d.persist() else d)
     }
     plan(st.query)
   }
@@ -312,6 +316,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           StructField("ColumnType", StringType))))
 
     case SerializeOp() => serialized = true; df
+    case RenderOp() => df
 
     case SampleOp(n) => df.orderBy(rand(42)).limit(n.toInt)
 

@@ -253,6 +253,22 @@ class PlannerSpec extends AnyFunSuite {
       Seq((1L, 5L, "a"), (2L, 7L, "b")))
   }
 
+  test("render is a display directive: data passes through unchanged") {
+    val rows = run(
+      """datatable(x:long) [1, 2, 3]
+        | summarize n = count() by x
+        | render columnchart with (title = 'counts')
+        | sort by x asc""")
+    assert(rows.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+  }
+
+  test("materialize caches a tabular let (results still correct)") {
+    val rows = run(
+      """let m = materialize(datatable(x:long) [1, 2, 3] | extend y = x * 2);
+        m | join kind=inner (m) on x | summarize s = sum(y) | project s""")
+    assert(rows.head.getLong(0) == 12L)
+  }
+
   test("format_timespan and datetime_part") {
     val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
                         b = format_timespan(totimespan('90m'), 'hh:mm'),
