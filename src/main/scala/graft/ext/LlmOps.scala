@@ -237,7 +237,11 @@ object LlmOps {
     val unit = transform(col(vecCol), x => x.cast("double") / nrm)
     val withVec = emb.withColumn("__uv", unit)
       .withColumn("__fv", array_to_vector(col("__uv")))
+    // random init + few iterations: an IVF index needs balanced cells,
+    // not converged centroids — k-means|| init alone costs more jobs
+    // than the whole coarse quantization is worth
     val model = new KMeans().setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("__fv").setPredictionCol("__cell").fit(withVec)
     val assigned = model.transform(withVec).drop("__fv")
     val qRow = assigned.filter(col(idCol) === queryId)

@@ -21,6 +21,7 @@ object Functions {
     "strcmp" -> f { case a :: b :: Nil =>
       when(a < b, -1L).when(a > b, 1L).otherwise(0L) },
     "isascii" -> f { case c :: Nil => c.rlike("^\\p{ASCII}*$") },
+    "new_guid" -> f { case Nil => uuid() },
     "tolower" -> f { case c :: Nil => lower(c) },
     "toupper" -> f { case c :: Nil => upper(c) },
     "strcat" -> f { cs => concat_ws("", cs: _*) }, // KQL: nulls act as empty

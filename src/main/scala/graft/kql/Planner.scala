@@ -1080,6 +1080,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       case "trim_start" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = true)
       case "trim_end" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = false)
       case "replace_string" => call_function("replace", a(0), a(1), a(2))
+      case "translate" =>
+        // KQL arg order is (from, to, source); Spark's is (src, from, to)
+        translate(a(2), litString(args(0), "translate from"),
+          litString(args(1), "translate to"))
       case "replace_regex" => regexp_replace(a(0), litString(args(1), "replace_regex"), litString(args(2), "replacement"))
       case "extract" =>
         // extract(regex, captureGroup, source[, typeof])
