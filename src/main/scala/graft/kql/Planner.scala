@@ -1084,6 +1084,9 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         // KQL arg order is (from, to, source); Spark's is (src, from, to)
         translate(a(2), litString(args(0), "translate from"),
           litString(args(1), "translate to"))
+      case "extract_json" | "extractjson" =>
+        // extract_json("$.path", doc) — JSONPath passes straight through
+        get_json_object(a(1), litString(args(0), "extract_json path"))
       case "replace_regex" => regexp_replace(a(0), litString(args(1), "replace_regex"), litString(args(2), "replacement"))
       case "extract" =>
         // extract(regex, captureGroup, source[, typeof])

@@ -253,6 +253,13 @@ class PlannerSpec extends AnyFunSuite {
       Seq((1L, 5L, "a"), (2L, 7L, "b")))
   }
 
+  test("extract_json and translate scalars") {
+    val r = one("""print a = extract_json('$.k.v', '{"k": {"v": 7}}'),
+                        b = translate('abc', 'xyz', 'aabbcc')""")
+    assert(r.getString(0) == "7")
+    assert(r.getString(1) == "xxyyzz")
+  }
+
   test("render is a display directive: data passes through unchanged") {
     val rows = run(
       """datatable(x:long) [1, 2, 3]
