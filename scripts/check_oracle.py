@@ -21,6 +21,10 @@ def norm(v):
     return v
 
 def eq(a, b):
+    # object-dtype parquet columns keep nested values as ndarrays even
+    # after the outer .tolist(); normalize recursively
+    if hasattr(a, "tolist"): a = a.tolist()
+    if hasattr(b, "tolist"): b = b.tolist()
     if a is None and b is None:
         return True, True
     if isinstance(a, float) or isinstance(b, float):

@@ -705,6 +705,15 @@ object SparkEntry {
         m | sort by l_returnflag asc | render barchart with (title = 'rows by flag')"""),
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    "q81_scalar_misc" -> Q(kqlQ(
+      """print v1 = tostring(parse_version('1.2.3')),
+              vc = parse_version('10.0') > parse_version('9.9.9.9'),
+              j  = jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4)),
+              ai = array_iff(pack_array(true, false, true), pack_array(1, 2, 3), pack_array(10, 20, 30)),
+              bm = bag_merge('{"a":"1","b":"2"}', '{"b":"3","c":"4"}'),
+              rp = repeat(7, 3)"""),
+      Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, [1,20,3] AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, [7,7,7] AS rp""")),
+
     "q77_series_outliers" -> Q(kqlQ(
       """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
       Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),

@@ -135,7 +135,24 @@ object Functions {
     "set_intersect" -> f { case a :: b :: Nil => array_sort(array_intersect(a, b)) },
     "set_difference" -> f { case a :: b :: Nil => array_sort(array_except(a, b)) },
     "set_has_element" -> f { case a :: v :: Nil => array_contains(a, v) },
+    "jaccard_index" -> f { case a :: b :: Nil =>
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double") },
+    // element-wise conditional over aligned arrays (KQL array_iff /
+    // array_case over series); all three arguments are arrays
+    "array_iff" -> f { case c :: t :: fl :: Nil =>
+      transform(sequence(lit(1), size(c)), i =>
+        when(element_at(c, i).cast("boolean"), element_at(t, i))
+          .otherwise(element_at(fl, i))) },
+    // split at 0-based indices → array of sub-arrays (KQL array_split)
+    "array_split" -> f { case a :: idx :: Nil =>
+      val bounds = concat(array(lit(0L)),
+        transform(idx, x => x.cast("long")), array(size(a).cast("long")))
+      transform(sequence(lit(1), size(bounds) - 1), i =>
+        slice(a, (element_at(bounds, i) + 1).cast("int"),
+          (element_at(bounds, i + 1) - element_at(bounds, i)).cast("int"))) },
     "array_repeat" -> f { case v :: n :: Nil => array_repeat(v, n.cast("int")) },
+    "repeat" -> f { case v :: n :: Nil => array_repeat(v, n.cast("int")) },
     "zip" -> f { case a :: b :: Nil => arrays_zip(a, b) },
     // rotate = cyclic shift; shift = drop + pad (KQL: negative n reverses
     // direction for all four)
@@ -148,6 +165,22 @@ object Functions {
       case a :: n :: Nil => Functions.shiftLeft(a, -n, lit(null))
       case a :: n :: fill :: Nil => Functions.shiftLeft(a, -n, fill) },
     "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
+    // merge JSON property bags, first-bag-wins on duplicate keys (KQL
+    // bag_merge); bags are JSON strings (§1.2 dynamic mapping)
+    "bag_merge" -> f { case a :: b :: Nil =>
+      val m1 = from_json(a, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val m2 = from_json(b, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      to_json(map_concat(m1,
+        map_filter(m2, (k, _) => !array_contains(map_keys(m1), k)))) },
+    // version string → comparable decimal: 4 dot-parts, each 8 digits
+    // (KQL parse_version)
+    "parse_version" -> f { case s :: Nil =>
+      val p = split(s, "\\.")
+      val part = (i: Int) =>
+        lpad(coalesce(element_at(p, i), lit("0")), 8, "0")
+      concat(part(1), part(2), part(3), part(4)).cast("decimal(38,0)") },
     "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
     // ------------------------------------------- time-series (§2.9)
     // All pure higher-order array expressions — codegen-compatible, no UDFs.

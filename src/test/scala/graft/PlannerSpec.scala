@@ -276,6 +276,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 12L)
   }
 
+  test("array_split at 0-based indices; keeps empty head segment") {
+    val r = one("print a = array_split(pack_array(1, 2, 3, 4, 5), pack_array(2)), " +
+      "b = array_split(pack_array(1, 2, 3, 4, 5), pack_array(1, 3)), " +
+      "c = array_split(pack_array(1, 2), pack_array(0))")
+    assert(r.getSeq[Seq[Long]](0) == Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
+    assert(r.getSeq[Seq[Long]](1) == Seq(Seq(1L), Seq(2L, 3L), Seq(4L, 5L)))
+    assert(r.getSeq[Seq[Long]](2) == Seq(Seq(), Seq(1L, 2L)))
+  }
+
+  test("jaccard_index, array_iff, bag_merge first-wins, parse_version order") {
+    val r = one("""print j = jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4)),
+                        ai = array_iff(pack_array(true, false), pack_array(1, 2), pack_array(9, 9)),
+                        bm = bag_merge('{"a":"1"}', '{"a":"2","b":"3"}'),
+                        vc = parse_version('1.10.0') > parse_version('1.9.25')""")
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getSeq[Long](1) == Seq(1L, 9L))
+    assert(r.getString(2) == """{"a":"1","b":"3"}""")
+    assert(r.getBoolean(3))
+  }
+
   test("format_timespan and datetime_part") {
     val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
                         b = format_timespan(totimespan('90m'), 'hh:mm'),
