@@ -714,6 +714,17 @@ object SparkEntry {
               rp = repeat(7, 3)"""),
       Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, [1,20,3] AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, [7,7,7] AS rp""")),
 
+    "q82_series_elementwise" -> Q(kqlQ(
+      """print sa = series_add(pack_array(1, 2), pack_array(3, 4)),
+              sd = series_divide(pack_array(1, 2), pack_array(2, 4)),
+              dp = series_dot_product(pack_array(1, 2, 3), pack_array(4, 5, 6)),
+              cs = series_cosine_similarity(pack_array(3, 4), pack_array(3, 4)),
+              ff = series_fill_forward(pack_array(1.0, null, 2.0, null)),
+              fl = series_fill_linear(pack_array(1.0, null, null, 4.0))"""),
+      Some("""SELECT [4,6] AS sa, [0.5,0.5] AS sd, CAST(32.0 AS DOUBLE) AS dp,
+                     CAST(1.0 AS DOUBLE) AS cs, [1.0,1.0,2.0,2.0] AS ff,
+                     [1.0,2.0,3.0,4.0] AS fl""")),
+
     "q77_series_outliers" -> Q(kqlQ(
       """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
       Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),

@@ -201,6 +201,51 @@ object Functions {
         .when(x < lo, (x - lo) / iqr)
         .otherwise(lit(0.0))) },
     "series_stats_dynamic" -> f { case a :: Nil => seriesStats(a) },
+    // element-wise arithmetic / comparison over aligned series (KQL
+    // series_add family) — zip_with keeps everything in codegen
+    "series_add" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x + y) },
+    "series_subtract" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x - y) },
+    "series_multiply" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x * y) },
+    "series_divide" -> f { case a :: b :: Nil =>
+      // cast both sides: Column./ on two longs is integer division
+      zip_with(a, b, (x, y) => x.cast("double") / y.cast("double")) },
+    "series_pow" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => pow(x, y)) },
+    "series_atan2" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => atan2(x, y)) },
+    "series_greater" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x > y) },
+    "series_greater_equals" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x >= y) },
+    "series_less" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x < y) },
+    "series_less_equals" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x <= y) },
+    "series_equals" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x === y) },
+    "series_not_equals" -> f { case a :: b :: Nil => zip_with(a, b, (x, y) => x =!= y) },
+    "series_abs" -> f { case a :: Nil => transform(a, x => abs(x)) },
+    "series_sign" -> f { case a :: Nil => transform(a, x => signum(x).cast("double")) },
+    "series_ceiling" -> f { case a :: Nil => transform(a, x => ceil(x).cast("double")) },
+    "series_floor" -> f { case a :: Nil => transform(a, x => floor(x).cast("double")) },
+    "series_log" -> f { case a :: Nil => transform(a, x => log(x)) },
+    "series_exp" -> f { case a :: Nil => transform(a, x => exp(x)) },
+    "series_sin" -> f { case a :: Nil => transform(a, x => sin(x)) },
+    "series_cos" -> f { case a :: Nil => transform(a, x => cos(x)) },
+    "series_tan" -> f { case a :: Nil => transform(a, x => tan(x)) },
+    "series_asin" -> f { case a :: Nil => transform(a, x => asin(x)) },
+    "series_acos" -> f { case a :: Nil => transform(a, x => acos(x)) },
+    "series_atan" -> f { case a :: Nil => transform(a, x => atan(x)) },
+    // vector reductions (shared with the embedding/similarity path)
+    "series_sum" -> f { case a :: Nil =>
+      aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double")) },
+    "series_magnitude" -> f { case a :: Nil =>
+      sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))) },
+    "series_dot_product" -> f { case a :: b :: Nil => seriesDot(a, b) },
+    "series_cosine_similarity" -> f { case a :: b :: Nil =>
+      val mag = (v: Column) =>
+        sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      seriesDot(a, b) / (mag(a) * mag(b)) },
+    "series_pearson_correlation" -> f { case a :: b :: Nil => seriesPearson(a, b) },
+    // gap fills (nulls from make-series default=null)
+    "series_fill_const" -> f { case a :: v :: Nil =>
+      transform(a, x => coalesce(x, v)) },
+    "series_fill_forward" -> f { case a :: Nil => fillForward(a) },
+    "series_fill_backward" -> f { case a :: Nil => reverse(fillForward(reverse(a))) },
+    "series_fill_linear" -> f { case a :: Nil => fillLinear(a) },
     "dcount_hll" -> f { case c :: Nil => hll_sketch_estimate(c) },
     // ------------------------------------------------------------- geo
     "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
@@ -218,6 +263,74 @@ object Functions {
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
   )
+
+  /** Pairwise dot product over two aligned numeric series. */
+  private def seriesDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Pearson correlation from closed-form sums — one pass per array. */
+  private def seriesPearson(a: Column, b: Column): Column = {
+    val n = size(a).cast("double")
+    val sum = (v: Column) => aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double"))
+    val sa = sum(a); val sb = sum(b)
+    val saa = aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sbb = aggregate(b, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sab = seriesDot(a, b)
+    (n * sab - sa * sb) /
+      (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+  }
+
+  /** Forward-fill nulls: running `coalesce(x, last-seen)` accumulator;
+    * leading nulls stay null (KQL series_fill_forward). */
+  private def fillForward(a: Column): Column =
+    aggregate(
+      a,
+      struct(array().cast("array<double>").as("out"),
+        lit(null).cast("double").as("last")),
+      (acc, x) => {
+        val v = coalesce(x.cast("double"), acc.getField("last"))
+        struct(concat(acc.getField("out"), array(v)).as("out"), v.as("last"))
+      },
+      acc => acc.getField("out"))
+
+  /** Linear interpolation of null gaps (KQL series_fill_linear): interior
+    * nulls interpolate between the surrounding non-nulls; leading/trailing
+    * nulls take the nearest non-null value. Built from forward/backward
+    * passes that carry (value, index) so slope = (next-prev)/(nextIdx-prevIdx).
+    */
+  private def fillLinear(a: Column): Column = {
+    // forward pass over (value, 0-based index) pairs → last non-null seen
+    def carry(arr: Column): Column = aggregate(
+      arr,
+      struct(array().cast("array<struct<v:double,i:double>>").as("out"),
+        lit(null).cast("double").as("v"), lit(null).cast("double").as("i"),
+        lit(0.0d).as("pos")),
+      (acc, x) => {
+        val hit = x.isNotNull
+        val v = when(hit, x.cast("double")).otherwise(acc.getField("v"))
+        val i = when(hit, acc.getField("pos")).otherwise(acc.getField("i"))
+        struct(
+          concat(acc.getField("out"), array(struct(v.as("v"), i.as("i")))).as("out"),
+          v.as("v"), i.as("i"), (acc.getField("pos") + 1).as("pos"))
+      },
+      acc => acc.getField("out"))
+    val fwd = carry(a)
+    val bwd = reverse(carry(reverse(a)))
+    val n = size(a)
+    transform(a, (x, idx) => {
+      val p = element_at(fwd, idx + 1)
+      // bwd was built on the reversed array: its stored index counts from
+      // the end, so un-mirror it to a 0-based position in the original
+      val q0 = element_at(bwd, idx + 1)
+      val pv = p.getField("v"); val pi = p.getField("i")
+      val qv = q0.getField("v"); val qi = n.cast("double") - 1 - q0.getField("i")
+      when(x.isNotNull, x.cast("double"))
+        .when(pv.isNull, qv)          // leading gap → next value
+        .when(qv.isNull, pv)          // trailing gap → prev value
+        .otherwise(pv + (qv - pv) * (idx.cast("double") - pi) / (qi - pi))
+    })
+  }
 
   /** Dotted-quad → long (KQL parse_ipv4). */
   private def parseIpv4(s: Column): Column = {

@@ -296,6 +296,41 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getBoolean(3))
   }
 
+  test("series element-wise arithmetic; divide is double division") {
+    val r = one("""print sa = series_add(pack_array(1, 2), pack_array(3, 4)),
+                        sd = series_divide(pack_array(1, 2), pack_array(2, 4)),
+                        sg = series_greater(pack_array(1, 5), pack_array(2, 2)),
+                        ab = series_abs(pack_array(-1.5, 2.0))""")
+    assert(r.getSeq[Long](0) == Seq(4L, 6L))
+    assert(r.getSeq[Double](1) == Seq(0.5, 0.5))
+    assert(r.getSeq[Boolean](2) == Seq(false, true))
+    assert(r.getSeq[Double](3) == Seq(1.5, 2.0))
+  }
+
+  test("series vector reductions: dot, magnitude, cosine, pearson") {
+    val r = one("""print dp = series_dot_product(pack_array(1, 2, 3), pack_array(4, 5, 6)),
+                        mg = series_magnitude(pack_array(3, 4)),
+                        cs = series_cosine_similarity(pack_array(3, 4), pack_array(3, 4)),
+                        co = series_cosine_similarity(pack_array(1, 0), pack_array(0, 1)),
+                        pc = series_pearson_correlation(pack_array(1.0, 2.0, 3.0), pack_array(2.0, 4.0, 6.0))""")
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("series fills: const, forward, backward, linear") {
+    val r = one("""print fc = series_fill_const(pack_array(1.0, null, 3.0), 0.0),
+                        ff = series_fill_forward(pack_array(1.0, null, null, 2.0, null)),
+                        fb = series_fill_backward(pack_array(null, 1.0, null, 2.0)),
+                        fl = series_fill_linear(pack_array(1.0, null, null, 4.0, null))""")
+    assert(r.getSeq[Double](0) == Seq(1.0, 0.0, 3.0))
+    assert(r.getSeq[Double](1) == Seq(1.0, 1.0, 1.0, 2.0, 2.0))
+    assert(r.getSeq[Double](2) == Seq(1.0, 1.0, 2.0, 2.0))
+    assert(r.getSeq[Double](3) == Seq(1.0, 2.0, 3.0, 4.0, 4.0))
+  }
+
   test("format_timespan and datetime_part") {
     val r = one("""print a = format_timespan(totimespan('11.02:03:04'), 'd.hh:mm:ss'),
                         b = format_timespan(totimespan('90m'), 'hh:mm'),
