@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** Decouple compute parallelism from scan parallelism. The heavy
+    * per-row operators (signatures, vector math) are CPU-bound, so their
+    * parallelism must not be inherited from however few input splits the
+    * scan produced (one small parquet file = one partition = one core;
+    * measured 26s → 2s on the minhash op at sf0.1). A round-robin
+    * repartition to the cluster's core count is one cheap narrow-payload
+    * shuffle before the expensive work. No-op when the input already has
+    * that many partitions. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Tokenize: lowercase whitespace split. The universal front-end of the
     * text ops. */
   def withTokens(docs: DataFrame, textCol: String = "text",
@@ -52,7 +65,7 @@ object LlmOps {
                    blockCol: Option[String] = None,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val blk = blockCol.map(col).getOrElse(lit(1))
-    val posts = docs
+    val posts = spread(docs)
       .select(blk.as("blk"), col(idCol).as("id"), explode(array_distinct(
         transform(split(lower(col(textCol)), "\\s+"), t => xxhash64(t)))).as("tok"))
     // global canonical order: ascending document frequency, ties by hash
@@ -103,7 +116,7 @@ object LlmOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = array_distinct(split(lower(col(textCol)), "\\s+"))
-    val base = docs
+    val base = spread(docs)
       .select(col(idCol).as("id"), toks.as("toks"))
       .withColumn("h1", transform(col("toks"), t => xxhash64(t)))
       .withColumn("h2", transform(col("toks"), t => xxhash64(t, lit(1))))
@@ -166,7 +179,7 @@ object LlmOps {
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    docs.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+    spread(docs).select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
   // ===================================================== similarity search
@@ -185,7 +198,7 @@ object LlmOps {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), normD(col(vecCol)).as("q_nrm"))
-    val scored = emb.crossJoin(broadcast(q))
+    val scored = spread(emb).crossJoin(broadcast(q))
       .select(col(idCol),
         round(dotD(col(vecCol), col("q_vec")) /
           (normD(col(vecCol)) * col("q_nrm")), 4).as("cos"))
@@ -207,7 +220,7 @@ object LlmOps {
         val plane = array(hyper(p).map(lit): _*)
         when(dotD(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val bucketed = emb.withColumn("bucket", bucketOf(col(vecCol)))
+    val bucketed = spread(emb).withColumn("bucket", bucketOf(col(vecCol)))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"), col("bucket"))
     bucketed.join(broadcast(q), "bucket")
@@ -235,7 +248,7 @@ object LlmOps {
     // this, magnitude dominates the partitioning and recall collapses
     val nrm = normD(col(vecCol))
     val unit = transform(col(vecCol), x => x.cast("double") / nrm)
-    val withVec = emb.withColumn("__uv", unit)
+    val withVec = spread(emb).withColumn("__uv", unit)
       .withColumn("__fv", array_to_vector(col("__uv")))
     // random init + few iterations: an IVF index needs balanced cells,
     // not converged centroids — k-means|| init alone costs more jobs
@@ -262,17 +275,27 @@ object LlmOps {
   }
 
   /** All vector pairs with cosine ≥ threshold, blocked by a grouping
-    * column to bound the cross product (exact within blocks). */
+    * column to bound the cross product (exact within blocks).
+    *
+    * The block join is SALTED: joining on the block key alone caps the
+    * pair-compute parallelism at the number of distinct blocks (the
+    * fixture has 10 labels → 10 busy cores out of 32; a skewed 100 TB
+    * corpus is worse). The i-side gets a hash salt, the j-side is
+    * replicated `salt` ways, so the per-pair dot products spread over
+    * blocks × salt partitions. Each (i, j) pair still appears exactly
+    * once: i lands in exactly one salt slice. */
   def similarityPairs(emb: DataFrame, threshold: Double,
                       blockCol: String = "label", idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding", salt: Int = 8): DataFrame = {
     // norms once per row BEFORE the pair join — higher-order array exprs
     // are interpreted (not codegen), so per-pair recompute is 3× the work
-    val withNorm = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), normD(col(vecCol)).as("nrm"))
     val a = withNorm.select(col("blk"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("__s", pmod(xxhash64(col("i")), lit(salt)))
     val b = withNorm.select(col("blk"), col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("blk")).filter(col("i") < col("j"))
+      .withColumn("__s", explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    a.join(b, Seq("blk", "__s")).filter(col("i") < col("j"))
       .withColumn("cos", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
@@ -380,7 +403,7 @@ object LlmOps {
   def tfIdf(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
     val n = docs.select(col(idCol)).distinct().count() // scalar: corpus size
-    val terms = docs.select(col(idCol).as("id"),
+    val terms = spread(docs).select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df_ = terms.select("id", "term").distinct()
