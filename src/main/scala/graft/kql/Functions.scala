@@ -167,13 +167,7 @@ object Functions {
     "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
     // merge JSON property bags, first-bag-wins on duplicate keys (KQL
     // bag_merge); bags are JSON strings (§1.2 dynamic mapping)
-    "bag_merge" -> f { case a :: b :: Nil =>
-      val m1 = from_json(a, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
-      val m2 = from_json(b, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
-      to_json(map_concat(m1,
-        map_filter(m2, (k, _) => !array_contains(map_keys(m1), k)))) },
+    "bag_merge" -> f { case a :: b :: Nil => mergeBags(a, b) },
     // version string → comparable decimal: 4 dot-parts, each 8 digits
     // (KQL parse_version)
     "parse_version" -> f { case s :: Nil =>
@@ -182,6 +176,50 @@ object Functions {
         lpad(coalesce(element_at(p, i), lit("0")), 8, "0")
       concat(part(1), part(2), part(3), part(4)).cast("decimal(38,0)") },
     "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
+    // ------------------------------------------------------------ bitwise
+    "binary_and" -> f { case a :: b :: Nil => a.cast("long").bitwiseAND(b.cast("long")) },
+    "binary_or" -> f { case a :: b :: Nil => a.cast("long").bitwiseOR(b.cast("long")) },
+    "binary_xor" -> f { case a :: b :: Nil => a.cast("long").bitwiseXOR(b.cast("long")) },
+    "binary_not" -> f { case a :: Nil => bitwise_not(a.cast("long")) },
+    "binary_shift_left" -> f { case a :: n :: Nil =>
+      call_function("shiftleft", a.cast("long"), n.cast("int")) },
+    "binary_shift_right" -> f { case a :: n :: Nil =>
+      call_function("shiftright", a.cast("long"), n.cast("int")) },
+    "bitset_count_ones" -> f { case a :: Nil => bit_count(a.cast("long")).cast("long") },
+    // ------------------------------------------------------------ unicode
+    // KQL to_utf8 = string → codepoint array; make_string is its inverse.
+    // Route through UTF-32 (fixed 4-byte units, big-endian without BOM) so
+    // supplementary-plane chars survive — no UDF, hex arithmetic only.
+    "to_utf8" -> f { case s :: Nil =>
+      val bin = encode(s, "utf-32")
+      transform(sequence(lit(1), (length(bin) / 4).cast("int")),
+        i => conv(hex(bin).substr(i * 8 - 7, lit(8)), 16, 10).cast("long")) },
+    "make_string" -> f { case a :: Nil =>
+      array_join(transform(a,
+        cp => decode(unhex(lpad(hex(cp), 8, "0")), "utf-32")), "") },
+    "base64_decode_toarray" -> f { case s :: Nil =>
+      val bin = unbase64(s)
+      transform(sequence(lit(1), length(bin)),
+        i => conv(hex(bin).substr(i * 2 - 1, lit(2)), 16, 10).cast("long")) },
+    // ---------------------------------------------------------- type info
+    "gettype" -> f { case c :: Nil =>
+      val t = call_function("typeof", c)
+      when(c.isNull, lit("null"))
+        .when(t.startsWith("array"), lit("array"))
+        .when(t.startsWith("map") || t.startsWith("struct"), lit("dictionary"))
+        .when(t.startsWith("decimal"), lit("decimal"))
+        .when(t === "bigint", lit("long"))
+        .when(t.isin("int", "smallint", "tinyint"), lit("int"))
+        .when(t.isin("double", "float"), lit("real"))
+        .when(t === "boolean", lit("bool"))
+        .when(t === "timestamp", lit("datetime"))
+        .otherwise(lit("string")) },
+    "format_bytes" -> f {
+      case v :: Nil => formatBytes(v, lit(0))
+      case v :: p :: Nil => formatBytes(v, p) },
+    // ------------------------------------------------------ timezone
+    "datetime_utc_to_local" -> f { case ts :: tz :: Nil => from_utc_timestamp(ts, tz) },
+    "datetime_local_to_utc" -> f { case ts :: tz :: Nil => to_utc_timestamp(ts, tz) },
     // ------------------------------------------- time-series (§2.9)
     // All pure higher-order array expressions — codegen-compatible, no UDFs.
     "series_fit_line" -> f { case a :: Nil => seriesFitLine(a) },
@@ -257,6 +295,20 @@ object Functions {
         shiftright(n.cast("long"), 16) % 256,
         shiftright(n.cast("long"), 8) % 256, n.cast("long") % 256) },
     "ipv4_is_in_range" -> f { case ip :: range :: Nil => ipv4InRange(ip, range) },
+    "ipv4_netmask_suffix" -> f { case s :: Nil => netmaskSuffix(s) },
+    "ipv4_is_private" -> f { case s :: Nil =>
+      val ip = parseIpv4(element_at(split(s, "/"), 1))
+      shiftright(ip, 24) === 10L ||
+        shiftright(ip, 20) === 0xAC1L ||
+        shiftright(ip, 16) === 0xC0A8L },
+    // compare under the joint netmask: min of both embedded suffixes and
+    // the optional prefix argument (KQL ipv4_compare)
+    "ipv4_compare" -> f {
+      case a :: b :: Nil => ipv4Compare(a, b, lit(32))
+      case a :: b :: p :: Nil => ipv4Compare(a, b, p) },
+    "ipv4_is_match" -> f {
+      case a :: b :: Nil => ipv4Compare(a, b, lit(32)) === 0L
+      case a :: b :: p :: Nil => ipv4Compare(a, b, p) === 0L },
     "parse_url" -> f { case u :: Nil =>
       to_json(struct(parse_url(u, lit("PROTOCOL")).as("Scheme"),
         parse_url(u, lit("HOST")).as("Host"),
@@ -330,6 +382,47 @@ object Functions {
         .when(qv.isNull, pv)          // trailing gap → prev value
         .otherwise(pv + (qv - pv) * (idx.cast("double") - pi) / (qi - pi))
     })
+  }
+
+  /** Merge two JSON property bags, first-bag-wins on duplicate keys
+    * (KQL bag_merge; also the fold step of the make_bag aggregate). */
+  def mergeBags(a: Column, b: Column): Column = {
+    val strMap = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)
+    val m1 = from_json(a, strMap)
+    val m2 = from_json(b, strMap)
+    to_json(map_concat(m1,
+      map_filter(m2, (k, _) => !array_contains(map_keys(m1), k))))
+  }
+
+  /** Human-readable byte size: value scaled to the largest unit ≥ 1
+    * (KQL format_bytes). precision 0 renders an integer. */
+  private def formatBytes(v: Column, p: Column): Column = {
+    val units = array(Seq("Bytes", "KB", "MB", "GB", "TB", "PB", "EB").map(lit): _*)
+    val i = when(v > 0, floor(log(1024.0, v))).otherwise(lit(0)).cast("int")
+    val scaled = v.cast("double") / pow(lit(1024.0), i.cast("double"))
+    val f = pow(lit(10.0), p.cast("double"))
+    val rounded = floor(scaled * f + 0.5) / f
+    val numStr = when(p <= 0, rounded.cast("long").cast("string"))
+      .otherwise(rounded.cast("string"))
+    concat(numStr, lit(" "), element_at(units, i + 1))
+  }
+
+  /** CIDR suffix of 'a.b.c.d[/prefix]'; 32 when absent (KQL
+    * ipv4_netmask_suffix). */
+  private def netmaskSuffix(s: Column): Column = {
+    val parts = split(s, "/")
+    when(size(parts) > 1, element_at(parts, 2).cast("long")).otherwise(lit(32L))
+  }
+
+  /** Signed comparison of two IPs under min(suffixA, suffixB, prefix). */
+  private def ipv4Compare(a: Column, b: Column, prefix: Column): Column = {
+    val pfx = least(netmaskSuffix(a), netmaskSuffix(b), prefix.cast("long"))
+    val mask = lit(4294967296L) -
+      pow(lit(2.0), (lit(32L) - pfx).cast("double")).cast("long")
+    val ia = parseIpv4(element_at(split(a, "/"), 1)).bitwiseAND(mask)
+    val ib = parseIpv4(element_at(split(b, "/"), 1)).bitwiseAND(mask)
+    when(ia < ib, -1L).when(ia > ib, 1L).otherwise(0L)
   }
 
   /** Dotted-quad → long (KQL parse_ipv4). */

@@ -339,4 +339,77 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(1) == "01:30")
     assert(r.getLong(2) == 4L)
   }
+
+  test("bitwise binary_* scalars") {
+    val r = one("""print a = binary_and(12, 10), o = binary_or(12, 10),
+                        x = binary_xor(12, 10), n = binary_not(0),
+                        sl = binary_shift_left(1, 4), sr = binary_shift_right(16, 3),
+                        c = bitset_count_ones(255)""")
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == 14L)
+    assert(r.getLong(2) == 6L)
+    assert(r.getLong(3) == -1L)
+    assert(r.getLong(4) == 16L)
+    assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == 8L)
+  }
+
+  test("to_utf8 / make_string round-trip incl. supplementary plane") {
+    val r = one("""print cp = to_utf8('Ab'), rt = make_string(to_utf8('a😀z')),
+                        ms = make_string(pack_array(72, 105))""")
+    assert(r.getSeq[Long](0) == Seq(65L, 98L))
+    assert(r.getString(1) == "a😀z")
+    assert(r.getString(2) == "Hi")
+  }
+
+  test("base64_decode_toarray yields byte values") {
+    // base64('Hi') == 'SGk='
+    val r = one("print b = base64_decode_toarray('SGk=')")
+    assert(r.getSeq[Long](0) == Seq(72L, 105L))
+  }
+
+  test("gettype classifies KQL types") {
+    val r = one("""print a = gettype(1), b = gettype(1.5), c = gettype('s'),
+                        d = gettype(true), e = gettype(datetime(2024-01-01)),
+                        f = gettype(pack_array(1, 2)), g = gettype(tolong(''))""")
+    assert(r.getString(0) == "long")
+    assert(r.getString(1) == "real")
+    assert(r.getString(2) == "string")
+    assert(r.getString(3) == "bool")
+    assert(r.getString(4) == "datetime")
+    assert(r.getString(5) == "array")
+    assert(r.getString(6) == "null")
+  }
+
+  test("format_bytes scales to largest unit") {
+    val r = one("""print a = format_bytes(1024), b = format_bytes(8000000, 2),
+                        c = format_bytes(512), d = format_bytes(1073741824)""")
+    assert(r.getString(0) == "1 KB")
+    assert(r.getString(1) == "7.63 MB")
+    assert(r.getString(2) == "512 Bytes")
+    assert(r.getString(3) == "1 GB")
+  }
+
+  test("timezone conversions round-trip") {
+    val r = one("""print l = datetime_utc_to_local(datetime(2024-06-15 12:00:00), 'America/New_York'),
+                        u = datetime_local_to_utc(datetime_utc_to_local(datetime(2024-06-15 12:00:00), 'Asia/Tokyo'), 'Asia/Tokyo')""")
+    assert(r.getTimestamp(0).toInstant.toString == "2024-06-15T08:00:00Z")
+    assert(r.getTimestamp(1).toInstant.toString == "2024-06-15T12:00:00Z")
+  }
+
+  test("ipv4 family: netmask suffix, private ranges, compare, match") {
+    val r = one("""print ns = ipv4_netmask_suffix('192.168.1.1/24'),
+                        ns32 = ipv4_netmask_suffix('10.0.0.1'),
+                        p1 = ipv4_is_private('10.1.2.3'), p2 = ipv4_is_private('172.20.0.1'),
+                        p3 = ipv4_is_private('8.8.8.8'),
+                        c0 = ipv4_compare('192.168.1.1/24', '192.168.1.255'),
+                        cl = ipv4_compare('10.0.0.1', '10.0.0.2'),
+                        m = ipv4_is_match('10.1.2.3', '10.1.0.0', 16)""")
+    assert(r.getLong(0) == 24L)
+    assert(r.getLong(1) == 32L)
+    assert(r.getBoolean(2)); assert(r.getBoolean(3)); assert(!r.getBoolean(4))
+    assert(r.getLong(5) == 0L)
+    assert(r.getLong(6) == -1L)
+    assert(r.getBoolean(7))
+  }
 }
