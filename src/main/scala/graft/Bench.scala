@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,14 +32,14 @@ object Bench {
       case _ => None
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
       }
     }
     // best-of-2 timed passes: single-JVM local mode shows large
     // run-to-run variance (page cache, JIT recompilation, shuffle-file
     // GC); the min is the reproducible engine cost.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
