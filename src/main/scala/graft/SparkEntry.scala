@@ -792,6 +792,35 @@ object SparkEntry {
           .orderBy("user_id")
       },
       Some("""SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------- activity analytics
+    "q83_activity_engagement" -> Q(kqlQ(
+      """events
+        | evaluate activity_engagement(user_id, ts, 1d, 7d)
+        | sort by ts asc"""),
+      Some("""WITH pairs AS (SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d, user_id FROM events), i AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount_activities_inner FROM pairs GROUP BY 1), o AS (SELECT p.d + s.g * 86400000000 AS d, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS dcount_activities_outer FROM pairs p CROSS JOIN generate_series(0, 6) s(g) GROUP BY 1) SELECT make_timestamp(i.d) AS ts, dcount_activities_inner, dcount_activities_outer, ROUND(dcount_activities_inner / CAST(dcount_activities_outer AS DOUBLE), 4) AS activity_ratio FROM i JOIN o USING (d) ORDER BY ts""")),
+
+    "q84_sliding_window_counts" -> Q(kqlQ(
+      """events
+        | evaluate sliding_window_counts(user_id, ts, 7d, 1d)
+        | sort by ts asc"""),
+      Some("""WITH r AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d, user_id FROM events) SELECT make_timestamp(r.d + s.g * 86400000000) AS ts, CAST(COUNT(*) AS BIGINT) AS count_, CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS dcount_ FROM r CROSS JOIN generate_series(0, 6) s(g) GROUP BY 1 ORDER BY ts""")),
+
+    "q85_reduce_by" -> Q(kqlQ(
+      """documents
+        | reduce by text
+        | sort by Count desc, Pattern asc
+        | take 20"""),
+      Some("""SELECT regexp_replace(text, '[0-9]+', '*', 'g') AS Pattern, CAST(COUNT(*) AS BIGINT) AS Count, MIN(text) AS Representative FROM documents GROUP BY 1 ORDER BY Count DESC, Pattern ASC LIMIT 20""")),
+
+    "q86_make_bag" -> Q(kqlQ(
+      """events
+        | where event_type == 'purchase'
+        | summarize b = make_bag(props) by user_id
+        | sort by user_id asc"""),
+      // the fixture's props bags are single-key {"k": N}: first-wins over
+      // the sorted fold ⇒ the k of the lexicographically smallest bag
+      Some("""SELECT user_id, '{"k":"' || CAST(MIN(props)->>'k' AS VARCHAR) || '"}' AS b FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -82,6 +82,8 @@ object Ast {
   final case class SearchOp(term: String) extends TabOp
   /** `evaluate plugin(args)` — pivot is the supported plugin. */
   final case class EvaluateOp(plugin: String, args: List[Expr]) extends TabOp
+  /** `reduce by expr` — pattern-group similar string values. */
+  final case class ReduceOp(by: Expr) extends TabOp
   final case class MakeSeries(aggs: List[(Option[String], Expr, Expr)], // (alias, aggExpr, default)
                               axis: Expr, from: Expr, to: Expr, step: Expr,
                               by: List[(Option[String], Expr)]) extends TabOp

@@ -321,6 +321,7 @@ final class Parser(src: String) {
           while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
           eatSym(")")
           InvokeOp(fn, args.result())
+        case "reduce" => eatIdent("by"); ReduceOp(parseExpr())
         case "evaluate" =>
           val plugin = identName()
           val args = List.newBuilder[Expr]

@@ -394,7 +394,28 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         parsed.select(keep.map(c => col(c)) :+ col("__bag.*"): _*)
       }
 
+    case EvaluateOp("activity_engagement", idE :: tsE :: innerE :: outerE :: Nil) =>
+      graft.ext.ActivityOps.activityEngagement(df,
+        colNameOf(df, idE, "activity_engagement id"),
+        colNameOf(df, tsE, "activity_engagement timeline"),
+        timespanUs(innerE), timespanUs(outerE))
+
+    case EvaluateOp("sliding_window_counts", idE :: tsE :: lookE :: binE :: Nil) =>
+      graft.ext.ActivityOps.slidingWindowCounts(df,
+        colNameOf(df, idE, "sliding_window_counts id"),
+        colNameOf(df, tsE, "sliding_window_counts timeline"),
+        timespanUs(lookE), timespanUs(binE))
+
     case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
+
+    case ReduceOp(by) =>
+      // KQL `reduce by`: group rows whose values share a pattern. Our
+      // pattern heuristic masks digit runs (the dominant source of
+      // variability in logs/ids); representative is the min value for
+      // determinism (KQL picks an arbitrary member). One hash shuffle.
+      val c = toCol(by, df)
+      df.groupBy(regexp_replace(c, lit("[0-9]+"), lit("*")).as("Pattern"))
+        .agg(count(lit(1)).as("Count"), min(c).as("Representative"))
   }
 
   /** KQL parse-pattern → anchored regex + ordered named captures.
@@ -646,6 +667,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         case "binary_all_and" => bit_and(a(0))
         case "binary_all_or" => bit_or(a(0))
         case "binary_all_xor" => bit_xor(a(0))
+        case "make_bag" =>
+          // deterministic variant of KQL's arbitrary-order bag merge:
+          // fold lexicographically-sorted bags, first(=smallest)-wins
+          // per key (mergeBags is the scalar bag_merge fold step)
+          aggregate(array_sort(collect_list(a(0))), lit("{}"),
+            (acc, x) => Functions.mergeBags(acc, x))
+        case "make_bag_if" =>
+          aggregate(array_sort(collect_list(when(a(1), a(0)))), lit("{}"),
+            (acc, x) => Functions.mergeBags(acc, x))
         case "hll" => hll_sketch_agg(a(0))
         case "hll_merge" => hll_union_agg(a(0))
         case "max_by" => max_by(a(0), a(1))
@@ -758,6 +788,16 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private def resolveName(df: DataFrame, name: String): String =
     resolveName0(df.columns, name)
 
+  private def colNameOf(df: DataFrame, e: Expr, what: String): String = e match {
+    case Col(n) => resolveName(df, n)
+    case other => throw PlanError(s"$what expects a column, got $other")
+  }
+
+  private def timespanUs(e: Expr): Long = e match {
+    case Lit(Timespan(us)) => us
+    case other => throw PlanError(s"expected a timespan literal, got $other")
+  }
+
   private def resolveName0(cols: Array[String], name: String): String =
     cols.find(_ == name).orElse {
       val ci = cols.filter(_.equalsIgnoreCase(name))
@@ -869,6 +909,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     "avg", "avgif", "min", "minif", "max", "maxif", "dcount", "dcountif",
     "count_distinct", "count_distinctif", "percentile", "percentile_approx",
     "take_any", "any", "make_list", "make_set", "make_list_if", "make_set_if",
+    "make_bag", "make_bag_if",
     "stdev", "stdevp", "variance", "variancep", "binary_all_and",
     "binary_all_or", "binary_all_xor", "hll", "hll_merge", "max_by",
     "min_by", "arg_max", "arg_min")

@@ -397,6 +397,42 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toInstant.toString == "2024-06-15T12:00:00Z")
   }
 
+  test("make_bag merges bags, first-wins in sorted order") {
+    val r = one("""datatable(d:string) ['{"b":2}', '{"a":1}', '{"a":9,"c":3}']
+                  | summarize b = make_bag(d)""")
+    assert(r.getString(0) == """{"a":"1","c":"3","b":"2"}""")
+  }
+
+  test("reduce by masks digit runs into patterns") {
+    val rows = run("""datatable(s:string) ['err 404 on node7', 'err 500 on node12', 'disk full']
+                     | reduce by s | sort by Count desc, Pattern asc""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2))) == Seq(
+      ("err * on node*", 2L, "err 404 on node7"),
+      ("disk full", 1L, "disk full")))
+  }
+
+  test("evaluate activity_engagement computes inner/outer dcount ratio") {
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 00:10:00), 'a',
+           datetime(2024-01-01 05:00:00), 'b',
+           datetime(2024-01-02 00:00:00), 'a']
+         | evaluate activity_engagement(u, ts, 1d, 2d) | sort by ts asc""")
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      Seq((2L, 2L, 1.0), (1L, 2L, 0.5)))
+  }
+
+  test("evaluate sliding_window_counts over trailing window") {
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 00:10:00), 'a',
+           datetime(2024-01-01 05:00:00), 'b',
+           datetime(2024-01-02 00:00:00), 'a']
+         | evaluate sliding_window_counts(u, ts, 2d, 1d) | sort by ts asc""")
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))) ==
+      Seq((2L, 2L), (3L, 2L), (1L, 1L)))
+  }
+
   test("ipv4 family: netmask suffix, private ranges, compare, match") {
     val r = one("""print ns = ipv4_netmask_suffix('192.168.1.1/24'),
                         ns32 = ipv4_netmask_suffix('10.0.0.1'),
