@@ -821,6 +821,16 @@ object SparkEntry {
       // the fixture's props bags are single-key {"k": N}: first-wins over
       // the sorted fold ⇒ the k of the lexicographically smallest bag
       Some("""SELECT user_id, '{"k":"' || CAST(MIN(props)->>'k' AS VARCHAR) || '"}' AS b FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""")),
+
+    "q87_scalar_text2" -> Q(kqlQ(
+      """print bs = string_size('héllo'), ir = indexof_regex('abc123', '[0-9]+'),
+              h = has_ipv4('src 10.1.2.3 dst'), rq = regex_quote('a.b*c'),
+              fb = format_bytes(8000000, 2), gt = gettype(pack_array(1, 2)),
+              bo = binary_or(12, 10), cp = to_utf8('Ab'),
+              ms = make_string(pack_array(72, 105)),
+              nm = ipv4_netmask_suffix('192.168.0.0/24'),
+              ic = ipv4_compare('10.0.0.1', '10.0.0.2', 24)"""),
+      Some("""SELECT CAST(6 AS BIGINT) AS bs, CAST(3 AS BIGINT) AS ir, true AS h, 'a\.b\*c' AS rq, '7.63 MB' AS fb, 'array' AS gt, CAST(14 AS BIGINT) AS bo, [65, 98] AS cp, 'Hi' AS ms, CAST(24 AS BIGINT) AS nm, CAST(0 AS BIGINT) AS ic""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -176,6 +176,21 @@ object Functions {
         lpad(coalesce(element_at(p, i), lit("0")), 8, "0")
       concat(part(1), part(2), part(3), part(4)).cast("decimal(38,0)") },
     "pack_all" -> f { _ => throw new IllegalArgumentException("pack_all handled in planner") },
+    // KQL string_size = UTF-8 byte length (strlen is char length)
+    "string_size" -> f { case s :: Nil => octet_length(s).cast("long") },
+    // 0-based first-match position, -1 when absent (KQL indexof_regex);
+    // regexp_instr is 1-based with 0 = no match
+    "indexof_regex" -> f { case s :: rx :: Nil =>
+      (call_function("regexp_instr", s, rx) - 1).cast("long") },
+    // Spark StringType is UTF-8 by construction: valid whenever non-null
+    "isutf8" -> f { case s :: Nil => s.isNotNull },
+    // whole-term dotted-quad match, octets range-checked 0-255
+    "has_ipv4" -> f { case s :: Nil =>
+      s.rlike("(?<![\\d.])((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
+        "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(?![\\d.])") },
+    // escape regex metacharacters (KQL regex_quote)
+    "regex_quote" -> f { case s :: Nil =>
+      regexp_replace(s, "([.^$|?*+()\\[\\]{}\\\\])", "\\\\$1") },
     // ------------------------------------------------------------ bitwise
     "binary_and" -> f { case a :: b :: Nil => a.cast("long").bitwiseAND(b.cast("long")) },
     "binary_or" -> f { case a :: b :: Nil => a.cast("long").bitwiseOR(b.cast("long")) },

@@ -397,6 +397,22 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toInstant.toString == "2024-06-15T12:00:00Z")
   }
 
+  test("string_size, indexof_regex, isutf8, has_ipv4, regex_quote") {
+    val r = one("""print bs = string_size('héllo'), cs = strlen('héllo'),
+                        ir = indexof_regex('abc123', '[0-9]+'),
+                        im = indexof_regex('abc', '[0-9]+'),
+                        u8 = isutf8('ok'),
+                        h1 = has_ipv4('src 10.1.2.3 dst'), h2 = has_ipv4('ver 1.2.3.999'),
+                        rq = regex_quote('a.b*c')""")
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == -1L)
+    assert(r.getBoolean(4))
+    assert(r.getBoolean(5)); assert(!r.getBoolean(6))
+    assert(r.getString(7) == "a\\.b\\*c")
+  }
+
   test("make_bag merges bags, first-wins in sorted order") {
     val r = one("""datatable(d:string) ['{"b":2}', '{"a":1}', '{"a":9,"c":3}']
                   | summarize b = make_bag(d)""")
