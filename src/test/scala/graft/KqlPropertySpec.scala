@@ -100,4 +100,45 @@ class KqlPropertySpec extends AnyFunSuite {
       assert(list.length == vals.length)
     }
   }
+
+  test("activity_engagement: inner <= outer, ratio in (0, 1]") {
+    for ((vals, i) <- samples(smallList, 3).zipWithIndex) {
+      val rows = vals.zipWithIndex.map { case (v, j) =>
+        f"datetime(2024-01-${1 + math.abs(v % 20) + i}%02d 0${j % 10}:00:00), 'u${v % 7}'"
+      }
+      val q = s"""datatable(ts:datetime, u:string) [${rows.mkString(", ")}]
+                 | evaluate activity_engagement(u, ts, 1d, 4d)"""
+      Kql.run(spark, q, cat).collect().foreach { r =>
+        val (inner, outer, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(inner >= 1 && inner <= outer, s"vals=$vals")
+        assert(ratio > 0 && ratio <= 1.0, s"vals=$vals")
+      }
+    }
+  }
+
+  test("sliding_window_counts: count >= dcount, window sums >= per-bin rows") {
+    for ((vals, i) <- samples(smallList, 3).zipWithIndex) {
+      val rows = vals.zipWithIndex.map { case (v, j) =>
+        f"datetime(2024-02-${1 + math.abs(v % 15) + i}%02d), 'u${v % 5}'"
+      }
+      val q = s"""datatable(ts:datetime, u:string) [${rows.mkString(", ")}]
+                 | evaluate sliding_window_counts(u, ts, 3d, 1d)"""
+      val out = Kql.run(spark, q, cat).collect()
+      out.foreach { r => assert(r.getLong(1) >= r.getLong(2), s"vals=$vals") }
+      // every event lands in exactly lookback/bin = 3 window rows
+      assert(out.map(_.getLong(1)).sum == 3L * vals.length, s"vals=$vals")
+    }
+  }
+
+  test("reduce by: counts partition the table, representative matches its pattern") {
+    for (vals <- samples(smallList, 3)) {
+      val lits = vals.map(v => s"'item $v of ${math.abs(v) % 3}'").mkString(", ")
+      val out = Kql.run(spark,
+        s"datatable(s:string) [$lits] | reduce by s", cat).collect()
+      assert(out.map(_.getLong(1)).sum == vals.length, s"vals=$vals")
+      out.foreach { r =>
+        assert(r.getString(2).replaceAll("[0-9]+", "*") == r.getString(0), s"vals=$vals")
+      }
+    }
+  }
 }
