@@ -831,6 +831,12 @@ object SparkEntry {
               nm = ipv4_netmask_suffix('192.168.0.0/24'),
               ic = ipv4_compare('10.0.0.1', '10.0.0.2', 24)"""),
       Some("""SELECT CAST(6 AS BIGINT) AS bs, CAST(3 AS BIGINT) AS ir, true AS h, 'a\.b\*c' AS rq, '7.63 MB' AS fb, 'array' AS gt, CAST(14 AS BIGINT) AS bo, [65, 98] AS cp, 'Hi' AS ms, CAST(24 AS BIGINT) AS nm, CAST(0 AS BIGINT) AS ic""")),
+
+    "q88_find" -> Q(kqlQ(
+      """find in (nation, region) where r_name == 'ASIA' or n_regionkey == 2
+        | project source_, n_name, n_regionkey, r_name, r_regionkey
+        | sort by source_ asc, n_name asc"""),
+      Some("""SELECT * FROM (SELECT 'nation' AS source_, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS r_name, CAST(NULL AS BIGINT) AS r_regionkey FROM nation WHERE n_regionkey = 2 UNION ALL SELECT 'region', NULL, NULL, r_name, r_regionkey FROM region WHERE r_name = 'ASIA') ORDER BY source_ ASC, n_name ASC NULLS FIRST""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

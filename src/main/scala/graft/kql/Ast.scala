@@ -99,6 +99,8 @@ object Ast {
   final case class PrintSource(items: List[(Option[String], Expr)]) extends Source
   final case class RangeSource(col: String, from: Expr, to: Expr, step: Expr) extends Source
   /** union as a source: `union T1, T2 | ...` */
+  /** `find in (T1, T2, ...) where pred` — cross-table search. */
+  final case class FindSource(tables: List[String], pred: Expr) extends Source
   final case class UnionSource(kind: String, withSource: Option[String],
                                tables: List[Query]) extends Source
 

@@ -104,7 +104,12 @@ final class Parser(src: String) {
           case _ => k += 1
         }
         sawPipe || (toks(p).isInstanceOf[TIdent] &&
-          (toks(p + 1) match { case TSym(";", _) => true; case _ => false }))
+          (toks(p + 1) match { case TSym(";", _) => true; case _ => false })) ||
+          // a pipe-less datatable literal is still a tabular binding
+          (toks(p) match {
+            case TIdent(n, _) => n.equalsIgnoreCase("datatable")
+            case _ => false
+          })
       }
       // let x = materialize(pipeline); → tabular let + cache marker
       if (isIdent("materialize") && (ahead(1) match {
@@ -153,6 +158,15 @@ final class Parser(src: String) {
         eatIdent("to"); val to = parseExpr()
         eatIdent("step"); val step = parseExpr()
         RangeSource(col, from, to, step)
+      case TIdent(kw, _) if kw.equalsIgnoreCase("find") =>
+        p += 1
+        eatIdent("in"); eatSym("(")
+        val tables = List.newBuilder[String]
+        tables += identName()
+        while (trySym(",")) tables += identName()
+        eatSym(")")
+        eatIdent("where")
+        FindSource(tables.result(), parseExpr())
       case TIdent(kw, _) if kw.equalsIgnoreCase("union") =>
         p += 1
         val (kind, withSource) = parseUnionParams()

@@ -91,6 +91,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       }
     case UnionSource(kind, withSource, tables) =>
       planUnion(kind, withSource, tables.map(q => branchName(q) -> plan(q)))
+
+    case FindSource(tables, pred) =>
+      // cross-table search: null-padding union (each branch keeps its own
+      // schema; Catalyst pushes the shared predicate into every scan it
+      // applies to), provenance in source_, then one filter over the
+      // padded superset schema
+      val branches = tables.map { n =>
+        letTables.getOrElse(n, catalog.table(n)).withColumn("source_", lit(n))
+      }
+      val u = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+      val filtered = u.filter(toCol(pred, u))
+      filtered.select((col("source_") +:
+        filtered.columns.filterNot(_ == "source_").map(col).toSeq): _*)
   }
 
   private def branchName(q: Query): String = q.source match {

@@ -413,6 +413,17 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("find searches across tables with null-padded schemas and source_") {
+    val rows = run(
+      """let A = datatable(x:long, s:string) [1, 'hit', 2, 'miss'];
+         let B = datatable(y:long, s:string) [3, 'hit'];
+         find in (A, B) where s == 'hit' | sort by source_ asc""")
+    assert(rows.map(_.getString(rows.head.fieldIndex("source_"))) == Seq("A", "B"))
+    assert(rows.head.getLong(rows.head.fieldIndex("x")) == 1L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("x")))
+    assert(rows(1).getLong(rows(1).fieldIndex("y")) == 3L)
+  }
+
   test("make_bag merges bags, first-wins in sorted order") {
     val r = one("""datatable(d:string) ['{"b":2}', '{"a":1}', '{"a":9,"c":3}']
                   | summarize b = make_bag(d)""")
