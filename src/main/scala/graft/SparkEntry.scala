@@ -837,6 +837,13 @@ object SparkEntry {
         | project source_, n_name, n_regionkey, r_name, r_regionkey
         | sort by source_ asc, n_name asc"""),
       Some("""SELECT * FROM (SELECT 'nation' AS source_, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS r_name, CAST(NULL AS BIGINT) AS r_regionkey FROM nation WHERE n_regionkey = 2 UNION ALL SELECT 'region', NULL, NULL, r_name, r_regionkey FROM region WHERE r_name = 'ASIA') ORDER BY source_ ASC, n_name ASC NULLS FIRST""")),
+
+    "q89_partition_topk" -> Q(kqlQ(
+      """orders
+        | partition by o_orderpriority (top 3 by o_totalprice desc, o_orderkey asc
+                                        | project o_orderpriority, o_orderkey, o_totalprice)
+        | sort by o_orderpriority asc, o_orderkey asc"""),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority ASC, o_orderkey ASC""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -84,6 +84,8 @@ object Ast {
   final case class EvaluateOp(plugin: String, args: List[Expr]) extends TabOp
   /** `reduce by expr` — pattern-group similar string values. */
   final case class ReduceOp(by: Expr) extends TabOp
+  /** `partition by key ( ops )` — per-key-value subpipeline. */
+  final case class PartitionOp(key: String, ops: List[TabOp]) extends TabOp
   final case class MakeSeries(aggs: List[(Option[String], Expr, Expr)], // (alias, aggExpr, default)
                               axis: Expr, from: Expr, to: Expr, step: Expr,
                               by: List[(Option[String], Expr)]) extends TabOp

@@ -336,6 +336,14 @@ final class Parser(src: String) {
           eatSym(")")
           InvokeOp(fn, args.result())
         case "reduce" => eatIdent("by"); ReduceOp(parseExpr())
+        case "partition" =>
+          eatIdent("by"); val key = identName()
+          eatSym("(")
+          val ops = List.newBuilder[TabOp]
+          ops += parseTabOp()
+          while (trySym("|")) ops += parseTabOp()
+          eatSym(")")
+          PartitionOp(key, ops.result())
         case "evaluate" =>
           val plugin = identName()
           val args = List.newBuilder[Expr]

@@ -421,6 +421,39 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
 
+    case PartitionOp(key, ops) =>
+      // per-key-value subpipeline, rewritten to distribute instead of
+      // looping over key values: row-wise ops apply as-is, summarize
+      // gains the key as an extra group column, top/take become one
+      // per-key window (a single shuffle on the key — the plan a
+      // thousand-executor cluster wants, vs. KQL's legacy sequential
+      // per-partition execution)
+      val rk = resolveName(df, key)
+      var acc = df
+      ops.foreach {
+        case w: Where => acc = applyOp(acc, w)
+        case e: Extend => acc = applyOp(acc, e)
+        case p: Project => acc = applyOp(acc, p)
+        case p: ProjectAway => acc = applyOp(acc, p)
+        case p: ProjectKeep => acc = applyOp(acc, p)
+        case s2: Summarize =>
+          acc = planSummarize(acc, Summarize(s2.aggs, s2.by :+ ((Some(rk), Col(rk): Expr))))
+        case Top(n, keys) =>
+          val w = Window.partitionBy(col(rk))
+            .orderBy(keys.map(k => sortCol(k, acc)): _*)
+          acc = acc.withColumn("__pn", row_number().over(w))
+            .filter(col("__pn") <= n).drop("__pn")
+        case Take(n) =>
+          val w = Window.partitionBy(col(rk))
+            .orderBy(monotonically_increasing_id())
+          acc = acc.withColumn("__pn", row_number().over(w))
+            .filter(col("__pn") <= n).drop("__pn")
+        case Sort(keys) =>
+          acc = acc.orderBy(col(rk).asc +: keys.map(k => sortCol(k, acc)): _*)
+        case other => throw PlanError(s"partition: unsupported sub-operator $other")
+      }
+      acc
+
     case ReduceOp(by) =>
       // KQL `reduce by`: group rows whose values share a pattern. Our
       // pattern heuristic masks digit runs (the dominant source of

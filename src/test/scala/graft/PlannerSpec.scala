@@ -413,6 +413,20 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("partition by runs the subpipeline per key value") {
+    val rows = run(
+      """datatable(k:string, v:long) ['a', 1, 'a', 3, 'a', 2, 'b', 5, 'b', 4]
+        | partition by k (top 2 by v desc | extend dv = v * 2)
+        | sort by k asc, v desc""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) == Seq(
+      ("a", 3L, 6L), ("a", 2L, 4L), ("b", 5L, 10L), ("b", 4L, 8L)))
+    val agg = run(
+      """datatable(k:string, v:long) ['a', 1, 'a', 3, 'b', 5]
+        | partition by k (summarize s = sum(v))
+        | sort by k asc""")
+    assert(agg.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 4L), ("b", 5L)))
+  }
+
   test("find searches across tables with null-padded schemas and source_") {
     val rows = run(
       """let A = datatable(x:long, s:string) [1, 'hit', 2, 'miss'];
