@@ -75,12 +75,17 @@ object LlmOps {
       .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
         x => x("tok")).as("toks"))
     val n = size(col("toks"))
-    val prefixes = ordered.select(col("blk"), col("id"),
+    // prefix rows carry the set size so the size-ratio bound
+    // (jac ≤ min(n)/max(n) < t ⇒ can never verify) prunes candidate
+    // pairs inside the join, before the distinct and the array joins
+    val prefixes = ordered.select(col("blk"), col("id"), n.as("n"),
       explode(slice(col("toks"), lit(1),
         (n - ceil(n * lit(threshold)) + 1).cast("int"))).as("tok"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"), col("a.blk") === col("b.blk") &&
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")) * threshold)
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     val withToks = ordered.select(col("id"), col("toks"))

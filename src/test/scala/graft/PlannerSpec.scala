@@ -413,6 +413,13 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("column_ifexists falls back to default for missing columns") {
+    val r = one("""datatable(x:long) [7]
+                  | project a = column_ifexists('x', 0), b = column_ifexists('nope', -1)""")
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == -1L)
+  }
+
   test("partition by runs the subpipeline per key value") {
     val rows = run(
       """datatable(k:string, v:long) ['a', 1, 'a', 3, 'a', 2, 'b', 5, 'b', 4]
