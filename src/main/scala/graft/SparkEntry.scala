@@ -844,6 +844,16 @@ object SparkEntry {
                                         | project o_orderpriority, o_orderkey, o_totalprice)
         | sort by o_orderpriority asc, o_orderkey asc"""),
       Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority ASC, o_orderkey ASC""")),
+
+    // LLM ops through the query LANGUAGE (E1) — same implementation the
+    // Scala-API entries (llm_*) call; proves the full surface is
+    // KQL-reachable
+    "q90_kql_llm_dedup" -> Q(kqlQ(
+      """documents
+        | evaluate dedup_exact(text, doc_id)
+        | project keep_id, n_copies
+        | sort by keep_id asc"""),
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

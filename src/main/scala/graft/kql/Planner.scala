@@ -419,6 +419,66 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    // ---- LLM-pipeline ops surfaced in the query language (E1): the same
+    // LlmOps/TemporalOps implementations the Scala API (E2) calls.
+    case EvaluateOp("dedup_exact", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.dedupExact(df, colNameOf(df, textE, "dedup_exact text"),
+        colNameOf(df, idE, "dedup_exact id"))
+
+    case EvaluateOp("jaccard_pairs", tE :: textE :: idE :: rest) =>
+      graft.ext.LlmOps.jaccardPairs(df, litDouble(tE),
+        rest.headOption.map(colNameOf(df, _, "jaccard_pairs block")),
+        colNameOf(df, textE, "jaccard_pairs text"), colNameOf(df, idE, "jaccard_pairs id"))
+
+    case EvaluateOp("neardup_minhash", tE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.nearDupPairsMinhash(df, litDouble(tE),
+        textCol = colNameOf(df, textE, "neardup text"),
+        idCol = colNameOf(df, idE, "neardup id"))
+
+    case EvaluateOp("simhash", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.simHash(df, textCol = colNameOf(df, textE, "simhash text"),
+        idCol = colNameOf(df, idE, "simhash id"))
+
+    case EvaluateOp("quality_score", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.qualityScore(df, colNameOf(df, textE, "quality text"),
+        colNameOf(df, idE, "quality id"))
+
+    case EvaluateOp("lang_id", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
+        colNameOf(df, idE, "lang_id id"))
+
+    case EvaluateOp("fingerprint", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.fingerprint(df, colNameOf(df, textE, "fingerprint text"),
+        colNameOf(df, idE, "fingerprint id"))
+
+    case EvaluateOp("token_count", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.tokenCount(df, colNameOf(df, textE, "token_count text"),
+        colNameOf(df, idE, "token_count id"))
+
+    case EvaluateOp("term_freq", textE :: Nil) =>
+      graft.ext.LlmOps.termFreq(df, colNameOf(df, textE, "term_freq text"))
+
+    case EvaluateOp("tfidf", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.tfIdf(df, colNameOf(df, textE, "tfidf text"),
+        colNameOf(df, idE, "tfidf id"))
+
+    case EvaluateOp("knn_cosine", qE :: kE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.knnCosine(df, litLong(qE), litLong(kE).toInt,
+        colNameOf(df, idE, "knn id"), colNameOf(df, vecE, "knn vector"))
+
+    case EvaluateOp("similarity_pairs", tE :: blkE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.similarityPairs(df, litDouble(tE),
+        colNameOf(df, blkE, "similarity block"), colNameOf(df, idE, "similarity id"),
+        colNameOf(df, vecE, "similarity vector"))
+
+    case EvaluateOp("funnel_sequence", idE :: tsE :: typeE :: stepEs) if stepEs.nonEmpty =>
+      val typeName = colNameOf(df, typeE, "funnel type")
+      val steps = stepEs.map { e =>
+        val s = litString(e, "funnel step"); s -> (col(typeName) === s)
+      }
+      graft.ext.TemporalOps.funnel(df, colNameOf(df, idE, "funnel id"),
+        colNameOf(df, tsE, "funnel timeline"), steps)
+
     case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
 
     case PartitionOp(key, ops) =>
@@ -837,6 +897,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private def colNameOf(df: DataFrame, e: Expr, what: String): String = e match {
     case Col(n) => resolveName(df, n)
     case other => throw PlanError(s"$what expects a column, got $other")
+  }
+
+  private def litDouble(e: Expr): Double = e match {
+    case Lit(d: Double) => d
+    case Lit(l: Long) => l.toDouble
+    case other => throw PlanError(s"expected a numeric literal, got $other")
+  }
+
+  private def litLong(e: Expr): Long = e match {
+    case Lit(l: Long) => l
+    case other => throw PlanError(s"expected an integer literal, got $other")
   }
 
   private def timespanUs(e: Expr): Long = e match {

@@ -413,6 +413,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("LLM ops are reachable from the query language via evaluate") {
+    val dedup = run(
+      """datatable(doc_id:long, text:string) [1, 'a b', 2, 'A b ', 3, 'c']
+        | evaluate dedup_exact(text, doc_id) | sort by keep_id asc""")
+    assert(dedup.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (3L, 1L)))
+    val q = run(
+      """datatable(doc_id:long, text:string) [1, 'the quick brown fox!']
+        | evaluate quality_score(text, doc_id)""").head
+    assert(q.getLong(1) == 4L) // n_tokens
+    val fun = run(
+      """datatable(u:long, t:long, e:string) [7, 1, 's', 7, 2, 'c', 8, 5, 'c']
+        | evaluate funnel_sequence(u, t, e, 's', 'c') | sort by u asc""")
+    assert(fun.map(r => (r.getLong(0), r.getLong(3))) == Seq((7L, 2L)))
+  }
+
   test("column_ifexists falls back to default for missing columns") {
     val r = one("""datatable(x:long) [7]
                   | project a = column_ifexists('x', 0), b = column_ifexists('nope', -1)""")
