@@ -854,6 +854,12 @@ object SparkEntry {
         | project keep_id, n_copies
         | sort by keep_id asc"""),
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
+
+    "q91_autocluster" -> Q(kqlQ(
+      """orders
+        | evaluate autocluster(10.0, o_orderpriority, o_orderstatus)
+        | sort by percent desc, o_orderpriority asc nulls first, o_orderstatus asc nulls first"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS count_, ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) AS percent, o_orderpriority, o_orderstatus FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) HAVING NOT (GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 1) AND ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) >= 10.0 ORDER BY percent DESC, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -419,6 +419,21 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    case EvaluateOp("autocluster", pctE :: colEs) if colEs.nonEmpty =>
+      // simplified KQL autocluster: common attribute segments = CUBE over
+      // the given columns (null = wildcard), kept when coverage ≥
+      // minPercent; the trivial all-wildcard segment is dropped. One
+      // partial+final hash aggregate — Catalyst expands the cube map-side.
+      val names = colEs.map(colNameOf(df, _, "autocluster column"))
+      val minPct = litDouble(pctE)
+      val total = df.count().toDouble // segment coverage denominator
+      df.cube(names.map(col): _*)
+        .agg(count(lit(1)).as("count_"), grouping_id().as("__g"))
+        .filter(col("__g") < (1L << names.length) - 1).drop("__g")
+        .withColumn("percent", round(col("count_") * 100.0 / total, 2))
+        .filter(col("percent") >= minPct)
+        .select((col("count_") +: col("percent") +: names.map(col)): _*)
+
     // ---- LLM-pipeline ops surfaced in the query language (E1): the same
     // LlmOps/TemporalOps implementations the Scala API (E2) calls.
     case EvaluateOp("dedup_exact", textE :: idE :: Nil) =>

@@ -413,6 +413,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("autocluster mines cube segments above the coverage threshold") {
+    val rows = run(
+      """datatable(a:string, b:string) ['x', 'p', 'x', 'p', 'x', 'q', 'y', 'q']
+        | evaluate autocluster(50.0, a, b)
+        | sort by percent desc, a asc nulls first, b asc nulls first""")
+    // segments ≥50%: a=x (75%), b wildcard combos
+    val segs = rows.map(r => (Option(r.getString(2)), Option(r.getString(3)), r.getDouble(1)))
+    assert(segs.contains((Some("x"), None, 75.0)))
+    assert(segs.forall(_._3 >= 50.0))
+    assert(!segs.contains((None, None, 100.0))) // trivial segment dropped
+  }
+
   test("LLM ops are reachable from the query language via evaluate") {
     val dedup = run(
       """datatable(doc_id:long, text:string) [1, 'a b', 2, 'A b ', 3, 'c']
