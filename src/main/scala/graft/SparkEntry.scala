@@ -711,8 +711,11 @@ object SparkEntry {
               j  = jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4)),
               ai = array_iff(pack_array(true, false, true), pack_array(1, 2, 3), pack_array(10, 20, 30)),
               bm = bag_merge('{"a":"1","b":"2"}', '{"b":"3","c":"4"}'),
-              rp = repeat(7, 3)"""),
-      Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, [1,20,3] AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, [7,7,7] AS rp""")),
+              rp = repeat(7, 3),
+              bh = bag_has_key('{"a":1,"b":2}', 'a'),
+              br = bag_remove_keys('{"a":"1","b":"2","c":"3"}', pack_array('a', 'c')),
+              bs = bag_set_key('{"a":"1","b":"2"}', 'b', 9)"""),
+      Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, [1,20,3] AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, [7,7,7] AS rp, true AS bh, '{"b":"2"}' AS br, '{"a":"1","b":"9"}' AS bs""")),
 
     "q82_series_elementwise" -> Q(kqlQ(
       """print sa = series_add(pack_array(1, 2), pack_array(3, 4)),

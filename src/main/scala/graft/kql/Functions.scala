@@ -165,6 +165,20 @@ object Functions {
       case a :: n :: Nil => Functions.shiftLeft(a, -n, lit(null))
       case a :: n :: fill :: Nil => Functions.shiftLeft(a, -n, fill) },
     "bag_keys" -> f { case c :: Nil => json_object_keys(c) },
+    "bag_has_key" -> f { case b :: k :: Nil =>
+      array_contains(json_object_keys(b), k) },
+    // drop listed keys from a JSON bag (KQL bag_remove_keys); values pass
+    // through the string map (§1.2 dynamic mapping), like bag_merge
+    "bag_remove_keys" -> f { case b :: ks :: Nil =>
+      val m = from_json(b, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      to_json(map_filter(m, (k, _) => !array_contains(ks, k))) },
+    // set/overwrite one key (KQL bag_set_key)
+    "bag_set_key" -> f { case b :: k :: v :: Nil =>
+      val m = from_json(b, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      to_json(map_concat(map_filter(m, (mk, _) => mk =!= k),
+        map(k, v.cast("string")))) },
     // merge JSON property bags, first-bag-wins on duplicate keys (KQL
     // bag_merge); bags are JSON strings (§1.2 dynamic mapping)
     "bag_merge" -> f { case a :: b :: Nil => mergeBags(a, b) },

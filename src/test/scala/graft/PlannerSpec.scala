@@ -413,6 +413,16 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("bag_has_key, bag_remove_keys, bag_set_key") {
+    val r = one("""print h1 = bag_has_key('{"a":1,"b":2}', 'a'),
+                        h2 = bag_has_key('{"a":1}', 'z'),
+                        rm = bag_remove_keys('{"a":"1","b":"2","c":"3"}', pack_array('a', 'c')),
+                        st = bag_set_key('{"a":"1","b":"2"}', 'b', 9)""")
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1))
+    assert(r.getString(2) == """{"b":"2"}""")
+    assert(r.getString(3) == """{"a":"1","b":"9"}""")
+  }
+
   test("autocluster mines cube segments above the coverage threshold") {
     val rows = run(
       """datatable(a:string, b:string) ['x', 'p', 'x', 'p', 'x', 'q', 'y', 'q']
