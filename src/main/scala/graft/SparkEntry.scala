@@ -858,6 +858,12 @@ object SparkEntry {
         | sort by keep_id asc"""),
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
 
+    "q92_series_decompose" -> Q(kqlQ(
+      """print an = series_decompose_anomalies(pack_array(
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+           1.0, 42.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)"""),
+      Some("""SELECT [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS an""")),
+
     "q91_autocluster" -> Q(kqlQ(
       """orders
         | evaluate autocluster(10.0, o_orderpriority, o_orderstatus)

@@ -252,21 +252,26 @@ object Functions {
     // ------------------------------------------- time-series (§2.9)
     // All pure higher-order array expressions — codegen-compatible, no UDFs.
     "series_fit_line" -> f { case a :: Nil => seriesFitLine(a) },
+    // simplified STL (KQL series_decompose with a KNOWN period — the
+    // autodetect/FFT path stays out of scope, SURVEY §2.9): trend =
+    // centered moving average, seasonal = per-phase mean of the
+    // detrended series, baseline = trend + seasonal, residual = rest
+    "series_decompose" -> f { case a :: p :: Nil => seriesDecompose(a, p) },
+    // anomaly flags (-1/0/1): Tukey outlier score of the decomposition
+    // residual against the threshold (default 1.5 ⇒ any nonzero score)
+    "series_decompose_anomalies" -> f {
+      case a :: p :: Nil =>
+        transform(seriesOutliers(seriesDecompose(a, p).getField("residual")),
+          x => when(x > 0d, 1L).when(x < 0d, -1L).otherwise(0L))
+      case a :: p :: t :: Nil =>
+        val sc = seriesOutliers(seriesDecompose(a, p).getField("residual"))
+        val excess = t.cast("double") - 1.5
+        transform(sc, x => when(x > excess, 1L).when(x < -excess, -1L)
+          .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
     // Tukey-fence outlier scores (k=1.5): 0 inside the fences, distance
     // past the fence in IQR units outside (sign marks the direction)
-    "series_outliers" -> f { case a :: Nil =>
-      val sorted = array_sort(a)
-      val n = size(a)
-      val q1 = element_at(sorted, greatest(ceil(n * 0.25).cast("int"), lit(1)))
-      val q3 = element_at(sorted, greatest(ceil(n * 0.75).cast("int"), lit(1)))
-      val iqr = (q3 - q1).cast("double")
-      val lo = q1 - iqr * 1.5
-      val hi = q3 + iqr * 1.5
-      transform(a, x => when(iqr === 0d, lit(0.0))
-        .when(x > hi, (x - hi) / iqr)
-        .when(x < lo, (x - lo) / iqr)
-        .otherwise(lit(0.0))) },
+    "series_outliers" -> f { case a :: Nil => seriesOutliers(a) },
     "series_stats_dynamic" -> f { case a :: Nil => seriesStats(a) },
     // element-wise arithmetic / comparison over aligned series (KQL
     // series_add family) — zip_with keeps everything in codegen
@@ -475,6 +480,51 @@ object Functions {
   /** Least-squares line fit over a numeric series (x = 0..n-1), from the
     * closed-form sums — one pass, no explode. Returns
     * struct(slope, interception, rsquare). */
+  /** Tukey-fence outlier scores (k=1.5) — shared by series_outliers and
+    * series_decompose_anomalies. */
+  private def seriesOutliers(a: Column): Column = {
+    val sorted = array_sort(a)
+    val n = size(a)
+    val q1 = element_at(sorted, greatest(ceil(n * 0.25).cast("int"), lit(1)))
+    val q3 = element_at(sorted, greatest(ceil(n * 0.75).cast("int"), lit(1)))
+    val iqr = (q3 - q1).cast("double")
+    val lo = q1 - iqr * 1.5
+    val hi = q3 + iqr * 1.5
+    transform(a, x => when(iqr === 0d, lit(0.0))
+      .when(x > hi, (x - hi) / iqr)
+      .when(x < lo, (x - lo) / iqr)
+      .otherwise(lit(0.0)))
+  }
+
+  /** Simplified STL with a known period (all higher-order expressions):
+    * trend[i] = mean of the centered period-wide window, seasonal[phase]
+    * = mean of detrended values at that phase, baseline = trend +
+    * seasonal, residual = series − baseline. */
+  private def seriesDecompose(a: Column, period: Column): Column = {
+    val n = size(a)
+    val p = period.cast("int")
+    val h = (p / 2).cast("int")
+    val idx = sequence(lit(1), n)
+    val trend = transform(idx, i => {
+      val lo = greatest(i - h, lit(1))
+      val hi = least(i + h, n)
+      aggregate(sequence(lo, hi), lit(0.0d),
+        (acc, j) => acc + element_at(a, j).cast("double")) /
+        (hi - lo + 1).cast("double")
+    })
+    val detr = zip_with(a, trend, (x, t) => x.cast("double") - t)
+    val seasonal = transform(idx, i => {
+      val phase = pmod(i - 1, p)
+      val members = filter(sequence(lit(1), n), j => pmod(j - 1, p) === phase)
+      aggregate(members, lit(0.0d),
+        (acc, j) => acc + element_at(detr, j)) / size(members).cast("double")
+    })
+    val baseline = zip_with(trend, seasonal, (t, s) => t + s)
+    val residual = zip_with(a, baseline, (x, b) => x.cast("double") - b)
+    struct(baseline.as("baseline"), seasonal.as("seasonal"),
+      trend.as("trend"), residual.as("residual"))
+  }
+
   private def seriesFitLine(a: Column): Column = {
     val n = size(a).cast("double")
     val sy = aggregate(a, lit(0.0d), (acc, y) => acc + y.cast("double"))

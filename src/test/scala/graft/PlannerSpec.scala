@@ -413,6 +413,23 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("series_decompose reconstructs the series; anomalies flag the spike") {
+    // periodic 1,2,3,4 × 6 with a +40 spike at 0-based index 13
+    val base = Seq.fill(6)(Seq(1.0, 2.0, 3.0, 4.0)).flatten
+    val spiked = base.updated(13, base(13) + 40.0)
+    val arr = spiked.mkString("pack_array(", ", ", ")")
+    val clean = base.mkString("pack_array(", ", ", ")")
+    val r = one(
+      s"""print d = series_decompose($clean, 4)
+         | project m = array_max(series_abs(series_subtract(
+                         series_add(d.baseline, d.residual), $clean))),
+                   an = series_decompose_anomalies($arr, 4)""")
+    assert(r.getDouble(0) < 1e-9)
+    val flags = r.getSeq[Long](1)
+    assert(flags(13) == 1L)
+    assert(flags.count(_ != 0L) == 1)
+  }
+
   test("bag_has_key, bag_remove_keys, bag_set_key") {
     val r = one("""print h1 = bag_has_key('{"a":1,"b":2}', 'a'),
                         h2 = bag_has_key('{"a":1}', 'z'),
