@@ -251,9 +251,12 @@ object LlmOps {
     * filter + TakeOrderedAndProject, no ML UDF, no extra jobs. In a
     * deployed index `assigned` is written out partitioned by __cell, so
     * a probe is partition-pruned I/O. Recall is traded through nProbe. */
-  def annCosineIvf(emb: DataFrame, queryId: Long, k: Int, nLists: Int = 16,
-                   nProbe: Int = 2, seed: Long = 42,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Train the IVF coarse quantizer: k-means over a BOUNDED
+    * (≤256·nLists) deterministic hash-sample collected to the driver —
+    * index metadata construction, not a data pass. */
+  def trainIvfCentroids(emb: DataFrame, nLists: Int = 16, seed: Long = 42,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Array[Array[Double]] = {
     val nrm = normD(col(vecCol))
     val unit = transform(col(vecCol), x => x.cast("double") / nrm)
     var sample = emb.filter(pmod(xxhash64(col(idCol)), lit(16)) === 0)
@@ -262,15 +265,18 @@ object LlmOps {
     if (sample.length < nLists)
       sample = emb.select(unit.as("__uv")).limit(256 * nLists)
         .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = kmeansDriver(sample, nLists, seed, iters = 8)
-    // cell assignment: argmax_c x·c − |c|²/2 (⇔ nearest in L2 for fixed
-    // |x|) as one compact Scala UDF over the centroid matrix. A native
-    // expression equivalent needs nLists·dim literals — its
-    // analysis/codegen cost dwarfs the arithmetic it saves (measured 3×
-    // slower end-to-end); the closure is JIT'd primitive loops and the
-    // pass stays embarrassingly parallel.
+    kmeansDriver(sample, nLists, seed, iters = 8)
+  }
+
+  /** Cell assignment (argmax_c x·c − |c|²/2 ⇔ nearest-in-L2 on unit
+    * vectors) as one compact Scala UDF over the centroid matrix. A
+    * native expression equivalent needs nLists·dim literals — its
+    * analysis/codegen cost dwarfs the arithmetic it saves (measured 3×
+    * slower end-to-end); the closure is JIT'd primitive loops and the
+    * pass stays embarrassingly parallel. Cells are 1-based. */
+  private def cellOf(centroids: Array[Array[Double]]) = {
     val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
-    val cellOf = udf { v: Seq[Double] =>
+    udf { v: Seq[Double] =>
       val n = math.sqrt(v.map(x => x * x).sum)
       var best = 0; var bestS = Double.MinValue
       var c = 0
@@ -281,20 +287,65 @@ object LlmOps {
         if (s > bestS) { bestS = s; best = c }
         c += 1
       }
-      best + 1 // 1-based, matches the probe indexing below
+      best + 1
     }
+  }
+
+  /** Probe cells for a query vector: driver-side math against the
+    * nLists centroids (1-based, matching [[cellOf]]). */
+  private def probeCells(centroids: Array[Array[Double]], qVec: Array[Double],
+                         nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val score = c.zip(qVec).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2
+      (i + 1, score)
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+
+  /** Persist the IVF index: the corpus written `partitionBy(cell)`, so a
+    * probe at read time is PARTITION-PRUNED I/O — only nProbe/nLists of
+    * the index files are touched (the deployed-index layout the
+    * [[annCosineIvf]] Scaladoc describes). Returns the centroids (the
+    * index metadata the caller keeps to probe). */
+  def buildIvfIndex(emb: DataFrame, path: String, nLists: Int = 16,
+                    seed: Long = 42, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[Array[Double]] = {
+    val centroids = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
+    spread(emb)
+      .withColumn("__cell", cellOf(centroids)(col(vecCol).cast("array<double>")))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    centroids
+  }
+
+  /** Search a persisted IVF index: filter on the partition column prunes
+    * to the probed cells' files, then cosine + TakeOrderedAndProject. */
+  def annCosineIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                          centroids: Array[Array[Double]], qRaw: Array[Double],
+                          k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val qVec = qRaw.map(_ / qn)
+    val probes = probeCells(centroids, qVec, nProbe)
+    val qLit = array(qVec.map(lit).toSeq: _*)
+    spark.read.parquet(path)
+      .filter(col("__cell").isin(probes: _*))
+      .select(col(idCol),
+        round(dotD(col(vecCol), qLit) / (normD(col(vecCol)) * normD(qLit)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def annCosineIvf(emb: DataFrame, queryId: Long, k: Int, nLists: Int = 16,
+                   nProbe: Int = 2, seed: Long = 42,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
     val assigned = spread(emb)
-      .withColumn("__cell", cellOf(col(vecCol).cast("array<double>")))
+      .withColumn("__cell", cellOf(centroids)(col(vecCol).cast("array<double>")))
     // query vector: one pushdown-filtered scan of the raw table; probe
     // cells are driver-side math against the nLists centroids
     val raw = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
     val qn = math.sqrt(raw.map(x => x * x).sum)
     val qVec = raw.map(_ / qn).toArray
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      val score = c.zip(qVec).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2
-      (i + 1, score) // 1-based to match array_position
-    }.sortBy(-_._2).take(nProbe).map(_._1)
+    val probes = probeCells(centroids, qVec, nProbe)
     val qLit = array(qVec.map(lit): _*)
     assigned.filter(col("__cell").isin(probes: _*))
       .select(col(idCol),

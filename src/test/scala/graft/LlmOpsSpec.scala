@@ -112,6 +112,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 6L)                    // abc·de·-·f·42·!
   }
 
+  test("persisted IVF index: partition-pruned probes match the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    val cents = LlmOps.buildIvfIndex(embs, dir)
+    val qRaw = embs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val indexed = LlmOps.annCosineIvfIndexed(spark, dir, cents, qRaw, 10, nProbe = 2)
+    // the probe filter lands on the PARTITION column ⇒ directory pruning,
+    // only nProbe/nLists of the index files are read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"))
+    val direct = LlmOps.annCosineIvf(embs, 7L, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(indexed.collect().map(_.getLong(0)).toSeq == direct)
+  }
+
   test("ann-ivf: self top-hit, recall grows with nProbe, full probe = brute force") {
     val brute = LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
       .map(_.getLong(0)).toSet
