@@ -496,34 +496,46 @@ object Functions {
       .otherwise(lit(0.0)))
   }
 
-  /** Simplified STL with a known period (all higher-order expressions):
-    * trend[i] = mean of the centered period-wide window, seasonal[phase]
-    * = mean of detrended values at that phase, baseline = trend +
-    * seasonal, residual = series − baseline. */
-  private def seriesDecompose(a: Column, period: Column): Column = {
-    val n = size(a)
-    val p = period.cast("int")
-    val h = (p / 2).cast("int")
-    val idx = sequence(lit(1), n)
-    val trend = transform(idx, i => {
-      val lo = greatest(i - h, lit(1))
-      val hi = least(i + h, n)
-      aggregate(sequence(lo, hi), lit(0.0d),
-        (acc, j) => acc + element_at(a, j).cast("double")) /
-        (hi - lo + 1).cast("double")
-    })
-    val detr = zip_with(a, trend, (x, t) => x.cast("double") - t)
-    val seasonal = transform(idx, i => {
-      val phase = pmod(i - 1, p)
-      val members = filter(sequence(lit(1), n), j => pmod(j - 1, p) === phase)
-      aggregate(members, lit(0.0d),
-        (acc, j) => acc + element_at(detr, j)) / size(members).cast("double")
-    })
-    val baseline = zip_with(trend, seasonal, (t, s) => t + s)
-    val residual = zip_with(a, baseline, (x, b) => x.cast("double") - b)
-    struct(baseline.as("baseline"), seasonal.as("seasonal"),
-      trend.as("trend"), residual.as("residual"))
-  }
+  /** series_decompose output shape (struct of aligned arrays). */
+  case class SeriesDecomp(baseline: Seq[Double], seasonal: Seq[Double],
+                          trend: Seq[Double], residual: Seq[Double])
+
+  /** Simplified STL with a known period: trend[i] = mean of the centered
+    * period-wide window, seasonal[phase] = mean of detrended values at
+    * that phase, baseline = trend + seasonal, residual = series −
+    * baseline.
+    *
+    * One compact Scala UDF, not higher-order expressions: the expression
+    * formulation nests transform/aggregate five levels deep with the
+    * trend subtree duplicated into every component — measured ~1.9 s of
+    * pure plan/codegen cost per query even on a constant input. The
+    * closure is JIT'd primitive loops, O(n·period⁻¹·n) per row, and the
+    * pass stays embarrassingly parallel (same trade as the IVF cell
+    * assignment, COVERAGE.md §2.11). */
+  private val seriesDecomposeUdf =
+    udf { (v: Seq[Double], p0: Int) =>
+      val n = v.length
+      val p = math.max(p0, 1)
+      val h = p / 2
+      val trend = Array.tabulate(n) { i =>
+        val lo = math.max(i - h, 0); val hi = math.min(i + h, n - 1)
+        var s = 0.0; var j = lo
+        while (j <= hi) { s += v(j); j += 1 }
+        s / (hi - lo + 1)
+      }
+      val detr = Array.tabulate(n)(i => v(i) - trend(i))
+      val seasonal = Array.tabulate(n) { i =>
+        var s = 0.0; var c = 0; var j = i % p
+        while (j < n) { s += detr(j); c += 1; j += p }
+        s / c
+      }
+      val baseline = Array.tabulate(n)(i => trend(i) + seasonal(i))
+      val residual = Array.tabulate(n)(i => v(i) - baseline(i))
+      SeriesDecomp(baseline.toSeq, seasonal.toSeq, trend.toSeq, residual.toSeq)
+    }
+
+  private def seriesDecompose(a: Column, period: Column): Column =
+    seriesDecomposeUdf(a.cast("array<double>"), period.cast("int"))
 
   private def seriesFitLine(a: Column): Column = {
     val n = size(a).cast("double")
