@@ -663,8 +663,10 @@ object SparkEntry {
               ts = format_timespan(totimespan('1.01:01:01'), 'd.hh:mm:ss'),
               cmp = strcmp('abc', 'abd'),
               asc1 = isascii('hello'),
-              asc2 = isascii('héllo')"""),
-      Some("""SELECT TIMESTAMP '2024-03-16 23:59:59.999999' AS eow, CAST(3 AS BIGINT) AS moy, CAST(1 AS BIGINT) AS qtr, CAST(123 AS BIGINT) AS msec, '1.01:01:01' AS ts, CAST(-1 AS BIGINT) AS cmp, true AS asc1, false AS asc2""")),
+              asc2 = isascii('héllo'),
+              soq = startofquarter(datetime(2024-11-05)),
+              eoq = endofquarter(datetime(2024-11-05))"""),
+      Some("""SELECT TIMESTAMP '2024-03-16 23:59:59.999999' AS eow, CAST(3 AS BIGINT) AS moy, CAST(1 AS BIGINT) AS qtr, CAST(123 AS BIGINT) AS msec, '1.01:01:01' AS ts, CAST(-1 AS BIGINT) AS cmp, true AS asc1, false AS asc2, TIMESTAMP '2024-10-01 00:00:00' AS soq, TIMESTAMP '2024-12-31 23:59:59.999999' AS eoq""")),
 
     "q74_array_rotate_shift" -> Q(kqlQ(
       """print rl = array_rotate_left(pack_array(1, 2, 3, 4, 5), 2),

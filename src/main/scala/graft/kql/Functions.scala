@@ -107,6 +107,9 @@ object Functions {
       timestamp_micros(unix_micros(add_months(date_trunc("month", c), 1).cast("timestamp")) - 1L) },
     "endofyear" -> f { case c :: Nil =>
       timestamp_micros(unix_micros(add_months(date_trunc("year", c), 12).cast("timestamp")) - 1L) },
+    "startofquarter" -> f { case c :: Nil => date_trunc("quarter", c) },
+    "endofquarter" -> f { case c :: Nil =>
+      timestamp_micros(unix_micros(add_months(date_trunc("quarter", c), 3).cast("timestamp")) - 1L) },
     "unixtime_seconds_todatetime" -> f { case c :: Nil => timestamp_seconds(c) },
     "unixtime_milliseconds_todatetime" -> f { case c :: Nil => timestamp_millis(c.cast("long")) },
     "unixtime_microseconds_todatetime" -> f { case c :: Nil => timestamp_micros(c.cast("long")) },

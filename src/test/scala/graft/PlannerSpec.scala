@@ -413,6 +413,13 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(7) == "a\\.b\\*c")
   }
 
+  test("startofquarter / endofquarter") {
+    val r = one("""print s = startofquarter(datetime(2024-11-05)),
+                        e = endofquarter(datetime(2024-11-05))""")
+    assert(r.getTimestamp(0).toInstant.toString == "2024-10-01T00:00:00Z")
+    assert(r.getTimestamp(1).toInstant.toString == "2024-12-31T23:59:59.999999Z")
+  }
+
   test("series_decompose reconstructs the series; anomalies flag the spike") {
     // periodic 1,2,3,4 × 6 with a +40 spike at 0-based index 13
     val base = Seq.fill(6)(Seq(1.0, 2.0, 3.0, 4.0)).flatten
