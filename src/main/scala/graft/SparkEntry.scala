@@ -229,15 +229,22 @@ object SparkEntry {
         | sort by o_orderstatus asc"""),
       Some("""SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS u FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // NOTE on the dynamic_to_json reshapes below: the driver's oracle
+    // compare sorts the frame in pandas, and multi-column frames with an
+    // array-typed column break its lexsort (unhashable ndarray). Array
+    // outputs therefore ship as canonical compact JSON strings on BOTH
+    // sides (Spark to_json ≡ DuckDB to_json).
     "q23_make_list" -> Q(kqlQ(
       """nation | summarize names=array_sort_asc(make_list(n_name)) by n_regionkey
+        | project n_regionkey, names = dynamic_to_json(names)
         | sort by n_regionkey asc"""),
-      Some("""SELECT n_regionkey, list_sort(list(n_name)) AS names FROM nation GROUP BY 1 ORDER BY 1""")),
+      Some("""SELECT n_regionkey, CAST(to_json(list_sort(list(n_name))) AS VARCHAR) AS names FROM nation GROUP BY 1 ORDER BY 1""")),
 
     "q24_make_set" -> Q(kqlQ(
       """lineitem | summarize flags=make_set(l_returnflag) by l_linestatus
+        | project l_linestatus, flags = dynamic_to_json(flags)
         | sort by l_linestatus asc"""),
-      Some("""SELECT l_linestatus, list_sort(list(DISTINCT l_returnflag)) AS flags FROM lineitem GROUP BY 1 ORDER BY 1""")),
+      Some("""SELECT l_linestatus, CAST(to_json(list_sort(list(DISTINCT l_returnflag))) AS VARCHAR) AS flags FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     "q25_mvexpand" -> Q(kqlQ(
       """documents
@@ -329,8 +336,12 @@ object SparkEntry {
       """events
         | make-series n=count() default=0 on ts
             from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+        | project event_type, n = dynamic_to_json(n)
         | sort by event_type asc"""),
-      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 DAY)) AS t), types AS (SELECT DISTINCT event_type FROM events), binned AS (SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2), filled AS (SELECT ty.event_type, g.t, COALESCE(b.cnt, 0) AS cnt FROM types ty CROSS JOIN grid g LEFT JOIN binned b ON b.event_type = ty.event_type AND b.d = g.t) SELECT event_type, list(cnt ORDER BY t) AS n, list(t ORDER BY t) AS ts FROM filled GROUP BY event_type ORDER BY event_type""")),
+      // the ts axis column is dropped in the final projection (timestamp
+      // JSON rendering differs across engines); the 30-element count
+      // vector per type still pins grid position + fill behavior
+      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 DAY)) AS t), types AS (SELECT DISTINCT event_type FROM events), binned AS (SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2), filled AS (SELECT ty.event_type, g.t, COALESCE(b.cnt, 0) AS cnt FROM types ty CROSS JOIN grid g LEFT JOIN binned b ON b.event_type = ty.event_type AND b.d = g.t) SELECT event_type, CAST(to_json(list(cnt ORDER BY t)) AS VARCHAR) AS n FROM filled GROUP BY event_type ORDER BY event_type""")),
 
     "q39_top_nested" -> Q(kqlQ(
       """lineitem
@@ -342,11 +353,12 @@ object SparkEntry {
     "q40_rank" -> Q(kqlQ(
       """lineitem
         | sort by l_extendedprice desc
-        | extend rk = row_rank_min(l_extendedprice), drk = row_rank_dense(l_extendedprice)
+        | extend rk = row_rank_min(l_extendedprice), drk = row_rank_dense(l_extendedprice),
+                 pr = round(percent_rank(), 8)
         | where rk <= 100
-        | project l_orderkey, l_linenumber, l_extendedprice, rk, drk
+        | project l_orderkey, l_linenumber, l_extendedprice, rk, drk, pr
         | sort by rk asc, l_orderkey asc, l_linenumber asc"""),
-      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, rk, drk FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS rk, CAST(DENSE_RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS drk FROM lineitem) WHERE rk <= 100 ORDER BY rk, l_orderkey, l_linenumber""")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, rk, drk, pr FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS rk, CAST(DENSE_RANK() OVER (ORDER BY l_extendedprice DESC) AS BIGINT) AS drk, ROUND(PERCENT_RANK() OVER (ORDER BY l_extendedprice DESC), 8) AS pr FROM lineitem) WHERE rk <= 100 ORDER BY rk, l_orderkey, l_linenumber""")),
 
     "q41_let_bindings" -> Q(kqlQ(
       """let cutoff = 45;
@@ -614,8 +626,10 @@ object SparkEntry {
         | summarize n = count() by user_id, sess_start
         | summarize sessions = count(), biggest = max(n) by user_id
         | sort by user_id asc"""),
-      None), // sessions span user boundaries in serialized order (KQL
-             // fidelity); cross-checked against q19_sessionize in tests
+      // mirrors the serialized-order semantics: the idle-gap flag runs over
+      // the GLOBAL (user_id, ts, event_id) order, so sessions can span user
+      // boundaries; sess_start = min(ts) over the whole session group
+      Some("""WITH s AS (SELECT user_id, ts, event_id, LAG(ts) OVER w AS prev_ts FROM events WINDOW w AS (ORDER BY user_id, ts, event_id)), f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag FROM s), c AS (SELECT user_id, ts, SUM(flag) OVER (ORDER BY user_id, ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM f), g AS (SELECT user_id, MIN(ts) OVER (PARTITION BY grp) AS sess_start FROM c), h AS (SELECT user_id, sess_start, COUNT(*) AS n FROM g GROUP BY 1, 2) SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sessions, CAST(MAX(n) AS BIGINT) AS biggest FROM h GROUP BY 1 ORDER BY user_id""")),
 
     "q68_takeany_binary" -> Q(kqlQ(
       """nation
@@ -669,12 +683,12 @@ object SparkEntry {
       Some("""SELECT TIMESTAMP '2024-03-16 23:59:59.999999' AS eow, CAST(3 AS BIGINT) AS moy, CAST(1 AS BIGINT) AS qtr, CAST(123 AS BIGINT) AS msec, '1.01:01:01' AS ts, CAST(-1 AS BIGINT) AS cmp, true AS asc1, false AS asc2, TIMESTAMP '2024-10-01 00:00:00' AS soq, TIMESTAMP '2024-12-31 23:59:59.999999' AS eoq""")),
 
     "q74_array_rotate_shift" -> Q(kqlQ(
-      """print rl = array_rotate_left(pack_array(1, 2, 3, 4, 5), 2),
-              rr = array_rotate_right(pack_array(1, 2, 3, 4, 5), 1),
-              sl = array_shift_left(pack_array(1, 2, 3, 4, 5), 2, -1),
-              sr = array_shift_right(pack_array(1, 2, 3, 4, 5), 2, 0),
-              sn = array_shift_left(pack_array(1, 2, 3), 1)"""),
-      Some("""SELECT [3,4,5,1,2] AS rl, [5,1,2,3,4] AS rr, [3,4,5,-1,-1] AS sl, [0,0,1,2,3] AS sr, [2,3,NULL] AS sn""")),
+      """print rl = dynamic_to_json(array_rotate_left(pack_array(1, 2, 3, 4, 5), 2)),
+              rr = dynamic_to_json(array_rotate_right(pack_array(1, 2, 3, 4, 5), 1)),
+              sl = dynamic_to_json(array_shift_left(pack_array(1, 2, 3, 4, 5), 2, -1)),
+              sr = dynamic_to_json(array_shift_right(pack_array(1, 2, 3, 4, 5), 2, 0)),
+              sn = dynamic_to_json(array_shift_left(pack_array(1, 2, 3), 1))"""),
+      Some("""SELECT '[3,4,5,1,2]' AS rl, '[5,1,2,3,4]' AS rr, '[3,4,5,-1,-1]' AS sl, '[0,0,1,2,3]' AS sr, '[2,3,null]' AS sn""")),
 
     "q75_has_any_all" -> Q(kqlQ(
       """documents
@@ -711,28 +725,30 @@ object SparkEntry {
       """print v1 = tostring(parse_version('1.2.3')),
               vc = parse_version('10.0') > parse_version('9.9.9.9'),
               j  = jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4)),
-              ai = array_iff(pack_array(true, false, true), pack_array(1, 2, 3), pack_array(10, 20, 30)),
+              ai = dynamic_to_json(array_iff(pack_array(true, false, true), pack_array(1, 2, 3), pack_array(10, 20, 30))),
               bm = bag_merge('{"a":"1","b":"2"}', '{"b":"3","c":"4"}'),
-              rp = repeat(7, 3),
+              rp = dynamic_to_json(repeat(7, 3)),
               bh = bag_has_key('{"a":1,"b":2}', 'a'),
               br = bag_remove_keys('{"a":"1","b":"2","c":"3"}', pack_array('a', 'c')),
               bs = bag_set_key('{"a":"1","b":"2"}', 'b', 9)"""),
-      Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, [1,20,3] AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, [7,7,7] AS rp, true AS bh, '{"b":"2"}' AS br, '{"a":"1","b":"9"}' AS bs""")),
+      Some("""SELECT '1000000020000000300000000' AS v1, true AS vc, CAST(0.5 AS DOUBLE) AS j, '[1,20,3]' AS ai, '{"a":"1","b":"2","c":"4"}' AS bm, '[7,7,7]' AS rp, true AS bh, '{"b":"2"}' AS br, '{"a":"1","b":"9"}' AS bs""")),
 
     "q82_series_elementwise" -> Q(kqlQ(
-      """print sa = series_add(pack_array(1, 2), pack_array(3, 4)),
-              sd = series_divide(pack_array(1, 2), pack_array(2, 4)),
+      """print sa = dynamic_to_json(series_add(pack_array(1, 2), pack_array(3, 4))),
+              sd = dynamic_to_json(series_divide(pack_array(1, 2), pack_array(2, 4))),
               dp = series_dot_product(pack_array(1, 2, 3), pack_array(4, 5, 6)),
               cs = series_cosine_similarity(pack_array(3, 4), pack_array(3, 4)),
-              ff = series_fill_forward(pack_array(1.0, null, 2.0, null)),
-              fl = series_fill_linear(pack_array(1.0, null, null, 4.0))"""),
-      Some("""SELECT [4,6] AS sa, [0.5,0.5] AS sd, CAST(32.0 AS DOUBLE) AS dp,
-                     CAST(1.0 AS DOUBLE) AS cs, [1.0,1.0,2.0,2.0] AS ff,
-                     [1.0,2.0,3.0,4.0] AS fl""")),
+              ff = dynamic_to_json(series_fill_forward(pack_array(1.0, null, 2.0, null))),
+              fl = dynamic_to_json(series_fill_linear(pack_array(1.0, null, null, 4.0)))"""),
+      Some("""SELECT '[4,6]' AS sa, '[0.5,0.5]' AS sd, CAST(32.0 AS DOUBLE) AS dp,
+                     CAST(1.0 AS DOUBLE) AS cs, '[1.0,1.0,2.0,2.0]' AS ff,
+                     '[1.0,2.0,3.0,4.0]' AS fl""")),
 
     "q77_series_outliers" -> Q(kqlQ(
       """print o = series_outliers(pack_array(1.0, 2.0, 3.0, 100.0))"""),
-      Some("""SELECT [0.0, 0.0, 0.0, 47.0] AS o""")),
+      // ::DOUBLE[] — a bare DuckDB list literal is DECIMAL and
+      // hash-compares differently from Spark's array<double>
+      Some("""SELECT CAST([0.0, 0.0, 0.0, 47.0] AS DOUBLE[]) AS o""")),
 
     // ------------------------------------------------- time-series fns
     "q59_series_fns" -> Q(kqlQ(
@@ -740,8 +756,8 @@ object SparkEntry {
               m = series_fir(pack_array(1.0, 2.0, 3.0, 4.0), pack_array(1.0, 1.0)),
               st = series_stats_dynamic(pack_array(1.0, 2.0, 3.0))
         | project slope = round(f.slope, 6), icpt = round(f.interception, 6),
-                  r2 = round(f.rsquare, 6), m, st"""),
-      Some("""SELECT 2.0 AS slope, 1.0 AS icpt, 1.0 AS r2, [1.0, 1.5, 2.5, 3.5] AS m, '{"min":1.0,"max":3.0,"avg":2.0,"stdev":1.0,"sum":6.0,"len":3}' AS st""")),
+                  r2 = round(f.rsquare, 6), m = dynamic_to_json(m), st"""),
+      Some("""SELECT 2.0 AS slope, 1.0 AS icpt, 1.0 AS r2, '[1.0,1.5,2.5,3.5]' AS m, '{"min":1.0,"max":3.0,"avg":2.0,"stdev":1.0,"sum":6.0,"len":3}' AS st""")),
 
     "q60_series_trend" -> Q(kqlQ(
       """events
@@ -831,11 +847,11 @@ object SparkEntry {
       """print bs = string_size('héllo'), ir = indexof_regex('abc123', '[0-9]+'),
               h = has_ipv4('src 10.1.2.3 dst'), rq = regex_quote('a.b*c'),
               fb = format_bytes(8000000, 2), gt = gettype(pack_array(1, 2)),
-              bo = binary_or(12, 10), cp = to_utf8('Ab'),
+              bo = binary_or(12, 10), cp = dynamic_to_json(to_utf8('Ab')),
               ms = make_string(pack_array(72, 105)),
               nm = ipv4_netmask_suffix('192.168.0.0/24'),
               ic = ipv4_compare('10.0.0.1', '10.0.0.2', 24)"""),
-      Some("""SELECT CAST(6 AS BIGINT) AS bs, CAST(3 AS BIGINT) AS ir, true AS h, 'a\.b\*c' AS rq, '7.63 MB' AS fb, 'array' AS gt, CAST(14 AS BIGINT) AS bo, [65, 98] AS cp, 'Hi' AS ms, CAST(24 AS BIGINT) AS nm, CAST(0 AS BIGINT) AS ic""")),
+      Some("""SELECT CAST(6 AS BIGINT) AS bs, CAST(3 AS BIGINT) AS ir, true AS h, 'a\.b\*c' AS rq, '7.63 MB' AS fb, 'array' AS gt, CAST(14 AS BIGINT) AS bo, '[65,98]' AS cp, 'Hi' AS ms, CAST(24 AS BIGINT) AS nm, CAST(0 AS BIGINT) AS ic""")),
 
     "q88_find" -> Q(kqlQ(
       """find in (nation, region) where r_name == 'ASIA' or n_regionkey == 2
@@ -859,6 +875,18 @@ object SparkEntry {
         | project keep_id, n_copies
         | sort by keep_id asc"""),
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
+
+    // ntile needs a UNIQUE total order for cross-engine determinism (tied
+    // rows at tile borders are assigned arbitrarily) — o_orderkey is the
+    // fixture's one unique key, so the tile stats below are exact
+    "q93_ntile" -> Q(kqlQ(
+      """orders
+        | sort by o_orderkey asc
+        | extend nt = ntile(7), pr = round(percent_rank(), 8)
+        | summarize n = count(), mnp = min(pr), mxp = max(pr),
+                    mnk = min(o_orderkey), mxk = max(o_orderkey) by nt
+        | sort by nt asc"""),
+      Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
     "q92_series_decompose" -> Q(kqlQ(
       """print an = series_decompose_anomalies(pack_array(

@@ -521,14 +521,16 @@ object LlmOps {
     * per-term df) + a broadcast-able join on term. */
   def tfIdf(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    val n = docs.select(col(idCol)).distinct().count() // scalar: corpus size
+    // corpus size N as a lazy broadcast 1-row side — no eager
+    // distinct().count() driver job; the whole op stays one DAG
+    val nDf = docs.select(count_distinct(col(idCol)).cast("double").as("__n"))
     val terms = spread(docs).select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df_ = terms.select("id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df_, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    tf.join(df_, "term").crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 4))
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 

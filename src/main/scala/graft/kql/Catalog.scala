@@ -21,23 +21,58 @@ final class Catalog(spark: SparkSession, dir: String,
     * check — a metastore fronts this on a real cluster. */
   private def load(name: String): DataFrame = {
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    if (exists(s"$dir/$name.parquet")) normalize(spark.read.parquet(s"$dir/$name.parquet"))
+    if (exists(s"$dir/$name.parquet"))
+      normalize(spark.read.parquet(s"$dir/$name.parquet"),
+        nanosTimestampCols(s"$dir/$name.parquet"))
     else if (exists(s"$dir/$name.csv"))
       normalize(spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(s"$dir/$name.csv"))
+        .csv(s"$dir/$name.csv"), Set.empty)
     else if (exists(s"$dir/$name.json"))
-      normalize(spark.read.json(s"$dir/$name.json"))
-    else normalize(spark.read.parquet(s"$dir/$name.parquet")) // error path
+      normalize(spark.read.json(s"$dir/$name.json"), Set.empty)
+    else normalize(spark.read.parquet(s"$dir/$name.parquet"), Set.empty) // error path
+  }
+
+  /** Columns whose parquet logical type is TIMESTAMP(NANOS), read from
+    * one file footer (a metadata-only driver read, like schema
+    * inference). Keyed off the file's own logical type — NOT the column
+    * name — so a user table with a plain long `ts` column is untouched. */
+  private def nanosTimestampCols(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        else Some(p)
+      file.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          reader.getFileMetaData.getSchema.getFields.asScala.collect {
+            case fld if fld.isPrimitive && (fld.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => fld.getName
+          }.toSet
+        } finally reader.close()
+      }.getOrElse(Set.empty)
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
   }
 
   /** Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
     * `spark.sql.legacy.parquet.nanosAsLong=true`, which surfaces it as a
-    * ns-epoch long. Normalize such columns back to TimestampType (µs) so
-    * KQL datetime semantics apply. Fixture `events.ts` is the only case
-    * (FIXTURES.md); the name-based rule keeps this metadata-free. */
-  private def normalize(df: DataFrame): DataFrame =
+    * ns-epoch long. Normalize such columns (identified by the footer's
+    * logical type, see [[nanosTimestampCols]]) back to TimestampType (µs)
+    * so KQL datetime semantics apply. */
+  private def normalize(df: DataFrame, nanosCols: Set[String]): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == LongType && f.name == "ts")
+      if (f.dataType == LongType && nanosCols(f.name))
         // integral div: Column./ is double division, which loses ULPs on
         // 1.7e18-scale ns epochs (up to ±128 ns → off-by-1µs truncations)
         d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))

@@ -44,6 +44,8 @@ object Functions {
     "isnotnull" -> f { case c :: Nil => c.isNotNull },
     // --------------------------------------------------------- conversion
     "tostring" -> f { case c :: Nil => coalesce(c.cast("string"), lit("")) },
+    // canonical compact JSON for dynamic values (KQL dynamic_to_json)
+    "dynamic_to_json" -> f { case c :: Nil => to_json(c) },
     "toint" -> f { case c :: Nil => c.cast("int") },
     "tolong" -> f { case c :: Nil => c.cast("long") },
     "todouble" -> f { case c :: Nil => c.cast("double") },

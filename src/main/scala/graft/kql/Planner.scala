@@ -389,15 +389,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       }
 
     case EvaluateOp("bag_unpack", dynE :: Nil) =>
-      // schema-creating by definition: sample one non-null bag to infer
-      // the JSON shape (the single eager driver action besides toscalar),
-      // then expand columns with from_json — schema-on-read stays lazy
+      // schema-creating by definition: KQL bag_unpack emits the UNION of
+      // keys across all rows, so infer over a bounded distinct sample of
+      // bag shapes (spark.read.json union-merges per-row schemas) — one
+      // bounded eager action, then the expansion itself stays lazy
       val c = toCol(dynE, df)
-      val sampled = df.select(c.as("__d")).na.drop().limit(1).collect()
-      if (sampled.isEmpty) df
+      val sample = df.select(c.cast("string").as("__d")).na.drop()
+        .distinct().limit(1024)
+      val inferred = df.sparkSession.read
+        .json(sample.as(org.apache.spark.sql.Encoders.STRING))
+      if (inferred.schema.isEmpty) df
       else {
-        val sampleJson = sampled.head.getString(0)
-        val parsed = df.withColumn("__bag", from_json(c, schema_of_json(lit(sampleJson))))
+        val parsed = df.withColumn("__bag", from_json(c, inferred.schema))
         val keep: Seq[String] = dynE match {
           case Col(n) =>
             val rn = resolveName(df, n)
@@ -426,11 +429,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       // partial+final hash aggregate — Catalyst expands the cube map-side.
       val names = colEs.map(colNameOf(df, _, "autocluster column"))
       val minPct = litDouble(pctE)
-      val total = df.count().toDouble // segment coverage denominator
-      df.cube(names.map(col): _*)
+      val cubed = df.cube(names.map(col): _*)
         .agg(count(lit(1)).as("count_"), grouping_id().as("__g"))
-        .filter(col("__g") < (1L << names.length) - 1).drop("__g")
-        .withColumn("percent", round(col("count_") * 100.0 / total, 2))
+      // denominator = the cube's own all-wildcard row (no separate
+      // df.count() pass; the 1-row branch reuses the cube's exchange)
+      val totalRow = cubed.filter(col("__g") === (1L << names.length) - 1)
+        .select(col("count_").cast("double").as("__total"))
+      cubed.filter(col("__g") < (1L << names.length) - 1).drop("__g")
+        .crossJoin(broadcast(totalRow))
+        .withColumn("percent", round(col("count_") * 100.0 / col("__total"), 2))
         .filter(col("percent") >= minPct)
         .select((col("count_") +: col("percent") +: names.map(col)): _*)
 
@@ -966,7 +973,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   }
 
   private val windowFns = Set("row_number", "prev", "next", "row_cumsum",
-    "row_rank_dense", "row_rank_min")
+    "row_rank_dense", "row_rank_min", "ntile", "percent_rank")
 
   private[kql] def toCol(e: Expr, df: DataFrame): Column = toCol(e, df, agg = false)
 
@@ -1324,6 +1331,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         sum(a(0)).over(windowSpec(df).rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case "row_rank_min" => rank().over(windowSpec(df)).cast("long")
       case "row_rank_dense" => dense_rank().over(windowSpec(df)).cast("long")
+      case "ntile" =>
+        val n = staticValue(args.head, "").asInstanceOf[Long].toInt
+        ntile(n).over(windowSpec(df)).cast("long")
+      case "percent_rank" => percent_rank().over(windowSpec(df))
       // --------------------------------------------------------- default
       case other =>
         Functions.registry.get(other) match {

@@ -253,6 +253,32 @@ class PlannerSpec extends AnyFunSuite {
       Seq((1L, 5L, "a"), (2L, 7L, "b")))
   }
 
+  test("bag_unpack takes the UNION of keys over heterogeneous bags") {
+    val rows = run(
+      """datatable(id:long, d:string) [1, '{"x": 5}', 2, '{"y": "b"}', 3, '{"x": 9, "y": "c"}']
+        | evaluate bag_unpack(d)
+        | project id, x, y
+        | sort by id asc""")
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) "" else r.getString(2))) ==
+      Seq((1L, 5L, ""), (2L, -1L, "b"), (3L, 9L, "c")))
+  }
+
+  test("catalog converts only footer-NANOS long columns, not any long named ts") {
+    // a user table with a PLAIN long column named `ts` must stay long
+    val dir = java.nio.file.Files.createTempDirectory("cat_ts_").toString
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/plaints.parquet")
+    val c = Catalog(spark, dir)
+    assert(c.table("plaints").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // the fixture's events.ts IS TIMESTAMP(NANOS) → normalized to timestamp
+    assert(cat.table("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("extract_json and translate scalars") {
     val r = one("""print a = extract_json('$.k.v', '{"k": {"v": 7}}'),
                         b = translate('abc', 'xyz', 'aabbcc')""")
