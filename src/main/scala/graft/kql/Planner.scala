@@ -20,7 +20,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private var letScalars = Map.empty[String, Expr]
   /** Current pipeline order (KQL `serialize`/`sort` state) for window fns. */
   private var sortCols: List[Column] = Nil
+  /** The same sort keys unordered (dense_rank distinct-tuple counting). */
+  private var sortKeys: List[Column] = Nil
   private var serialized: Boolean = false
+  /** True while the physical layout is still range-partitioned in
+    * `sortCols` order (straight after a global sort) — lets the two-phase
+    * window path skip its range shuffle. Narrow ops preserve it. */
+  private var rangeLayout: Boolean = false
 
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
@@ -56,12 +62,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   }
 
   def plan(q: Query): DataFrame = {
-    val (savedSort, savedSer) = (sortCols, serialized)
-    sortCols = Nil; serialized = false
+    val (savedSort, savedKeys, savedSer, savedRl) =
+      (sortCols, sortKeys, serialized, rangeLayout)
+    sortCols = Nil; sortKeys = Nil; serialized = false; rangeLayout = false
     var df = planSource(q.source)
     q.ops.foreach { op => df = applyOp(df, op) }
     val out = df
-    sortCols = savedSort; serialized = savedSer
+    sortCols = savedSort; sortKeys = savedKeys
+    serialized = savedSer; rangeLayout = savedRl
     out
   }
 
@@ -148,7 +156,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   }
 
   // ============================================================== tab ops
-  private def applyOp(df: DataFrame, op: TabOp): DataFrame = op match {
+  private def applyOp(df: DataFrame, op: TabOp): DataFrame = {
+    val out = applyOp0(df, op)
+    op match {
+      case _: Sort | _: Top => rangeLayout = true
+      // narrow ops keep the range layout; Extend manages its own flag
+      case _: Where | _: Project | _: ProjectAway | _: ProjectKeep
+         | _: ProjectRename | _: ProjectReorder | _: Extend => ()
+      case _ => rangeLayout = false
+    }
+    out
+  }
+
+  private def applyOp0(df: DataFrame, op: TabOp): DataFrame = op match {
     case Where(p) => df.filter(toCol(p, df))
 
     case Project(items) =>
@@ -156,30 +176,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         toCol(e, df).as(alias.getOrElse(defaultName(e, i)))
       }: _*)
 
-    case Extend(items) =>
-      items.zipWithIndex.foldLeft(df) { case (d, ((alias, e), i)) =>
-        val name = alias.getOrElse(defaultName(e, i))
-        e match {
-          // needs two stacked window passes (flag→group→start), which a
-          // single Column expression can't express (no nested windows)
-          case App("row_window_session", tsE :: rest) =>
-            // signature: row_window_session(ts, maxDuration, idleTimeout);
-            // only the idle gap drives splitting (maxDuration not enforced)
-            val spans = rest.collect { case Lit(Timespan(us)) => us }
-            val idleUs = spans.drop(1).headOption.orElse(spans.headOption)
-              .getOrElse(throw PlanError("row_window_session needs an idle timespan"))
-            val ts = toCol(tsE, d)
-            val w = windowSpec(d)
-            val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val flag = when(lag(ts, 1).over(w).isNull ||
-              unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > idleUs, 1L).otherwise(0L)
-            val tmp = d.withColumn("__sess_grp", sum(flag).over(running))
-            val wg = Window.partitionBy(col("__sess_grp"))
-            tmp.withColumn(name, min(ts).over(wg)).drop("__sess_grp")
-          case _ =>
-            d.withColumn(name, toCol(e, d))
-        }
-      }
+    case Extend(items) => applyExtend(df, items)
 
     case ProjectAway(patterns) =>
       val away = patterns.flatMap(p => matchCols(df.columns, p)).toSet
@@ -200,6 +197,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case Sort(keys) =>
       val ordered = keys.map(k => sortCol(k, df))
       sortCols = ordered
+      sortKeys = keys.map(k => toCol(k.e, df))
       serialized = true
       df.orderBy(ordered: _*)
 
@@ -208,6 +206,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case Top(n, keys) =>
       val ordered = keys.map(k => sortCol(k, df))
       sortCols = ordered
+      sortKeys = keys.map(k => toCol(k.e, df))
       serialized = true
       // orderBy+limit ⇒ Spark plans TakeOrderedAndProjectExec: true
       // distributed top-k, no global sort (SURVEY §2.6)
@@ -974,6 +973,185 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
   private val windowFns = Set("row_number", "prev", "next", "row_cumsum",
     "row_rank_dense", "row_rank_min", "ntile", "percent_rank")
+
+  // ---------------------------------------------- scale-safe global windows
+  //
+  // `extend` assignments containing serialized window functions route
+  // through GlobalWindow (two-phase: range partition + per-partition
+  // window + broadcast prefix offsets) instead of the single-partition
+  // `Window.orderBy(...)` — see GlobalWindow.scala. Consecutive
+  // window-bearing assignments batch into ONE two-phase pass.
+
+  private def containsWindowFn(e: Expr): Boolean = e match {
+    case App(fn, args) if letFuncs.contains(fn) =>
+      val (params, body) = letFuncs(fn)
+      params.length == args.length &&
+        containsWindowFn(substitute(body, params.zip(args).toMap))
+    case App(fn, args) => windowFns(fn) || args.exists(containsWindowFn)
+    case BinOp(_, l, r) => containsWindowFn(l) || containsWindowFn(r)
+    case UnOp(_, x) => containsWindowFn(x)
+    case PathGet(b, k) => containsWindowFn(b) || containsWindowFn(k)
+    case InList(x, vs, _, _) => containsWindowFn(x) || vs.exists(containsWindowFn)
+    case BetweenOp(x, lo, hi, _) =>
+      containsWindowFn(x) || containsWindowFn(lo) || containsWindowFn(hi)
+    case _ => false
+  }
+
+  private def referencesAny(e: Expr, names: Set[String]): Boolean = e match {
+    case Col(n) => names.contains(n)
+    case App(_, args) => args.exists(referencesAny(_, names))
+    case BinOp(_, l, r) => referencesAny(l, names) || referencesAny(r, names)
+    case UnOp(_, x) => referencesAny(x, names)
+    case PathGet(b, k) => referencesAny(b, names) || referencesAny(k, names)
+    case InList(x, vs, _, _) => referencesAny(x, names) || vs.exists(referencesAny(_, names))
+    case BetweenOp(x, lo, hi, _) =>
+      referencesAny(x, names) || referencesAny(lo, names) || referencesAny(hi, names)
+    case _ => false
+  }
+
+  private def applyExtend(df0: DataFrame, items: List[(Option[String], Expr)]): DataFrame = {
+    var d = df0
+    val arr = items.zipWithIndex.map { case ((alias, e), i) =>
+      (alias.getOrElse(defaultName(e, i)), e)
+    }.toArray
+    var idx = 0
+    while (idx < arr.length) {
+      val (name, e) = arr(idx)
+      e match {
+        case App("row_window_session", tsE :: rest) =>
+          d = planRowWindowSession(d, name, tsE, rest)
+          idx += 1
+        case _ if containsWindowFn(e) =>
+          val run = scala.collection.mutable.ArrayBuffer[(String, Expr)]((name, e))
+          var j = idx + 1
+          var stop = false
+          while (j < arr.length && !stop) {
+            val (nm2, e2) = arr(j)
+            val isSess = e2 match {
+              case App("row_window_session", _) => true; case _ => false
+            }
+            // batch only consecutive window assignments that do not read a
+            // name defined earlier in the same batch
+            if (!containsWindowFn(e2) || isSess ||
+                referencesAny(e2, run.map(_._1).toSet)) stop = true
+            else { run += ((nm2, e2)); j += 1 }
+          }
+          d = applyWindowRun(d, run.toList)
+          idx = j
+        case _ =>
+          d = d.withColumn(name, toCol(e, d))
+          idx += 1
+      }
+    }
+    d
+  }
+
+  private def applyWindowRun(d0: DataFrame, run: List[(String, Expr)]): DataFrame = {
+    val calls = scala.collection.mutable.ArrayBuffer[GlobalWindow.Call]()
+    val rewritten = run.map { case (nm, e) => (nm, rewriteWindows(e, d0, calls)) }
+    val (dPrep, ordered, keys, preRanged) = windowInputs(d0)
+    var out = GlobalWindow.compute(dPrep, ordered, keys, calls.toList, preRanged)
+    rewritten.foreach { case (nm, re) => out = out.withColumn(nm, toCol(re, out)) }
+    out = out.drop(calls.map(_.out).toSeq: _*)
+    restoreSerializedOrder(out)
+  }
+
+  /** Two stacked global passes (flag → running group id), then the
+    * session start is an ordinary hash-partitioned per-group min.
+    * Signature: row_window_session(ts, maxDuration, idleTimeout); only
+    * the idle gap drives splitting (maxDuration not enforced). */
+  private def planRowWindowSession(d0: DataFrame, name: String, tsE: Expr,
+                                   rest: List[Expr]): DataFrame = {
+    val spans = rest.collect { case Lit(Timespan(us)) => us }
+    val idleUs = spans.drop(1).headOption.orElse(spans.headOption)
+      .getOrElse(throw PlanError("row_window_session needs an idle timespan"))
+    val (dp1, ord1, keys1, pr1) = windowInputs(d0)
+    var t = GlobalWindow.compute(dp1, ord1, keys1,
+      Seq(GlobalWindow.Lag("__gw_prev", toCol(tsE, dp1), 1, None)), pr1)
+    rangeLayout = false // two-phase output is hash-on-pid laid out
+    val ts1 = toCol(tsE, t)
+    t = t.withColumn("__gw_flag",
+      when(col("__gw_prev").isNull ||
+        unix_micros(ts1) - unix_micros(col("__gw_prev")) > idleUs, 1L).otherwise(0L))
+    val (dp2, ord2, keys2, pr2) = windowInputs(t)
+    t = GlobalWindow.compute(dp2, ord2, keys2,
+      Seq(GlobalWindow.CumSum("__gw_sess", col("__gw_flag"))), pr2)
+    val wg = Window.partitionBy(col("__gw_sess"))
+    t = t.withColumn(name, min(toCol(tsE, t)).over(wg))
+      .drop("__gw_prev", "__gw_flag", "__gw_sess")
+    restoreSerializedOrder(t)
+  }
+
+  /** Order/keys/layout inputs for a two-phase pass. Without `sort by`
+    * (bare `serialize`), the order is a materialized
+    * monotonically_increasing_id — partition-contiguous by construction,
+    * so the current layout counts as pre-ranged on first use. */
+  private def windowInputs(d: DataFrame): (DataFrame, Seq[Column], Seq[Column], Boolean) = {
+    if (sortCols.nonEmpty) (d, sortCols, sortKeys, rangeLayout)
+    else if (serialized) {
+      if (d.columns.contains("__gw_ord"))
+        (d, Seq(col("__gw_ord").asc), Seq(col("__gw_ord")), false)
+      else
+        (d.withColumn("__gw_ord", monotonically_increasing_id()),
+          Seq(col("__gw_ord").asc), Seq(col("__gw_ord")), true)
+    }
+    else throw PlanError("window function requires `serialize` or `sort by` first")
+  }
+
+  /** Re-establish the serialized-order contract after a two-phase pass
+    * (subsequent `take`/collect see sorted rows). Catalyst's
+    * EliminateSorts removes this sort when a later sort or aggregate
+    * supersedes it, so the common pipelines don't pay for it. */
+  private def restoreSerializedOrder(out0: DataFrame): DataFrame = {
+    var out = out0
+    if (sortCols.nonEmpty) { out = out.orderBy(sortCols: _*); rangeLayout = true }
+    else { out = out.orderBy(col("__gw_ord").asc); rangeLayout = false }
+    if (out.columns.contains("__gw_ord")) out.drop("__gw_ord") else out
+  }
+
+  /** Replace window-function subtrees with references to GlobalWindow
+    * output columns, recording the calls to compute. */
+  private def rewriteWindows(e: Expr, d: DataFrame,
+      calls: scala.collection.mutable.ArrayBuffer[GlobalWindow.Call]): Expr = e match {
+    case App(fn, args) if letFuncs.contains(fn) =>
+      val (params, body) = letFuncs(fn)
+      if (params.length != args.length)
+        throw PlanError(s"function '$fn' expects ${params.length} args, got ${args.length}")
+      rewriteWindows(substitute(body, params.zip(args).toMap), d, calls)
+    case App(fn, args) if windowFns(fn) =>
+      if (args.exists(containsWindowFn))
+        throw PlanError(s"nested window functions are not supported ($fn)")
+      val out = s"__gwv${calls.length}"
+      fn match {
+        case "row_number" =>
+          calls += GlobalWindow.RowNumber(out, args.headOption.map(a => toCol(a, d)))
+        case "prev" | "next" =>
+          val n = if (args.length > 1) staticValue(args(1), "").asInstanceOf[Long].toInt else 1
+          val dflt = if (args.length > 2) Some(lit(staticValue(args(2), ""))) else None
+          val a0 = toCol(args.head, d)
+          calls += (if (fn == "prev") GlobalWindow.Lag(out, a0, n, dflt)
+                    else GlobalWindow.Lead(out, a0, n, dflt))
+        case "row_cumsum" => calls += GlobalWindow.CumSum(out, toCol(args.head, d))
+        case "row_rank_min" => calls += GlobalWindow.RankMin(out)
+        case "row_rank_dense" => calls += GlobalWindow.DenseRank(out)
+        case "percent_rank" => calls += GlobalWindow.PercentRank(out)
+        case "ntile" =>
+          calls += GlobalWindow.NTile(out,
+            staticValue(args.head, "").asInstanceOf[Long].toInt)
+        case other => throw PlanError(s"unsupported window function '$other'")
+      }
+      Col(out)
+    case App(fn, args) => App(fn, args.map(rewriteWindows(_, d, calls)))
+    case BinOp(op, l, r) => BinOp(op, rewriteWindows(l, d, calls), rewriteWindows(r, d, calls))
+    case UnOp(op, x) => UnOp(op, rewriteWindows(x, d, calls))
+    case PathGet(b, k) => PathGet(rewriteWindows(b, d, calls), rewriteWindows(k, d, calls))
+    case InList(x, vs, neg, ci) =>
+      InList(rewriteWindows(x, d, calls), vs.map(rewriteWindows(_, d, calls)), neg, ci)
+    case BetweenOp(x, lo, hi, neg) =>
+      BetweenOp(rewriteWindows(x, d, calls), rewriteWindows(lo, d, calls),
+        rewriteWindows(hi, d, calls), neg)
+    case other => other
+  }
 
   private[kql] def toCol(e: Expr, df: DataFrame): Column = toCol(e, df, agg = false)
 
