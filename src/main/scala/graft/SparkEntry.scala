@@ -454,9 +454,16 @@ object SparkEntry {
       (s, dir) => LlmOps.tokenCount(docs(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens, ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) AS chars_per_token FROM documents ORDER BY doc_id""")),
 
+    // exact all-pairs variant as the oracle cross-check; the scale
+    // default (banded LSH candidates + exact verify) is the rows-only
+    // llm_dedup_cosine_lsh below, recall-pinned in LlmOpsSpec
     "llm_dedup_cosine" -> Q(
-      (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3).orderBy("vec_id"),
+      (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3, method = "exact").orderBy("vec_id"),
       Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""")),
+
+    "llm_dedup_cosine_lsh" -> Q(
+      (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3).orderBy("vec_id"),
+      None), // hyperplane seeds not replicable in SQL; recall vs exact in tests
 
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(

@@ -420,17 +420,90 @@ object LlmOps {
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Per-row banded hyperplane-LSH signatures as one compact UDF: the
+    * expression alternative is nBands·planes aggregate() trees over
+    * dim-literal arrays — the same plan-bloat trap measured 3× slower on
+    * the IVF cell assignment. The closure is JIT'd primitive loops. */
+  private def lshSignatures(hyper: Array[Array[Double]], nBands: Int, b: Int) =
+    udf { v: Seq[Double] =>
+      val out = new Array[Long](nBands)
+      var band = 0
+      while (band < nBands) {
+        var bucket = 0L; var p = 0
+        while (p < b) {
+          val plane = hyper(band * b + p)
+          var s = 0.0; var i = 0
+          val n = math.min(v.length, plane.length)
+          while (i < n) { s += v(i) * plane(i); i += 1 }
+          if (s > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(band) = bucket; band += 1
+      }
+      out.toSeq
+    }
+
+  /** All vector pairs with cosine ≥ threshold via banded hyperplane LSH —
+    * the 100 TB default path. Candidates are pairs sharing any of the
+    * nBands (band, bucket) keys inside a block; every candidate is then
+    * verified with the exact cosine, so results are a strict subset of
+    * [[similarityPairs]] with recall controlled by the banding.
+    *
+    * planesPerBand auto-tunes from the threshold so that a pair AT the
+    * threshold still collides with probability ≥ 0.95 across the bands
+    * ((1 − s^b)^B ≤ 0.05 where s = 1 − θ/π); pairs above the threshold
+    * collide with higher probability. Candidates travel ids-only through
+    * the self-join; vectors re-attach afterwards (two hash joins), so the
+    * wide rows never ride the candidate shuffle. */
+  def similarityPairsLsh(emb: DataFrame, threshold: Double,
+                         blockCol: String = "label", idCol: String = "vec_id",
+                         vecCol: String = "embedding", nBands: Int = 16,
+                         planesPerBand: Int = 0, dim: Int = 64,
+                         seed: Long = 42): DataFrame = {
+    val s = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val b = if (planesPerBand > 0) planesPerBand
+      else math.max(1, (math.log(1.0 - math.pow(0.05, 1.0 / nBands)) /
+        math.log(s)).floor.toInt)
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(nBands * b)(Array.fill(dim)(rnd.nextGaussian()))
+    val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm"))
+    val keyed = withNorm
+      .withColumn("__sig", lshSignatures(hyper, nBands, b)(col("v")))
+      .select(col("blk"), col("id"),
+        posexplode(col("__sig")).as(Seq("band", "bucket")))
+    val aSide = keyed.select(col("blk"), col("band"), col("bucket"), col("id").as("i"))
+    val bSide = keyed.select(col("blk"), col("band"), col("bucket"), col("id").as("j"))
+    val candIds = aSide.join(bSide, Seq("blk", "band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select("blk", "i", "j").dropDuplicates("i", "j")
+    candIds
+      .join(withNorm.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
+      .join(withNorm.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
+      .withColumn("cos", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate dedup: drop every vector that has a
     * LOWER-id neighbor with cosine ≥ threshold inside its block (so one
     * representative per near-dup neighborhood survives — the greedy
     * min-id rule, deterministic without a transitive-closure pass).
-    * Candidate pairs come from [[similarityPairs]] (block-bounded); the
-    * drop step is a broadcast-able anti-join on the pair's j side. */
+    * The default candidate generator is the banded-LSH path
+    * ([[similarityPairsLsh]] — sub-quadratic at scale for the realistic
+    * high-threshold near-dup regime); `method = "exact"` keeps the
+    * all-pairs-within-block variant as the oracle cross-check. The drop
+    * step is a broadcast-able anti-join on the pair's j side. */
   def dedupNearCosine(emb: DataFrame, threshold: Double,
                       blockCol: String = "label", idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val dropIds = similarityPairs(emb, threshold, blockCol, idCol, vecCol)
-      .select(col("j").as(idCol)).distinct()
+                      vecCol: String = "embedding",
+                      method: String = "lsh"): DataFrame = {
+    val pairs = method match {
+      case "exact" => similarityPairs(emb, threshold, blockCol, idCol, vecCol)
+      case "lsh" => similarityPairsLsh(emb, threshold, blockCol, idCol, vecCol)
+      case other => throw new IllegalArgumentException(s"dedupNearCosine method '$other'")
+    }
+    val dropIds = pairs.select(col("j").as(idCol)).distinct()
     emb.join(dropIds, Seq(idCol), "left_anti")
       .select(col(idCol), col(blockCol))
   }

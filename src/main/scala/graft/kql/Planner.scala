@@ -492,6 +492,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, blkE, "similarity block"), colNameOf(df, idE, "similarity id"),
         colNameOf(df, vecE, "similarity vector"))
 
+    case EvaluateOp("similarity_pairs_lsh", tE :: blkE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.similarityPairsLsh(df, litDouble(tE),
+        colNameOf(df, blkE, "similarity block"), colNameOf(df, idE, "similarity id"),
+        colNameOf(df, vecE, "similarity vector"))
+
+    case EvaluateOp("dedup_cosine", tE :: blkE :: idE :: vecE :: rest) =>
+      graft.ext.LlmOps.dedupNearCosine(df, litDouble(tE),
+        colNameOf(df, blkE, "dedup block"), colNameOf(df, idE, "dedup id"),
+        colNameOf(df, vecE, "dedup vector"),
+        method = rest.headOption.map(litString(_, "dedup method")).getOrElse("lsh"))
+
     case EvaluateOp("funnel_sequence", idE :: tsE :: typeE :: stepEs) if stepEs.nonEmpty =>
       val typeName = colNameOf(df, typeE, "funnel type")
       val steps = stepEs.map { e =>

@@ -94,6 +94,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p.forall(_.getDouble(3) >= 0.3))
   }
 
+  test("cosine LSH pairs: subset of exact, recall >= 0.95") {
+    val exact = LlmOps.similarityPairs(embs, 0.3).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = LlmOps.similarityPairsLsh(embs, 0.3).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact cosine verify ⇒ no false positives
+    assert(lsh.size >= math.ceil(exact.size * 0.95).toInt) // banding recall
+  }
+
+  test("dedupNearCosine lsh default matches the exact variant on >= 95% of survivors") {
+    val keptExact = LlmOps.dedupNearCosine(embs, 0.3, method = "exact")
+      .collect().map(_.getLong(0)).toSet
+    val keptLsh = LlmOps.dedupNearCosine(embs, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    // missed pairs can only ADD survivors (fewer drops), never remove
+    assert(keptExact.subsetOf(keptLsh))
+    assert(keptExact.size >= math.ceil(keptLsh.size * 0.95).toInt)
+  }
+
   test("dedupNearCosine keeps the min-id representative of each near-dup pair") {
     val kept = LlmOps.dedupNearCosine(embs, 0.3).collect().map(_.getLong(0)).toSet
     val pairs = LlmOps.similarityPairs(embs, 0.3).collect()
