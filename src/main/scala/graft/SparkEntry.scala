@@ -895,6 +895,25 @@ object SparkEntry {
         | sort by nt asc"""),
       Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ACF local-maxima period detection: period-4 signal over 24 points →
+    // ACF(4)=25/30, ACF(8)=20/30 (exact closed-form, pinned as literals)
+    "q94_series_periods" -> Q(kqlQ(
+      """print r = series_periods_detect(pack_array(
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 2, 12, 2)
+        | project periods = dynamic_to_json(r.periods), scores = dynamic_to_json(r.scores)"""),
+      Some("""SELECT '[4.0,8.0]' AS periods, '[0.8333,0.6667]' AS scores""")),
+
+    // externaldata over a local parquet URI (zero-egress env: file paths
+    // are the reachable URI class; schema declared, not inferred)
+    "q95_externaldata" -> Q(
+      (s, d) => Kql.run(s,
+        s"""externaldata (n_nationkey:long, n_name:string, n_regionkey:long)
+              ['$d/nation.parquet'] with (format='parquet')
+            | summarize n = count(), mx = max(n_nationkey) by n_regionkey
+            | sort by n_regionkey asc""", d),
+      Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_nationkey) AS mx FROM nation GROUP BY 1 ORDER BY 1""")),
+
     "q92_series_decompose" -> Q(kqlQ(
       """print an = series_decompose_anomalies(pack_array(
            1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,

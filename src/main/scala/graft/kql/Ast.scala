@@ -93,6 +93,13 @@ object Ast {
   final case class TopNestedLevel(n: Long, of: (Option[String], Expr),
                                   by: (Option[String], Expr), asc: Boolean)
   final case class InvokeOp(fn: String, args: List[Expr]) extends TabOp
+  /** `consume` — execute the pipeline, suppress the result set. */
+  final case class ConsumeOp() extends TabOp
+  /** `fork name1 = (ops) name2 = (ops)` — fan one input into N branches
+    * (multi-result: reachable via Kql.runMulti; plain run rejects it). */
+  final case class ForkOp(branches: List[(String, List[TabOp])]) extends TabOp
+  /** `facet by c1, c2` — one value-count table per column (multi-result). */
+  final case class FacetOp(cols: List[String]) extends TabOp
 
   // ------------------------------------------------------------- sources
   sealed trait Source
@@ -105,6 +112,10 @@ object Ast {
   final case class FindSource(tables: List[String], pred: Expr) extends Source
   final case class UnionSource(kind: String, withSource: Option[String],
                                tables: List[Query]) extends Source
+  /** `externaldata (schema) ['uri', ...] with (format='csv', ...)` —
+    * external files as a typed table (local/file URIs in this env). */
+  final case class ExternalData(schema: List[(String, String)], uris: List[String],
+                                options: Map[String, String]) extends Source
 
   // --------------------------------------------------------------- query
   final case class Query(source: Source, ops: List[TabOp])

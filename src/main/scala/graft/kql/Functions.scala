@@ -274,6 +274,9 @@ object Functions {
         transform(sc, x => when(x > excess, 1L).when(x < -excess, -1L)
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    "series_periods_detect" -> f {
+      case a :: minP :: maxP :: k :: Nil => seriesPeriodsDetect(a, minP, maxP, k)
+      case a :: Nil => seriesPeriodsDetect(a, lit(2), lit(0), lit(1)) },
     // Tukey-fence outlier scores (k=1.5): 0 inside the fences, distance
     // past the fence in IQR units outside (sign marks the direction)
     "series_outliers" -> f { case a :: Nil => seriesOutliers(a) },
@@ -541,6 +544,56 @@ object Functions {
 
   private def seriesDecompose(a: Column, period: Column): Column =
     seriesDecomposeUdf(a.cast("array<double>"), period.cast("int"))
+
+  /** series_periods_detect output shape. */
+  case class PeriodsDetect(periods: Seq[Double], scores: Seq[Double])
+
+  /** Period detection via the normalized autocorrelation function: score
+    * a lag L as ACF(L) = Σ c[i]·c[i+L] / Σ c[i]² over the mean-centered
+    * series, keep the top-k LOCAL MAXIMA in [minPeriod, maxPeriod]
+    * (a local-max filter, as in the classic periodogram+ACF hybrid of
+    * autoperiod-style detectors — a plain top-k would return L and all
+    * its multiples). Scores round to 4 decimals for cross-run stability.
+    * Same compact-UDF trade as series_decompose: per-row O(n·lags)
+    * primitive loops, embarrassingly parallel. */
+  private val seriesPeriodsUdf =
+    udf { (v: Seq[Double], minP0: Int, maxP0: Int, k: Int) =>
+      val n = v.length
+      val out =
+        if (n < 4) PeriodsDetect(Nil, Nil)
+        else {
+          val mean = v.sum / n
+          val c = Array.tabulate(n)(i => v(i) - mean)
+          var denom = 0.0
+          var i = 0
+          while (i < n) { denom += c(i) * c(i); i += 1 }
+          val lo = math.max(2, minP0)
+          val hi = math.min(if (maxP0 > 0) maxP0 else n / 2, n / 2)
+          def acf(lag: Int): Double = {
+            if (denom == 0) 0.0
+            else {
+              var s = 0.0; var j = 0
+              while (j + lag < n) { s += c(j) * c(j + lag); j += 1 }
+              s / denom
+            }
+          }
+          val scoresByLag = (lo to hi).map(l => l -> acf(l))
+          val localMax = scoresByLag.zipWithIndex.filter { case ((_, s), ix) =>
+            val prev = if (ix == 0) acf(math.max(lo - 1, 1)) else scoresByLag(ix - 1)._2
+            val next = if (ix == scoresByLag.length - 1) Double.MinValue
+                       else scoresByLag(ix + 1)._2
+            s >= prev && s > next
+          }.map(_._1)
+          val cand = if (localMax.nonEmpty) localMax else scoresByLag
+          val top = cand.filter(_._2 > 0).sortBy { case (l, s) => (-s, l) }.take(math.max(k, 1))
+          PeriodsDetect(top.map(_._1.toDouble),
+            top.map { case (_, s) => math.rint(s * 10000) / 10000 })
+        }
+      out
+    }
+
+  private def seriesPeriodsDetect(a: Column, minP: Column, maxP: Column, k: Column): Column =
+    seriesPeriodsUdf(a.cast("array<double>"), minP.cast("int"), maxP.cast("int"), k.cast("int"))
 
   private def seriesFitLine(a: Column): Column = {
     val n = size(a).cast("double")

@@ -172,6 +172,42 @@ final class Parser(src: String) {
         val (kind, withSource) = parseUnionParams()
         val tables = parseUnionOperands()
         UnionSource(kind, withSource, tables)
+      case TIdent(kw, _) if kw.equalsIgnoreCase("externaldata") =>
+        p += 1
+        eatSym("(")
+        val schema = List.newBuilder[(String, String)]
+        var more = true
+        while (more) {
+          val n = identName(); eatSym(":"); val t = identName()
+          schema += n -> t
+          more = trySym(",")
+        }
+        eatSym(")")
+        eatSym("[")
+        val uris = List.newBuilder[String]
+        while (!isSym("]")) {
+          cur match {
+            case TStr(s, _) => p += 1; uris += s
+            case _ => fail("externaldata expects string URIs")
+          }
+          if (!isSym("]")) eatSym(",")
+        }
+        eatSym("]")
+        val opts = Map.newBuilder[String, String]
+        if (tryIdent("with")) {
+          eatSym("(")
+          while (!isSym(")")) {
+            val pname = identName(); eatSym("=")
+            cur match {
+              case TStr(s2, _) => p += 1; opts += pname.toLowerCase -> s2
+              case TIdent(s2, _) => p += 1; opts += pname.toLowerCase -> s2
+              case _ => fail("externaldata with(...) expects k='v' pairs")
+            }
+            trySym(",")
+          }
+          eatSym(")")
+        }
+        ExternalData(schema.result(), uris.result(), opts.result())
       case TIdent(name, _) =>
         p += 1; TableRef(name)
       case _ => fail("expected table source")
@@ -302,6 +338,41 @@ final class Parser(src: String) {
           ParseKv(src, keys.result(), pairDelim, kvDelim)
         case "getschema" => GetSchemaOp()
         case "serialize" => SerializeOp()
+        case "consume" =>
+          // optional `decodeblocks=...` tuning is accepted and ignored
+          if (tryIdent("decodeblocks")) { eatSym("="); p += 1 }
+          ConsumeOp()
+        case "fork" =>
+          val branches = List.newBuilder[(String, List[TabOp])]
+          var i = 0
+          var go = true
+          while (go) {
+            val nm = cur match {
+              case TIdent(n, _) if (ahead(1) match {
+                case TSym("=", _) => true; case _ => false
+              }) => p += 1; eatSym("="); n
+              case _ => s"branch$i"
+            }
+            eatSym("(")
+            val ops = List.newBuilder[TabOp]
+            // a branch is a pipeline applied to the fork input: ops only
+            if (!isSym(")")) {
+              ops += parseTabOp()
+              while (trySym("|")) ops += parseTabOp()
+            }
+            eatSym(")")
+            branches += nm -> ops.result()
+            i += 1
+            go = cur match {
+              case TIdent(_, _) => true
+              case TSym("(", _) => true
+              case _ => false
+            }
+          }
+          ForkOp(branches.result())
+        case "facet" =>
+          eatIdent("by")
+          FacetOp(parseIdentList())
         case "render" =>
           // visualization directive: consume `<chart> [with (k=v, ...)]`,
           // semantics are a pass-through (the engine returns the data)

@@ -34,6 +34,36 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private var letTabFuncs = Map.empty[String, (String, List[String], Query)]
 
   def planStatements(st: Statements): DataFrame = {
+    bindStatements(st)
+    plan(st.query)
+  }
+
+  /** Multi-result entry for `fork`/`facet` pipelines: returns one named
+    * DataFrame per branch/facet (single-result queries come back as the
+    * one-entry "result"). The shared prefix is persisted so branches
+    * scan it once. */
+  def planStatementsMulti(st: Statements): Seq[(String, DataFrame)] = {
+    bindStatements(st)
+    val q = st.query
+    q.ops.lastOption match {
+      case Some(ForkOp(branches)) =>
+        val base = plan(Query(q.source, q.ops.init)).persist()
+        branches.map { case (nm, ops) =>
+          var d = base
+          ops.foreach(op => d = applyOp(d, op))
+          nm -> d
+        }
+      case Some(FacetOp(cols)) =>
+        val base = plan(Query(q.source, q.ops.init)).persist()
+        cols.map { c =>
+          val rc = resolveName(base, c)
+          c -> base.groupBy(col(rc)).agg(count(lit(1)).as("count_")).orderBy(col(rc))
+        }
+      case _ => Seq("result" -> plan(q))
+    }
+  }
+
+  private def bindStatements(st: Statements): Unit = {
     letFuncs = st.funcs
     letTabFuncs = st.tabFuncs
     st.lets.foreach {
@@ -44,7 +74,6 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         // (lazy persist — Spark caches on first action)
         letTables += n -> (if (st.materialized(n)) d.persist() else d)
     }
-    plan(st.query)
   }
 
   /** Macro-expand a user lambda call: substitute args for params in the
@@ -99,6 +128,25 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       }
     case UnionSource(kind, withSource, tables) =>
       planUnion(kind, withSource, tables.map(q => branchName(q) -> plan(q)))
+
+    case ExternalData(schema, uris, options) =>
+      // external files as a typed table. Zero-egress environment: only
+      // local/file URIs are reachable; the declared schema is authoritative
+      // (spark.read with explicit schema — no inference pass).
+      val st = StructType(schema.map { case (n, t) => StructField(n, kqlType(t)) })
+      val fmt = options.getOrElse("format", "csv").toLowerCase
+      val passOpts = options - "format"
+      val reader = spark.read.schema(st).options(passOpts)
+      val raw = fmt match {
+        case "csv" | "txt" | "tsv" =>
+          val r = if (fmt == "tsv") reader.option("sep", "\t") else reader
+          r.csv(uris: _*)
+        case "json" | "multijson" => reader.json(uris: _*)
+        case "parquet" => spark.read.options(passOpts).parquet(uris: _*)
+        case other => throw PlanError(s"externaldata: unsupported format '$other'")
+      }
+      // enforce declared column order/types regardless of file layout
+      raw.select(schema.map { case (n, t) => col(n).cast(kqlType(t)).as(n) }: _*)
 
     case FindSource(tables, pred) =>
       // cross-table search: null-padding union (each branch keeps its own
@@ -218,6 +266,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         toCol(e, df).as(defaultName(e, i)) }: _*).distinct()
 
     case CountOp() => df.agg(count(lit(1)).as("Count"))
+
+    case ConsumeOp() =>
+      // execute-and-discard: the result set is suppressed (schema kept)
+      df.limit(0)
+
+    case _: ForkOp | _: FacetOp => throw PlanError(
+      "fork/facet produce multiple result tables — use Kql.runMulti")
 
     case j: JoinOp => planJoin(df, j)
 
@@ -1582,4 +1637,12 @@ object Kql {
 
   def run(spark: SparkSession, query: String, dir: String): DataFrame =
     run(spark, query, Catalog(spark, dir))
+
+  /** Multi-result entry for `fork`/`facet` queries: one named DataFrame
+    * per branch (single-result queries return the one-entry "result"). */
+  def runMulti(spark: SparkSession, query: String, catalog: Catalog): Seq[(String, DataFrame)] =
+    new Planner(spark, catalog).planStatementsMulti(new Parser(query).parseStatements())
+
+  def runMulti(spark: SparkSession, query: String, dir: String): Seq[(String, DataFrame)] =
+    runMulti(spark, query, Catalog(spark, dir))
 }

@@ -279,6 +279,51 @@ class PlannerSpec extends AnyFunSuite {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("consume executes and suppresses the result set (schema kept)") {
+    val d = Kql.run(spark, "datatable(x:long) [1, 2, 3] | consume", cat)
+    assert(d.count() == 0)
+    assert(d.columns.toSeq == Seq("x"))
+  }
+
+  test("fork fans one input into named branches via runMulti") {
+    val rs = Kql.runMulti(spark,
+      """datatable(x:long, g:string) [1, 'a', 2, 'a', 3, 'b']
+        | fork hi = (where x >= 2 | summarize n = count())
+               by_g = (summarize n = count() by g | sort by g asc)""", cat).toMap
+    assert(rs.keySet == Set("hi", "by_g"))
+    assert(rs("hi").head.getLong(0) == 2L)
+    assert(rs("by_g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("facet by yields one value-count table per column") {
+    val rs = Kql.runMulti(spark,
+      """datatable(a:string, b:string) ['x', 'p', 'x', 'q', 'y', 'p']
+        | facet by a, b""", cat).toMap
+    assert(rs("a").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 2L), ("y", 1L)))
+    assert(rs("b").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("p", 2L), ("q", 1L)))
+  }
+
+  test("externaldata reads a local CSV with the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("extdata_")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.write(f, "7,foo\n9,bar\n".getBytes)
+    val rows = run(
+      s"""externaldata (v:long, s:string) ['${f}'] with (format='csv')
+         | sort by v asc""")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((7L, "foo"), (9L, "bar")))
+  }
+
+  test("series_periods_detect: constant series has no period, noise scores low") {
+    val r = one(
+      """print r = series_periods_detect(pack_array(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0), 2, 4, 2)
+        | project n = array_length(r.periods)""")
+    assert(r.getLong(0) == 0L)
+  }
+
   test("extract_json and translate scalars") {
     val r = one("""print a = extract_json('$.k.v', '{"k": {"v": 7}}'),
                         b = translate('abc', 'xyz', 'aabbcc')""")
