@@ -895,6 +895,17 @@ object SparkEntry {
         | sort by nt asc"""),
       Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // scan under partition by = the distributed path (hash on key +
+    // sortWithinPartitions + per-key state machine); integer-cents
+    // accumulation keeps the running sum bit-exact across engines
+    "q96_scan" -> Q(kqlQ(
+      """events
+        | partition by user_id (sort by ts asc, event_id asc
+            | scan declare (rs:long=0) with (step s: true => rs = rs + tolong(round(value * 100))))
+        | summarize mx = max(rs), n = count() by user_id
+        | sort by user_id asc"""),
+      Some("""WITH r AS (SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS rs FROM events) SELECT user_id, MAX(rs) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1 ORDER BY 1""")),
+
     // ACF local-maxima period detection: period-4 signal over 24 points →
     // ACF(4)=25/30, ACF(8)=20/30 (exact closed-form, pinned as literals)
     "q94_series_periods" -> Q(kqlQ(

@@ -100,6 +100,12 @@ object Ast {
   final case class ForkOp(branches: List[(String, List[TabOp])]) extends TabOp
   /** `facet by c1, c2` — one value-count table per column (multi-result). */
   final case class FacetOp(cols: List[String]) extends TabOp
+  /** `scan [with_match_id=m] [declare (v:t=default,...)] with (steps)` —
+    * ordered sequence matching with per-sequence state. */
+  final case class ScanStep(name: String, cond: Expr, assigns: List[(String, Expr)])
+  final case class ScanOp(matchId: Option[String],
+                          declares: List[(String, String, Expr)], // (name, type, default)
+                          steps: List[ScanStep]) extends TabOp
 
   // ------------------------------------------------------------- sources
   sealed trait Source

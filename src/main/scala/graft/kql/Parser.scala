@@ -373,6 +373,54 @@ final class Parser(src: String) {
         case "facet" =>
           eatIdent("by")
           FacetOp(parseIdentList())
+        case "scan" =>
+          val matchId =
+            if (tryIdent("with_match_id")) { eatSym("="); Some(identName()) } else None
+          val declares = List.newBuilder[(String, String, Expr)]
+          if (tryIdent("declare")) {
+            eatSym("(")
+            var more = true
+            while (more) {
+              val n = identName(); eatSym(":"); val t = identName()
+              val dflt: Expr =
+                if (trySym("=")) parseExpr()
+                else t.toLowerCase match {
+                  case "long" | "int" | "timespan" => Lit(0L)
+                  case "real" | "double" => Lit(0.0)
+                  case "bool" | "boolean" => Lit(false)
+                  case _ => Lit(null)
+                }
+              declares += ((n, t, dflt))
+              more = trySym(",")
+            }
+            eatSym(")")
+          }
+          eatIdent("with")
+          eatSym("(")
+          val steps = List.newBuilder[ScanStep]
+          while (isIdent("step")) {
+            p += 1
+            val nm = identName()
+            // optional `output=all|last|none` directive accepted, ignored
+            if (tryIdent("output")) { eatSym("="); identName() }
+            eatSym(":")
+            val cond = parseExpr()
+            val assigns = List.newBuilder[(String, Expr)]
+            if (trySym("=>")) {
+              var more = true
+              while (more) {
+                val an = identName(); eatSym("=")
+                assigns += an -> parseExpr()
+                more = trySym(",")
+              }
+            }
+            trySym(";")
+            steps += ScanStep(nm, cond, assigns.result())
+          }
+          eatSym(")")
+          val st = steps.result()
+          if (st.isEmpty) fail("scan needs at least one step")
+          ScanOp(matchId, declares.result(), st)
         case "render" =>
           // visualization directive: consume `<chart> [with (k=v, ...)]`,
           // semantics are a pass-through (the engine returns the data)

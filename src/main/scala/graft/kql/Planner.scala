@@ -274,6 +274,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case _: ForkOp | _: FacetOp => throw PlanError(
       "fork/facet produce multiple result tables — use Kql.runMulti")
 
+    case s: ScanOp => planScan(df, s, None, Nil)
+
     case j: JoinOp => planJoin(df, j)
 
     case LookupOp(rightQ, keys) =>
@@ -577,12 +579,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       // per-partition execution)
       val rk = resolveName(df, key)
       var acc = df
+      var lastSort: List[SortKey] = Nil
       ops.foreach {
         case w: Where => acc = applyOp(acc, w)
         case e: Extend => acc = applyOp(acc, e)
         case p: Project => acc = applyOp(acc, p)
         case p: ProjectAway => acc = applyOp(acc, p)
         case p: ProjectKeep => acc = applyOp(acc, p)
+        case s2: ScanOp =>
+          // the distributed scan path: hash-partition on the key, sort
+          // within partitions, state machine resets at key boundaries
+          acc = planScan(acc, s2, Some(rk), lastSort)
         case s2: Summarize =>
           acc = planSummarize(acc, Summarize(s2.aggs, s2.by :+ ((Some(rk), Col(rk): Expr))))
         case Top(n, keys) =>
@@ -596,6 +603,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           acc = acc.withColumn("__pn", row_number().over(w))
             .filter(col("__pn") <= n).drop("__pn")
         case Sort(keys) =>
+          lastSort = keys
           acc = acc.orderBy(col(rk).asc +: keys.map(k => sortCol(k, acc)): _*)
         case other => throw PlanError(s"partition: unsupported sub-operator $other")
       }
@@ -1586,6 +1594,93 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           case None => throw PlanError(s"unknown function '$other'")
         }
     }
+  }
+
+  /** KQL `scan`: all expression evaluation (step conditions, assignment
+    * right-hand sides) is compiled to Catalyst columns up front; the
+    * sequential sequence-matching bookkeeping runs in [[ScanExec]].
+    * Assignments support `<expr>`, `<var>`, and `<var> + <expr>` forms
+    * (covering counters/running aggregates/latching); conditions are row
+    * predicates. Under `partition by` the machine is hash-distributed on
+    * the key; the bare serialized form runs one ordered partition —
+    * scan's own semantics (match ids are then unique per partition key /
+    * globally respectively). */
+  private def planScan(df: DataFrame, op: ScanOp, partKey: Option[String],
+                       partOrder: List[SortKey]): DataFrame = {
+    import ScanExec._
+    val declared = op.declares
+    val declaredNames = declared.map(_._1)
+    val declaredSet = declaredNames.toSet
+    declaredNames.foreach { n =>
+      if (df.columns.exists(_.equalsIgnoreCase(n)))
+        throw PlanError(s"scan declare '$n' collides with an input column")
+    }
+    val declIdx = declaredNames.zipWithIndex.toMap
+    val types = declared.map { case (_, t, _) => kqlType(t) }
+    val isLong = types.map {
+      case LongType | IntegerType => true; case _ => false
+    }.toArray
+
+    val nSteps = op.steps.length
+    val nVars = declared.length
+    val width = df.columns.length
+    val condBase = width
+    val condCols = op.steps.zipWithIndex.map { case (st, k) =>
+      if (referencesAny(st.cond, declaredSet))
+        throw PlanError("scan: step conditions may not reference declared variables")
+      coalesce(toCol(st.cond, df).cast("boolean"), lit(false)).as(s"__scan_c$k")
+    }
+    var valIdx = condBase + nSteps
+    val assigns = Array.fill(nSteps)(Array.fill[Option[Rhs]](nVars)(None))
+    val valCols = scala.collection.mutable.ArrayBuffer[Column]()
+    op.steps.zipWithIndex.foreach { case (st, k) =>
+      st.assigns.foreach { case (vn, rhs) =>
+        val vi = declIdx.getOrElse(vn,
+          throw PlanError(s"scan: assignment to undeclared variable '$vn'"))
+        def rowValCol(e: Expr): Int = {
+          val i = valIdx; valIdx += 1
+          valCols += toCol(e, df).cast(types(vi)).as(s"__scan_v$i")
+          i
+        }
+        val spec: Rhs = rhs match {
+          case Col(v2) if declIdx.contains(v2) => CarryVar(declIdx(v2))
+          case BinOp("+", Col(v2), e) if declIdx.contains(v2) && !referencesAny(e, declaredSet) =>
+            AddVar(declIdx(v2), rowValCol(e))
+          case BinOp("+", e, Col(v2)) if declIdx.contains(v2) && !referencesAny(e, declaredSet) =>
+            AddVar(declIdx(v2), rowValCol(e))
+          case e if !referencesAny(e, declaredSet) => SetRow(rowValCol(e))
+          case _ => throw PlanError(
+            "scan: assignment must be <expr>, <var>, or <var> + <expr>")
+        }
+        assigns(k)(vi) = Some(spec)
+      }
+    }
+    val projected = df.select(df.columns.map(col).toSeq ++ condCols ++ valCols: _*)
+    val defaults: Array[Any] = declared.map { case (_, t, d) => staticValue(d, t) }.toArray
+
+    val (arranged, keyIdx) = partKey match {
+      case Some(k) =>
+        val rk = resolveName(df, k)
+        val ordCols = col(rk).asc +: partOrder.map(sk => sortCol(sk, projected))
+        (projected.repartition(col(rk)).sortWithinPartitions(ordCols: _*),
+          Some(df.columns.indexWhere(_.equalsIgnoreCase(rk))))
+      case None =>
+        val ordered: Seq[Column] =
+          if (sortCols.nonEmpty) sortCols
+          else if (serialized) Seq(monotonically_increasing_id().asc)
+          else throw PlanError(
+            "scan requires `sort by`/`serialize` first (or use it under partition by)")
+        // one ordered partition: the serialized scan IS sequential;
+        // coalesce(1) after the sort concatenates range partitions in
+        // index order, preserving the total order
+        (projected.orderBy(ordered: _*).coalesce(1), None)
+    }
+    val outSchema = StructType(
+      projected.schema.fields.take(width).toSeq ++
+        declared.zip(types).map { case ((n, _, _), t) => StructField(n, t) } ++
+        op.matchId.map(m => StructField(m, LongType)).toSeq)
+    ScanExec.run(arranged, outSchema, width, nSteps, condBase, assigns,
+      defaults, isLong, keyIdx, op.matchId.isDefined)
   }
 
   private def planBin(value: Expr, step: Expr, df: DataFrame): Column = {

@@ -324,6 +324,45 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L)
   }
 
+  test("scan: running sum over the serialized stream (canonical KQL example)") {
+    val rows = run(
+      """range x from 1 to 5 step 1
+        | sort by x asc
+        | scan declare (rs:long=0) with (step a: true => rs = x + rs;)
+        | project x, rs
+        | sort by x asc""")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 10L), (5L, 15L)))
+  }
+
+  test("scan: multi-step sequence matching with match ids and restarts") {
+    val rows = run(
+      """datatable(i:long, e:string) [
+          1, 'start', 2, 'mid', 3, 'end', 4, 'start', 5, 'other', 6, 'mid', 7, 'end']
+        | sort by i asc
+        | scan with_match_id=m with (
+            step s1: e == 'start';
+            step s2: e == 'mid';
+            step s3: e == 'end';)
+        | project i, m
+        | sort by i asc""")
+    // rows 1-3 form match 1; rows 4,6,7 form match 2; row 5 skipped
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (6L, 2L), (7L, 2L)))
+  }
+
+  test("scan under partition by: per-key machine with boundary resets") {
+    val rows = run(
+      """datatable(g:string, i:long, v:long) [
+          'a', 1, 10, 'a', 2, 20, 'b', 1, 5, 'b', 2, 7]
+        | partition by g (sort by i asc
+            | scan declare (rs:long=0) with (step s: true => rs = rs + v))
+        | summarize mx = max(rs) by g
+        | sort by g asc""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 30L), ("b", 12L)))
+  }
+
   test("extract_json and translate scalars") {
     val r = one("""print a = extract_json('$.k.v', '{"k": {"v": 7}}'),
                         b = translate('abc', 'xyz', 'aabbcc')""")
