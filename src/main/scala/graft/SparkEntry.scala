@@ -895,6 +895,18 @@ object SparkEntry {
         | sort by nt asc"""),
       Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
+    "q97_scalar_batch3" -> Q(kqlQ(
+      """print nt = not(1 == 2), ct = round(cot(1.0), 6),
+              rg = dynamic_to_json(range(1, 9, 3)),
+              hc = hash_combine(hash('a'), hash('b')) != hash('a'),
+              fm = format_ipv4_mask('192.168.1.77', 24),
+              ir = ipv4_is_in_any_range('10.0.1.5', '10.0.0.0/16', '192.168.0.0/24'),
+              ir2 = ipv4_is_in_any_range('8.8.8.8', '10.0.0.0/16', '192.168.0.0/24'),
+              un = unixtime_nanoseconds_todatetime(1700000000123456789),
+              gc = geo_point_in_circle(-122.41, 37.77, -122.40, 37.77, 2000.0),
+              gc2 = geo_point_in_circle(-122.41, 37.77, -120.40, 37.77, 2000.0)"""),
+      Some("""SELECT true AS nt, 0.642093 AS ct, '[1,4,7]' AS rg, true AS hc, '192.168.1.0/24' AS fm, true AS ir, false AS ir2, TIMESTAMP '2023-11-14 22:13:20.123456' AS un, true AS gc, false AS gc2""")),
+
     // scan under partition by = the distributed path (hash on key +
     // sortWithinPartitions + per-key state machine); integer-cents
     // accumulation keeps the running sum bit-exact across engines

@@ -39,6 +39,19 @@ object Functions {
     "url_encode" -> f { case c :: Nil => url_encode(c) },
     "url_decode" -> f { case c :: Nil => url_decode(c) },
     "isempty" -> f { case c :: Nil => c.isNull || c === lit("") },
+    "not" -> f { case c :: Nil => !c.cast("boolean") },
+    "cot" -> f { case c :: Nil => lit(1.0) / tan(c) },
+    // scalar range(start, stop, step) → dynamic array (inclusive stop)
+    "range" -> f {
+      case a :: b :: Nil => sequence(a, b)
+      case a :: b :: st :: Nil => sequence(a, b, st) },
+    "hash_combine" -> f { cs => xxhash64(cs: _*) },
+    "unixtime_nanoseconds_todatetime" -> f { case c :: Nil =>
+      // exact ns→µs floor division (decimal path — double division loses
+      // ULPs at 1.7e18-scale epochs, see Catalog.normalize)
+      val ns = c.cast("long")
+      timestamp_micros(((ns - pmod(ns, lit(1000L)))
+        .cast("decimal(38,0)") / 1000).cast("long")) },
     "isnotempty" -> f { case c :: Nil => c.isNotNull && c =!= lit("") },
     "isnull" -> f { case c :: Nil => c.isNull },
     "isnotnull" -> f { case c :: Nil => c.isNotNull },
@@ -330,6 +343,8 @@ object Functions {
     // ------------------------------------------------------------- geo
     "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
       haversineMeters(lon1, lat1, lon2, lat2) },
+    "geo_point_in_circle" -> f { case lon :: lat :: cLon :: cLat :: radius :: Nil =>
+      haversineMeters(lon, lat, cLon, cLat) <= radius.cast("double") },
     // -------------------------------------------------------- IP (§2.8.7)
     "parse_ipv4" -> f { case s :: Nil => parseIpv4(s) },
     "format_ipv4" -> f { case n :: Nil =>
@@ -337,6 +352,17 @@ object Functions {
         shiftright(n.cast("long"), 16) % 256,
         shiftright(n.cast("long"), 8) % 256, n.cast("long") % 256) },
     "ipv4_is_in_range" -> f { case ip :: range :: Nil => ipv4InRange(ip, range) },
+    "ipv4_is_in_any_range" -> f { case ip :: ranges =>
+      ranges.map(r => ipv4InRange(ip, r)).reduce(_ || _) },
+    "format_ipv4_mask" -> f { case ipS :: m :: Nil =>
+      // network address of ip under /m, rendered with the suffix
+      val ip = parseIpv4(ipS)
+      val hostBits = lit(32L) - m.cast("long")
+      val block = pow(lit(2.0), hostBits.cast("double")).cast("long")
+      val net = (ip - pmod(ip, block)).cast("long")
+      concat_ws("/", concat_ws(".", shiftright(net, 24) % 256,
+        shiftright(net, 16) % 256, shiftright(net, 8) % 256, net % 256),
+        m.cast("long")) },
     "ipv4_netmask_suffix" -> f { case s :: Nil => netmaskSuffix(s) },
     "ipv4_is_private" -> f { case s :: Nil =>
       val ip = parseIpv4(element_at(split(s, "/"), 1))

@@ -856,6 +856,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         case "percentile_approx" =>
           percentile_approx(a(0), percentAsFraction(args(1), df), lit(10000))
         case "take_any" | "any" => first(a(0), ignoreNulls = true)
+        case "take_anyif" | "anyif" => first(when(a(1), a(0)), ignoreNulls = true)
         case "make_list" if args.length == 1 => collect_list(a(0))
         case "make_list" => slice(collect_list(a(0)), 1, staticValue(args(1), "").asInstanceOf[Long].toInt)
         case "make_set" => array_sort(collect_set(a(0)))
@@ -1299,7 +1300,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private val aggFns: Set[String] = Set("count", "countif", "sum", "sumif",
     "avg", "avgif", "min", "minif", "max", "maxif", "dcount", "dcountif",
     "count_distinct", "count_distinctif", "percentile", "percentile_approx",
-    "take_any", "any", "make_list", "make_set", "make_list_if", "make_set_if",
+    "take_any", "any", "take_anyif", "anyif",
+    "make_list", "make_set", "make_list_if", "make_set_if",
     "make_bag", "make_bag_if",
     "stdev", "stdevp", "variance", "variancep", "binary_all_and",
     "binary_all_or", "binary_all_xor", "hll", "hll_merge", "max_by",

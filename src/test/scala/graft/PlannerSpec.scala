@@ -363,6 +363,12 @@ class PlannerSpec extends AnyFunSuite {
       Seq(("a", 30L), ("b", 12L)))
   }
 
+  test("take_anyif picks a value only where the predicate holds") {
+    val r = one(
+      "datatable(x:long, g:long) [1, 0, 5, 1, 7, 1] | summarize v = take_anyif(x, g == 1)")
+    assert(r.getLong(0) == 5L) // single-partition datatable: first match
+  }
+
   test("extract_json and translate scalars") {
     val r = one("""print a = extract_json('$.k.v', '{"k": {"v": 7}}'),
                         b = translate('abc', 'xyz', 'aabbcc')""")
