@@ -22,6 +22,38 @@ class KqlPropertySpec extends AnyFunSuite {
   private def dt(vals: Seq[Long]): String =
     s"datatable(x:long) [${vals.mkString(", ")}]"
 
+  test("two-phase global windows ≡ naive single-partition windows (random data)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gen = Gen.listOfN(37, Gen.chooseNum(-50L, 50L))
+    for (vals <- samples(gen, 5)) {
+      val rows = vals.zipWithIndex.map { case (v, ix) => (ix.toLong, v / 5) }
+      val q = s"datatable(id:long, v:long) [${rows.map(r => s"${r._1}, ${r._2}").mkString(", ")}]" +
+        " | sort by v desc, id asc" +
+        " | extend rn = row_number(), rk = row_rank_min(v), dk = row_rank_dense(v)," +
+        "   pv = prev(v), nx = next(v), cs = row_cumsum(v)," +
+        "   nt = ntile(3), pr = round(percent_rank(), 8)" +
+        " | sort by id asc" +
+        " | project id, rn, rk, dk, pv, nx, cs, nt, pr"
+      val got = Kql.run(spark, q, cat).collect().map(_.toSeq).toSeq
+      val w = Window.orderBy(desc("v"), asc("id"))
+      val exp = rows.toDF("id", "v")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("dk", dense_rank().over(w).cast("long"))
+        .withColumn("pv", lag("v", 1).over(w))
+        .withColumn("nx", lead("v", 1).over(w))
+        .withColumn("cs", sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nt", ntile(3).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 8))
+        .orderBy("id")
+        .select("id", "rn", "rk", "dk", "pv", "nx", "cs", "nt", "pr")
+        .collect().map(_.toSeq).toSeq
+      assert(got == exp, s"vals=$vals")
+    }
+  }
+
   test("where p + where !p partitions the table") {
     for ((vals, i) <- samples(smallList, 5).zipWithIndex) {
       val pivot = -100 + 40 * i
