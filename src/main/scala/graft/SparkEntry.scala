@@ -895,6 +895,25 @@ object SparkEntry {
         | sort by nt asc"""),
       Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
+    "q98_shuffle_hint" -> Q(kqlQ(
+      """lineitem
+        | join kind=inner hint.strategy=shuffle (orders) on $left.l_orderkey == $right.o_orderkey
+        | summarize n = count(), s = sum(tolong(round(o_totalprice))) by l_returnflag
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""")),
+
+    "q99_ipv6" -> Q(kqlQ(
+      """print p1 = parse_ipv6('fe80::85d:e82c:9446:7994'),
+              p2 = parse_ipv6('::1'),
+              p3 = parse_ipv6('192.168.1.5'),
+              c1 = ipv6_compare('fe80::1', 'fe80::2'),
+              c2 = ipv6_compare('fe80::1', 'fe80::2', 126),
+              m1 = ipv6_is_match('fe80::123:4567', 'fe80::/64'),
+              m2 = ipv6_is_match('fe80::123:4567', 'fe81::/64'),
+              m3 = ipv6_is_match('192.168.1.5', '192.168.1.0/24'),
+              pm = parse_ipv6_mask('fe80::85d:e82c:9446:7994', 120)"""),
+      Some("""SELECT 'fe80:0000:0000:0000:085d:e82c:9446:7994' AS p1, '0000:0000:0000:0000:0000:0000:0000:0001' AS p2, '0000:0000:0000:0000:0000:ffff:c0a8:0105' AS p3, CAST(-1 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2, true AS m1, false AS m2, true AS m3, 'fe80:0000:0000:0000:085d:e82c:9446:7900' AS pm""")),
+
     "q97_scalar_batch3" -> Q(kqlQ(
       """print nt = not(1 == 2), ct = round(cot(1.0), 6),
               rg = dynamic_to_json(range(1, 9, 3)),
