@@ -1742,4 +1742,17 @@ object Kql {
 
   def runMulti(spark: SparkSession, query: String, dir: String): Seq[(String, DataFrame)] =
     runMulti(spark, query, Catalog(spark, dir))
+
+  /** Plan KQL text against STREAMING sources: `tables` maps table names
+    * to (possibly streaming) DataFrames — e.g. `readStream` outputs,
+    * watermarked by the caller. The planner is declarative DataFrame
+    * ops, so row-wise operators, joins against static catalog tables,
+    * and grouped aggregations compose into a streaming plan the caller
+    * finishes with `writeStream` (Structured Streaming decides legality
+    * per its output mode). Plan-time-eager operators (toscalar,
+    * bag_unpack sampling, materialize) reject streaming inputs
+    * naturally. */
+  def runStream(spark: SparkSession, query: String, dir: String,
+                tables: Map[String, DataFrame]): DataFrame =
+    run(spark, query, new Catalog(spark, dir, tables))
 }

@@ -30,6 +30,30 @@ class StreamingSpec extends AnyFunSuite {
     Ev(4, ts("2024-01-01 00:11:00"), 2, "click", 8.0),
   )
 
+  test("KQL text plans directly onto a streaming source (Kql.runStream)") {
+    val (_, df) = mkStream(batch1)
+    val out = graft.kql.Kql.runStream(spark,
+      "src | where value > 1.0 | extend v2 = value * 2 | summarize n = count(), s = sum(v2) by event_type",
+      TestSpark.sfDir, Map("src" -> df))
+    assert(out.isStreaming)
+    val sunk = StreamingOps.runToMemory(spark, out, "t_kql", "complete")
+    val got = sunk.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("click", 2L, 20.0), ("view", 1L, 8.0)))
+  }
+
+  test("KQL streaming join against a static catalog table") {
+    val (_, df) = mkStream(batch1)
+    // nation is a static parquet table from the fixture catalog: the
+    // stream-static join stays streaming
+    val out = graft.kql.Kql.runStream(spark,
+      "src | extend n_nationkey = user_id | join kind=inner (nation) on n_nationkey | summarize n = count() by n_name",
+      TestSpark.sfDir, Map("src" -> df))
+    assert(out.isStreaming)
+    val sunk = StreamingOps.runToMemory(spark, out, "t_kql_join", "complete")
+    assert(sunk.count() == 2) // two distinct user_ids → two nations
+  }
+
   test("tumbling window agg over a stream matches the batch plan") {
     val (_, df) = mkStream(batch1)
     // complete mode: a single AvailableNow batch emits every window
