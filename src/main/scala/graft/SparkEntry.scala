@@ -895,6 +895,19 @@ object SparkEntry {
         | sort by nt asc"""),
       Some("""WITH r AS (SELECT o_orderkey, CAST(NTILE(7) OVER w AS BIGINT) AS nt, ROUND(PERCENT_RANK() OVER w, 8) AS pr FROM orders WINDOW w AS (ORDER BY o_orderkey)) SELECT nt, CAST(COUNT(*) AS BIGINT) AS n, MIN(pr) AS mnp, MAX(pr) AS mxp, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // compression scalars are pinned by ROUNDTRIP (deflate bytes are not
+    // cross-engine comparable); geohash against known literals
+    "q100_zip_geohash" -> Q(kqlQ(
+      """print gz = gzip_decompress_from_base64_string(gzip_compress_to_base64_string('the quick brown fox')),
+              zl = zlib_decompress_from_base64_string(zlib_compress_to_base64_string('jumps over the lazy dog')),
+              bad = gzip_decompress_from_base64_string('bm90LWd6aXA='),
+              gh = geo_point_to_geohash(-122.4194, 37.7749, 9),
+              gc = geo_point_to_geohash(-0.1278, 51.5074),
+              ctr = geo_geohash_to_central_point('9q8yy')
+        | project gz, zl, bad, gh, gc,
+                  lon = round(ctr.longitude, 4), lat = round(ctr.latitude, 4)"""),
+      Some("""SELECT 'the quick brown fox' AS gz, 'jumps over the lazy dog' AS zl, '' AS bad, '9q8yyk8yt' AS gh, 'gcpvj' AS gc, -122.4097 AS lon, 37.771 AS lat""")),
+
     "q98_shuffle_hint" -> Q(kqlQ(
       """lineitem
         | join kind=inner hint.strategy=shuffle (orders) on $left.l_orderkey == $right.o_orderkey

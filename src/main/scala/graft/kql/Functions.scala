@@ -364,6 +364,17 @@ object Functions {
         shiftright(net, 16) % 256, shiftright(net, 8) % 256, net % 256),
         m.cast("long")) },
     "ipv4_netmask_suffix" -> f { case s :: Nil => netmaskSuffix(s) },
+    "gzip_compress_to_base64_string" -> f { case c :: Nil => gzipCompressUdf(c.cast("string")) },
+    "gzip_decompress_from_base64_string" -> f { case c :: Nil => gzipDecompressUdf(c.cast("string")) },
+    "zlib_compress_to_base64_string" -> f { case c :: Nil => zlibCompressUdf(c.cast("string")) },
+    "zlib_decompress_from_base64_string" -> f { case c :: Nil => zlibDecompressUdf(c.cast("string")) },
+    "geo_point_to_geohash" -> f {
+      case lon :: lat :: Nil => geohashUdf(lon.cast("double"), lat.cast("double"), lit(5))
+      case lon :: lat :: p :: Nil => geohashUdf(lon.cast("double"), lat.cast("double"), p.cast("int")) },
+    "geo_geohash_to_central_point" -> f { case h :: Nil =>
+      // KQL returns a GeoJSON dynamic; expose coordinates as a struct
+      val pt = geohashDecodeUdf(h)
+      struct(pt.getField("_1").as("longitude"), pt.getField("_2").as("latitude")) },
     "parse_ipv6" -> f { case s :: Nil => canonIpv6(s) },
     "parse_ipv6_mask" -> f { case s :: m :: Nil =>
       // canonical address with host bits under /m zeroed
@@ -528,6 +539,107 @@ object Functions {
     val mask = lit(4294967296L) -
       pow(lit(2.0), (lit(32) - prefix).cast("double")).cast("long")
     parseIpv4(ip).bitwiseAND(mask) === base.bitwiseAND(mask)
+  }
+
+  // ------------------------------------------ compression / geo encodings
+  //
+  // Compact JDK-backed UDFs (java.util.zip / bit math — no external
+  // libs). Deliberate UDFs like the IVF/decompose cases: there is no
+  // built-in expression for deflate or geohash, and the per-row work is
+  // a tight primitive loop.
+
+  private val gzipCompressUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+  }
+
+  private val gzipDecompressUdf = udf { s: String =>
+    if (s == null) null
+    else try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(s)))
+      new String(in.readAllBytes(), "UTF-8")
+    } catch { case _: Exception => "" } // KQL: invalid input → empty
+  }
+
+  private val zlibCompressUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](s.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Base64.getEncoder.encodeToString(buf.take(n))
+    }
+  }
+
+  private val zlibDecompressUdf = udf { s: String =>
+    if (s == null) null
+    else try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(java.util.Base64.getDecoder.decode(s))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new RuntimeException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      new String(out.toByteArray, "UTF-8")
+    } catch { case _: Exception => "" }
+  }
+
+  private val geohashChars = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash encode (interleaved lon/lat bisection). */
+  private val geohashUdf = udf { (lon: Double, lat: Double, precision: Int) =>
+    val p = math.max(1, math.min(precision, 12))
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    val sb = new StringBuilder
+    var isLon = true
+    var bits = 0; var ch = 0
+    while (sb.length < p) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch <<= 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch <<= 1; latHi = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { sb += geohashChars(ch); bits = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Center point of a geohash cell → struct(longitude, latitude). */
+  private val geohashDecodeUdf = udf { h: String =>
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    var isLon = true
+    h.toLowerCase.foreach { c =>
+      val ci = geohashChars.indexOf(c)
+      var b = 4
+      while (b >= 0) {
+        val bit = (ci >> b) & 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        isLon = !isLon
+        b -= 1
+      }
+    }
+    ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
   }
 
   // ------------------------------------------------------------- IPv6
