@@ -375,25 +375,14 @@ object Functions {
       // KQL returns a GeoJSON dynamic; expose coordinates as a struct
       val pt = geohashDecodeUdf(h)
       struct(pt.getField("_1").as("longitude"), pt.getField("_2").as("latitude")) },
-    "parse_ipv6" -> f { case s :: Nil => canonIpv6(s) },
+    "parse_ipv6" -> f { case s :: Nil => parseIpv6Udf(s.cast("string")) },
     "parse_ipv6_mask" -> f { case s :: m :: Nil =>
-      // canonical address with host bits under /m zeroed
-      val full = regexp_replace(canonIpv6(s), ":", "")
-      val pfx = m.cast("int")
-      val q = (pfx / 4).cast("int")
-      val r = pmod(pfx, lit(4))
-      val p2 = pow(lit(2.0), (lit(4) - r).cast("double"))
-      val keptNibble = when(r === 0, lit(""))
-        .otherwise(lower(hex(
-          ((conv(full.substr(q + 1, lit(1)), 16, 10).cast("double") / p2).cast("int")
-            .cast("double") * p2).cast("int"))))
-      val masked = rpad(concat(full.substr(lit(1), q), keptNibble), 32, "0")
-      array_join(transform(sequence(lit(0), lit(7)),
-        i => masked.substr(i * 4 + 1, lit(4))), ":") },
+      parseIpv6MaskUdf(s.cast("string"), m.cast("int")) },
     "ipv6_compare" -> f {
-      case a :: b :: Nil => ipv6Compare(a, b, lit(128))
-      case a :: b :: p :: Nil => ipv6Compare(a, b, p) },
-    "ipv6_is_match" -> f { case ip :: rng :: Nil => ipv6IsMatch(ip, rng) },
+      case a :: b :: Nil => ipv6CompareUdf(a.cast("string"), b.cast("string"), lit(128))
+      case a :: b :: p :: Nil => ipv6CompareUdf(a.cast("string"), b.cast("string"), p.cast("int")) },
+    "ipv6_is_match" -> f { case ip :: rng :: Nil =>
+      ipv6IsMatchUdf(ip.cast("string"), rng.cast("string")) },
     "ipv4_is_private" -> f { case s :: Nil =>
       val ip = parseIpv4(element_at(split(s, "/"), 1))
       shiftright(ip, 24) === 10L ||
@@ -644,65 +633,74 @@ object Functions {
 
   // ------------------------------------------------------------- IPv6
   //
-  // Canonical form: 8 lowercase 4-nibble groups joined by ':'. Pure
-  // Column combinators: '::' expansion via split + zero-fill, trailing
-  // embedded IPv4 rewritten to two hex groups, bare IPv4 inputs mapped
-  // to ::ffff:a.b.c.d (KQL's unified ipv6_* behavior).
+  // Canonical form: 8 lowercase 4-nibble groups joined by ':'. Compact
+  // JIT'd UDFs: the pure-Column formulation nested the canonicalizer
+  // into every comparison and cost ~12 s of Catalyst analysis/codegen
+  // for one constant-only query (the same giant-expression-tree trap as
+  // the IVF cell assignment; measured, then replaced).
 
-  private def canonIpv6(s0: Column): Column = {
-    val t0 = lower(trim(s0))
-    // bare IPv4 → IPv4-mapped IPv6
-    val t1 = when(instr(t0, ":") === 0 && instr(t0, ".") > 0,
-      concat(lit("::ffff:"), t0)).otherwise(t0)
-    // trailing dotted-quad → two hex groups
-    val v4 = regexp_extract(t1, "(\\d+\\.\\d+\\.\\d+\\.\\d+)$", 1)
-    val v4n = parseIpv4(v4)
-    val v4hex = concat(
-      lpad(lower(hex(shiftright(v4n, 16))), 4, "0"), lit(":"),
-      lpad(lower(hex(v4n.bitwiseAND(lit(65535L)))), 4, "0"))
-    val t = when(v4 =!= "",
-      concat(t1.substr(lit(1), length(t1) - length(v4)), v4hex))
-      .otherwise(t1)
-    val hasDc = instr(t, "::") > 0
-    val parts = split(t, "::")
-    val left = element_at(parts, 1)
-    val right = when(size(parts) > 1, element_at(parts, 2)).otherwise(lit(""))
-    val emptyArr = array().cast("array<string>")
-    val lG = when(left === "", emptyArr).otherwise(split(left, ":"))
-    val rG = when(right === "", emptyArr).otherwise(split(right, ":"))
-    val mid = array_repeat(lit("0"), (lit(8) - size(lG) - size(rG)).cast("int"))
-    val groups = when(hasDc, concat(lG, mid, rG)).otherwise(split(t, ":"))
-    array_join(transform(groups, g => lpad(g, 4, "0")), ":")
+  private def canonIpv6Str(s0: String): String = {
+    if (s0 == null) return null
+    var t = s0.trim.toLowerCase
+    if (!t.contains(":") && t.contains(".")) t = "::ffff:" + t
+    "(\\d+\\.\\d+\\.\\d+\\.\\d+)$".r.findFirstIn(t).foreach { q =>
+      val p = q.split("\\.").map(_.toLong)
+      val n = p(0) * 16777216L + p(1) * 65536L + p(2) * 256L + p(3)
+      t = t.dropRight(q.length) + f"${n >> 16}%04x:${n & 0xffff}%04x"
+    }
+    val groups =
+      if (t.contains("::")) {
+        val parts = t.split("::", -1)
+        val l = if (parts(0).isEmpty) Array.empty[String] else parts(0).split(":")
+        val r = if (parts.length > 1 && parts(1).nonEmpty) parts(1).split(":")
+                else Array.empty[String]
+        l ++ Array.fill(8 - l.length - r.length)("0") ++ r
+      } else t.split(":")
+    groups.map(g => ("0000" + g).takeRight(4)).mkString(":")
   }
 
-  /** Signed comparison of the first `prefix` bits of two canonical IPv6
-    * strings (fixed-width lowercase hex ⇒ lexicographic = numeric). */
-  private def ipv6Compare(a: Column, b: Column, prefix: Column): Column = {
-    val fa = regexp_replace(canonIpv6(element_at(split(a, "/"), 1)), ":", "")
-    val fb = regexp_replace(canonIpv6(element_at(split(b, "/"), 1)), ":", "")
-    val pfx = prefix.cast("int")
-    val q = (pfx / 4).cast("int") // whole nibbles
-    val r = pmod(pfx, lit(4))     // leftover bits in the next nibble
-    val pa = fa.substr(lit(1), q)
-    val pb = fb.substr(lit(1), q)
-    // value >> (4-r) via exact integer math (shiftright needs Int bits)
-    def nib(full: Column) = (conv(full.substr(q + 1, lit(1)), 16, 10).cast("double") /
-      pow(lit(2.0), (lit(4) - r).cast("double"))).cast("int")
-    val na = nib(fa)
-    val nb = nib(fb)
-    when(pa < pb, -1L).when(pa > pb, 1L)
-      .when(r === 0, 0L)
-      .when(na < nb, -1L).when(na > nb, 1L).otherwise(0L)
+  /** Signed comparison of the first `prefix` bits (canonical fixed-width
+    * lowercase hex ⇒ lexicographic = numeric). */
+  private def ipv6CmpStr(a: String, b: String, prefix: Int): Long = {
+    val fa = canonIpv6Str(a.split("/")(0)).replace(":", "")
+    val fb = canonIpv6Str(b.split("/")(0)).replace(":", "")
+    val q = prefix / 4; val r = prefix % 4
+    val pa = fa.take(q); val pb = fb.take(q)
+    if (pa < pb) -1L else if (pa > pb) 1L
+    else if (r == 0) 0L
+    else {
+      val na = Integer.parseInt(fa.substring(q, q + 1), 16) >> (4 - r)
+      val nb = Integer.parseInt(fb.substring(q, q + 1), 16) >> (4 - r)
+      if (na < nb) -1L else if (na > nb) 1L else 0L
+    }
   }
 
-  /** ip within 'addr/prefix' (or exact when no prefix), IPv6 or v4. */
-  private def ipv6IsMatch(ip: Column, range: Column): Column = {
-    val parts = split(range, "/")
-    val rawPfx = when(size(parts) > 1, element_at(parts, 2).cast("int")).otherwise(lit(128))
-    // a v4-form range's prefix counts from bit 96 of the mapped address
-    val pfx = when(instr(element_at(parts, 1), ":") === 0 && rawPfx <= 32,
-      rawPfx + 96).otherwise(rawPfx)
-    ipv6Compare(ip, element_at(parts, 1), pfx) === 0L
+  private val parseIpv6Udf = udf { s: String => canonIpv6Str(s) }
+  private val ipv6CompareUdf = udf { (a: String, b: String, p: Int) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(ipv6CmpStr(a, b, p))
+  }
+  private val ipv6IsMatchUdf = udf { (ip: String, range: String) =>
+    if (ip == null || range == null) null.asInstanceOf[java.lang.Boolean]
+    else {
+      val parts = range.split("/")
+      val raw = if (parts.length > 1) parts(1).toInt else 128
+      // a v4-form range's prefix counts from bit 96 of the mapped address
+      val pfx = if (!parts(0).contains(":") && raw <= 32) raw + 96 else raw
+      java.lang.Boolean.valueOf(ipv6CmpStr(ip, parts(0), pfx) == 0L)
+    }
+  }
+  private val parseIpv6MaskUdf = udf { (s: String, m: Int) =>
+    if (s == null) null
+    else {
+      val full = canonIpv6Str(s).replace(":", "")
+      val q = m / 4; val r = m % 4
+      val kept =
+        if (r == 0) full.take(q)
+        else full.take(q) + Integer.toHexString(
+          (Integer.parseInt(full.substring(q, q + 1), 16) >> (4 - r)) << (4 - r))
+      kept.padTo(32, '0').grouped(4).mkString(":")
+    }
   }
 
   /** Least-squares line fit over a numeric series (x = 0..n-1), from the
