@@ -1,0 +1,27 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed at-rest layout for co-located joins (SURVEY §4.3).
+  *
+  * At 100 TB the dominant join cost is the shuffle of the fact table.
+  * Writing both sides bucketed (+ sorted) on the join key lets Spark
+  * plan a SortMergeJoin with NO exchange on either side — the join is
+  * pre-partitioned at rest, so a daily fact-dim or fact-fact join reads
+  * co-located buckets instead of reshuffling the corpus every query.
+  * Spark's bucketing ties to the session catalog (`saveAsTable`); on a
+  * cluster the same calls target the shared metastore.
+  */
+object BucketedLayout {
+
+  /** Write `df` bucketed and sorted on `keys` as catalog table `table`. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}
