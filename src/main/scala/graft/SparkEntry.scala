@@ -908,6 +908,20 @@ object SparkEntry {
                   lon = round(ctr.longitude, 4), lat = round(ctr.latitude, 4)"""),
       Some("""SELECT 'the quick brown fox' AS gz, 'jumps over the lazy dog' AS zl, '' AS bad, '9q8yyk8yt' AS gh, 'gcpvj' AS gc, -122.4097 AS lon, 37.771 AS lat""")),
 
+    "q102_session_count" -> Q(kqlQ(
+      """events
+        | evaluate session_count(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 1d, 2d)
+        | sort by ts asc"""),
+      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b) SELECT b AS ts, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS count_session FROM grid LEFT JOIN events e ON e.ts > b - INTERVAL 2 DAY AND e.ts <= b GROUP BY 1 ORDER BY 1""")),
+
+    "q101_narrow" -> Q(kqlQ(
+      """nation
+        | sort by n_nationkey asc
+        | take 3
+        | evaluate narrow()
+        | sort by Row asc, Column asc"""),
+      Some("""WITH t3 AS (SELECT * FROM nation ORDER BY n_nationkey LIMIT 3), r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS rn, * FROM t3) SELECT rn AS "Row", 'n_nationkey' AS "Column", CAST(n_nationkey AS VARCHAR) AS "Value" FROM r UNION ALL SELECT rn, 'n_name', n_name FROM r UNION ALL SELECT rn, 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM r ORDER BY "Row", "Column"""")),
+
     "q98_shuffle_hint" -> Q(kqlQ(
       """lineitem
         | join kind=inner hint.strategy=shuffle (orders) on $left.l_orderkey == $right.o_orderkey

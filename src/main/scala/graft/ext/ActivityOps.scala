@@ -66,4 +66,36 @@ object ActivityOps {
       .agg(count(lit(1)).as("count_"), count_distinct(col("__id")).as("dcount_"))
       .select(timestamp_micros(col("__d")).as(tsCol), col("count_"), col("dcount_"))
   }
+
+  /** KQL `evaluate session_count(id, timeline, start, stop, bin,
+    * lookback)`: for every grid bin b in [start, stop] step bin, the
+    * number of distinct ids with activity in (b − lookback, b] — an id's
+    * "session" is alive while its last activity is within the lookback.
+    * Same explode-to-bins shape as above: an activity at t covers grid
+    * indices k with b_k ≥ t and b_k < t + lookback, so each row fans out
+    * ≤ lookback/bin ways into one hash aggregate; the full grid
+    * (including zero bins) comes from a broadcast-able range join. */
+  def sessionCount(df: DataFrame, idCol: String, tsCol: String,
+                   startUs: Long, stopUs: Long, binUs: Long,
+                   lookbackUs: Long): DataFrame = {
+    require(binUs > 0 && lookbackUs >= binUs, "bin > 0 and lookback >= bin")
+    val spark = df.sparkSession
+    val nBins = ((stopUs - startUs) / binUs).toInt
+    val t = unix_micros(col(tsCol))
+    // k0 = ceil((t - start)/bin) — the µs arithmetic stays integral
+    val delta = t - lit(startUs)
+    def ceilDiv(x: org.apache.spark.sql.Column) =
+      ((x + pmod(lit(binUs) - pmod(x, lit(binUs)), lit(binUs))) / binUs).cast("long")
+    val k0 = greatest(ceilDiv(delta), lit(0L))
+    val k1 = least(ceilDiv(delta + lookbackUs) - 1L, lit(nBins.toLong))
+    val counts = df
+      .select(col(idCol).as("__id"), k0.as("__k0"), k1.as("__k1"))
+      .filter(col("__k1") >= col("__k0"))
+      .select(col("__id"), explode(sequence(col("__k0"), col("__k1"))).as("__k"))
+      .groupBy(col("__k")).agg(count_distinct(col("__id")).as("count_session"))
+    val grid = spark.range(0, nBins + 1L).toDF("__k")
+    grid.join(counts, Seq("__k"), "left")
+      .select(timestamp_micros(col("__k") * binUs + startUs).as(tsCol),
+        coalesce(col("count_session"), lit(0L)).as("count_session"))
+  }
 }

@@ -466,6 +466,20 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         parsed.select(keep.map(c => col(c)) :+ col("__bag.*"): _*)
       }
 
+    case EvaluateOp("narrow", Nil) =>
+      // transpose to (Row, Column, Value): zero-based global row ordinal
+      // via the two-phase machinery, then one posexplode-style stack of
+      // the columns as (name, stringified value) structs
+      if (!serialized && sortCols.isEmpty) serialized = true // natural order
+      val (dp, ord, keys, pr) = windowInputs(df)
+      val withRow = GlobalWindow.compute(dp, ord, keys,
+        Seq(GlobalWindow.RowNumber("__narrow_rn", None)), pr)
+      val cols = df.columns.toSeq
+      val pairs = array(cols.map(c =>
+        struct(lit(c).as("Column"), col(c).cast("string").as("Value"))): _*)
+      withRow.select((col("__narrow_rn") - 1L).as("Row"), explode(pairs).as("__kv"))
+        .select(col("Row"), col("__kv.Column").as("Column"), col("__kv.Value").as("Value"))
+
     case EvaluateOp("activity_engagement", idE :: tsE :: innerE :: outerE :: Nil) =>
       graft.ext.ActivityOps.activityEngagement(df,
         colNameOf(df, idE, "activity_engagement id"),
@@ -477,6 +491,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, idE, "sliding_window_counts id"),
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
+
+    case EvaluateOp("session_count", idE :: tsE :: startE :: stopE :: binE :: lookE :: Nil) =>
+      graft.ext.ActivityOps.sessionCount(df,
+        colNameOf(df, idE, "session_count id"),
+        colNameOf(df, tsE, "session_count timeline"),
+        tsLitUs(startE), tsLitUs(stopE), timespanUs(binE), timespanUs(lookE))
 
     case EvaluateOp("autocluster", pctE :: colEs) if colEs.nonEmpty =>
       // simplified KQL autocluster: common attribute segments = CUBE over
@@ -1009,6 +1029,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private def timespanUs(e: Expr): Long = e match {
     case Lit(Timespan(us)) => us
     case other => throw PlanError(s"expected a timespan literal, got $other")
+  }
+
+  private def tsLitUs(e: Expr): Long = staticValue(e, "") match {
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => throw PlanError(s"expected a datetime literal, got $other")
   }
 
   private def resolveName0(cols: Array[String], name: String): String =
