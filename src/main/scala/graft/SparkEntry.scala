@@ -908,6 +908,15 @@ object SparkEntry {
                   lon = round(ctr.longitude, 4), lat = round(ctr.latitude, 4)"""),
       Some("""SELECT 'the quick brown fox' AS gz, 'jumps over the lazy dog' AS zl, '' AS bad, '9q8yyk8yt' AS gh, 'gcpvj' AS gc, -122.4097 AS lon, 37.771 AS lat""")),
 
+    // two-line segmented fit: slope-1 then slope-2 halves, exact split;
+    // expectations computed independently (numpy lstsq) and pinned
+    "q103_fit_2lines" -> Q(kqlQ(
+      """print f = series_fit_2lines(pack_array(1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 12.0, 14.0, 16.0, 18.0))
+        | project rsq = round(f.rsquare, 6), split = f.split_idx,
+                  ls = round(f.left_slope, 6), li = round(f.left_interception, 6),
+                  rs = round(f.right_slope, 6), ri = round(f.right_interception, 6)"""),
+      Some("""SELECT 1.0 AS rsq, CAST(5 AS BIGINT) AS split, 1.0 AS ls, 1.0 AS li, 2.0 AS rs, 0.0 AS ri""")),
+
     "q102_session_count" -> Q(kqlQ(
       """events
         | evaluate session_count(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 1d, 2d)

@@ -287,6 +287,7 @@ object Functions {
         transform(sc, x => when(x > excess, 1L).when(x < -excess, -1L)
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
     "series_periods_detect" -> f {
       case a :: minP :: maxP :: k :: Nil => seriesPeriodsDetect(a, minP, maxP, k)
       case a :: Nil => seriesPeriodsDetect(a, lit(2), lit(0), lit(1)) },
@@ -762,6 +763,64 @@ object Functions {
 
   private def seriesDecompose(a: Column, period: Column): Column =
     seriesDecomposeUdf(a.cast("array<double>"), period.cast("int"))
+
+  /** series_fit_2lines output shape. */
+  case class Fit2Lines(rsquare: Double, split_idx: Long,
+                       left_slope: Double, left_interception: Double,
+                       right_slope: Double, right_interception: Double)
+
+  /** Segmented (two-line) least-squares fit: choose the split minimizing
+    * combined SSE, each side fit in closed form from prefix sums —
+    * O(n) per row after the O(n) prefix pass. Same compact-UDF trade as
+    * series_decompose (layered HOF expressions cost seconds of
+    * plan/codegen). x is the 0-based element index, KQL-style. */
+  private val seriesFit2Udf = udf { v0: Seq[Double] =>
+    val n = v0.length
+    if (n < 4) Fit2Lines(0.0, 0L, 0.0, if (n > 0) v0.head else 0.0, 0.0, 0.0)
+    else {
+      val v = v0.toArray
+      // prefix sums of 1, x, x², y, xy, y²
+      val sx = new Array[Double](n + 1); val sxx = new Array[Double](n + 1)
+      val sy = new Array[Double](n + 1); val sxy = new Array[Double](n + 1)
+      val syy = new Array[Double](n + 1)
+      var i = 0
+      while (i < n) {
+        val x = i.toDouble; val y = v(i)
+        sx(i + 1) = sx(i) + x; sxx(i + 1) = sxx(i) + x * x
+        sy(i + 1) = sy(i) + y; sxy(i + 1) = sxy(i) + x * y
+        syy(i + 1) = syy(i) + y * y
+        i += 1
+      }
+      // least-squares over [l, r): returns (slope, icpt, sse)
+      def seg(l: Int, r: Int): (Double, Double, Double) = {
+        val m = (r - l).toDouble
+        val dx = sx(r) - sx(l); val dxx = sxx(r) - sxx(l)
+        val dy = sy(r) - sy(l); val dxy = sxy(r) - sxy(l)
+        val dyy = syy(r) - syy(l)
+        val den = m * dxx - dx * dx
+        if (den == 0) (0.0, dy / m, 0.0)
+        else {
+          val sl = (m * dxy - dx * dy) / den
+          val ic = (dy - sl * dx) / m
+          val sse = dyy - 2 * sl * dxy - 2 * ic * dy +
+            sl * sl * dxx + 2 * sl * ic * dx + ic * ic * m
+          (sl, ic, math.max(sse, 0.0))
+        }
+      }
+      var best = Double.MaxValue; var bi = 2
+      var bl = (0.0, 0.0, 0.0); var br = (0.0, 0.0, 0.0)
+      var k = 2
+      while (k <= n - 2) {
+        val l = seg(0, k); val r = seg(k, n)
+        if (l._3 + r._3 < best) { best = l._3 + r._3; bi = k; bl = l; br = r }
+        k += 1
+      }
+      val mean = sy(n) / n
+      val tss = syy(n) - n * mean * mean
+      val rsq = if (tss == 0) 1.0 else math.max(0.0, 1.0 - best / tss)
+      Fit2Lines(rsq, bi.toLong, bl._1, bl._2, br._1, br._2)
+    }
+  }
 
   /** series_periods_detect output shape. */
   case class PeriodsDetect(periods: Seq[Double], scores: Seq[Double])
