@@ -351,6 +351,15 @@ class PlannerSpec extends AnyFunSuite {
       Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (6L, 2L), (7L, 2L)))
   }
 
+  test("scan after bare serialize runs over the natural order") {
+    val r = one(
+      """datatable(x:long) [5, 6, 7]
+        | serialize
+        | scan declare (rs:long=0) with (step a: true => rs = rs + x)
+        | summarize mx = max(rs)""")
+    assert(r.getLong(0) == 18L)
+  }
+
   test("scan under partition by: per-key machine with boundary resets") {
     val rows = run(
       """datatable(g:string, i:long, v:long) [
