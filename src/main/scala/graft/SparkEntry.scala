@@ -998,6 +998,71 @@ object SparkEntry {
            1.0, 42.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)"""),
       Some("""SELECT [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS an""")),
 
+    // special-math family: Lanczos gamma/loggamma (pure Column
+    // arithmetic) + incomplete-beta CDF/inverse; closed-form pins
+    "q108_special_math" -> Q(kqlQ(
+      """print g5 = round(gamma(5.0), 6), g05 = round(gamma(0.5), 6),
+              lg10 = round(loggamma(10.0), 6), gneg = round(gamma(-0.5), 6),
+              bp = round(beta_pdf(0.3, 2.0, 3.0), 6),
+              bc1 = round(beta_cdf(0.3, 1.0, 2.0), 6),
+              bc2 = round(beta_cdf(0.25, 2.0, 1.0), 6),
+              bc3 = round(beta_cdf(0.5, 2.0, 2.0), 6),
+              bi1 = round(beta_inv(0.25, 2.0, 1.0), 6),
+              bi2 = round(beta_inv(0.51, 1.0, 2.0), 6)"""),
+      Some("""SELECT CAST(24.0 AS DOUBLE) AS g5, CAST(1.772454 AS DOUBLE) AS g05, CAST(12.801827 AS DOUBLE) AS lg10, CAST(-3.544908 AS DOUBLE) AS gneg, CAST(1.764 AS DOUBLE) AS bp, CAST(0.51 AS DOUBLE) AS bc1, CAST(0.0625 AS DOUBLE) AS bc2, CAST(0.5 AS DOUBLE) AS bc3, CAST(0.5 AS DOUBLE) AS bi1, CAST(0.3 AS DOUBLE) AS bi2""")),
+
+    // weighted nearest-rank percentile: first x whose running weight
+    // crosses p% of the total (the oracle states the same definition as
+    // window SQL)
+    "q104_percentilew" -> Q(kqlQ(
+      """lineitem
+        | summarize p50w = percentilew(l_quantity, l_linenumber, 50) by l_returnflag
+        | sort by l_returnflag asc"""),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x, SUM(l_linenumber) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ROWS UNBOUNDED PRECEDING) AS cum, SUM(l_linenumber) OVER (PARTITION BY l_returnflag) AS tot FROM lineitem) SELECT l_returnflag, MIN(x) AS p50w FROM c WHERE cum >= CEIL(0.5 * tot) GROUP BY 1 ORDER BY 1""")),
+
+    // seasonal extraction (explicit + autodetected period), recursive IIR,
+    // and decompose-forecast — element pins on closed-form series
+    "q105_series_fns3" -> Q(kqlQ(
+      """print s = series_seasonal(pack_array(1.0, 2.0, 1.0, 2.0, 1.0, 2.0), 2),
+              sa = series_seasonal(pack_array(1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0)),
+              i = series_iir(pack_array(1.0, 0.0, 0.0, 0.0), pack_array(1.0), pack_array(1.0, -0.5)),
+              f = series_decompose_forecast(pack_array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0), 2, 1)
+        | project s1 = todouble(s[1]), sa0 = todouble(sa[0]), sa1 = todouble(sa[1]),
+                  i2 = todouble(i[2]), i3 = todouble(i[3]),
+                  f0 = round(todouble(f[0]), 6), f5 = round(todouble(f[5]), 6)"""),
+      Some("""SELECT CAST(2.0 AS DOUBLE) AS s1, CAST(1.0 AS DOUBLE) AS sa0, CAST(5.0 AS DOUBLE) AS sa1, CAST(0.25 AS DOUBLE) AS i2, CAST(0.125 AS DOUBLE) AS i3, CAST(0.0 AS DOUBLE) AS f0, CAST(5.0 AS DOUBLE) AS f5""")),
+
+    // URL query-string bags, IPv6 range membership, term-boundary IPv4
+    // text search (the '110.0.0.1' row pins the boundary semantics)
+    "q106_text_ip2" -> Q(kqlQ(
+      """print pq = parse_urlquery('https://h/p?k1=v1&k2=v%202'),
+              r6 = ipv6_is_in_range('2001:db8::5', '2001:db8::/112'),
+              r6b = ipv6_is_in_any_range('::ffff:10.0.0.1', '10.0.0.0/8', '2001:db8::/32'),
+              r6c = ipv6_is_in_any_range('2002::1', '10.0.0.0/8', '2001:db8::/32'),
+              ha = has_any_ipv4('log 10.0.0.1 end', '10.0.0.1', '1.2.3.4'),
+              hb = has_any_ipv4('log 110.0.0.1 end', '10.0.0.1'),
+              hp = has_ipv4_prefix('conn from 192.168.1.55 ok', '192.168.')"""),
+      Some("""SELECT '{"Query Parameters":{"k1":"v1","k2":"v 2"}}' AS pq, true AS r6, true AS r6b, false AS r6c, true AS ha, false AS hb, true AS hp""")),
+
+    // conditional dispersion, covariance, and null-keeping list collection
+    // (nwith counts every row because make_list_with_nulls keeps the
+    // nulls that make_list would drop)
+    "q107_agg_family2" -> Q(kqlQ(
+      """lineitem
+        | extend q2 = todouble(iff(l_linenumber > 3, tostring(l_quantity), 'x'))
+        | summarize sdi = stdevif(l_quantity, l_discount > 0.05),
+                    vri = varianceif(l_quantity, l_discount > 0.05),
+                    cv = covariance(l_quantity, l_extendedprice),
+                    cvp = covariancep(l_quantity, l_extendedprice),
+                    lst = make_list_with_nulls(q2),
+                    n = count()
+          by l_returnflag
+        | project l_returnflag, sdi = round(sdi, 4), vri = round(vri, 4),
+                  cv = round(cv, 2), cvp = round(cvp, 2),
+                  nwith = array_length(lst), n
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, ROUND(STDDEV_SAMP(CASE WHEN l_discount > 0.05 THEN l_quantity END), 4) AS sdi, ROUND(VAR_SAMP(CASE WHEN l_discount > 0.05 THEN l_quantity END), 4) AS vri, ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cv, ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS cvp, CAST(COUNT(*) AS BIGINT) AS nwith, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     "q91_autocluster" -> Q(kqlQ(
       """orders
         | evaluate autocluster(10.0, o_orderpriority, o_orderstatus)

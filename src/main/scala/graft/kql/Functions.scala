@@ -402,6 +402,74 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // query string → dynamic bag (KQL parse_urlquery shape: the params
+    // nest under "Query Parameters"); accepts a bare query or a full URL
+    "parse_urlquery" -> f { case q :: Nil =>
+      val qs = regexp_replace(q, "^[^?]*\\?", "")
+      to_json(struct(map_from_entries(transform(
+        filter(split(qs, "&"), kv => kv =!= lit("")),
+        kv => struct(
+          url_decode(element_at(split(kv, "=", 2), 1)),
+          url_decode(coalesce(element_at(split(kv, "=", 2), 2), lit("")))
+        ))).as("Query Parameters"))) },
+    // ------------------------------------------------- special math (§2.8)
+    // Lanczos(g=7,n=9) log-gamma as pure Column arithmetic — stays in
+    // whole-stage codegen; reflection handles x ≤ 0.5
+    "loggamma" -> f { case x0 :: Nil =>
+      val x = x0.cast("double")
+      when(x > 0.5, lanczosLgamma(x))
+        .otherwise(lit(math.log(math.Pi)) - log(abs(sin(lit(math.Pi) * x)))
+          - lanczosLgamma(lit(1.0) - x)) },
+    "gamma" -> f { case x0 :: Nil =>
+      val x = x0.cast("double")
+      when(x > 0.5, exp(lanczosLgamma(x)))
+        .otherwise(lit(math.Pi) /
+          (sin(lit(math.Pi) * x) * exp(lanczosLgamma(lit(1.0) - x)))) },
+    "beta_pdf" -> f { case x0 :: a0 :: b0 :: Nil =>
+      val x = x0.cast("double"); val a = a0.cast("double"); val b = b0.cast("double")
+      val lbeta = lanczosLgamma(a) + lanczosLgamma(b) - lanczosLgamma(a + b)
+      when(x <= 0d || x >= 1d, lit(0.0))
+        .otherwise(exp((a - 1d) * log(x) + (b - 1d) * log(lit(1.0) - x) - lbeta)) },
+    // regularized incomplete beta (continued fraction) — iterative, so a
+    // compact UDF like series_decompose (COVERAGE §2.11 trade)
+    "beta_cdf" -> f { case x :: a :: b :: Nil =>
+      betaCdfUdf(x.cast("double"), a.cast("double"), b.cast("double")) },
+    "beta_inv" -> f { case p :: a :: b :: Nil =>
+      betaInvUdf(p.cast("double"), a.cast("double"), b.cast("double")) },
+    // --------------------------------------------- IPv6 ranges / text IPs
+    "ipv6_is_in_range" -> f { case ip :: rng :: Nil =>
+      ipv6IsMatchUdf(ip.cast("string"), rng.cast("string")) },
+    "ipv6_is_in_any_range" -> f { case ip :: rngs =>
+      rngs.map(r => ipv6IsMatchUdf(ip.cast("string"), r.cast("string")))
+        .reduce(_ || _) },
+    // term-boundary containment of specific IPv4s / an IPv4 prefix in
+    // free text (KQL has_any_ipv4 / has_ipv4_prefix); IP args are
+    // digit-dot strings so escaping dots is a full regex quote
+    "has_any_ipv4" -> f { case t :: ips =>
+      ips.map { ip =>
+        val quoted = regexp_replace(ip.cast("string"), lit("\\."), lit("\\\\."))
+        call_function("regexp_like", t,
+          concat(lit("(^|[^0-9.])"), quoted, lit("([^0-9.]|$)")))
+      }.reduce(_ || _) },
+    "has_ipv4_prefix" -> f { case t :: pfx :: Nil =>
+      val quoted = regexp_replace(pfx.cast("string"), lit("\\."), lit("\\\\."))
+      call_function("regexp_like", t,
+        concat(lit("(^|[^0-9.])"), quoted, lit("[0-9.]*([^0-9.]|$)"))) },
+    // ------------------------------------------- time-series additions
+    // per-phase means of the series, tiled to its length (the seasonal
+    // component of series_decompose on its own)
+    "series_seasonal" -> f {
+      case a :: Nil => seriesSeasonalUdf(a.cast("array<double>"), lit(-1))
+      case a :: p :: Nil => seriesSeasonalUdf(a.cast("array<double>"), p.cast("int")) },
+    // recursive IIR filter — y depends on previous y, inherently
+    // sequential per row (compact-UDF trade, COVERAGE §2.11)
+    "series_iir" -> f { case x :: b :: a :: Nil =>
+      seriesIirUdf(x.cast("array<double>"), b.cast("array<double>"),
+        a.cast("array<double>")) },
+    // train simplified-STL on all but the last `points` elements, emit
+    // trend(line-fit)+seasonal baseline across the whole horizon
+    "series_decompose_forecast" -> f { case a :: pts :: p :: Nil =>
+      seriesForecastUdf(a.cast("array<double>"), pts.cast("int"), p.cast("int")) },
   )
 
   /** Pairwise dot product over two aligned numeric series. */
@@ -944,4 +1012,189 @@ object Functions {
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
   }
+
+  /** Lanczos (g=7, 9-term) log-gamma for x > 0.5, as a fixed chain of
+    * Column arithmetic — no UDF, stays in codegen. ~15 significant
+    * digits, the standard public-domain coefficient set. */
+  private def lanczosLgamma(x: Column): Column = {
+    val g = 7.0
+    val c = Seq(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val z = x - 1.0
+    val a = c.zipWithIndex.tail.foldLeft(lit(c.head)) { case (acc, (ci, i)) =>
+      acc + lit(ci) / (z + lit(i.toDouble))
+    }
+    val t = z + lit(g + 0.5)
+    lit(0.5 * math.log(2 * math.Pi)) + (z + lit(0.5)) * log(t) - t + log(a)
+  }
+
+  /** Regularized incomplete beta I_x(a,b) via the Numerical-Recipes-style
+    * Lentz continued fraction — iterative with data-dependent exit, hence
+    * a compact UDF (same trade as series_decompose, COVERAGE §2.11). */
+  private def betaCdf(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    def lg(z: Double) = {
+      val c = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+      val zz = z - 1.0
+      var acc = c(0); var i = 1
+      while (i < 9) { acc += c(i) / (zz + i); i += 1 }
+      val t = zz + 7.5
+      0.5 * math.log(2 * math.Pi) + (zz + 0.5) * math.log(t) - t + math.log(acc)
+    }
+    def betacf(a: Double, b: Double, x: Double): Double = {
+      val eps = 3e-14; val fpmin = 1e-300
+      val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+      var cc = 1.0
+      var d = 1.0 - qab * x / qap
+      if (math.abs(d) < fpmin) d = fpmin
+      d = 1.0 / d
+      var h = d
+      var m = 1
+      while (m <= 200) {
+        val m2 = 2 * m
+        var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        cc = 1.0 + aa / cc; if (math.abs(cc) < fpmin) cc = fpmin
+        d = 1.0 / d; h *= d * cc
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        cc = 1.0 + aa / cc; if (math.abs(cc) < fpmin) cc = fpmin
+        d = 1.0 / d
+        val del = d * cc
+        h *= del
+        if (math.abs(del - 1.0) < eps) m = 201 else m += 1
+      }
+      h
+    }
+    val lnFront = lg(a + b) - lg(a) - lg(b) + a * math.log(x) + b * math.log(1.0 - x)
+    if (x < (a + 1.0) / (a + b + 2.0))
+      math.exp(lnFront) * betacf(a, b, x) / a
+    else
+      1.0 - math.exp(lnFront) * betacf(b, a, 1.0 - x) / b
+  }
+
+  private val betaCdfUdf = udf { (x: Double, a: Double, b: Double) => betaCdf(x, a, b) }
+
+  /** Inverse beta CDF by bisection on the monotone CDF — 60 halvings
+    * reach ~1e-18 interval width, beyond double resolution. */
+  private val betaInvUdf = udf { (p: Double, a: Double, b: Double) =>
+    if (p <= 0.0) 0.0
+    else if (p >= 1.0) 1.0
+    else {
+      var lo = 0.0; var hi = 1.0; var i = 0
+      while (i < 60) {
+        val mid = (lo + hi) / 2
+        if (betaCdf(mid, a, b) < p) lo = mid else hi = mid
+        i += 1
+      }
+      (lo + hi) / 2
+    }
+  }
+
+  /** Per-phase means tiled over the series (the seasonal component on its
+    * own). period ≤ 0 → autodetect via best autocorrelation lag (the
+    * series_periods_detect heuristic). */
+  private val seriesSeasonalUdf = udf { (v: Seq[Double], p0: Int) =>
+    val n = v.length
+    val p =
+      if (p0 > 0) p0
+      else {
+        // best normalized autocorrelation lag in [2, n/2]
+        val mean = if (n == 0) 0.0 else v.sum / n
+        val c0 = v.map(x => (x - mean) * (x - mean)).sum
+        var best = 1; var bestR = 0.0
+        var lag = 2
+        while (lag <= n / 2) {
+          var s = 0.0; var i = lag
+          while (i < n) { s += (v(i) - mean) * (v(i - lag) - mean); i += 1 }
+          val r = if (c0 == 0) 0.0 else s / c0
+          if (r > bestR) { bestR = r; best = lag }
+          lag += 1
+        }
+        best
+      }
+    if (n == 0 || p <= 1) Seq.fill(n)(0.0)
+    else {
+      val phaseSum = new Array[Double](p); val phaseCnt = new Array[Int](p)
+      var i = 0
+      while (i < n) { phaseSum(i % p) += v(i); phaseCnt(i % p) += 1; i += 1 }
+      Seq.tabulate(n)(i => phaseSum(i % p) / math.max(phaseCnt(i % p), 1))
+    }
+  }
+
+  /** Direct-form-I IIR filter: y[i] = (Σ b[j]·x[i-j] − Σ a[j]·y[i-j]) / a[0].
+    * Output recursion ⇒ inherently sequential per row. */
+  private val seriesIirUdf = udf { (x: Seq[Double], b: Seq[Double], a: Seq[Double]) =>
+    val n = x.length
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var j = 0
+      while (j < b.length) { if (i - j >= 0) s += b(j) * x(i - j); j += 1 }
+      j = 1
+      while (j < a.length) { if (i - j >= 0) s -= a(j) * y(i - j); j += 1 }
+      y(i) = s / a(0)
+      i += 1
+    }
+    y.toSeq
+  }
+
+  /** Forecast: train trend (least-squares line) + seasonal (phase means)
+    * on the first n−points elements, emit the modeled baseline for the
+    * whole horizon (KQL series_decompose_forecast with a known period). */
+  private val seriesForecastUdf = udf { (v: Seq[Double], points: Int, p: Int) =>
+    val n = v.length
+    val m = math.max(n - math.max(points, 0), 1)
+    // line fit over [0, m)
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var i = 0
+    while (i < m) { sx += i; sy += v(i); sxx += i.toDouble * i; sxy += i * v(i); i += 1 }
+    val den = m * sxx - sx * sx
+    val slope = if (den == 0) 0.0 else (m * sxy - sx * sy) / den
+    val icpt = sy / m - slope * sx / m
+    val pp = math.max(p, 1)
+    val phaseSum = new Array[Double](pp); val phaseCnt = new Array[Int](pp)
+    i = 0
+    while (i < m) {
+      val detr = v(i) - (icpt + slope * i)
+      phaseSum(i % pp) += detr; phaseCnt(i % pp) += 1; i += 1
+    }
+    Seq.tabulate(n) { i =>
+      val seas = if (phaseCnt(i % pp) == 0) 0.0 else phaseSum(i % pp) / phaseCnt(i % pp)
+      icpt + slope * i + seas
+    }
+  }
+
+  /** Weighted nearest-rank percentile inside an aggregation: sort the
+    * collected (x, w) pairs, take the first x whose running weight
+    * reaches frac·total. The scan is a compact UDF: a HOF fold would
+    * inline the total-weight subtree into every step (O(n²) — measured
+    * hanging on 24k-element groups). Collecting the group is inherent to
+    * the exact weighted quantile, same memory shape as make_list. */
+  private val percentileWUdf = udf { (pairs: Seq[org.apache.spark.sql.Row], frac: Double) =>
+    if (pairs == null || pairs.isEmpty) null.asInstanceOf[java.lang.Double]
+    else {
+      var total = 0L
+      pairs.foreach(r => total += r.getLong(1))
+      val target = math.ceil(frac * total)
+      var cum = 0L
+      var res: java.lang.Double = null
+      val it = pairs.iterator
+      while (it.hasNext && res == null) {
+        val r = it.next()
+        cum += r.getLong(1)
+        if (cum >= target) res = r.getDouble(0)
+      }
+      res
+    }
+  }
+
+  def percentileW(x: Column, w: Column, frac: Column): Column =
+    percentileWUdf(array_sort(collect_list(struct(x.cast("double").as("x"),
+      w.cast("long").as("w")))), frac.cast("double"))
 }

@@ -811,6 +811,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             aggCols += call_function("percentile", toCol(colE, df),
               percentAsFraction(p, df)).as(s"${base}_$pName")
           }
+        case App("percentilesw", colE :: wE :: ps) if ps.nonEmpty =>
+          // weighted variant: percentilesw(x, w, 25, 50) → one column each
+          val base = alias.getOrElse(s"percentile_${defaultName(colE, i)}")
+          ps.foreach { p =>
+            val pName = p match {
+              case Lit(l: Long) => l.toString
+              case Lit(d: Double) => d.toString.replace('.', '_')
+              case other => throw PlanError(s"percentilesw needs literal percents, got $other")
+            }
+            aggCols += Functions.percentileW(toCol(colE, df), toCol(wE, df),
+              percentAsFraction(p, df)).as(s"${base}_$pName")
+          }
         case App(fn @ ("arg_max" | "arg_min"), byE :: rets) if rets.nonEmpty =>
           val byC = toCol(byE, df)
           val retCols: List[(String, Column)] = rets.flatMap {
@@ -883,9 +895,20 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         case "make_list_if" => collect_list(when(a(1), a(0)))
         case "make_set_if" => array_sort(collect_set(when(a(1), a(0))))
         case "stdev" => stddev_samp(a(0))
+        case "stdevif" => stddev_samp(when(a(1), a(0)))
         case "stdevp" => stddev_pop(a(0))
         case "variance" => var_samp(a(0))
+        case "varianceif" => var_samp(when(a(1), a(0)))
         case "variancep" => var_pop(a(0))
+        case "covariance" => covar_samp(a(0), a(1))
+        case "covariancep" => covar_pop(a(0), a(1))
+        case "covarianceif" =>
+          covar_samp(when(a(2), a(0)), when(a(2), a(1)))
+        case "make_list_with_nulls" =>
+          // collect_list drops nulls; a struct wrapper smuggles them through
+          transform(collect_list(struct(a(0).as("v"))), s => s.getField("v"))
+        case "percentilew" =>
+          Functions.percentileW(a(0), a(1), percentAsFraction(args(2), df))
         case "binary_all_and" => bit_and(a(0))
         case "binary_all_or" => bit_or(a(0))
         case "binary_all_xor" => bit_xor(a(0))
@@ -1327,10 +1350,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private val aggFns: Set[String] = Set("count", "countif", "sum", "sumif",
     "avg", "avgif", "min", "minif", "max", "maxif", "dcount", "dcountif",
     "count_distinct", "count_distinctif", "percentile", "percentile_approx",
-    "take_any", "any", "take_anyif", "anyif",
+    "percentilew", "take_any", "any", "take_anyif", "anyif",
     "make_list", "make_set", "make_list_if", "make_set_if",
-    "make_bag", "make_bag_if",
-    "stdev", "stdevp", "variance", "variancep", "binary_all_and",
+    "make_list_with_nulls", "make_bag", "make_bag_if",
+    "stdev", "stdevif", "stdevp", "variance", "varianceif", "variancep",
+    "covariance", "covariancep", "covarianceif", "binary_all_and",
     "binary_all_or", "binary_all_xor", "hll", "hll_merge", "max_by",
     "min_by", "arg_max", "arg_min")
 

@@ -667,6 +667,39 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L), (3L, 2L), (1L, 1L)))
   }
 
+  test("special math: gamma reflection, beta cdf/inv round-trip") {
+    val r = one("""print g = round(gamma(6.0), 6), gn = round(gamma(-1.5), 6),
+                        lg = round(loggamma(100.0), 4),
+                        rt = round(beta_inv(beta_cdf(0.37, 2.5, 3.5), 2.5, 3.5), 9)""")
+    assert(r.getDouble(0) == 120.0)
+    assert(r.getDouble(1) == 2.363272) // Γ(-1.5) = 4√π/3
+    assert(r.getDouble(2) == 359.1342) // ln(99!)
+    assert(r.getDouble(3) == 0.37)     // inv ∘ cdf = id
+  }
+
+  test("percentilew: weight-3 run crosses the median") {
+    // values 1..4, weight 3 on value 2 ⇒ total 6, target ceil(3) at x=2
+    val r = one("""datatable(x:long, w:long) [1, 1, 2, 3, 3, 1, 4, 1]
+                   | summarize p = percentilew(x, w, 50)""")
+    assert(r.getDouble(0) == 2.0)
+  }
+
+  test("make_list_with_nulls keeps nulls; make_list drops them") {
+    val r = one("""datatable(x:string) ['a', 'b'] | extend v = todouble(iff(x == 'a', '1', 'zz'))
+                   | summarize withN = array_length(make_list_with_nulls(v)),
+                               without = array_length(make_list(v))""")
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("series_iir feedback and seasonal autodetect") {
+    val r = one("""print i = series_iir(pack_array(1.0, 0.0, 0.0), pack_array(1.0), pack_array(1.0, -0.5)),
+                        s = series_seasonal(pack_array(1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0))
+                   | project i1 = todouble(i[1]), i2 = todouble(i[2]), s0 = todouble(s[0]), s1 = todouble(s[1])""")
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.25)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
+  }
+
   test("ipv4 family: netmask suffix, private ranges, compare, match") {
     val r = one("""print ns = ipv4_netmask_suffix('192.168.1.1/24'),
                         ns32 = ipv4_netmask_suffix('10.0.0.1'),
