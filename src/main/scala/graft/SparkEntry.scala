@@ -998,6 +998,36 @@ object SparkEntry {
            1.0, 42.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)"""),
       Some("""SELECT [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS an""")),
 
+    // graph pattern matching as relational algebra: each hop an
+    // equi-join on node ids (AQE picks broadcast per hop); the oracle is
+    // the same chain as SQL joins
+    "q109_graph_match" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | make-graph src --> dst
+         | graph-match (c)-[e1]->(n)-[e2]->(r)
+           project nid = n.id, rid = r.id
+         | summarize n_customers = count() by rid
+         | sort by rid asc"""),
+      Some("""SELECT 'r' || n_regionkey AS rid, CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1""")),
+
+    // bounded-BFS shortest paths: per-level frontier distinct, min(hops)
+    // per (s, t); the source filter pushes through the aggregate into
+    // the frontier joins
+    "q110_graph_paths" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | make-graph src --> dst
+         | graph-shortest-paths (s)-[e*1..3]->(t)
+           where s.id == 'c1'
+           project tid = t.id, hops = array_length(e)
+         | sort by tid asc"""),
+      Some("""WITH c1 AS (SELECT c_nationkey FROM customer WHERE c_custkey = 1) SELECT 'n' || c_nationkey AS tid, CAST(1 AS BIGINT) AS hops FROM c1 UNION ALL SELECT 'r' || n_regionkey, CAST(2 AS BIGINT) FROM nation JOIN c1 ON n_nationkey = c1.c_nationkey ORDER BY 1""")),
+
     // special-math family: Lanczos gamma/loggamma (pure Column
     // arithmetic) + incomplete-beta CDF/inverse; closed-form pins
     "q108_special_math" -> Q(kqlQ(

@@ -107,6 +107,23 @@ object Ast {
                           declares: List[(String, String, Expr)], // (name, type, default)
                           steps: List[ScanStep]) extends TabOp
 
+  // --------------------------------------------------------------- graph
+  /** `make-graph srcCol --> dstCol [with NodesTable on keyCol]` */
+  final case class MakeGraphOp(src: String, dst: String,
+                               nodes: Option[(String, String)]) extends TabOp
+  sealed trait PatElem
+  final case class PatNode(name: Option[String]) extends PatElem
+  /** minHops == maxHops == 1 for a plain `-[e]->` edge; a `*lo..hi`
+    * suffix makes it variable-length. `forward` is edge direction
+    * relative to the written left→right node order. */
+  final case class PatEdge(name: Option[String], forward: Boolean,
+                           minHops: Int, maxHops: Int) extends PatElem
+  final case class GraphMatchOp(pattern: List[PatElem], where: Option[Expr],
+                                project: List[(Option[String], Expr)]) extends TabOp
+  final case class GraphShortestPathsOp(pattern: List[PatElem], where: Option[Expr],
+                                        project: List[(Option[String], Expr)]) extends TabOp
+  final case class GraphToTableOp(what: String) extends TabOp // "nodes" | "edges"
+
   // ------------------------------------------------------------- sources
   sealed trait Source
   final case class TableRef(name: String) extends Source

@@ -1,0 +1,247 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Ast._
+
+/** Graph operators (`make-graph` / `graph-match` / `graph-shortest-paths`
+  * / `graph-to-table`) planned as plain relational algebra — the
+  * Spark-first reading of KQL's graph semantics:
+  *
+  *  - a graph is just its edge DataFrame (+ an optional node-property
+  *    DataFrame keyed by node id);
+  *  - a fixed-length `graph-match` pattern is a chain of equi-joins on
+  *    node ids — Catalyst picks broadcast vs shuffle per hop, AQE
+  *    re-plans at runtime, and every hop is a plain hash join at 100 TB;
+  *  - a variable-length edge `[e*lo..hi]` is the union of its unrolled
+  *    lengths (hi is required finite — bounded plan size), each length a
+  *    join chain that accumulates the hop's edge rows into an array;
+  *  - `graph-shortest-paths` is bounded BFS: per-level frontier =
+  *    previous frontier ⨝ edges with a distinct() per level (keeps the
+  *    frontier a set of (s, t) pairs, never a path enumeration), then
+  *    min(hops) per pair. No driver-side iteration state — the whole
+  *    search is one lazy plan.
+  *
+  * Pattern-variable property access (`a.name`, `e.weight`) is rewritten
+  * to flat columns before expression planning: node vars expose `id`
+  * plus the node table's columns; fixed edge vars expose the edge
+  * columns; var-length edge vars bind to an array of edge structs
+  * (so `array_length(e)` is the hop count).
+  */
+object GraphOps {
+
+  final case class GraphCtx(edges: DataFrame, src: String, dst: String,
+                            nodes: Option[(DataFrame, String)])
+
+  private def err(msg: String): Nothing = throw new RuntimeException(msg)
+
+  /** Column prefix for edge occurrence k. */
+  private def ePre(k: Int) = s"__ge${k}_"
+  /** Bound-node id column for node position k. */
+  private def nId(k: Int) = s"__gn$k"
+
+  /** Edge df with all columns prefixed. */
+  private def renamed(e: DataFrame, pre: String): DataFrame =
+    e.select(e.columns.map(c => col(c).as(pre + c)).toIndexedSeq: _*)
+
+  /** One var-length segment: paths of length lo..hi as
+    * (from, to, hops, earr: array<struct<edge cols>>). */
+  private def varPaths(ctx: GraphCtx, forward: Boolean, lo: Int, hi: Int): DataFrame = {
+    val (s, d) = if (forward) (ctx.src, ctx.dst) else (ctx.dst, ctx.src)
+    val eStruct = struct(ctx.edges.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val step = ctx.edges.select(col(s).as("__vs"), col(d).as("__vd"),
+      eStruct.as("__ve"))
+    var level = step.select(col("__vs").as("from"), col("__vd").as("to"),
+      array(col("__ve")).as("earr"))
+    var out: DataFrame = null
+    (1 to hi).foreach { len =>
+      if (len >= lo) {
+        val cur = level.withColumn("hops", lit(len.toLong))
+        out = if (out == null) cur else out.unionByName(cur)
+      }
+      if (len < hi)
+        level = level.join(step, level("to") === step("__vs"))
+          .select(col("from"), col("__vd").as("to"),
+            concat(col("earr"), array(col("__ve"))).as("earr"))
+    }
+    out
+  }
+
+  /** Plan a fixed/variable pattern into one DataFrame whose columns are
+    * the prefixed edge columns + bound node ids + var-length arrays.
+    * Returns (df, edgeVar → prefix, nodeVar → id column, varEdgeVar →
+    * array column). */
+  private def chain(ctx: GraphCtx, pattern: List[PatElem])
+      : (DataFrame, Map[String, String], Map[String, String], Map[String, String]) = {
+    val nodesP = pattern.collect { case n: PatNode => n }
+    val edgesP = pattern.collect { case e: PatEdge => e }
+    if (nodesP.length != edgesP.length + 1)
+      err("graph pattern must alternate (node)-[edge]->(node)")
+
+    var fixedVars = Map.empty[String, String]
+    var varVars = Map.empty[String, String]
+    var acc: DataFrame = null
+
+    edgesP.zipWithIndex.foreach { case (pe, k) =>
+      val (fromN, toN) = (nId(k), nId(k + 1)) // pattern-order endpoints
+      if (pe.minHops == 1 && pe.maxHops == 1) {
+        val pre = ePre(k)
+        val e = renamed(ctx.edges, pre)
+        val (sCol, dCol) =
+          if (pe.forward) (pre + ctx.src, pre + ctx.dst)
+          else (pre + ctx.dst, pre + ctx.src)
+        val withIds = e.withColumn(fromN, col(sCol)).withColumn(toN, col(dCol))
+        acc = if (acc == null) withIds
+              else acc.join(withIds, acc(fromN) === withIds(fromN))
+                .drop(withIds(fromN))
+        pe.name.foreach(n => fixedVars += n -> pre)
+      } else {
+        if (pe.maxHops < pe.minHops || pe.maxHops > 16)
+          err("variable-length edge needs 1 <= lo <= hi <= 16")
+        val arrCol = s"__gv$k"
+        val seg = varPaths(ctx, pe.forward, pe.minHops, pe.maxHops)
+          .select(col("from").as(fromN), col("to").as(toN),
+            col("earr").as(arrCol))
+        acc = if (acc == null) seg
+              else acc.join(seg, acc(fromN) === seg(fromN)).drop(seg(fromN))
+        pe.name.foreach(n => varVars += n -> arrCol)
+      }
+    }
+
+    var nodeVars = Map.empty[String, String]
+    nodesP.zipWithIndex.foreach { case (pn, k) =>
+      pn.name.foreach { n =>
+        // the same var naming two positions is a join constraint
+        nodeVars.get(n) match {
+          case Some(prev) => acc = acc.filter(col(prev) === col(nId(k)))
+          case None => nodeVars += n -> nId(k)
+        }
+      }
+    }
+    (acc, fixedVars, nodeVars, varVars)
+  }
+
+  /** Join node properties for every referenced node var; returns the
+    * widened df and nodeVar → propertyColumn-prefix. */
+  private def joinNodeProps(df0: DataFrame, ctx: GraphCtx,
+                            nodeVars: Map[String, String]): (DataFrame, Map[String, String]) = {
+    ctx.nodes match {
+      case None => (df0, Map.empty)
+      case Some((nd, key)) =>
+        var df = df0
+        var pres = Map.empty[String, String]
+        nodeVars.foreach { case (v, idCol) =>
+          val pre = s"__gp${v}_"
+          val props = renamed(nd, pre)
+          df = df.join(props, df(idCol) === props(pre + key), "left")
+          pres += v -> pre
+        }
+        (df, pres)
+    }
+  }
+
+  /** Rewrite pattern-var property access into the flat columns of the
+    * chained DataFrame. */
+  private def rewrite(e: Expr, ctx: GraphCtx,
+                      fixedVars: Map[String, String], nodeVars: Map[String, String],
+                      varVars: Map[String, String], propPres: Map[String, String]): Expr = {
+    def rw(e: Expr): Expr = e match {
+      case PathGet(Col(v), Lit(p: String)) if fixedVars.contains(v) =>
+        Col(fixedVars(v) + p)
+      case PathGet(Col(v), Lit(p: String)) if nodeVars.contains(v) =>
+        if (p == "id") Col(nodeVars(v))
+        else propPres.get(v) match {
+          case Some(pre) => Col(pre + p)
+          case None => err(s"node property '$v.$p' needs `make-graph ... with <nodes> on <id>`")
+        }
+      case Col(v) if varVars.contains(v) => Col(varVars(v))
+      case Col(v) if nodeVars.contains(v) => Col(nodeVars(v))
+      case App(fn, args) => App(fn, args.map(rw))
+      case BinOp(op, l, r) => BinOp(op, rw(l), rw(r))
+      case UnOp(op, x) => UnOp(op, rw(x))
+      case PathGet(b, k) => PathGet(rw(b), rw(k))
+      case InList(x, vs, n, ci) => InList(rw(x), vs.map(rw), n, ci)
+      case BetweenOp(x, lo, hi, n) => BetweenOp(rw(x), rw(lo), rw(hi), n)
+      case other => other
+    }
+    rw(e)
+  }
+
+  /** Default output column name for `a.id`-style projections. */
+  private def defName(e: Expr, i: Int): String = e match {
+    case PathGet(Col(v), Lit(p: String)) => s"${v}_$p"
+    case Col(n) => n
+    case _ => s"Column$i"
+  }
+
+  def graphMatch(ctx: GraphCtx, op: GraphMatchOp,
+                 toCol: (Expr, DataFrame) => Column): DataFrame = {
+    val (df0, fixedVars, nodeVars, varVars) = chain(ctx, op.pattern)
+    val (df1, propPres) = joinNodeProps(df0, ctx, nodeVars)
+    def rw(e: Expr) = rewrite(e, ctx, fixedVars, nodeVars, varVars, propPres)
+    val filtered = op.where.map(w => df1.filter(toCol(rw(w), df1))).getOrElse(df1)
+    filtered.select(op.project.zipWithIndex.map { case ((alias, e), i) =>
+      toCol(rw(e), filtered).as(alias.getOrElse(defName(e, i)))
+    }: _*)
+  }
+
+  /** Bounded BFS shortest paths over `(s)-[e*lo..hi]->(t)`: level-wise
+    * frontier expansion with per-level distinct (s, t) — the frontier is
+    * a pair SET, never an enumeration of paths — then min(hops). The
+    * var-edge name binds to the hop count (exposed through
+    * `array_length(e)`; the edge list itself is not materialized). */
+  def shortestPaths(ctx: GraphCtx, op: GraphShortestPathsOp,
+                    toCol: (Expr, DataFrame) => Column): DataFrame = {
+    val (sN, eP, tN) = op.pattern match {
+      case List(PatNode(s), e: PatEdge, PatNode(t)) if e.maxHops > 1 || e.minHops != e.maxHops =>
+        (s, e, t)
+      case _ => err("graph-shortest-paths expects (s)-[e*lo..hi]->(t)")
+    }
+    if (eP.maxHops < eP.minHops || eP.maxHops > 16)
+      err("variable-length edge needs 1 <= lo <= hi <= 16")
+    val (sc, dc) = if (eP.forward) (ctx.src, ctx.dst) else (ctx.dst, ctx.src)
+    val step = ctx.edges.select(col(sc).as("__vs"), col(dc).as("__vd")).distinct()
+    var level = step
+    var out: DataFrame = null
+    (1 to eP.maxHops).foreach { len =>
+      if (len >= eP.minHops) {
+        val cur = level.select(col("__vs"), col("__vd"), lit(len.toLong).as("__hops"))
+        out = if (out == null) cur else out.unionByName(cur)
+      }
+      if (len < eP.maxHops)
+        level = level.as("l").join(step.as("r"), col("l.__vd") === col("r.__vs"))
+          .select(col("l.__vs").as("__vs"), col("r.__vd").as("__vd")).distinct()
+    }
+    val sId = nId(0); val tId = nId(1)
+    val paths = out.groupBy(col("__vs").as(sId), col("__vd").as(tId))
+      .agg(min(col("__hops")).as("__hops"))
+    val nodeVars = List(sN, tN).flatten.map(v => v -> (if (sN.contains(v)) sId else tId)).toMap
+    val (df1, propPres) = joinNodeProps(paths, ctx, nodeVars)
+    // bind `array_length(e)` / `e` to the hop count
+    def bindHops(e: Expr): Expr = e match {
+      case App("array_length", List(Col(v))) if eP.name.contains(v) => Col("__hops")
+      case Col(v) if eP.name.contains(v) => Col("__hops")
+      case App(fn, args) => App(fn, args.map(bindHops))
+      case BinOp(o, l, r) => BinOp(o, bindHops(l), bindHops(r))
+      case UnOp(o, x) => UnOp(o, bindHops(x))
+      case PathGet(b, k) => PathGet(bindHops(b), bindHops(k))
+      case other => other
+    }
+    def rw(e: Expr) = rewrite(bindHops(e), ctx, Map.empty, nodeVars, Map.empty, propPres)
+    val filtered = op.where.map(w => df1.filter(toCol(rw(w), df1))).getOrElse(df1)
+    filtered.select(op.project.zipWithIndex.map { case ((alias, e), i) =>
+      toCol(rw(e), filtered).as(alias.getOrElse(defName(e, i)))
+    }: _*)
+  }
+
+  def graphToTable(ctx: GraphCtx, what: String): DataFrame = what match {
+    case "edges" => ctx.edges
+    case "nodes" =>
+      val ids = ctx.edges.select(col(ctx.src).as("id"))
+        .unionByName(ctx.edges.select(col(ctx.dst).as("id"))).distinct()
+      ctx.nodes match {
+        case Some((nd, key)) => ids.join(nd, ids("id") === nd(key), "left").drop(key)
+        case None => ids
+      }
+  }
+}

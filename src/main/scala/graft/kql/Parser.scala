@@ -105,9 +105,11 @@ final class Parser(src: String) {
         }
         sawPipe || (toks(p).isInstanceOf[TIdent] &&
           (toks(p + 1) match { case TSym(";", _) => true; case _ => false })) ||
-          // a pipe-less datatable literal is still a tabular binding
+          // pipe-less tabular sources are still tabular bindings:
+          // datatable literals and union-of-subqueries
           (toks(p) match {
-            case TIdent(n, _) => n.equalsIgnoreCase("datatable")
+            case TIdent(n, _) => n.equalsIgnoreCase("datatable") ||
+              n.equalsIgnoreCase("union")
             case _ => false
           })
       }
@@ -446,6 +448,25 @@ final class Parser(src: String) {
             case _ => fail("search expects a string literal")
           }
         case "make-series" => parseMakeSeries()
+        case "make-graph" =>
+          val src = identName()
+          eatSym("-"); eatSym("-"); eatSym(">")
+          val dst = identName()
+          val nodes = if (tryIdent("with")) {
+            val tbl = identName(); eatIdent("on"); Some(tbl -> identName())
+          } else None
+          MakeGraphOp(src, dst, nodes)
+        case "graph-match" =>
+          val (pat, whr, prj) = parseGraphPattern()
+          GraphMatchOp(pat, whr, prj)
+        case "graph-shortest-paths" =>
+          val (pat, whr, prj) = parseGraphPattern()
+          GraphShortestPathsOp(pat, whr, prj)
+        case "graph-to-table" =>
+          val what = identName().toLowerCase
+          if (what != "nodes" && what != "edges")
+            fail("graph-to-table expects 'nodes' or 'edges'")
+          GraphToTableOp(what)
         case "top-nested" => parseTopNested()
         case "invoke" =>
           val fn = identName()
@@ -494,6 +515,48 @@ final class Parser(src: String) {
       more = trySym(",")
     }
     out.result()
+  }
+
+  /** `(a)-[e]->(b)<-[f*1..3]-(c) [where pred] project items` */
+  private def parseGraphPattern(): (List[PatElem], Option[Expr], List[(Option[String], Expr)]) = {
+    val elems = List.newBuilder[PatElem]
+    def node(): Unit = {
+      eatSym("(")
+      val nm = if (isSym(")")) None else Some(identName())
+      eatSym(")")
+      elems += PatNode(nm)
+    }
+    def edgeBody(): (Option[String], Int, Int) = {
+      eatSym("[")
+      val nm = if (isSym("*") || isSym("]")) None else Some(identName())
+      val (mn, mx) =
+        if (trySym("*")) {
+          val a = parseLong().toInt
+          eatSym("..")
+          (a, parseLong().toInt)
+        } else (1, 1)
+      eatSym("]")
+      (nm, mn, mx)
+    }
+    node()
+    var more = true
+    while (more) {
+      if (trySym("-")) { // -[e]->(n)
+        val (nm, mn, mx) = edgeBody()
+        eatSym("-"); eatSym(">")
+        elems += PatEdge(nm, forward = true, mn, mx)
+        node()
+      } else if (trySym("<")) { // <-[e]-(n)
+        eatSym("-")
+        val (nm, mn, mx) = edgeBody()
+        eatSym("-")
+        elems += PatEdge(nm, forward = false, mn, mx)
+        node()
+      } else more = false
+    }
+    val whr = if (tryIdent("where")) Some(parseExpr()) else None
+    eatIdent("project")
+    (elems.result(), whr, parseNamedExprList())
   }
 
   /** name = expr | expr   (comma list) */

@@ -216,8 +216,33 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     out
   }
 
+  /** Set by `make-graph`, consumed by the graph-* operators. */
+  private var graphCtx: Option[GraphOps.GraphCtx] = None
+
   private def applyOp0(df: DataFrame, op: TabOp): DataFrame = op match {
     case Where(p) => df.filter(toCol(p, df))
+
+    case MakeGraphOp(src, dst, nodes) =>
+      val nd = nodes.map { case (tbl, key) =>
+        (letTables.getOrElse(tbl, catalog.table(tbl)), key) }
+      graphCtx = Some(GraphOps.GraphCtx(df, resolveName(df, src),
+        resolveName(df, dst), nd))
+      df // placeholder; the next operator must be a graph consumer
+
+    case gm: GraphMatchOp =>
+      val ctx = graphCtx.getOrElse(throw PlanError("graph-match needs make-graph first"))
+      graphCtx = None
+      GraphOps.graphMatch(ctx, gm, (e, d) => toCol(e, d))
+
+    case gs: GraphShortestPathsOp =>
+      val ctx = graphCtx.getOrElse(throw PlanError("graph-shortest-paths needs make-graph first"))
+      graphCtx = None
+      GraphOps.shortestPaths(ctx, gs, (e, d) => toCol(e, d))
+
+    case GraphToTableOp(what) =>
+      val ctx = graphCtx.getOrElse(throw PlanError("graph-to-table needs make-graph first"))
+      graphCtx = None
+      GraphOps.graphToTable(ctx, what)
 
     case Project(items) =>
       df.select(items.zipWithIndex.map { case ((alias, e), i) =>

@@ -700,6 +700,78 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  private val graphEdges =
+    """datatable(src:string, dst:string, w:long) [
+         'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 5, 'c', 'd', 1]"""
+
+  test("graph-match: fixed two-hop chain with edge and node predicates") {
+    val rows = run(
+      s"""$graphEdges
+         | make-graph src --> dst
+         | graph-match (x)-[e1]->(y)-[e2]->(z)
+           where e1.w < 5
+           project xid = x.id, zid = z.id, cost = e1.w + e2.w
+         | sort by xid asc, zid asc""")
+    // a->b->c (1+2) and b->c->d (2+1)
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))) ==
+      Seq(("a", "c", 3L), ("b", "d", 3L)))
+  }
+
+  test("graph-match: backward edge reverses direction") {
+    val rows = run(
+      s"""$graphEdges
+         | make-graph src --> dst
+         | graph-match (x)<-[e]-(y)
+           where x.id == 'c'
+           project yid = y.id
+         | sort by yid asc""")
+    assert(rows.map(_.getString(0)) == Seq("a", "b"))
+  }
+
+  test("graph-match: variable-length edge binds an edge array") {
+    val rows = run(
+      s"""$graphEdges
+         | make-graph src --> dst
+         | graph-match (x)-[e*1..3]->(y)
+           where x.id == 'a' and y.id == 'd'
+           project hops = array_length(e)
+         | sort by hops asc""")
+    // a->c->d (2 hops) and a->b->c->d (3 hops)
+    assert(rows.map(_.getLong(0)) == Seq(2L, 3L))
+  }
+
+  test("graph-match: node properties via `with nodes on id`") {
+    val rows = run(
+      s"""let N = datatable(id:string, label:string) ['a', 'src', 'd', 'sink'];
+         $graphEdges
+         | make-graph src --> dst with N on id
+         | graph-match (x)-[e*2..3]->(y)
+           where isnotempty(x.label) and y.label == 'sink'
+           project xl = x.label, yl = y.label
+         | distinct xl, yl""")
+    assert(rows.map(r => (r.getString(0), r.getString(1))) == Seq(("src", "sink")))
+  }
+
+  test("graph-shortest-paths: min hops per pair") {
+    val rows = run(
+      s"""$graphEdges
+         | make-graph src --> dst
+         | graph-shortest-paths (s)-[e*1..4]->(t)
+           where s.id == 'a'
+           project tid = t.id, hops = array_length(e)
+         | sort by tid asc""")
+    // from a: b=1, c=1 (direct beats a->b->c), d=2
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("b", 1L), ("c", 1L), ("d", 2L)))
+  }
+
+  test("graph-to-table: nodes and edges") {
+    val n = run(s"$graphEdges | make-graph src --> dst | graph-to-table nodes | count")
+    assert(n.head.getLong(0) == 4L)
+    val e = run(s"$graphEdges | make-graph src --> dst | graph-to-table edges | count")
+    assert(e.head.getLong(0) == 4L)
+  }
+
   test("ipv4 family: netmask suffix, private ranges, compare, match") {
     val r = one("""print ns = ipv4_netmask_suffix('192.168.1.1/24'),
                         ns32 = ipv4_netmask_suffix('10.0.0.1'),
