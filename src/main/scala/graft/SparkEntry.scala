@@ -998,6 +998,34 @@ object SparkEntry {
            1.0, 42.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)"""),
       Some("""SELECT [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS an""")),
 
+    // last-level `with others`: non-top values fold into one labeled row
+    // (additive re-aggregation of the per-value aggregates)
+    "q111_topnested_others" -> Q(kqlQ(
+      """orders
+        | top-nested 2 of o_orderpriority with others = 'Other' by count()
+        | sort by aggregated_o_orderpriority desc, o_orderpriority asc"""),
+      Some("""WITH l AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS agg FROM orders GROUP BY 1), top2 AS (SELECT * FROM l QUALIFY ROW_NUMBER() OVER (ORDER BY agg DESC, o_orderpriority) <= 2) SELECT o_orderpriority, agg AS aggregated_o_orderpriority FROM top2 UNION ALL SELECT 'Other', CAST(SUM(agg) AS BIGINT) FROM l WHERE o_orderpriority NOT IN (SELECT o_orderpriority FROM top2) ORDER BY 2 DESC, 1""")),
+
+    // per-bin activity metrics: the cumulative distinct is the running
+    // sum of first-appearance counts — no set union, two hash aggregates
+    "q112_activity_counts" -> Q(kqlQ(
+      """events
+        | evaluate activity_counts_metrics(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 1d)
+        | sort by ts asc"""),
+      Some("""WITH b AS (SELECT user_id, epoch_us(ts) - (epoch_us(ts) - 1704067200000000) % 86400000000 AS d FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-31'), per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS count_, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount FROM b GROUP BY 1), fi AS (SELECT MIN(d) AS d FROM b GROUP BY user_id), nw AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_dcount FROM fi GROUP BY 1) SELECT make_timestamp(per.d) AS ts, count_, dcount, COALESCE(new_dcount, 0) AS new_dcount, CAST(SUM(COALESCE(new_dcount, 0)) OVER (ORDER BY per.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS aggregated_dcount FROM per LEFT JOIN nw USING (d) ORDER BY 1""")),
+
+    // dynamic-bag fit variants, path decomposition, percentile arrays
+    "q113_scalar_batch4" -> Q(kqlQ(
+      """lineitem
+        | summarize pa = percentiles_array(l_extendedprice, 25, 50, 75) by l_returnflag
+        | project l_returnflag,
+                  p25 = round(todouble(pa[0]), 4), p50 = round(todouble(pa[1]), 4),
+                  p75 = round(todouble(pa[2]), 4),
+                  fl = series_fit_line_dynamic(pack_array(1.0, 2.0, 3.0, 4.0)),
+                  pp = parse_path('/usr/local/data/file.tar.gz')
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75, '{"slope":1.0,"interception":1.0,"rsquare":1.0}' AS fl, '{"RootPath":"","DirectoryPath":"/usr/local/data","DirectoryName":"data","Filename":"file.tar.gz","Extension":"gz"}' AS pp FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // graph pattern matching as relational algebra: each hop an
     // equi-join on node ids (AQE picks broadcast per hop); the oracle is
     // the same chain as SQL joins

@@ -67,6 +67,34 @@ object ActivityOps {
       .select(timestamp_micros(col("__d")).as(tsCol), col("count_"), col("dcount_"))
   }
 
+  /** KQL `evaluate activity_counts_metrics(id, timeline, start, end,
+    * step)`: per step-aligned bin — row count, distinct actors, NEW
+    * actors (first appearance in this bin), and the cumulative distinct
+    * total. The cumulative distinct is exactly the running sum of
+    * new_dcount, so it needs no set union: two hash aggregates plus a
+    * running sum over the BIN-level rows (≤ (end−start)/step rows — a
+    * bounded frame, not data-sized). */
+  def activityCountsMetrics(df: DataFrame, idCol: String, tsCol: String,
+                            startUs: Long, stopUs: Long, binUs: Long): DataFrame = {
+    require(binUs > 0 && stopUs >= startUs, "end >= start and step > 0")
+    val us = unix_micros(col(tsCol))
+    val d = lit(startUs) + ((us - startUs) - pmod(us - startUs, lit(binUs)))
+    val binned = df.filter(us >= startUs && us <= stopUs)
+      .select(d.as("__d"), col(idCol).as("__id"))
+    val perBin = binned.groupBy("__d").agg(count(lit(1)).as("count_"),
+      count_distinct(col("__id")).as("dcount"))
+    val firsts = binned.groupBy("__id").agg(min(col("__d")).as("__d"))
+      .groupBy("__d").agg(count(lit(1)).as("new_dcount"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBin.join(firsts, Seq("__d"), "left")
+      .withColumn("new_dcount", coalesce(col("new_dcount"), lit(0L)))
+      .withColumn("aggregated_dcount", sum(col("new_dcount")).over(w))
+      .select(timestamp_micros(col("__d")).as(tsCol), col("count_"),
+        col("dcount"), col("new_dcount"), col("aggregated_dcount"))
+  }
+
   /** KQL `evaluate session_count(id, timeline, start, stop, bin,
     * lookback)`: for every grid bin b in [start, stop] step bin, the
     * number of distinct ids with activity in (b − lookback, b] — an id's

@@ -91,7 +91,8 @@ object Ast {
                               by: List[(Option[String], Expr)]) extends TabOp
   final case class TopNested(levels: List[TopNestedLevel]) extends TabOp
   final case class TopNestedLevel(n: Long, of: (Option[String], Expr),
-                                  by: (Option[String], Expr), asc: Boolean)
+                                  by: (Option[String], Expr), asc: Boolean,
+                                  others: Option[String] = None)
   final case class InvokeOp(fn: String, args: List[Expr]) extends TabOp
   /** `consume` — execute the pipeline, suppress the result set. */
   final case class ConsumeOp() extends TabOp

@@ -288,6 +288,10 @@ object Functions {
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
+    // *_dynamic variants: same fit, packed as a JSON bag (KQL dynamic)
+    "series_fit_line_dynamic" -> f { case a :: Nil => to_json(seriesFitLine(a)) },
+    "series_fit_2lines_dynamic" -> f { case a :: Nil =>
+      to_json(seriesFit2Udf(a.cast("array<double>"))) },
     "series_periods_detect" -> f {
       case a :: minP :: maxP :: k :: Nil => seriesPeriodsDetect(a, minP, maxP, k)
       case a :: Nil => seriesPeriodsDetect(a, lit(2), lit(0), lit(1)) },
@@ -402,6 +406,20 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // file-path decomposition (KQL parse_path): scheme-less paths,
+    // both separators; rightmost '.' after the last separator = extension
+    "parse_path" -> f { case p0 :: Nil =>
+      val p = regexp_replace(p0, lit("\\\\"), lit("/"))
+      val dir = when(p.contains("/"),
+        regexp_replace(p, lit("/[^/]*$"), lit(""))).otherwise(lit(""))
+      val fname = element_at(split(p, "/"), -1)
+      val ext = when(fname.rlike("\\.[^.]+$"),
+        regexp_extract(fname, "\\.([^.]+)$", 1)).otherwise(lit(""))
+      to_json(struct(
+        regexp_extract(p, "^([A-Za-z]:)", 1).as("RootPath"),
+        dir.as("DirectoryPath"),
+        element_at(split(dir, "/"), -1).as("DirectoryName"),
+        fname.as("Filename"), ext.as("Extension"))) },
     // query string → dynamic bag (KQL parse_urlquery shape: the params
     // nest under "Query Parameters"); accepts a bare query or a full URL
     "parse_urlquery" -> f { case q :: Nil =>

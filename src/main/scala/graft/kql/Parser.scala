@@ -744,10 +744,18 @@ final class Parser(src: String) {
       val n = parseLong()
       eatIdent("of")
       val of = parseNamedExpr()
+      // `with others = "label"` folds everything outside the top N
+      val others = if (tryIdent("with")) {
+        eatIdent("others"); eatSym("=")
+        Some(cur match {
+          case Lexer.TStr(s, _) => p += 1; s
+          case _ => fail("with others expects a string label")
+        })
+      } else None
       eatIdent("by")
       val by = parseNamedExpr()
       val asc = if (tryIdent("asc")) true else { tryIdent("desc"); false }
-      levels += TopNestedLevel(n, of, by, asc)
+      levels += TopNestedLevel(n, of, by, asc, others)
       more = trySym(",") && { eatIdent("top-nested"); true }
     }
     TopNested(levels.result())

@@ -517,6 +517,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    case EvaluateOp("activity_counts_metrics", idE :: tsE :: startE :: stopE :: binE :: Nil) =>
+      graft.ext.ActivityOps.activityCountsMetrics(df,
+        colNameOf(df, idE, "activity_counts_metrics id"),
+        colNameOf(df, tsE, "activity_counts_metrics timeline"),
+        tsLitUs(startE), tsLitUs(stopE), timespanUs(binE))
+
     case EvaluateOp("session_count", idE :: tsE :: startE :: stopE :: binE :: lookE :: Nil) =>
       graft.ext.ActivityOps.sessionCount(df,
         colNameOf(df, idE, "session_count id"),
@@ -836,6 +842,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             aggCols += call_function("percentile", toCol(colE, df),
               percentAsFraction(p, df)).as(s"${base}_$pName")
           }
+        case App("percentiles_array", colE :: ps) if ps.nonEmpty =>
+          // one array-valued column instead of one column per percent
+          val base = alias.getOrElse(s"percentiles_${defaultName(colE, i)}")
+          aggCols += array(ps.map(p => call_function("percentile",
+            toCol(colE, df), percentAsFraction(p, df))): _*).as(base)
+        case App("percentilesw_array", colE :: wE :: ps) if ps.nonEmpty =>
+          val base = alias.getOrElse(s"percentiles_${defaultName(colE, i)}")
+          aggCols += array(ps.map(p => Functions.percentileW(toCol(colE, df),
+            toCol(wE, df), percentAsFraction(p, df))): _*).as(base)
         case App("percentilesw", colE :: wE :: ps) if ps.nonEmpty =>
           // weighted variant: percentilesw(x, w, 25, 50) → one column each
           val base = alias.getOrElse(s"percentile_${defaultName(colE, i)}")
@@ -1040,8 +1055,30 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       val w = if (parents.isEmpty) Window.orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
         else Window.partitionBy(parents.map(col): _*)
           .orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
-      val ranked = grouped.withColumn("__rk", row_number().over(w))
+      val kept = grouped.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= lvl.n).drop("__rk")
+      // `with others = "label"`: one extra row per parent folding the
+      // non-top values — re-aggregate the excluded per-value aggregates
+      // (sum for additive aggs, min/max preserved). Last level only: an
+      // inner others row would be dropped by the child join anyway.
+      val ranked = lvl.others match {
+        case None => kept
+        case Some(lbl) =>
+          if (i != tn.levels.length - 1)
+            throw PlanError("top-nested `with others` is supported on the last level")
+          val reAgg = lvl.by._2 match {
+            case App("min", _) => min(col(aggName))
+            case App("max", _) => max(col(aggName))
+            case _ => sum(col(aggName)) // count/sum/countif are additive
+          }
+          val excl = grouped.join(kept.select((parents :+ ofName).map(col): _*),
+            (parents :+ ofName).toSeq, "left_anti")
+          val oRow = (if (parents.isEmpty) excl.groupBy()
+                      else excl.groupBy(parents.map(col): _*))
+            .agg(reAgg.cast(typeOf(grouped, col(aggName))).as(aggName))
+            .withColumn(ofName, lit(lbl))
+          kept.unionByName(oRow)
+      }
       acc = if (acc == null) ranked else acc.join(ranked, parents.toSeq, "inner")
       parents = parents :+ ofName
     }

@@ -700,6 +700,29 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("top-nested with others folds the non-top values") {
+    val rows = run(
+      """datatable(k:string, v:long) ['a', 10, 'b', 5, 'c', 1, 'd', 1]
+        | top-nested 2 of k with others = 'rest' by sum(v)
+        | sort by aggregated_k desc, k asc""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 10L), ("b", 5L), ("rest", 2L)))
+  }
+
+  test("activity_counts_metrics: new vs cumulative distinct") {
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 01:00:00), 'a',
+           datetime(2024-01-01 02:00:00), 'b',
+           datetime(2024-01-02 01:00:00), 'a',
+           datetime(2024-01-03 01:00:00), 'c']
+         | evaluate activity_counts_metrics(u, ts, datetime(2024-01-01), datetime(2024-01-04), 1d)
+         | sort by ts asc""")
+    // (count, dcount, new, aggregated) per day
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) ==
+      Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
+  }
+
   private val graphEdges =
     """datatable(src:string, dst:string, w:long) [
          'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 5, 'c', 'd', 1]"""
