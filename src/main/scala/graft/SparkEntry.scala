@@ -1000,6 +1000,21 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // S2 cells: face tokens + the (0,0) leaf are reference S2 values;
+    // the level-11 roundtrip pins the projection + Hilbert decode
+    "q114_s2cell" -> Q(kqlQ(
+      """print leaf = geo_point_to_s2cell(0.0, 0.0, 30),
+              f1 = geo_point_to_s2cell(90.0, 0.0, 0),
+              f2 = geo_point_to_s2cell(0.0, 80.0, 0),
+              t11 = geo_point_to_s2cell(-122.41, 37.77, 11)
+        | extend c = geo_s2cell_to_central_point(t11)
+        | project leaf, f1, f2, t11,
+                  close = geo_distance_2points(-122.41, 37.77,
+                    todouble(c.longitude), todouble(c.latitude)) < 10000.0,
+                  stable = geo_point_to_s2cell(todouble(c.longitude),
+                    todouble(c.latitude), 11) == t11"""),
+      Some("""SELECT '1000000000000001' AS leaf, '3' AS f1, '5' AS f2, '808f7e4' AS t11, true AS close, true AS stable""")),
+
     "q111_topnested_others" -> Q(kqlQ(
       """orders
         | top-nested 2 of o_orderpriority with others = 'Other' by count()

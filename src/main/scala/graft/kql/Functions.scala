@@ -373,6 +373,16 @@ object Functions {
     "gzip_decompress_from_base64_string" -> f { case c :: Nil => gzipDecompressUdf(c.cast("string")) },
     "zlib_compress_to_base64_string" -> f { case c :: Nil => zlibCompressUdf(c.cast("string")) },
     "zlib_decompress_from_base64_string" -> f { case c :: Nil => zlibDecompressUdf(c.cast("string")) },
+    // S2 cell token for a point (quadratic projection + Hilbert curve,
+    // the standard public S2 construction); level 0..30, default 11
+    "geo_point_to_s2cell" -> f {
+      case lon :: lat :: Nil =>
+        s2CellUdf(lon.cast("double"), lat.cast("double"), lit(11))
+      case lon :: lat :: l :: Nil =>
+        s2CellUdf(lon.cast("double"), lat.cast("double"), l.cast("int")) },
+    "geo_s2cell_to_central_point" -> f { case t :: Nil =>
+      val pt = s2CenterUdf(t.cast("string"))
+      struct(pt.getField("_1").as("longitude"), pt.getField("_2").as("latitude")) },
     "geo_point_to_geohash" -> f {
       case lon :: lat :: Nil => geohashUdf(lon.cast("double"), lat.cast("double"), lit(5))
       case lon :: lat :: p :: Nil => geohashUdf(lon.cast("double"), lat.cast("double"), p.cast("int")) },
@@ -1030,6 +1040,91 @@ object Functions {
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
   }
+
+  // ------------------------------------------------------------ S2 cells
+  // The standard public S2 construction: lat/lng → unit XYZ → cube face
+  // (u,v) → quadratic (s,t) → 30-bit (i,j) → Hilbert position → cell id,
+  // token = hex id with trailing zeros stripped. Bit-serial Hilbert
+  // encoding (2 bits/level with orientation state) — an iterative loop,
+  // hence compact UDFs (COVERAGE §2.11 trade).
+  private val s2PosToOrientation = Array(1, 0, 0, 3) // SWAP=1, INVERT=2
+  private val s2IjToPos = Array(
+    Array(0, 1, 3, 2), Array(0, 3, 1, 2), Array(2, 3, 1, 0), Array(2, 1, 3, 0))
+  private val s2PosToIJ = Array(
+    Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+
+  private def s2Token(lon: Double, lat: Double, level: Int): String = {
+    val l = math.max(0, math.min(30, level))
+    val phi = math.toRadians(lat); val theta = math.toRadians(lon)
+    val x = math.cos(phi) * math.cos(theta)
+    val y = math.cos(phi) * math.sin(theta)
+    val z = math.sin(phi)
+    val (ax, ay, az) = (math.abs(x), math.abs(y), math.abs(z))
+    val axis = if (ax > ay && ax > az) 0 else if (ay > az) 1 else 2
+    val comp = axis match { case 0 => x; case 1 => y; case _ => z }
+    val face = axis + (if (comp < 0) 3 else 0)
+    val (u, v) = face match {
+      case 0 => (y / x, z / x)
+      case 1 => (-x / y, z / y)
+      case 2 => (-x / z, -y / z)
+      case 3 => (z / x, y / x)
+      case 4 => (z / y, -x / y)
+      case _ => (-y / z, -x / z)
+    }
+    def st(w: Double) = if (w >= 0) 0.5 * math.sqrt(1 + 3 * w) else 1 - 0.5 * math.sqrt(1 - 3 * w)
+    def ij(s: Double) = math.max(0, math.min((1 << 30) - 1, (s * (1 << 30)).toInt))
+    val i = ij(st(u)); val j = ij(st(v))
+    var orient = face & 1
+    var pos = 0L
+    var k = 29
+    while (k >= 0) {
+      val cell = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+      val p = s2IjToPos(orient)(cell)
+      pos = (pos << 2) | p
+      orient ^= s2PosToOrientation(p)
+      k -= 1
+    }
+    var id = (face.toLong << 61) | (pos << 1) | 1L
+    val lsb = 1L << (2 * (30 - l))
+    id = (id & -lsb) | lsb
+    f"$id%016x".reverse.dropWhile(_ == '0').reverse
+  }
+
+  private def s2Center(token: String): (Double, Double) = {
+    val id = java.lang.Long.parseUnsignedLong(token.padTo(16, '0'), 16)
+    val face = (id >>> 61).toInt
+    val pos = (id >>> 1) & ((1L << 60) - 1)
+    var orient = face & 1
+    var i = 0; var j = 0
+    var k = 29
+    while (k >= 0) {
+      val p = ((pos >> (2 * k)) & 3).toInt
+      val cell = s2PosToIJ(orient)(p)
+      i = (i << 1) | (cell >> 1)
+      j = (j << 1) | (cell & 1)
+      orient ^= s2PosToOrientation(p)
+      k -= 1
+    }
+    val s = (i + 0.5) / (1 << 30); val t = (j + 0.5) / (1 << 30)
+    def uv(w: Double) = if (w >= 0.5) (4 * w * w - 1) / 3 else (1 - 4 * (1 - w) * (1 - w)) / 3
+    val u = uv(s); val v = uv(t)
+    val (x, y, z) = face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+    val lat = math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y)))
+    val lon = math.toDegrees(math.atan2(y, x))
+    (lon, lat)
+  }
+
+  private val s2CellUdf = udf { (lon: Double, lat: Double, level: Int) =>
+    s2Token(lon, lat, level) }
+  private val s2CenterUdf = udf { (t: String) =>
+    if (t == null || t.isEmpty) null else s2Center(t) }
 
   /** Lanczos (g=7, 9-term) log-gamma for x > 0.5, as a fixed chain of
     * Column arithmetic — no UDF, stays in codegen. ~15 significant

@@ -700,6 +700,29 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("s2 cells: known tokens, roundtrip center, re-encode stability") {
+    // (0,0) leaf and the face-cell tokens match the reference S2 values
+    val r = one(
+      """print leaf = geo_point_to_s2cell(0.0, 0.0, 30),
+              f0 = geo_point_to_s2cell(0.0, 0.0, 0),
+              f1 = geo_point_to_s2cell(90.0, 0.0, 0),
+              f2 = geo_point_to_s2cell(0.0, 80.0, 0),
+              f5 = geo_point_to_s2cell(0.0, -80.0, 0),
+              t11 = geo_point_to_s2cell(-122.41, 37.77, 11)""")
+    assert(r.getString(0) == "1000000000000001")
+    assert(r.getString(1) == "1" && r.getString(2) == "3")
+    assert(r.getString(3) == "5" && r.getString(4) == "b")
+    val t11 = r.getString(5)
+    // center of the level-11 cell is within one cell diagonal (~10 km)
+    // of the original point, and re-encodes to the same token
+    val r2 = one(
+      s"""print c = geo_s2cell_to_central_point('$t11')
+         | project d = geo_distance_2points(-122.41, 37.77, todouble(c.longitude), todouble(c.latitude)),
+                   t = geo_point_to_s2cell(todouble(c.longitude), todouble(c.latitude), 11)""")
+    assert(r2.getDouble(0) < 10000.0)
+    assert(r2.getString(1) == t11)
+  }
+
   test("top-nested with others folds the non-top values") {
     val rows = run(
       """datatable(k:string, v:long) ['a', 10, 'b', 5, 'c', 1, 'd', 1]
