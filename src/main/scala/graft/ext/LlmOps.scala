@@ -484,13 +484,22 @@ object LlmOps {
       col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm"))
     val keyed = withNorm
       .withColumn("__sig", lshSignatures(hyper, nBands, b)(col("v")))
-      .select(col("blk"), col("id"),
+      .select(col("blk"), col("id"), col("__sig"),
         posexplode(col("__sig")).as(Seq("band", "bucket")))
-    val aSide = keyed.select(col("blk"), col("band"), col("bucket"), col("id").as("i"))
-    val bSide = keyed.select(col("blk"), col("band"), col("bucket"), col("id").as("j"))
+    val aSide = keyed.select(col("blk"), col("band"), col("bucket"),
+      col("id").as("i"), col("__sig").as("__siga"))
+    val bSide = keyed.select(col("blk"), col("band"), col("bucket"),
+      col("id").as("j"), col("__sig").as("__sigb"))
+    // keep a pair only in its FIRST colliding band (flat element_at
+    // comparisons in the join output) instead of dropDuplicates over the
+    // full candidate fan-out — same rewrite as nearDupPairsMinhash
     val candIds = aSide.join(bSide, Seq("blk", "band", "bucket"))
       .filter(col("i") < col("j"))
-      .select("blk", "i", "j").dropDuplicates("i", "j")
+      .filter((0 until nBands).map { bb =>
+        col("band") <= bb ||
+          element_at(col("__siga"), bb + 1) =!= element_at(col("__sigb"), bb + 1)
+      }.reduce(_ && _))
+      .select("blk", "i", "j")
     candIds
       .join(withNorm.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
       .join(withNorm.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
