@@ -1000,6 +1000,14 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // sticky-activity distinct count: ids active in >= 3 distinct days of
+    // the trailing week, per day — explode-to-covered-bins, two hash aggs
+    "q115_active_users" -> Q(kqlQ(
+      """events
+        | evaluate active_users_count(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 7d, 1d, 3, 1d)
+        | sort by ts asc"""),
+      Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS b), pers AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events), hit AS (SELECT g.b, pers.user_id FROM grid g JOIN pers ON pers.p <= g.b AND pers.p > g.b - INTERVAL 7 DAY GROUP BY 1, 2 HAVING COUNT(DISTINCT pers.p) >= 3) SELECT g.b AS ts, CAST(COUNT(hit.user_id) AS BIGINT) AS dcount FROM grid g LEFT JOIN hit ON g.b = hit.b GROUP BY 1 ORDER BY 1""")),
+
     // S2 cells: face tokens + the (0,0) leaf are reference S2 values;
     // the level-11 roundtrip pins the projection + Hilbert decode
     "q114_s2cell" -> Q(kqlQ(

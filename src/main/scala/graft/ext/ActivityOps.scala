@@ -67,6 +67,45 @@ object ActivityOps {
       .select(timestamp_micros(col("__d")).as(tsCol), col("count_"), col("dcount_"))
   }
 
+  /** KQL `evaluate active_users_count(id, timeline, start, end,
+    * lookback, period, active_periods, bin)`: per grid bin, the distinct
+    * ids active in ≥ `minPeriods` DISTINCT periods within the lookback
+    * window ending at the bin. Distributed shape: distinct (id, period)
+    * rows fan out to the ≤ lookback/bin grid bins their period covers,
+    * then two hash aggregates — per-(bin, id) period count, filter ≥ m,
+    * per-bin id count. No self-join, no driver state. */
+  def activeUsersCount(df: DataFrame, idCol: String, tsCol: String,
+                       startUs: Long, stopUs: Long, lookbackUs: Long,
+                       periodUs: Long, minPeriods: Int, binUs: Long): DataFrame = {
+    require(binUs > 0 && periodUs > 0 && lookbackUs >= periodUs && minPeriods >= 1,
+      "bin/period > 0, lookback >= period, active_periods >= 1")
+    val spark = df.sparkSession
+    val nBins = ((stopUs - startUs) / binUs).toLong
+    val us = unix_micros(col(tsCol))
+    val pers = df
+      .select(col(idCol).as("__id"), (us - pmod(us, lit(periodUs))).as("__p"))
+      .distinct()
+    // period start p is live for bins b with p <= b < p + lookback;
+    // b_k = start + k*bin ⇒ k in [ceil((p-start)/bin), floor((p+look-1-start)/bin)]
+    val delta = col("__p") - startUs
+    val kLo = greatest(
+      ((delta + pmod(lit(binUs) - pmod(delta, lit(binUs)), lit(binUs))) / binUs).cast("long"),
+      lit(0L))
+    val kHi = least(floor((delta + lookbackUs - 1).cast("double") / binUs).cast("long"),
+      lit(nBins))
+    val hits = pers
+      .select(col("__id"), col("__p"), kLo.as("__k0"), kHi.as("__k1"))
+      .filter(col("__k1") >= col("__k0"))
+      .select(col("__id"), col("__p"), explode(sequence(col("__k0"), col("__k1"))).as("__k"))
+      .groupBy(col("__k"), col("__id")).agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minPeriods)
+      .groupBy(col("__k")).agg(count(lit(1)).as("dcount"))
+    val grid = spark.range(0, nBins + 1L).toDF("__k")
+    grid.join(hits, Seq("__k"), "left")
+      .select(timestamp_micros(col("__k") * binUs + startUs).as(tsCol),
+        coalesce(col("dcount"), lit(0L)).as("dcount"))
+  }
+
   /** KQL `evaluate activity_counts_metrics(id, timeline, start, end,
     * step)`: per step-aligned bin — row count, distinct actors, NEW
     * actors (first appearance in this bin), and the cumulative distinct

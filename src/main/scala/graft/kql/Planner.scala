@@ -517,6 +517,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    case EvaluateOp("active_users_count",
+        idE :: tsE :: startE :: stopE :: lookE :: perE :: mE :: binE :: Nil) =>
+      graft.ext.ActivityOps.activeUsersCount(df,
+        colNameOf(df, idE, "active_users_count id"),
+        colNameOf(df, tsE, "active_users_count timeline"),
+        tsLitUs(startE), tsLitUs(stopE), timespanUs(lookE), timespanUs(perE),
+        staticValue(mE, "").asInstanceOf[Long].toInt, timespanUs(binE))
+
     case EvaluateOp("activity_counts_metrics", idE :: tsE :: startE :: stopE :: binE :: Nil) =>
       graft.ext.ActivityOps.activityCountsMetrics(df,
         colNameOf(df, idE, "activity_counts_metrics id"),

@@ -732,6 +732,21 @@ class PlannerSpec extends AnyFunSuite {
       Seq(("a", 10L), ("b", 5L), ("rest", 2L)))
   }
 
+  test("active_users_count: needs m distinct periods inside the lookback") {
+    // 'a' active on days 1,2,3 → counted from day 3 (3 periods in a 3d
+    // lookback) but not on day 4 (only days 2,3 remain... still 2 < 3? no:
+    // lookback 3d at day4 covers days 2,3,4 → a has 2) ; 'b' active once
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 01:00:00), 'a',
+           datetime(2024-01-02 01:00:00), 'a',
+           datetime(2024-01-03 01:00:00), 'a',
+           datetime(2024-01-01 02:00:00), 'b']
+         | evaluate active_users_count(u, ts, datetime(2024-01-01), datetime(2024-01-05), 3d, 1d, 3, 1d)
+         | sort by ts asc""")
+    assert(rows.map(_.getLong(1)) == Seq(0L, 0L, 1L, 0L, 0L))
+  }
+
   test("activity_counts_metrics: new vs cumulative distinct") {
     val rows = run(
       """datatable(ts:datetime, u:string) [
