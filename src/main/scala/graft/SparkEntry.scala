@@ -1000,6 +1000,20 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // Welch t-test p-values (closed-form pins: t=0 → p=1; 10σ apart → ~0)
+    // and ACF-autodetected decomposition ≡ the explicit-period one
+    "q116_welch_decompose" -> Q(kqlQ(
+      """print p1 = round(welch_test(5.0, 1.0, 30, 5.0, 1.0, 30), 6),
+              p0 = welch_test(0.0, 1.0, 30, 10.0, 1.0, 30) < 0.000001,
+              auto = series_decompose(pack_array(
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0)),
+              expl = series_decompose(pack_array(
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)
+        | project p1, p0, same = tostring(auto.baseline) == tostring(expl.baseline)"""),
+      Some("""SELECT CAST(1.0 AS DOUBLE) AS p1, true AS p0, true AS same""")),
+
     // sticky-activity distinct count: ids active in >= 3 distinct days of
     // the trailing week, per day — explode-to-covered-bins, two hash aggs
     "q115_active_users" -> Q(kqlQ(

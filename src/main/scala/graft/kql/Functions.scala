@@ -274,7 +274,20 @@ object Functions {
     // autodetect/FFT path stays out of scope, SURVEY §2.9): trend =
     // centered moving average, seasonal = per-phase mean of the
     // detrended series, baseline = trend + seasonal, residual = rest
-    "series_decompose" -> f { case a :: p :: Nil => seriesDecompose(a, p) },
+    "series_decompose" -> f {
+      // no/auto period (KQL -1): ACF-autodetected inside the UDF
+      case a :: Nil => seriesDecompose(a, lit(-1))
+      case a :: p :: Nil => seriesDecompose(a, p) },
+    // Welch's unequal-variance t-test p-value from the six sufficient
+    // statistics; two-sided p = I_{df/(df+t²)}(df/2, ½) — the same
+    // regularized incomplete beta as beta_cdf
+    "welch_test" -> f { case m1 :: v1 :: n1 :: m2 :: v2 :: n2 :: Nil =>
+      val a1 = v1.cast("double") / n1.cast("double")
+      val a2 = v2.cast("double") / n2.cast("double")
+      val t2 = pow(m1.cast("double") - m2.cast("double"), 2) / (a1 + a2)
+      val dfW = pow(a1 + a2, 2) /
+        (pow(a1, 2) / (n1.cast("double") - 1) + pow(a2, 2) / (n2.cast("double") - 1))
+      betaCdfUdf(dfW / (dfW + t2), dfW / 2, lit(0.5)) },
     // anomaly flags (-1/0/1): Tukey outlier score of the decomposition
     // residual against the threshold (default 1.5 ⇒ any nonzero score)
     "series_decompose_anomalies" -> f {
@@ -838,7 +851,22 @@ object Functions {
   private val seriesDecomposeUdf =
     udf { (v: Seq[Double], p0: Int) =>
       val n = v.length
-      val p = math.max(p0, 1)
+      // p0 <= 0 → autodetect: best normalized-autocorrelation lag
+      // (the series_periods_detect heuristic); 1 when nothing repeats
+      val p = if (p0 > 0) p0 else {
+        val mean = if (n == 0) 0.0 else v.sum / n
+        val c0 = v.map(x => (x - mean) * (x - mean)).sum
+        var best = 1; var bestR = 0.0
+        var lag = 2
+        while (lag <= n / 2) {
+          var s = 0.0; var i = lag
+          while (i < n) { s += (v(i) - mean) * (v(i - lag) - mean); i += 1 }
+          val r = if (c0 == 0) 0.0 else s / c0
+          if (r > bestR) { bestR = r; best = lag }
+          lag += 1
+        }
+        best
+      }
       val h = p / 2
       val trend = Array.tabulate(n) { i =>
         val lo = math.max(i - h, 0); val hi = math.min(i + h, n - 1)

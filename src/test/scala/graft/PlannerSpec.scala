@@ -700,6 +700,24 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("welch_test p-value and series_decompose period autodetect") {
+    // equal stats → t = 0 → p = 1; far-apart means → p ≈ 0
+    val r = one(
+      """print p1 = round(welch_test(5.0, 1.0, 30, 5.0, 1.0, 30), 6),
+              p0 = welch_test(0.0, 1.0, 30, 10.0, 1.0, 30) < 1e-6,
+              auto = series_decompose(pack_array(
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0)),
+              expl = series_decompose(pack_array(
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+                1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4)
+        | project p1, p0, same = tostring(auto.baseline) == tostring(expl.baseline)""")
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getBoolean(1))
+    // the ACF autodetect recovers period 4 ⇒ identical decomposition
+    assert(r.getBoolean(2))
+  }
+
   test("s2 cells: known tokens, roundtrip center, re-encode stability") {
     // (0,0) leaf and the face-cell tokens match the reference S2 values
     val r = one(
