@@ -1000,6 +1000,36 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // trailing-window exact percentile per bin (fan-out to covered bins,
+    // one percentile hash aggregate)
+    "q117_rolling_percentile" -> Q(kqlQ(
+      """events
+        | evaluate rolling_percentile(value, 50, ts, 1d, 7)
+        | sort by ts asc"""),
+      Some("""WITH b AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d, value FROM events) SELECT make_timestamp(b.d + s.g * 86400000000) AS ts, quantile_cont(b.value, 0.5) AS rolling_50_percentile FROM b CROSS JOIN generate_series(0, 6) s(g) GROUP BY 1 ORDER BY 1""")),
+
+    // CIDR-range enrichment join: broadcast dimension, long-range
+    // containment arithmetic (no UDF)
+    "q118_ipv4_lookup" -> Q(kqlQ(
+      """let ranges = datatable(net:string, label:string) [
+           '10.0.0.0/8', 'net10', '192.168.0.0/16', 'net192', '8.8.8.0/24', 'dns'];
+         datatable(ip:string) ['10.1.2.3', '192.168.5.5', '8.8.8.8', '10.255.0.1']
+         | evaluate ipv4_lookup(ranges, ip, net)
+         | project ip, label
+         | sort by ip asc, label asc"""),
+      Some("""SELECT * FROM (VALUES ('10.1.2.3', 'net10'), ('10.255.0.1', 'net10'), ('192.168.5.5', 'net192'), ('8.8.8.8', 'dns')) AS t(ip, label) ORDER BY 1, 2""")),
+
+    // even-odd ray casting over a GeoJSON square: inside, outside, and a
+    // concave (L-shaped) polygon notch case
+    "q119_point_in_polygon" -> Q(kqlQ(
+      """print sq = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}',
+              el = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,4.0],[4.0,4.0],[4.0,10.0],[0.0,10.0],[0.0,0.0]]]}'
+        | project i1 = geo_point_in_polygon(5.0, 5.0, sq),
+                  o1 = geo_point_in_polygon(15.0, 5.0, sq),
+                  i2 = geo_point_in_polygon(2.0, 8.0, el),
+                  o2 = geo_point_in_polygon(8.0, 8.0, el)"""),
+      Some("""SELECT true AS i1, false AS o1, true AS i2, false AS o2""")),
+
     // Welch t-test p-values (closed-form pins: t=0 → p=1; 10σ apart → ~0)
     // and ACF-autodetected decomposition ≡ the explicit-period one
     "q116_welch_decompose" -> Q(kqlQ(

@@ -67,6 +67,25 @@ object ActivityOps {
       .select(timestamp_micros(col("__d")).as(tsCol), col("count_"), col("dcount_"))
   }
 
+  /** KQL `evaluate rolling_percentile(value, pct, timeline, bin,
+    * binsPerWindow)`: per bin, the exact percentile of the values seen in
+    * the trailing `binsPerWindow` bins. Each row fans out to the bins its
+    * window covers (replication = binsPerWindow, caller-bounded), one
+    * percentile hash aggregate — no self-join, no sort of the full data. */
+  def rollingPercentile(df: DataFrame, valCol: String, pct: Double,
+                        tsCol: String, binUs: Long, winBins: Int): DataFrame = {
+    require(binUs > 0 && winBins >= 1, "bin > 0, binsPerWindow >= 1")
+    val shifts = array((0 until winBins).map(i => lit(i.toLong * binUs)): _*)
+    df.select(binOf(tsCol, binUs).as("__d"), col(valCol).as("__v"))
+      .select(col("__d"), col("__v"), explode(shifts).as("__s"))
+      .select((col("__d") + col("__s")).as("__d"), col("__v"))
+      .groupBy(col("__d"))
+      .agg(call_function("percentile", col("__v"), lit(pct / 100.0))
+        .as(s"rolling_${pct.toLong}_percentile"))
+      .select(timestamp_micros(col("__d")).as(tsCol),
+        col(s"rolling_${pct.toLong}_percentile"))
+  }
+
   /** KQL `evaluate active_users_count(id, timeline, start, end,
     * lookback, period, active_periods, bin)`: per grid bin, the distinct
     * ids active in ≥ `minPeriods` DISTINCT periods within the lookback

@@ -386,6 +386,24 @@ object Functions {
     "gzip_decompress_from_base64_string" -> f { case c :: Nil => gzipDecompressUdf(c.cast("string")) },
     "zlib_compress_to_base64_string" -> f { case c :: Nil => zlibCompressUdf(c.cast("string")) },
     "zlib_decompress_from_base64_string" -> f { case c :: Nil => zlibDecompressUdf(c.cast("string")) },
+    // even–odd ray casting over a GeoJSON Polygon's outer ring — pure
+    // higher-order expressions (aggregate over the edge index), codegen'd
+    "geo_point_in_polygon" -> f { case lon :: lat :: poly :: Nil =>
+      val coords = from_json(get_json_object(poly, "$.coordinates"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      val ring = element_at(coords, 1)
+      val x = lon.cast("double"); val y = lat.cast("double")
+      val crossings = aggregate(sequence(lit(1), size(ring) - 1), lit(0L),
+        (acc, i) => {
+          val x1 = element_at(element_at(ring, i), 1)
+          val y1 = element_at(element_at(ring, i), 2)
+          val x2 = element_at(element_at(ring, i + 1), 1)
+          val y2 = element_at(element_at(ring, i + 1), 2)
+          acc + when(((y1 > y) =!= (y2 > y)) &&
+            x < x1 + (x2 - x1) * (y - y1) / (y2 - y1), 1L).otherwise(0L)
+        })
+      pmod(crossings, lit(2L)) === 1L },
     // S2 cell token for a point (quadratic projection + Hilbert curve,
     // the standard public S2 construction); level 0..30, default 11
     "geo_point_to_s2cell" -> f {

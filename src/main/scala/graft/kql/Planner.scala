@@ -517,6 +517,34 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    case EvaluateOp("rolling_percentile", valE :: pctE :: tsE :: binE :: winE :: Nil) =>
+      val pct = staticValue(pctE, "") match {
+        case l: Long => l.toDouble; case d: Double => d; case _ => 50.0 }
+      graft.ext.ActivityOps.rollingPercentile(df,
+        colNameOf(df, valE, "rolling_percentile value"),
+        pct, colNameOf(df, tsE, "rolling_percentile timeline"),
+        timespanUs(binE), staticValue(winE, "").asInstanceOf[Long].toInt)
+
+    // `evaluate ipv4_lookup(RangeTable, ipCol, cidrKeyCol)`: enrich rows
+    // whose IPv4 falls inside a lookup row's CIDR. The range table is
+    // dimension-sized ⇒ explicit broadcast; containment is long-range
+    // arithmetic on the parsed addresses (no UDF).
+    case EvaluateOp("ipv4_lookup", Col(tbl) :: ipE :: keyE :: Nil) =>
+      val lk = letTables.getOrElse(tbl, catalog.table(tbl))
+      val keyName = resolveName(lk, keyE match {
+        case Col(n) => n; case _ => throw PlanError("ipv4_lookup key must be a column") })
+      val ipName = colNameOf(df, ipE, "ipv4_lookup ip")
+      val net = element_at(split(col(keyName), "/"), 1)
+      val sfx = coalesce(element_at(split(col(keyName), "/"), 2).cast("long"), lit(32L))
+      val block = pow(lit(2.0), lit(32L) - sfx).cast("long")
+      val start = Functions.registry("parse_ipv4")(List(net)) -
+        pmod(Functions.registry("parse_ipv4")(List(net)), block)
+      val aug = lk.withColumn("__ip_lo", start).withColumn("__ip_hi", start + block - 1)
+      val ipL = Functions.registry("parse_ipv4")(List(col(ipName)))
+      df.join(broadcast(aug),
+          ipL >= aug("__ip_lo") && ipL <= aug("__ip_hi"), "inner")
+        .drop("__ip_lo", "__ip_hi")
+
     case EvaluateOp("active_users_count",
         idE :: tsE :: startE :: stopE :: lookE :: perE :: mE :: binE :: Nil) =>
       graft.ext.ActivityOps.activeUsersCount(df,
