@@ -1000,6 +1000,16 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // sketch-space set algebra: intersection by inclusion-exclusion over
+    // mergeable HLL unions (exact at this cardinality — sketches stay in
+    // coupon mode)
+    "q120_dcount_intersect" -> Q(kqlQ(
+      """customer
+        | summarize h1 = hll(iff(c_mktsegment == 'BUILDING', c_nationkey, tolong(''))),
+                    h2 = hll(iff(c_mktsegment == 'AUTOMOBILE', c_nationkey, tolong('')))
+        | evaluate dcount_intersect(h1, h2)"""),
+      Some("""SELECT CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS s0, CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')) AS BIGINT) AS s1""")),
+
     // trailing-window exact percentile per bin (fan-out to covered bins,
     // one percentile hash aggregate)
     "q117_rolling_percentile" -> Q(kqlQ(

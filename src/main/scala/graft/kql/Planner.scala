@@ -517,6 +517,29 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sliding_window_counts timeline"),
         timespanUs(lookE), timespanUs(binE))
 
+    // `evaluate dcount_intersect(hll1, hll2[, hll3])`: intersection
+    // cardinalities from the sketches by inclusion–exclusion — sketch
+    // unions are mergeable (hll_union), so this stays a projection
+    case EvaluateOp("dcount_intersect", hllEs) if hllEs.length >= 2 && hllEs.length <= 3 =>
+      val hs = hllEs.map(e => toCol(e, df))
+      val est = (c: Column) => hll_sketch_estimate(c)
+      val u2 = (a: Column, b: Column) => est(hll_union(a, b))
+      val s = hs.map(est)
+      val keep = df.columns.filterNot(c => hllEs.exists {
+        case Col(n) => resolveName(df, n) == c; case _ => false }).map(col).toList
+      if (hs.length == 2) {
+        val inter = s(0) + s(1) - u2(hs(0), hs(1))
+        df.select((keep :+ s(0).as("s0") :+ greatest(inter, lit(0L)).as("s1")): _*)
+      } else {
+        val i01 = s(0) + s(1) - u2(hs(0), hs(1))
+        val i02 = s(0) + s(2) - u2(hs(0), hs(2))
+        val i12 = s(1) + s(2) - u2(hs(1), hs(2))
+        val uAll = est(hll_union(hll_union(hs(0), hs(1)), hs(2)))
+        val i012 = uAll - s(0) - s(1) - s(2) + i01 + i02 + i12
+        df.select((keep :+ s(0).as("s0") :+ greatest(i01, lit(0L)).as("s1")
+          :+ greatest(i012, lit(0L)).as("s2")): _*)
+      }
+
     case EvaluateOp("rolling_percentile", valE :: pctE :: tsE :: binE :: winE :: Nil) =>
       val pct = staticValue(pctE, "") match {
         case l: Long => l.toDouble; case d: Double => d; case _ => 50.0 }

@@ -173,4 +173,25 @@ class KqlPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graph-match 2-hop ≡ manual self-join (random edge lists)") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9)))
+    for (edges <- samples(gen, 5)) {
+      val rows = edges.map { case (a, b) => s"'n$a', 'n$b'" }.mkString(", ")
+      val q = s"datatable(src:string, dst:string) [$rows]" +
+        " | make-graph src --> dst" +
+        " | graph-match (a)-[e1]->(b)-[e2]->(c) project aid = a.id, bid = b.id, cid = c.id" +
+        " | sort by aid asc, bid asc, cid asc"
+      val got = Kql.run(spark, q, cat).collect().map(_.toSeq).toSeq
+      val e = edges.map { case (a, b) => (s"n$a", s"n$b") }
+      val want = (for {
+        (a1, b1) <- e
+        (a2, b2) <- e
+        if b1 == a2
+      } yield Seq(a1, b1, b2)).sortBy(s => (s(0), s(1), s(2)))
+      assert(got == want)
+    }
+  }
 }
