@@ -1000,6 +1000,25 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // context rows around matches via two-phase lag/lead (no
+    // single-partition window): 1 before, 1 after each URGENT order of
+    // one clerk, in orderkey order
+    "q121_rows_near" -> Q(kqlQ(
+      """orders
+        | where o_custkey == toscalar(orders | sort by o_orderkey asc | take 1 | project o_custkey)
+        | sort by o_orderkey asc
+        | evaluate rows_near(o_orderpriority == '1-URGENT', 1, 1)
+        | project o_orderkey
+        | sort by o_orderkey asc"""),
+      Some("""WITH f AS (SELECT o_orderkey, o_orderpriority, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders WHERE o_custkey = (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)) SELECT f.o_orderkey FROM f WHERE EXISTS (SELECT 1 FROM f f2 WHERE f2.o_orderpriority = '1-URGENT' AND f.rn BETWEEN f2.rn - 1 AND f2.rn + 1) ORDER BY 1""")),
+
+    // frequent attribute segments over the cube lattice, ratio threshold
+    "q122_basket" -> Q(kqlQ(
+      """orders
+        | evaluate basket(0.15, o_orderpriority, o_orderstatus)
+        | sort by percent desc, o_orderpriority asc nulls first, o_orderstatus asc nulls first"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS count_, ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) AS percent, o_orderpriority, o_orderstatus FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) HAVING NOT (GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 1) AND ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) >= 15.0 ORDER BY percent DESC, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")),
+
     // sketch-space set algebra: intersection by inclusion-exclusion over
     // mergeable HLL unions (exact at this cardinality — sketches stay in
     // coupon mode)

@@ -589,23 +589,41 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         tsLitUs(startE), tsLitUs(stopE), timespanUs(binE), timespanUs(lookE))
 
     case EvaluateOp("autocluster", pctE :: colEs) if colEs.nonEmpty =>
-      // simplified KQL autocluster: common attribute segments = CUBE over
-      // the given columns (null = wildcard), kept when coverage ≥
-      // minPercent; the trivial all-wildcard segment is dropped. One
-      // partial+final hash aggregate — Catalyst expands the cube map-side.
-      val names = colEs.map(colNameOf(df, _, "autocluster column"))
-      val minPct = litDouble(pctE)
-      val cubed = df.cube(names.map(col): _*)
-        .agg(count(lit(1)).as("count_"), grouping_id().as("__g"))
-      // denominator = the cube's own all-wildcard row (no separate
-      // df.count() pass; the 1-row branch reuses the cube's exchange)
-      val totalRow = cubed.filter(col("__g") === (1L << names.length) - 1)
-        .select(col("count_").cast("double").as("__total"))
-      cubed.filter(col("__g") < (1L << names.length) - 1).drop("__g")
-        .crossJoin(broadcast(totalRow))
-        .withColumn("percent", round(col("count_") * 100.0 / col("__total"), 2))
-        .filter(col("percent") >= minPct)
-        .select((col("count_") +: col("percent") +: names.map(col)): _*)
+      cubeSegments(df, colEs, litDouble(pctE), "autocluster column")
+
+    // simplified KQL basket: frequent attribute segments over the same
+    // cube lattice, support threshold as a ratio (default 0.05)
+    case EvaluateOp("basket", args) if args.nonEmpty =>
+      args.head match {
+        case Lit(v: Double) if args.length > 1 =>
+          cubeSegments(df, args.tail, v * 100, "basket column")
+        case _ => cubeSegments(df, args, 5.0, "basket column")
+      }
+
+    // `evaluate rows_near(cond, before[, after])` on a serialized input:
+    // keep rows within `before` rows before / `after` rows after any
+    // condition row. Routed through the two-phase GlobalWindow lag/lead
+    // machinery — no single-partition window over data.
+    case EvaluateOp("rows_near", condE :: beforeE :: rest) =>
+      val before = staticValue(beforeE, "").asInstanceOf[Long].toInt
+      val after = rest.headOption.map(staticValue(_, "").asInstanceOf[Long].toInt)
+        .getOrElse(before)
+      if (before < 0 || after < 0 || before > 32 || after > 32)
+        throw PlanError("rows_near supports 0..32 rows before/after")
+      val flagged = df.withColumn("__rn_f", when(toCol(condE, df), 1L).otherwise(0L))
+      val (dPrep, ordered, keys, preRanged) = windowInputs(flagged)
+      val lagNames = (1 to after).map(k => s"__rn_lag$k")
+      val leadNames = (1 to before).map(k => s"__rn_lead$k")
+      val calls: List[GlobalWindow.Call] =
+        ((1 to after).map(k => GlobalWindow.Lag(lagNames(k - 1), col("__rn_f"), k, Some(lit(0L)))) ++
+         (1 to before).map(k => GlobalWindow.Lead(leadNames(k - 1), col("__rn_f"), k, Some(lit(0L))))).toList
+      val computed =
+        if (calls.isEmpty) dPrep
+        else GlobalWindow.compute(dPrep, ordered, keys, calls, preRanged)
+      val near = ((col("__rn_f") === 1L) +:
+        (lagNames ++ leadNames).map(n => col(n) === 1L)).reduce(_ || _)
+      restoreSerializedOrder(
+        computed.filter(near).drop(("__rn_f" +: (lagNames ++ leadNames)): _*))
 
     // ---- LLM-pipeline ops surfaced in the query language (E1): the same
     // LlmOps/TemporalOps implementations the Scala API (E2) calls.
@@ -1142,6 +1160,26 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       parents = parents :+ ofName
     }
     acc
+  }
+
+  /** Shared engine of `evaluate autocluster` / `evaluate basket`:
+    * common attribute segments = CUBE over the given columns (null =
+    * wildcard), kept when coverage ≥ minPercent; the trivial
+    * all-wildcard segment is dropped. One partial+final hash aggregate —
+    * Catalyst expands the cube map-side; the denominator reuses the
+    * cube's own all-wildcard row (no separate count pass). */
+  private def cubeSegments(df: DataFrame, colEs: List[Expr], minPct: Double,
+                           what: String): DataFrame = {
+    val names = colEs.map(colNameOf(df, _, what))
+    val cubed = df.cube(names.map(col): _*)
+      .agg(count(lit(1)).as("count_"), grouping_id().as("__g"))
+    val totalRow = cubed.filter(col("__g") === (1L << names.length) - 1)
+      .select(col("count_").cast("double").as("__total"))
+    cubed.filter(col("__g") < (1L << names.length) - 1).drop("__g")
+      .crossJoin(broadcast(totalRow))
+      .withColumn("percent", round(col("count_") * 100.0 / col("__total"), 2))
+      .filter(col("percent") >= minPct)
+      .select((col("count_") +: col("percent") +: names.map(col)): _*)
   }
 
   private def orderExpr(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc

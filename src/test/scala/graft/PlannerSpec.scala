@@ -700,6 +700,27 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("rows_near keeps the context window around condition rows") {
+    val rows = run(
+      """datatable(id:long, v:long) [1, 0, 2, 0, 3, 9, 4, 0, 5, 0, 6, 0, 7, 9, 8, 0]
+        | sort by id asc
+        | evaluate rows_near(v == 9, 1, 2)
+        | project id""")
+    // cond rows 3 and 7; keep 1 before and 2 after each: 2..5 and 6..8
+    assert(rows.map(_.getLong(0)).sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("basket emits frequent segments above the support ratio") {
+    val rows = run(
+      """datatable(a:string, b:string) ['x', 'p', 'x', 'p', 'x', 'q', 'y', 'q']
+        | evaluate basket(0.5, a, b)
+        | sort by percent desc, a asc nulls first, b asc nulls first""")
+    // support >= 50% of 4 rows: a=x (75%), b=p, b=q, and (x,p) (50% each)
+    assert(rows.map(r => (Option(r.getString(2)), Option(r.getString(3)), r.getLong(0))) ==
+      Seq((Some("x"), None, 3L), (None, Some("p"), 2L), (None, Some("q"), 2L),
+        (Some("x"), Some("p"), 2L)))
+  }
+
   test("welch_test p-value and series_decompose period autodetect") {
     // equal stats → t = 0 → p = 1; far-apart means → p ≈ 0
     val r = one(
