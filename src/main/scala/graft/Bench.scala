@@ -34,15 +34,22 @@ object Bench {
     warmDir.foreach { wd =>
       selected.foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
     }
     // best-of-2 timed passes: single-JVM local mode shows large
     // run-to-run variance (page cache, JIT recompilation, shuffle-file
-    // GC); the min is the reproducible engine cost.
+    // GC); the min is the reproducible engine cost. Caches left behind
+    // by materialize()/persisted indexes are dropped after every query —
+    // accumulated storage otherwise squeezes execution memory and
+    // inflates the heavy shuffle queries (measured 2× on minhash by the
+    // end of a 142-query pass).
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
