@@ -1000,6 +1000,15 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // every signup→purchase sequence start per user with a 2d step gap
+    // inside a 3d span; greedy-earliest completion per start
+    "q123_sequence_detect" -> Q(kqlQ(
+      """events
+        | evaluate sequence_detect(ts, 2d, 3d, event_type == 'signup', event_type == 'purchase', user_id)
+        | summarize n = count(), u = count_distinct(user_id)
+        | project n, u"""),
+      Some("""WITH s AS (SELECT DISTINCT user_id, ts AS t1 FROM events WHERE event_type = 'signup'), c AS (SELECT s.user_id, s.t1, MIN(e.ts) AS t2 FROM s JOIN events e ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL 2 DAY GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u FROM c WHERE epoch_us(t2) - epoch_us(t1) <= 259200000000""")),
+
     // context rows around matches via two-phase lag/lead (no
     // single-partition window): 1 before, 1 after each URGENT order of
     // one clerk, in orderkey order

@@ -55,6 +55,35 @@ object TemporalOps {
       doneCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).cast("long"))
   }
 
+  /** KQL `evaluate sequence_detect`-style ordered sequence search: all
+    * step-1 occurrences per key, extended greedily — step k completes at
+    * the EARLIEST matching event in (t_{k−1}, t_{k−1} + stepWindow]
+    * (greedy-after-start is lossless here: only consecutive gaps are
+    * constrained, so if any completion exists from a start, the greedy
+    * one does) — then the whole chain must fit in `spanUs`. Hash joins
+    * and aggregates on the key only; hot keys with many step-1 events
+    * are the skew channel (bounded by per-key event counts). */
+  def sequenceDetect(df: DataFrame, key: String, ts: String,
+                     windowUs: Long, spanUs: Long,
+                     steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.length >= 2, "sequence_detect needs at least two steps")
+    var acc = df.filter(steps.head._2)
+      .select(col(key), col(ts).as(s"${steps.head._1}_ts")).distinct()
+    steps.tail.zipWithIndex.foreach { case ((nm, cond), i) =>
+      val prev = s"${steps(i)._1}_ts"
+      val prevCols = acc.columns.toSeq
+      val nxt = df.filter(cond).select(col(key), col(ts).as("__nt"))
+      acc = acc.join(nxt, Seq(key))
+        .filter(unix_micros(col("__nt")) > unix_micros(col(prev)) &&
+          unix_micros(col("__nt")) <= unix_micros(col(prev)) + windowUs)
+        .groupBy(prevCols.map(col): _*)
+        .agg(min(col("__nt")).as(s"${nm}_ts"))
+    }
+    val first = s"${steps.head._1}_ts"
+    val last = s"${steps.last._1}_ts"
+    acc.filter(unix_micros(col(last)) - unix_micros(col(first)) <= spanUs)
+  }
+
   /** Range (interval) join: per `key`, all pairs (a, b) with
     * b.ts ∈ (a.ts, a.ts + windowUs]. Implemented with the bucketed
     * equi-join trick: each left row joins only its own and the next

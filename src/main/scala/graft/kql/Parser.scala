@@ -670,6 +670,10 @@ final class Parser(src: String) {
         p += 2; kind = identName().toLowerCase
       } else if (isIdent("withsource") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
         p += 2; withSource = Some(identName())
+      } else if (isIdent("isfuzzy") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
+        // accepted and ignored: isfuzzy tolerates unresolvable tables,
+        // which cannot arise against this static catalog
+        p += 2; identName()
       } else more = false
     }
     (kind, withSource)

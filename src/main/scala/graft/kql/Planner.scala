@@ -696,6 +696,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.TemporalOps.funnel(df, colNameOf(df, idE, "funnel id"),
         colNameOf(df, tsE, "funnel timeline"), steps)
 
+    // `evaluate sequence_detect(ts, stepWindow, span, pred1, pred2, ...,
+    // keyCol)`: every step-1 occurrence, greedily extended within the
+    // step window, whole chain within the span (see TemporalOps)
+    case EvaluateOp("sequence_detect", tsE :: winE :: spanE :: rest) if rest.length >= 3 =>
+      val keyE = rest.last
+      val steps = rest.init.zipWithIndex.map { case (e, i) =>
+        s"s${i + 1}" -> toCol(e, df)
+      }
+      graft.ext.TemporalOps.sequenceDetect(df,
+        colNameOf(df, keyE, "sequence_detect key"),
+        colNameOf(df, tsE, "sequence_detect timeline"),
+        timespanUs(winE), timespanUs(spanE), steps)
+
     case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
 
     case PartitionOp(key, ops) =>
