@@ -1000,6 +1000,17 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // punycode via the JDK IDN codec (raw RFC 3492, no ACE prefix) and
+    // the windowed/nth-occurrence indexof form
+    "q124_scalar_batch5" -> Q(kqlQ(
+      """print enc = punycode_from_string('académie-française'),
+              dec = punycode_to_string('acadmie-franaise-npb1a'),
+              ascii = punycode_from_string('hello'),
+              i1 = indexof('abcabcabc', 'bc', 0, -1, 2),
+              i2 = indexof('abcabcabc', 'bc', 2, -1, 1),
+              i3 = indexof('abcabcabc', 'bc', 0, 2, 1)"""),
+      Some("""SELECT 'acadmie-franaise-npb1a' AS enc, 'académie-française' AS dec, 'hello-' AS ascii, CAST(4 AS BIGINT) AS i1, CAST(4 AS BIGINT) AS i2, CAST(-1 AS BIGINT) AS i3""")),
+
     // every signup→purchase sequence start per user with a 2d step gap
     // inside a 3d span; greedy-earliest completion per start
     "q123_sequence_detect" -> Q(kqlQ(

@@ -447,6 +447,10 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // raw punycode (RFC 3492) via the JDK's IDN codec; the pure-ASCII
+    // degenerate form (trailing '-') is handled explicitly
+    "punycode_to_string" -> f { case s :: Nil => punyDecodeUdf(s.cast("string")) },
+    "punycode_from_string" -> f { case s :: Nil => punyEncodeUdf(s.cast("string")) },
     // file-path decomposition (KQL parse_path): scheme-less paths,
     // both separators; rightmost '.' after the last separator = extension
     "parse_path" -> f { case p0 :: Nil =>
@@ -1085,6 +1089,25 @@ object Functions {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  // ----------------------------------------------------------- punycode
+  // KQL punycode_from_string/punycode_to_string operate on RAW punycode
+  // (no "xn--" label prefix); the JDK IDN codec implements RFC 3492, so
+  // we add/strip the ACE prefix around it. Pure-ASCII inputs are the
+  // degenerate form: encoded as the string plus a trailing '-'.
+  private val punyEncodeUdf = udf { s: String =>
+    if (s == null) null
+    else if (s.forall(_ < 128)) s + "-"
+    else try java.net.IDN.toASCII(s).stripPrefix("xn--")
+    catch { case _: Exception => "" }
+  }
+  private val punyDecodeUdf = udf { s: String =>
+    if (s == null) null
+    else try {
+      val d = java.net.IDN.toUnicode("xn--" + s)
+      if (d == "xn--" + s) "" else d // IDN returns input unchanged on failure
+    } catch { case _: Exception => "" }
   }
 
   // ------------------------------------------------------------ S2 cells

@@ -6,7 +6,9 @@ import Ast._
 
 /** Graph operators (`make-graph` / `graph-match` / `graph-shortest-paths`
   * / `graph-to-table`) planned as plain relational algebra — the
-  * Spark-first reading of KQL's graph semantics:
+  * Spark-first reading of the publicly documented KQL graph semantics
+  * (the reference implements nothing:
+  * `/root/reference/projects/kql-core/src/lib.rs:7-9`):
   *
   *  - a graph is just its edge DataFrame (+ an optional node-property
   *    DataFrame keyed by node id);

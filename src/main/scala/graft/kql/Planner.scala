@@ -1733,6 +1733,27 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         val arr = split(a(0), delim, -1)
         if (args.length > 2) element_at(arr, a(2).cast("int") + 1)
         else arr
+      // full-arg indexof(source, lookup, start, length, occurrence) —
+      // the 2-arg fast path lives in the registry. Search window =
+      // source[start, start+length); position of the nth occurrence is
+      // recovered from the split-part lengths (literal lookup required
+      // for the regex split)
+      case "indexof" if args.length > 2 =>
+        val lookup = litString(args(1), "indexof lookup (literal for 3+ args)")
+        val start = a(2).cast("int")
+        val len =
+          if (args.length > 3) when(a(3).cast("int") < 0, lit(Int.MaxValue))
+            .otherwise(a(3).cast("int"))
+          else lit(Int.MaxValue)
+        val occ = if (args.length > 4) a(4).cast("int") else lit(1)
+        val window = a(0).substr(start + 1, len)
+        val parts = split(window, Functions.rxQuote(lookup), -1)
+        val found = size(parts) > occ
+        val prefix = aggregate(slice(parts, lit(1), occ), lit(0L),
+          (acc, p) => acc + length(p)) + (occ - 1).cast("long") * lookup.length
+        when(start < 0, lit(-1L))
+          .when(found, (prefix + start.cast("long")).cast("long"))
+          .otherwise(lit(-1L))
       case "trim" => regexpTrim(a(1), litString(args(0), "trim regex"), both = true, start = false)
       case "trim_start" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = true)
       case "trim_end" => regexpTrim(a(1), litString(args(0), "trim regex"), both = false, start = false)

@@ -700,6 +700,23 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("punycode round-trip and full-arg indexof") {
+    val r = one("""print enc = punycode_from_string('académie-française'),
+                        dec = punycode_to_string('acadmie-franaise-npb1a'),
+                        ascii = punycode_from_string('hello'),
+                        i1 = indexof('abcabcabc', 'bc', 0, -1, 2),
+                        i2 = indexof('abcabcabc', 'bc', 2, -1, 1),
+                        i3 = indexof('abcabcabc', 'bc', 0, 2, 1),
+                        i4 = indexof('abcabcabc', 'zz', 0, -1, 1)""")
+    assert(r.getString(0) == "acadmie-franaise-npb1a")
+    assert(r.getString(1) == "académie-française")
+    assert(r.getString(2) == "hello-")
+    assert(r.getLong(3) == 4L)  // second 'bc'
+    assert(r.getLong(4) == 4L)  // first 'bc' at/after index 2
+    assert(r.getLong(5) == -1L) // window 'ab' has no 'bc'
+    assert(r.getLong(6) == -1L)
+  }
+
   test("rows_near keeps the context window around condition rows") {
     val rows = run(
       """datatable(id:long, v:long) [1, 0, 2, 0, 3, 9, 4, 0, 5, 0, 6, 0, 7, 9, 8, 0]
