@@ -1000,6 +1000,15 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // great-circle line length, spherical polygon area, and the windowed
+    // array_index_of form — closed-form equatorial pins
+    "q125_geo_measures" -> Q(kqlQ(
+      """print ll = round(geo_line_length('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]}') / 1000.0, 1),
+              pa = round(geo_polygon_area('{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}') / 10000000000.0, 2),
+              a1 = array_index_of(pack_array(5, 7, 5, 7, 5), 7, 2),
+              a2 = array_index_of(pack_array(5, 7, 5, 7, 5), 5, 0, -1, 3)"""),
+      Some("""SELECT CAST(222.4 AS DOUBLE) AS ll, CAST(1.24 AS DOUBLE) AS pa, CAST(3 AS BIGINT) AS a1, CAST(4 AS BIGINT) AS a2""")),
+
     // punycode via the JDK IDN codec (raw RFC 3492, no ACE prefix) and
     // the windowed/nth-occurrence indexof form
     "q124_scalar_batch5" -> Q(kqlQ(

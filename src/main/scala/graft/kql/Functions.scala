@@ -139,7 +139,28 @@ object Functions {
     "array_length" -> f { case c :: Nil => size(c).cast("long") },
     "array_concat" -> f { cs => concat(cs: _*) },
     "array_slice" -> f { case a :: lo :: hi :: Nil => slice(a, lo + 1, hi - lo + 1) }, // 0-based inclusive
-    "array_index_of" -> f { case a :: v :: Nil => (array_position(a, v) - 1).cast("long") },
+    "array_index_of" -> f {
+      case a :: v :: Nil => (array_position(a, v) - 1).cast("long")
+      // full form: (arr, value, start[, length[, occurrence]]) — 0-based
+      // search window + nth match, computed over the index sequence
+      case a :: v :: rest =>
+        val start = rest.head.cast("long")
+        val len = rest.drop(1).headOption.map(_.cast("long")).getOrElse(lit(-1L))
+        val occ = rest.drop(2).headOption.map(_.cast("long")).getOrElse(lit(1L))
+        val hi0 = size(a).cast("long") - 1L
+        val hi = when(len < 0L, hi0).otherwise(least(start + len - 1L, hi0))
+        val found = aggregate(sequence(start + 1L, hi + 1L),
+          struct(lit(0L).as("seen"), lit(-1L).as("idx")),
+          (acc, i) => {
+            val hit = element_at(a, i.cast("int")) === v
+            val seen = acc.getField("seen") + when(hit, 1L).otherwise(0L)
+            struct(seen.as("seen"),
+              when(acc.getField("idx") >= 0L, acc.getField("idx"))
+                .when(hit && seen === occ, i.cast("long") - 1L)
+                .otherwise(lit(-1L)).as("idx"))
+          },
+          acc => acc.getField("idx"))
+        when(start < 0L || start > hi0, lit(-1L)).otherwise(found) },
     "array_sort_asc" -> f { case a :: Nil => array_sort(a) },
     "array_sort_desc" -> f { case a :: Nil => sort_array(a, asc = false) },
     "array_reverse" -> f { case a :: Nil => reverse(a) },
@@ -386,6 +407,30 @@ object Functions {
     "gzip_decompress_from_base64_string" -> f { case c :: Nil => gzipDecompressUdf(c.cast("string")) },
     "zlib_compress_to_base64_string" -> f { case c :: Nil => zlibCompressUdf(c.cast("string")) },
     "zlib_decompress_from_base64_string" -> f { case c :: Nil => zlibDecompressUdf(c.cast("string")) },
+    // haversine sum over a GeoJSON LineString — HOF aggregate, codegen'd
+    "geo_line_length" -> f { case ls :: Nil =>
+      val coords = from_json(get_json_object(ls, "$.coordinates"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      aggregate(sequence(lit(1), size(coords) - 1), lit(0.0d), (acc, i) =>
+        acc + haversineMeters(
+          element_at(element_at(coords, i), 1), element_at(element_at(coords, i), 2),
+          element_at(element_at(coords, i + 1), 1), element_at(element_at(coords, i + 1), 2))) },
+    // spherical polygon area (m²) of the outer ring via the standard
+    // line-integral approximation: R²/2·|Σ (λᵢ₊₁−λᵢ)(2 + sin φᵢ + sin φᵢ₊₁)|
+    "geo_polygon_area" -> f { case p :: Nil =>
+      val coords = from_json(get_json_object(p, "$.coordinates"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      val ring = element_at(coords, 1)
+      val s = aggregate(sequence(lit(1), size(ring) - 1), lit(0.0d), (acc, i) => {
+        val lon1 = radians(element_at(element_at(ring, i), 1))
+        val lat1 = radians(element_at(element_at(ring, i), 2))
+        val lon2 = radians(element_at(element_at(ring, i + 1), 1))
+        val lat2 = radians(element_at(element_at(ring, i + 1), 2))
+        acc + (lon2 - lon1) * (lit(2.0) + sin(lat1) + sin(lat2))
+      })
+      abs(s) * lit(6371000.0 * 6371000.0 / 2.0) },
     // even–odd ray casting over a GeoJSON Polygon's outer ring — pure
     // higher-order expressions (aggregate over the edge index), codegen'd
     "geo_point_in_polygon" -> f { case lon :: lat :: poly :: Nil =>

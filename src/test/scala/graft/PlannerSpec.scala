@@ -700,6 +700,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("geo line length, polygon area, full-arg array_index_of") {
+    val r = one(
+      """print ll = round(geo_line_length('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]}') / 1000.0, 1),
+              pa = round(geo_polygon_area('{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}') / 1e10, 2),
+              a1 = array_index_of(pack_array(5, 7, 5, 7, 5), 7, 2),
+              a2 = array_index_of(pack_array(5, 7, 5, 7, 5), 5, 0, -1, 3),
+              a3 = array_index_of(pack_array(5, 7, 5, 7, 5), 7, 0, 1, 1)""")
+    // two ~111.2 km great-circle edges; 1°×1° equatorial cell ≈ 1.24e10 m²
+    assert(r.getDouble(0) == 222.4)
+    assert(r.getDouble(1) == 1.24)
+    assert(r.getLong(2) == 3L)  // first 7 at index >= 2
+    assert(r.getLong(3) == 4L)  // third 5
+    assert(r.getLong(4) == -1L) // window [0,1) has no 7
+  }
+
   test("punycode round-trip and full-arg indexof") {
     val r = one("""print enc = punycode_from_string('académie-française'),
                         dec = punycode_to_string('acadmie-franaise-npb1a'),
