@@ -53,6 +53,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           ops.foreach(op => d = applyOp(d, op))
           nm -> d
         }
+      case Some(EvaluateOp("preview", Lit(n: Long) :: Nil)) =>
+        // KQL preview(n): two result tables — the first n rows and the
+        // total count — off one persisted scan
+        val base = plan(Query(q.source, q.ops.init)).persist()
+        Seq("preview" -> base.limit(n.toInt),
+          "count" -> base.groupBy().agg(count(lit(1)).as("Count")))
       case Some(FacetOp(cols)) =>
         val base = plan(Query(q.source, q.ops.init)).persist()
         cols.map { c =>

@@ -700,6 +700,13 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("evaluate preview returns rows plus total count via runMulti") {
+    val rs = Kql.runMulti(spark,
+      "datatable(x:long) [1, 2, 3, 4, 5] | evaluate preview(2)", cat).toMap
+    assert(rs("preview").count() == 2L)
+    assert(rs("count").collect().head.getLong(0) == 5L)
+  }
+
   test("geo line length, polygon area, full-arg array_index_of") {
     val r = one(
       """print ll = round(geo_line_length('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]}') / 1000.0, 1),
