@@ -1000,6 +1000,13 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // RFC 4180 CSV line parsing and XML-to-dynamic conversion
+    "q126_parse_csv_xml" -> Q(kqlQ(
+      """print c = parse_csv('a,"b,c",d,"e""f"'),
+              x = parse_xml('<r a="1"><k>v</k><k>w</k><t>hi</t></r>')
+        | project c1 = tostring(c[1]), c3 = tostring(c[3]), n = array_length(c), x"""),
+      Some("""SELECT 'b,c' AS c1, 'e"f' AS c3, CAST(4 AS BIGINT) AS n, '{"r":{"@a":"1","k":["v","w"],"t":"hi"}}' AS x""")),
+
     // great-circle line length, spherical polygon area, and the windowed
     // array_index_of form — closed-form equatorial pins
     "q125_geo_measures" -> Q(kqlQ(

@@ -492,6 +492,12 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // single-record CSV line → array (RFC 4180 quoting); tiny state
+    // machine, hence a compact UDF
+    "parse_csv" -> f { case s :: Nil => parseCsvUdf(s.cast("string")) },
+    // XML → dynamic bag via the JDK DOM parser (attributes under
+    // "@name", text under "#text", repeated children become arrays)
+    "parse_xml" -> f { case s :: Nil => parseXmlUdf(s.cast("string")) },
     // raw punycode (RFC 3492) via the JDK's IDN codec; the pure-ASCII
     // degenerate form (trailing '-') is handled explicitly
     "punycode_to_string" -> f { case s :: Nil => punyDecodeUdf(s.cast("string")) },
@@ -1134,6 +1140,78 @@ object Functions {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  // ----------------------------------------------------- CSV / XML parse
+  /** RFC 4180 single-line CSV: quoted fields may contain commas and
+    * doubled quotes. */
+  private val parseCsvUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      val cur = new StringBuilder
+      var i = 0; var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+            else inQ = false
+          } else cur += c
+        } else c match {
+          case '"' => inQ = true
+          case ',' => out += cur.result(); cur.clear()
+          case _ => cur += c
+        }
+        i += 1
+      }
+      out += cur.result()
+      out.toSeq
+    }
+  }
+
+  /** XML → canonical JSON (KQL parse_xml shape: element name → object;
+    * attributes as "@attr"; text content as "#text" when mixed, or the
+    * element's value when alone; repeated siblings collapse to arrays). */
+  private def xmlToJson(n: org.w3c.dom.Element): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val atts = n.getAttributes
+    val attPairs = (0 until atts.getLength).map { i =>
+      val a = atts.item(i)
+      "\"@" + esc(a.getNodeName) + "\":\"" + esc(a.getNodeValue) + "\""
+    }
+    val kids = n.getChildNodes
+    val elems = (0 until kids.getLength).map(kids.item)
+      .collect { case e: org.w3c.dom.Element => e }
+    val text = (0 until kids.getLength).map(kids.item)
+      .collect { case t: org.w3c.dom.Text => t.getData }.mkString.trim
+    if (elems.isEmpty && attPairs.isEmpty) "\"" + esc(text) + "\""
+    else {
+      val grouped = elems.groupBy(_.getTagName)
+      val childPairs = grouped.toSeq.sortBy(_._1).map { case (tag, es) =>
+        val vs = es.map(xmlToJson)
+        "\"" + esc(tag) + "\":" + (if (vs.length == 1) vs.head else vs.mkString("[", ",", "]"))
+      }
+      val textPair = if (text.nonEmpty) Seq("\"#text\":\"" + esc(text) + "\"") else Nil
+      (attPairs ++ childPairs ++ textPair).mkString("{", ",", "}")
+    }
+  }
+
+  private val parseXmlUdf = udf { s: String =>
+    if (s == null) null
+    else try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = f.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+      val root = doc.getDocumentElement
+      "{\"" + root.getTagName + "\":" + xmlToJson(root) + "}"
+    } catch { case _: Exception => null }
   }
 
   // ----------------------------------------------------------- punycode

@@ -700,6 +700,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("parse_csv quoting and parse_xml shape") {
+    val r = one(
+      """print c = parse_csv('a,"b,c",d,"e""f"'),
+              x = parse_xml('<r a="1"><k>v</k><k>w</k><t>hi</t></r>')
+        | project c1 = tostring(c[1]), c3 = tostring(c[3]), n = array_length(c), x""")
+    assert(r.getString(0) == "b,c")
+    assert(r.getString(1) == "e\"f")
+    assert(r.getLong(2) == 4L)
+    assert(r.getString(3) ==
+      """{"r":{"@a":"1","k":["v","w"],"t":"hi"}}""")
+  }
+
   test("evaluate preview returns rows plus total count via runMulti") {
     val rs = Kql.runMulti(spark,
       "datatable(x:long) [1, 2, 3, 4, 5] | evaluate preview(2)", cat).toMap
