@@ -45,7 +45,8 @@ object Ast {
   final case class ProjectRename(pairs: List[(String, String)]) extends TabOp // (new, old)
   final case class ProjectReorder(cols: List[String]) extends TabOp
   final case class Summarize(aggs: List[(Option[String], Expr)],
-                             by: List[(Option[String], Expr)]) extends TabOp
+                             by: List[(Option[String], Expr)],
+                             hints: Map[String, String] = Map.empty) extends TabOp
   final case class Sort(keys: List[SortKey]) extends TabOp
   final case class Take(n: Long) extends TabOp
   final case class Top(n: Long, keys: List[SortKey]) extends TabOp

@@ -603,8 +603,22 @@ final class Parser(src: String) {
   }
 
   private def parseSummarize(): Summarize = {
+    // leading `hint.shufflekey=col` / `hint.num_partitions=n` pairs
+    var hints = Map.empty[String, String]
+    while (isIdent("hint") && (ahead(1) match { case TSym(".", _) => true; case _ => false })) {
+      p += 2
+      val hname = identName().toLowerCase
+      eatSym("=")
+      val hval = cur match {
+        case TIdent(v, _) => p += 1; v
+        case TNum(v, _) => p += 1; v.toString
+        case TStr(v, _) => p += 1; v
+        case _ => fail("expected hint value")
+      }
+      hints += hname -> hval
+    }
     // `summarize by g` (no aggs) is legal
-    if (tryIdent("by")) return Summarize(Nil, parseNamedExprList())
+    if (tryIdent("by")) return Summarize(Nil, parseNamedExprList(), hints)
     val aggs = List.newBuilder[(Option[String], Expr)]
     var more = true
     while (more) {
@@ -612,7 +626,7 @@ final class Parser(src: String) {
       more = trySym(",")
     }
     val by = if (tryIdent("by")) parseNamedExprList() else Nil
-    Summarize(aggs.result(), by)
+    Summarize(aggs.result(), by, hints)
   }
 
   private def parseJoin(): JoinOp = {

@@ -907,7 +907,16 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   }
 
   // ============================================================ summarize
-  private def planSummarize(df: DataFrame, s: Summarize): DataFrame = {
+  private def planSummarize(df0: DataFrame, s: Summarize): DataFrame = {
+    // `hint.shufflekey=col` / `hint.num_partitions=n` (KQL shuffle
+    // strategy): pre-shuffle on the named key (skew-spreading / explicit
+    // parallelism control); Catalyst reuses the exchange for the groupBy
+    val df = (s.hints.get("shufflekey"), s.hints.get("num_partitions")) match {
+      case (Some(k), Some(n)) => df0.repartition(n.toInt, col(resolveName(df0, k)))
+      case (Some(k), None) => df0.repartition(col(resolveName(df0, k)))
+      case (None, Some(n)) => df0.repartition(n.toInt)
+      case _ => df0
+    }
     // def, not val: `by rollup(...)`/`by cube(...)` must not reach toCol
     // (rollup is a grouping construct, not a scalar function)
     def byCols = s.by.zipWithIndex.map { case ((alias, e), i) =>

@@ -194,4 +194,47 @@ class KqlPropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("sequence_detect ≡ brute force on random event streams") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 50L), Gen.oneOf("a", "b")))
+    for (evs0 <- samples(gen, 5)) {
+      // distinct (key, ts) so both sides agree on ties
+      val evs = evs0.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq.sortBy(e => (e._1, e._2))
+      val rows = evs.map { case (k, t, ty) =>
+        s"$k, datetime(2024-01-01 00:00:${"%02d".format(t % 60)}.${"%03d".format(t)}), '$ty'" }
+      val q = s"datatable(k:long, ts:datetime, ty:string) [${rows.mkString(", ")}]" +
+        " | evaluate sequence_detect(ts, 10s, 20s, ty == 'a', ty == 'b', k)"
+      val got = Kql.run(spark, q, cat).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+        .toSet
+      // brute force: per 'a' event, earliest 'b' in (t, t+10s]; span 20s
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ms(t: Long) = base + (t % 60) * 1000 + t // matches the literal above
+      val want = (for {
+        (k, ta, "a") <- evs
+        cands = evs.filter { case (k2, tb, ty2) =>
+          k2 == k && ty2 == "b" && ms(tb) > ms(ta) && ms(tb) <= ms(ta) + 10000 }
+        if cands.nonEmpty
+        tb = cands.map(c => ms(c._2)).min
+        if tb - ms(ta) <= 20000
+      } yield (k, ms(ta), tb)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("percentilew ≡ reference weighted nearest-rank (random data)") {
+    val gen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(1L, 5L)))
+    for (pairs <- samples(gen, 5); p <- Seq(25, 50, 90)) {
+      val rows = pairs.map { case (x, w) => s"$x, $w" }.mkString(", ")
+      val got = Kql.run(spark,
+        s"datatable(x:long, w:long) [$rows] | summarize r = percentilew(x, w, $p)", cat)
+        .collect().head.getDouble(0)
+      val sorted = pairs.sortBy(_._1)
+      val total = pairs.map(_._2).sum
+      val target = math.ceil(p / 100.0 * total)
+      var cum = 0L
+      val want = sorted.find { case (_, w) => cum += w; cum >= target }.get._1.toDouble
+      assert(got == want, s"p=$p pairs=$pairs")
+    }
+  }
 }

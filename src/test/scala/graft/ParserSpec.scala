@@ -58,7 +58,7 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("summarize with aliases and by") {
-    val Summarize(aggs, by) =
+    val Summarize(aggs, by, _) =
       q1("T | summarize n=count(), s=sum(x) by g, h=bin(ts, 1h)").ops.head: @unchecked
     assert(aggs.map(_._1) == List(Some("n"), Some("s")))
     assert(by.length == 2 && by(1)._1.contains("h"))

@@ -700,6 +700,19 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("summarize shuffle hints change the exchange, not the result") {
+    val base = "datatable(k:string, v:long) ['a', 1, 'b', 2, 'a', 3]"
+    val plain = run(s"$base | summarize s = sum(v) by k | sort by k asc")
+    val hinted = run(
+      s"$base | summarize hint.shufflekey=k hint.num_partitions=7 s = sum(v) by k | sort by k asc")
+    assert(plain.map(r => (r.getString(0), r.getLong(1))) ==
+      hinted.map(r => (r.getString(0), r.getLong(1))))
+    val plan = Kql.run(spark,
+      s"$base | summarize hint.num_partitions=7 s = sum(v) by k", cat)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning(7)") || plan.contains("numPartitions=7"))
+  }
+
   test("parse_csv quoting and parse_xml shape") {
     val r = one(
       """print c = parse_csv('a,"b,c",d,"e""f"'),
