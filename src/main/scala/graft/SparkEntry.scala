@@ -1000,6 +1000,14 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // token-precedence UA classification (Edge before Chrome before
+    // Safari) over three canonical UA strings
+    "q127_user_agent" -> Q(kqlQ(
+      """print c = parse_user_agent('Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'),
+              e = parse_user_agent('Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.100.0'),
+              s = parse_user_agent('Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1')"""),
+      Some("""SELECT '{"Browser":{"Family":"Chrome","MajorVersion":"120"},"OperatingSystem":{"Family":"Windows"}}' AS c, '{"Browser":{"Family":"Edge","MajorVersion":"120"},"OperatingSystem":{"Family":"Windows"}}' AS e, '{"Browser":{"Family":"Safari","MajorVersion":"17"},"OperatingSystem":{"Family":"iOS"}}' AS s""")),
+
     // RFC 4180 CSV line parsing and XML-to-dynamic conversion
     "q126_parse_csv_xml" -> Q(kqlQ(
       """print c = parse_csv('a,"b,c",d,"e""f"'),

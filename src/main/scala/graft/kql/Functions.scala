@@ -492,6 +492,38 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // simplified UA parsing (the public token heuristics: Edge before
+    // Chrome before Safari; OS from platform tokens) — pure when-chains
+    // and regexp_extract, no UDF, no lookup tables
+    "parse_user_agent" -> f { case ua :: Nil =>
+      val u = ua.cast("string")
+      val browser =
+        when(u.contains("Edg/") || u.contains("Edge/"), lit("Edge"))
+          .when(u.contains("OPR/") || u.contains("Opera"), lit("Opera"))
+          .when(u.contains("Firefox/"), lit("Firefox"))
+          .when(u.contains("Chrome/"), lit("Chrome"))
+          .when(u.contains("Safari/") && u.contains("Version/"), lit("Safari"))
+          .when(u.contains("MSIE") || u.contains("Trident/"), lit("Internet Explorer"))
+          .otherwise(lit("Other"))
+      val ver =
+        when(browser === "Edge", regexp_extract(u, "Edge?/(\\d+)", 1))
+          .when(browser === "Opera", regexp_extract(u, "(?:OPR|Version)/(\\d+)", 1))
+          .when(browser === "Firefox", regexp_extract(u, "Firefox/(\\d+)", 1))
+          .when(browser === "Chrome", regexp_extract(u, "Chrome/(\\d+)", 1))
+          .when(browser === "Safari", regexp_extract(u, "Version/(\\d+)", 1))
+          .when(browser === "Internet Explorer",
+            coalesce(regexp_extract(u, "MSIE (\\d+)", 1), regexp_extract(u, "rv:(\\d+)", 1)))
+          .otherwise(lit(""))
+      val os =
+        when(u.contains("Windows NT"), lit("Windows"))
+          .when(u.contains("Android"), lit("Android"))
+          .when(u.contains("iPhone") || u.contains("iPad"), lit("iOS"))
+          .when(u.contains("Mac OS X"), lit("Mac OS X"))
+          .when(u.contains("Linux"), lit("Linux"))
+          .otherwise(lit("Other"))
+      to_json(struct(
+        struct(browser.as("Family"), ver.as("MajorVersion")).as("Browser"),
+        struct(os.as("Family")).as("OperatingSystem"))) },
     // single-record CSV line → array (RFC 4180 quoting); tiny state
     // machine, hence a compact UDF
     "parse_csv" -> f { case s :: Nil => parseCsvUdf(s.cast("string")) },
