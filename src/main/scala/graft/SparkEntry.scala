@@ -1000,6 +1000,18 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // DFT closed forms: impulse → flat spectrum; sin(2πn/4) → X₁ = −2i;
+    // ifft∘fft = identity on a non-power-of-two length (direct-DFT path)
+    "q128_series_fft" -> Q(kqlQ(
+      """print f1 = series_fft(pack_array(1.0, 0.0, 0.0, 0.0)),
+              f2 = series_fft(pack_array(0.0, 1.0, 0.0, -1.0)),
+              rt = series_ifft(series_fft(pack_array(3.0, 1.0, 4.0, 1.0, 5.0)).re,
+                               series_fft(pack_array(3.0, 1.0, 4.0, 1.0, 5.0)).im)
+        | project r1 = round(todouble(f1.re[3]), 9), i1 = round(abs(todouble(f1.im[3])), 9),
+                  i2 = round(todouble(f2.im[1]), 9),
+                  rt2 = round(todouble(rt.re[2]), 9), rti = round(abs(todouble(rt.im[2])), 9)"""),
+      Some("""SELECT CAST(1.0 AS DOUBLE) AS r1, CAST(0.0 AS DOUBLE) AS i1, CAST(-2.0 AS DOUBLE) AS i2, CAST(4.0 AS DOUBLE) AS rt2, CAST(0.0 AS DOUBLE) AS rti""")),
+
     // token-precedence UA classification (Edge before Chrome before
     // Safari) over three canonical UA strings
     "q127_user_agent" -> Q(kqlQ(

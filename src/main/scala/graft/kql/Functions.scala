@@ -326,6 +326,20 @@ object Functions {
     "series_fit_line_dynamic" -> f { case a :: Nil => to_json(seriesFitLine(a)) },
     "series_fit_2lines_dynamic" -> f { case a :: Nil =>
       to_json(seriesFit2Udf(a.cast("array<double>"))) },
+    // discrete Fourier transform of a (complex) series — struct of
+    // aligned (re, im) arrays, matching the fit/decompose struct
+    // convention; radix-2 iterative for power-of-two lengths, direct
+    // DFT otherwise (compact-UDF trade, COVERAGE §2.11)
+    "series_fft" -> f {
+      case a :: Nil => seriesFftUdf(a.cast("array<double>"),
+        lit(null).cast("array<double>"), lit(false))
+      case a :: b :: Nil => seriesFftUdf(a.cast("array<double>"),
+        b.cast("array<double>"), lit(false)) },
+    "series_ifft" -> f {
+      case a :: Nil => seriesFftUdf(a.cast("array<double>"),
+        lit(null).cast("array<double>"), lit(true))
+      case a :: b :: Nil => seriesFftUdf(a.cast("array<double>"),
+        b.cast("array<double>"), lit(true)) },
     "series_periods_detect" -> f {
       case a :: minP :: maxP :: k :: Nil => seriesPeriodsDetect(a, minP, maxP, k)
       case a :: Nil => seriesPeriodsDetect(a, lit(2), lit(0), lit(1)) },
@@ -1172,6 +1186,83 @@ object Functions {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  // ----------------------------------------------------------------- FFT
+  case class ComplexSeries(re: Seq[Double], im: Seq[Double])
+
+  /** In-place iterative radix-2 Cooley–Tukey; n must be a power of two. */
+  private def fftPow2(re: Array[Double], im: Array[Double], invert: Boolean): Unit = {
+    val n = re.length
+    var i = 1; var j = 0
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = (if (invert) 2 else -2) * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr0 = re(base + k + len / 2); val vi0 = im(base + k + len / 2)
+          val vr = vr0 * cr - vi0 * ci
+          val vi = vr0 * ci + vi0 * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  private val seriesFftUdf = udf { (r0: Seq[Double], i0: Seq[Double], invert: Boolean) =>
+    if (r0 == null) null
+    else {
+      val n = r0.length
+      val re = r0.toArray
+      val im = if (i0 == null) new Array[Double](n) else i0.toArray
+      if (n > 0 && Integer.bitCount(n) == 1) fftPow2(re, im, invert)
+      else {
+        // direct DFT for non-power-of-two lengths
+        val or = new Array[Double](n); val oi = new Array[Double](n)
+        val sign = if (invert) 2.0 else -2.0
+        var k = 0
+        while (k < n) {
+          var sr = 0.0; var si = 0.0
+          var t = 0
+          while (t < n) {
+            val ang = sign * math.Pi * k * t / n
+            val c = math.cos(ang); val s = math.sin(ang)
+            sr += re(t) * c - im(t) * s
+            si += re(t) * s + im(t) * c
+            t += 1
+          }
+          or(k) = sr; oi(k) = si
+          k += 1
+        }
+        System.arraycopy(or, 0, re, 0, n); System.arraycopy(oi, 0, im, 0, n)
+      }
+      if (invert && n > 0) {
+        var k = 0
+        while (k < n) { re(k) /= n; im(k) /= n; k += 1 }
+      }
+      ComplexSeries(re.toSeq, im.toSeq)
+    }
   }
 
   // ----------------------------------------------------- CSV / XML parse

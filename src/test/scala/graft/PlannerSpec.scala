@@ -700,6 +700,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("series_fft: impulse spectrum, sine line, ifft round-trip") {
+    val r = one(
+      """print f1 = series_fft(pack_array(1.0, 0.0, 0.0, 0.0)),
+              f2 = series_fft(pack_array(0.0, 1.0, 0.0, -1.0)),
+              rt = series_ifft(series_fft(pack_array(3.0, 1.0, 4.0, 1.0, 5.0)).re,
+                               series_fft(pack_array(3.0, 1.0, 4.0, 1.0, 5.0)).im)
+        | project r1 = tostring(f1.re), i1 = tostring(f1.im),
+                  i2e = round(todouble(f2.im[1]), 9),
+                  rt2 = round(todouble(rt.re[2]), 9), rti = round(todouble(rt.im[2]), 9)""")
+    assert(r.getString(0) == "[1.0, 1.0, 1.0, 1.0]") // impulse → flat spectrum
+    assert(r.getString(1) == "[0.0, 0.0, 0.0, 0.0]")
+    assert(r.getDouble(2) == -2.0) // sin(2πn/4) → X₁ = −2i
+    assert(r.getDouble(3) == 4.0 && r.getDouble(4) == 0.0) // ifft∘fft = id (n=5, DFT path)
+  }
+
   test("summarize shuffle hints change the exchange, not the result") {
     val base = "datatable(k:string, v:long) ['a', 1, 'b', 2, 'a', 3]"
     val plain = run(s"$base | summarize s = sum(v) by k | sort by k asc")
