@@ -1000,6 +1000,15 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // polynomial least squares recovering an exact quadratic
+    "q129_fit_poly" -> Q(kqlQ(
+      """print f = series_fit_poly(pack_array(1.0, 0.0, 3.0, 10.0, 21.0, 36.0), 2)
+        | project r2 = round(todouble(f.rsquare), 9),
+                  c0 = round(todouble(f.coefficients[0]), 9),
+                  c1 = round(todouble(f.coefficients[1]), 9),
+                  c2 = round(todouble(f.coefficients[2]), 9)"""),
+      Some("""SELECT CAST(1.0 AS DOUBLE) AS r2, CAST(2.0 AS DOUBLE) AS c0, CAST(-3.0 AS DOUBLE) AS c1, CAST(1.0 AS DOUBLE) AS c2""")),
+
     // DFT closed forms: impulse → flat spectrum; sin(2πn/4) → X₁ = −2i;
     // ifft∘fft = identity on a non-power-of-two length (direct-DFT path)
     "q128_series_fft" -> Q(kqlQ(

@@ -322,6 +322,12 @@ object Functions {
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
+    // degree-k polynomial least squares (x = 0..n−1): normal equations +
+    // Gaussian elimination with partial pivoting; coefficients
+    // high-degree-first like KQL. Iterative solve ⇒ compact UDF.
+    "series_fit_poly" -> f {
+      case a :: Nil => seriesFitPolyUdf(a.cast("array<double>"), lit(1))
+      case a :: d :: Nil => seriesFitPolyUdf(a.cast("array<double>"), d.cast("int")) },
     // *_dynamic variants: same fit, packed as a JSON bag (KQL dynamic)
     "series_fit_line_dynamic" -> f { case a :: Nil => to_json(seriesFitLine(a)) },
     "series_fit_2lines_dynamic" -> f { case a :: Nil =>
@@ -1186,6 +1192,75 @@ object Functions {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** series_fit_poly output shape. */
+  case class FitPoly(rsquare: Double, coefficients: Seq[Double],
+                     variance: Double, rvariance: Double)
+
+  /** Degree-d polynomial least squares over x = 0..n−1: build the
+    * (d+1)×(d+1) normal equations from power sums, solve with Gaussian
+    * elimination + partial pivoting. Coefficients returned
+    * highest-degree first (KQL convention). */
+  private val seriesFitPolyUdf = udf { (v: Seq[Double], d0: Int) =>
+    val n = v.length
+    val d = math.max(0, math.min(d0, math.max(n - 1, 0)))
+    val m = d + 1
+    // power sums S_p = Σ x^p for p in 0..2d; moment sums T_p = Σ y·x^p
+    val s = new Array[Double](2 * d + 1)
+    val t = new Array[Double](m)
+    var i = 0
+    while (i < n) {
+      var xp = 1.0
+      var p = 0
+      while (p <= 2 * d) {
+        s(p) += xp
+        if (p < m) t(p) += v(i) * xp
+        xp *= i
+        p += 1
+      }
+      i += 1
+    }
+    // solve A c = t where A(r)(c) = S_{r+c}
+    val a = Array.tabulate(m, m)((r, c) => s(r + c))
+    val b = t.clone()
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      if (math.abs(a(col)(col)) > 1e-12) {
+        r = 0
+        while (r < m) {
+          if (r != col) {
+            val f = a(r)(col) / a(col)(col)
+            var c2 = col
+            while (c2 < m) { a(r)(c2) -= f * a(col)(c2); c2 += 1 }
+            b(r) -= f * b(col)
+          }
+          r += 1
+        }
+      }
+      col += 1
+    }
+    val coef = Array.tabulate(m)(k =>
+      if (math.abs(a(k)(k)) > 1e-12) b(k) / a(k)(k) else 0.0)
+    // fit quality
+    val mean = if (n == 0) 0.0 else v.sum / n
+    var ssTot = 0.0; var ssRes = 0.0
+    i = 0
+    while (i < n) {
+      var yh = 0.0; var xp = 1.0
+      var k = 0
+      while (k < m) { yh += coef(k) * xp; xp *= i; k += 1 }
+      ssTot += (v(i) - mean) * (v(i) - mean)
+      ssRes += (v(i) - yh) * (v(i) - yh)
+      i += 1
+    }
+    val r2 = if (ssTot == 0) 1.0 else 1.0 - ssRes / ssTot
+    FitPoly(r2, coef.reverse.toSeq, ssTot / math.max(n, 1), ssRes / math.max(n, 1))
   }
 
   // ----------------------------------------------------------------- FFT

@@ -237,4 +237,30 @@ class KqlPropertySpec extends AnyFunSuite {
       assert(got == want, s"p=$p pairs=$pairs")
     }
   }
+
+  test("graph-shortest-paths ≡ Floyd–Warshall hop counts (random graphs)") {
+    val gen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0, 7)))
+    for (edges0 <- samples(gen, 5)) {
+      val edges = edges0.distinct.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val rows = edges.map { case (a, b) => s"'n$a', 'n$b'" }.mkString(", ")
+        val got = Kql.run(spark,
+          s"datatable(src:string, dst:string) [$rows]" +
+            " | make-graph src --> dst" +
+            " | graph-shortest-paths (s)-[e*1..7]->(t) project sid = s.id, tid = t.id, hops = array_length(e)",
+          cat).collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        // Floyd–Warshall over hop counts, capped at 7
+        val inf = 99
+        val dist = Array.fill(8, 8)(inf)
+        edges.foreach { case (a, b) => dist(a)(b) = math.min(dist(a)(b), 1) }
+        for (k <- 0 until 8; a <- 0 until 8; b <- 0 until 8)
+          if (dist(a)(k) + dist(k)(b) < dist(a)(b)) dist(a)(b) = dist(a)(k) + dist(k)(b)
+        val want = (for {
+          a <- 0 until 8; b <- 0 until 8
+          if dist(a)(b) <= 7
+        } yield (s"n$a", s"n$b", dist(a)(b).toLong)).toSet
+        assert(got == want)
+      }
+    }
+  }
 }

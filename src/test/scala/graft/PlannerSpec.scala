@@ -700,6 +700,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("series_fit_poly recovers an exact quadratic") {
+    // y = 2x² − 3x + 1 over x = 0..5
+    val r = one(
+      """print f = series_fit_poly(pack_array(1.0, 0.0, 3.0, 10.0, 21.0, 36.0), 2)
+        | project r2 = round(todouble(f.rsquare), 9),
+                  c0 = round(todouble(f.coefficients[0]), 9),
+                  c1 = round(todouble(f.coefficients[1]), 9),
+                  c2 = round(todouble(f.coefficients[2]), 9)""")
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == -3.0 && r.getDouble(3) == 1.0)
+  }
+
   test("series_fft: impulse spectrum, sine line, ifft round-trip") {
     val r = one(
       """print f1 = series_fft(pack_array(1.0, 0.0, 0.0, 0.0)),
