@@ -263,4 +263,29 @@ class KqlPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rolling_percentile ≡ brute-force trailing-window median (random data)") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(-50L, 50L)))
+    for (evs <- samples(gen, 5)) {
+      val rows = evs.map { case (d, v) =>
+        s"datetime(2024-01-${"%02d".format(d + 1)} 01:00:00), $v" }.mkString(", ")
+      val got = Kql.run(spark,
+        s"datatable(ts:datetime, v:long) [$rows] | evaluate rolling_percentile(v, 50, ts, 1d, 3)",
+        cat).collect().map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(1))).toMap
+      // brute force: for each covered day, exact interpolated median of
+      // values in days (day-2 .. day)
+      def median(xs: Seq[Long]): Double = {
+        val s = xs.sorted.map(_.toDouble)
+        val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      val byDay = evs.groupBy(_._1)
+      val want = (for {
+        day <- 0L to 11L
+        window = (day - 2 to day).flatMap(d => byDay.getOrElse(d, Nil)).map(_._2)
+        if window.nonEmpty
+      } yield (f"2024-01-${day + 1}%02d", median(window))).toMap
+      assert(got == want)
+    }
+  }
 }

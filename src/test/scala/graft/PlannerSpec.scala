@@ -700,6 +700,22 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("dcount_intersect: 2- and 3-sketch inclusion-exclusion is exact at coupon size") {
+    val r2 = one(
+      """range x from 1 to 15 step 1
+        | summarize h1 = hll(iff(x <= 10, x, tolong(''))),
+                    h2 = hll(iff(x >= 6, x, tolong('')))
+        | evaluate dcount_intersect(h1, h2)""")
+    assert(r2.getLong(0) == 10L && r2.getLong(1) == 5L) // |A|=10, |A∩B|=5
+    val r3 = one(
+      """range x from 1 to 15 step 1
+        | summarize h1 = hll(iff(x <= 10, x, tolong(''))),
+                    h2 = hll(iff(x >= 6, x, tolong(''))),
+                    h3 = hll(iff(x >= 9, x, tolong('')))
+        | evaluate dcount_intersect(h1, h2, h3)""")
+    assert(r3.getLong(0) == 10L && r3.getLong(1) == 5L && r3.getLong(2) == 2L) // {9,10}
+  }
+
   test("series_fit_poly recovers an exact quadratic") {
     // y = 2x² − 3x + 1 over x = 0..5
     val r = one(
