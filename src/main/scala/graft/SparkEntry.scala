@@ -1000,6 +1000,13 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // parallel-array sorting: companion arrays reordered by the first
+    "q130_parallel_sort" -> Q(kqlQ(
+      """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),
+              d = array_sort_desc(pack_array(3, 1, 2), pack_array(30, 10, 20))
+        | project k1 = tolong(s[0][0]), v1 = tolong(s[1][0]), dk1 = tolong(d[0][0]), dv1 = tolong(d[1][0])"""),
+      Some("""SELECT CAST(1 AS BIGINT) AS k1, CAST(10 AS BIGINT) AS v1, CAST(3 AS BIGINT) AS dk1, CAST(30 AS BIGINT) AS dv1""")),
+
     // polynomial least squares recovering an exact quadratic
     "q129_fit_poly" -> Q(kqlQ(
       """print f = series_fit_poly(pack_array(1.0, 0.0, 3.0, 10.0, 21.0, 36.0), 2)

@@ -161,8 +161,12 @@ object Functions {
           },
           acc => acc.getField("idx"))
         when(start < 0L || start > hi0, lit(-1L)).otherwise(found) },
-    "array_sort_asc" -> f { case a :: Nil => array_sort(a) },
-    "array_sort_desc" -> f { case a :: Nil => sort_array(a, asc = false) },
+    "array_sort_asc" -> f {
+      case a :: Nil => array_sort(a)
+      case arrs => parallelSort(arrs, asc = true) },
+    "array_sort_desc" -> f {
+      case a :: Nil => sort_array(a, asc = false)
+      case arrs => parallelSort(arrs, asc = false) },
     "array_reverse" -> f { case a :: Nil => reverse(a) },
     "array_sum" -> f { case a :: Nil =>
       aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double")) },
@@ -1160,6 +1164,22 @@ object Functions {
     to_json(struct(array_min(a).cast("double").as("min"),
       array_max(a).cast("double").as("max"), avg.as("avg"),
       stdev.as("stdev"), sy.as("sum"), size(a).cast("long").as("len")))
+  }
+
+  /** KQL multi-array array_sort_asc/desc: sort the first array, reorder
+    * the others by the same permutation (stable on ties via the original
+    * index). Returns an array of the reordered arrays — pure HOF
+    * expressions, element types must be homogeneous across the arrays
+    * (the KQL dynamic-of-dynamics shape under Spark's typing). */
+  def parallelSort(arrs: List[Column], asc: Boolean): Column = {
+    val key = arrs.head
+    val paired0 = zip_with(key, sequence(lit(1), size(key)),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    val paired = if (asc) array_sort(paired0) else reverse(array_sort(paired0))
+    val order = transform(paired, p => p.getField("i"))
+    val sortedHead = transform(paired, p => p.getField("v"))
+    array((sortedHead :: arrs.tail.map(a =>
+      transform(order, i => element_at(a, i)))): _*)
   }
 
   /** Cyclic left rotation by n (negative n rotates right). */

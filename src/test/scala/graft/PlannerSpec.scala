@@ -700,6 +700,16 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 9.0)
   }
 
+  test("multi-array array_sort_asc reorders parallel arrays by the first") {
+    val r = one(
+      """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),
+              d = array_sort_desc(pack_array(3, 1, 2), pack_array(30, 10, 20))
+        | project k = tostring(s[0]), v = tostring(s[1]), dv = tostring(d[1])""")
+    assert(r.getString(0) == "[1, 2, 3]")
+    assert(r.getString(1) == "[10, 20, 30]")
+    assert(r.getString(2) == "[30, 20, 10]")
+  }
+
   test("dcount_intersect: 2- and 3-sketch inclusion-exclusion is exact at coupon size") {
     val r2 = one(
       """range x from 1 to 15 step 1
