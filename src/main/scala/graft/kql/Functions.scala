@@ -160,7 +160,11 @@ object Functions {
                 .otherwise(lit(-1L)).as("idx"))
           },
           acc => acc.getField("idx"))
-        when(start < 0L || start > hi0, lit(-1L)).otherwise(found) },
+        // hi < start covers the length=0 empty window: without the guard
+        // sequence(start+1, start) would default to step -1 and scan
+        // OUTSIDE the requested window (r2 ADVICE)
+        when(start < 0L || start > hi0 || hi < start, lit(-1L))
+          .otherwise(found) },
     "array_sort_asc" -> f {
       case a :: Nil => array_sort(a)
       case arrs => parallelSort(arrs, asc = true) },
@@ -576,12 +580,20 @@ object Functions {
     // nest under "Query Parameters"); accepts a bare query or a full URL
     "parse_urlquery" -> f { case q :: Nil =>
       val qs = regexp_replace(q, "^[^?]*\\?", "")
-      to_json(struct(map_from_entries(transform(
+      val entries = transform(
         filter(split(qs, "&"), kv => kv =!= lit("")),
         kv => struct(
-          url_decode(element_at(split(kv, "=", 2), 1)),
+          url_decode(element_at(split(kv, "=", 2), 1)).as("k"),
           url_decode(coalesce(element_at(split(kv, "=", 2), 2), lit("")))
-        ))).as("Query Parameters"))) },
+            .as("v")))
+      // a repeated parameter (k=1&k=2) would throw DUPLICATE_MAP_KEY under
+      // the default mapKeyDedupPolicy — fold with last-occurrence-wins
+      // instead (r2 ADVICE); query strings are tiny, O(n²) is irrelevant
+      val bag = aggregate(entries, map().cast("map<string,string>"),
+        (m, e) => map_concat(
+          map_filter(m, (k, _) => k =!= e.getField("k")),
+          map(e.getField("k"), e.getField("v"))))
+      to_json(struct(bag.as("Query Parameters"))) },
     // ------------------------------------------------- special math (§2.8)
     // Lanczos(g=7,n=9) log-gamma as pure Column arithmetic — stays in
     // whole-stage codegen; reflection handles x ≤ 0.5
@@ -1173,9 +1185,23 @@ object Functions {
     * (the KQL dynamic-of-dynamics shape under Spark's typing). */
   def parallelSort(arrs: List[Column], asc: Boolean): Column = {
     val key = arrs.head
-    val paired0 = zip_with(key, sequence(lit(1), size(key)),
-      (v, i) => struct(v.as("v"), i.as("i")))
-    val paired = if (asc) array_sort(paired0) else reverse(array_sort(paired0))
+    // sequence(1, 0) would default to step -1 on an empty key array —
+    // guard with an explicit empty index list (r2 ADVICE)
+    val idx = when(size(key) > 0, sequence(lit(1), size(key)))
+      .otherwise(array().cast("array<int>"))
+    val paired0 = zip_with(key, idx, (v, i) => struct(v.as("v"), i.as("i")))
+    // explicit comparator in BOTH directions: nulls last and stable on
+    // ties via the original index — reverse(array_sort) anti-stabilizes
+    // tie groups and floats nulls first (r2 ADVICE)
+    val sign = if (asc) 1 else -1
+    val paired = array_sort(paired0, (l, r) => {
+      val (lv, rv) = (l.getField("v"), r.getField("v"))
+      val tie = (l.getField("i") - r.getField("i")).cast("int")
+      when(lv.isNull && rv.isNull, tie)
+        .when(lv.isNull, lit(1)).when(rv.isNull, lit(-1))
+        .when(lv < rv, lit(-sign)).when(lv > rv, lit(sign))
+        .otherwise(tie)
+    })
     val order = transform(paired, p => p.getField("i"))
     val sortedHead = transform(paired, p => p.getField("v"))
     array((sortedHead :: arrs.tail.map(a =>

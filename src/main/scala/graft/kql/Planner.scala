@@ -102,6 +102,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     sortCols = Nil; sortKeys = Nil; serialized = false; rangeLayout = false
     var df = planSource(q.source)
     q.ops.foreach { op => df = applyOp(df, op) }
+    if (graphCtx.nonEmpty) {
+      graphCtx = None
+      throw PlanError("make-graph must be followed by a graph operator " +
+        "(graph-match / graph-shortest-paths / graph-to-table)")
+    }
     val out = df
     sortCols = savedSort; sortKeys = savedKeys
     serialized = savedSer; rangeLayout = savedRl
@@ -225,7 +230,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   /** Set by `make-graph`, consumed by the graph-* operators. */
   private var graphCtx: Option[GraphOps.GraphCtx] = None
 
-  private def applyOp0(df: DataFrame, op: TabOp): DataFrame = op match {
+  private def applyOp0(df: DataFrame, op: TabOp): DataFrame = {
+    // A pending make-graph may only be consumed by a graph-* operator;
+    // anything else would silently pass the edge frame through and leave
+    // stale ctx for an unrelated later graph-match (r2 ADVICE).
+    if (graphCtx.nonEmpty && !op.isInstanceOf[GraphMatchOp]
+        && !op.isInstanceOf[GraphShortestPathsOp]
+        && !op.isInstanceOf[GraphToTableOp])
+      throw PlanError("make-graph must be immediately followed by " +
+        "graph-match, graph-shortest-paths, or graph-to-table")
+    applyOp1(df, op)
+  }
+
+  private def applyOp1(df: DataFrame, op: TabOp): DataFrame = op match {
     case Where(p) => df.filter(toCol(p, df))
 
     case MakeGraphOp(src, dst, nodes) =>
@@ -1163,24 +1180,30 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       val kept = grouped.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= lvl.n).drop("__rk")
       // `with others = "label"`: one extra row per parent folding the
-      // non-top values — re-aggregate the excluded per-value aggregates
-      // (sum for additive aggs, min/max preserved). Last level only: an
-      // inner others row would be dropped by the child join anyway.
+      // non-top values. The aggregate must run over the RAW excluded rows
+      // (anti-joined against the kept values), not over the per-value
+      // aggregates — re-summing per-value results is wrong for any
+      // non-additive aggregate (avg, dcount, percentile). The anti/semi
+      // joins broadcast the SMALL kept/parent sets against the raw frame.
+      // Last level only: an inner others row would be dropped by the
+      // child join anyway.
       val ranked = lvl.others match {
         case None => kept
         case Some(lbl) =>
           if (i != tn.levels.length - 1)
             throw PlanError("top-nested `with others` is supported on the last level")
-          val reAgg = lvl.by._2 match {
-            case App("min", _) => min(col(aggName))
-            case App("max", _) => max(col(aggName))
-            case _ => sum(col(aggName)) // count/sum/countif are additive
-          }
-          val excl = grouped.join(kept.select((parents :+ ofName).map(col): _*),
-            (parents :+ ofName).toSeq, "left_anti")
-          val oRow = (if (parents.isEmpty) excl.groupBy()
-                      else excl.groupBy(parents.map(col): _*))
-            .agg(reAgg.cast(typeOf(grouped, col(aggName))).as(aggName))
+          val keyCols = parents :+ ofName
+          var exclRaw = df.withColumn(ofName, toCol(lvl.of._2, df))
+            .join(broadcast(kept.select(keyCols.map(col): _*)),
+              keyCols.toSeq, "left_anti")
+          if (acc != null)
+            exclRaw = exclRaw.join(
+              broadcast(acc.select(parents.map(col): _*).distinct()),
+              parents.toSeq, "left_semi")
+          val oRow = (if (parents.isEmpty) exclRaw.groupBy()
+                      else exclRaw.groupBy(parents.map(col): _*))
+            .agg(toCol(lvl.by._2, exclRaw, agg = true)
+              .cast(typeOf(grouped, col(aggName))).as(aggName))
             .withColumn(ofName, lit(lbl))
           kept.unionByName(oRow)
       }

@@ -888,6 +888,63 @@ class PlannerSpec extends AnyFunSuite {
       Seq(("a", 10L), ("b", 5L), ("rest", 2L)))
   }
 
+  test("top-nested with others is correct for non-additive aggregates") {
+    // avg over the raw excluded rows: c:1 ×2 + d:4 → avg = 2, NOT the
+    // sum/avg of the per-value averages ((1+4)/2 = 2.5)
+    val rows = run(
+      """datatable(k:string, v:long) ['a', 10, 'b', 5, 'c', 1, 'c', 1, 'd', 4]
+        | top-nested 2 of k with others = 'rest' by avg(todouble(v))
+        | sort by aggregated_k desc, k asc""")
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))) ==
+      Seq(("a", 10.0), ("b", 5.0), ("rest", 2.0)))
+    // dcount over raw excluded rows: c,d,d → 2 distinct, not sum of
+    // per-value dcounts (1+1=2 here, so also pin a duplicate-heavy case)
+    val r2 = run(
+      """datatable(k:string, u:string) ['a','x','a','y','a','z','b','x','b','y','c','x','c','x','d','x']
+        | top-nested 2 of k with others = 'rest' by count_distinct(u)
+        | sort by aggregated_k desc, k asc""")
+    assert(r2.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 3L), ("b", 2L), ("rest", 1L)))
+  }
+
+  test("make-graph not followed by a graph operator is a plan error") {
+    val e = intercept[RuntimeException](run(
+      """datatable(s:string, d:string) ['a', 'b']
+        | make-graph s --> d
+        | where s == 'a'"""))
+    assert(e.getMessage.contains("graph"))
+    val e2 = intercept[RuntimeException](run(
+      """datatable(s:string, d:string) ['a', 'b']
+        | make-graph s --> d"""))
+    assert(e2.getMessage.contains("graph"))
+  }
+
+  test("array_index_of length=0 window returns -1; parse_urlquery dedups repeated params") {
+    val r = one(
+      """print a = array_index_of(pack_array(5, 7, 5), 5, 0, 0),
+              b = array_index_of(pack_array(5, 7, 5), 7, 1, 0),
+              q = parse_urlquery('k=1&k=2&z=9')
+        | project a, b, q""")
+    assert(r.getLong(0) == -1L && r.getLong(1) == -1L)
+    assert(r.getString(2) == """{"Query Parameters":{"k":"2","z":"9"}}""")
+  }
+
+  test("multi-array array_sort is stable on ties, nulls last, empty-safe") {
+    val r = one(
+      """print d = array_sort_desc(pack_array(1, 3, toint(''), 3, 2), pack_array(10, 20, 30, 40, 50)),
+              a = array_sort_asc(pack_array(1, 3, toint(''), 3, 2), pack_array(10, 20, 30, 40, 50)),
+              e = array_sort_desc(array_slice(pack_array(1), 1, 0), array_slice(pack_array(1), 1, 0))
+        | project dk = tostring(d[0]), dv = tostring(d[1]),
+                  ak = tostring(a[0]), av = tostring(a[1]), en = array_length(e[0])""")
+    // desc: 3,3 tie keeps original order (20 before 40); null last
+    assert(r.getString(0) == "[3, 3, 2, 1, null]")
+    assert(r.getString(1) == "[20, 40, 50, 10, 30]")
+    // asc: nulls last too (matches the single-array array_sort path)
+    assert(r.getString(2) == "[1, 2, 3, 3, null]")
+    assert(r.getString(3) == "[10, 50, 20, 40, 30]")
+    assert(r.getLong(4) == 0L)
+  }
+
   test("active_users_count: needs m distinct periods inside the lookback") {
     // 'a' active on days 1,2,3 → counted from day 3 (3 periods in a 3d
     // lookback) but not on day 4 (only days 2,3 remain... still 2 < 3? no:
