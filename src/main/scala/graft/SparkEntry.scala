@@ -971,7 +971,7 @@ object SparkEntry {
             | scan declare (rs:long=0) with (step s: true => rs = rs + tolong(round(value * 100))))
         | summarize mx = max(rs), n = count() by user_id
         | sort by user_id asc"""),
-      Some("""WITH r AS (SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS rs FROM events) SELECT user_id, MAX(rs) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH r AS (SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS rs FROM events) SELECT user_id, CAST(MAX(rs) AS BIGINT) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1 ORDER BY 1""")),
 
     // ACF local-maxima period detection: period-4 signal over 24 points →
     // ACF(4)=25/30, ACF(8)=20/30 (exact closed-form, pinned as literals)
@@ -1000,6 +1000,19 @@ object SparkEntry {
 
     // last-level `with others`: non-top values fold into one labeled row
     // (additive re-aggregation of the per-value aggregates)
+    // mv-combine = inverse of mv-expand: one hash aggregate collecting the
+    // named column into an array per group of the remaining columns; the
+    // canonical order comes from the explicit array_sort_asc, not the
+    // collect (collect_list order is arrival order, no promise made)
+    "q131_mv_combine" -> Q(kqlQ(
+      """lineitem
+        | where l_orderkey <= 1000
+        | project l_orderkey, ln = tolong(l_linenumber)
+        | mv-combine ln
+        | project l_orderkey, lns = array_sort_asc(ln)
+        | sort by l_orderkey asc"""),
+      Some("""SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS lns FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1 ORDER BY 1""")),
+
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(
       """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),

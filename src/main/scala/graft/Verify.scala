@@ -28,13 +28,13 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
-        // The driver compares rows POSITIONALLY against the oracle, so the
-        // file's physical row order must be exactly the query's logical
-        // order. A Sort above coalesce(1) is not guaranteed to survive
-        // into file order on every plan (q96 hash flake, r2 VERDICT):
-        // collect() IS order-preserving, so pin the order on the driver
-        // and write one in-order partition. Verify runs at sf≤0.01 only —
-        // this collect is test-harness plumbing, not an engine path.
+        // Pin the file's physical row order to the query's logical order:
+        // collect() is order-preserving, and one in-order partition makes
+        // the dump deterministic run-to-run. (Note: the r2/r3 q96 hash
+        // mismatch was NOT row order — it was the oracle SQL's uncast
+        // DuckDB HUGEINT, fixed in SparkEntry — but a deterministic dump
+        // is still cheap insurance.) Verify runs at sf≤0.01 only — this
+        // collect is test-harness plumbing, not an engine path.
         val res = fn(spark, sfDir)
         val rows = java.util.Arrays.asList(res.collect(): _*)
         spark.createDataFrame(rows, res.schema).coalesce(1)

@@ -63,6 +63,9 @@ object Ast {
                             withItemIndex: Option[String]) extends TabOp
   /** mv-apply x on ( subquery-ops ): per-row subtable pipeline. */
   final case class MvApply(item: (Option[String], Expr), ops: List[TabOp]) extends TabOp
+  /** `T | mv-combine c1 [, c2 ...]` — inverse of mv-expand: group by all
+    * other columns, collect each named column into an array. */
+  final case class MvCombine(cols: List[String]) extends TabOp
   /** `T | as name` — bind the intermediate result. */
   final case class AsOp(name: String) extends TabOp
   /** `parse col with "prefix" name:type "sep" ...` compiled to segments. */

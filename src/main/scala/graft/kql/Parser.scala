@@ -306,6 +306,11 @@ final class Parser(src: String) {
           }
           val items = parseNamedExprList()
           MvExpand(items, itemIndex)
+        case "mv-combine" =>
+          val cols = List.newBuilder[String]
+          cols += identName()
+          while (trySym(",")) cols += identName()
+          MvCombine(cols.result())
         case "parse" => parseParse(dropNonMatching = false)
         case "parse-where" => parseParse(dropNonMatching = true)
         case "parse-kv" =>

@@ -100,6 +100,9 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     val (savedSort, savedKeys, savedSer, savedRl) =
       (sortCols, sortKeys, serialized, rangeLayout)
     sortCols = Nil; sortKeys = Nil; serialized = false; rangeLayout = false
+    // restore in finally: a PlanError mid-plan must not leave sort/layout
+    // state from the failed subquery visible to a caller that replans
+    try {
     var df = planSource(q.source)
     q.ops.foreach { op => df = applyOp(df, op) }
     if (graphCtx.nonEmpty) {
@@ -107,10 +110,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       throw PlanError("make-graph must be followed by a graph operator " +
         "(graph-match / graph-shortest-paths / graph-to-table)")
     }
-    val out = df
-    sortCols = savedSort; sortKeys = savedKeys
-    serialized = savedSer; rangeLayout = savedRl
-    out
+    df
+    } finally {
+      sortCols = savedSort; sortKeys = savedKeys
+      serialized = savedSer; rangeLayout = savedRl
+    }
   }
 
   // ============================================================== sources
@@ -236,9 +240,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     // stale ctx for an unrelated later graph-match (r2 ADVICE).
     if (graphCtx.nonEmpty && !op.isInstanceOf[GraphMatchOp]
         && !op.isInstanceOf[GraphShortestPathsOp]
-        && !op.isInstanceOf[GraphToTableOp])
+        && !op.isInstanceOf[GraphToTableOp]) {
+      // reset before throwing: a caller that catches PlanError and
+      // replans on this instance must not see the stale graph context
+      graphCtx = None
       throw PlanError("make-graph must be immediately followed by " +
         "graph-match, graph-shortest-paths, or graph-to-table")
+    }
     applyOp1(df, op)
   }
 
@@ -366,6 +374,23 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           }
         case _ => throw PlanError("mv-expand: exactly one column supported")
       }
+
+    case MvCombine(colsIn) =>
+      // Inverse of mv-expand (SURVEY §2.8.6): one hash aggregate — group
+      // by every other column, collect each named column into an array.
+      // Plain collect_list: element order is the arrival order of the
+      // grouped rows (matches KQL, which makes no order promise here);
+      // callers needing a canonical order follow with array_sort_asc.
+      val names = colsIn.map(n => resolveName(df, n))
+      val others = df.columns.filterNot(names.contains).toSeq
+      if (others.isEmpty && names.isEmpty)
+        throw PlanError("mv-combine needs at least one column")
+      val aggs = names.map(n => collect_list(col(n)).as(n))
+      val grouped =
+        if (others.isEmpty) df.groupBy()
+        else df.groupBy(others.map(col): _*)
+      grouped.agg(aggs.head, aggs.tail: _*)
+        .select(df.columns.map(col).toSeq: _*) // original column order
 
     case MvApply(item, ops) =>
       // Per-row subtable pipeline: explode with a row id, run the inner
@@ -1163,39 +1188,54 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     // Each level aggregates the ORIGINAL frame by (parents :+ of) — one
     // full-data pass per level — and the surviving-parent filter is a
     // broadcast semi-join on the SMALL grouped result, never on raw rows.
-    var parents: List[String] = Nil
+    //
+    // Every level's of-expression is materialized on the raw frame under
+    // a collision-proof internal name (__of_key_i__) and ALL grouping /
+    // anti / semi joins run on those keys; user-facing of-names appear
+    // only in the final rename. Two bugs this prevents: (1) `of
+    // bin(v,10) ... by sum(v)` — the of default name IS "v", so naming
+    // the key "v" on the raw frame would overwrite the column the
+    // by-aggregate reads; (2) aliased/computed parent of-expressions
+    // (`of bin(x,10)` as parent) were never materialized on the raw
+    // frame, so the `with others` anti-join either failed to resolve or
+    // silently matched raw values against binned keys.
+    val ofNames = tn.levels.zipWithIndex.map { case (lvl, i) =>
+      lvl.of._1.getOrElse(defaultName(lvl.of._2, i)) }
+    val keyNames = tn.levels.indices.map(i => s"__of_key_${i}__").toList
+    val raw = tn.levels.zipWithIndex.foldLeft(df) { case (d, (lvl, i)) =>
+      d.withColumn(keyNames(i), toCol(lvl.of._2, d)) }
+    var parents: List[String] = Nil // internal key names of outer levels
     var acc: DataFrame = null
     tn.levels.zipWithIndex.foreach { case (lvl, i) =>
-      val ofName = lvl.of._1.getOrElse(defaultName(lvl.of._2, i))
-      val aggName = lvl.by._1.getOrElse(s"aggregated_$ofName")
-      var grouped = df
-        .groupBy((parents.map(col) :+ toCol(lvl.of._2, df).as(ofName)): _*)
-        .agg(toCol(lvl.by._2, df, agg = true).as(aggName))
+      val keyName = keyNames(i)
+      val aggName = lvl.by._1.getOrElse(s"aggregated_${ofNames(i)}")
+      var grouped = raw
+        .groupBy((parents.map(col) :+ col(keyName)): _*)
+        .agg(toCol(lvl.by._2, raw, agg = true).as(aggName))
       if (acc != null)
         grouped = grouped.join(broadcast(acc.select(parents.map(col): _*).distinct()),
           parents.toSeq, "left_semi")
-      val w = if (parents.isEmpty) Window.orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
+      val w = if (parents.isEmpty) Window.orderBy(orderExpr(col(aggName), lvl.asc), col(keyName).asc)
         else Window.partitionBy(parents.map(col): _*)
-          .orderBy(orderExpr(col(aggName), lvl.asc), col(ofName).asc)
+          .orderBy(orderExpr(col(aggName), lvl.asc), col(keyName).asc)
       val kept = grouped.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= lvl.n).drop("__rk")
       // `with others = "label"`: one extra row per parent folding the
       // non-top values. The aggregate must run over the RAW excluded rows
-      // (anti-joined against the kept values), not over the per-value
+      // (anti-joined against the kept keys), not over the per-value
       // aggregates — re-summing per-value results is wrong for any
       // non-additive aggregate (avg, dcount, percentile). The anti/semi
-      // joins broadcast the SMALL kept/parent sets against the raw frame.
-      // Last level only: an inner others row would be dropped by the
-      // child join anyway.
+      // joins broadcast the SMALL kept/parent sets against the raw frame,
+      // and the raw columns stay intact for the by-aggregate. Last level
+      // only: an inner others row would be dropped by the child join.
       val ranked = lvl.others match {
         case None => kept
         case Some(lbl) =>
           if (i != tn.levels.length - 1)
             throw PlanError("top-nested `with others` is supported on the last level")
-          val keyCols = parents :+ ofName
-          var exclRaw = df.withColumn(ofName, toCol(lvl.of._2, df))
-            .join(broadcast(kept.select(keyCols.map(col): _*)),
-              keyCols.toSeq, "left_anti")
+          val keyCols = parents :+ keyName
+          var exclRaw = raw.join(broadcast(kept.select(keyCols.map(col): _*)),
+            keyCols.toSeq, "left_anti")
           if (acc != null)
             exclRaw = exclRaw.join(
               broadcast(acc.select(parents.map(col): _*).distinct()),
@@ -1204,13 +1244,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
                       else exclRaw.groupBy(parents.map(col): _*))
             .agg(toCol(lvl.by._2, exclRaw, agg = true)
               .cast(typeOf(grouped, col(aggName))).as(aggName))
-            .withColumn(ofName, lit(lbl))
+            .withColumn(keyName, lit(lbl))
           kept.unionByName(oRow)
       }
       acc = if (acc == null) ranked else acc.join(ranked, parents.toSeq, "inner")
-      parents = parents :+ ofName
+      parents = parents :+ keyName
     }
-    acc
+    keyNames.zip(ofNames).foldLeft(acc) { case (d, (k, n)) =>
+      d.withColumnRenamed(k, n) }
   }
 
   /** Shared engine of `evaluate autocluster` / `evaluate basket`:

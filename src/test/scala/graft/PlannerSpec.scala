@@ -907,6 +907,53 @@ class PlannerSpec extends AnyFunSuite {
       Seq(("a", 3L), ("b", 2L), ("rest", 1L)))
   }
 
+  test("mv-combine collects per-group arrays (inverse of mv-expand)") {
+    val rows = run(
+      """datatable(k:string, v:long) ['a', 1, 'a', 2, 'b', 3, 'a', 2]
+        | mv-combine v
+        | project k, vs = array_sort_asc(v)
+        | sort by k asc""")
+    assert(rows.map(r => (r.getString(0), r.getSeq[Long](1))) ==
+      Seq(("a", Seq(1L, 2L, 2L)), ("b", Seq(3L))))
+    // multi-column combine + round-trip with mv-expand
+    val rt = run(
+      """datatable(k:string, v:long) ['a', 1, 'a', 2, 'b', 3]
+        | mv-combine v
+        | mv-expand v
+        | summarize n = count() by k
+        | sort by k asc""")
+    assert(rt.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("top-nested with others: of-expression name collision keeps raw columns intact") {
+    // `of bin(v, 10)` default-names the key "v" — the by-aggregate must
+    // still sum RAW v (1+5=6 for the excluded bin 0), not the binned key
+    // (0+0=0). r3 ADVICE high: the key is now materialized under an
+    // internal name so the raw column survives to the others aggregate.
+    val rows = run(
+      """datatable(v:long) [1, 5, 12, 13, 25]
+        | top-nested 2 of bin(v, 10) with others = 'rest' by sum(v)
+        | sort by v asc""")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("10", 25L), ("20", 25L), ("rest", 6L)))
+  }
+
+  test("top-nested: computed parent of-expression joins on the materialized key") {
+    // Parent level is a computed bin: the child's grouping and the
+    // `with others` anti-join must use the BINNED parent key, not the raw
+    // column the default name shadows (r3 ADVICE low #2).
+    val rows = run(
+      """datatable(v:long, k:string, x:long)
+          [1, 'a', 10, 1, 'b', 5, 2, 'a', 3, 11, 'a', 7, 11, 'b', 1, 11, 'c', 2]
+        | top-nested 2 of bin(v, 10) by sum(x),
+          top-nested 1 of k with others = 'rest' by sum(x)
+        | sort by v asc, k asc""")
+    // bin 0 rows: sum(x)=18; within it top k = 'a' (13), rest = 5
+    // bin 10 rows: sum(x)=10; within it top k = 'a' (7), rest = 1+2 = 3
+    assert(rows.map(r => (r.getLong(0), r.getString(2), r.getLong(3))) ==
+      Seq((0L, "a", 13L), (0L, "rest", 5L), (10L, "a", 7L), (10L, "rest", 3L)))
+  }
+
   test("make-graph not followed by a graph operator is a plan error") {
     val e = intercept[RuntimeException](run(
       """datatable(s:string, d:string) ['a', 'b']
@@ -919,6 +966,11 @@ class PlannerSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graph"))
   }
 
+  // parse_urlquery duplicate keys: last-occurrence wins. Offline env, so
+  // pinned to Kusto's published dynamic/JSON semantics rather than a live
+  // ADX probe: a property bag cannot hold duplicate keys, and Kusto's
+  // parse_json keeps the LAST occurrence on duplicate-key input, so the
+  // query-string bag does the same (k=1&k=2 -> k=2).
   test("array_index_of length=0 window returns -1; parse_urlquery dedups repeated params") {
     val r = one(
       """print a = array_index_of(pack_array(5, 7, 5), 5, 0, 0),
