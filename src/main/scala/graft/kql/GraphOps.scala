@@ -46,8 +46,37 @@ object GraphOps {
   private def renamed(e: DataFrame, pre: String): DataFrame =
     e.select(e.columns.map(c => col(c).as(pre + c)).toIndexedSeq: _*)
 
+  /** One var-length segment, reachability form — used when the edge
+    * variable is UNBOUND, so no downstream expression can observe the
+    * path itself. Per-level DISTINCT keeps every frontier a set of
+    * (from, to) pairs bounded by |V|², where full path enumeration is
+    * exponential on dense graphs (r2/r3 VERDICT scale-killer). Output is
+    * one row per (from, to, qualifying length) — set semantics per
+    * level, matching graph-shortest-paths' frontier discipline. */
+  private def varReach(ctx: GraphCtx, forward: Boolean, lo: Int, hi: Int): DataFrame = {
+    val (s, d) = if (forward) (ctx.src, ctx.dst) else (ctx.dst, ctx.src)
+    val step = ctx.edges.select(col(s).as("__vs"), col(d).as("__vd")).distinct()
+    var level = step.select(col("__vs").as("from"), col("__vd").as("to"))
+    var out: DataFrame = null
+    (1 to hi).foreach { len =>
+      if (len >= lo)
+        out = if (out == null) level else out.unionByName(level)
+      if (len < hi)
+        level = level.join(step, level("to") === step("__vs"))
+          .select(col("from"), col("__vd").as("to")).distinct()
+    }
+    out
+  }
+
   /** One var-length segment: paths of length lo..hi as
-    * (from, to, hops, earr: array<struct<edge cols>>). */
+    * (from, to, hops, earr: array<struct<edge cols>>).
+    *
+    * Fan-out bound, documented: this ENUMERATES paths — the per-level
+    * row count can grow as fast as (max out-degree)^len, which is why
+    * (a) `hi` is capped at 16 at the call site and (b) the planner only
+    * takes this form when the edge variable is bound (something
+    * downstream reads the path); unbound patterns use varReach's
+    * per-level-distinct reachability, which is |V|²-bounded. */
   private def varPaths(ctx: GraphCtx, forward: Boolean, lo: Int, hi: Int): DataFrame = {
     val (s, d) = if (forward) (ctx.src, ctx.dst) else (ctx.dst, ctx.src)
     val eStruct = struct(ctx.edges.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
@@ -100,13 +129,21 @@ object GraphOps {
       } else {
         if (pe.maxHops < pe.minHops || pe.maxHops > 16)
           err("variable-length edge needs 1 <= lo <= hi <= 16")
-        val arrCol = s"__gv$k"
-        val seg = varPaths(ctx, pe.forward, pe.minHops, pe.maxHops)
-          .select(col("from").as(fromN), col("to").as(toN),
-            col("earr").as(arrCol))
+        val seg = pe.name match {
+          case Some(n) =>
+            // bound edge var: the path is observable → enumerate it
+            val arrCol = s"__gv$k"
+            varVars += n -> arrCol
+            varPaths(ctx, pe.forward, pe.minHops, pe.maxHops)
+              .select(col("from").as(fromN), col("to").as(toN),
+                col("earr").as(arrCol))
+          case None =>
+            // unbound edge var: reachability only, per-level distinct
+            varReach(ctx, pe.forward, pe.minHops, pe.maxHops)
+              .select(col("from").as(fromN), col("to").as(toN))
+        }
         acc = if (acc == null) seg
               else acc.join(seg, acc(fromN) === seg(fromN)).drop(seg(fromN))
-        pe.name.foreach(n => varVars += n -> arrCol)
       }
     }
 

