@@ -387,23 +387,76 @@ object SparkEntry {
       (s, dir) => LlmOps.jaccardPairs(docs(s, dir), 0.8, blockCol = Some("source")).orderBy("i", "j"),
       Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) SELECT i, j, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jac FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8 ORDER BY i, j""")),
 
+    // MinHash+LSH with a CONTRACT oracle (r3 verdict task 4): the raw
+    // pair set is hash-seeded (not SQL-replicable), so the query emits
+    // the checkable contract instead — n_exact (DuckDB recomputes the
+    // within-source exact pair count), zero false positives among
+    // within-source LSH pairs (exact-verify guarantees it), and the
+    // banding recall floor (0.85 at t=0.8, pinned looser than the
+    // measured 0.94+ so fixture growth can't flake it). The full
+    // seed-dependent pair set stays covered by LlmOpsSpec.
     "llm_neardup_minhash" -> Q(
-      // no orderBy: the check is rows-only (no oracle), and a total sort
-      // of the ~n²-dense pair output would dominate the query's cost
-      (s, dir) => LlmOps.nearDupPairsMinhash(docs(s, dir), 0.8),
-      None), // LSH bucketing is hash-seeded; verified vs llm_jaccard_pairs in tests
+      (s, dir) => {
+        val d = docs(s, dir)
+        val lsh = LlmOps.nearDupPairsMinhash(d, 0.8).select("i", "j")
+        val exact = LlmOps.jaccardPairs(d, 0.8, blockCol = Some("source"))
+          .select("i", "j")
+        val srcOf = d.select(col("doc_id"), col("source"))
+        val lshWithin = lsh
+          .join(srcOf.select(col("doc_id").as("i"), col("source").as("si")), "i")
+          .join(srcOf.select(col("doc_id").as("j"), col("source").as("sj")), "j")
+          .filter(col("si") === col("sj")).select("i", "j")
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nFp = lshWithin.join(exact, Seq("i", "j"), "left_anti")
+          .agg(count(lit(1)).as("n_false_pos"))
+        val nHit = lshWithin.join(exact, Seq("i", "j"), "left_semi")
+          .agg(count(lit(1)).as("hit"))
+        nExact.crossJoin(nFp).crossJoin(nHit)
+          .select(col("n_exact"), col("n_false_pos"),
+            (col("hit") >= ceil(col("n_exact") * 0.85)).as("recall_ok"))
+      },
+      Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), ex AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM ex""")),
 
+    // SimHash contract oracle: fingerprints are xxhash64-based (not
+    // SQL-replicable), but determinism is — identical lowercased texts
+    // MUST collapse to one fingerprint. DuckDB recomputes the doc and
+    // text-group counts; the inconsistent-group count is pinned to 0.
     "llm_simhash" -> Q(
-      (s, dir) => LlmOps.simHash(docs(s, dir)).orderBy("doc_id"),
-      None), // xxhash64-based; no cross-engine oracle
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = LlmOps.simHash(d)
+        d.select(col("doc_id"), lower(col("text")).as("t"))
+          .join(sh, "doc_id")
+          .groupBy("t")
+          .agg(count_distinct(col("simhash")).as("k"), count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_text_groups"),
+            sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_inconsistent"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_text_groups, CAST(0 AS BIGINT) AS n_inconsistent FROM documents""")),
 
     "llm_knn_cosine" -> Q(
       (s, dir) => LlmOps.knnCosine(embs(s, dir), queryId = 0, k = 20),
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 20""")),
 
+    // hyperplane-LSH contract oracle: membership is seed-dependent, but
+    // two facts are not — the query vector is its own top hit (cos 1.0),
+    // and every returned score must equal the EXACT cosine for that id
+    // (LSH prunes candidates, never approximates scores). n_returned is
+    // deliberately not emitted (bucket population depends on the seed).
     "llm_ann_lsh" -> Q(
-      (s, dir) => LlmOps.annCosineLsh(embs(s, dir), queryId = 0, k = 10),
-      None), // hyperplane seeds not replicable in SQL; recall checked in tests
+      (s, dir) => {
+        val e = embs(s, dir)
+        val res = LlmOps.annCosineLsh(e, queryId = 0, k = 10)
+        val exact = LlmOps.knnCosine(e, queryId = 0, k = Int.MaxValue)
+          .withColumnRenamed("cos", "cos_exact")
+        res.join(exact, "vec_id")
+          .agg(max(when(col("vec_id") === 0, col("cos"))).as("self_cos"),
+            sum(when(col("cos") =!= col("cos_exact"), 1L).otherwise(0L))
+              .as("n_score_mismatch"))
+          .select((col("self_cos") === 1.0).as("self_top"), col("n_score_mismatch"))
+      },
+      Some("""SELECT true AS self_top, CAST(0 AS BIGINT) AS n_score_mismatch""")),
 
     "llm_similarity_pairs" -> Q(
       (s, dir) => LlmOps.similarityPairs(embs(s, dir), 0.3).orderBy("i", "j"),
@@ -434,9 +487,15 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_size, CAST(8 AS INT) AS n_features FROM documents ORDER BY doc_id""")),
 
+    // IVF with nProbe = nLists probes every cell, so the result is the
+    // brute-force top-k by construction REGARDLESS of the k-means seed —
+    // which makes it fully oracle-able (same SQL as llm_knn_cosine).
+    // The partial-probe path (the production recall/cost dial) stays
+    // seed-dependent and is pinned by LlmOpsSpec's recall-growth test.
     "llm_ann_ivf" -> Q(
-      (s, dir) => LlmOps.annCosineIvf(embs(s, dir), queryId = 0, k = 10),
-      None), // k-means index is seeded but engine-specific; recall vs brute force pinned in tests
+      (s, dir) => LlmOps.annCosineIvf(embs(s, dir), queryId = 0, k = 10,
+        nLists = 16, nProbe = 16),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     "llm_frame_sample" -> Q(
       (s, dir) => {
@@ -461,9 +520,26 @@ object SparkEntry {
       (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3, method = "exact").orderBy("vec_id"),
       Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""")),
 
+    // cosine-LSH dedup contract oracle: missed LSH pairs can only ADD
+    // survivors, never remove them, so every exact survivor must be in
+    // the LSH survivor set (n_exact_missing = 0), and the LSH set may
+    // exceed exact by at most the banding recall allowance (1/0.95).
+    // n_exact is recomputed independently by DuckDB (llm_dedup_cosine's
+    // oracle reduced to a count).
     "llm_dedup_cosine_lsh" -> Q(
-      (s, dir) => LlmOps.dedupNearCosine(embs(s, dir), 0.3).orderBy("vec_id"),
-      None), // hyperplane seeds not replicable in SQL; recall vs exact in tests
+      (s, dir) => {
+        val e = embs(s, dir)
+        val ex = LlmOps.dedupNearCosine(e, 0.3, method = "exact").select("vec_id")
+        val ls = LlmOps.dedupNearCosine(e, 0.3).select("vec_id")
+        val nE = ex.agg(count(lit(1)).as("n_exact"))
+        val missing = ex.join(ls, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_exact_missing"))
+        val nL = ls.agg(count(lit(1)).as("nl"))
+        nE.crossJoin(missing).crossJoin(nL)
+          .select(col("n_exact"), col("n_exact_missing"),
+            (col("nl") <= ceil(col("n_exact") / 0.95)).as("extra_ok"))
+      },
+      Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_exact_missing, true AS extra_ok FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops)""")),
 
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(
@@ -568,10 +644,16 @@ object SparkEntry {
       """lineitem | sample-distinct 2 of l_returnflag | count"""),
       Some("""SELECT CAST(2 AS BIGINT) AS Count""")),
 
+    // dcount tolerance oracle: the HLL estimate itself has no
+    // cross-engine value, but the exact distinct count does, and the
+    // estimate's 5%-band membership is deterministic for a fixed
+    // dataset. DuckDB recomputes x; ok must hash as literal true.
     "q55_dcount_approx" -> Q(kqlQ(
-      """orders | summarize d=dcount(o_custkey) by o_orderstatus
+      """orders
+        | summarize d = dcount(o_custkey), x = count_distinct(o_custkey) by o_orderstatus
+        | project o_orderstatus, x, ok = todouble(abs(d - x)) / x <= 0.05
         | sort by o_orderstatus asc"""),
-      None), // HLL estimate: no cross-engine oracle; accuracy pinned in tests
+      Some("""SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS x, true AS ok FROM orders GROUP BY 1 ORDER BY 1""")),
 
     "q56_argmin" -> Q(kqlQ(
       """orders
@@ -775,11 +857,16 @@ object SparkEntry {
         | sort by event_type asc"""),
       Some("""WITH grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 DAY)) AS t), types AS (SELECT DISTINCT event_type FROM events), binned AS (SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2), filled AS (SELECT ty.event_type, g.t, COALESCE(b.cnt, 0) AS cnt FROM types ty CROSS JOIN grid g LEFT JOIN binned b ON b.event_type = ty.event_type AND b.d = g.t), idx AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t) - 1 AS DOUBLE) AS i FROM filled) SELECT event_type, ROUND(regr_slope(cnt, i), 4) AS slope FROM idx GROUP BY 1 ORDER BY 1""")),
 
+    // hll→merge→dcount_hll tolerance oracle, same pattern as q55: DuckDB
+    // recomputes the exact distinct count; the merged-sketch estimate
+    // must land in the 5% band (deterministic per dataset).
     "q61_hll_sketch" -> Q(kqlQ(
-      """events
+      """let exact = toscalar(events | summarize count_distinct(user_id));
+         events
         | summarize h = hll(user_id) by event_type
-        | summarize d = dcount_hll(hll_merge(h))"""),
-      None), // sketch estimate: accuracy pinned in tests, no SQL oracle
+        | summarize d = dcount_hll(hll_merge(h))
+        | project x = exact, ok = todouble(abs(d - exact)) / exact <= 0.05"""),
+      Some("""SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS x, true AS ok FROM events""")),
 
     // ----------------------------------------- temporal correlation ops
     "tmp_funnel" -> Q(
