@@ -402,16 +402,24 @@ object SparkEntry {
         val exact = LlmOps.jaccardPairs(d, 0.8, blockCol = Some("source"))
           .select("i", "j")
         val srcOf = d.select(col("doc_id"), col("source"))
-        val lshWithin = lsh
-          .join(srcOf.select(col("doc_id").as("i"), col("source").as("si")), "i")
-          .join(srcOf.select(col("doc_id").as("j"), col("source").as("sj")), "j")
-          .filter(col("si") === col("sj")).select("i", "j")
-        val nExact = exact.agg(count(lit(1)).as("n_exact"))
-        val nFp = lshWithin.join(exact, Seq("i", "j"), "left_anti")
-          .agg(count(lit(1)).as("n_false_pos"))
-        val nHit = lshWithin.join(exact, Seq("i", "j"), "left_semi")
-          .agg(count(lit(1)).as("hit"))
-        nExact.crossJoin(nFp).crossJoin(nHit)
+        // ONE streamed pass over the (large) LSH pair set: the source
+        // map and the exact pair set are broadcast, so the check adds no
+        // shuffle on top of the operator under test (a full-outer join
+        // re-shuffled all 2.9M LSH pairs — measured 2× the whole LSH).
+        // `exact` is persisted: it feeds both the broadcast membership
+        // probe and the n_exact count, and is small by construction
+        // (true near-dup pairs of one source block). Harness-scale
+        // choice — at 100 TB a containment audit would sample.
+        val exactP = exact.persist()
+        val counts = lsh
+          .join(broadcast(srcOf.select(col("doc_id").as("i"), col("source").as("si"))), "i")
+          .join(broadcast(srcOf.select(col("doc_id").as("j"), col("source").as("sj"))), "j")
+          .withColumn("w", col("si") === col("sj"))
+          .join(broadcast(exactP.withColumn("e", lit(1))), Seq("i", "j"), "left_outer")
+          .agg(
+            sum(when(col("w") && col("e").isNull, 1L).otherwise(0L)).as("n_false_pos"),
+            sum(when(col("w") && col("e") === 1, 1L).otherwise(0L)).as("hit"))
+        exactP.agg(count(lit(1)).as("n_exact")).crossJoin(counts)
           .select(col("n_exact"), col("n_false_pos"),
             (col("hit") >= ceil(col("n_exact") * 0.85)).as("recall_ok"))
       },
@@ -448,7 +456,7 @@ object SparkEntry {
       (s, dir) => {
         val e = embs(s, dir)
         val res = LlmOps.annCosineLsh(e, queryId = 0, k = 10)
-        val exact = LlmOps.knnCosine(e, queryId = 0, k = Int.MaxValue)
+        val exact = LlmOps.cosineAll(e, queryId = 0)
           .withColumnRenamed("cos", "cos_exact")
         res.join(exact, "vec_id")
           .agg(max(when(col("vec_id") === 0, col("cos"))).as("self_cos"),
@@ -531,11 +539,13 @@ object SparkEntry {
         val e = embs(s, dir)
         val ex = LlmOps.dedupNearCosine(e, 0.3, method = "exact").select("vec_id")
         val ls = LlmOps.dedupNearCosine(e, 0.3).select("vec_id")
-        val nE = ex.agg(count(lit(1)).as("n_exact"))
-        val missing = ex.join(ls, Seq("vec_id"), "left_anti")
-          .agg(count(lit(1)).as("n_exact_missing"))
-        val nL = ls.agg(count(lit(1)).as("nl"))
-        nE.crossJoin(missing).crossJoin(nL)
+        // single full-outer pass, same rationale as llm_neardup_minhash
+        ex.withColumn("x", lit(1))
+          .join(ls.withColumn("l", lit(1)), Seq("vec_id"), "full_outer")
+          .agg(sum(col("x")).as("n_exact"),
+            sum(when(col("x") === 1 && col("l").isNull, 1L).otherwise(0L))
+              .as("n_exact_missing"),
+            sum(col("l")).as("nl"))
           .select(col("n_exact"), col("n_exact_missing"),
             (col("nl") <= ceil(col("n_exact") / 0.95)).as("extra_ok"))
       },

@@ -132,17 +132,19 @@ object LlmOps {
     // ops over longs skip per-element UTF8 hashing, and a 64-bit
     // collision inside one document pair is ~1e-9 at corpus scale
     val withToks = base.select(col("id"), array_distinct(col("h1")).as("toks"))
-    val withSig = base.select(col("id"), sig.as("sig"))
+    val withSig = base.select(col("id"),
+      size(array_distinct(col("h1"))).as("n"), sig.as("sig"))
 
     // one row per (doc, band); bucket key = hash of the band's slice.
-    // IDs ONLY through the self-join — token arrays would multiply the
-    // shuffle payload by the candidate fan-out. Each row also carries the
-    // doc's full bucket vector (`bands` longs) for first-collision dedup.
+    // IDs (+ the token-set size n) ONLY through the self-join — token
+    // arrays would multiply the shuffle payload by the candidate fan-out.
+    // Each row also carries the doc's full bucket vector (`bands` longs)
+    // for first-collision dedup.
     val buckets = array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }: _*)
-    val banded = withSig.select(col("id"), buckets.as("bks"))
-      .select(col("id"), col("bks"),
+    val banded = withSig.select(col("id"), col("n"), buckets.as("bks"))
+      .select(col("id"), col("n"), col("bks"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
 
     // a pair colliding in k bands would surface k times; `.distinct()`
@@ -151,10 +153,38 @@ object LlmOps {
     // a pair only in its FIRST colliding band: positional compare of the
     // earlier-band bucket slices, evaluated inside the join output with
     // zero extra exchange.
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    //
+    // Both join inputs get an explicit exchange: `banded` is a narrow
+    // posexplode over however few input splits the corpus scan produced,
+    // so (1) the join OUTPUT — orders of magnitude larger than either
+    // input on a near-dup-dense corpus — would otherwise be generated by
+    // a handful of tasks, and (2) without a runtime-measured exchange
+    // AQE cannot see how small the sides really are and falls back to a
+    // statically-planned sort-merge join whose skewed buckets serialize
+    // on single tasks (measured 6 s → 26 s). With both exchanges in
+    // place AQE broadcast-converts at small scale (either side streams
+    // with full parallelism), and at warehouse scale the (band, bucket)
+    // exchange is exactly the distribution the sort-merge join needs —
+    // zero extra shuffles — with AQE skew-splitting on the bucket side.
+    //
+    // The probe exchange pins its partition COUNT (repartition(N, col)):
+    // the input is kilobytes but each row fans out to its bucket's
+    // candidate count, and AQE's size-based coalescing would fold the
+    // "tiny" shuffle to one partition and serialize the fan-out
+    // (measured 15.5 s coalesced vs 3.3 s pinned at sf0.1 — THE
+    // dominant effect on this operator). The build-side exchange stays
+    // coalescible; at broadcast scale it is elided outright.
+    //
+    // The size-ratio prune (jac ≤ min(n)/max(n) < t ⇒ can never verify)
+    // sits INSIDE the join condition, so doomed pairs die before the
+    // first-collision filter and never reach the verification join.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val candidates = banded.repartition(par, col("id")).as("a")
+      .join(banded.repartition(col("band"), col("bucket")).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
       .filter((0 until bands).map { bb =>
         // earlier band bb must NOT collide (auto-true once bb ≥ band);
         // flat comparisons, no per-row array allocation
@@ -163,19 +193,8 @@ object LlmOps {
       }.reduce(_ && _))
       .select(col("a.id").as("i"), col("b.id").as("j"))
 
-    // cheap size-ratio prune before the array join: jac ≤ min(n)/max(n),
-    // so pairs whose set sizes differ by more than the threshold can
-    // never verify — dropped while the row is still two longs wide
-    val sizes = withToks.select(col("id"), size(col("toks")).as("n"))
-    val pruned = candidates
-      .join(sizes.select(col("id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("id").as("j"), col("n").as("nj")), "j")
-      .filter(least(col("ni"), col("nj")).cast("double") /
-        greatest(col("ni"), col("nj")) >= threshold)
-      .select("i", "j")
-
     // exact-Jaccard verification only on surviving candidate pairs
-    pruned
+    candidates
       .join(withToks.select(col("id").as("i"), col("toks").as("ta")), "i")
       .join(withToks.select(col("id").as("j"), col("toks").as("tb")), "j")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
@@ -210,19 +229,29 @@ object LlmOps {
   private def normD(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Exact cosine of EVERY vector against the embedding of `queryId` —
+    * one broadcast of the 1-row query side, one embarrassingly parallel
+    * projection, no order, no limit. The building block for knnCosine
+    * and for check queries that need full exact scores (a `knnCosine(k =
+    * Int.MaxValue)` would plan TakeOrderedAndProject with a 2³¹ heap —
+    * the wrong shape). */
+  def cosineAll(emb: DataFrame, queryId: Long,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), normD(col(vecCol)).as("q_nrm"))
+    spread(emb).crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(dotD(col(vecCol), col("q_vec")) /
+          (normD(col(vecCol)) * col("q_nrm")), 4).as("cos"))
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`.
     * Broadcast the 1-row query side; orderBy+limit plans
     * TakeOrderedAndProject (distributed top-k, no global sort). */
   def knnCosine(emb: DataFrame, queryId: Long, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), normD(col(vecCol)).as("q_nrm"))
-    val scored = spread(emb).crossJoin(broadcast(q))
-      .select(col(idCol),
-        round(dotD(col(vecCol), col("q_vec")) /
-          (normD(col(vecCol)) * col("q_nrm")), 4).as("cos"))
-    scored.orderBy(col("cos").desc, col(idCol).asc).limit(k)
-  }
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineAll(emb, queryId, idCol, vecCol)
+      .orderBy(col("cos").desc, col(idCol).asc).limit(k)
 
   /** ANN via random-hyperplane LSH: bucket = sign-bit signature of
     * `planes` fixed pseudo-random hyperplanes (seeded, data-independent).
