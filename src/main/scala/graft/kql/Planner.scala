@@ -793,7 +793,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             .filter(col("__pn") <= n).drop("__pn")
         case Sort(keys) =>
           lastSort = keys
-          acc = acc.orderBy(col(rk).asc +: keys.map(k => sortCol(k, acc)): _*)
+          // streaming: a global sort is unsupported (and meaningless on
+          // an unbounded input) — the keys feed the downstream scan's
+          // per-micro-batch in-group sort instead
+          if (!acc.isStreaming)
+            acc = acc.orderBy(col(rk).asc +: keys.map(k => sortCol(k, acc)): _*)
         case other => throw PlanError(s"partition: unsupported sub-operator $other")
       }
       acc
@@ -1982,6 +1986,32 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     }
     val projected = df.select(df.columns.map(col).toSeq ++ condCols ++ valCols: _*)
     val defaults: Array[Any] = declared.map { case (_, t, d) => staticValue(d, t) }.toArray
+    val outSchema = StructType(
+      projected.schema.fields.take(width).toSeq ++
+        declared.zip(types).map { case ((n, _, _), t) => StructField(n, t) } ++
+        op.matchId.map(m => StructField(m, LongType)).toSeq)
+
+    // Streaming + partition by → arbitrary streaming state: the same
+    // step machine through flatMapGroupsWithState, one state entry per
+    // key, rows sorted per micro-batch on the declared order columns
+    // (appended as extra projected cells — the machine only emits the
+    // first `width` input cells, so they never reach the output).
+    if (df.isStreaming) {
+      val k = partKey.getOrElse(throw PlanError(
+        "streaming scan requires `partition by <key>` (bare serialize " +
+        "has no global order on an unbounded stream)"))
+      val rk = resolveName(df, k)
+      val orderCols = partOrder.zipWithIndex.map { case (sk, i) =>
+        toCol(sk.e, df).as(s"__scan_o$i") }
+      val base = projected.columns.length
+      val withOrder = projected.select(
+        projected.columns.map(col).toSeq ++ orderCols: _*)
+      return ScanExec.runStream(withOrder, outSchema, width, nSteps,
+        condBase, assigns.map(_.clone()), defaults, isLong,
+        df.columns.indexWhere(_.equalsIgnoreCase(rk)), op.matchId.isDefined,
+        partOrder.indices.map(base + _).toArray,
+        partOrder.map(_.asc).toArray)
+    }
 
     val (arranged, keyIdx) = partKey match {
       case Some(k) =>
@@ -2019,10 +2049,6 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         // index order, preserving the total order
         (projected.orderBy(ordered: _*).coalesce(1), None)
     }
-    val outSchema = StructType(
-      projected.schema.fields.take(width).toSeq ++
-        declared.zip(types).map { case ((n, _, _), t) => StructField(n, t) } ++
-        op.matchId.map(m => StructField(m, LongType)).toSeq)
     ScanExec.run(arranged, outSchema, width, nSteps, condBase, assigns,
       defaults, isLong, keyIdx, op.matchId.isDefined)
   }

@@ -110,4 +110,49 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("ts", "event_type").collect()
     assert(agg.map(_.getLong(2)).sum == 4) // all events counted
   }
+
+  test("streaming scan: per-key state machine persists across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batch2 = Seq(
+      Ev(5, ts("2024-01-01 00:03:00"), 1, "click", 4.0),
+      Ev(6, ts("2024-01-01 00:12:00"), 2, "view", 16.0),
+      Ev(7, ts("2024-01-01 00:04:00"), 3, "view", 32.0),
+    )
+    val q =
+      """src
+        | partition by user_id (sort by ts asc, event_id asc
+          | scan declare (rs:real=0.0) with (step s: true => rs = rs + value))
+        | project user_id, event_id, rs"""
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val out = graft.kql.Kql.runStream(spark, q, TestSpark.sfDir, Map("src" -> ms.toDF()))
+    assert(out.isStreaming)
+    // file sink + checkpoint: the memory sink cannot recover from a
+    // checkpoint, and recovery is exactly what carries the per-key scan
+    // state from batch 1 into batch 2
+    val ckpt = java.nio.file.Files.createTempDirectory("scan_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scan_out").toString
+    def drain(): Unit = {
+      val sq = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    ms.addData(batch1: _*)
+    drain()
+    ms.addData(batch2: _*)
+    drain() // same checkpoint → state carries over
+    val streamed = spark.read.parquet(outDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // user 1's running sum CONTINUES from batch1's state (1+2 → +4 = 7);
+    // the batch run over the concatenated input is the reference
+    val batchOut = graft.kql.Kql.runStream(spark, q, TestSpark.sfDir,
+      Map("src" -> spark.createDataFrame(batch1 ++ batch2)))
+    assert(!batchOut.isStreaming)
+    val batched = batchOut.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(streamed == batched)
+    assert(streamed.contains((1L, 5L, 7.0))) // the cross-batch continuation
+  }
 }
