@@ -59,6 +59,22 @@ object GlobalWindow {
     val w = Window.partitionBy(col("__gw_pid")).orderBy(ordered: _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // lag/lead with n == 1 over an all-ascending order (the dominant
+    // case: prev(x)/next(x) after `sort by ... asc`) needs no per-call
+    // edge pass at all — each partition's FIRST/LAST row value rides the
+    // stats aggregate as max/min over struct(sort keys, arg), and the
+    // neighbor's value arrives through the same broadcast offsets join
+    // every call already pays for. Per avoided call that removes one
+    // full-data window pass and one broadcast join (q18 went from three
+    // data window passes to one). n > 1 or descending keys fall back to
+    // the per-call edge join below.
+    val allAsc = ordered.forall(
+      org.apache.spark.sql.graft.ColumnSortShim.isAscendingNullsFirst)
+    def statEdge(c: Call): Boolean = c match {
+      case Lag(_, _, 1, _) | Lead(_, _, 1, _) => allAsc
+      case _ => false
+    }
+
     // ---- phase A: per-partition stats → prefix offsets (≤ p rows)
     val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("__gw_cnt"))
     calls.zipWithIndex.foreach {
@@ -66,12 +82,19 @@ object GlobalWindow {
         aggs += sum(arg).as(s"__gw_s$i"); aggs += count(arg).as(s"__gw_c$i")
       case (DenseRank(_), i) =>
         aggs += count_distinct(struct(keys: _*)).as(s"__gw_d$i")
+      case (c @ Lag(_, arg, _, _), i) if statEdge(c) =>
+        aggs += max(struct((keys :+ arg.as("__gw_a")): _*))
+          .getField("__gw_a").as(s"__gw_last$i")
+      case (c @ Lead(_, arg, _, _), i) if statEdge(c) =>
+        aggs += min(struct((keys :+ arg.as("__gw_a")): _*))
+          .getField("__gw_a").as(s"__gw_first$i")
       case _ => ()
     }
     val stats = dfp.groupBy(col("__gw_pid")).agg(aggs.head, aggs.tail.toSeq: _*)
     val wp = Window.orderBy(col("__gw_pid")).rowsBetween(Window.unboundedPreceding, -1)
     val wt = Window.orderBy(col("__gw_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wn = Window.orderBy(col("__gw_pid"))
     var off = stats
       .withColumn("__gw_off", coalesce(sum(col("__gw_cnt")).over(wp), lit(0L)))
       .withColumn("__gw_tot", sum(col("__gw_cnt")).over(wt))
@@ -82,12 +105,21 @@ object GlobalWindow {
           .withColumn(s"__gw_coff$i", coalesce(sum(col(s"__gw_c$i")).over(wp), lit(0L)))
       case (_: DenseRank, i) =>
         off = off.withColumn(s"__gw_doff$i", coalesce(sum(col(s"__gw_d$i")).over(wp), lit(0L)))
+      case (c: Lag, i) if statEdge(c) =>
+        // the previous NON-EMPTY partition's last row value (stats has no
+        // rows for empty partitions, so lag(1) skips them — exactly the
+        // true predecessor row)
+        off = off.withColumn(s"__gw_plast$i", lag(col(s"__gw_last$i"), 1).over(wn))
+      case (c: Lead, i) if statEdge(c) =>
+        off = off.withColumn(s"__gw_pfirst$i", lead(col(s"__gw_first$i"), 1).over(wn))
       case _ => ()
     }
     val offCols = Seq(col("__gw_pid"), col("__gw_cnt"), col("__gw_off"), col("__gw_tot")) ++
       calls.zipWithIndex.flatMap {
         case (_: CumSum, i) => Seq(col(s"__gw_soff$i"), col(s"__gw_coff$i"))
         case (_: DenseRank, i) => Seq(col(s"__gw_doff$i"))
+        case (c: Lag, i) if statEdge(c) => Seq(col(s"__gw_plast$i"))
+        case (c: Lead, i) if statEdge(c) => Seq(col(s"__gw_pfirst$i"))
         case _ => Nil
       }
 
@@ -136,6 +168,21 @@ object GlobalWindow {
             when(hasPrior, coalesce(local, lit(0)) + col(s"__gw_soff$i"))
               .otherwise(local))
 
+        case c @ Lag(o, arg, _, default) if statEdge(c) =>
+          // boundary value came in with the broadcast offsets; a prior
+          // row exists iff the prefix count is positive
+          out = out.withColumn(o,
+            when(col("__gw_lrn") > 1L, lag(arg, 1).over(w))
+              .otherwise(when(col("__gw_off") > 0L, col(s"__gw_plast$i"))
+                .otherwise(default.getOrElse(lit(null)))))
+
+        case c @ Lead(o, arg, _, default) if statEdge(c) =>
+          out = out.withColumn(o,
+            when(col("__gw_lrn") <= col("__gw_cnt") - 1L, lead(arg, 1).over(w))
+              .otherwise(when(col("__gw_off") + col("__gw_cnt") < col("__gw_tot"),
+                col(s"__gw_pfirst$i"))
+                .otherwise(default.getOrElse(lit(null)))))
+
         case Lag(o, arg, n, default) =>
           // edge rows: each partition's last n rows, keyed by the global
           // position of the row that consumes them (their gp + n)
@@ -173,6 +220,8 @@ object GlobalWindow {
       calls.zipWithIndex.flatMap {
         case (_: CumSum, i) => Seq(s"__gw_soff$i", s"__gw_coff$i")
         case (_: DenseRank, i) => Seq(s"__gw_doff$i")
+        case (c: Lag, i) if statEdge(c) => Seq(s"__gw_plast$i")
+        case (c: Lead, i) if statEdge(c) => Seq(s"__gw_pfirst$i")
         case _ => Nil
       }
     out.drop(temps: _*)

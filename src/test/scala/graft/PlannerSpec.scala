@@ -122,6 +122,28 @@ class PlannerSpec extends AnyFunSuite {
     assert(rows(1).getLong(2) == 10L && rows(1).getLong(3) == 30L)
   }
 
+  test("prev/next n=1 ascending: boundary values ride the stats broadcast, no edge joins") {
+    // fast path = ONE broadcast join (the prefix offsets); the per-call
+    // edge-row joins only exist for n>1 or descending keys (r4)
+    val fast = graft.kql.Kql.run(spark,
+      """lineitem
+        | sort by l_orderkey asc, l_linenumber asc, l_partkey asc
+        | extend p = prev(l_quantity), nx = next(l_quantity)
+        | project l_orderkey, p, nx""", cat)
+    val nJoinsFast = "Join".r.findAllIn(fast.queryExecution.optimizedPlan.toString).length
+    assert(nJoinsFast == 1)
+    // descending: falls back to per-call edge frames — each adds an
+    // offsets join inside the edge build plus the out⨝edges join
+    // (1 offsets + 2×2), which is exactly what the fast path removes
+    val slow = graft.kql.Kql.run(spark,
+      """lineitem
+        | sort by l_orderkey desc, l_linenumber desc, l_partkey desc
+        | extend p = prev(l_quantity), nx = next(l_quantity)
+        | project l_orderkey, p, nx""", cat)
+    val nJoinsSlow = "Join".r.findAllIn(slow.queryExecution.optimizedPlan.toString).length
+    assert(nJoinsSlow == 5)
+  }
+
   test("mv-expand explodes arrays in place") {
     val rows = run("datatable(s:string) ['a b c'] | extend t = split(s, ' ') | mv-expand t | project t | sort by t asc")
     assert(rows.map(_.getString(0)) == Seq("c", "b", "a").sorted.reverse.reverse.sorted.reverse.sorted)
