@@ -390,26 +390,30 @@ object SparkEntry {
     // MinHash+LSH with a CONTRACT oracle (r3 verdict task 4): the raw
     // pair set is hash-seeded (not SQL-replicable), so the query emits
     // the checkable contract instead — n_exact (DuckDB recomputes the
-    // within-source exact pair count), zero false positives among
-    // within-source LSH pairs (exact-verify guarantees it), and the
+    // exact pair count for the AUDIT BLOCK), zero false positives among
+    // the audit block's LSH pairs (exact-verify guarantees it), and the
     // banding recall floor (0.85 at t=0.8, pinned looser than the
-    // measured 0.94+ so fixture growth can't flake it). The full
-    // seed-dependent pair set stays covered by LlmOpsSpec.
+    // measured 0.94+ so fixture growth can't flake it). The audit is
+    // SAMPLED to one source block — the exact reference is quadratic in
+    // block size, and re-verifying the whole corpus would double the
+    // operator's cost inside its own bench row; a 100 TB containment
+    // audit samples for the same reason. LSH itself runs on the FULL
+    // corpus; the seed-dependent pair set stays covered by LlmOpsSpec.
     "llm_neardup_minhash" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
         val lsh = LlmOps.nearDupPairsMinhash(d, 0.8).select("i", "j")
-        val exact = LlmOps.jaccardPairs(d, 0.8, blockCol = Some("source"))
+        val audit = d.filter(col("source").isin("src0", "src1", "src2", "src3"))
+        val exact = LlmOps.jaccardPairs(audit, 0.8, blockCol = Some("source"))
           .select("i", "j")
-        val srcOf = d.select(col("doc_id"), col("source"))
+        val srcOf = audit.select(col("doc_id"), col("source"))
         // ONE streamed pass over the (large) LSH pair set: the source
         // map and the exact pair set are broadcast, so the check adds no
         // shuffle on top of the operator under test (a full-outer join
         // re-shuffled all 2.9M LSH pairs — measured 2× the whole LSH).
         // `exact` is persisted: it feeds both the broadcast membership
-        // probe and the n_exact count, and is small by construction
-        // (true near-dup pairs of one source block). Harness-scale
-        // choice — at 100 TB a containment audit would sample.
+        // probe and the n_exact count, and the sampled audit block keeps
+        // it small by construction.
         val exactP = exact.persist()
         val counts = lsh
           .join(broadcast(srcOf.select(col("doc_id").as("i"), col("source").as("si"))), "i")
@@ -423,7 +427,7 @@ object SparkEntry {
           .select(col("n_exact"), col("n_false_pos"),
             (col("hit") >= ceil(col("n_exact") * 0.85)).as("recall_ok"))
       },
-      Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), ex AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM ex""")),
+      Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), ex AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM ex""")),
 
     // SimHash contract oracle: fingerprints are xxhash64-based (not
     // SQL-replicable), but determinism is — identical lowercased texts
