@@ -525,6 +525,22 @@ object SparkEntry {
       (s, dir) => LlmOps.tokenCount(docs(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens, ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) AS chars_per_token FROM documents ORDER BY doc_id""")),
 
+    // PII scrub: RE2-compatible patterns on both engines; the fixture
+    // text is synthetic (counts mostly 0) — the oracle still
+    // value-compares the scrubbed text and per-class counts exactly;
+    // behavior on real PII is pinned in LlmOpsSpec with injected rows
+    "llm_pii_scrub" -> Q(
+      (s, dir) => LlmOps.piiScrub(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(text, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'), '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text FROM documents ORDER BY doc_id""")),
+
+    // cross-document repeated 8-token spans: per-doc fraction of
+    // distinct shingles shared with at least one other document (Spark
+    // side hashes shingles to longs — count-identical modulo ~1e-9
+    // collisions; the oracle keeps the strings)
+    "llm_substring_dup" -> Q(
+      (s, dir) => LlmOps.substringDup(docs(s, dir), w = 8).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS s FROM ix), df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles, ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY 1""")),
+
     // exact all-pairs variant as the oracle cross-check; the scale
     // default (banded LSH candidates + exact verify) is the rows-only
     // llm_dedup_cosine_lsh below, recall-pinned in LlmOpsSpec

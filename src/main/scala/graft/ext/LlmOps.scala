@@ -637,6 +637,60 @@ object LlmOps {
         greatest(nBpe, lit(1L)), 4).as("chars_per_token"))
   }
 
+  /** PII scrubbing for training corpora: email / phone / IPv4 literals
+    * replaced by typed placeholders, plus per-class match counts for
+    * curation stats. Patterns are deliberately conservative and
+    * RE2-compatible (no lookaround, leftmost-greedy only) so every
+    * engine — Spark's java.util.regex, DuckDB's RE2, a downstream
+    * presto/trino audit — scrubs identically. Pure per-row projection:
+    * embarrassingly parallel, no shuffle, codegen'd regexp. */
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(t, lit(email)).cast("long").as("n_email"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phone"),
+      regexp_count(t, lit(ipv4)).cast("long").as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        email, "<EMAIL>"), phone, "<PHONE>"), ipv4, "<IP>").as("clean_text"))
+  }
+
+  /** Cross-document repeated-substring detection (the "dedup repeated
+    * spans" signal from the training-data-dedup literature): for each
+    * document, the fraction of its distinct w-token shingles that also
+    * appear in at least one OTHER document. High dup_ratio marks
+    * boilerplate/templated documents even when no whole-document
+    * near-dup exists.
+    *
+    * Scale shape: shingles travel as xxhash64 LONGS (w·tokens of text
+    * never leave the row — a 64-bit collision merges two shingles with
+    * probability ~1e-9, invisible to the ratio), one explode + one
+    * hash shuffle for document frequency + one semi-join-shaped count
+    * back per doc. */
+  def substringDup(docs: DataFrame, w: Int = 8, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val base = spread(docs).select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= w)
+    val shingles = transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+      i => xxhash64(concat_ws(" ",
+        (0 until w).map(o => element_at(col("toks"), i + o)): _*)))
+    // distinct (doc, shingle): repeats WITHIN one document are not
+    // cross-document duplication
+    val posts = base.select(col("id"), explode(shingles).as("sh")).distinct()
+    val docFreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    posts.join(docFreq, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_dup_shingles"),
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 4)
+          .as("dup_ratio"))
+  }
+
   /** Corpus term frequency (top terms). One explode + one shuffle. */
   def termFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(split(lower(col(textCol)), "\\s+")).as("term"))

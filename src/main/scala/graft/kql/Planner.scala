@@ -709,6 +709,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.tokenCount(df, colNameOf(df, textE, "token_count text"),
         colNameOf(df, idE, "token_count id"))
 
+    case EvaluateOp("pii_scrub", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.piiScrub(df, colNameOf(df, textE, "pii_scrub text"),
+        colNameOf(df, idE, "pii_scrub id"))
+
+    case EvaluateOp("substring_dup", wE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.substringDup(df, litLong(wE).toInt,
+        colNameOf(df, textE, "substring_dup text"),
+        colNameOf(df, idE, "substring_dup id"))
+
     case EvaluateOp("term_freq", textE :: Nil) =>
       graft.ext.LlmOps.termFreq(df, colNameOf(df, textE, "term_freq text"))
 

@@ -131,6 +131,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 6L)                    // abc·de·-·f·42·!
   }
 
+  test("piiScrub replaces emails/phones/IPs with typed placeholders and counts them") {
+    val synth = Seq(
+      (1L, "contact bob.smith+x@corp-mail.co.uk or call +1 (415) 555-0100 now"),
+      (2L, "server 10.0.0.1 and 192.168.255.3 pinged"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val r = LlmOps.piiScrub(synth).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 1L && r(0).getLong(3) == 0L)
+    assert(r(0).getString(4) == "contact <EMAIL> or call <PHONE> now")
+    assert(r(1).getLong(3) == 2L)
+    assert(r(1).getString(4) == "server <IP> and <IP> pinged")
+    assert(r(2).getString(4) == "no pii here at all")
+  }
+
+  test("substringDup: duplicated 8-token spans across docs, not within one doc") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"$span unique1 a b c d e f g"),   // shares `span` with doc 2
+      (2L, s"$span unique2 h i j k l m n"),
+      (3L, s"$span $span"),                    // within-doc repeat only... shares with 1,2 too
+      (4L, "totally different words that never repeat anywhere else okay")
+    ).toDF("doc_id", "text")
+    val r = LlmOps.substringDup(synth, w = 8).orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    // doc 4 shares nothing
+    assert(byId(4L).getLong(2) == 0L && byId(4L).getDouble(3) == 0.0)
+    // docs 1-3 share at least the leading span shingle
+    Seq(1L, 2L, 3L).foreach(id => assert(byId(id).getLong(2) >= 1L, s"doc $id"))
+    // a doc made ONLY of self-repeats shares nothing cross-doc
+    val solo = Seq((9L, s"$span $span"), (10L, "entirely fresh vocabulary "
+      + "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val r2 = LlmOps.substringDup(solo, w = 8).orderBy("doc_id").collect()
+    assert(r2.forall(_.getLong(2) == 0L))
+  }
+
   test("persisted IVF index: partition-pruned probes match the direct path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
     val cents = LlmOps.buildIvfIndex(embs, dir)

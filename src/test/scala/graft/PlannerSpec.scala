@@ -644,6 +644,16 @@ class PlannerSpec extends AnyFunSuite {
       """datatable(u:long, t:long, e:string) [7, 1, 's', 7, 2, 'c', 8, 5, 'c']
         | evaluate funnel_sequence(u, t, e, 's', 'c') | sort by u asc""")
     assert(fun.map(r => (r.getLong(0), r.getLong(3))) == Seq((7L, 2L)))
+    val pii = run(
+      """datatable(doc_id:long, text:string) [1, 'mail me at a.b@x.io today']
+        | evaluate pii_scrub(text, doc_id)""").head
+    assert(pii.getLong(1) == 1L && pii.getString(4) == "mail me at <EMAIL> today")
+    val sub = run(
+      """datatable(doc_id:long, text:string) [
+           1, 'p q r s t u v w tail one', 2, 'p q r s t u v w tail two', 3, 'x y z']
+        | evaluate substring_dup(8, text, doc_id) | sort by doc_id asc""")
+    assert(sub.map(_.getLong(0)) == Seq(1L, 2L)) // doc 3 is under the window
+    assert(sub.forall(_.getLong(2) >= 1L))       // both share the leading shingle
   }
 
   test("column_ifexists falls back to default for missing columns") {
