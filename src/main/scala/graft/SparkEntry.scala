@@ -901,12 +901,13 @@ object SparkEntry {
     // ----------------------------------------- temporal correlation ops
     "tmp_funnel" -> Q(
       (s, dir) => {
-        // funnel over epoch-µs longs: DuckDB's parquet reader TRUNCATES
-        // TIMESTAMP(NANOS) to its µs-native TIMESTAMP, so truncate the
-        // same way with integral `div` (Column./ is double division and
-        // loses ULPs at 1.7e18 ns)
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000"))
+        // funnel over epoch-µs longs. Catalog normalizes whatever
+        // encoding the fixture generation used (TIMESTAMP(NANOS)-as-long
+        // in early rounds, plain TIMESTAMP(MICROS)/NTZ since) to a µs
+        // TimestampType — the same truncation DuckDB's reader applies —
+        // so the oracle's epoch_us values line up in every fixture era.
+        val ev = graft.kql.Catalog(s, dir).table("events")
+          .withColumn("ts", unix_micros(col("ts")))
         TemporalOps.funnel(ev, "user_id", "ts", Seq(
             "signup" -> (col("event_type") === "signup"),
             "click" -> (col("event_type") === "click"),
@@ -917,8 +918,7 @@ object SparkEntry {
 
     "tmp_asof_join" -> Q(
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = graft.kql.Catalog(s, dir).table("events")
         TemporalOps.asOfLastPrior(ev, "user_id", "ts", "event_id",
             col("event_type") === "click", col("value"), "last_click_val")
           .filter(col("event_type") === "purchase")
@@ -930,8 +930,7 @@ object SparkEntry {
 
     "tmp_range_join" -> Q(
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = graft.kql.Catalog(s, dir).table("events")
         TemporalOps.rangeJoinPairs(ev, "user_id", "ts", "event_id", 120L * 1000000)
           .groupBy(col("k").as("user_id")).agg(count(lit(1)).as("n_pairs"))
           .orderBy("user_id")
