@@ -429,6 +429,15 @@ object SparkEntry {
       },
       Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), ex AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM ex""")),
 
+    // Transitive near-dup GROUPS: exact-Jaccard pairs → connected
+    // components → (doc, group, size, keep). Deterministic end-to-end
+    // (prefix-filtered exact pairs, min-label propagation), so the
+    // oracle recomputes the full clustering with a recursive CTE.
+    "llm_neardup_groups" -> Q(
+      (s, dir) => LlmOps.nearDupGroups(docs(s, dir), 0.8,
+        blockCol = Some("source")).orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), prs AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8), edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a), allg AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id FROM documents d LEFT JOIN grp g ON d.doc_id = g.node), sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM allg GROUP BY 1) SELECT a.doc_id, a.group_id, s.group_size, a.doc_id = a.group_id AS keep FROM allg a JOIN sz s USING (group_id) ORDER BY a.doc_id""")),
+
     // SimHash contract oracle: fingerprints are xxhash64-based (not
     // SQL-replicable), but determinism is — identical lowercased texts
     // MUST collapse to one fingerprint. DuckDB recomputes the doc and

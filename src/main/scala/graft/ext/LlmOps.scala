@@ -591,6 +591,87 @@ object LlmOps {
       .select(col(idCol), col(blockCol))
   }
 
+  /** Connected components over an (i, j) pair frame: every node gets the
+    * MIN node id reachable through the pair graph as its `group_id`.
+    * This is the step a dedup pipeline runs after pair generation —
+    * greedy per-pair dropping (j of every pair) over-deletes when dups
+    * chain (a~b, b~c drops both b and c even if a≁c); grouping keeps
+    * exactly one representative per transitive cluster.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes min(own label, neighbours' labels) — one shuffle join on node
+    * id + one groupBy min per round, converging in O(graph diameter)
+    * rounds. Near-dup clusters are dense and shallow (diameter a handful
+    * at worst), so the round count stays small at any corpus size; the
+    * loop is driver-side but touches only per-round CHANGE COUNTS (an
+    * aggregate scalar — no data collect).
+    *
+    * Every round EAGERLY `localCheckpoint`s the new labels: each
+    * iteration references the previous labels twice (neighbour join +
+    * change count), so without per-round lineage truncation the logical
+    * plan doubles every round and Catalyst analysis time explodes
+    * (measured on 3.3k nodes at sf0.1: rounds of 2.2s → 6.6s → 24s →
+    * 107s under persist-only; ~0.3s flat with per-round checkpoints —
+    * the same reason GraphFrames checkpoints its CC iterations).
+    * `maxIters` bounds adversarial path-graphs; hitting it throws
+    * rather than returning silently-wrong groups. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nlbl")).as("nmin"))
+      // the shrink flag rides the round's own projection, so the
+      // convergence count is a filter over the just-checkpointed frame —
+      // no extra join against the previous labels
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), col("nmin")).as("lbl"),
+          (col("nmin") < col("lbl")).as("__cc_shrank"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("__cc_shrank")).count()
+      labels = next.drop("__cc_shrank")
+      converged = changed == 0L
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence in $maxIters rounds — " +
+          "graph diameter exceeds the bound; raise maxIters")
+    labels.select(col("node"), col("lbl").as("group_id"))
+  }
+
+  /** Near-duplicate GROUPS on the documents table: exact-Jaccard pairs
+    * (prefix-filtered, [[jaccardPairs]]) → transitive clusters
+    * ([[connectedComponents]]) → one row per doc with its group id and
+    * group size. Docs with no near-dup partner form singleton groups.
+    * `keep = (doc == group_id)` marks the canonical survivor (min id),
+    * so `filter(keep)` IS transitive near-dup dedup. */
+  def nearDupGroups(docs: DataFrame, threshold: Double,
+                    blockCol: Option[String] = None,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // persisted: the component loop's edge build reads the pair frame
+    // twice (both orientations), and pair generation is the expensive
+    // stage; the loop materializes everything, so freeing right after
+    // is safe (comp is checkpoint-backed, no lineage into pairs)
+    val pairs = jaccardPairs(docs, threshold, blockCol, textCol, idCol).persist()
+    val comp = connectedComponents(pairs)
+    pairs.unpersist()
+    val withGrp = docs.select(col(idCol).as("node"))
+      .join(comp, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("group_id"), col("node")).as("group_id"))
+    val sizes = withGrp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    withGrp.join(sizes, "group_id")
+      .select(col(idCol), col("group_id"), col("group_size"),
+        (col(idCol) === col("group_id")).as("keep"))
+  }
+
   // ========================================================= text analysis
 
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")

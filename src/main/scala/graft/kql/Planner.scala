@@ -689,6 +689,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         textCol = colNameOf(df, textE, "neardup text"),
         idCol = colNameOf(df, idE, "neardup id"))
 
+    case EvaluateOp("neardup_groups", tE :: textE :: idE :: rest) =>
+      graft.ext.LlmOps.nearDupGroups(df, litDouble(tE),
+        rest.headOption.map(colNameOf(df, _, "neardup_groups block")),
+        colNameOf(df, textE, "neardup_groups text"),
+        colNameOf(df, idE, "neardup_groups id"))
+
     case EvaluateOp("simhash", textE :: idE :: Nil) =>
       graft.ext.LlmOps.simHash(df, textCol = colNameOf(df, textE, "simhash text"),
         idCol = colNameOf(df, idE, "simhash id"))

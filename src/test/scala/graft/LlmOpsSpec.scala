@@ -204,6 +204,42 @@ class LlmOpsSpec extends AnyFunSuite {
       again.select("doc_id", "frame_idx", "frame_fp").collect().toSeq)
   }
 
+  test("connectedComponents: chains merge, min id labels, convergence guard") {
+    // two chains (1-2-3-4, 10-11) + a triangle with a bridge (20,21,22,23)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)).toDF("i", "j")
+    val cc = LlmOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(cc(_) == 20L))
+    // a path graph longer than maxIters must throw, not silently mislabel
+    val path = (0L until 12L).map(k => (k, k + 1)).toDF("i", "j")
+    intercept[IllegalStateException] { LlmOps.connectedComponents(path, maxIters = 2) }
+  }
+
+  test("nearDupGroups: transitive closure of pairs, keep = min id, sizes consistent") {
+    val g = LlmOps.nearDupGroups(docs, 0.8, blockCol = Some("source"))
+    val rows = g.collect()
+    assert(rows.length == docs.count()) // every doc appears exactly once
+    // group_id is the min doc in its group, and exactly the keep row
+    val byGroup = rows.groupBy(_.getLong(1))
+    byGroup.foreach { case (gid, members) =>
+      assert(members.map(_.getLong(0)).min == gid)
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+    // pair partners always land in one group (transitivity over pairs)
+    val pairRows = LlmOps.jaccardPairs(docs, 0.8, Some("source")).select("i", "j").collect()
+    val grpOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairRows.forall(r => grpOf(r.getLong(0)) == grpOf(r.getLong(1))))
+    // KQL surface reaches the same op
+    val cat = graft.kql.Catalog(spark, TestSpark.sfDir)
+    val viaKql = graft.kql.Kql.run(spark,
+      "documents | evaluate neardup_groups(0.8, text, doc_id, source)", cat)
+    assert(viaKql.count() == rows.length)
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
