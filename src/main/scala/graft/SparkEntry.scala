@@ -479,6 +479,13 @@ object SparkEntry {
       },
       Some("""SELECT true AS self_top, CAST(0 AS BIGINT) AS n_score_mismatch""")),
 
+    // Embedding-space transitive groups (r4): exact cosine pairs →
+    // connected components; deterministic, so the oracle reclusters with
+    // a recursive CTE over the same pair SQL as llm_similarity_pairs.
+    "llm_cosine_groups" -> Q(
+      (s, dir) => LlmOps.cosineGroups(embs(s, dir), 0.3).orderBy("vec_id"),
+      Some("""WITH RECURSIVE ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), prs AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a), allg AS (SELECT e.vec_id, COALESCE(g.group_id, e.vec_id) AS group_id FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.node), sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM allg GROUP BY 1) SELECT a.vec_id, a.group_id, s.group_size, a.vec_id = a.group_id AS keep FROM allg a JOIN sz s USING (group_id) ORDER BY a.vec_id""")),
+
     "llm_similarity_pairs" -> Q(
       (s, dir) => LlmOps.similarityPairs(embs(s, dir), 0.3).orderBy("i", "j"),
       Some("""WITH pairs AS (SELECT a.label AS blk, a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT blk, i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2, 3) SELECT blk, i, j, ROUND(dp / (na * nb), 4) AS cos FROM dots WHERE dp / (na * nb) >= 0.3 ORDER BY i, j""")),

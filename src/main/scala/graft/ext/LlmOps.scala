@@ -619,8 +619,13 @@ object LlmOps {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+    // seed with the one-hop minimum (min of self and direct neighbours):
+    // a single groupBy replaces what would otherwise be the first
+    // propagation round's join+agg+join
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -662,7 +667,15 @@ object LlmOps {
     val pairs = jaccardPairs(docs, threshold, blockCol, textCol, idCol).persist()
     val comp = connectedComponents(pairs)
     pairs.unpersist()
-    val withGrp = docs.select(col(idCol).as("node"))
+    groupRows(docs, idCol, comp)
+  }
+
+  /** Shared tail of the *Groups ops: attach component labels to the full
+    * id universe (unpaired rows become singleton groups), add group
+    * sizes and the canonical-survivor flag. */
+  private def groupRows(universe: DataFrame, idCol: String,
+                        comp: DataFrame): DataFrame = {
+    val withGrp = universe.select(col(idCol).as("node"))
       .join(comp, Seq("node"), "left")
       .select(col("node").as(idCol),
         coalesce(col("group_id"), col("node")).as("group_id"))
@@ -670,6 +683,26 @@ object LlmOps {
     withGrp.join(sizes, "group_id")
       .select(col(idCol), col("group_id"), col("group_size"),
         (col(idCol) === col("group_id")).as("keep"))
+  }
+
+  /** Embedding-space analog of [[nearDupGroups]]: cosine-similarity
+    * pairs ≥ threshold (exact blocked all-pairs, or banded LSH + exact
+    * verify for the 100 TB path) → transitive clusters → one row per
+    * vector with group id / size / canonical flag. The group view is
+    * what an embedding-dedup pipeline actually consumes — per-pair
+    * greedy dropping over-deletes on chained similarity. */
+  def cosineGroups(emb: DataFrame, threshold: Double,
+                   blockCol: String = "label", idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   method: String = "exact"): DataFrame = {
+    val pairs = (method match {
+      case "exact" => similarityPairs(emb, threshold, blockCol, idCol, vecCol)
+      case "lsh" => similarityPairsLsh(emb, threshold, blockCol, idCol, vecCol)
+      case other => throw new IllegalArgumentException(s"cosineGroups method '$other'")
+    }).select(col("i"), col("j")).persist()
+    val comp = connectedComponents(pairs)
+    pairs.unpersist()
+    groupRows(emb, idCol, comp)
   }
 
   // ========================================================= text analysis

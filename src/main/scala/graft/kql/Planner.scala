@@ -745,6 +745,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, blkE, "similarity block"), colNameOf(df, idE, "similarity id"),
         colNameOf(df, vecE, "similarity vector"))
 
+    case EvaluateOp("cosine_groups", tE :: blkE :: idE :: vecE :: rest) =>
+      graft.ext.LlmOps.cosineGroups(df, litDouble(tE),
+        colNameOf(df, blkE, "cosine_groups block"),
+        colNameOf(df, idE, "cosine_groups id"),
+        colNameOf(df, vecE, "cosine_groups vector"),
+        method = rest.headOption.map(litString(_, "cosine_groups method"))
+          .getOrElse("exact"))
+
     case EvaluateOp("dedup_cosine", tE :: blkE :: idE :: vecE :: rest) =>
       graft.ext.LlmOps.dedupNearCosine(df, litDouble(tE),
         colNameOf(df, blkE, "dedup block"), colNameOf(df, idE, "dedup id"),

@@ -240,6 +240,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaKql.count() == rows.length)
   }
 
+  test("cosineGroups: pair partners share a group, lsh groups ⊆-consistent with exact") {
+    val g = LlmOps.cosineGroups(embs, 0.3).collect()
+    assert(g.length == embs.count())
+    val grpOf = g.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairRows = LlmOps.similarityPairs(embs, 0.3).select("i", "j").collect()
+    assert(pairRows.forall(r => grpOf(r.getLong(0)) == grpOf(r.getLong(1))))
+    // LSH candidates are a subset of exact pairs, so LSH groups can only
+    // be a REFINEMENT of exact groups: ids grouped together under LSH
+    // must also be together under exact
+    val gl = LlmOps.cosineGroups(embs, 0.3, method = "lsh").collect()
+    val lshOf = gl.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lshOf.keySet == grpOf.keySet)
+    lshOf.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(grpOf).toSet.size == 1)
+    }
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
