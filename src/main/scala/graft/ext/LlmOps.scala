@@ -614,18 +614,27 @@ object LlmOps {
     * 107s under persist-only; ~0.3s flat with per-round checkpoints —
     * the same reason GraphFrames checkpoints its CC iterations).
     * `maxIters` bounds adversarial path-graphs; hitting it throws
-    * rather than returning silently-wrong groups. */
+    * rather than returning silently-wrong groups.
+    *
+    * Checkpoint reliability: `localCheckpoint` stores blocks on
+    * executors — lost with an executor, which on a 1000-node cluster
+    * over a long loop is a real risk. When the session has a reliable
+    * checkpoint dir configured (`sc.setCheckpointDir`), rounds
+    * checkpoint THERE instead; local mode falls back to the executor-
+    * local (and much cheaper) variant. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    val ckpt: DataFrame => DataFrame =
+      if (sc.getCheckpointDir.isDefined) df => df.checkpoint(true)
+      else df => df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b"))))
     // seed with the one-hop minimum (min of self and direct neighbours):
     // a single groupBy replaces what would otherwise be the first
     // propagation round's join+agg+join
-    var labels = edges.groupBy(col("a"))
+    var labels = ckpt(edges.groupBy(col("a"))
       .agg(min(col("b")).as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl"))
-      .localCheckpoint(true)
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -635,10 +644,9 @@ object LlmOps {
       // the shrink flag rides the round's own projection, so the
       // convergence count is a filter over the just-checkpointed frame —
       // no extra join against the previous labels
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val next = ckpt(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("lbl"), col("nmin")).as("lbl"),
-          (col("nmin") < col("lbl")).as("__cc_shrank"))
-        .localCheckpoint(true)
+          (col("nmin") < col("lbl")).as("__cc_shrank")))
       val changed = next.filter(col("__cc_shrank")).count()
       labels = next.drop("__cc_shrank")
       converged = changed == 0L
