@@ -456,6 +456,30 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_text_groups, CAST(0 AS BIGINT) AS n_inconsistent FROM documents""")),
 
+    // SimHash hamming pairs, contract oracle: fingerprints are
+    // xxhash64-based (not SQL-replicable) but two facts are not — (1)
+    // identical lowercased texts have hamming 0 and the pigeonhole
+    // chunk join is lossless, so with a duplicated corpus every
+    // (doc, copy) pair MUST surface: n_identical_found == doc count
+    // (fixture texts are distinct); (2) no returned pair exceeds the
+    // hamming bound. Full pair-set exactness vs a brute-force
+    // all-pairs recompute is pinned in LlmOpsSpec.
+    "llm_simhash_pairs" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.select(col("doc_id"), col("text")).unionByName(
+          d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val prs = LlmOps.simHashPairs(corpus, maxHamming = 3, nBits = 32)
+        val txt = corpus.select(col("doc_id"), lower(col("text")).as("t"))
+        prs
+          .join(broadcast(txt.select(col("doc_id").as("i"), col("t").as("ti"))), "i")
+          .join(broadcast(txt.select(col("doc_id").as("j"), col("t").as("tj"))), "j")
+          .agg(
+            sum(when(col("ti") === col("tj"), 1L).otherwise(0L)).as("n_identical_found"),
+            (max(col("hamming")) <= 3).as("hamming_bounded"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_found, true AS hamming_bounded FROM documents""")),
+
     "llm_knn_cosine" -> Q(
       (s, dir) => LlmOps.knnCosine(embs(s, dir), queryId = 0, k = 20),
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 20""")),

@@ -251,6 +251,52 @@ object LlmOps {
     spread(docs).select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs within hamming distance `maxHamming`, by the
+    * pigeonhole chunk split: a fingerprint cut into maxHamming+1 chunks
+    * guarantees two fingerprints within the distance agree EXACTLY on at
+    * least one chunk, so candidates come from equi-joins on (chunk idx,
+    * chunk value) — never an all-pairs scan — and verification is one
+    * bit_count(xor) per candidate. Exact w.r.t. the fingerprints (the
+    * pigeonhole bound is lossless, unlike minhash banding); the
+    * approximation lives entirely in simhash itself. Pairs agreeing on
+    * several chunks are kept only at their FIRST agreeing chunk —
+    * chunk values recompute from the two carried fingerprints as flat
+    * shift/mask arithmetic, so the dedup is a filter in the join stage,
+    * not a re-shuffling distinct (same pattern as
+    * [[nearDupPairsMinhash]]). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, nBits: Int = 32,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && nBits <= 62 && nBits > maxHamming,
+      "need 0 <= maxHamming < nBits <= 62")
+    val nChunks = maxHamming + 1
+    val w = nBits / nChunks
+    def chunkOf(fp: Column, c: Int): Column = {
+      // chunk c = bits [c*w, ...); the last chunk absorbs the remainder
+      val hi = if (c == nChunks - 1) nBits else (c + 1) * w
+      shiftright(fp, c * w).bitwiseAND(lit((1L << (hi - c * w)) - 1L))
+    }
+    val fp = simHash(docs, nBits, textCol, idCol)
+      .select(col(idCol).as("id"), col("simhash").as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+        posexplode(array((0 until nChunks).map(c => chunkOf(col("fp"), c)): _*))
+          .as(Seq("chunk", "cv")))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // probe-side pinned partition count + build-side key exchange: same
+    // AQE-coalescing rationale as the minhash candidate join
+    banded.repartition(par, col("id")).as("a")
+      .join(banded.repartition(col("chunk"), col("cv")).as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .filter((0 until nChunks).map { cc =>
+        col("a.chunk") <= cc ||
+          chunkOf(col("a.fp"), cc) =!= chunkOf(col("b.fp"), cc)
+      }.reduce(_ && _))
+      .withColumn("hamming",
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("i"), col("b.id").as("j"), col("hamming"))
+  }
+
   // ===================================================== similarity search
 
   private def dotD(a: Column, b: Column): Column =

@@ -699,6 +699,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.simHash(df, textCol = colNameOf(df, textE, "simhash text"),
         idCol = colNameOf(df, idE, "simhash id"))
 
+    case EvaluateOp("simhash_pairs", kE :: bitsE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.simHashPairs(df, litLong(kE).toInt, litLong(bitsE).toInt,
+        colNameOf(df, textE, "simhash_pairs text"),
+        colNameOf(df, idE, "simhash_pairs id"))
+
     case EvaluateOp("quality_score", textE :: idE :: Nil) =>
       graft.ext.LlmOps.qualityScore(df, colNameOf(df, textE, "quality text"),
         colNameOf(df, idE, "quality id"))

@@ -257,6 +257,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashPairs: exactly the brute-force hamming ball (pigeonhole losslessness)") {
+    val k = 3; val bits = 32
+    val got = LlmOps.simHashPairs(docs, k, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over all fingerprint pairs — the chunk join must be a
+    // pure optimization, never lossy
+    val fp = LlmOps.simHash(docs, bits).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, fi) <- fp; (j, fj) <- fp if i < j
+      h = java.lang.Long.bitCount(fi ^ fj) if h <= k
+    } yield (i, j, h)).toSet
+    assert(got == brute)
+    // duplicated texts always surface at hamming 0
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 20)
+    val dup = base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val ids = base.collect().map(_.getLong(0))
+    val zero = LlmOps.simHashPairs(dup, 0, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.forall(i => zero.contains((i, i + 1000000L))))
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
