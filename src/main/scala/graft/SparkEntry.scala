@@ -456,6 +456,20 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_text_groups, CAST(0 AS BIGINT) AS n_inconsistent FROM documents""")),
 
+    // Benchmark decontamination: train = full documents table, eval =
+    // its src0 block; docs sharing any 8-word n-gram with the eval set
+    // are flagged with their contaminated-gram count. Token n-grams are
+    // string-reconstructible, so DuckDB recomputes the whole report
+    // (Spark joins on xxhash64(gram) — count-identical unless a 64-bit
+    // collision, ~1e-9 at fixture scale).
+    "llm_contamination" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        LlmOps.contamination(d, d.filter(col("source") === "src0"), n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM toks), dg AS (SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS gram FROM pos), eg AS (SELECT DISTINCT gram FROM dg JOIN documents USING (doc_id) WHERE source = 'src0') SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams FROM dg JOIN eg USING (gram) GROUP BY 1 ORDER BY 1""")),
+
     // SimHash hamming pairs, contract oracle: fingerprints are
     // xxhash64-based (not SQL-replicable) but two facts are not — (1)
     // identical lowercased texts have hamming 0 and the pigeonhole

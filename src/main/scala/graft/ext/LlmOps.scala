@@ -297,6 +297,41 @@ object LlmOps {
       .select(col("a.id").as("i"), col("b.id").as("j"), col("hamming"))
   }
 
+  /** Benchmark decontamination: flag documents sharing any word n-gram
+    * with an eval/benchmark corpus. The standard pre-training hygiene
+    * pass — eval sets leak into web scrapes, and n-gram overlap (13-gram
+    * in GPT-3's report, 8-gram default here) is the published detection
+    * method.
+    *
+    * Shape at 100 TB: n-grams travel as xxhash64 longs (a 64-bit
+    * collision adds a spurious gram hit at ~1e-9 — detection, not
+    * proof); the eval side is benchmark-sized, so its distinct gram set
+    * broadcasts and the train side never shuffles — one scan, map-side
+    * semi-join, one aggregation by doc. For an eval corpus too big to
+    * broadcast, drop the broadcast hint and the same plan becomes a
+    * shuffle join on the gram hash. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    evalTextCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, tcol: String, keepId: Boolean): DataFrame = {
+      val toks = split(lower(col(tcol)), "\\s+")
+      // guard the start-index range: sequence(1, 0) would run BACKWARDS
+      val g = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+      val base = spread(df).select(
+        (if (keepId) Seq(col(idCol)) else Seq.empty[Column]) :+
+          explode(array_distinct(g)).as("gram"): _*)
+      base
+    }
+    val evalGrams = grams(evalDocs, evalTextCol, keepId = false).distinct()
+    grams(docs, textCol, keepId = true)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   // ===================================================== similarity search
 
   private def dotD(a: Column, b: Column): Column =

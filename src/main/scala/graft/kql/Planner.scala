@@ -699,6 +699,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.simHash(df, textCol = colNameOf(df, textE, "simhash text"),
         idCol = colNameOf(df, idE, "simhash id"))
 
+    // `evaluate contamination(EvalTable, n, text, id [, evalTextCol])`:
+    // n-gram overlap against a benchmark table (decontamination pass)
+    case EvaluateOp("contamination", Col(tbl) :: nE :: textE :: idE :: rest) =>
+      val ev = letTables.getOrElse(tbl, catalog.table(tbl))
+      val evalText = rest.headOption
+        .map(e => resolveName(ev, e match {
+          case Col(c) => c
+          case _ => throw PlanError("contamination eval text must be a column") }))
+        .getOrElse("text")
+      graft.ext.LlmOps.contamination(df, ev, litLong(nE).toInt,
+        colNameOf(df, textE, "contamination text"),
+        colNameOf(df, idE, "contamination id"), evalText)
+
     case EvaluateOp("simhash_pairs", kE :: bitsE :: textE :: idE :: Nil) =>
       graft.ext.LlmOps.simHashPairs(df, litLong(kE).toInt, litLong(bitsE).toInt,
         colNameOf(df, textE, "simhash_pairs text"),

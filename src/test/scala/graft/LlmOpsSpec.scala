@@ -280,6 +280,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.forall(i => zero.contains((i, i + 1000000L))))
   }
 
+  test("contamination: eval docs fully self-hit, clean docs absent, short docs no grams") {
+    import spark.implicits._
+    val ev = docs.filter(col("source") === "src0")
+    val rep = LlmOps.contamination(docs, ev, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every eval doc with >= 8 tokens is contaminated by itself, with
+    // exactly its own distinct-gram count
+    val evGramCounts = ev.select(col("doc_id"),
+      size(array_distinct(transform(
+        sequence(lit(1), size(split(lower(col("text")), "\\s+")) - 7),
+        i => concat_ws(" ", slice(split(lower(col("text")), "\\s+"), i, lit(8)))))).as("g"))
+      .filter(col("g") > 0).collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+    evGramCounts.foreach { case (id, g) => assert(rep(id) >= g,
+      s"eval doc $id self-hits at least its own $g grams") }
+    // a synthetic doc with no 8-gram overlap must not appear
+    val clean = Seq((999999L, "zq xv wq pj qk lm no pq rs tu vw xy")).toDF("doc_id", "text")
+    val rep2 = LlmOps.contamination(clean, ev, n = 8).collect()
+    assert(rep2.isEmpty)
+    // docs shorter than n produce no grams and cannot be flagged
+    val short = Seq((1L, "only three words")).toDF("doc_id", "text")
+    assert(LlmOps.contamination(short, short, n = 8).collect().isEmpty)
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
