@@ -708,29 +708,35 @@ object LlmOps {
     val ckpt: DataFrame => DataFrame =
       if (sc.getCheckpointDir.isDefined) df => df.checkpoint(true)
       else df => df.localCheckpoint(true)
-    val edges = ckpt(pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b"))))
+    // undirected edges PLUS a self-loop per node: with (n, n) present,
+    // "min over joined neighbour labels" already includes the node's own
+    // label, so each round is ONE join + ONE aggregation — no left-join
+    // back onto the previous labels
+    val bidir = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    val edges = ckpt(bidir.union(
+      bidir.select(col("a"), col("a").as("b")).distinct()))
     // seed with the one-hop minimum (min of self and direct neighbours):
-    // a single groupBy replaces what would otherwise be the first
-    // propagation round's join+agg+join
-    var labels = ckpt(edges.groupBy(col("a"))
-      .agg(min(col("b")).as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl")))
+    // a single groupBy replaces the first propagation round
+    var labels = ckpt(edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("lbl")))
+    // convergence via label-sum checksum: labels only ever decrease, so
+    // the sum is strictly monotone until the fixpoint — equal sums in
+    // consecutive rounds ⇔ no label moved, with no comparison join.
+    // decimal(38,0) keeps the sum exact at any node count / id range.
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
+    var sumPrev = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
+      labels = ckpt(edges
         .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("node")).agg(min(col("nlbl")).as("nmin"))
-      // the shrink flag rides the round's own projection, so the
-      // convergence count is a filter over the just-checkpointed frame —
-      // no extra join against the previous labels
-      val next = ckpt(labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), col("nmin")).as("lbl"),
-          (col("nmin") < col("lbl")).as("__cc_shrank")))
-      val changed = next.filter(col("__cc_shrank")).count()
-      labels = next.drop("__cc_shrank")
-      converged = changed == 0L
+        .groupBy(col("a").as("node")).agg(min(col("nlbl")).as("lbl")))
+      val sumNow = checksum(labels)
+      converged = sumNow.compareTo(sumPrev) == 0
+      sumPrev = sumNow
       iter += 1
     }
     if (!converged)
