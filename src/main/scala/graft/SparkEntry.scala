@@ -456,6 +456,21 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_text_groups, CAST(0 AS BIGINT) AS n_inconsistent FROM documents""")),
 
+    // Deterministic per-stratum sampling + hash split: both use the
+    // engine-portable Knuth multiplicative hash, so DuckDB reproduces
+    // the exact row sets (not just counts).
+    "llm_stratified_sample" -> Q(
+      (s, dir) => LlmOps.stratifiedSample(docs(s, dir), 5, "source")
+        .select(col("doc_id"), col("source")).orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn FROM documents) WHERE rn <= 5 ORDER BY doc_id""")),
+
+    "llm_hash_split" -> Q(
+      (s, dir) => LlmOps.hashSplit(docs(s, dir), 0.8, 0.1)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .orderBy("split"),
+      Some("""SELECT split, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM (SELECT doc_id, CASE WHEN h < CAST(FLOOR(0.8 * 4294967296) AS BIGINT) THEN 'train' WHEN h < CAST(FLOOR(0.9 * 4294967296) AS BIGINT) THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)) GROUP BY 1 ORDER BY 1""")),
+
     // Benchmark decontamination: train = full documents table, eval =
     // its src0 block; docs sharing any 8-word n-gram with the eval set
     // are flagged with their contaminated-gram count. Token n-grams are

@@ -800,6 +800,46 @@ object LlmOps {
     groupRows(emb, idCol, comp)
   }
 
+  // ==================================================== sampling / splits
+
+  /** Deterministic multiplicative id hash (Knuth 2654435761 mod 2^32),
+    * chosen over xxhash64 deliberately: the same expression is exact
+    * 64-bit integer arithmetic in ANY engine (the DuckDB oracle
+    * reproduces it verbatim), while still decorrelating sequential ids.
+    * Sampling/splitting needs stability across engines and runs, not
+    * cryptographic mixing. */
+  private def idHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic stratified sample: keep `n` rows per stratum, chosen
+    * by ascending id hash (ties by id). One hash-partitioned window per
+    * stratum — no global sort, no driver involvement; strata counts stay
+    * balanced regardless of stratum skew. */
+  def stratifiedSample(df: DataFrame, n: Int, strataCol: String,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic train/val/test assignment by id hash: fractions are
+    * exact thresholds on the 32-bit hash space, so the split is stable
+    * under corpus growth (a doc's split never changes when other docs
+    * are added — the property shuffling-and-slicing does NOT have).
+    * Pure per-row projection, no shuffle. */
+  def hashSplit(df: DataFrame, trainFrac: Double, valFrac: Double,
+                idCol: String = "doc_id", out: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to <= 1")
+    val h = idHash(col(idCol))
+    val tCut = math.floor(trainFrac * 4294967296.0).toLong
+    val vCut = math.floor((trainFrac + valFrac) * 4294967296.0).toLong
+    df.withColumn(out,
+      when(h < tCut, "train").when(h < vCut, "val").otherwise("test"))
+  }
+
   // ========================================================= text analysis
 
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")

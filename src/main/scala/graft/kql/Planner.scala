@@ -712,6 +712,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, textE, "contamination text"),
         colNameOf(df, idE, "contamination id"), evalText)
 
+    case EvaluateOp("stratified_sample", nE :: strataE :: idE :: Nil) =>
+      graft.ext.LlmOps.stratifiedSample(df, litLong(nE).toInt,
+        colNameOf(df, strataE, "stratified_sample strata"),
+        colNameOf(df, idE, "stratified_sample id"))
+
+    case EvaluateOp("hash_split", trainE :: valE :: idE :: Nil) =>
+      graft.ext.LlmOps.hashSplit(df, litDouble(trainE), litDouble(valE),
+        colNameOf(df, idE, "hash_split id"))
+
     case EvaluateOp("simhash_pairs", kE :: bitsE :: textE :: idE :: Nil) =>
       graft.ext.LlmOps.simHashPairs(df, litLong(kE).toInt, litLong(bitsE).toInt,
         colNameOf(df, textE, "simhash_pairs text"),

@@ -303,6 +303,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(LlmOps.contamination(short, short, n = 8).collect().isEmpty)
   }
 
+  test("stratifiedSample: n per stratum, deterministic; hashSplit: stable under growth") {
+    val s1 = LlmOps.stratifiedSample(docs, 7, "source").collect()
+    val bySrc = s1.map(r => r.getAs[String]("source")).groupBy(identity)
+    assert(bySrc.values.forall(_.length <= 7))
+    // full strata (≥7 docs) yield exactly 7
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == math.min(7L, srcSizes(src)))
+    }
+    // deterministic across invocations
+    val s2 = LlmOps.stratifiedSample(docs, 7, "source").collect()
+    assert(s1.map(_.getLong(0)).sorted.toSeq == s2.map(_.getLong(0)).sorted.toSeq)
+
+    val full = LlmOps.hashSplit(docs, 0.8, 0.1).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fractions roughly honored
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > full.size * 6 / 10 && counts("test") < full.size / 4)
+    // growth stability: the assignment of existing ids is unchanged when
+    // the corpus halves — the defining property of hash splitting
+    val half = LlmOps.hashSplit(docs.filter(col("doc_id") % 2 === 0), 0.8, 0.1)
+      .select("doc_id", "split").collect()
+    half.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
