@@ -329,6 +329,18 @@ class LlmOpsSpec extends AnyFunSuite {
     half.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
   }
 
+  test("plan shapes: contamination broadcasts eval grams; hashSplit adds no exchange") {
+    val ev = docs.filter(col("source") === "src0")
+    val contamPlan = LlmOps.contamination(docs, ev, n = 8)
+      .queryExecution.executedPlan.toString
+    // the train side must meet the eval grams through a broadcast, not a
+    // full shuffle of the corpus gram stream
+    assert(contamPlan.contains("BroadcastExchange"), contamPlan.take(500))
+    val splitPlan = LlmOps.hashSplit(docs, 0.8, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), splitPlan.take(500))
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
