@@ -329,6 +329,34 @@ class LlmOpsSpec extends AnyFunSuite {
     half.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
   }
 
+  test("connectedComponents ≡ union-find on random graphs (seeded property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(60,
+      for { a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b }
+        yield (math.min(a, b), math.max(a, b)))
+    for (i <- 0 until 5) {
+      val edges = edgeGen(Gen.Parameters.default, Seed(91L + i)).get.distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      // min-id canonicalization: union-find root is already the min
+      // because unions always hang the larger root under the smaller
+      val got = LlmOps.connectedComponents(edges.toDF("i", "j")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed ${91 + i}")
+    }
+  }
+
   test("plan shapes: contamination broadcasts eval grams; hashSplit adds no exchange") {
     val ev = docs.filter(col("source") === "src0")
     val contamPlan = LlmOps.contamination(docs, ev, n = 8)
