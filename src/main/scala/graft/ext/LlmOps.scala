@@ -263,7 +263,13 @@ object LlmOps {
     * chunk values recompute from the two carried fingerprints as flat
     * shift/mask arithmetic, so the dedup is a filter in the join stage,
     * not a re-shuffling distinct (same pattern as
-    * [[nearDupPairsMinhash]]). */
+    * [[nearDupPairsMinhash]]).
+    *
+    * Scale dial: bucket population ∝ corpus / 2^(nBits/(maxHamming+1)).
+    * The 32-bit default with k=3 gives 8-bit chunks — fine to ~100k
+    * docs; at warehouse scale use nBits ≥ 16·(maxHamming+1) so chunk
+    * buckets stay selective (the fingerprint is a long; up to 62 bits
+    * works unchanged). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, nBits: Int = 32,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming >= 0 && nBits <= 62 && nBits > maxHamming,

@@ -42,6 +42,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(("click", 2L, 20.0), ("view", 1L, 8.0)))
   }
 
+  test("stateless pipeline ops run on streams: hash_split via evaluate") {
+    val (_, df) = mkStream(batch1)
+    // hashSplit is a pure per-row projection, so the KQL surface plans
+    // it straight onto a stream with no state
+    val out = graft.kql.Kql.runStream(spark,
+      "src | evaluate hash_split(0.5, 0.25, event_id) | summarize n = count() by split",
+      TestSpark.sfDir, Map("src" -> df))
+    assert(out.isStreaming)
+    val sunk = StreamingOps.runToMemory(spark, out, "t_split", "complete")
+    val got = sunk.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == batch1.length)
+    // batch parity: the same op over the same rows as a static frame
+    import spark.implicits._
+    val batchGot = graft.ext.LlmOps.hashSplit(batch1.toDF(), 0.5, 0.25, "event_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batchGot)
+  }
+
   test("KQL streaming join against a static catalog table") {
     val (_, df) = mkStream(batch1)
     // nation is a static parquet table from the fixture catalog: the
