@@ -357,6 +357,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KQL evaluate surface of the r4 ops: arg wiring and output schemas") {
+    val cat = graft.kql.Catalog(spark, TestSpark.sfDir)
+    def run(q: String) = graft.kql.Kql.run(spark, q, cat)
+    val cg = run("embeddings | evaluate cosine_groups(0.3, label, vec_id, embedding)")
+    assert(cg.columns.toSeq == Seq("vec_id", "group_id", "group_size", "keep"))
+    assert(cg.count() == embs.count())
+    val sp = run("documents | evaluate simhash_pairs(3, 32, text, doc_id)")
+    assert(sp.columns.toSeq == Seq("i", "j", "hamming"))
+    val ct = run("documents | evaluate contamination(documents, 8, text, doc_id)")
+    assert(ct.columns.toSeq == Seq("doc_id", "n_contaminated_grams"))
+    assert(ct.count() == docs.count()) // self-contamination: every doc hits itself
+    val ss = run("documents | evaluate stratified_sample(3, source, doc_id)")
+    assert(ss.count() ==
+      docs.groupBy("source").count().collect().map(r => math.min(3L, r.getLong(1))).sum)
+    val hs = run("documents | evaluate hash_split(0.6, 0.2, doc_id)")
+    assert(hs.columns.contains("split") && hs.count() == docs.count())
+  }
+
   test("plan shapes: contamination broadcasts eval grams; hashSplit adds no exchange") {
     val ev = docs.filter(col("source") === "src0")
     val contamPlan = LlmOps.contamination(docs, ev, n = 8)
