@@ -27,6 +27,56 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** tmp_bucketed_join body: write both sides bucketed + sorted on the
+    * join key (one-time layout prep, overwritten per run), join over the
+    * bucketed catalog tables. The join itself needs no exchange —
+    * co-located buckets at rest (BucketedLayoutSpec asserts the
+    * shuffle-free SMJ shape on these exact tables). */
+  def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BucketedLayout
+    BucketedLayout.writeBucketed(
+      s.read.parquet(s"$dir/orders.parquet"), "graft_b_orders", Seq("o_custkey"), 8)
+    BucketedLayout.writeBucketed(
+      s.read.parquet(s"$dir/customer.parquet"), "graft_b_customer", Seq("c_custkey"), 8)
+    bucketedJoinOver(s)
+  }
+
+  /** The join/agg over the already-written bucketed tables — split out so
+    * the spec can assert its plan shape without re-writing the layout. */
+  def bucketedJoinOver(s: SparkSession): DataFrame = {
+    val o = graft.sources.BucketedLayout.readTable(s, "graft_b_orders")
+    val c = graft.sources.BucketedLayout.readTable(s, "graft_b_customer")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
+      .select(col("c_nationkey"), col("n_orders"),
+        (col("rc").cast("double") / 100.0).as("rev"))
+      .orderBy("c_nationkey")
+  }
+
+  /** tmp_stream_parity body: plan the KQL text onto a MemoryStream fed a
+    * bounded slice of `events`, drain it with an AvailableNow memory
+    * sink, and return the sunk rows (hash-checked against DuckDB's batch
+    * recompute by the driver). */
+  def streamParityQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    ms.addData(rows: _*)
+    val src = ms.toDF().toDF("event_id", "event_type", "value")
+    val out = Kql.runStream(s,
+      """src | summarize n = count(), s = sum(tolong(round(value * 100))) by event_type
+        | sort by event_type asc""",
+      dir, Map("src" -> src))
+    graft.streaming.StreamingOps.runToMemory(s, out, "tmp_stream_parity_sink", "complete")
+      .orderBy("event_type")
+  }
+
   // Sums of 2-decimal money doubles go through exact integer cents so the
   // result is bit-identical to the DuckDB oracle (double→decimal casts are
   // NOT cross-engine stable: Spark casts via shortest-string repr).
@@ -640,6 +690,87 @@ object SparkEntry {
       },
       Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_exact_missing, true AS extra_ok FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops)""")),
 
+    // Banded-LSH pair generation as its own bench row (r4 verdict task 3
+    // — the 100 TB path for llm_similarity_pairs, bench-visible instead
+    // of spec-only). Contract oracle: every LSH pair is exact-cosine-
+    // verified, so false positives are structurally zero (any returned
+    // pair IS an exact pair); recall vs the exact pair set is pinned at
+    // a 0.90 floor (banding auto-tunes to ≥0.95 collision probability AT
+    // the threshold, and fixture pairs sit above it). DuckDB recomputes
+    // the exact pair count independently.
+    "llm_similarity_pairs_lsh" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val lsh = LlmOps.similarityPairsLsh(e, 0.3).select("i", "j")
+        // persisted: feeds both the broadcast membership probe and the
+        // n_exact count; block-bounded by construction
+        val exact = LlmOps.similarityPairs(e, 0.3).select("i", "j").persist()
+        val counts = lsh
+          .join(broadcast(exact.withColumn("e", lit(1))), Seq("i", "j"), "left_outer")
+          .agg(sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_false_pos"),
+            sum(when(col("e") === 1, 1L).otherwise(0L)).as("hit"))
+        exact.agg(count(lit(1)).as("n_exact")).crossJoin(counts)
+          .select(col("n_exact"), col("n_false_pos"),
+            (col("hit") >= ceil(col("n_exact") * 0.9)).as("recall_ok"))
+      },
+      Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM dots WHERE dp / (na * nb) >= 0.3""")),
+
+    // LSH-grouping contract oracle (r4 verdict task 3): cosineGroups'
+    // scale path (`method = "lsh"`) as a bench row. LSH pairs are exact-
+    // verified, hence a SUBSET of the exact pair set; missing pairs can
+    // only SPLIT transitive groups, never merge them. Three seed-
+    // independent facts: (1) refinement — no LSH group spans two exact
+    // groups; (2) every exact canonical survivor is an LSH survivor (the
+    // min of an exact group is also the min of whichever LSH subgroup it
+    // lands in); (3) the LSH survivor count exceeds the exact count by at
+    // most the banding recall allowance. DuckDB recomputes the exact side
+    // (llm_cosine_groups' recursive-CTE reclustering reduced to counts).
+    "llm_cosine_groups_lsh" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val ex = LlmOps.cosineGroups(e, 0.3, method = "exact")
+          .select(col("vec_id"), col("group_id").as("g_ex"), col("keep").as("k_ex"))
+        val ls = LlmOps.cosineGroups(e, 0.3, method = "lsh")
+          .select(col("vec_id"), col("group_id").as("g_lsh"), col("keep").as("k_lsh"))
+        val j = ex.join(ls, "vec_id").persist()
+        val refine = j.groupBy("g_lsh").agg(count_distinct(col("g_ex")).as("k"))
+          .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_refine_violations"))
+        j.agg(
+            sum(when(col("k_ex"), 1L).otherwise(0L)).as("n_exact_keep"),
+            sum(when(col("k_ex") && !col("k_lsh"), 1L).otherwise(0L)).as("n_keep_missing"),
+            sum(when(col("k_lsh"), 1L).otherwise(0L)).as("n_lsh_keep"))
+          .crossJoin(refine)
+          .select(col("n_exact_keep"), col("n_keep_missing"),
+            (col("n_lsh_keep") <= ceil(col("n_exact_keep") / 0.95)).as("extra_ok"),
+            col("n_refine_violations"))
+      },
+      Some("""WITH RECURSIVE ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), prs AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a), allg AS (SELECT e.vec_id, COALESCE(g.group_id, e.vec_id) AS group_id FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.node) SELECT CAST(SUM(CASE WHEN vec_id = group_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_keep, CAST(0 AS BIGINT) AS n_keep_missing, true AS extra_ok, CAST(0 AS BIGINT) AS n_refine_violations FROM allg""")),
+
+    // Bucketed at-rest layout wired into a declared query (r4 verdict
+    // task 5): both join sides written bucketed + sorted on the join key
+    // (BucketedLayout), then joined — the SMJ reads co-located buckets
+    // with NO exchange on either side (plan-asserted in
+    // BucketedLayoutSpec with broadcast disabled; at bench scale AQE may
+    // broadcast the small side, which is equally shuffle-free). At
+    // 100 TB this layout is the difference between reshuffling the fact
+    // table on every query and reading pre-partitioned buckets at rest.
+    // The oracle is layout-independent: same join over the raw parquet.
+    "tmp_bucketed_join" -> Q(
+      (s, dir) => bucketedJoinQuery(s, dir),
+      Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming surface oracled one notch beyond unit tests (r4 verdict
+    // task 7): the SAME KQL text planned onto a MemoryStream (micro-
+    // batched, AvailableNow, memory sink) — the emitted rows are hash-
+    // compared against DuckDB's batch recompute, so §2.10 gets a value-
+    // exact CORRECTNESS row, not just spec coverage. The driver-side
+    // collect feeds the memory stream a BOUNDED slice (event_id ≤ 2000)
+    // — stream-harness plumbing, not a data pass; integer-cents sum
+    // keeps the aggregate bit-exact across engines.
+    "tmp_stream_parity" -> Q(
+      (s, dir) => streamParityQuery(s, dir),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s FROM events WHERE event_id <= 2000 GROUP BY 1 ORDER BY 1""")),
+
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(
       """orders
@@ -1194,9 +1325,9 @@ object SparkEntry {
         | where l_orderkey <= 1000
         | project l_orderkey, ln = tolong(l_linenumber)
         | mv-combine ln
-        | project l_orderkey, lns = array_sort_asc(ln)
+        | project l_orderkey, lns = dynamic_to_json(array_sort_asc(ln))
         | sort by l_orderkey asc"""),
-      Some("""SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS lns FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1 ORDER BY 1""")),
+      Some("""SELECT l_orderkey, CAST(to_json(list_sort(list(CAST(l_linenumber AS BIGINT)))) AS VARCHAR) AS lns FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1 ORDER BY 1""")),
 
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(

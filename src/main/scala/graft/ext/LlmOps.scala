@@ -208,18 +208,24 @@ object LlmOps {
       // per side) dominated the whole operator (measured 4.7M candidate
       // pairs / ~5 s of a 7.2 s run at sf0.1). The fraction of matching
       // minhash positions is an unbiased Jaccard estimate; the cutoff
-      // sits 3 sigma below the threshold (sigma = sqrt(t(1-t)/k) ≈ 0.1
-      // at k=16, t=0.8 → cutoff 8/16), so a true pair at exactly j=t is
-      // killed with P[Binom(16,0.8) < 8] ≈ 1.5e-4 — recall unchanged
-      // (pinned ≥0.94 by LlmOpsSpec) while the verify-join input
-      // shrinks ~20×. Flat element_at comparisons, evaluated in the
-      // same stage as the first-collision filter — no extra exchange.
+      // sits 4 sigma below the threshold (sigma = sqrt(t(1-t)/k) ≈ 0.1
+      // at k=16, t=0.8 → cutoff 7/16), so a true pair at exactly j=t is
+      // killed with P[Binom(16,0.8) ≤ 6] ≈ 2.5e-4 under the
+      // independence model. CAVEAT: sig_i = min(h1 + i·h2) is a
+      // pairwise-independent family, not fully independent, so the
+      // binomial tail is a model, not a bound — the 4-sigma margin (vs
+      // the 3 sigma the variance alone would suggest) buys slack
+      // against the model error, and recall stays empirically pinned
+      // (≥0.94 by LlmOpsSpec at fixture scale, t=0.8). The verify-join
+      // input still shrinks ~20×. Flat element_at comparisons,
+      // evaluated in the same stage as the first-collision filter — no
+      // extra exchange.
       .filter((0 until numHashes).map { i =>
         when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
           1).otherwise(0)
       }.reduce(_ + _) >= {
         val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-        math.max(0, math.ceil((threshold - 3 * sigma) * numHashes).toInt)
+        math.max(0, math.ceil((threshold - 4 * sigma) * numHashes).toInt)
       })
       .select(col("a.id").as("i"), col("b.id").as("j"))
 
@@ -314,11 +320,14 @@ object LlmOps {
     * proof); the eval side is benchmark-sized, so its distinct gram set
     * broadcasts and the train side never shuffles — one scan, map-side
     * semi-join, one aggregation by doc. For an eval corpus too big to
-    * broadcast, drop the broadcast hint and the same plan becomes a
-    * shuffle join on the gram hash. */
+    * broadcast (the hint would OOM the driver), pass
+    * `broadcastEval = false` and the same plan becomes a shuffle join
+    * on the gram hash — reachable from KQL as the optional last
+    * argument of `evaluate contamination(..., 'shuffle')`. */
   def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
                     textCol: String = "text", idCol: String = "doc_id",
-                    evalTextCol: String = "text"): DataFrame = {
+                    evalTextCol: String = "text",
+                    broadcastEval: Boolean = true): DataFrame = {
     def grams(df: DataFrame, tcol: String, keepId: Boolean): DataFrame = {
       val toks = split(lower(col(tcol)), "\\s+")
       // guard the start-index range: sequence(1, 0) would run BACKWARDS
@@ -333,7 +342,7 @@ object LlmOps {
     }
     val evalGrams = grams(evalDocs, evalTextCol, keepId = false).distinct()
     grams(docs, textCol, keepId = true)
-      .join(broadcast(evalGrams), "gram")
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
@@ -708,12 +717,37 @@ object LlmOps {
     * over a long loop is a real risk. When the session has a reliable
     * checkpoint dir configured (`sc.setCheckpointDir`), rounds
     * checkpoint THERE instead; local mode falls back to the executor-
-    * local (and much cheaper) variant. */
+    * local (and much cheaper) variant.
+    *
+    * Reliable-checkpoint hygiene: Spark does not clean reliable
+    * checkpoint files by default
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=false`), so a
+    * long-lived session would leak one labels snapshot per round per
+    * invocation. Each round therefore deletes the PREVIOUS round's
+    * checkpoint files as soon as the new round is eagerly materialized
+    * (and the edge snapshot after convergence) — only the final labels
+    * checkpoint, which backs the returned DataFrame, outlives the call;
+    * it falls to the session's checkpoint-dir cleanup like any other
+    * `df.checkpoint` result. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     val ckpt: DataFrame => DataFrame =
-      if (sc.getCheckpointDir.isDefined) df => df.checkpoint(true)
+      if (reliable) df => df.checkpoint(true)
       else df => df.localCheckpoint(true)
+    // best-effort cleanup of a superseded reliable checkpoint: resolve
+    // the backing RDD's on-disk dir through the plan's LogicalRDD leaf
+    def ckptFile(df: DataFrame): Option[String] =
+      if (!reliable) None
+      else df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile)
+    def rmCkpt(path: Option[String]): Unit = path.foreach { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+      } catch { case _: java.io.IOException => () }
+    }
     // undirected edges PLUS a self-loop per node: with (n, n) present,
     // "min over joined neighbour labels" already includes the node's own
     // label, so each round is ONE join + ONE aggregation — no left-join
@@ -722,10 +756,12 @@ object LlmOps {
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
     val edges = ckpt(bidir.union(
       bidir.select(col("a"), col("a").as("b")).distinct()))
+    val edgesFile = ckptFile(edges)
     // seed with the one-hop minimum (min of self and direct neighbours):
     // a single groupBy replaces the first propagation round
     var labels = ckpt(edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("lbl")))
+    var labelsFile = ckptFile(labels)
     // convergence via label-sum checksum: labels only ever decrease, so
     // the sum is strictly monotone until the fixpoint — equal sums in
     // consecutive rounds ⇔ no label moved, with no comparison join.
@@ -737,14 +773,20 @@ object LlmOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      labels = ckpt(edges
+      val next = ckpt(edges
         .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nlbl")).as("lbl")))
+      // next is eagerly materialized — the previous round's reliable
+      // checkpoint files are no longer referenced by anything
+      rmCkpt(labelsFile)
+      labels = next
+      labelsFile = ckptFile(labels)
       val sumNow = checksum(labels)
       converged = sumNow.compareTo(sumPrev) == 0
       sumPrev = sumNow
       iter += 1
     }
+    rmCkpt(edgesFile)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no convergence in $maxIters rounds — " +
@@ -813,9 +855,25 @@ object LlmOps {
     * 64-bit integer arithmetic in ANY engine (the DuckDB oracle
     * reproduces it verbatim), while still decorrelating sequential ids.
     * Sampling/splitting needs stability across engines and runs, not
-    * cryptographic mixing. */
-  private def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    * cryptographic mixing.
+    *
+    * The multiply is decomposed into 16-bit halves of (id mod 2^32):
+    * a naive `id * 2654435761` overflows a signed 64-bit long for ids
+    * above ~3.47e9 — a runtime error under ANSI mode and a silent wrap
+    * (diverging from engines that raise) otherwise. The decomposition
+    * is value-identical to `(id * k) mod 2^32` wherever the naive form
+    * is defined, and every intermediate stays below 2^63 for ANY
+    * non-negative id, so the stability claim holds at any corpus size. */
+  private def idHash(id: Column): Column = {
+    val k = 2654435761L
+    val id32 = pmod(id.cast("long"), lit(4294967296L))
+    val lo = pmod(id32, lit(65536L))
+    val hi = ((id32 - lo) / lit(65536L)).cast("long")
+    // (lo + hi·2^16)·k mod 2^32 = (lo·k mod 2^32 + 2^16·(hi·k mod 2^16)) mod 2^32;
+    // max operand ≈ 2^16·2654435761 ≈ 1.7e14 — no overflow at any id
+    pmod(pmod(lo * lit(k), lit(4294967296L)) +
+      lit(65536L) * pmod(hi * lit(k), lit(65536L)), lit(4294967296L))
+  }
 
   /** Deterministic stratified sample: keep `n` rows per stratum, chosen
     * by ascending id hash (ties by id). One hash-partitioned window per

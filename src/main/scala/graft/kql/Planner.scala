@@ -699,18 +699,28 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.simHash(df, textCol = colNameOf(df, textE, "simhash text"),
         idCol = colNameOf(df, idE, "simhash id"))
 
-    // `evaluate contamination(EvalTable, n, text, id [, evalTextCol])`:
-    // n-gram overlap against a benchmark table (decontamination pass)
+    // `evaluate contamination(EvalTable, n, text, id [, evalTextCol]
+    // [, 'broadcast'|'shuffle'])`: n-gram overlap against a benchmark
+    // table (decontamination pass); the join-strategy arg covers eval
+    // corpora too large to broadcast
     case EvaluateOp("contamination", Col(tbl) :: nE :: textE :: idE :: rest) =>
       val ev = letTables.getOrElse(tbl, catalog.table(tbl))
-      val evalText = rest.headOption
+      val (strategy, colArgs) = rest.partition {
+        case Lit(s: String) => s == "broadcast" || s == "shuffle"
+        case _ => false
+      }
+      val evalText = colArgs.headOption
         .map(e => resolveName(ev, e match {
           case Col(c) => c
           case _ => throw PlanError("contamination eval text must be a column") }))
         .getOrElse("text")
+      val bcast = strategy.headOption.forall {
+        case Lit(s: String) => s == "broadcast"
+        case _ => true
+      }
       graft.ext.LlmOps.contamination(df, ev, litLong(nE).toInt,
         colNameOf(df, textE, "contamination text"),
-        colNameOf(df, idE, "contamination id"), evalText)
+        colNameOf(df, idE, "contamination id"), evalText, bcast)
 
     case EvaluateOp("stratified_sample", nE :: strataE :: idE :: Nil) =>
       graft.ext.LlmOps.stratifiedSample(df, litLong(nE).toInt,

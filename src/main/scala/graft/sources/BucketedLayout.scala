@@ -16,11 +16,22 @@ object BucketedLayout {
 
   /** Write `df` bucketed and sorted on `keys` as catalog table `table`. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a fresh session can inherit a surviving warehouse dir from a prior
+    // run: the managed-table LOCATION outlives the in-memory catalog, and
+    // saveAsTable refuses it (LOCATION_ALREADY_EXISTS). Drop both the
+    // catalog entry and any stale location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    try loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    catch { case _: java.io.IOException => () }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

@@ -44,4 +44,29 @@ class BucketedLayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("declared tmp_bucketed_join: shuffle-free SMJ over its bucketed tables") {
+    // run the declared query body once — writes the bucketed layout and
+    // returns the join result (the CORRECTNESS row checks the values;
+    // here we pin the PLAN the layout buys)
+    assert(SparkEntry.bucketedJoinQuery(spark, TestSpark.sfDir).count() > 0)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off = the 100 TB shape (neither side broadcastable)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = SparkEntry.bucketedJoinOver(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      // zero exchange on either join side: buckets are co-located at rest
+      assert(!joinPart.contains("Exchange hashpartitioning(c_custkey"),
+        s"unexpected exchange under the join:\n$joinPart")
+      assert(!joinPart.contains("Exchange hashpartitioning(o_custkey"),
+        s"unexpected exchange under the join:\n$joinPart")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_customer")
+    }
+  }
 }

@@ -393,4 +393,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("media_size").isNull || col("media_hash").isNull).count() == 0)
     assert(out.select(size(col("media_features"))).distinct().head.getInt(0) == 8)
   }
+
+  test("connectedComponents: hub-skew graph (one hub, 20k spokes) stays correct") {
+    // a mega-cluster hub node skews the edge join's node-id key — the
+    // r4-flagged 100× risk. The per-round join is a plain equi-join on
+    // node id, so at cluster scale AQE's skew-join splitting applies to
+    // the SMJ path; here we pin that a maximally skewed star graph (all
+    // edges share one endpoint) converges in O(1) rounds with every
+    // node labeled by the hub's min id.
+    val n = 20000
+    val pairs = spark.range(1, n + 1).select(lit(0L).as("i"), col("id").as("j"))
+    val comp = LlmOps.connectedComponents(pairs)
+    assert(comp.count() == n + 1)
+    assert(comp.filter(col("group_id") =!= 0L).count() == 0)
+  }
+
+  test("hashSplit id hash: ANSI-safe at any id, identical to the naive form on small ids") {
+    // the naive id*2654435761 overflows a signed long for ids > ~3.47e9
+    // — an ANSI-mode runtime error; the decomposed hash must not
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val big = Seq(1L, 3500000000L, 5000000000L, (1L << 40) + 7).toDF("doc_id")
+      assert(LlmOps.hashSplit(big, 0.8, 0.1).collect().length == 4)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    // value identity with (id*k) mod 2^32 across the 16-bit carry seams
+    val ids = Seq(0L, 1L, 65535L, 65536L, 123456789L, 2147483647L, 4294967295L)
+    val got = LlmOps.hashSplit(ids.toDF("doc_id"), 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    ids.foreach { id =>
+      val h = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(4294967296L)).toLong
+      val expect = if (h < math.floor(0.8 * 4294967296.0).toLong) "train"
+        else if (h < math.floor(0.9 * 4294967296.0).toLong) "val" else "test"
+      assert(got(id) == expect, s"id $id hashed differently from the naive form")
+    }
+  }
+
+  test("contamination shuffle fallback: same report as broadcast; KQL arg reaches it") {
+    val ev = docs.filter(col("source") === "src0")
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = rep(LlmOps.contamination(docs, ev, n = 8))
+    val viaShuffle = rep(LlmOps.contamination(docs, ev, n = 8, broadcastEval = false))
+    assert(viaShuffle == viaBroadcast)
+    // with auto-broadcast off, the fallback really is a shuffle join on
+    // the gram hash (the eval-too-big-to-broadcast shape)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = LlmOps.contamination(docs, ev, n = 8, broadcastEval = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan.take(500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val cat = graft.kql.Catalog(spark, TestSpark.sfDir)
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate contamination(documents, 8, text, doc_id, 'shuffle')", cat)
+    assert(kql.count() == docs.count()) // self-contamination: every doc hits itself
+  }
 }
