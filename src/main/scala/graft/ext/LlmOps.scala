@@ -68,12 +68,18 @@ object LlmOps {
     val posts = spread(docs)
       .select(blk.as("blk"), col(idCol).as("id"), explode(array_distinct(
         transform(split(lower(col(textCol)), "\\s+"), t => xxhash64(t)))).as("tok"))
-    // global canonical order: ascending document frequency, ties by hash
+    // global canonical order: ascending document frequency, ties by hash.
+    // Persisted: the frame is read four times (both prefix-join sides +
+    // both verify-join sides) and costs two shuffles to build — without
+    // the persist those shuffles re-run per read. Per-doc token-hash
+    // rows are kilobytes/doc, cache-resident per executor at any scale;
+    // the bench clears caches per query, so reuse is within-query only.
     val freq = posts.groupBy("tok").agg(count(lit(1)).as("f"))
     val ordered = posts.join(freq, "tok")
       .groupBy("blk", "id")
       .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
         x => x("tok")).as("toks"))
+      .persist()
     val n = size(col("toks"))
     // prefix rows carry the set size so the size-ratio bound
     // (jac ≤ min(n)/max(n) < t ⇒ can never verify) prunes candidate
@@ -140,10 +146,17 @@ object LlmOps {
     // (SortedIntersectCount) instead of array_intersect's
     // hash-set-plus-output-array — the verify join runs on millions of
     // pairs, the sort on thousands of docs.
+    // both derived frames are read TWICE (each side of its join), and
+    // each re-read would re-run the scan + tokenize + double-hash base:
+    // persist the per-doc frames (kilobytes/doc, thousands of docs —
+    // trivially cache-resident at any per-executor slice of 100 TB,
+    // since each executor caches only its partitions). The bench clears
+    // the cache after every query, so this is a within-query reuse, not
+    // a cross-run warm cache.
     val withToks = base.select(col("id"),
-      sort_array(array_distinct(col("h1"))).as("toks"))
+      sort_array(array_distinct(col("h1"))).as("toks")).persist()
     val withSig = base.select(col("id"),
-      size(array_distinct(col("h1"))).as("n"), sig.as("sig"))
+      size(array_distinct(col("h1"))).as("n"), sig.as("sig")).persist()
 
     // one row per (doc, band); bucket key = hash of the band's slice.
     // IDs (+ the token-set size n) ONLY through the self-join — token
@@ -577,9 +590,11 @@ object LlmOps {
                       blockCol: String = "label", idCol: String = "vec_id",
                       vecCol: String = "embedding", salt: Int = 8): DataFrame = {
     // norms once per row BEFORE the pair join — higher-order array exprs
-    // are interpreted (not codegen), so per-pair recompute is 3× the work
+    // are interpreted (not codegen), so per-pair recompute is 3× the
+    // work. Persisted: both join sides read this frame (within-query
+    // reuse; per-vector rows are cache-resident per executor)
     val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), normD(col(vecCol)).as("nrm"))
+      col(vecCol).as("v"), normD(col(vecCol)).as("nrm")).persist()
     val a = withNorm.select(col("blk"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("__s", pmod(xxhash64(col("i")), lit(salt)))
     val b = withNorm.select(col("blk"), col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
@@ -636,8 +651,10 @@ object LlmOps {
         math.log(s)).floor.toInt)
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(nBands * b)(Array.fill(dim)(rnd.nextGaussian()))
+    // persisted: read three times (banded self-join via `keyed` + both
+    // exact-verify join sides) — within-query reuse, per-vector rows
     val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm"))
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")).persist()
     val keyed = withNorm
       .withColumn("__sig", lshSignatures(hyper, nBands, b)(col("v")))
       .select(col("blk"), col("id"), col("__sig"),
@@ -694,104 +711,163 @@ object LlmOps {
     * chain (a~b, b~c drops both b and c even if a≁c); grouping keeps
     * exactly one representative per transitive cluster.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes min(own label, neighbours' labels) — one shuffle join on node
-    * id + one groupBy min per round, converging in O(graph diameter)
-    * rounds. Near-dup clusters are dense and shallow (diameter a handful
-    * at worst), so the round count stays small at any corpus size; the
-    * loop is driver-side but touches only per-round CHANGE COUNTS (an
-    * aggregate scalar — no data collect).
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR rounds (the
+    * published two-phase MapReduce CC of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — the same scheme GraphFrames
+    * ships as its default CC). Large-star hangs every
+    * larger-than-center neighbour off the neighbourhood minimum;
+    * small-star re-parents the smaller neighbours. The edge set
+    * contracts to per-component stars in O(log² n) rounds on ANY graph
+    * — unlike plain min-label propagation, whose O(diameter) rounds
+    * degrade to tens of synchronous barriers on loosely-chained
+    * clusters (the sf0.1 embedding graph at threshold 0.3 measured
+    * diameter ~20 ⇒ 20 propagation rounds vs 4 two-phase rounds; a
+    * permuted-id path graph defeats even propagation+pointer-jumping,
+    * which this replaces). The loop is driver-side but touches only
+    * per-round checksums (aggregate scalars — no data collect).
     *
-    * Every round EAGERLY `localCheckpoint`s the new labels: each
-    * iteration references the previous labels twice (neighbour join +
-    * change count), so without per-round lineage truncation the logical
-    * plan doubles every round and Catalyst analysis time explodes
-    * (measured on 3.3k nodes at sf0.1: rounds of 2.2s → 6.6s → 24s →
-    * 107s under persist-only; ~0.3s flat with per-round checkpoints —
-    * the same reason GraphFrames checkpoints its CC iterations).
-    * `maxIters` bounds adversarial path-graphs; hitting it throws
-    * rather than returning silently-wrong groups.
+    * This loop deliberately runs on pair RDDs with a PINNED
+    * HashPartitioner, not DataFrames — the one place in this library
+    * where the DataFrame API is the wrong tool, for two measured
+    * reasons. (1) Per-round cost: every DataFrame iteration must be
+    * checkpointed to stop the logical plan doubling (Catalyst analysis
+    * measured 2.2s → 6.6s → 24s → 107s across four rounds under
+    * persist-only), and even with per-round checkpoint truncation each
+    * round re-runs analysis + optimization + codegen on a fresh plan —
+    * a measured ~0.16 s/round floor that dominates a 16-round loop on
+    * ANY data size, because rounds are synchronous barriers. The RDD
+    * loop has no per-round planning at all. (2) Shuffle count: with a
+    * pinned partitioner each star phase shuffles the (monotonically
+    * contracting) edge set once and its adjacency⋈min join is NARROW
+    * (co-partitioned, zero exchange); the DataFrame variant re-shuffles
+    * every intermediate each round because exchange reuse does not
+    * survive checkpoint truncation. This is the same architecture as
+    * Spark's own
+    * iterative-graph layer (GraphX/Pregel: RDDs + partitioner reuse),
+    * and it is an internal engine choice — inputs and outputs remain
+    * DataFrames.
     *
-    * Checkpoint reliability: `localCheckpoint` stores blocks on
-    * executors — lost with an executor, which on a 1000-node cluster
-    * over a long loop is a real risk. When the session has a reliable
-    * checkpoint dir configured (`sc.setCheckpointDir`), rounds
-    * checkpoint THERE instead; local mode falls back to the executor-
-    * local (and much cheaper) variant.
-    *
-    * Reliable-checkpoint hygiene: Spark does not clean reliable
-    * checkpoint files by default
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints=false`), so a
-    * long-lived session would leak one labels snapshot per round per
-    * invocation. Each round therefore deletes the PREVIOUS round's
-    * checkpoint files as soon as the new round is eagerly materialized
-    * (and the edge snapshot after convergence) — only the final labels
-    * checkpoint, which backs the returned DataFrame, outlives the call;
-    * it falls to the session's checkpoint-dir cleanup like any other
-    * `df.checkpoint` result. */
+    * Each round truncates RDD lineage via checkpoint: `localCheckpoint`
+    * (executor-resident, cheap) by default; when the session has a
+    * reliable checkpoint dir configured (`sc.setCheckpointDir`), rounds
+    * checkpoint THERE instead (executor loss over a long loop is a real
+    * risk on a 1000-node cluster). Reliable-checkpoint hygiene: Spark
+    * does not clean reliable checkpoint files by default
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=false`), so each
+    * round deletes the PREVIOUS round's files once the new round is
+    * materialized; only the final labels checkpoint outlives the call.
+    * `maxIters` bounds adversarial inputs; hitting it throws rather
+    * than returning silently-wrong groups. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    val ckpt: DataFrame => DataFrame =
-      if (reliable) df => df.checkpoint(true)
-      else df => df.localCheckpoint(true)
-    // best-effort cleanup of a superseded reliable checkpoint: resolve
-    // the backing RDD's on-disk dir through the plan's LogicalRDD leaf
-    def ckptFile(df: DataFrame): Option[String] =
-      if (!reliable) None
-      else df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.flatMap(_.getCheckpointFile)
-    def rmCkpt(path: Option[String]): Unit = path.foreach { p =>
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
-      } catch { case _: java.io.IOException => () }
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    def ckptRdd[T](rdd: RDD[T]): RDD[T] = {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+      rdd
     }
-    // undirected edges PLUS a self-loop per node: with (n, n) present,
-    // "min over joined neighbour labels" already includes the node's own
-    // label, so each round is ONE join + ONE aggregation — no left-join
-    // back onto the previous labels
-    val bidir = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-    val edges = ckpt(bidir.union(
-      bidir.select(col("a"), col("a").as("b")).distinct()))
-    val edgesFile = ckptFile(edges)
-    // seed with the one-hop minimum (min of self and direct neighbours):
-    // a single groupBy replaces the first propagation round
-    var labels = ckpt(edges.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("lbl")))
-    var labelsFile = ckptFile(labels)
-    // convergence via label-sum checksum: labels only ever decrease, so
-    // the sum is strictly monotone until the fixpoint — equal sums in
-    // consecutive rounds ⇔ no label moved, with no comparison join.
-    // decimal(38,0) keeps the sum exact at any node count / id range.
-    def checksum(l: DataFrame): java.math.BigDecimal =
-      Option(l.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty graph sums to null
-    var sumPrev = checksum(labels)
+    def rmCkpt(rdd: RDD[_]): Unit =
+      if (reliable) rdd.getCheckpointFile.foreach { p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+        } catch { case _: java.io.IOException => () }
+      }
+    val edgePairs = pairs
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // partition count sized to the GRAPH, not the session default: every
+    // round is a synchronous barrier over these partitions, and on a
+    // small graph per-task launch overhead dominates (measured 0.30
+    // s/round at 32 partitions vs 0.03 at 1 for a 1.4k-edge graph —
+    // 16 rounds of pure scheduling). ~250k directed edges/partition
+    // (a few MB), capped at 4× cores for skew headroom at scale; the
+    // count() is one cheap job over the (caller-persisted) pair frame.
+    val nEdges = edgePairs.count()
+    val part = new HashPartitioner(math.max(1, math.min(
+      4L * math.max(1, sc.defaultParallelism),
+      4L * nEdges / 250000L + 1L).toInt))
+    val mn = math.min(_: Long, _: Long)
+    // the node universe of the pair graph (for the final label frame;
+    // singleton stars lose their edges, not their nodes)
+    val nodes = edgePairs
+      .flatMap { case (i, j) => Iterator(i, j) }
+      .distinct(part.numPartitions)
+    // large-star: for each node u with neighbourhood Γ(u), hang every
+    // v ∈ Γ(u), v > u off m = min(Γ(u) ∪ {u}). Formulated as
+    // reduceByKey(min) + co-partitioned join rather than groupByKey, so
+    // a mega-hub's adjacency is never collected into one buffer on the
+    // reduce side (the join streams the big side; only the 1-row min
+    // rides along).
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val dir = e.flatMap { case (u, v) =>
+        if (u == v) Iterator.empty else Iterator((u, v), (v, u)) }
+        .partitionBy(part)
+      val minNbr = dir.reduceByKey(part, mn) // narrow: dir already on part
+      dir.join(minNbr) // narrow both sides
+        .flatMap { case (u, (v, m0)) =>
+          if (v > u) Iterator((v, math.min(m0, u))) else Iterator.empty }
+        .distinct(part.numPartitions)
+    }
+    // small-star: direct each edge large→small; for each u re-parent
+    // its smaller neighbours (and u itself) onto m = min(Γ⁻(u) ∪ {u})
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val dir = e.flatMap { case (u, v) =>
+        if (u == v) Iterator.empty
+        else if (u > v) Iterator((u, v)) else Iterator((v, u)) }
+        .partitionBy(part)
+      val minNbr = dir.reduceByKey(part, mn)
+      dir.join(minNbr)
+        .flatMap { case (u, (v, m)) =>
+          if (v != m) Iterator((v, m), (u, m)) else Iterator((u, m)) }
+        .distinct(part.numPartitions)
+    }
+    // convergence: the star fixpoint leaves the edge multiset unchanged
+    // — compare (count, Σu, Σv) across rounds (BigInt sums stay exact at
+    // any node count / id range); the checksum action is also what
+    // materializes the round's checkpoint.
+    def checksum(e: RDD[(Long, Long)]): (Long, BigInt, BigInt) =
+      e.aggregate((0L, BigInt(0), BigInt(0)))(
+        (acc, kv) => (acc._1 + 1, acc._2 + kv._1, acc._3 + kv._2),
+        (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    var edges = ckptRdd(edgePairs.filter { case (i, j) => i != j }
+      .distinct(part.numPartitions))
+    var sumPrev = checksum(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = ckpt(edges
-        .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("node")).agg(min(col("nlbl")).as("lbl")))
-      // next is eagerly materialized — the previous round's reliable
-      // checkpoint files are no longer referenced by anything
-      rmCkpt(labelsFile)
-      labels = next
-      labelsFile = ckptFile(labels)
-      val sumNow = checksum(labels)
-      converged = sumNow.compareTo(sumPrev) == 0
+      val t0 = System.nanoTime()
+      val next = ckptRdd(smallStar(largeStar(edges)))
+      val sumNow = checksum(next) // materializes next's checkpoint
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter action ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      rmCkpt(edges)
+      edges.unpersist(false)
+      edges = next
+      converged = sumNow == sumPrev
       sumPrev = sumNow
       iter += 1
     }
-    rmCkpt(edgesFile)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no convergence in $maxIters rounds — " +
-          "graph diameter exceeds the bound; raise maxIters")
-    labels.select(col("node"), col("lbl").as("group_id"))
+          "pathological contraction; raise maxIters")
+    // stars: every non-root points straight at its component min; roots
+    // and singletons label themselves. Materialized + checkpointed HERE
+    // so the returned frame carries no lineage into the caller's pair
+    // frame (callers free their persisted pairs right after this call).
+    val labels = ckptRdd(nodes.map(n => (n, n)).union(edges).reduceByKey(part, mn))
+    labels.count()
+    rmCkpt(edges)
+    edges.unpersist(false)
+    // back to the DataFrame surface
+    import spark.implicits._
+    spark.createDataset(labels).toDF("node", "group_id")
   }
 
   /** Near-duplicate GROUPS on the documents table: exact-Jaccard pairs
