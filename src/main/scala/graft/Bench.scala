@@ -69,9 +69,25 @@ object Bench {
     val detail = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"""  "$k": {"best":$v,"pass1":${p1(k)},"pass2":${p2(k)}}"""
     }.mkString("{\n", ",\n", "\n}")
+    val payload =
+      s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"queries":$detail}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"queries":$detail}""")
+      java.nio.file.Paths.get("bench_detail.json"), payload)
+    // ALSO write a round-numbered copy (r4 verdict task 8): the driver
+    // overwrites bench_detail.json every round, which made round-over-
+    // round per-query regressions (q61-class noise) invisible without
+    // git archaeology. Round = max existing BENCH_r* + 1 — the driver
+    // writes BENCH_r{N}.json only after the round ends, so during round
+    // N the highest on-disk artifact is N−1. Full runs only: dev runs
+    // with SPARK_GRAFT_BENCH_ONLY would otherwise overwrite the round's
+    // history with a partial query set.
+    if (only.isEmpty) {
+      val roundNum = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"bench_detail_r$roundNum%02d.json"), payload)
+    }
     spark.stop()
   }
 }
