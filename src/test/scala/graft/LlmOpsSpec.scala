@@ -394,6 +394,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.select(size(col("media_features"))).distinct().head.getInt(0) == 8)
   }
 
+  test("connectedComponents: permuted-id path graph converges in O(log n) rounds") {
+    // a long path with randomly permuted ids is the adversarial case for
+    // min-label propagation (O(diameter) rounds — and pointer-jumping on
+    // min-labels does NOT contract it, measured 50+ rounds): the
+    // two-phase large-star/small-star loop must close it well inside
+    // maxIters and still label every node with the component min
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 400L).toVector)
+    val pairs = (0 until 399).map(k => (ids(k), ids(k + 1))).toDF("i", "j")
+    val comp = LlmOps.connectedComponents(pairs, maxIters = 20)
+    assert(comp.count() == 400)
+    assert(comp.filter(col("group_id") =!= 0L).count() == 0) // one component, min id 0
+  }
+
   test("connectedComponents: hub-skew graph (one hub, 20k spokes) stays correct") {
     // a mega-cluster hub node skews the edge join's node-id key — the
     // r4-flagged 100× risk. The per-round join is a plain equi-join on
