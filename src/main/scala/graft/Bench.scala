@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Kryo for the one RDD path (connected components): Tuple2[Long,
+      // Long] shuffle rounds are ~2x cheaper than Java serialization;
+      // DataFrame shuffles (Tungsten UnsafeRow) are unaffected
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up: run every query once against the smallest

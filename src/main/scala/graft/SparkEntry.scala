@@ -34,10 +34,15 @@ object SparkEntry {
     * shuffle-free SMJ shape on these exact tables). */
   def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.BucketedLayout
+    // layout prep prunes to the workload's columns — bucketing is a
+    // per-workload materialized layout, and writing the full table width
+    // would triple the one-time write for columns no query reads
     BucketedLayout.writeBucketed(
-      s.read.parquet(s"$dir/orders.parquet"), "graft_b_orders", Seq("o_custkey"), 8)
+      s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_totalprice"),
+      "graft_b_orders", Seq("o_custkey"), 8)
     BucketedLayout.writeBucketed(
-      s.read.parquet(s"$dir/customer.parquet"), "graft_b_customer", Seq("c_custkey"), 8)
+      s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey"),
+      "graft_b_customer", Seq("c_custkey"), 8)
     bucketedJoinOver(s)
   }
 

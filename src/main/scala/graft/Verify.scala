@@ -21,6 +21,10 @@ object Verify {
       // in graft.kql.Catalog
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Kryo for the one RDD path (connected components): Tuple2[Long,
+      // Long] shuffle rounds are ~2x cheaper than Java serialization;
+      // DataFrame shuffles (Tungsten UnsafeRow) are unaffected
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -809,13 +809,18 @@ object LlmOps {
         if (u == v) Iterator.empty else Iterator((u, v), (v, u)) }
         .partitionBy(part)
       val minNbr = dir.reduceByKey(part, mn) // narrow: dir already on part
+      // no distinct here: output ≤ |e| rows (only the v > u side emits),
+      // duplicates are harmless under the next phase's mins, and
+      // small-star dedups once per round — one full-edge-set shuffle
+      // saved per round
       dir.join(minNbr) // narrow both sides
         .flatMap { case (u, (v, m0)) =>
           if (v > u) Iterator((v, math.min(m0, u))) else Iterator.empty }
-        .distinct(part.numPartitions)
     }
     // small-star: direct each edge large→small; for each u re-parent
-    // its smaller neighbours (and u itself) onto m = min(Γ⁻(u) ∪ {u})
+    // its smaller neighbours (and u itself) onto m = min(Γ⁻(u) ∪ {u}).
+    // (u, m) itself IS the minNbr row (neighbours are all < u), so it
+    // unions in once per node instead of once per edge.
     def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
       val dir = e.flatMap { case (u, v) =>
         if (u == v) Iterator.empty
@@ -823,8 +828,9 @@ object LlmOps {
         .partitionBy(part)
       val minNbr = dir.reduceByKey(part, mn)
       dir.join(minNbr)
-        .flatMap { case (u, (v, m)) =>
-          if (v != m) Iterator((v, m), (u, m)) else Iterator((u, m)) }
+        .flatMap { case (_, (v, m)) =>
+          if (v != m) Iterator((v, m)) else Iterator.empty }
+        .union(minNbr)
         .distinct(part.numPartitions)
     }
     // convergence: the star fixpoint leaves the edge multiset unchanged
