@@ -25,6 +25,11 @@ object Verify {
       // Long] shuffle rounds are ~2x cheaper than Java serialization;
       // DataFrame shuffles (Tungsten UnsafeRow) are unaffected
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // 163 queries x many codegen'd stages blow through the default
+      // 100-entry generated-class cache, so later queries (and every
+      // pass-2 rerun) pay full JIT again — the main source of the
+      // in-bench-vs-standalone gap on the heavy rows
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
