@@ -475,9 +475,9 @@ object SparkEntry {
           .join(broadcast(srcOf.select(col("doc_id").as("j"), col("source").as("sj"))), "j")
           .withColumn("w", col("si") === col("sj"))
           .join(broadcast(exactP.withColumn("e", lit(1))), Seq("i", "j"), "left_outer")
-          .agg(
-            sum(when(col("w") && col("e").isNull, 1L).otherwise(0L)).as("n_false_pos"),
-            sum(when(col("w") && col("e") === 1, 1L).otherwise(0L)).as("hit"))
+          .agg( // coalesce: empty LSH pair set ⇒ (0, 0), not nulls
+            coalesce(sum(when(col("w") && col("e").isNull, 1L).otherwise(0L)), lit(0L)).as("n_false_pos"),
+            coalesce(sum(when(col("w") && col("e") === 1, 1L).otherwise(0L)), lit(0L)).as("hit"))
         exactP.agg(count(lit(1)).as("n_exact")).crossJoin(counts)
           .select(col("n_exact"), col("n_false_pos"),
             (col("hit") >= ceil(col("n_exact") * 0.85)).as("recall_ok"))
@@ -686,10 +686,11 @@ object SparkEntry {
         // single full-outer pass, same rationale as llm_neardup_minhash
         ex.withColumn("x", lit(1))
           .join(ls.withColumn("l", lit(1)), Seq("vec_id"), "full_outer")
-          .agg(sum(col("x")).as("n_exact"),
-            sum(when(col("x") === 1 && col("l").isNull, 1L).otherwise(0L))
+          .agg( // coalesce: both survivor sets empty ⇒ zeros, not nulls
+            coalesce(sum(col("x")), lit(0L)).as("n_exact"),
+            coalesce(sum(when(col("x") === 1 && col("l").isNull, 1L).otherwise(0L)), lit(0L))
               .as("n_exact_missing"),
-            sum(col("l")).as("nl"))
+            coalesce(sum(col("l")), lit(0L)).as("nl"))
           .select(col("n_exact"), col("n_exact_missing"),
             (col("nl") <= ceil(col("n_exact") / 0.95)).as("extra_ok"))
       },
@@ -710,10 +711,13 @@ object SparkEntry {
         // persisted: feeds both the broadcast membership probe and the
         // n_exact count; block-bounded by construction
         val exact = LlmOps.similarityPairs(e, 0.3).select("i", "j").persist()
+        // coalesce: an empty LSH pair set must yield (0, true), not
+        // (null, null) — zero pairs can be the CORRECT answer at some
+        // scale/threshold and may not hash-mismatch the oracle
         val counts = lsh
           .join(broadcast(exact.withColumn("e", lit(1))), Seq("i", "j"), "left_outer")
-          .agg(sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_false_pos"),
-            sum(when(col("e") === 1, 1L).otherwise(0L)).as("hit"))
+          .agg(coalesce(sum(when(col("e").isNull, 1L).otherwise(0L)), lit(0L)).as("n_false_pos"),
+            coalesce(sum(when(col("e") === 1, 1L).otherwise(0L)), lit(0L)).as("hit"))
         exact.agg(count(lit(1)).as("n_exact")).crossJoin(counts)
           .select(col("n_exact"), col("n_false_pos"),
             (col("hit") >= ceil(col("n_exact") * 0.9)).as("recall_ok"))
@@ -749,12 +753,14 @@ object SparkEntry {
         val ls = LlmOps.cosineGroups(e, 0.3, method = "lsh")
           .select(col("vec_id"), col("group_id").as("g_lsh"), col("keep").as("k_lsh"))
         val j = ex.join(ls, "vec_id").persist()
+        // coalesce: empty audit ⇒ zeros, not nulls
         val refine = j.groupBy("g_lsh").agg(count_distinct(col("g_ex")).as("k"))
-          .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_refine_violations"))
+          .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_refine_violations"))
         j.agg(
-            sum(when(col("k_ex"), 1L).otherwise(0L)).as("n_exact_keep"),
-            sum(when(col("k_ex") && !col("k_lsh"), 1L).otherwise(0L)).as("n_keep_missing"),
-            sum(when(col("k_lsh"), 1L).otherwise(0L)).as("n_lsh_keep"))
+            coalesce(sum(when(col("k_ex"), 1L).otherwise(0L)), lit(0L)).as("n_exact_keep"),
+            coalesce(sum(when(col("k_ex") && !col("k_lsh"), 1L).otherwise(0L)), lit(0L)).as("n_keep_missing"),
+            coalesce(sum(when(col("k_lsh"), 1L).otherwise(0L)), lit(0L)).as("n_lsh_keep"))
           .crossJoin(refine)
           .select(col("n_exact_keep"), col("n_keep_missing"),
             (col("n_lsh_keep") <= ceil(col("n_exact_keep") / 0.95)).as("extra_ok"),

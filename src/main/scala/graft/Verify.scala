@@ -51,6 +51,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the pair/group operators persist per-doc frames for within-query
+      // reuse; without a per-query clear those cached blocks accumulate
+      // across the 163-query session (same hygiene as Bench)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -73,7 +73,7 @@ object LlmOps {
     // both verify-join sides) and costs two shuffles to build — without
     // the persist those shuffles re-run per read. Per-doc token-hash
     // rows are kilobytes/doc, cache-resident per executor at any scale;
-    // the bench clears caches per query, so reuse is within-query only.
+    // Bench/Verify clear caches per query, so reuse is within-query only.
     val freq = posts.groupBy("tok").agg(count(lit(1)).as("f"))
     val ordered = posts.join(freq, "tok")
       .groupBy("blk", "id")
@@ -150,9 +150,11 @@ object LlmOps {
     // each re-read would re-run the scan + tokenize + double-hash base:
     // persist the per-doc frames (kilobytes/doc, thousands of docs —
     // trivially cache-resident at any per-executor slice of 100 TB,
-    // since each executor caches only its partitions). The bench clears
-    // the cache after every query, so this is a within-query reuse, not
-    // a cross-run warm cache.
+    // since each executor caches only its partitions). Bench AND Verify
+    // call spark.catalog.clearCache() after every query, so this is
+    // within-query reuse, not a cross-run warm cache; long-lived
+    // sessions should clear periodically too (MEMORY_AND_DISK blocks
+    // otherwise accumulate until evicted under storage pressure).
     val withToks = base.select(col("id"),
       sort_array(array_distinct(col("h1"))).as("toks")).persist()
     val withSig = base.select(col("id"),
@@ -777,6 +779,18 @@ object LlmOps {
           hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
         } catch { case _: java.io.IOException => () }
       }
+    // ids must be integral: a silent cast('long') would null out string
+    // ids (na.drop would then delete every edge — dedup becomes a
+    // no-op) and truncate fractional ids (conflating distinct nodes).
+    // Loud failure beats silently-wrong groups.
+    Seq("i", "j").foreach { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents: id column '$c' must be integral, got $other")
+      }
+    }
     val edgePairs = pairs
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .na.drop()

@@ -394,6 +394,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.select(size(col("media_features"))).distinct().head.getInt(0) == 8)
   }
 
+  test("connectedComponents rejects non-integral id columns loudly") {
+    // string ids would silently null out under cast('long') + na.drop
+    // (dedup becomes a no-op); fractional ids would truncate-conflate
+    val strPairs = Seq(("a", "b")).toDF("i", "j")
+    val e1 = intercept[IllegalArgumentException] { LlmOps.connectedComponents(strPairs) }
+    assert(e1.getMessage.contains("must be integral"))
+    val dblPairs = Seq((1.2, 1.8)).toDF("i", "j")
+    val e2 = intercept[IllegalArgumentException] { LlmOps.connectedComponents(dblPairs) }
+    assert(e2.getMessage.contains("must be integral"))
+  }
+
   test("connectedComponents: permuted-id path graph converges in O(log n) rounds") {
     // a long path with randomly permuted ids is the adversarial case for
     // min-label propagation (O(diameter) rounds — and pointer-jumping on
@@ -409,11 +420,14 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("connectedComponents: hub-skew graph (one hub, 20k spokes) stays correct") {
-    // a mega-cluster hub node skews the edge join's node-id key — the
-    // r4-flagged 100× risk. The per-round join is a plain equi-join on
-    // node id, so at cluster scale AQE's skew-join splitting applies to
-    // the SMJ path; here we pin that a maximally skewed star graph (all
-    // edges share one endpoint) converges in O(1) rounds with every
+    // a mega-cluster hub node skews the per-node key — the r4-flagged
+    // 100× risk. In the RDD star loop the hub's adjacency hashes to one
+    // partition, but reduceByKey's MAP-SIDE COMBINE collapses the hub
+    // key to one record per upstream partition before the shuffle, the
+    // subsequent join streams the adjacency through cogroup (no
+    // collect-to-buffer on the min side), and large-star resolves a
+    // star-shaped hub in a single round — here we pin that a maximally
+    // skewed graph (all edges share one endpoint) converges with every
     // node labeled by the hub's min id.
     val n = 20000
     val pairs = spark.range(1, n + 1).select(lit(0L).as("i"), col("id").as("j"))
