@@ -768,6 +768,41 @@ object SparkEntry {
       },
       Some("""WITH RECURSIVE ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE a.label <= 3), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), prs AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a), allg AS (SELECT e.vec_id, COALESCE(g.group_id, e.vec_id) AS group_id FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.node WHERE e.label <= 3) SELECT CAST(SUM(CASE WHEN vec_id = group_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_keep, CAST(0 AS BIGINT) AS n_keep_missing, true AS extra_ok, CAST(0 AS BIGINT) AS n_refine_violations FROM allg""")),
 
+    // Incremental near-dup dedup (r5): the daily-increment shape of a
+    // 100 TB pipeline — corpus minhash signatures persisted ONCE as a
+    // (band, bucket)-bucketed index, each new batch joins the index at
+    // rest (no corpus rescan, no corpus-side exchange) and exact-
+    // verifies candidates. Declared on 2 audit source blocks, split
+    // corpus/batch at the id midpoint. Contract oracle: a batch doc is
+    // exactly-dropped iff it has ANY lower-id exact partner (corpus ids
+    // all sit below the split); exact-verification makes false drops
+    // structurally zero, banding misses only ADD kept docs within the
+    // recall allowance. DuckDB recomputes the exact-kept count.
+    "llm_dedup_incremental" -> Q(
+      (s, dir) => {
+        val d4 = docs(s, dir).filter(col("source").isin("src0", "src1"))
+        val mm = d4.agg(min("doc_id"), max("doc_id")).head
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val corpus = d4.filter(col("doc_id") < cut)
+        val batch = d4.filter(col("doc_id") >= cut)
+        LlmOps.buildMinhashIndex(corpus, "graft_mh_index")
+        val kept = LlmOps.dedupIncremental(batch, "graft_mh_index").select(col("doc_id"))
+        val exactDrop = LlmOps.jaccardPairs(d4, 0.8).select(col("j"))
+          .filter(col("j") >= cut).distinct().withColumnRenamed("j", "doc_id")
+        val exactKept = batch.select(col("doc_id")).join(exactDrop, Seq("doc_id"), "left_anti")
+        val cmp = exactKept.withColumn("x", lit(1))
+          .join(kept.withColumn("l", lit(1)), Seq("doc_id"), "full_outer")
+          .agg( // coalesce: empty sets ⇒ zeros, not nulls
+            coalesce(sum(col("x")), lit(0L)).as("n_exact_kept"),
+            coalesce(sum(when(col("x") === 1 && col("l").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_kept_missing"),
+            coalesce(sum(col("l")), lit(0L)).as("nk"))
+        batch.agg(count(lit(1)).as("n_new")).crossJoin(cmp)
+          .select(col("n_new"), col("n_exact_kept"), col("n_kept_missing"),
+            (col("nk") <= ceil(col("n_exact_kept") / 0.85)).as("extra_ok"))
+      },
+      Some("""WITH d4 AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')), cutv AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS cut FROM d4), toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM d4), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), prs AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8), batch AS (SELECT doc_id FROM d4, cutv WHERE doc_id >= cut), dropped AS (SELECT DISTINCT j AS doc_id FROM prs, cutv WHERE j >= cut) SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_new, CAST((SELECT COUNT(*) FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_exact_kept, CAST(0 AS BIGINT) AS n_kept_missing, true AS extra_ok""")),
+
     // Bucketed at-rest layout wired into a declared query (r4 verdict
     // task 5): both join sides written bucketed + sorted on the join key
     // (BucketedLayout), then joined — the SMJ reads co-located buckets

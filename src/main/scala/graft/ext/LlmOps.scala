@@ -126,9 +126,25 @@ object LlmOps {
     * rows/band drops to 73%). At 100 TB, raise rowsPerBand only if the
     * corpus is known to cluster far above the threshold.
     */
-  def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8,
-                          numHashes: Int = 16, bands: Int = 4,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Shared minhash front-end: per-doc sorted token-hash sets and banded
+    * signature rows, both persisted for within-query reuse (each is read
+    * from more than one join side downstream; Bench AND Verify clear the
+    * SQL cache per query, and long-lived sessions should clear
+    * periodically too — MEMORY_AND_DISK blocks otherwise accumulate
+    * until storage-pressure eviction).
+    *
+    * Verification downstream compares the token-HASH sets, not the
+    * strings: set ops over longs skip per-element UTF8 hashing, and a
+    * 64-bit collision inside one document pair is ~1e-9 at corpus
+    * scale. Sorted ONCE per doc so the per-pair intersection is a merge
+    * scan (SortedIntersectCount) instead of array_intersect's
+    * hash-set-plus-output-array. The banded frame carries one row per
+    * (doc, band); ids + set size + signature + full bucket vector ride
+    * the self-join (token arrays would multiply the shuffle payload by
+    * the candidate fan-out). Returns (toks, sigs, banded) — callers that
+    * materialize eagerly (the index builder) unpersist toks/sigs. */
+  private def minhashFrames(docs: DataFrame, numHashes: Int, bands: Int,
+                            textCol: String, idCol: String): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = array_distinct(split(lower(col(textCol)), "\\s+"))
@@ -139,38 +155,44 @@ object LlmOps {
     val sig = array((0 until numHashes).map { i =>
       array_min(zip_with(col("h1"), col("h2"), (a, b) => a + lit(i.toLong) * b))
     }: _*)
-    // verification compares the token-HASH sets, not the strings: set
-    // ops over longs skip per-element UTF8 hashing, and a 64-bit
-    // collision inside one document pair is ~1e-9 at corpus scale.
-    // Sorted ONCE per doc so the per-pair intersection is a merge scan
-    // (SortedIntersectCount) instead of array_intersect's
-    // hash-set-plus-output-array — the verify join runs on millions of
-    // pairs, the sort on thousands of docs.
-    // both derived frames are read TWICE (each side of its join), and
-    // each re-read would re-run the scan + tokenize + double-hash base:
-    // persist the per-doc frames (kilobytes/doc, thousands of docs —
-    // trivially cache-resident at any per-executor slice of 100 TB,
-    // since each executor caches only its partitions). Bench AND Verify
-    // call spark.catalog.clearCache() after every query, so this is
-    // within-query reuse, not a cross-run warm cache; long-lived
-    // sessions should clear periodically too (MEMORY_AND_DISK blocks
-    // otherwise accumulate until evicted under storage pressure).
     val withToks = base.select(col("id"),
       sort_array(array_distinct(col("h1"))).as("toks")).persist()
     val withSig = base.select(col("id"),
       size(array_distinct(col("h1"))).as("n"), sig.as("sig")).persist()
-
-    // one row per (doc, band); bucket key = hash of the band's slice.
-    // IDs (+ the token-set size n) ONLY through the self-join — token
-    // arrays would multiply the shuffle payload by the candidate fan-out.
-    // Each row also carries the doc's full bucket vector (`bands` longs)
-    // for first-collision dedup.
     val buckets = array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }: _*)
     val banded = withSig.select(col("id"), col("n"), col("sig"), buckets.as("bks"))
       .select(col("id"), col("n"), col("sig"), col("bks"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
+    (withToks, withSig, banded)
+  }
+
+  /** Candidate-pair filters shared by the self-join and incremental
+    * paths: size-ratio prune belongs INSIDE the join condition (doomed
+    * pairs die before any later filter); first-collision keeps a pair
+    * only in its earliest shared band (vs re-shuffling distinct over the
+    * candidate fan-out); the signature-estimate prune is the 4-sigma
+    * binomial cutoff documented at the [[nearDupPairsMinhash]] use. */
+  private def firstCollisionFilter(bands: Int): Column =
+    (0 until bands).map { bb =>
+      col("a.band") <= bb ||
+        element_at(col("a.bks"), bb + 1) =!= element_at(col("b.bks"), bb + 1)
+    }.reduce(_ && _)
+
+  private def sigEstimateFilter(numHashes: Int, threshold: Double): Column =
+    (0 until numHashes).map { i =>
+      when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
+        1).otherwise(0)
+    }.reduce(_ + _) >= {
+      val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+      math.max(0, math.ceil((threshold - 4 * sigma) * numHashes).toInt)
+    }
+
+  def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8,
+                          numHashes: Int = 16, bands: Int = 4,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (withToks, _, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
 
     // a pair colliding in k bands would surface k times; `.distinct()`
     // on the raw pairs re-shuffles the full candidate fan-out (measured
@@ -210,21 +232,18 @@ object LlmOps {
           col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
             greatest(col("a.n"), col("b.n")) * threshold)
-      .filter((0 until bands).map { bb =>
-        // earlier band bb must NOT collide (auto-true once bb ≥ band);
-        // flat comparisons, no per-row array allocation
-        col("a.band") <= bb ||
-          element_at(col("a.bks"), bb + 1) =!= element_at(col("b.bks"), bb + 1)
-      }.reduce(_ && _))
+      // first-collision: earlier bands must NOT collide (flat positional
+      // compares, auto-true once bb ≥ band, no per-row array allocation)
+      .filter(firstCollisionFilter(bands))
       // signature-estimated Jaccard pre-filter: on a near-dup-dense
       // corpus the banded join emits millions of colliding pairs whose
       // true similarity sits far below the threshold, and the exact
-      // array_intersect verification on those (hundreds of token hashes
-      // per side) dominated the whole operator (measured 4.7M candidate
-      // pairs / ~5 s of a 7.2 s run at sf0.1). The fraction of matching
-      // minhash positions is an unbiased Jaccard estimate; the cutoff
-      // sits 4 sigma below the threshold (sigma = sqrt(t(1-t)/k) ≈ 0.1
-      // at k=16, t=0.8 → cutoff 7/16), so a true pair at exactly j=t is
+      // verification on those (hundreds of token hashes per side)
+      // dominated the whole operator (measured 4.7M candidate pairs /
+      // ~5 s of a 7.2 s run at sf0.1). The fraction of matching minhash
+      // positions is an unbiased Jaccard estimate; the cutoff sits
+      // 4 sigma below the threshold (sigma = sqrt(t(1-t)/k) ≈ 0.1 at
+      // k=16, t=0.8 → cutoff 7/16), so a true pair at exactly j=t is
       // killed with P[Binom(16,0.8) ≤ 6] ≈ 2.5e-4 under the
       // independence model. CAVEAT: sig_i = min(h1 + i·h2) is a
       // pairwise-independent family, not fully independent, so the
@@ -232,16 +251,9 @@ object LlmOps {
       // the 3 sigma the variance alone would suggest) buys slack
       // against the model error, and recall stays empirically pinned
       // (≥0.94 by LlmOpsSpec at fixture scale, t=0.8). The verify-join
-      // input still shrinks ~20×. Flat element_at comparisons,
-      // evaluated in the same stage as the first-collision filter — no
-      // extra exchange.
-      .filter((0 until numHashes).map { i =>
-        when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
-          1).otherwise(0)
-      }.reduce(_ + _) >= {
-        val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-        math.max(0, math.ceil((threshold - 4 * sigma) * numHashes).toInt)
-      })
+      // input still shrinks ~20×. Evaluated in the same stage as the
+      // first-collision filter — no extra exchange.
+      .filter(sigEstimateFilter(numHashes, threshold))
       .select(col("a.id").as("i"), col("b.id").as("j"))
 
     // exact-Jaccard verification only on surviving candidate pairs
@@ -254,6 +266,85 @@ object LlmOps {
         (size(col("ta")) + size(col("tb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Persist a corpus minhash index for INCREMENTAL near-dup dedup
+    * ([[dedupIncremental]]): the banded signature rows written bucketed
+    * + sorted on (band, bucket) — each increment's candidate join then
+    * meets the corpus AT REST with zero corpus-side exchange
+    * (BucketedLayout) — plus the per-doc sorted token-hash sets
+    * bucketed on id for the exact-verify re-attach. Build once per
+    * corpus snapshot; every subsequent batch joins signatures and token
+    * hashes, never rescanning corpus text. This is the daily-increment
+    * shape of a 100 TB dedup pipeline: re-running the full self-join
+    * over corpus ∪ batch would re-pay the corpus-side tokenize +
+    * shuffle on every batch. */
+  def buildMinhashIndex(docs: DataFrame, table: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        buckets: Int = 16): Unit = {
+    val (withToks, withSig, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
+    graft.sources.BucketedLayout.writeBucketed(
+      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
+    graft.sources.BucketedLayout.writeBucketed(
+      withToks, s"${table}_toks", Seq("id"), buckets)
+    withToks.unpersist(false)
+    withSig.unpersist(false)
+  }
+
+  /** Incremental near-dup dedup of a NEW batch against a persisted
+    * corpus index ([[buildMinhashIndex]]) and against itself: returns
+    * the kept new rows. A new doc is dropped when its exact-verified
+    * Jaccard reaches the threshold against ANY corpus doc or any
+    * lower-id doc of the same batch (the greedy min-id-keeps rule, same
+    * semantics as [[dedupNearCosine]]; use [[nearDupGroups]] when
+    * chained duplicates need transitive treatment). The corpus side is
+    * pre-bucketed on the join keys, so the candidate join shuffles ONLY
+    * the (small) increment; the same size-ratio / first-collision /
+    * signature-estimate prunes as the self-join path apply, and every
+    * surviving candidate is exact-verified — zero false drops by
+    * construction. */
+  def dedupIncremental(newDocs: DataFrame, table: String, threshold: Double = 0.8,
+                       numHashes: Int = 16, bands: Int = 4,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (nToks, _, nBanded) = minhashFrames(newDocs, numHashes, bands, textCol, idCol)
+    val cBanded = graft.sources.BucketedLayout.readTable(spark, s"${table}_bands")
+    val cToks = graft.sources.BucketedLayout.readTable(spark, s"${table}_toks")
+    // new × corpus candidates: a (band, bucket) collision, size-ratio +
+    // first-collision + signature prunes inside/right after the join.
+    // The corpus side reads its buckets in place; only nBanded moves.
+    val candidates = nBanded.as("a")
+      .join(cBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .filter(firstCollisionFilter(bands))
+      .filter(sigEstimateFilter(numHashes, threshold))
+      .select(col("a.id").as("i"), col("b.id").as("j")) // i = new, j = corpus
+    def verified(cand: DataFrame, rightToks: DataFrame): DataFrame = cand
+      .join(nToks.select(col("id").as("i"), col("toks").as("ta")), "i")
+      .join(rightToks.select(col("id").as("j"), col("toks").as("tb")), "j")
+      .withColumn("inter", graft.expr.SortedIntersectCount(
+        spark, col("ta"), col("tb")).cast("double"))
+      .filter(col("inter") /
+        (size(col("ta")) + size(col("tb")) - col("inter")) >= threshold)
+    val corpusDrops = verified(candidates, cToks).select(col("i").as("drop_id"))
+    // in-batch dups over the SAME persisted frames (no second tokenize
+    // pass): the self-join candidate shape of nearDupPairsMinhash, with
+    // the greedy rule dropping the higher id of each verified pair
+    val selfCand = nBanded.as("a")
+      .join(nBanded.repartition(col("band"), col("bucket")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .filter(firstCollisionFilter(bands))
+      .filter(sigEstimateFilter(numHashes, threshold))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    val selfDrops = verified(selfCand, nToks).select(col("j").as("drop_id"))
+    newDocs.join(corpusDrops.union(selfDrops).distinct(),
+      col(idCol) === col("drop_id"), "left_anti")
   }
 
   /** SimHash fingerprint (nBits-wide, default 16): per bit, majority vote

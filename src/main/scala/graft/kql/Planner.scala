@@ -796,6 +796,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, vecE, "dedup vector"),
         method = rest.headOption.map(litString(_, "dedup method")).getOrElse("lsh"))
 
+    // `evaluate dedup_incremental('index_table', threshold, text, id)`:
+    // drop rows near-duplicating the persisted corpus index
+    // (LlmOps.buildMinhashIndex) or a lower-id row of this input
+    case EvaluateOp("dedup_incremental", tblE :: tE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.dedupIncremental(df,
+        litString(tblE, "dedup_incremental index table"), litDouble(tE),
+        textCol = colNameOf(df, textE, "dedup_incremental text"),
+        idCol = colNameOf(df, idE, "dedup_incremental id"))
+
     case EvaluateOp("funnel_sequence", idE :: tsE :: typeE :: stepEs) if stepEs.nonEmpty =>
       val typeName = colNameOf(df, typeE, "funnel type")
       val steps = stepEs.map { e =>

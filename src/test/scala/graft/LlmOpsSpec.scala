@@ -394,6 +394,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.select(size(col("media_features"))).distinct().head.getInt(0) == 8)
   }
 
+  test("incremental dedup: index catches cross-set and in-batch dups, zero false drops") {
+    // corpus = lower id half (indexed once), batch = upper half; exact
+    // reference on the union: a batch doc is exactly-dropped iff it has
+    // ANY lower-id partner (corpus ids all sit below the split, so the
+    // corpus-partner and earlier-batch-partner rules collapse)
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val corpus = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    try {
+      LlmOps.buildMinhashIndex(corpus, "t_mh_idx")
+      val kept = LlmOps.dedupIncremental(batch, "t_mh_idx")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val exactDropped = LlmOps.jaccardPairs(docs, 0.8).select("i", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(_._2 >= cut).map(_._2).toSet
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val exactKept = batchIds -- exactDropped
+      assert(exactKept.subsetOf(kept), "false drop: an exactly-kept doc was dropped")
+      assert(kept.subsetOf(batchIds))
+      // banding recall floor: misses only ADD kept docs, boundedly
+      assert(kept.size <= math.ceil(exactKept.size / 0.85).toInt)
+      // KQL surface reaches the same operator against the same index
+      val cat = graft.kql.Catalog(spark, TestSpark.sfDir)
+      val viaKql = graft.kql.Kql.run(spark,
+        s"documents | where doc_id >= $cut | evaluate dedup_incremental('t_mh_idx', 0.8, text, doc_id)",
+        cat).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaKql == kept)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_mh_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS t_mh_idx_toks")
+    }
+  }
+
   test("connectedComponents rejects non-integral id columns loudly") {
     // string ids would silently null out under cast('long') + na.drop
     // (dedup becomes a no-op); fractional ids would truncate-conflate
