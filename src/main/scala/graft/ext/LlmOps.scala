@@ -278,7 +278,13 @@ object LlmOps {
     * hashes, never rescanning corpus text. This is the daily-increment
     * shape of a 100 TB dedup pipeline: re-running the full self-join
     * over corpus ∪ batch would re-pay the corpus-side tokenize +
-    * shuffle on every batch. */
+    * shuffle on every batch.
+    *
+    * `buckets` is the INCREMENT-JOIN PARALLELISM dial: a bucketed join
+    * runs one task per bucket, so size it to the corpus — roughly
+    * banded-row count / 250k (a few MB of signature rows per bucket),
+    * i.e. hundreds to thousands of buckets for a warehouse-scale
+    * corpus. The fixture default (16) is sized to the test corpus. */
   def buildMinhashIndex(docs: DataFrame, table: String,
                         numHashes: Int = 16, bands: Int = 4,
                         textCol: String = "text", idCol: String = "doc_id",
