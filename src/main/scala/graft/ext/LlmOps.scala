@@ -127,7 +127,11 @@ object LlmOps {
     * corpus is known to cluster far above the threshold.
     */
   /** Shared minhash front-end: per-doc sorted token-hash sets and banded
-    * signature rows, both persisted for within-query reuse (each is read
+    * signature rows. NOTE: the affine family h1 + i·h2 deliberately uses
+    * WRAPPING long arithmetic (hash mixing), so like the KQL engine
+    * itself these ops require `spark.sql.ansi.enabled=false` (ANSI mode
+    * raises on the intentional overflow).
+    * Both frames persisted for within-query reuse (each is read
     * from more than one join side downstream; Bench AND Verify clear the
     * SQL cache per query, and long-lived sessions should clear
     * periodically too — MEMORY_AND_DISK blocks otherwise accumulate

@@ -428,6 +428,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: empty corpus and empty batch degrade gracefully") {
+    val empty = docs.filter(col("doc_id") < -1)
+    try {
+      // empty index ⇒ only in-batch self-dedup applies
+      LlmOps.buildMinhashIndex(empty, "t_mt_idx")
+      val batch = docs.limit(20)
+      val kept = LlmOps.dedupIncremental(batch, "t_mt_idx")
+      val selfDropped = LlmOps.nearDupPairsMinhash(batch, 0.8)
+        .select("j").distinct().count()
+      assert(kept.count() == batch.count() - selfDropped)
+      // empty batch ⇒ empty result, schema preserved
+      LlmOps.buildMinhashIndex(docs.limit(20), "t_sm_idx")
+      val kept2 = LlmOps.dedupIncremental(empty, "t_sm_idx")
+      assert(kept2.count() == 0 && kept2.columns.sameElements(docs.columns))
+    } finally {
+      Seq("t_mt_idx_bands", "t_mt_idx_toks", "t_sm_idx_bands", "t_sm_idx_toks")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("connectedComponents rejects non-integral id columns loudly") {
     // string ids would silently null out under cast('long') + na.drop
     // (dedup becomes a no-op); fractional ids would truncate-conflate
