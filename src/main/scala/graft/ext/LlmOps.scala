@@ -1128,6 +1128,47 @@ object LlmOps {
       round(nStop.cast("double") / nToks, 4).as("stop_ratio"))
   }
 
+  /** Gopher-style per-document repetition metrics (the published
+    * quality-filter family of Rae et al. 2021 §A1.1, adapted to token
+    * n-grams since the synthetic fixture has no line structure): the
+    * fraction of 2-gram positions covered by the doc's MOST FREQUENT
+    * 2-gram, the fraction of 3-gram positions whose 3-gram repeats
+    * within the doc, and the distinct/total token ratio. Loopy or
+    * boilerplate docs score high on the first two and low on the third.
+    *
+    * Shape: two explode → hash-aggregate passes keyed by (doc, gram) —
+    * codegen-friendly and linear in corpus token count at any doc
+    * length (a per-row higher-order formulation would be O(doc²) per
+    * row and interpreted, not codegen'd). Docs too short for an n-gram
+    * get 0.0 for that metric. */
+  def repetitionScore(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val base = spread(docs).select(col(idCol).as("id"), toks.as("toks"))
+    def grams(n: Int): Column = when(size(col("toks")) >= n,
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val top2 = base.select(col("id"), explode(grams(2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg((max("c").cast("double") / sum("c")).as("top2gram_frac"))
+    val dup3 = base.select(col("id"), explode(grams(3)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+        sum("c")).as("dup3gram_frac"))
+    base.select(col("id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("unique_tok_ratio"))
+      .join(top2, Seq("id"), "left")
+      .join(dup3, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        round(col("unique_tok_ratio"), 4).as("unique_tok_ratio"),
+        coalesce(round(col("top2gram_frac"), 4), lit(0.0)).as("top2gram_frac"),
+        coalesce(round(col("dup3gram_frac"), 4), lit(0.0)).as("dup3gram_frac"))
+  }
+
   /** Heuristic language ID by marker-word hits (+ CJK script detection).
     * Deterministic and SQL-expressible so the oracle can replicate it. */
   def langId(docs: DataFrame, textCol: String = "text",

@@ -740,6 +740,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.qualityScore(df, colNameOf(df, textE, "quality text"),
         colNameOf(df, idE, "quality id"))
 
+    case EvaluateOp("repetition_score", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.repetitionScore(df, colNameOf(df, textE, "repetition text"),
+        colNameOf(df, idE, "repetition id"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

@@ -428,6 +428,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionScore: known-answer docs, short-doc degeneracy, KQL surface") {
+    val probe = Seq(
+      (1L, "a b a b a b"),        // top 2-gram "a b" covers 3/5; every 3-gram repeats
+      (2L, "x y z w"),            // all distinct: top2=1/3, dup3=0, uniq=1
+      (3L, "solo"),               // too short for any n-gram
+      (4L, "t t t t")             // one token repeated: top2=1, dup3=1, uniq=1/4
+    ).toDF("doc_id", "text")
+    val got = LlmOps.repetitionScore(probe).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == (0.3333, 0.6, 1.0)) // 2 distinct of 6; "a b" 3 of 5; all four 3-grams repeat
+    assert(got(2L) == (1.0, 0.3333, 0.0))
+    assert(got(3L) == (1.0, 0.0, 0.0))
+    assert(got(4L) == (0.25, 1.0, 1.0))
+    val viaKql = graft.kql.Kql.run(spark,
+      "documents | evaluate repetition_score(text, doc_id)",
+      graft.kql.Catalog(spark, TestSpark.sfDir))
+    assert(viaKql.columns.toSeq ==
+      Seq("doc_id", "unique_tok_ratio", "top2gram_frac", "dup3gram_frac"))
+    assert(viaKql.count() == docs.count())
+  }
+
   test("incremental dedup: empty corpus and empty batch degrade gracefully") {
     val empty = docs.filter(col("doc_id") < -1)
     try {
