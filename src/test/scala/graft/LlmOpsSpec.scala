@@ -428,6 +428,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash pairs: hot-bucket skew (mass duplicates) stays complete and bounded") {
+    // 400 identical docs share one signature, collapsing into a single
+    // (band, bucket) — the worst-case skewed bucket. The pipeline must
+    // neither lose pairs (first-collision keeps each pair exactly once,
+    // in band 0) nor blow up: all C(400,2) pairs verify at jac 1.0.
+    val n = 400
+    val hot = spark.range(0, n).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"))
+    val pairs = LlmOps.nearDupPairsMinhash(hot, 0.8)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    assert(pairs.agg(min("jac"), max("jac")).head.toSeq == Seq(1.0, 1.0))
+  }
+
   test("repetitionScore: known-answer docs, short-doc degeneracy, KQL surface") {
     val probe = Seq(
       (1L, "a b a b a b"),        // top 2-gram "a b" covers 3/5; every 3-gram repeats
