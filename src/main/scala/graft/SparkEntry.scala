@@ -609,6 +609,13 @@ object SparkEntry {
       (s, dir) => LlmOps.repetitionScore(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), u AS (SELECT doc_id, ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS unique_tok_ratio FROM t), g2 AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g FROM t, unnest(generate_series(1, len(toks) - 1)) s(i) WHERE len(toks) >= 2), c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2), f2 AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top2gram_frac FROM c2 GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS g FROM t, unnest(generate_series(1, len(toks) - 2)) s(i) WHERE len(toks) >= 3), c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2), f3 AS (SELECT doc_id, ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 4) AS dup3gram_frac FROM c3 GROUP BY 1) SELECT u.doc_id, unique_tok_ratio, COALESCE(top2gram_frac, 0.0) AS top2gram_frac, COALESCE(dup3gram_frac, 0.0) AS dup3gram_frac FROM u LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id) ORDER BY u.doc_id""")),
 
+    // CCNet-style unigram log-likelihood quality score (r5): mean
+    // -ln p(token) under the corpus unigram distribution; per-token
+    // integer-micro rounding keeps the aggregate engine-exact
+    "llm_unigram_logprob" -> Q(
+      (s, dir) => LlmOps.unigramLogProb(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH terms AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1), nx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM terms) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, ROUND(CAST(SUM(CAST(ROUND(-LN(tf / n) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp FROM terms JOIN tfx USING (term), nx GROUP BY 1 ORDER BY 1""")),
+
     "llm_fingerprint" -> Q(
       (s, dir) => LlmOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) SELECT t.doc_id AS doc_id, md5(lower(d.text)) AS fp, list_aggregate(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), 'min') AS min_shingle_fp FROM t JOIN documents d ON t.doc_id = d.doc_id ORDER BY doc_id""")),

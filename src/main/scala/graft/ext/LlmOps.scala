@@ -1295,6 +1295,35 @@ object LlmOps {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-frequency unigram log-likelihood quality score (the CCNet /
+    * Wenzek et al. 2020 LM-filter idea with the weakest possible LM —
+    * the corpus's own unigram distribution; no external model exists in
+    * this environment): per doc, the mean of −ln p(token) where
+    * p(token) = corpus tf / corpus token count. Gibberish and
+    * rare-token-dense docs score HIGH, boilerplate scores LOW; filter
+    * pipelines cut both tails. Shape: one explode, one per-term
+    * aggregate, a broadcast-able join back on term, one per-doc
+    * aggregate — the corpus total rides a lazy 1-row broadcast (no
+    * eager driver count), same pattern as [[tfIdf]]. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val terms = spread(docs).select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    val nDf = terms.select(count(lit(1)).cast("double").as("__n"))
+    terms.join(tf, "term").crossJoin(broadcast(nDf))
+      // per-token micro-units summed as longs: FP summation order varies
+      // with partitioning, so a double sum is not run-deterministic;
+      // integer micros are exact and cross-engine stable (the money-sum
+      // integer-cents convention applied to a transcendental)
+      .withColumn("nlp_u",
+        round(-log(col("tf") / col("__n")) * 1e6).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nlp_u")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("mean_neg_logp"))
+  }
+
   // =========================================================== multimodal
 
   /** Multimodal plumbing: treat media as opaque binary + typed metadata.

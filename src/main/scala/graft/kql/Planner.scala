@@ -744,6 +744,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.repetitionScore(df, colNameOf(df, textE, "repetition text"),
         colNameOf(df, idE, "repetition id"))
 
+    case EvaluateOp("unigram_logprob", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.unigramLogProb(df, colNameOf(df, textE, "unigram text"),
+        colNameOf(df, idE, "unigram id"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

@@ -462,6 +462,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaKql.count() == docs.count())
   }
 
+  test("unigramLogProb: rare tokens score high, uniform corpus is flat, KQL surface") {
+    // corpus: "common" appears 9 times, "rare" once → -ln(9/10) vs -ln(1/10)
+    val probe = Seq(
+      (1L, "common common common"), (2L, "common common common"),
+      (3L, "common common common rare")).toDF("doc_id", "text")
+    val got = LlmOps.unigramLogProb(probe).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pc = -math.log(9.0 / 10); val pr = -math.log(1.0 / 10)
+    def micro(x: Double) = math.round(x * 1e6)
+    assert(got(1L) == (3L, math.round(micro(pc) * 3.0 / 3 / 1e6 * 1e4) / 1e4))
+    val d3 = (micro(pc) * 3 + micro(pr)).toDouble / 4 / 1e6
+    assert(got(3L) == (4L, math.round(d3 * 1e4) / 1e4))
+    assert(got(3L)._2 > got(1L)._2) // the rare token raises the score
+    val viaKql = graft.kql.Kql.run(spark,
+      "documents | evaluate unigram_logprob(text, doc_id)",
+      graft.kql.Catalog(spark, TestSpark.sfDir))
+    assert(viaKql.columns.toSeq == Seq("doc_id", "n_tokens", "mean_neg_logp"))
+    assert(viaKql.count() == docs.count())
+  }
+
   test("incremental dedup: empty corpus and empty batch degrade gracefully") {
     val empty = docs.filter(col("doc_id") < -1)
     try {
