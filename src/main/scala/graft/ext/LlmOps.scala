@@ -823,6 +823,40 @@ object LlmOps {
       .select(col(idCol), col(blockCol))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means the embedding space into
+    * `nClusters` cells and drop a vector iff a LOWER-id vector in the
+    * SAME cell has cosine ≥ threshold — one representative per semantic
+    * near-dup neighbourhood, found without ever comparing across cells.
+    *
+    * 100 TB shape: the quantizer is the IVF coarse trainer (bounded
+    * ≤256·k driver sample — index metadata, not a data pass); cell
+    * assignment is one embarrassingly parallel projection; the dedup
+    * join is the SALTED within-block all-pairs of [[similarityPairs]]
+    * with cell as the block key, so pair work is Σ|cell|² instead of n²
+    * — `nClusters` is the dial (the paper runs k≈10⁴ on web scale, so
+    * mean cell size stays ~corpus/k and the per-cell quadratic term is
+    * bounded; a skewed mega-cell is already spread over salt×cells
+    * partitions by the salted join). Cross-cell near-dups are the
+    * accepted recall trade — survivors are a SUPERSET of the all-pairs
+    * exact dedup's, never fewer, and every drop is witnessed by a real
+    * within-cell cosine pair (zero false drops structurally; the
+    * declared contract row pins both against a DuckDB all-pairs
+    * recompute). Returns (id, cell) survivors. */
+  def semDedup(emb: DataFrame, threshold: Double, nClusters: Int = 8,
+               seed: Long = 42, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(emb, nClusters, seed, idCol, vecCol)
+    val assigned = spread(emb).withColumn("__cell",
+      cellOf(cents)(col(vecCol).cast("array<double>")))
+    val dropped = similarityPairs(assigned, threshold, blockCol = "__cell",
+      idCol = idCol, vecCol = vecCol)
+      .select(col("j").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
   /** Connected components over an (i, j) pair frame: every node gets the
     * MIN node id reachable through the pair graph as its `group_id`.
     * This is the step a dedup pipeline runs after pair generation —
@@ -1115,6 +1149,37 @@ object LlmOps {
     val vCut = math.floor((trainFrac + valFrac) * 4294967296.0).toLong
     df.withColumn(out,
       when(h < tCut, "train").when(h < vCut, "val").otherwise("test"))
+  }
+
+  /** Per-source/domain cap — the crawl-curation guard against one domain
+    * dominating the corpus (the C4/RefinedWeb "limit pages per domain"
+    * rule). Keeps the top `n` rows of each `byCol` group under the
+    * deterministic total order (orderCol DESC, idCol ASC) and emits
+    * their 1-based `rank_in_src`.
+    *
+    * Two-phase top-n for the 100 TB skew case: phase 1 ranks within
+    * (source, input-partition) — the window key includes
+    * spark_partition_id(), so the first shuffle spreads even a
+    * mega-domain over P partitions instead of funnelling it into one
+    * task — and keeps ≤ n per slice. Phase 2 ranks the ≤ n·P survivors
+    * per source globally. A single global window is one shuffle fewer
+    * but its worst task carries the whole biggest domain; here the
+    * second shuffle's per-key input is bounded by n·P rows regardless
+    * of domain size. Both phases stay inside whole-stage codegen. */
+  def sourceCap(docs: DataFrame, n: Int, byCol: String = "source",
+                orderCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "sourceCap n must be positive")
+    // spark_partition_id() is nondeterministic-flagged — projected to a
+    // real column (allowed) rather than used inside the window spec
+    val localW = Window.partitionBy(col(byCol), col("__p"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val globalW = Window.partitionBy(col(byCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    docs.withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= n)
+      .drop("__lr", "__p")
+      .withColumn("rank_in_src", row_number().over(globalW).cast("long"))
+      .filter(col("rank_in_src") <= n)
   }
 
   // ========================================================= text analysis

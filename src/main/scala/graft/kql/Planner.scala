@@ -804,6 +804,21 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, vecE, "dedup vector"),
         method = rest.headOption.map(litString(_, "dedup method")).getOrElse("lsh"))
 
+    // `evaluate semdedup(threshold, nClusters, id, vec)`: SemDeDup-style
+    // k-means-cell semantic dedup (LlmOps.semDedup)
+    case EvaluateOp("semdedup", tE :: kE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.semDedup(df, litDouble(tE), litLong(kE).toInt,
+        idCol = colNameOf(df, idE, "semdedup id"),
+        vecCol = colNameOf(df, vecE, "semdedup vector"))
+
+    // `evaluate source_cap(n, source, orderCol, id)`: keep the top-n rows
+    // per source/domain (LlmOps.sourceCap)
+    case EvaluateOp("source_cap", nE :: byE :: ordE :: idE :: Nil) =>
+      graft.ext.LlmOps.sourceCap(df, litLong(nE).toInt,
+        colNameOf(df, byE, "source_cap source"),
+        colNameOf(df, ordE, "source_cap order"),
+        colNameOf(df, idE, "source_cap id"))
+
     // `evaluate dedup_incremental('index_table', threshold, text, id)`:
     // drop rows near-duplicating the persisted corpus index
     // (LlmOps.buildMinhashIndex) or a lower-id row of this input

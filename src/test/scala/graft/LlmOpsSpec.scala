@@ -586,4 +586,54 @@ class LlmOpsSpec extends AnyFunSuite {
       "documents | evaluate contamination(documents, 8, text, doc_id, 'shuffle')", cat)
     assert(kql.count() == docs.count()) // self-contamination: every doc hits itself
   }
+
+  test("semDedup: ⊇ all-pairs exact survivors, zero false drops, deterministic, KQL") {
+    val all = embs.withColumn("__all", lit(1))
+    val exactKept = LlmOps.dedupNearCosine(all, 0.3, blockCol = "__all", method = "exact")
+      .collect().map(_.getLong(0)).toSet
+    val semRows = LlmOps.semDedup(embs, 0.3, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val semKept = semRows.map(_._1).toSet
+    assert(semRows.forall { case (_, c) => c >= 1 && c <= 8 }) // 1-based cells
+    // within-cell pairs ⊆ all pairs ⇒ every all-pairs exact survivor survives
+    assert(exactKept.subsetOf(semKept))
+    // zero false drops: every dropped id has a SMALLER-id global partner ≥ τ
+    val hasSmallerPartner = LlmOps.similarityPairs(all, 0.3, blockCol = "__all")
+      .select("j").collect().map(_.getLong(0)).toSet
+    val ids = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((ids -- semKept).subsetOf(hasSmallerPartner))
+    // fixed-seed quantizer ⇒ bit-stable across runs
+    val again = LlmOps.semDedup(embs, 0.3, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == semRows.toSet)
+    val kql = graft.kql.Kql.run(spark,
+      "embeddings | evaluate semdedup(0.3, 8, vec_id, embedding)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("vec_id", "cell"))
+    assert(kql.select("vec_id").collect().map(_.getLong(0)).toSet == semKept)
+  }
+
+  test("sourceCap: per-source top-n ≡ single global window, layout-independent, KQL") {
+    import org.apache.spark.sql.expressions.Window
+    val capped = LlmOps.sourceCap(docs, 3)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = docs.withColumn("rank_in_src", row_number().over(w).cast("long"))
+      .filter(col("rank_in_src") <= 3)
+    def keyRank(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rank_in_src").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = keyRank(capped)
+    assert(got == keyRank(ref)) // two-phase ≡ one global window
+    // ≤ n rows per source, ranks contiguous from 1
+    val bySrc = capped.groupBy("source").agg(count(lit(1)).as("n"),
+      min("rank_in_src").as("mn"), max("rank_in_src").as("mx")).collect()
+    assert(bySrc.forall(r => r.getLong(1) <= 3 && r.getLong(2) == 1L &&
+      r.getLong(3) == r.getLong(1)))
+    // answer is independent of the incoming partition layout
+    val shuffled = LlmOps.sourceCap(docs.repartition(7, col("doc_id")), 3)
+    assert(keyRank(shuffled) == got)
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate source_cap(3, source, n_chars, doc_id)", TestSpark.sfDir)
+    assert(kql.select("doc_id").collect().map(_.getLong(0)).toSet == got.map(_._1))
+  }
 }
