@@ -810,10 +810,13 @@ object SparkEntry {
     //
     // Allowance honesty: the fixture's τ=0.3 dup graph is DENSER than
     // its cluster structure (879 cross-label pairs ≥0.3 at sf0.01), the
-    // worst case for cell-local dedup — measured n_sem/n_exact = 1.96
-    // at k=8 (1.73 at k=4; the paper's τ≈0.9 web regime is cluster-
-    // local and far tighter). Bound 2.2 pins that measured trade while
-    // still excluding the keep-everything no-op (ratio 3.65).
+    // worst case for cell-local dedup, and the miss ratio moves with
+    // scale (measured n_sem/n_exact 2.4 at sf0.001, 2.1 at sf0.01, 3.7
+    // at sf0.1 — the paper's τ≈0.9 web regime is cluster-local and far
+    // tighter). So the bound is on the REALIZED DROP FRACTION, which is
+    // scale-stable: cell-local dedup must capture ≥ 40% of the global
+    // dup mass (measured 55% / 58% / 81% at sf0.001/0.01/0.1; the
+    // keep-everything no-op scores 0%).
     "llm_semdedup" -> Q(
       (s, dir) => {
         val e = embs(s, dir)
@@ -829,11 +832,13 @@ object SparkEntry {
             coalesce(sum(when(col("x") === 1 && col("m").isNull, 1L).otherwise(0L)), lit(0L))
               .as("n_exact_missing"),
             coalesce(sum(col("m")), lit(0L)).as("n_sem"))
+          .crossJoin(e.agg(count(lit(1)).as("n_total")))
           .select(col("n_exact"), col("n_exact_missing"),
             (col("n_sem") >= col("n_exact") &&
-              col("n_sem") <= ceil(col("n_exact") * 2.2)).as("extra_ok"))
+              (col("n_total") - col("n_sem")) >=
+                ceil((col("n_total") - col("n_exact")) * 0.4)).as("drop_ok"))
       },
-      Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_exact_missing, true AS extra_ok FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops)""")),
+      Some("""WITH pairs AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2), drops AS (SELECT DISTINCT j FROM dots WHERE dp / (na * nb) >= 0.3) SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_exact_missing, true AS drop_ok FROM embeddings WHERE vec_id NOT IN (SELECT j FROM drops)""")),
 
     // Incremental near-dup dedup (r5): the daily-increment shape of a
     // 100 TB pipeline — corpus minhash signatures persisted ONCE as a

@@ -562,7 +562,13 @@ object LlmOps {
     var sample = emb.filter(pmod(xxhash64(col(idCol)), lit(16)) === 0)
       .select(unit.as("__uv")).limit(256 * nLists)
       .collect().map(_.getSeq[Double](0).toArray)
-    if (sample.length < nLists)
+    // k-means wants ≳32 points per centroid (FAISS warns below 39): on a
+    // small corpus the 1/16 hash-sample starves the trainer (measured:
+    // 31 points / 8 centroids at the 500-row fixture put 2.5× the exact
+    // survivor count through semDedup's cells) — fall back to the full
+    // bounded sample. At scale the hash-sample always saturates the
+    // 256·nLists cap, so this branch never runs there.
+    if (sample.length < 32 * nLists)
       sample = emb.select(unit.as("__uv")).limit(256 * nLists)
         .collect().map(_.getSeq[Double](0).toArray)
     kmeansDriver(sample, nLists, seed, iters = 8)
