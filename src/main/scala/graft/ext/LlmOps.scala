@@ -302,6 +302,23 @@ object LlmOps {
     withSig.unpersist(false)
   }
 
+  /** Append new docs' signatures/tokens to an existing minhash index
+    * (same spec as [[buildMinhashIndex]]) — the ingest step of a
+    * continuously-growing dedup index. Rows land in their hash buckets,
+    * so the index join stays exchange-free as the corpus grows. */
+  def appendToMinhashIndex(docs: DataFrame, table: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           buckets: Int = 16): Unit = {
+    val (withToks, withSig, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
+    graft.sources.BucketedLayout.appendBucketed(
+      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
+    graft.sources.BucketedLayout.appendBucketed(
+      withToks, s"${table}_toks", Seq("id"), buckets)
+    withToks.unpersist(false)
+    withSig.unpersist(false)
+  }
+
   /** Incremental near-dup dedup of a NEW batch against a persisted
     * corpus index ([[buildMinhashIndex]]) and against itself: returns
     * the kept new rows. A new doc is dropped when its exact-verified

@@ -33,6 +33,17 @@ object BucketedLayout {
       .saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table (same keys/bucket count —
+    * saveAsTable validates the spec matches). The incremental-ingest
+    * path: new rows land in the right buckets, so joins against the
+    * table stay exchange-free as it grows. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }

@@ -58,6 +58,45 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Continuous-ingestion near-dup dedup: each micro-batch is deduped
+    * against the persisted minhash index (LlmOps.dedupIncremental —
+    * index candidates + in-batch self-join, exact-verified), the kept
+    * rows are appended to `keptTable`, and their signatures are
+    * APPENDED to the index, so later batches dedup against everything
+    * kept so far.
+    *
+    * The cross-batch state is the bucketed index AT REST, not streaming
+    * state: unlike dropDuplicatesWithinWatermark (whose state store
+    * must hold every key inside the watermark horizon in executor
+    * memory), the index is unbounded-corpus-sized on disk, bucket-
+    * joined exchange-free, and survives restarts/redeploys — the only
+    * viable shape when the dedup horizon is "the whole 100 TB corpus",
+    * with near-dup (not just exact-key) matching. foreachBatch runs
+    * batches sequentially, so append-then-next-batch ordering is safe.
+    * Start from [[graft.ext.LlmOps.buildMinhashIndex]] on the seed
+    * corpus (possibly empty). */
+  def dedupIncrementalStream(stream: DataFrame, indexTable: String,
+                             keptTable: String, threshold: Double = 0.8,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.ext.LlmOps.dedupIncremental(
+          batch, indexTable, threshold, textCol = textCol, idCol = idCol).persist()
+        kept.write.mode("append").format("parquet").saveAsTable(keptTable)
+        graft.ext.LlmOps.appendToMinhashIndex(
+          kept, indexTable, textCol = textCol, idCol = idCol)
+        kept.unpersist()
+        ()
+      }
+    // deploys pass a checkpoint dir so a restart resumes at the next
+    // unprocessed offset (the index/kept appends of finished batches are
+    // already on disk); tests drive batches via processAllAvailable
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and process all
     * currently-available input (used by tests and the demo). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -174,4 +174,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batched)
     assert(streamed.contains((1L, 5L, 7.0))) // the cross-batch continuation
   }
+
+  test("streaming incremental dedup: index-backed cross-batch near-dup drops") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    // seed: an EMPTY corpus index — the stream builds it up as it keeps
+    graft.ext.LlmOps.buildMinhashIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_stream_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_stream_kept")
+    // a stale managed-table LOCATION from a prior JVM outlives the
+    // in-memory catalog (same trap BucketedLayout.writeBucketed clears)
+    val staleLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_stream_kept")
+    staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(staleLoc, true)
+    val q = graft.streaming.StreamingOps.dedupIncrementalStream(
+      src, "graft_stream_idx", "graft_stream_kept")
+    try {
+      // batch 1: one in-batch exact dup (id 3 repeats id 1's text)
+      ms.addData((1L, "alpha beta gamma delta"), (2L, "totally different words here"),
+        (3L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      // appends run inside foreachBatch's session CLONE — refresh the
+      // outer session's cached file listing before reading
+      def keptIds = {
+        spark.catalog.refreshTable("graft_stream_kept")
+        spark.table("graft_stream_kept")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      assert(keptIds == Set(1L, 2L))
+      // batch 2: id 4 near-dups the INDEXED id 1 (cross-batch, via the
+      // appended index — no streaming state involved); id 5 is fresh
+      ms.addData((4L, "alpha beta gamma delta"), (5L, "fresh new unique content"))
+      q.processAllAvailable()
+      assert(keptIds == Set(1L, 2L, 5L))
+      // the index grew by exactly the kept docs: 3 docs × 4 bands
+      spark.catalog.refreshTable("graft_stream_idx_bands")
+      spark.catalog.refreshTable("graft_stream_idx_toks")
+      assert(spark.table("graft_stream_idx_bands").count() == 12L)
+      assert(spark.table("graft_stream_idx_toks").select("id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
