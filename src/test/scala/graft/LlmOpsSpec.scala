@@ -612,6 +612,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.select("vec_id").collect().map(_.getLong(0)).toSet == semKept)
   }
 
+  test("plan shapes: semDedup pair join is an equi-join; sourceCap phase-1 partitions on (source, slice)") {
+    // the within-cell pair step must plan as a hash/sort-merge EQUI-join
+    // on (cell, salt) — a cartesian/nested-loop here is the O(n²) trap
+    val semPlan = LlmOps.semDedup(embs, 0.3, nClusters = 4)
+      .queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct"), semPlan.take(500))
+    assert(!semPlan.contains("BroadcastNestedLoopJoin"), semPlan.take(500))
+    // phase 1's exchange must spread a hot source over input slices:
+    // hashpartitioning on BOTH the source and the slice id
+    val capPlan = LlmOps.sourceCap(docs, 3).queryExecution.executedPlan.toString
+    val phase1 = capPlan.linesIterator.find(l =>
+      l.contains("hashpartitioning") && l.contains("__p"))
+    assert(phase1.exists(_.contains("source")), capPlan.take(800))
+  }
+
   test("sourceCap: per-source top-n ≡ single global window, layout-independent, KQL") {
     import org.apache.spark.sql.expressions.Window
     val capped = LlmOps.sourceCap(docs, 3)
