@@ -526,6 +526,30 @@ object SparkEntry {
         .orderBy("split"),
       Some("""SELECT split, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM (SELECT doc_id, CASE WHEN h < CAST(FLOOR(0.8 * 4294967296) AS BIGINT) THEN 'train' WHEN h < CAST(FLOOR(0.9 * 4294967296) AS BIGINT) THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)) GROUP BY 1 ORDER BY 1""")),
 
+    // End-to-end curation pipeline (r5): the operators a training-data
+    // run actually chains — quality filter (stop-word ratio + length
+    // floor) → exact dedup (min-id survivor per normalized text) →
+    // per-source cap → growth-stable hash split → per-(source, split)
+    // corpus accounting. Every stage is deterministic and engine-
+    // portable, so DuckDB replays the WHOLE pipeline value-exactly —
+    // the composition proof that the ops snap together, not just pass
+    // alone. Scale shape: two row-wise projections, one dedup shuffle,
+    // the two-phase cap, a shuffle-free split, one final agg.
+    "llm_pipeline_e2e" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val good = d.join(LlmOps.qualityScore(d)
+          .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 20)
+          .select("doc_id"), "doc_id")
+        val keepIds = LlmOps.dedupExact(good).select(col("keep_id").as("doc_id"))
+        val capped = LlmOps.sourceCap(good.join(keepIds, "doc_id"), 20)
+        LlmOps.hashSplit(capped, 0.8, 0.1)
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH q AS (SELECT doc_id, source, n_chars, ROUND(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS stop_ratio, len(string_split(lower(text), ' ')) AS n_tokens, lower(trim(text)) AS norm_text FROM documents), good AS (SELECT * FROM q WHERE stop_ratio >= 0.05 AND n_tokens >= 20), keep AS (SELECT MIN(doc_id) AS doc_id FROM good GROUP BY norm_text), capped AS (SELECT g.source, g.doc_id, g.n_chars FROM good g JOIN keep k ON g.doc_id = k.doc_id QUALIFY ROW_NUMBER() OVER (PARTITION BY g.source ORDER BY g.n_chars DESC, g.doc_id) <= 20), split AS (SELECT source, n_chars, CASE WHEN h < CAST(FLOOR(0.8 * 4294967296) AS BIGINT) THEN 'train' WHEN h < CAST(FLOOR(0.9 * 4294967296) AS BIGINT) THEN 'val' ELSE 'test' END AS split FROM (SELECT source, n_chars, (doc_id * 2654435761) % 4294967296 AS h FROM capped)) SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM split GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Per-source/domain cap (r5): keep the top-5 docs per source by
     // (n_chars DESC, doc_id) — the C4/RefinedWeb "limit pages per
     // domain" curation rule. Two-phase top-n (LlmOps.sourceCap): phase 1
