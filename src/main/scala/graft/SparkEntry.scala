@@ -562,6 +562,28 @@ object SparkEntry {
         .orderBy("source", "rank_in_src"),
       Some("""SELECT source, rank_in_src, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank_in_src FROM documents) t WHERE rank_in_src <= 5 ORDER BY source, rank_in_src""")),
 
+    // Source-mixing sample (r5): Pile/DoReMi-style per-domain rates via
+    // the growth-stable Knuth id hash — a pure per-row projection (no
+    // shuffle), and DuckDB reproduces the exact kept row set, reduced
+    // here to per-source counts + an id checksum.
+    "llm_source_mix" -> Q(
+      (s, dir) => LlmOps.weightedSourceSample(docs(s, dir),
+          Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 0.1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents) WHERE h < CAST(FLOOR(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 0.1 END * 4294967296) AS BIGINT) GROUP BY source ORDER BY source""")),
+
+    // Token-budget sample (r5): fill a per-source character budget from
+    // the deterministic hash order — the "cut an n-token mix per
+    // domain" step; the kept set is a hash-prefix reservoir per source.
+    // Value-exact: DuckDB replays the cumulative window.
+    "llm_token_budget" -> Q(
+      (s, dir) => LlmOps.tokenBudgetSample(docs(s, dir), 2000)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("cum_w"))
+        .orderBy("source", "cum_w"),
+      Some("""SELECT source, doc_id, n_chars, cum_w FROM (SELECT source, doc_id, n_chars, CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w FROM documents) WHERE cum_w <= 2000 ORDER BY source, cum_w""")),
+
     // Benchmark decontamination: train = full documents table, eval =
     // its src0 block; docs sharing any 8-word n-gram with the eval set
     // are flagged with their contaminated-gram count. Token n-grams are

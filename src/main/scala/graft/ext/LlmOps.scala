@@ -579,13 +579,15 @@ object LlmOps {
     var sample = emb.filter(pmod(xxhash64(col(idCol)), lit(16)) === 0)
       .select(unit.as("__uv")).limit(256 * nLists)
       .collect().map(_.getSeq[Double](0).toArray)
-    // k-means wants ≳32 points per centroid (FAISS warns below 39): on a
-    // small corpus the 1/16 hash-sample starves the trainer (measured:
-    // 31 points / 8 centroids at the 500-row fixture put 2.5× the exact
-    // survivor count through semDedup's cells) — fall back to the full
-    // bounded sample. At scale the hash-sample always saturates the
-    // 256·nLists cap, so this branch never runs there.
-    if (sample.length < 32 * nLists)
+    // below ~4 points per centroid the 1/16 hash-sample genuinely starves
+    // k-means (31 points / 8 centroids at the 500-row fixture) — fall
+    // back to the full bounded sample. The threshold is deliberately low:
+    // the fallback collects up to 256·nLists vectors + reruns the sample
+    // job (measured +1.2 s per call at the 2000-row fixture for no
+    // quality gain — a 125-point quantizer already captured 81% of the
+    // dup mass there), and at scale the hash-sample saturates the cap so
+    // neither branch ever collects more than the bounded sample.
+    if (sample.length < 4 * nLists)
       sample = emb.select(unit.as("__uv")).limit(256 * nLists)
         .collect().map(_.getSeq[Double](0).toArray)
     kmeansDriver(sample, nLists, seed, iters = 8)
@@ -1172,6 +1174,51 @@ object LlmOps {
     val vCut = math.floor((trainFrac + valFrac) * 4294967296.0).toLong
     df.withColumn(out,
       when(h < tCut, "train").when(h < vCut, "val").otherwise("test"))
+  }
+
+  /** Source-mixing sample: keep each row with a per-source rate (The
+    * Pile / DoReMi-style domain weights). The decision is the same
+    * growth-stable Knuth id hash as [[hashSplit]] — pure per-row
+    * projection, NO shuffle, engine-portable (DuckDB reproduces the
+    * exact row set), and a doc keeps its fate as the corpus grows.
+    * Unlisted sources fall back to `defaultRate`. */
+  def weightedSourceSample(docs: DataFrame, rates: Map[String, Double],
+                           defaultRate: Double = 1.0, byCol: String = "source",
+                           idCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val rateMap =
+      if (rates.isEmpty) lit(defaultRate)
+      else coalesce(element_at(
+        map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col(byCol)), lit(defaultRate))
+    docs.filter(idHash(col(idCol)) < (rateMap * 4294967296.0).cast("long"))
+  }
+
+  /** Token-budget sample: per source, fill `budget` units of `weightCol`
+    * (tokens/chars) from a deterministic pseudo-random order — the "cut
+    * a 10B-token mix from each domain" step. Order is the Knuth id hash
+    * (id tiebreak), so the kept set is a hash-PREFIX per source — a
+    * deterministic reservoir: as the corpus grows the budget stays
+    * full, membership changes only at the hash boundary (a new low-hash
+    * doc displaces the current tail, nothing else moves), and DuckDB
+    * replays the cumulative window exactly.
+    *
+    * Scale shape: one window per source (running sum). The output is
+    * budget-bounded but the window INPUT is the whole source — for a
+    * mega-source pre-thin with [[weightedSourceSample]] at a rate well
+    * above budget/totalWeight first: the kept set is a lowest-hash
+    * prefix, so any pre-thin that survives ≥ budget worth of weight is
+    * lossless; run unfiltered when guaranteed exactness matters. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long, byCol: String = "source",
+                        weightCol: String = "n_chars",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_w", sum(col(weightCol)).over(w))
+      .filter(col("cum_w") <= budget)
   }
 
   /** Per-source/domain cap — the crawl-curation guard against one domain

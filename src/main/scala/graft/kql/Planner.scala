@@ -819,6 +819,25 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, ordE, "source_cap order"),
         colNameOf(df, idE, "source_cap id"))
 
+    // `evaluate source_sample(defaultRate, source, id, 'src', rate, ...)`:
+    // per-source mixing rates (LlmOps.weightedSourceSample)
+    case EvaluateOp("source_sample", dE :: byE :: idE :: pairEs)
+        if pairEs.length % 2 == 0 =>
+      val rates = pairEs.grouped(2).map {
+        case Seq(k, v) => litString(k, "source_sample source") -> litDouble(v)
+      }.toMap
+      graft.ext.LlmOps.weightedSourceSample(df, rates, litDouble(dE),
+        colNameOf(df, byE, "source_sample source col"),
+        colNameOf(df, idE, "source_sample id"))
+
+    // `evaluate token_budget_sample(budget, source, weight, id)`: fill a
+    // per-source token/char budget (LlmOps.tokenBudgetSample)
+    case EvaluateOp("token_budget_sample", bE :: byE :: wE :: idE :: Nil) =>
+      graft.ext.LlmOps.tokenBudgetSample(df, litLong(bE),
+        colNameOf(df, byE, "token_budget source"),
+        colNameOf(df, wE, "token_budget weight"),
+        colNameOf(df, idE, "token_budget id"))
+
     // `evaluate dedup_incremental('index_table', threshold, text, id)`:
     // drop rows near-duplicating the persisted corpus index
     // (LlmOps.buildMinhashIndex) or a lower-id row of this input

@@ -627,6 +627,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(phase1.exists(_.contains("source")), capPlan.take(800))
   }
 
+  test("weightedSourceSample: rate endpoints, shuffle-free plan, growth-stable, KQL") {
+    val rates = Map("src0" -> 0.5, "src1" -> 0.0)
+    val kept = LlmOps.weightedSourceSample(docs, rates, defaultRate = 1.0)
+    assert(kept.filter(col("source") === "src1").count() == 0) // rate 0 = drop all
+    assert(kept.filter(!col("source").isin("src0", "src1")).count() ==
+      docs.filter(!col("source").isin("src0", "src1")).count()) // rate 1 = keep all
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400)) // per-row projection only
+    // growth stability: doubling the corpus never flips an old doc's fate
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 500000L))
+    val grownOld = LlmOps.weightedSourceSample(grown, rates, defaultRate = 1.0)
+      .filter(col("doc_id") < 500000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(grownOld == keptIds)
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate source_sample(1.0, source, doc_id, 'src0', 0.5, 'src1', 0.0)",
+      TestSpark.sfDir)
+    assert(kql.select("doc_id").collect().map(_.getLong(0)).toSet == keptIds)
+  }
+
+  test("tokenBudgetSample: budget respected and maximal per source, KQL") {
+    val budget = 1500L
+    val sel = LlmOps.tokenBudgetSample(docs, budget).collect()
+    val selBySrc = sel.groupBy(_.getAs[String]("source"))
+    assert(sel.forall(_.getAs[Long]("cum_w") <= budget))
+    // maximality: the next doc in hash order would burst the budget
+    // (or the source is exhausted) — reference order replayed driver-side
+    def h(id: Long) = (id * 2654435761L) % 4294967296L
+    val all = docs.select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy { case (_, id, _) => (h(id), id) }
+      val keptN = selBySrc.get(src).map(_.length).getOrElse(0)
+      val prefixW = ordered.take(keptN).map(_._3).sum
+      assert(prefixW <= budget)
+      if (keptN < ordered.length)
+        assert(prefixW + ordered(keptN)._3 > budget, s"$src not maximal")
+      // the kept rows ARE the hash-prefix
+      val expectIds = ordered.take(keptN).map(_._2).toSet
+      val gotIds = selBySrc.get(src).map(_.map(_.getAs[Long]("doc_id")).toSet)
+        .getOrElse(Set.empty[Long])
+      assert(gotIds == expectIds)
+    }
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate token_budget_sample(1500, source, n_chars, doc_id)",
+      TestSpark.sfDir)
+    assert(kql.count() == sel.length)
+  }
+
   test("sourceCap: per-source top-n ≡ single global window, layout-independent, KQL") {
     import org.apache.spark.sql.expressions.Window
     val capped = LlmOps.sourceCap(docs, 3)
