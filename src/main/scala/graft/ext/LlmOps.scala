@@ -31,11 +31,20 @@ object LlmOps {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Null-text policy shared by every text op: NULL text ≡ '' (empty
+    * document). Real corpora carry nulls; without the coalesce,
+    * size(split(NULL)) = -1 poisons token counts and ratio metrics
+    * upstream of quality filters, and argmax-style scores pick an
+    * arbitrary language. Consequence for dedup fronts: null docs and
+    * empty docs share a token set, so exact/near dedup collapses them
+    * into one group — the curation semantics wanted. */
+  private def txt(textCol: String): Column = coalesce(col(textCol), lit(""))
+
   /** Tokenize: lowercase whitespace split. The universal front-end of the
     * text ops. */
   def withTokens(docs: DataFrame, textCol: String = "text",
                  out: String = "toks"): DataFrame =
-    docs.withColumn(out, split(lower(col(textCol)), "\\s+"))
+    docs.withColumn(out, split(lower(txt(textCol)), "\\s+"))
 
   // ================================================================ dedup
 
@@ -45,7 +54,7 @@ object LlmOps {
     * payload (kept as raw text here so the DuckDB oracle can reproduce). */
   def dedupExact(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(lower(trim(col(textCol))).as("norm_text"))
+    docs.groupBy(lower(trim(txt(textCol))).as("norm_text"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"),
         xxhash64(col("norm_text")).as("text_hash"))
@@ -67,7 +76,7 @@ object LlmOps {
     val blk = blockCol.map(col).getOrElse(lit(1))
     val posts = spread(docs)
       .select(blk.as("blk"), col(idCol).as("id"), explode(array_distinct(
-        transform(split(lower(col(textCol)), "\\s+"), t => xxhash64(t)))).as("tok"))
+        transform(split(lower(txt(textCol)), "\\s+"), t => xxhash64(t)))).as("tok"))
     // global canonical order: ascending document frequency, ties by hash.
     // Persisted: the frame is read four times (both prefix-join sides +
     // both verify-join sides) and costs two shuffles to build — without
@@ -151,7 +160,7 @@ object LlmOps {
                             textCol: String, idCol: String): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val toks = array_distinct(split(lower(col(textCol)), "\\s+"))
+    val toks = array_distinct(split(lower(txt(textCol)), "\\s+"))
     val base = spread(docs)
       .select(col(idCol).as("id"), toks.as("toks"))
       .withColumn("h1", transform(col("toks"), t => xxhash64(t)))
@@ -381,7 +390,7 @@ object LlmOps {
     * chunks at scale). */
   def simHash(docs: DataFrame, nBits: Int = 16,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val hs = transform(split(lower(col(textCol)), "\\s+"), t => xxhash64(t))
+    val hs = transform(split(lower(txt(textCol)), "\\s+"), t => xxhash64(t))
     val bits = (0 until nBits).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -1267,14 +1276,14 @@ object LlmOps {
     * parallel, no shuffle. */
   def qualityScore(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
+    val toks = split(lower(txt(textCol)), "\\s+")
     val nToks = size(toks).cast("long")
     val stopArr = array(stopEn.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
     docs.select(col(idCol), nToks.as("n_tokens"),
-      length(col(textCol)).cast("long").as("n_chars_m"),
-      round(length(regexp_replace(col(textCol), "[^.,;:!?]", "")).cast("double") /
-        length(col(textCol)), 4).as("punct_ratio"),
+      length(txt(textCol)).cast("long").as("n_chars_m"),
+      round(length(regexp_replace(txt(textCol), "[^.,;:!?]", "")).cast("double") /
+        length(txt(textCol)), 4).as("punct_ratio"),
       nStop.as("n_stopwords"),
       round(nStop.cast("double") / nToks, 4).as("stop_ratio"))
   }
@@ -1294,7 +1303,7 @@ object LlmOps {
     * get 0.0 for that metric. */
   def repetitionScore(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
+    val toks = split(lower(txt(textCol)), "\\s+")
     val base = spread(docs).select(col(idCol).as("id"), toks.as("toks"))
     def grams(n: Int): Column = when(size(col("toks")) >= n,
       transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -1324,12 +1333,12 @@ object LlmOps {
     * Deterministic and SQL-expressible so the oracle can replicate it. */
   def langId(docs: DataFrame, textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {
-    val lowered = lower(col(textCol))
+    val lowered = lower(txt(textCol))
     def score(lang: String): Column =
       markers(lang).map(w => regexp_count(lowered, lit("\\b" + w + "\\b")))
         .reduce(_ + _).cast("long")
-    val cjk = regexp_count(col(textCol), lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
-    val scored = docs.select(col(idCol), col(textCol),
+    val cjk = regexp_count(txt(textCol), lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
+    val scored = docs.select(col(idCol), txt(textCol).as(textCol),
       score("en").as("s_en"), score("es").as("s_es"),
       score("fr").as("s_fr"), score("de").as("s_de"), cjk.as("s_zh"))
     // argmax with fixed preference order on ties
@@ -1348,11 +1357,11 @@ object LlmOps {
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
+    val toks = split(lower(txt(textCol)), "\\s+")
     val shingles = transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     docs.select(col(idCol),
-      md5(lower(col(textCol))).as("fp"),
+      md5(lower(txt(textCol))).as("fp"),
       array_min(transform(shingles, s => md5(s))).as("min_shingle_fp"))
   }
 
@@ -1363,10 +1372,10 @@ object LlmOps {
     * Pure per-row projection, no shuffle. */
   def tokenCount(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    val nWs = size(split(trim(col(textCol)), "\\s+")).cast("long")
-    val nBpe = regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
+    val nWs = size(split(trim(txt(textCol)), "\\s+")).cast("long")
+    val nBpe = regexp_count(txt(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
     docs.select(col(idCol), nWs.as("n_ws_tokens"), nBpe.as("n_bpe_tokens"),
-      round(length(col(textCol)).cast("double") /
+      round(length(txt(textCol)).cast("double") /
         greatest(nBpe, lit(1L)), 4).as("chars_per_token"))
   }
 
@@ -1382,7 +1391,7 @@ object LlmOps {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
     val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    val t = col(textCol)
+    val t = txt(textCol)
     docs.select(col(idCol),
       regexp_count(t, lit(email)).cast("long").as("n_email"),
       regexp_count(t, lit(phone)).cast("long").as("n_phone"),
@@ -1405,7 +1414,7 @@ object LlmOps {
     * back per doc. */
   def substringDup(docs: DataFrame, w: Int = 8, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
+    val toks = split(lower(txt(textCol)), "\\s+")
     val base = spread(docs).select(col(idCol).as("id"), toks.as("toks"))
       .filter(size(col("toks")) >= w)
     val shingles = transform(sequence(lit(1), size(col("toks")) - (w - 1)),
@@ -1426,7 +1435,7 @@ object LlmOps {
 
   /** Corpus term frequency (top terms). One explode + one shuffle. */
   def termFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    docs.select(explode(split(lower(txt(textCol)), "\\s+")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
 
   /** TF-IDF per (doc, term): idf = ln(N / df). Two shuffles (per-doc tf,
@@ -1437,7 +1446,7 @@ object LlmOps {
     // distinct().count() driver job; the whole op stays one DAG
     val nDf = docs.select(count_distinct(col(idCol)).cast("double").as("__n"))
     val terms = spread(docs).select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      explode(split(lower(txt(textCol)), "\\s+")).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df_ = terms.select("id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -1459,7 +1468,7 @@ object LlmOps {
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     val terms = spread(docs).select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      explode(split(lower(txt(textCol)), "\\s+")).as("term"))
     val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
     val nDf = terms.select(count(lit(1)).cast("double").as("__n"))
     terms.join(tf, "term").crossJoin(broadcast(nDf))

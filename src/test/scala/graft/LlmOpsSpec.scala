@@ -627,6 +627,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(phase1.exists(_.contains("source")), capPlan.take(800))
   }
 
+  test("null-text policy: NULL ≡ empty doc across the text ops (no -1 counts, no arbitrary langs)") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta the gamma"), (2L, null: String), (3L, ""),
+      (4L, null: String)).toDF("doc_id", "text")
+    val q = LlmOps.qualityScore(d).collect().map(r => r.getLong(0) -> r).toMap
+    // null rows carry the empty-doc metrics, not size(NULL) = -1 poison
+    assert(q(2L).getLong(1) == q(3L).getLong(1) && q(2L).getLong(1) >= 0)
+    assert(q(2L).getDouble(5) == 0.0) // stop_ratio 0, not -1/-1 = 1.0
+    val tc = LlmOps.tokenCount(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(2L) == tc(3L) && tc(2L) >= 0)
+    val lang = LlmOps.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(lang(2L) == lang(3L)) // all-zero scores tie-break, not null-argmax
+    // dedup fronts collapse null and empty docs into ONE group
+    val dd = LlmOps.dedupExact(d)
+    assert(dd.count() == 2) // {real doc} + {null/empty group}
+    assert(dd.filter(col("n_copies") === 3).count() == 1)
+    val scrub = LlmOps.piiScrub(d).filter(col("doc_id") === 2L).head
+    assert(scrub.getAs[String]("clean_text") == "" && scrub.getAs[Long]("n_email") == 0)
+    // unigramLogProb keeps null docs (as empty-doc rows) instead of dropping
+    assert(LlmOps.unigramLogProb(d).count() == 4)
+  }
+
   test("weightedSourceSample: rate endpoints, shuffle-free plan, growth-stable, KQL") {
     val rates = Map("src0" -> 0.5, "src1" -> 0.0)
     val kept = LlmOps.weightedSourceSample(docs, rates, defaultRate = 1.0)
