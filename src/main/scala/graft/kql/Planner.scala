@@ -819,6 +819,20 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, ordE, "source_cap order"),
         colNameOf(df, idE, "source_cap id"))
 
+    // `evaluate quality_filter(minStopRatio, minTokens, text, id)`: the
+    // row-PRESERVING quality gate — keeps every input column, so KQL
+    // users can chain the full curation pipeline:
+    //   documents | evaluate quality_filter(0.05, 20, text, doc_id)
+    //             | evaluate source_cap(...) | evaluate token_budget_sample(...)
+    case EvaluateOp("quality_filter", srE :: ntE :: textE :: idE :: Nil) =>
+      val idName = colNameOf(df, idE, "quality_filter id")
+      val passing = graft.ext.LlmOps.qualityScore(df,
+          colNameOf(df, textE, "quality_filter text"), idName)
+        .filter(col("stop_ratio") >= litDouble(srE) &&
+          col("n_tokens") >= litLong(ntE))
+        .select(col(idName))
+      df.join(passing, Seq(idName), "left_semi")
+
     // `evaluate source_sample(defaultRate, source, id, 'src', rate, ...)`:
     // per-source mixing rates (LlmOps.weightedSourceSample)
     case EvaluateOp("source_sample", dE :: byE :: idE :: pairEs)

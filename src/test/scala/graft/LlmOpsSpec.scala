@@ -627,6 +627,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(phase1.exists(_.contains("source")), capPlan.take(800))
   }
 
+  test("KQL curation pipeline: quality_filter | source_cap | token_budget chain end-to-end") {
+    val out = graft.kql.Kql.run(spark,
+      """documents
+        | evaluate quality_filter(0.05, 20, text, doc_id)
+        | evaluate source_cap(10, source, n_chars, doc_id)
+        | evaluate token_budget_sample(1500, source, n_chars, doc_id)
+        | summarize n = count(), w = sum(n_chars) by source
+        | sort by source asc""", TestSpark.sfDir)
+    // reference: the same chain through the Scala API
+    val good = docs.join(LlmOps.qualityScore(docs)
+      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 20)
+      .select("doc_id"), "doc_id")
+    val ref = LlmOps.tokenBudgetSample(LlmOps.sourceCap(good, 10), 1500L)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("w"))
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == ref.toSeq && got.nonEmpty)
+  }
+
   test("null-text policy: NULL ≡ empty doc across the text ops (no -1 counts, no arbitrary langs)") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta the gamma"), (2L, null: String), (3L, ""),
