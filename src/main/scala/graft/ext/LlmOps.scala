@@ -307,8 +307,33 @@ object LlmOps {
       banded, s"${table}_bands", Seq("band", "bucket"), buckets)
     graft.sources.BucketedLayout.writeBucketed(
       withToks, s"${table}_toks", Seq("id"), buckets)
+    // persist the banding parameters: reading the index with different
+    // ones silently collapses recall (bucket hashes from another band
+    // slicing never collide) — the read paths verify loudly instead
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.BucketedLayout.writePlain(
+      Seq((numHashes, bands, buckets)).toDF("num_hashes", "bands", "buckets"),
+      s"${table}_meta")
     withToks.unpersist(false)
     withSig.unpersist(false)
+  }
+
+  /** Fail loudly when the caller's banding parameters disagree with the
+    * ones the persisted index was built with (pre-meta indexes pass). */
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                 table: String, numHashes: Int, bands: Int,
+                                 buckets: Int): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_meta")) return
+    val m = spark.table(s"${table}_meta").head
+    val (nh, bd, bk) = (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
+      m.getAs[Int]("buckets"))
+    // buckets < 0 ⇒ read-only caller (any bucket count reads fine); the
+    // append path must match or the layout validation rejects mid-write
+    require(nh == numHashes && bd == bands && (buckets < 0 || bk == buckets),
+      s"minhash index '$table' was built with numHashes=$nh, bands=$bd, " +
+        s"buckets=$bk; caller passed ($numHashes, $bands, $buckets) — a " +
+        "mismatch silently collapses recall; pass the index's parameters")
   }
 
   /** Append new docs' signatures/tokens to an existing minhash index
@@ -319,6 +344,7 @@ object LlmOps {
                            numHashes: Int = 16, bands: Int = 4,
                            textCol: String = "text", idCol: String = "doc_id",
                            buckets: Int = 16): Unit = {
+    requireIndexParams(docs.sparkSession, table, numHashes, bands, buckets)
     val (withToks, withSig, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
     graft.sources.BucketedLayout.appendBucketed(
       banded, s"${table}_bands", Seq("band", "bucket"), buckets)
@@ -344,13 +370,20 @@ object LlmOps {
                        numHashes: Int = 16, bands: Int = 4,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = newDocs.sparkSession
+    requireIndexParams(spark, table, numHashes, bands, buckets = -1)
     val (nToks, _, nBanded) = minhashFrames(newDocs, numHashes, bands, textCol, idCol)
     val cBanded = graft.sources.BucketedLayout.readTable(spark, s"${table}_bands")
     val cToks = graft.sources.BucketedLayout.readTable(spark, s"${table}_toks")
+    // probe-side partition count PINNED against AQE coalescing, same as
+    // nearDupPairsMinhash: the kilobyte-sized probe shuffle otherwise
+    // folds to one partition and serializes the candidate fan-out (the
+    // measured dominant effect on the self-join operator)
+    val par = spark.sparkContext.defaultParallelism
+    val nProbe = nBanded.repartition(par, col("id"))
     // new × corpus candidates: a (band, bucket) collision, size-ratio +
     // first-collision + signature prunes inside/right after the join.
     // The corpus side reads its buckets in place; only nBanded moves.
-    val candidates = nBanded.as("a")
+    val candidates = nProbe.as("a")
       .join(cBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           least(col("a.n"), col("b.n")).cast("double") >=
@@ -369,7 +402,7 @@ object LlmOps {
     // in-batch dups over the SAME persisted frames (no second tokenize
     // pass): the self-join candidate shape of nearDupPairsMinhash, with
     // the greedy rule dropping the higher id of each verified pair
-    val selfCand = nBanded.as("a")
+    val selfCand = nProbe.as("a")
       .join(nBanded.repartition(col("band"), col("bucket")).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id") &&
@@ -503,10 +536,15 @@ object LlmOps {
     * the same sequential left fold as dotD ⇒ bit-identical doubles, so
     * swapping kernels never moves a value-exact oracle. */
   private val dotKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+    // null vector ⇒ null dot (matches dotD's null propagation: the pair's
+    // cos is null and the ≥ threshold filter drops it, instead of an NPE)
+    if (a == null || b == null) null
+    else {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }: java.lang.Double
   }
 
   private def normD(a: Column): Column =
@@ -881,6 +919,11 @@ object LlmOps {
   def semDedup(emb: DataFrame, threshold: Double, nClusters: Int = 8,
                seed: Long = 42, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    // empty input degrades to an empty result (same contract as the
+    // dedup siblings) instead of tripping the quantizer's empty-sample
+    // require — an upstream filter matching nothing is not an error
+    if (emb.isEmpty)
+      return emb.select(col(idCol), lit(1).as("cell")).limit(0)
     val cents = trainIvfCentroids(emb, nClusters, seed, idCol, vecCol)
     val assigned = spread(emb).withColumn("__cell",
       cellOf(cents)(col(vecCol).cast("array<double>")))
@@ -1036,10 +1079,24 @@ object LlmOps {
     // — compare (count, Σu, Σv) across rounds (BigInt sums stay exact at
     // any node count / id range); the checksum action is also what
     // materializes the round's checkpoint.
-    def checksum(e: RDD[(Long, Long)]): (Long, BigInt, BigInt) =
-      e.aggregate((0L, BigInt(0), BigInt(0)))(
-        (acc, kv) => (acc._1 + 1, acc._2 + kv._1, acc._3 + kv._2),
-        (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    // the 4th component sums a MIXED per-edge hash: plain (count, Σu, Σv)
+    // is not a sound multiset-equality test ({(5,1),(4,2)} and
+    // {(5,2),(4,1)} agree on all three), and equal checksums end the
+    // loop — a collision would return wrong labels silently. With the
+    // order-independent Σ fmix(u ⊕ rot(v)) added, a false fixpoint needs
+    // a simultaneous collision in all four sums (no structure the star
+    // rounds could plausibly generate; ~2⁻⁶⁴ for unstructured changes).
+    def mix(u: Long, v: Long): Long = {
+      var h = u ^ java.lang.Long.rotateLeft(v, 17)
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^ (h >>> 33)
+    }
+    def checksum(e: RDD[(Long, Long)]): (Long, BigInt, BigInt, Long) =
+      e.aggregate((0L, BigInt(0), BigInt(0), 0L))(
+        (acc, kv) => (acc._1 + 1, acc._2 + kv._1, acc._3 + kv._2,
+          acc._4 + mix(kv._1, kv._2)),
+        (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
     var edges = ckptRdd(edgePairs.filter { case (i, j) => i != j }
       .distinct(part.numPartitions))
     var sumPrev = checksum(edges)
@@ -1070,6 +1127,11 @@ object LlmOps {
     labels.count()
     rmCkpt(edges)
     edges.unpersist(false)
+    // `labels` stays persisted deliberately: its localCheckpoint blocks
+    // ARE the returned frame's data (unpersisting here would destroy
+    // them before the caller's action). The blocks are reclaimed by
+    // ContextCleaner once the caller drops the frame (RDD GC), so the
+    // lifetime is one query, not the session.
     // back to the DataFrame surface
     import spark.implicits._
     spark.createDataset(labels).toDF("node", "group_id")

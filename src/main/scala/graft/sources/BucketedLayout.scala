@@ -14,19 +14,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedLayout {
 
-  /** Write `df` bucketed and sorted on `keys` as catalog table `table`. */
-  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // a fresh session can inherit a surviving warehouse dir from a prior
-    // run: the managed-table LOCATION outlives the in-memory catalog, and
-    // saveAsTable refuses it (LOCATION_ALREADY_EXISTS). Drop both the
-    // catalog entry and any stale location before writing.
+  /** Drop a managed table AND its surviving location. A fresh session
+    * can inherit a warehouse dir from a prior run: the managed-table
+    * LOCATION outlives the in-memory catalog, and saveAsTable refuses it
+    * (LOCATION_ALREADY_EXISTS). */
+  private def clearStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     try loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     catch { case _: java.io.IOException => () }
+  }
+
+  /** Write a small unbucketed catalog table (index metadata and the
+    * like), clearing any stale managed location first. */
+  def writePlain(df: DataFrame, table: String): Unit = {
+    clearStale(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Write `df` bucketed and sorted on `keys` as catalog table `table`. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    clearStale(df.sparkSession, table)
     align(df, keys, buckets).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

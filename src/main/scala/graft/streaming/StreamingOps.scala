@@ -81,18 +81,37 @@ object StreamingOps {
                              checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // checkpoint-replay idempotency: kept rows land in a
+        // __batch_id partition via DYNAMIC partition overwrite, so a
+        // replayed batch REPLACES its own output instead of appending
+        // it twice. The index append is not similarly guarded — a
+        // replay can double a batch's signatures there, which costs
+        // index space but never correctness (duplicate signatures make
+        // duplicate candidates; drops are distinct verified ids).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val kept = graft.ext.LlmOps.dedupIncremental(
-          batch, indexTable, threshold, textCol = textCol, idCol = idCol).persist()
-        kept.write.mode("append").format("parquet").saveAsTable(keptTable)
+            batch, indexTable, threshold, textCol = textCol, idCol = idCol)
+          .withColumn("__batch_id", lit(batchId)).persist()
+        if (!spark.catalog.tableExists(keptTable))
+          kept.limit(0).write.format("parquet")
+            .partitionBy("__batch_id").saveAsTable(keptTable)
+        kept.write.mode("overwrite").insertInto(keptTable)
         graft.ext.LlmOps.appendToMinhashIndex(
-          kept, indexTable, textCol = textCol, idCol = idCol)
+          kept.drop("__batch_id"), indexTable, textCol = textCol, idCol = idCol)
         kept.unpersist()
+        // dedupIncremental persists its per-batch token/signature frames
+        // for within-query reuse; without this they accumulate one pair
+        // per micro-batch for the life of the stream. The wrapper
+        // assumes it owns the session's SQL cache (a dedicated
+        // ingestion job — the deployment shape this runner is for).
+        spark.catalog.clearCache()
         ()
       }
     // deploys pass a checkpoint dir so a restart resumes at the next
-    // unprocessed offset (the index/kept appends of finished batches are
-    // already on disk); tests drive batches via processAllAvailable
+    // unprocessed offset (finished batches' writes are idempotent per
+    // above); tests drive batches via processAllAvailable
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }

@@ -627,6 +627,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(phase1.exists(_.contains("source")), capPlan.take(800))
   }
 
+  test("incremental dedup index: mismatched banding parameters fail loudly") {
+    LlmOps.buildMinhashIndex(docs.limit(20), "graft_meta_idx", numHashes = 32, bands = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      LlmOps.dedupIncremental(docs.limit(5), "graft_meta_idx") // defaults 16/4
+    }
+    assert(e1.getMessage.contains("numHashes=32"))
+    val e2 = intercept[IllegalArgumentException] {
+      LlmOps.appendToMinhashIndex(docs.limit(5), "graft_meta_idx", numHashes = 32,
+        bands = 8, buckets = 4) // right banding, wrong bucket count
+    }
+    assert(e2.getMessage.contains("buckets=16"))
+    // matching parameters pass
+    assert(LlmOps.dedupIncremental(docs.limit(5), "graft_meta_idx",
+      numHashes = 32, bands = 8).count() >= 0)
+  }
+
   test("KQL curation pipeline: quality_filter | source_cap | token_budget chain end-to-end") {
     val out = graft.kql.Kql.run(spark,
       """documents
