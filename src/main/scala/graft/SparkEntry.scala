@@ -737,6 +737,82 @@ object SparkEntry {
       (s, dir) => LlmOps.substringDup(docs(s, dir), w = 8).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i FROM t WHERE len(toks) >= 8), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS s FROM ix), df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles, ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY 1""")),
 
+    // Bigram conditional LM score (r5): mean -ln p(tok|prev) under the
+    // corpus MLE bigram model — value-exact via per-pair integer micros
+    // (the unigram_logprob convention); docs with < 2 tokens drop out
+    "llm_bigram_logprob" -> Q(
+      (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
+
+    // C4-style line-level dedup (r5): the fixture text is single-line,
+    // so both engines first reformat it into 10-token lines — the op
+    // itself is delimiter-generic. Every repeated line survives only at
+    // its first (doc_id, pos); docs reassemble in original line order.
+    "llm_line_dedup" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), "\\s+")
+        val relined = docs(s, dir).withColumn("text", array_join(transform(
+          sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+          k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
+        LlmOps.lineDedup(relined).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+
+    // RefinedWeb frequent-line boilerplate removal (r5): lines in >= 3
+    // distinct docs vanish everywhere; rare lines keep all occurrences
+    "llm_boilerplate" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), "\\s+")
+        val relined = docs(s, dir).withColumn("text", array_join(transform(
+          sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+          k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
+        LlmOps.boilerplateRemove(relined, minDf = 3).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+
+    // Overlapping token-window chunking (r5): 16-token chunks, 4-token
+    // overlap (stride 12) — value-exact per-chunk text recompute
+    "llm_chunk" -> Q(
+      (s, dir) => LlmOps.chunkDocs(docs(s, dir), chunkTokens = 16,
+        overlapTokens = 4).orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(least(16, len(tk) - k*12) AS BIGINT) AS n_toks, array_to_string(tk[k*12+1 : k*12+16], ' ') AS chunk_text FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/12.0) AS INT))) AS k FROM t) ORDER BY doc_id, chunk_idx""")),
+
+    // Sequence packing (r5): concat-then-cut assignment in Knuth-hash
+    // order, 500-char sequences per source — integer-exact quotient /
+    // remainder, so DuckDB replays the exact assignment
+    "llm_pack" -> Q(
+      (s, dir) => LlmOps.packSequences(docs(s, dir), 500)
+        .orderBy("source", "seq_id", "offset_in_seq", "doc_id"),
+      Some("""WITH c AS (SELECT source, doc_id, n_chars, CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS so FROM documents) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, doc_id, CAST(n_chars AS BIGINT) AS w, CAST(so % 500 AS BIGINT) AS offset_in_seq FROM c ORDER BY source, seq_id, offset_in_seq, doc_id""")),
+
+    // Bloom-filter membership dedup (r5): odd-id batch vs even-id
+    // corpus. Contract: no false keeps (bloom FNs are structurally
+    // impossible — n_false_keep = 0), over-drop bounded by 5% of the
+    // exact survivor count (fpp = 0.01, bound sits > 5 sigma out);
+    // n_exact_kept is recomputed independently by DuckDB.
+    "llm_dedup_bloom" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val kept = LlmOps.dedupBloomFilter(batch, corpus).select("doc_id")
+        val exactKept = batch.join(
+          corpus.select(lower(trim(col("text"))).as("__nt")).distinct(),
+          lower(trim(batch("text"))) === col("__nt"), "left_anti")
+          .select("doc_id")
+        kept.withColumn("b", lit(1))
+          .join(exactKept.withColumn("e", lit(1)), Seq("doc_id"), "full_outer")
+          .agg(
+            coalesce(sum(col("e")), lit(0L)).as("n_exact_kept"),
+            coalesce(sum(when(col("e").isNull && col("b") === 1, 1L)
+              .otherwise(0L)), lit(0L)).as("n_false_keep"),
+            coalesce(sum(col("b")), lit(0L)).as("nb"))
+          .select(col("n_exact_kept"), col("n_false_keep"),
+            (col("n_exact_kept") - col("nb") <=
+              ceil(col("n_exact_kept") * 0.05)).as("overdrop_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_kept, CAST(0 AS BIGINT) AS n_false_keep, true AS overdrop_ok FROM documents b WHERE b.doc_id % 2 = 1 AND lower(trim(b.text)) NOT IN (SELECT lower(trim(text)) FROM documents WHERE doc_id % 2 = 0)""")),
+
     // exact all-pairs variant as the oracle cross-check; the scale
     // default (banded LSH candidates + exact verify) is the rows-only
     // llm_dedup_cosine_lsh below, recall-pinned in LlmOpsSpec

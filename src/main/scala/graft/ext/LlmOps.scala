@@ -1546,6 +1546,209 @@ object LlmOps {
           .as("mean_neg_logp"))
   }
 
+  /** Bigram conditional log-likelihood quality score — one rung up the
+    * LM ladder from [[unigramLogProb]] (the CCNet filter family with the
+    * strongest model buildable from the corpus alone): per doc, the mean
+    * of −ln p(tok | prev) where p is the corpus MLE bigram conditional
+    * c(prev,tok) / c(prev,·). Repetitive/templated text scores LOW
+    * (its transitions are predictable), incoherent token soup scores
+    * HIGH. Docs with < 2 tokens have no bigrams and are omitted.
+    *
+    * Shape: one explode to (prev, cur) pairs, two hash aggregates
+    * (bigram counts, context counts), two joins back (bigram-keyed +
+    * vocabulary-keyed), one per-doc aggregate. Per-pair integer-micro
+    * rounding keeps the mean engine-exact ([[unigramLogProb]]
+    * convention). */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = split(lower(txt(textCol)), "\\s+")
+    // guard BEFORE sequence(2, n): Spark's sequence(2, 1) is DESCENDING
+    // [2, 1], not empty — a 1-token doc would fabricate a bigram
+    val base = spread(docs).select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = base.select(col("id"), explode(transform(
+        sequence(lit(2), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 1).as("prev"),
+          element_at(col("toks"), i).as("cur")))).as("g"))
+      .select(col("id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+    val c2 = grams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy("prev").agg(count(lit(1)).as("c1"))
+    grams.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+      .withColumn("nlp_u",
+        round(-log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nlp_u")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("mean_neg_logp2"))
+  }
+
+  // ============================================== line-level curation ops
+
+  /** Shared line front-end: (id, pos, line, lh) rows, one per line
+    * occurrence, pos 0-based within its doc. Lines join/aggregate by
+    * xxhash64 so only 8-byte keys shuffle — a collision merges two
+    * distinct lines with probability ~1e-9 (the [[substringDup]]
+    * convention); line TEXT travels only on the row that carries it. */
+  private def lineRows(docs: DataFrame, delim: String, textCol: String,
+                       idCol: String): DataFrame =
+    spread(docs).select(col(idCol).as("id"),
+        posexplode(split(txt(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col("id"), col("pos"), col("col").as("line"))
+      .withColumn("lh", xxhash64(col("line")))
+
+  /** Reassemble per-doc text from kept line rows, preserving original
+    * line order, and report n_lines / n_kept per doc. Docs whose every
+    * line was removed still appear (clean_text = ''). */
+  private def reassembleLines(all: DataFrame, kept: DataFrame, delim: String,
+                              idCol: String): DataFrame = {
+    val perDoc = all.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("id").agg(count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), delim).as("clean_text"))
+    perDoc.join(keptAgg, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Corpus-wide line-level dedup (the C4 / RefinedWeb "deduplicate at
+    * the line level" rule): every repeated line keeps exactly its FIRST
+    * occurrence in the corpus order (min (doc_id, line_pos)) and loses
+    * all others — across documents and within one. Returns each doc with
+    * its surviving lines reassembled in original order.
+    *
+    * Scale shape: one explode, one 8-byte-key hash aggregate for the
+    * global owner of each distinct line (min struct — map-side partial),
+    * one hash join back, one per-doc aggregate to reassemble. No window,
+    * no global sort, no driver state; the per-doc collect_list is
+    * bounded by document size. */
+  def lineDedup(docs: DataFrame, delim: String = "\n",
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = lineRows(docs, delim, textCol, idCol)
+    val owner = lines.groupBy("lh")
+      .agg(min(struct(col("id"), col("pos"))).as("own"))
+    val kept = lines.join(owner, "lh")
+      .filter(col("id") === col("own.id") && col("pos") === col("own.pos"))
+    reassembleLines(lines, kept, delim, idCol)
+  }
+
+  /** Boilerplate-line removal (the RefinedWeb/C4 frequent-line rule):
+    * drop every occurrence of any line appearing in ≥ `minDf` DISTINCT
+    * documents — navigation chrome, cookie banners, license headers —
+    * keeping rare lines even when repeated inside one doc. Same shape as
+    * [[lineDedup]] with the owner aggregate replaced by a distinct-doc
+    * frequency; at warehouse scale set `minDf` as a fraction of corpus
+    * size upstream (the rule's published form is "in more than X% of
+    * pages of its domain" — group by a domain column first when one
+    * exists). */
+  def boilerplateRemove(docs: DataFrame, minDf: Int = 3, delim: String = "\n",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val lines = lineRows(docs, delim, textCol, idCol)
+    val docFreq = lines.select("id", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+    val kept = lines.join(docFreq, "lh").filter(col("df") < minDf)
+    reassembleLines(lines, kept, delim, idCol)
+  }
+
+  // ==================================== chunking / packing (training prep)
+
+  /** Split each document into overlapping token-window chunks (RAG /
+    * context-window prep): chunk k covers tokens [k·stride+1,
+    * k·stride+chunkTokens], stride = chunkTokens − overlapTokens; chunks
+    * start while their first token exists, so the tail chunk may be
+    * short. Pure per-row projection + explode — embarrassingly parallel,
+    * no shuffle; output is (doc_id, chunk_idx, n_toks, chunk_text). */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlapTokens: Int = 16,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val base = spread(docs).select(col(idCol).as("id"),
+        split(txt(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 1)
+    base.select(col("id"), posexplode(transform(
+        // last chunk index: floor((n-1)/stride) — double floor is exact
+        // for any document below 2^52 tokens
+        sequence(lit(0), floor((size(col("toks")) - 1) / lit(stride)).cast("int")),
+        k => struct(
+          least(lit(chunkTokens), size(col("toks")) - k * stride).cast("long")
+            .as("n_toks"),
+          array_join(slice(col("toks"), k * stride + 1, lit(chunkTokens)), " ")
+            .as("chunk_text")))))
+      .select(col("id").as(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.n_toks").as("n_toks"), col("col.chunk_text").as("chunk_text"))
+  }
+
+  /** Sequence packing (the "concatenate then cut into training
+    * sequences" step): per source, documents line up in the
+    * deterministic Knuth-hash order, their weights (tokens/chars)
+    * accumulate, and each doc is assigned to the training sequence
+    * containing its FIRST token — seq_id = floor(start_offset / budget),
+    * offset_in_seq = start_offset mod budget. Downstream packers emit
+    * sequence seq_id by concatenating its docs in the same order; docs
+    * straddling a boundary spill into the next sequence (standard
+    * packing semantics — token-level splitting is the tokenizer's job).
+    *
+    * Shape: one per-source running-sum window in hash order — same
+    * parallelism story as [[tokenBudgetSample]] (one partition per
+    * source; sub-shard mega-sources by a hash-prefix column upstream).
+    * The quotient/remainder arithmetic is integer-exact (no double
+    * division), so any engine reproduces the assignment. */
+  def packSequences(docs: DataFrame, budget: Long, byCol: String = "source",
+                    weightCol: String = "n_chars",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("start_off",
+        sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("offset_in_seq", pmod(col("start_off"), lit(budget)))
+      .withColumn("seq_id",
+        ((col("start_off") - col("offset_in_seq")) / lit(budget)).cast("long"))
+      .select(col(byCol), col("seq_id"), col(idCol),
+        col(weightCol).cast("long").as("w"), col("offset_in_seq"))
+  }
+
+  // ============================================= bloom-filter membership
+
+  /** Membership dedup of a new batch against a corpus via a Bloom filter
+    * instead of an anti-join: the corpus's normalized-text hashes build
+    * one bounded-size sketch (a driver/broadcast object, NOT a data
+    * structure proportional to row width), and the batch filters against
+    * it map-side — ZERO shuffle on either side, no corpus re-read per
+    * batch beyond the one build. The trade vs [[dedupIncremental]]'s
+    * index join: false POSITIVES over-drop novel docs at rate ≈ `fpp`
+    * (tunable), while false negatives are structurally impossible — no
+    * true duplicate ever survives. Membership only: compose with
+    * [[dedupExact]] for in-batch duplicates.
+    *
+    * 100 TB sizing: bits ≈ −n·ln(fpp)/ln²2 — 1e9 docs at fpp 0.01 ≈
+    * 1.2 GB. Beyond comfortable broadcast size, shard the sketch by a
+    * hash prefix (one bloom per shard, probe picks the shard from the
+    * same prefix) or relax fpp; the build is a one-pass treeAggregate
+    * (no per-row driver traffic). */
+  def dedupBloomFilter(newDocs: DataFrame, corpus: DataFrame,
+                       fpp: Double = 0.01, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    def norm(c: Column) = lower(trim(coalesce(c, lit(""))))
+    val ch = corpus.select(xxhash64(norm(col(textCol))).as("h"))
+    // expectedNumItems sizes the bit array; the count is one
+    // parquet-metadata-cheap pass, paid once per corpus snapshot
+    val n = math.max(ch.count(), 1L)
+    val bf = ch.stat.bloomFilter("h", n, fpp)
+    val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
+    // deliberate UDF (COVERAGE §2.11): Spark's bloom-probe expression is
+    // internal-only (BloomFilterMightContain); the probe is a bounded
+    // bit-test against a broadcast sketch — no builtin Column exists
+    val probe = udf((h: Long) => bfB.value.mightContainLong(h))
+    newDocs.filter(!probe(xxhash64(norm(col(textCol)))))
+  }
+
   // =========================================================== multimodal
 
   /** Multimodal plumbing: treat media as opaque binary + typed metadata.

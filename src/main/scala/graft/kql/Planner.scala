@@ -748,6 +748,47 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.unigramLogProb(df, colNameOf(df, textE, "unigram text"),
         colNameOf(df, idE, "unigram id"))
 
+    case EvaluateOp("bigram_logprob", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.bigramLogProb(df, colNameOf(df, textE, "bigram text"),
+        colNameOf(df, idE, "bigram id"))
+
+    // `evaluate line_dedup('delim', text, id)`: corpus-wide
+    // first-occurrence line dedup (LlmOps.lineDedup)
+    case EvaluateOp("line_dedup", dE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.lineDedup(df, litString(dE, "line_dedup delimiter"),
+        colNameOf(df, textE, "line_dedup text"),
+        colNameOf(df, idE, "line_dedup id"))
+
+    // `evaluate boilerplate_remove(minDf, 'delim', text, id)`: drop lines
+    // appearing in >= minDf distinct docs (LlmOps.boilerplateRemove)
+    case EvaluateOp("boilerplate_remove", mE :: dE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.boilerplateRemove(df, litLong(mE).toInt,
+        litString(dE, "boilerplate_remove delimiter"),
+        colNameOf(df, textE, "boilerplate_remove text"),
+        colNameOf(df, idE, "boilerplate_remove id"))
+
+    // `evaluate chunk(chunkTokens, overlapTokens, text, id)`: overlapping
+    // token-window chunking (LlmOps.chunkDocs)
+    case EvaluateOp("chunk", cE :: oE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.chunkDocs(df, litLong(cE).toInt, litLong(oE).toInt,
+        colNameOf(df, textE, "chunk text"), colNameOf(df, idE, "chunk id"))
+
+    // `evaluate pack_sequences(budget, source, weight, id)`: training
+    // sequence assignment by cumulative weight (LlmOps.packSequences)
+    case EvaluateOp("pack_sequences", bE :: byE :: wE :: idE :: Nil) =>
+      graft.ext.LlmOps.packSequences(df, litLong(bE),
+        colNameOf(df, byE, "pack_sequences source"),
+        colNameOf(df, wE, "pack_sequences weight"),
+        colNameOf(df, idE, "pack_sequences id"))
+
+    // `evaluate dedup_bloom(CorpusTable, fpp, text, id)`: bloom-filter
+    // membership dedup against a corpus table (LlmOps.dedupBloomFilter)
+    case EvaluateOp("dedup_bloom", Col(tbl) :: fppE :: textE :: idE :: Nil) =>
+      val corpus = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.dedupBloomFilter(df, corpus, litDouble(fppE),
+        colNameOf(df, textE, "dedup_bloom text"),
+        colNameOf(df, idE, "dedup_bloom id"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

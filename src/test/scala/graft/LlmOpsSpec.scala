@@ -759,4 +759,140 @@ class LlmOpsSpec extends AnyFunSuite {
       "documents | evaluate source_cap(3, source, n_chars, doc_id)", TestSpark.sfDir)
     assert(kql.select("doc_id").collect().map(_.getLong(0)).toSet == got.map(_._1))
   }
+
+  test("bigramLogProb: hand-computed conditional MLE; sub-2-token docs drop out") {
+    val d = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b"),       // bigram: (a,b)
+      (3L, "x")          // 1 token: no bigrams — must NOT appear
+    ).toDF("doc_id", "text")
+    val r = LlmOps.bigramLogProb(d).collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L)) // the sequence(2,1) guard
+    // corpus counts: c(a,b)=3, c(b,a)=1, c(a,·)=3, c(b,·)=1
+    // p(b|a)=1 → 0; p(a|b)=1 → 0 ⇒ every mean is 0
+    assert(r.forall(_._3 == 0.0))
+    assert(r.map(_._2).toSeq == Seq(3L, 1L))
+    // now make p(b|a)=2/3: doc 4 adds (a,c)
+    val r2 = LlmOps.bigramLogProb(d.union(Seq((4L, "a c")).toDF()), "text", "doc_id")
+      .filter(col("doc_id") === 2L).head
+    // doc 2's single bigram (a,b): -ln(3/4) in integer micros
+    val expected = math.round(-math.log(3.0 / 4.0) * 1e6) / 1e6
+    assert(math.abs(r2.getDouble(2) - (math.rint(expected * 1e4) / 1e4)) < 1e-9)
+  }
+
+  test("lineDedup: repeated lines keep only their first (doc, pos) occurrence") {
+    val d = Seq(
+      (1L, "keep one\ndup line\nkeep two"),
+      (2L, "dup line\nunique here\ndup line"), // cross-doc AND in-doc dup
+      (3L, "dup line")                          // fully deduplicated away
+    ).toDF("doc_id", "text")
+    val r = LlmOps.lineDedup(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    assert(r(0) == ((1L, 3L, 3L, "keep one\ndup line\nkeep two")))
+    assert(r(1) == ((2L, 3L, 1L, "unique here"))) // both dup copies gone
+    assert(r(2) == ((3L, 1L, 0L, "")))            // doc survives, empty
+    // layout independence: same result from a different partitioning
+    val r7 = LlmOps.lineDedup(d.repartition(7, col("doc_id"))).collect()
+      .map(x => (x.getLong(0), x.getString(3))).toSet
+    assert(r7 == r.map(x => (x._1, x._4)).toSet)
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate line_dedup(' ', text, doc_id)", TestSpark.sfDir)
+    assert(kql.columns.toSeq ==
+      Seq("doc_id", "n_lines", "n_kept", "clean_text"))
+    assert(kql.count() == docs.count())
+  }
+
+  test("boilerplateRemove: frequent lines vanish everywhere, rare in-doc repeats stay") {
+    val d = Seq(
+      (1L, "cookie banner\nreal content a"),
+      (2L, "cookie banner\nreal content b"),
+      (3L, "cookie banner\nrepeat me\nrepeat me")
+    ).toDF("doc_id", "text")
+    val r = LlmOps.boilerplateRemove(d, minDf = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getString(3))).sortBy(_._1)
+    // 'cookie banner' df=3 ⇒ removed; 'repeat me' df=1 ⇒ BOTH copies kept
+    assert(r(0) == ((1L, 1L, "real content a")))
+    assert(r(1) == ((2L, 1L, "real content b")))
+    assert(r(2) == ((3L, 2L, "repeat me\nrepeat me")))
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate boilerplate_remove(3, ' ', text, doc_id)",
+      TestSpark.sfDir)
+    assert(kql.count() == docs.count())
+  }
+
+  test("chunkDocs: stride/overlap boundaries and short tail chunks") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = LlmOps.chunkDocs(d, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // stride 3 over 10 tokens: starts 1,4,7,10 — last chunk is 1 token
+    assert(r.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(r.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(r.filter(_._1 == 2L).map(_._4).toSeq == Seq("solo"))
+    // every consecutive pair overlaps by exactly overlapTokens
+    val c1 = r.filter(_._1 == 1L).map(_._4.split(" ").toSeq).toSeq
+    c1.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(1) == b.take(1))
+      case _ =>
+    }
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate chunk(16, 4, text, doc_id)", TestSpark.sfDir)
+    assert(kql.filter(col("chunk_idx") > 0).count() > 0)
+  }
+
+  test("packSequences: quotient/remainder arithmetic and budget invariants") {
+    val r = LlmOps.packSequences(docs, 500).collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.length == docs.count())
+    // offset is the start position within its sequence: 0 <= off < budget,
+    // and seq_id * budget + off reconstructs the running start offset
+    assert(r.forall(x => x._5 >= 0 && x._5 < 500))
+    val bySrc = r.groupBy(_._1)
+    for ((_, rows) <- bySrc) {
+      val sorted = rows.sortBy(x => x._2 * 500 + x._5)
+      // start offsets are the exclusive prefix sums of weights in order
+      sorted.foldLeft(0L) { (cum, x) =>
+        assert(x._2 * 500 + x._5 == cum); cum + x._4
+      }
+    }
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate pack_sequences(500, source, n_chars, doc_id)",
+      TestSpark.sfDir)
+    assert(kql.count() == docs.count())
+  }
+
+  test("dedupBloomFilter: every true duplicate dropped; kept is subset of exact-kept") {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // inject true duplicates: 20 corpus texts under batch ids
+      .unionByName(docs.filter(col("doc_id") % 2 === 0).limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000001L))
+    val kept = LlmOps.dedupBloomFilter(batch, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // no false keeps: the 20 injected dups are all gone
+    assert(kept.forall(_ < 1000001L))
+    val exactKept = batch.join(
+      corpus.select(lower(trim(col("text"))).as("nt")).distinct(),
+      lower(trim(batch("text"))) === col("nt"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(exactKept)) // bloom can only over-drop
+    assert(kept.size >= (exactKept.size * 0.95).toInt) // fpp=0.01 headroom
+    // deterministic: a rebuilt filter keeps the identical row set
+    val again = LlmOps.dedupBloomFilter(batch, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // KQL-reachable: corpus table by name
+    val kql = graft.kql.Kql.run(spark,
+      "documents | where doc_id % 2 == 1 | evaluate dedup_bloom(documents, 0.01, text, doc_id)",
+      TestSpark.sfDir)
+    assert(kql.count() == 0) // batch ⊆ corpus here ⇒ everything drops
+  }
 }
