@@ -785,6 +785,23 @@ object SparkEntry {
         .orderBy("source", "seq_id", "offset_in_seq", "doc_id"),
       Some("""WITH c AS (SELECT source, doc_id, n_chars, CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS so FROM documents) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, doc_id, CAST(n_chars AS BIGINT) AS w, CAST(so % 500 AS BIGINT) AS offset_in_seq FROM c ORDER BY source, seq_id, offset_in_seq, doc_id""")),
 
+    // DSIR importance weights (r5): log p_target/p_raw over hashed
+    // bigram feature buckets, target = the corpus's en slice. The
+    // md5-hex bucket hash is engine-portable, so DuckDB recomputes the
+    // exact score (per-gram integer micros)
+    "llm_dsir" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        LlmOps.dsirWeights(d, d.filter(col("lang") === "en")).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), gall AS (SELECT id, lang, concat_ws(' ', toks[i], toks[i+1]) AS gr FROM (SELECT id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)), g AS (SELECT id, lang, (ascii(substr(md5(gr),1,1))*10000 + ascii(substr(md5(gr),2,1))*100 + ascii(substr(md5(gr),3,1))) % 256 AS b FROM gall), tg AS (SELECT b FROM g WHERE lang = 'en'), cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY 1), ctx AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY 1), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM g), nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg), lam AS (SELECT b, CAST(ROUND((LN((COALESCE(ct, 0)+1)/(nt+256)) - LN((cr+1)/(nr+256)))*1000000) AS BIGINT) AS lam_u FROM cr LEFT JOIN ctx USING (b), nr, nt) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, ROUND(CAST(SUM(lam_u) AS DOUBLE)/1000000.0, 4) AS log_w FROM g JOIN lam USING (b) GROUP BY 1 ORDER BY 1""")),
+
+    // Canonical text normalization (r5): NFC + control-char strip +
+    // whitespace collapse + trim — value-exact vs DuckDB nfc_normalize
+    "llm_text_normalize" -> Q(
+      (s, dir) => LlmOps.textNormalize(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text, CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm FROM documents ORDER BY doc_id""")),
+
     // Bloom-filter membership dedup (r5): odd-id batch vs even-id
     // corpus. Contract: no false keeps (bloom FNs are structurally
     // impossible — n_false_keep = 0), over-drop bounded by 5% of the

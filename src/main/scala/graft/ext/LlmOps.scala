@@ -1713,6 +1713,84 @@ object LlmOps {
         col(weightCol).cast("long").as("w"), col("offset_in_seq"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw doc by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * corpus than under the raw corpus — log w(doc) = Σ_grams ln
+    * p̂_target(bucket)/p̂_raw(bucket) with add-one smoothing over
+    * `buckets` feature buckets. Selection pipelines then keep the
+    * highest-weight docs (or Gumbel-resample on the weights).
+    *
+    * Bucketing uses three hex chars of md5(gram) — deliberately
+    * engine-portable (any SQL engine reproduces the exact bucket, so
+    * the whole score is value-exact cross-engine); swap the bucket
+    * expression for `pmod(xxhash64(gram), B)` at warehouse scale where
+    * oracle replay is not needed (same shape, cheaper hash).
+    *
+    * Shape: one explode per corpus → two bucket-count aggregates (≤ B
+    * rows each) → the λ(bucket) table broadcasts onto the raw gram
+    * stream → one per-doc aggregate. Corpus totals ride lazy 1-row
+    * broadcasts ([[tfIdf]] convention); per-gram integer-micro rounding
+    * keeps sums engine-exact. Docs with < n tokens have no features and
+    * drop out. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
+                  buckets: Int = 256, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && buckets >= 2, "need n >= 1 and buckets >= 2")
+    def bucketOf(gram: Column): Column = {
+      val m = md5(gram)
+      pmod(ascii(substring(m, 1, 1)) * 10000 +
+        ascii(substring(m, 2, 1)) * 100 + ascii(substring(m, 3, 1)),
+        lit(buckets)).cast("int")
+    }
+    def gramRows(df: DataFrame): DataFrame = {
+      val base = spread(df).select(col(idCol).as("id"),
+          split(lower(txt(textCol)), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= n)
+      base.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => bucketOf(concat_ws(" ",
+          (0 until n).map(o => element_at(col("toks"), i + o)): _*)))).as("b"))
+    }
+    val rg = gramRows(raw)
+    val tg = gramRows(target)
+    val cr = rg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tg.groupBy("b").agg(count(lit(1)).as("ct"))
+    val nrDf = rg.select(count(lit(1)).cast("double").as("__nr"))
+    val ntDf = tg.select(count(lit(1)).cast("double").as("__nt"))
+    // λ per bucket: buckets absent from the raw corpus can't occur in a
+    // raw doc, so a left join from cr is complete; absent target counts
+    // smooth to the add-one floor
+    val lam = cr.join(ct, Seq("b"), "left_outer")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(nrDf)).crossJoin(broadcast(ntDf))
+      .withColumn("lam_u", round(
+        (log((col("ct") + 1d) / (col("__nt") + buckets)) -
+          log((col("cr") + 1d) / (col("__nr") + buckets))) * 1e6).cast("long"))
+      .select("b", "lam_u")
+    rg.join(broadcast(lam), "b")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lam_u")).cast("double") / 1e6, 4).as("log_w"))
+  }
+
+  /** Canonical text normalization (the C4/CCNet cleanup front-end):
+    * Unicode NFC composition, control characters stripped, whitespace
+    * runs collapsed to single spaces, ends trimmed. Pure per-row
+    * projection, zero shuffle. The NFC step is a deliberate UDF
+    * (COVERAGE §2.11): `java.text.Normalizer` is the JDK's normalization
+    * engine and Spark exposes no builtin for it. */
+  def textNormalize(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val nfc = udf((s: String) =>
+      if (s == null) ""
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val cleaned = trim(regexp_replace(regexp_replace(
+      nfc(col(textCol)), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+    docs.select(col(idCol), cleaned.as("norm_text"),
+      length(cleaned).cast("long").as("n_chars_norm"))
+  }
+
   // ============================================= bloom-filter membership
 
   /** Membership dedup of a new batch against a corpus via a Bloom filter

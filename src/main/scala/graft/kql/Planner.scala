@@ -781,6 +781,21 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, wE, "pack_sequences weight"),
         colNameOf(df, idE, "pack_sequences id"))
 
+    // `evaluate dsir(TargetTable, n, buckets, text, id)`: DSIR
+    // importance weights vs a target corpus (LlmOps.dsirWeights)
+    case EvaluateOp("dsir", Col(tbl) :: nE :: bE :: textE :: idE :: Nil) =>
+      val target = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.dsirWeights(df, target, litLong(nE).toInt,
+        litLong(bE).toInt, colNameOf(df, textE, "dsir text"),
+        colNameOf(df, idE, "dsir id"))
+
+    // `evaluate text_normalize(text, id)`: NFC + control strip +
+    // whitespace collapse (LlmOps.textNormalize)
+    case EvaluateOp("text_normalize", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.textNormalize(df,
+        colNameOf(df, textE, "text_normalize text"),
+        colNameOf(df, idE, "text_normalize id"))
+
     // `evaluate dedup_bloom(CorpusTable, fpp, text, id)`: bloom-filter
     // membership dedup against a corpus table (LlmOps.dedupBloomFilter)
     case EvaluateOp("dedup_bloom", Col(tbl) :: fppE :: textE :: idE :: Nil) =>

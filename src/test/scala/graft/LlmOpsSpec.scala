@@ -895,4 +895,50 @@ class LlmOpsSpec extends AnyFunSuite {
       TestSpark.sfDir)
     assert(kql.count() == 0) // batch ⊆ corpus here ⇒ everything drops
   }
+
+  test("dsirWeights: target-distinctive features score positive, off-target negative") {
+    // raw corpus: two sublanguages; target = the "aa bb" dialect
+    val raw = Seq(
+      (1L, "aa bb aa bb aa bb"), (2L, "aa bb aa bb"),
+      (3L, "xx yy xx yy xx yy"), (4L, "xx yy xx yy")
+    ).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 2L)
+    val r = LlmOps.dsirWeights(raw, target).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // target-dialect docs must outscore off-target docs decisively
+    assert(r.filter(_._1 <= 2).map(_._3).min >
+      r.filter(_._1 >= 3).map(_._3).max)
+    // n_grams = tokens - 1 per doc
+    assert(r.map(_._2) == Seq(5L, 3L, 5L, 3L))
+    // a doc scores identically however the input is partitioned
+    val r7 = LlmOps.dsirWeights(raw.repartition(7, col("doc_id")), target)
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toSet
+    assert(r7 == r.map(x => (x._1, x._3)).toSet)
+    // KQL-reachable: target table by name
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate dsir(documents, 2, 256, text, doc_id)", TestSpark.sfDir)
+    // raw = target ⇒ every λ is ~0 but counts are real
+    assert(kql.count() > 0)
+  }
+
+  test("textNormalize: NFC composition, control strip, whitespace collapse") {
+    val d = Seq(
+      (1L, "café du  monde"),        // decomposed é + double space
+      (2L, "tab\there null"),          // control chars → spaces
+      (3L, "  padded  "),
+      (4L, null.asInstanceOf[String])       // null-text policy: empty doc
+    ).toDF("doc_id", "text")
+    val r = LlmOps.textNormalize(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).sortBy(_._1)
+    assert(r(0)._2 == "caf\u00e9 du monde") // composed single codepoint
+    assert(r(1)._2 == "tab here null")
+    assert(r(2) == ((3L, "padded", 6L)))
+    assert(r(3) == ((4L, "", 0L)))
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate text_normalize(text, doc_id)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("doc_id", "norm_text", "n_chars_norm"))
+    assert(kql.count() == docs.count())
+  }
 }
