@@ -896,6 +896,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.count() == 0) // batch ⊆ corpus here ⇒ everything drops
   }
 
+  test("plan shapes: chunk/pack/normalize/bloom keep their zero- or one-shuffle claims") {
+    // chunkDocs: pure projection + explode — no exchange beyond the
+    // spread() round-robin (which carries no key)
+    val chunkPlan = LlmOps.chunkDocs(docs).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("hashpartitioning"), chunkPlan.take(500))
+    // packSequences: exactly the per-source window shuffle, nothing else
+    val packPlan = LlmOps.packSequences(docs, 500)
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("hashpartitioning(source"), packPlan.take(800))
+    assert(!packPlan.contains("SinglePartition"), packPlan.take(800))
+    // textNormalize: zero shuffle of any kind
+    val normPlan = LlmOps.textNormalize(docs).queryExecution.executedPlan.toString
+    assert(!normPlan.contains("Exchange"), normPlan.take(500))
+    // dedupBloomFilter: the batch side is a map-side filter — no join, no
+    // exchange in the returned plan (the sketch build ran eagerly)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val bloomPlan = LlmOps.dedupBloomFilter(batch, corpus)
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("Exchange") && !bloomPlan.contains("Join"),
+      bloomPlan.take(500))
+  }
+
   test("dsirWeights: target-distinctive features score positive, off-target negative") {
     // raw corpus: two sublanguages; target = the "aa bb" dialect
     val raw = Seq(
