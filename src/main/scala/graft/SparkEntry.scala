@@ -1597,6 +1597,51 @@ object SparkEntry {
         | sort by l_orderkey asc"""),
       Some("""SELECT l_orderkey, CAST(to_json(list_sort(list(CAST(l_linenumber AS BIGINT)))) AS VARCHAR) AS lns FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1 ORDER BY 1""")),
 
+    // t-digest percentile sketch (r5): banded contract (the q55/q61
+    // dcount/hll convention) — the sketch p50/p95 must land inside the
+    // exact [48th, 52nd] / [93rd, 97th] percentile bands (rank error at
+    // compression 100 is ≲1%, band is 2%); the exact p50 itself is
+    // value-compared. Sketch internals are merge-order-dependent, so
+    // only banded booleans are hashed.
+    "q132_tdigest" -> Q(kqlQ(
+      """lineitem
+        | summarize td = tdigest(l_extendedprice) by l_returnflag
+        | extend p50 = percentile_tdigest(td, 50), p95 = percentile_tdigest(td, 95)
+        | join kind=inner (lineitem
+            | summarize lo50 = percentile(l_extendedprice, 48),
+                        hi50 = percentile(l_extendedprice, 52),
+                        lo95 = percentile(l_extendedprice, 93),
+                        hi95 = percentile(l_extendedprice, 97),
+                        ex50 = round(percentile(l_extendedprice, 50), 4)
+              by l_returnflag) on l_returnflag
+        | project l_returnflag, ex50,
+            p50_ok = p50 >= lo50 and p50 <= hi50,
+            p95_ok = p95 >= lo95 and p95 <= hi95
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS ex50, true AS p50_ok, true AS p95_ok FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // t-digest MERGE path (r5): per-(flag, status) partial sketches
+    // re-aggregated per flag — the persisted-sketch-cube rollup shape
+    // (a 100 TB percentile = one narrow shuffle of <= delta centroids).
+    // Same banded contract, plus the inverse check: the rank of the
+    // exact median must sit within [47, 53].
+    "q133_tdigest_merge" -> Q(kqlQ(
+      """lineitem
+        | summarize td = tdigest(l_extendedprice) by l_returnflag, l_linestatus
+        | summarize m = tdigest_merge(td) by l_returnflag
+        | extend p50 = percentile_tdigest(m, 50)
+        | join kind=inner (lineitem
+            | summarize lo50 = percentile(l_extendedprice, 48),
+                        hi50 = percentile(l_extendedprice, 52),
+                        ex50 = round(percentile(l_extendedprice, 50), 4)
+              by l_returnflag) on l_returnflag
+        | extend r50 = rank_tdigest(m, ex50)
+        | project l_returnflag, ex50,
+            p50_ok = p50 >= lo50 and p50 <= hi50,
+            rank_ok = r50 >= 47.0 and r50 <= 53.0
+        | sort by l_returnflag asc"""),
+      Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS ex50, true AS p50_ok, true AS rank_ok FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(
       """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),

@@ -407,6 +407,13 @@ object Functions {
     "series_fill_backward" -> f { case a :: Nil => reverse(fillForward(reverse(a))) },
     "series_fill_linear" -> f { case a :: Nil => fillLinear(a) },
     "dcount_hll" -> f { case c :: Nil => hll_sketch_estimate(c) },
+    // t-digest extractors (graft.sketch.TDigest — the percentile
+    // counterpart of the hll pair above; percent scale 0–100 like
+    // percentile())
+    "percentile_tdigest" -> f { case s :: p :: Nil =>
+      graft.sketch.TDigest.percentileTDigest(s, p) },
+    "rank_tdigest" -> f { case s :: x :: Nil =>
+      graft.sketch.TDigest.rankTDigest(s, x) },
     // ------------------------------------------------------------- geo
     "geo_distance_2points" -> f { case lon1 :: lat1 :: lon2 :: lat2 :: Nil =>
       haversineMeters(lon1, lat1, lon2, lat2) },

@@ -1295,6 +1295,9 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             (acc, x) => Functions.mergeBags(acc, x))
         case "hll" => hll_sketch_agg(a(0))
         case "hll_merge" => hll_union_agg(a(0))
+        case "tdigest" => graft.sketch.TDigest.tdigestAgg(a(0))
+        case "tdigest_merge" | "merge_tdigest" =>
+          graft.sketch.TDigest.tdigestMergeAgg(a(0))
         case "max_by" => max_by(a(0), a(1))
         case "min_by" => min_by(a(0), a(1))
         case other => throw PlanError(s"unknown aggregate '$other'")
@@ -1791,8 +1794,9 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     "make_list_with_nulls", "make_bag", "make_bag_if",
     "stdev", "stdevif", "stdevp", "variance", "varianceif", "variancep",
     "covariance", "covariancep", "covarianceif", "binary_all_and",
-    "binary_all_or", "binary_all_xor", "hll", "hll_merge", "max_by",
-    "min_by", "arg_max", "arg_min")
+    "binary_all_or", "binary_all_xor", "hll", "hll_merge", "tdigest",
+    "tdigest_merge", "merge_tdigest", "max_by", "min_by", "arg_max",
+    "arg_min")
 
   private def isIntegral(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType => true

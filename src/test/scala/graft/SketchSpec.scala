@@ -57,4 +57,65 @@ class SketchSpec extends AnyFunSuite {
       cat).head.getSeq[Double](0)
     assert(arr.forall(v => math.abs(v - 5.0) < 1e-12))
   }
+
+  test("tdigest: quantiles of a known uniform distribution within 1% rank error") {
+    val t = new graft.sketch.TDigest(100.0)
+    // deterministic permutation of 1..100000 (worst case is sorted input,
+    // so feed a scrambled order like a shuffle would)
+    val n = 100000
+    (0 until n).foreach(i => t.add(((i.toLong * 48271) % n).toDouble))
+    for (q <- Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val est = t.quantile(q)
+      // uniform on [0, n): value error = rank error · n
+      assert(math.abs(est - q * n) <= 0.01 * n, s"q=$q est=$est")
+    }
+    // bounded size: a 100k-point digest keeps O(compression) centroids
+    assert(t.centroidCount < 200, s"centroids=${t.centroidCount}")
+    // cdf inverts quantile within the same band
+    assert(math.abs(t.cdf(n / 2.0) - 0.5) <= 0.01)
+    // serialization round-trips exactly
+    val back = graft.sketch.TDigest.deserialize(t.serialize())
+    assert(back.quantile(0.5) == t.quantile(0.5))
+    assert(back.centroidCount == t.centroidCount)
+  }
+
+  test("tdigest merge of shard sketches matches the single-digest quantiles") {
+    val n = 60000
+    val full = new graft.sketch.TDigest(100.0)
+    val shards = Array.fill(8)(new graft.sketch.TDigest(100.0))
+    (0 until n).foreach { i =>
+      val v = ((i.toLong * 16807) % n).toDouble
+      full.add(v); shards(i % 8).add(v)
+    }
+    val merged = new graft.sketch.TDigest(100.0)
+    shards.foreach(merged.mergeIn)
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      // both within 1% rank of truth ⇒ within 2% of each other; assert
+      // each against truth directly (uniform ⇒ value ≈ rank · n)
+      assert(math.abs(full.quantile(q) - q * n) <= 0.01 * n)
+      assert(math.abs(merged.quantile(q) - q * n) <= 0.01 * n)
+    }
+  }
+
+  test("tdigest KQL surface: build, merge, extract within 1 exact percentile band") {
+    // per-status sketches merged to a global one; p50/p95 vs the exact
+    // percentile — rank tolerance 1% of rows translated through the
+    // empirical distribution via a two-sided value band from exact
+    // neighbor percentiles
+    val r = Kql.run(spark,
+      """lineitem
+        | summarize td = tdigest(l_extendedprice) by l_returnflag
+        | summarize m = tdigest_merge(td)
+        | project p50 = percentile_tdigest(m, 50), r = rank_tdigest(m, toscalar(
+            lineitem | summarize percentile(l_extendedprice, 50)))""",
+      cat).head
+    val exact = Kql.run(spark,
+      """lineitem | summarize lo = percentile(l_extendedprice, 49),
+            mid = percentile(l_extendedprice, 50), hi = percentile(l_extendedprice, 51)""",
+      cat).head
+    val (p50, rank) = (r.getDouble(0), r.getDouble(1))
+    assert(p50 >= exact.getDouble(0) && p50 <= exact.getDouble(2),
+      s"p50=$p50 not in [${exact.getDouble(0)}, ${exact.getDouble(2)}]")
+    assert(math.abs(rank - 50.0) <= 1.5, s"rank of exact median = $rank")
+  }
 }
