@@ -1642,6 +1642,26 @@ object SparkEntry {
         | sort by l_returnflag asc"""),
       Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS ex50, true AS p50_ok, true AS rank_ok FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // scalar batch 6 (r5): unit conversions, codepoints, treepath,
+    // bin_auto via the canonical let, format/url/has_any_index extras
+    "q134_scalar_batch6" -> Q(kqlQ(
+      """let query_bin_auto_size = 10;
+        print mi = round(convert_length(1.0, 'Mile', 'Meter'), 4),
+              tf = round(convert_temperature(212.0, 'DegreeFahrenheit', 'DegreeCelsius'), 4),
+              an = round(convert_angle(180.0, 'Degree', 'Radian'), 6),
+              ma = round(convert_mass(1.0, 'Pound', 'Gram'), 4),
+              sp = round(convert_speed(1.0, 'Knot', 'KilometerPerHour'), 4),
+              en = round(convert_energy(1.0, 'KilowattHour', 'Kilojoule'), 4),
+              vo = round(convert_volume(1.0, 'UsGallon', 'Liter'), 6),
+              fn = format_number(1234567.891, 2),
+              ue = url_encode_component('a b+c'),
+              cp = dynamic_to_json(unicode_codepoints_from_string('Hi☃')),
+              cs = unicode_codepoints_to_string(pack_array(72, 105), 9731),
+              hi = has_any_index('north south', 'east', 'south', 'north'),
+              ba = bin_auto(47),
+              tp = dynamic_to_json(treepath(dynamic({"a":{"b":1},"c":[5,6]})))"""),
+      Some("""SELECT 1609.344 AS mi, 100.0 AS tf, 3.141593 AS an, 453.5924 AS ma, 1.852 AS sp, 3600.0 AS en, 3.785412 AS vo, '1,234,567.89' AS fn, 'a%20b%2Bc' AS ue, '[72,105,9731]' AS cp, 'Hi☃' AS cs, CAST(1 AS BIGINT) AS hi, CAST(40 AS BIGINT) AS ba, '["[''a'']","[''a''][''b'']","[''c'']","[''c''][0]","[''c''][1]"]' AS tp""")),
+
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(
       """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),

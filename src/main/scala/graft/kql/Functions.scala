@@ -33,7 +33,29 @@ object Functions {
     "trim_ws" -> f { case c :: Nil => trim(c) },
     "hash_sha256" -> f { case c :: Nil => sha2(c.cast("string"), 256) },
     "hash_md5" -> f { case c :: Nil => md5(c.cast("string")) },
-    "hash" -> f { case c :: Nil => xxhash64(c) },
+    "hash" -> f { case c :: Nil => xxhash64(c)
+                  case c :: m :: Nil => pmod(xxhash64(c), m.cast("long")) },
+    "hash_many" -> f { cs => xxhash64(cs: _*) },
+    "format_number" -> f { case c :: d :: Nil =>
+      call_function("format_number", c, d.cast("int")) },
+    // form-encoding (+) vs component-encoding (%20) — the JS
+    // encodeURIComponent distinction KQL mirrors
+    "url_encode_component" -> f { case c :: Nil =>
+      regexp_replace(url_encode(c), "\\+", "%20") },
+    "unicode_codepoints_from_string" -> f { case c :: Nil => codepointsFrom(c) },
+    // unicode_codepoints_to_string is planner-side (needs arg types to
+    // tell scalar codepoints from codepoint arrays)
+    "treepath" -> f { case c :: Nil => treepathUdf(c.cast("string")) },
+    // unit conversions (KQL convert_* family; literal or column units,
+    // unknown units → null)
+    "convert_angle" -> f { case v :: fr :: to :: Nil => convertAngle(v, fr, to) },
+    "convert_length" -> f { case v :: fr :: to :: Nil => convertLength(v, fr, to) },
+    "convert_mass" -> f { case v :: fr :: to :: Nil => convertMass(v, fr, to) },
+    "convert_speed" -> f { case v :: fr :: to :: Nil => convertSpeed(v, fr, to) },
+    "convert_volume" -> f { case v :: fr :: to :: Nil => convertVolume(v, fr, to) },
+    "convert_energy" -> f { case v :: fr :: to :: Nil => convertEnergy(v, fr, to) },
+    "convert_temperature" -> f { case v :: fr :: to :: Nil =>
+      convertTemperature(v, fr, to) },
     "base64_encode_tostring" -> f { case c :: Nil => base64(c.cast("binary")) },
     "base64_decode_tostring" -> f { case c :: Nil => decode(unbase64(c), "UTF-8") },
     "url_encode" -> f { case c :: Nil => url_encode(c) },
@@ -1753,4 +1775,135 @@ object Functions {
   def percentileW(x: Column, w: Column, frac: Column): Column =
     percentileWUdf(array_sort(collect_list(struct(x.cast("double").as("x"),
       w.cast("long").as("w")))), frac.cast("double"))
+
+  // ------------------------------------------------- unicode codepoints
+
+  /** unicode_codepoints_from_string — deliberate UDF (COVERAGE §2.11):
+    * true code-point iteration is a stateful surrogate-pair walk
+    * (`String.codePoints`), which `ascii(substring(...))` per UTF-16
+    * unit gets wrong off the BMP and costs O(n²) as an expression. */
+  private val codepointsFromUdf = udf { (s: String) =>
+    if (s == null) null
+    else s.codePoints().toArray.map(_.toLong)
+  }
+
+  /** unicode_codepoints_to_string's array step — same JDK-bound
+    * justification (`Character.toChars` handles surrogates). */
+  private val codepointsToUdf = udf { (cps: Seq[Long]) =>
+    if (cps == null) null
+    else {
+      val sb = new java.lang.StringBuilder
+      cps.foreach(cp => sb.appendCodePoint(cp.toInt))
+      sb.toString
+    }
+  }
+
+  def codepointsFrom(c: Column): Column = codepointsFromUdf(c.cast("string"))
+  def codepointsTo(c: Column): Column = codepointsToUdf(c)
+
+  // ------------------------------------------------------------ treepath
+
+  /** treepath(dynamic): enumerate all JSON paths of a dynamic value as
+    * KQL renders them (`['a']['b'][0]` bracket form). Deliberate UDF: a
+    * recursive tree walk over arbitrary JSON has no Column/HOF
+    * formulation; parsing uses Spark's own shipped Jackson. */
+  private val treepathFn = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(node: com.fasterxml.jackson.databind.JsonNode, path: String): Unit = {
+        if (node.isObject) {
+          val it = node.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val p = s"$path['${e.getKey}']"
+            out += p
+            walk(e.getValue, p)
+          }
+        } else if (node.isArray) {
+          var i = 0
+          while (i < node.size()) {
+            val p = s"$path[$i]"
+            out += p
+            walk(node.get(i), p)
+            i += 1
+          }
+        }
+      }
+      try { walk(mapper.readTree(s), ""); out.toArray }
+      catch { case _: Exception => null }
+    }
+  }
+
+  def treepathUdf(c: Column): Column = treepathFn(c)
+
+  // ------------------------------------------- unit conversion (convert_*)
+
+  private def unitConvert(units: Map[String, Double])(
+      v: Column, from: Column, to: Column): Column = {
+    val m = map(units.toSeq.flatMap { case (k, f) => Seq(lit(k), lit(f)) }: _*)
+    // unknown unit names yield null (map miss), KQL raises — documented
+    v.cast("double") * element_at(m, from) / element_at(m, to)
+  }
+
+  private val Pi = math.Pi
+  private val angleUnits = Map(
+    "Radian" -> 1.0, "Degree" -> Pi / 180, "Gradian" -> Pi / 200,
+    "Revolution" -> 2 * Pi, "Arcminute" -> Pi / 10800,
+    "Arcsecond" -> Pi / 648000, "Milliradian" -> 1e-3,
+    "Centiradian" -> 1e-2, "Deciradian" -> 1e-1, "Microradian" -> 1e-6,
+    "Nanoradian" -> 1e-9, "Microdegree" -> Pi / 180 * 1e-6,
+    "Millidegree" -> Pi / 180 * 1e-3, "NatoMil" -> 2 * Pi / 6400)
+  private val lengthUnits = Map(
+    "Kilometer" -> 1000.0, "Hectometer" -> 100.0, "Decameter" -> 10.0,
+    "Meter" -> 1.0, "Decimeter" -> 0.1, "Centimeter" -> 0.01,
+    "Millimeter" -> 1e-3, "Micrometer" -> 1e-6, "Nanometer" -> 1e-9,
+    "Mile" -> 1609.344, "Yard" -> 0.9144, "Foot" -> 0.3048,
+    "Inch" -> 0.0254, "NauticalMile" -> 1852.0, "Mil" -> 2.54e-5)
+  private val massUnits = Map(
+    "Kilogram" -> 1.0, "Gram" -> 1e-3, "Milligram" -> 1e-6,
+    "Microgram" -> 1e-9, "Tonne" -> 1000.0, "Pound" -> 0.45359237,
+    "Ounce" -> 0.028349523125, "Stone" -> 6.35029318,
+    "Grain" -> 6.479891e-5)
+  private val speedUnits = Map(
+    "MeterPerSecond" -> 1.0, "KilometerPerHour" -> (1 / 3.6),
+    "MilePerHour" -> 0.44704, "Knot" -> (1852.0 / 3600),
+    "FootPerSecond" -> 0.3048, "CentimeterPerSecond" -> 0.01)
+  private val volumeUnits = Map(
+    "CubicMeter" -> 1.0, "Liter" -> 1e-3, "Milliliter" -> 1e-6,
+    "CubicCentimeter" -> 1e-6, "CubicFoot" -> 0.028316846592,
+    "CubicInch" -> 1.6387064e-5, "UsGallon" -> 0.003785411784,
+    "ImperialGallon" -> 0.00454609)
+  private val energyUnits = Map(
+    "Joule" -> 1.0, "Kilojoule" -> 1e3, "Megajoule" -> 1e6,
+    "Calorie" -> 4.184, "Kilocalorie" -> 4184.0, "WattHour" -> 3600.0,
+    "KilowattHour" -> 3.6e6, "BritishThermalUnit" -> 1055.05585262,
+    "ElectronVolt" -> 1.602176634e-19)
+
+  def convertAngle(v: Column, from: Column, to: Column): Column =
+    unitConvert(angleUnits)(v, from, to)
+  def convertLength(v: Column, from: Column, to: Column): Column =
+    unitConvert(lengthUnits)(v, from, to)
+  def convertMass(v: Column, from: Column, to: Column): Column =
+    unitConvert(massUnits)(v, from, to)
+  def convertSpeed(v: Column, from: Column, to: Column): Column =
+    unitConvert(speedUnits)(v, from, to)
+  def convertVolume(v: Column, from: Column, to: Column): Column =
+    unitConvert(volumeUnits)(v, from, to)
+  def convertEnergy(v: Column, from: Column, to: Column): Column =
+    unitConvert(energyUnits)(v, from, to)
+
+  /** Temperature is affine, not multiplicative: v → Kelvin via
+    * K = v·s + o, then back out of Kelvin for the target unit. */
+  def convertTemperature(v: Column, from: Column, to: Column): Column = {
+    val scale = Map("Kelvin" -> 1.0, "DegreeCelsius" -> 1.0,
+      "DegreeFahrenheit" -> (5.0 / 9.0), "DegreeRankine" -> (5.0 / 9.0))
+    val offset = Map("Kelvin" -> 0.0, "DegreeCelsius" -> 273.15,
+      "DegreeFahrenheit" -> (459.67 * 5.0 / 9.0), "DegreeRankine" -> 0.0)
+    def m(u: Map[String, Double], c: Column) = element_at(
+      map(u.toSeq.flatMap { case (k, f) => Seq(lit(k), lit(f)) }: _*), c)
+    val kelvin = v.cast("double") * m(scale, from) + m(offset, from)
+    (kelvin - m(offset, to)) / m(scale, to)
+  }
 }

@@ -1895,7 +1895,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           case (TimestampType, Lit(Timespan(us)), Lit(fp: java.sql.Timestamp)) =>
             val fpUs = fp.getTime * 1000
             timestamp_micros(floor((unix_micros(a(0)) - fpUs) / lit(us.toDouble)).cast("long") * us + fpUs)
-          case _ => throw PlanError("bin_at supports datetime axis only")
+          case (t, _, _) if isIntegral(t) || t == DoubleType || t.isInstanceOf[DecimalType] =>
+            // numeric axis: floor((x - fp)/size)*size + fp, integral
+            // stays integral (the plain-bin convention)
+            val out = floor((a(0) - a(2)) / a(1)) * a(1) + a(2)
+            if (isIntegral(t)) out.cast("long") else out
+          case _ => throw PlanError("bin_at supports datetime or numeric axes")
         }
       // -------------------------------------------------------- datetime
       case "ago" => args.head match {
@@ -1935,6 +1940,31 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         date_format(a(0), translateDatePattern(litString(args(1), "format_datetime pattern")))
       case "has_any" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ || _)
       case "has_all" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ && _)
+      // 0-based index of the FIRST matching term, -1 when none matches
+      case "has_any_index" =>
+        args.tail.map(t => hasTerm(a(0), t, df, cs = false)).zipWithIndex
+          .foldRight(lit(-1L)) { case ((m, i), acc) =>
+            when(m, lit(i.toLong)).otherwise(acc) }
+      // bin_auto(x): bin size (and optional alignment point) come from
+      // the canonical let bindings, per the KQL contract
+      case "bin_auto" if args.length == 1 =>
+        val sizeE = letScalars.getOrElse("query_bin_auto_size",
+          throw PlanError(
+            "bin_auto(x) requires 'let query_bin_auto_size = <size>;'"))
+        letScalars.get("query_bin_auto_minimum") match {
+          case Some(minE) => planApp("bin_at", List(args.head, sizeE, minE), df, agg)
+          case None => planApp("bin", List(args.head, sizeE), df, agg)
+        }
+      // each arg is a codepoint or a codepoint array — needs arg types
+      case "unicode_codepoints_to_string" =>
+        val parts = args.map { e =>
+          val c = toCol(e, df)
+          typeOf(df, c) match {
+            case _: ArrayType => Functions.codepointsTo(c.cast("array<long>"))
+            case _ => Functions.codepointsTo(array(c.cast("long")))
+          }
+        }
+        concat_ws("", parts: _*)
       case "datetime_part" =>
         (litString(args(0), "datetime_part part").toLowerCase match {
           case "year" => year(a(1))

@@ -1170,4 +1170,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getLong(6) == -1L)
     assert(r.getBoolean(7))
   }
+
+  test("r5 scalar additions: hash mod, bin_auto minimum, index misses, unit errors") {
+    // hash(v, m) = hash(v) mod m; hash_many is order-sensitive
+    val h = one("""print a = hash('x', 100), b = hash('x'), eq = hash_many('a', 'b') == hash_many('a', 'b'), ne = hash_many('a', 'b') != hash_many('b', 'a')""")
+    assert(h.getLong(0) >= 0 && h.getLong(0) < 100)
+    assert(h.getBoolean(2) && h.getBoolean(3))
+    // bin_auto honors query_bin_auto_minimum as the alignment point
+    val ba = one(
+      """let query_bin_auto_size = 10; let query_bin_auto_minimum = 3;
+        print b = bin_auto(47)""")
+    assert(ba.getLong(0) == 43L) // bins aligned to 3: [43, 53)
+    // has_any_index: no match -> -1; first match wins
+    val hi = one("""print none = has_any_index('alpha beta', 'x', 'y'), first = has_any_index('alpha beta', 'beta', 'alpha')""")
+    assert(hi.getLong(0) == -1L && hi.getLong(1) == 0L)
+    // unknown conversion units yield null, not a wrong number
+    val cu = one("""print u = convert_length(1.0, 'Cubit', 'Meter')""")
+    assert(cu.isNullAt(0))
+    // treepath of a scalar has no paths; codepoints round-trip
+    val tp = one("""print t = array_length(treepath(dynamic(5))), rt = unicode_codepoints_to_string(unicode_codepoints_from_string('héllo ☃'))""")
+    assert(tp.getLong(0) == 0L)
+    assert(tp.getString(1) == "héllo ☃")
+  }
 }
