@@ -1642,6 +1642,58 @@ object SparkEntry {
         | sort by l_returnflag asc"""),
       Some("""SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS ex50, true AS p50_ok, true AS rank_ok FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // TPC-H Q6 (r5): pure scan + filter + one money sum — the pushdown
+    // showcase (all three predicates land in PushedFilters)
+    "q135_tpch_q6" -> Q(kqlQ(
+      """lineitem
+        | where l_shipdate >= datetime(1997-01-01) and l_shipdate < datetime(1998-01-01)
+        | where l_discount >= 0.03 and l_discount <= 0.05 and l_quantity < 24.0
+        | summarize rc = sum(tolong(round(l_extendedprice * l_discount * 10000)))
+        | project revenue = todouble(rc) / 10000.0"""),
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24.0""")),
+
+    // TPC-H Q14 (r5): promo revenue share — broadcast dim join +
+    // conditional money aggregate (fixture p_type is single-word)
+    "q136_tpch_q14" -> Q(kqlQ(
+      """lineitem
+        | where l_shipdate >= datetime(1997-09-01) and l_shipdate < datetime(1997-10-01)
+        | join kind=inner (part) on $left.l_partkey == $right.p_partkey
+        | summarize promo = sum(tolong(round(iff(p_type == 'PROMO', l_extendedprice * (1 - l_discount), 0.0) * 10000))),
+                    total = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))
+        | project promo_revenue = round(100.0 * todouble(promo) / todouble(total), 4)"""),
+      Some("""SELECT ROUND(100.0 * CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END * 10000) AS BIGINT)) AS DOUBLE) / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE), 4) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""")),
+
+    // TPC-H Q10 (r5, reduced to fixture columns): returned-item revenue
+    // per customer over a quarter — 3-way join + grouped money sum + top
+    "q137_tpch_q10" -> Q(kqlQ(
+      """customer
+        | join kind=inner (orders
+            | where o_orderdate >= datetime(1997-01-01) and o_orderdate < datetime(1997-04-01))
+          on $left.c_custkey == $right.o_custkey
+        | join kind=inner (lineitem | where l_returnflag == 'R')
+          on $left.o_orderkey == $right.l_orderkey
+        | join kind=inner (nation) on $left.c_nationkey == $right.n_nationkey
+        | summarize rc = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))
+            by c_custkey, c_name, c_acctbal, n_name
+        | extend revenue = todouble(rc) / 10000.0
+        | project-away rc
+        | sort by revenue desc, c_custkey asc
+        | take 20"""),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R' GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q18 (r5): large-volume customers — the grouped-HAVING +
+    // join-back shape (aggregate feeds the join's build side)
+    "q138_tpch_q18" -> Q(kqlQ(
+      """lineitem
+        | summarize qty = sum(tolong(round(l_quantity))) by l_orderkey
+        | where qty > 250
+        | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+        | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | project c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
+        | sort by o_totalprice desc, o_orderdate asc, o_orderkey asc
+        | take 100"""),
+      Some("""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY 1 HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250) SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
+
     // scalar batch 6 (r5): unit conversions, codepoints, treepath,
     // bin_auto via the canonical let, format/url/has_any_index extras
     "q134_scalar_batch6" -> Q(kqlQ(

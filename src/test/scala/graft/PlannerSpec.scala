@@ -1192,4 +1192,27 @@ class PlannerSpec extends AnyFunSuite {
     assert(tp.getLong(0) == 0L)
     assert(tp.getString(1) == "héllo ☃")
   }
+
+  test("TPC-H Q6/Q14 plans: filters reach the scan, dim join broadcasts") {
+    val q6 = Kql.run(spark,
+      """lineitem
+        | where l_shipdate >= datetime(1997-01-01) and l_shipdate < datetime(1998-01-01)
+        | where l_discount >= 0.03 and l_discount <= 0.05 and l_quantity < 24.0
+        | summarize rc = sum(tolong(round(l_extendedprice * l_discount * 10000)))""",
+      cat).queryExecution.executedPlan.toString
+    // predicates land in the parquet scan's pushed filters (the plan's
+    // toString truncates the list — assert the visible prefix and the
+    // pruned read schema, which shows only the 4 referenced columns)
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"), q6.take(1200))
+    assert(q6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      q6.take(1200))
+    assert(!q6.contains("l_orderkey"), "unpruned read schema: " + q6.take(1200))
+    val q14 = Kql.run(spark,
+      """lineitem
+        | where l_shipdate >= datetime(1997-09-01) and l_shipdate < datetime(1997-10-01)
+        | join kind=inner (part) on $left.l_partkey == $right.p_partkey
+        | summarize total = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))""",
+      cat).queryExecution.executedPlan.toString
+    assert(q14.contains("BroadcastHashJoin"), q14.take(1200))
+  }
 }
