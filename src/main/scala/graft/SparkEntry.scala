@@ -785,6 +785,25 @@ object SparkEntry {
         .orderBy("source", "seq_id", "offset_in_seq", "doc_id"),
       Some("""WITH c AS (SELECT source, doc_id, n_chars, CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS so FROM documents) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, doc_id, CAST(n_chars AS BIGINT) AS w, CAST(so % 500 AS BIGINT) AS offset_in_seq FROM c ORDER BY source, seq_id, offset_in_seq, doc_id""")),
 
+    // Distributed Lloyd k-means (r5): contract row — Lloyd's descent
+    // property (5-round WCSS <= 1-round WCSS), full assignment, cell
+    // count bounded by k. Centroid layout is FP-summation-order
+    // dependent, so only the invariant booleans are hashed; the
+    // objective/assignment mechanics are pinned in LlmOpsSpec.
+    "llm_kmeans" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val w1 = LlmOps.kmeansFit(e, 8, iters = 1)
+          .agg(sum(col("dist2")).as("w1"))
+        LlmOps.kmeansFit(e, 8, iters = 5)
+          .agg(sum(col("dist2")).as("w5"), count(lit(1)).as("n_points"),
+            count_distinct(col("cell")).as("kc"))
+          .crossJoin(w1)
+          .select(col("n_points"), (col("kc") <= 8).as("k_ok"),
+            (col("w5") <= col("w1") + 1e-6).as("improved"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_points, true AS k_ok, true AS improved FROM embeddings""")),
+
     // DSIR importance weights (r5): log p_target/p_raw over hashed
     // bigram feature buckets, target = the corpus's en slice. The
     // md5-hex bucket hash is engine-portable, so DuckDB recomputes the

@@ -663,6 +663,77 @@ object LlmOps {
     }
   }
 
+  /** [[cellOf]] returning (cell, squared L2 distance on the unit
+    * sphere): dist² = ‖v̂‖² − 2·bestScore = 1 − 2(v̂·c − ‖c‖²/2). Same
+    * JIT'd-kernel justification as [[cellOf]]. */
+  private def assignOf(centroids: Array[Array[Double]]) = {
+    val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
+    udf { v: Seq[Double] =>
+      val n = math.sqrt(v.map(x => x * x).sum).max(1e-300)
+      var best = 0; var bestS = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) / n * centroids(c)(i); i += 1 }
+        s -= halfNorm(c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      (best + 1, 1.0 - 2.0 * bestS)
+    }
+  }
+
+  /** Distributed Lloyd's k-means over (L2-normalized) embedding vectors
+    * — the full iterative engine behind what [[semDedup]]/IVF
+    * approximate with a bounded driver sample. Returns one row per
+    * input: (id, cell 1-based, dist2 = squared distance to its final
+    * centroid).
+    *
+    * Iteration shape at scale: assignment is an embarrassingly parallel
+    * broadcast-kernel pass (no shuffle); the centroid update is ONE
+    * hash aggregate producing k·dim rows — the only driver traffic per
+    * round is that k·dim-row result (bounded model metadata, the same
+    * class as the IVF centroid sample, NOT a data pass). Seeds are the
+    * k lowest-(Knuth-hash, id) vectors, so runs are deterministic up to
+    * FP summation order in the update; empty cells keep their previous
+    * centroid. Lloyd's descent property (WCSS non-increasing per round)
+    * is pinned in LlmOpsSpec and bench-visible as a contract row. */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int = 5,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val vnorm = spread(emb)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("r"))
+      // norm once per row, not per element (a transform-inlined norm
+      // would duplicate the O(dim) subtree dim times)
+      .withColumn("n", sqrt(greatest(
+        aggregate(col("r"), lit(0d), (a, y) => a + y * y), lit(1e-300))))
+      .select(col("id"), transform(col("r"), x => x / col("n")).as("v"))
+      .persist()
+    try {
+      var centroids: Array[Array[Double]] = vnorm
+        .orderBy(idHash(col("id")), col("id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val upd = vnorm.withColumn("cell", cellOf(centroids)(col("v")))
+          .select(col("cell"), posexplode(col("v")))
+          .groupBy("cell", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        upd.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+          val dim = rows.map(r => r.getInt(1) ->
+            r.getDouble(2) / r.getLong(3)).toMap
+          next(cell - 1) = Array.tabulate(centroids(0).length)(i =>
+            dim.getOrElse(i, next(cell - 1)(i)))
+        }
+        centroids = next
+      }
+      vnorm.withColumn("a", assignOf(centroids)(col("v")))
+        .select(col("id").as(idCol), col("a._1").as("cell"),
+          col("a._2").as("dist2"))
+    } finally vnorm.unpersist(false)
+  }
+
   /** Probe cells for a query vector: driver-side math against the
     * nLists centroids (1-based, matching [[cellOf]]). */
   private def probeCells(centroids: Array[Array[Double]], qVec: Array[Double],

@@ -860,6 +860,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, vecE, "dedup vector"),
         method = rest.headOption.map(litString(_, "dedup method")).getOrElse("lsh"))
 
+    // `evaluate kmeans(k, iters, id, vec)`: distributed Lloyd's k-means
+    // assignments over embeddings (LlmOps.kmeansFit)
+    case EvaluateOp("kmeans", kE :: itE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.kmeansFit(df, litLong(kE).toInt, litLong(itE).toInt,
+        colNameOf(df, idE, "kmeans id"), colNameOf(df, vecE, "kmeans vector"))
+
     // `evaluate semdedup(threshold, nClusters, id, vec)`: SemDeDup-style
     // k-means-cell semantic dedup (LlmOps.semDedup)
     case EvaluateOp("semdedup", tE :: kE :: idE :: vecE :: Nil) =>

@@ -919,6 +919,27 @@ class LlmOpsSpec extends AnyFunSuite {
       bloomPlan.take(500))
   }
 
+  test("kmeansFit: Lloyd descent, valid cells, degenerate k=1") {
+    def wcss(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum("dist2")).head.getDouble(0)
+    val a1 = LlmOps.kmeansFit(embs, 8, iters = 1)
+    val a4 = LlmOps.kmeansFit(embs, 8, iters = 4)
+    // every point assigned exactly once, cells in 1..k
+    assert(a4.count() == embs.count())
+    val cells = a4.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 1 && c <= 8))
+    // Lloyd: more rounds never increase the objective
+    assert(wcss(a4) <= wcss(a1) + 1e-9, s"wcss ${wcss(a4)} vs ${wcss(a1)}")
+    // k=1: single cell, dist2 = within-cluster spread, all assigned
+    val one = LlmOps.kmeansFit(embs, 1, iters = 1)
+    assert(one.select("cell").distinct().count() == 1)
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "embeddings | evaluate kmeans(4, 2, vec_id, embedding)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("vec_id", "cell", "dist2"))
+    assert(kql.count() == embs.count())
+  }
+
   test("dsirWeights: target-distinctive features score positive, off-target negative") {
     // raw corpus: two sublanguages; target = the "aa bb" dialect
     val raw = Seq(
