@@ -27,6 +27,9 @@ object LlmOps {
     * shuffle before the expensive work. No-op when the input already has
     * that many partitions. */
   private def spread(df: DataFrame): DataFrame = {
+    // streaming frames can't be inspected via .rdd (a batch action), and
+    // their parallelism is the source's micro-batch layout — pass through
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

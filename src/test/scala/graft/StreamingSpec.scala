@@ -61,6 +61,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchGot)
   }
 
+  test("stateless r5 text ops run on streams: text_normalize + chunk via evaluate") {
+    import spark.implicits._
+    val docsB = Seq((1L, "hello  world from  stream"), (2L, "a b c d e")).toDF("doc_id", "text")
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(Seq((1L, "hello  world from  stream"), (2L, "a b c d e")): _*)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val norm = graft.kql.Kql.runStream(spark,
+      "src | evaluate text_normalize(text, doc_id)", TestSpark.sfDir,
+      Map("src" -> sdf))
+    assert(norm.isStreaming)
+    val sunkN = StreamingOps.runToMemory(spark, norm, "t_norm", "append")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batchN = graft.ext.LlmOps.textNormalize(docsB)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sunkN.toSeq == batchN.toSeq)
+    val chunk = graft.kql.Kql.runStream(spark,
+      "src | evaluate chunk(3, 1, text, doc_id)", TestSpark.sfDir,
+      Map("src" -> sdf))
+    assert(chunk.isStreaming)
+    val sunkC = StreamingOps.runToMemory(spark, chunk, "t_chunk", "append")
+    assert(sunkC.count() ==
+      graft.ext.LlmOps.chunkDocs(docsB, 3, 1).count())
+  }
+
+  test("tdigest sketch aggregates over a stream in complete mode") {
+    val (_, df) = mkStream(batch1)
+    // UDAF-backed sketches run inside a streaming aggregation like any
+    // agg; the extracted median must match the batch digest's
+    val out = graft.kql.Kql.runStream(spark,
+      "src | summarize td = tdigest(value) by event_type | project event_type, p50 = percentile_tdigest(td, 50)",
+      TestSpark.sfDir, Map("src" -> df))
+    assert(out.isStreaming)
+    val got = StreamingOps.runToMemory(spark, out, "t_td", "complete")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    import spark.implicits._
+    val batchGot = graft.kql.Kql.run(spark,
+      "src | summarize td = tdigest(value) by event_type | project event_type, p50 = percentile_tdigest(td, 50)",
+      graft.kql.Catalog(spark, TestSpark.sfDir)
+        .withTable("src", batch1.toDF()))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == batchGot)
+  }
+
   test("KQL streaming join against a static catalog table") {
     val (_, df) = mkStream(batch1)
     // nation is a static parquet table from the fixture catalog: the
