@@ -24,6 +24,16 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** 10-token reline shared by the line-op bench rows — must stay in
+    * lockstep with their oracles' tk[k*10+1 : k*10+10] slicing (both
+    * sides coalesce NULL text to the empty document). */
+  private def relined10(d: DataFrame): DataFrame = {
+    val toks = split(coalesce(col("text"), lit("")), "\\s+")
+    d.withColumn("text", array_join(transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+      k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
+  }
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -749,33 +759,22 @@ object SparkEntry {
     // itself is delimiter-generic. Every repeated line survives only at
     // its first (doc_id, pos); docs reassemble in original line order.
     "llm_line_dedup" -> Q(
-      (s, dir) => {
-        val toks = split(col("text"), "\\s+")
-        val relined = docs(s, dir).withColumn("text", array_join(transform(
-          sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
-          k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
-        LlmOps.lineDedup(relined).orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+      (s, dir) => LlmOps.lineDedup(relined10(docs(s, dir))).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
 
     // RefinedWeb frequent-line boilerplate removal (r5): lines in >= 3
     // distinct docs vanish everywhere; rare lines keep all occurrences
     "llm_boilerplate" -> Q(
-      (s, dir) => {
-        val toks = split(col("text"), "\\s+")
-        val relined = docs(s, dir).withColumn("text", array_join(transform(
-          sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
-          k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
-        LlmOps.boilerplateRemove(relined, minDf = 3).orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+      (s, dir) => LlmOps.boilerplateRemove(relined10(docs(s, dir)), minDf = 3)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM lx GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
 
     // Overlapping token-window chunking (r5): 16-token chunks, 4-token
     // overlap (stride 12) — value-exact per-chunk text recompute
     "llm_chunk" -> Q(
       (s, dir) => LlmOps.chunkDocs(docs(s, dir), chunkTokens = 16,
         overlapTokens = 4).orderBy("doc_id", "chunk_idx"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(least(16, len(tk) - k*12) AS BIGINT) AS n_toks, array_to_string(tk[k*12+1 : k*12+16], ' ') AS chunk_text FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/12.0) AS INT))) AS k FROM t) ORDER BY doc_id, chunk_idx""")),
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents) SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(least(16, len(tk) - k*12) AS BIGINT) AS n_toks, array_to_string(tk[k*12+1 : k*12+16], ' ') AS chunk_text FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/12.0) AS INT))) AS k FROM t) ORDER BY doc_id, chunk_idx""")),
 
     // Sequence packing (r5): concat-then-cut assignment in Knuth-hash
     // order, 500-char sequences per source — integer-exact quotient /
@@ -819,7 +818,7 @@ object SparkEntry {
     // whitespace collapse + trim — value-exact vs DuckDB nfc_normalize
     "llm_text_normalize" -> Q(
       (s, dir) => LlmOps.textNormalize(docs(s, dir)).orderBy("doc_id"),
-      Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text, CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm FROM documents ORDER BY doc_id""")),
+      Some("""SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(COALESCE(text, '')), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text, CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(COALESCE(text, '')), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm FROM documents ORDER BY doc_id""")),
 
     // Bloom-filter membership dedup (r5): odd-id batch vs even-id
     // corpus. Contract: no false keeps (bloom FNs are structurally

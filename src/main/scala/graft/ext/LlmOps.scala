@@ -649,41 +649,39 @@ object LlmOps {
     * analysis/codegen cost dwarfs the arithmetic it saves (measured 3×
     * slower end-to-end); the closure is JIT'd primitive loops and the
     * pass stays embarrassingly parallel. Cells are 1-based. */
-  private def cellOf(centroids: Array[Array[Double]]) = {
-    val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
-    udf { v: Seq[Double] =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      var best = 0; var bestS = Double.MinValue
-      var c = 0
-      while (c < centroids.length) {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) / n * centroids(c)(i); i += 1 }
-        s -= halfNorm(c)
-        if (s > bestS) { bestS = s; best = c }
-        c += 1
-      }
-      best + 1
+  /** Shared nearest-centroid kernel: (1-based cell, squared L2 distance
+    * of the NORMALIZED vector to that centroid). Zero vectors normalize
+    * to zero (guarded n), land deterministically in the smallest-norm
+    * centroid's cell, and report dist² = ‖c‖² (‖v̂‖² = 0), so every
+    * caller treats them identically. */
+  private def bestCell(v: Seq[Double], centroids: Array[Array[Double]],
+                       halfNorm: Array[Double]): (Int, Double) = {
+    var raw = 0.0
+    var i = 0
+    while (i < v.length) { raw += v(i) * v(i); i += 1 }
+    val n = math.sqrt(raw).max(1e-300)
+    var best = 0; var bestS = Double.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; i = 0
+      while (i < v.length) { s += v(i) / n * centroids(c)(i); i += 1 }
+      s -= halfNorm(c)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
     }
+    val vv = if (raw == 0.0) 0.0 else 1.0 // ‖v̂‖²
+    (best + 1, vv - 2.0 * bestS)
   }
 
-  /** [[cellOf]] returning (cell, squared L2 distance on the unit
-    * sphere): dist² = ‖v̂‖² − 2·bestScore = 1 − 2(v̂·c − ‖c‖²/2). Same
-    * JIT'd-kernel justification as [[cellOf]]. */
+  private def cellOf(centroids: Array[Array[Double]]) = {
+    val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
+    udf { v: Seq[Double] => bestCell(v, centroids, halfNorm)._1 }
+  }
+
+  /** [[bestCell]] as a (cell, dist²) udf — the k-means assignment pass. */
   private def assignOf(centroids: Array[Array[Double]]) = {
     val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
-    udf { v: Seq[Double] =>
-      val n = math.sqrt(v.map(x => x * x).sum).max(1e-300)
-      var best = 0; var bestS = Double.MinValue
-      var c = 0
-      while (c < centroids.length) {
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) / n * centroids(c)(i); i += 1 }
-        s -= halfNorm(c)
-        if (s > bestS) { bestS = s; best = c }
-        c += 1
-      }
-      (best + 1, 1.0 - 2.0 * bestS)
-    }
+    udf { v: Seq[Double] => bestCell(v, centroids, halfNorm) }
   }
 
   /** Distributed Lloyd's k-means over (L2-normalized) embedding vectors
@@ -1893,6 +1891,11 @@ object LlmOps {
     // parquet-metadata-cheap pass, paid once per corpus snapshot
     val n = math.max(ch.count(), 1L)
     val bf = ch.stat.bloomFilter("h", n, fpp)
+    // broadcast lifetime: reclaimed by Spark's ContextCleaner once the
+    // returned frame's plan is garbage-collected (referenceTracking is
+    // on by default) — a long-lived session re-probing many batches
+    // should build the filter once and reuse the returned plan rather
+    // than calling this per batch
     val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
     // deliberate UDF (COVERAGE §2.11): Spark's bloom-probe expression is
     // internal-only (BloomFilterMightContain); the probe is a bounded

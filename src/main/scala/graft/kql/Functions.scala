@@ -38,10 +38,14 @@ object Functions {
     "hash_many" -> f { cs => xxhash64(cs: _*) },
     "format_number" -> f { case c :: d :: Nil =>
       call_function("format_number", c, d.cast("int")) },
-    // form-encoding (+) vs component-encoding (%20) — the JS
-    // encodeURIComponent distinction KQL mirrors
+    // component encoding = RFC 3986 unreserved set (A-Za-z0-9-_.~),
+    // everything else %XX — patch the three spots where Java's
+    // form-encoder (url_encode) disagrees: space→'+' (→%20), '~'
+    // escaped (→ keep), '*' kept (→%2A). Post-encode replacements are
+    // safe: a literal '%'/'~'-bearing input was already %-escaped.
     "url_encode_component" -> f { case c :: Nil =>
-      regexp_replace(url_encode(c), "\\+", "%20") },
+      regexp_replace(regexp_replace(regexp_replace(url_encode(c),
+        "\\+", "%20"), "%7E", "~"), "\\*", "%2A") },
     "unicode_codepoints_from_string" -> f { case c :: Nil => codepointsFrom(c) },
     // unicode_codepoints_to_string is planner-side (needs arg types to
     // tell scalar codepoints from codepoint arrays)
@@ -1788,12 +1792,16 @@ object Functions {
   }
 
   /** unicode_codepoints_to_string's array step — same JDK-bound
-    * justification (`Character.toChars` handles surrogates). */
-  private val codepointsToUdf = udf { (cps: Seq[Long]) =>
-    if (cps == null) null
+    * justification (`Character.toChars` handles surrogates). Null
+    * elements or out-of-range/surrogate code points yield null (the
+    * invalid-input convention of this registry), never a task error. */
+  private val codepointsToUdf = udf { (cps: Seq[java.lang.Long]) =>
+    if (cps == null || cps.exists(cp => cp == null ||
+        cp != cp.toInt.toLong || !Character.isValidCodePoint(cp.toInt) ||
+        (cp <= 0xFFFFL && Character.isSurrogate(cp.toInt.toChar)))) null
     else {
       val sb = new java.lang.StringBuilder
-      cps.foreach(cp => sb.appendCodePoint(cp.toInt))
+      cps.foreach(cp => sb.appendCodePoint(cp.intValue()))
       sb.toString
     }
   }
@@ -1807,10 +1815,14 @@ object Functions {
     * KQL renders them (`['a']['b'][0]` bracket form). Deliberate UDF: a
     * recursive tree walk over arbitrary JSON has no Column/HOF
     * formulation; parsing uses Spark's own shipped Jackson. */
+  // shared mapper: construction is the expensive part of Jackson and
+  // readTree is thread-safe
+  private lazy val treepathMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private val treepathFn = udf { (s: String) =>
     if (s == null) null
     else {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mapper = treepathMapper
       val out = scala.collection.mutable.ArrayBuffer[String]()
       def walk(node: com.fasterxml.jackson.databind.JsonNode, path: String): Unit = {
         if (node.isObject) {

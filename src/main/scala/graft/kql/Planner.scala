@@ -1901,11 +1901,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           case (TimestampType, Lit(Timespan(us)), Lit(fp: java.sql.Timestamp)) =>
             val fpUs = fp.getTime * 1000
             timestamp_micros(floor((unix_micros(a(0)) - fpUs) / lit(us.toDouble)).cast("long") * us + fpUs)
-          case (t, _, _) if isIntegral(t) || t == DoubleType || t.isInstanceOf[DecimalType] =>
-            // numeric axis: floor((x - fp)/size)*size + fp, integral
-            // stays integral (the plain-bin convention)
-            val out = floor((a(0) - a(2)) / a(1)) * a(1) + a(2)
-            if (isIntegral(t)) out.cast("long") else out
+          case (t, _, _) if isIntegral(t) =>
+            // integer axis: exact integer math (double floor would
+            // misbin beyond 2^53 — 64-bit ids, nanosecond epochs)
+            val off = a(0).cast("long") - a(2).cast("long")
+            (off - pmod(off, a(1).cast("long")) + a(2).cast("long")).cast("long")
+          case (t, _, _) if t == DoubleType || t.isInstanceOf[DecimalType] =>
+            floor((a(0) - a(2)) / a(1)) * a(1) + a(2)
           case _ => throw PlanError("bin_at supports datetime or numeric axes")
         }
       // -------------------------------------------------------- datetime
@@ -1970,7 +1972,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             case _ => Functions.codepointsTo(array(c.cast("long")))
           }
         }
-        concat_ws("", parts: _*)
+        // concat_ws silently skips nulls; an invalid code point must
+        // null the WHOLE result, not vanish from it
+        when(parts.map(_.isNull).reduce(_ || _), lit(null).cast("string"))
+          .otherwise(concat_ws("", parts: _*))
       case "datetime_part" =>
         (litString(args(0), "datetime_part part").toLowerCase match {
           case "year" => year(a(1))

@@ -27,14 +27,27 @@ final class TDigest(val compression: Double) extends Serializable {
   private[sketch] var weights: Array[Double] = Array.emptyDoubleArray
   private[sketch] var total: Double = 0.0
 
-  // unmerged insert buffer; compressed when full (amortized O(δ log δ))
+  // unmerged insert buffer; LAZILY allocated and grown (32 → 512) so a
+  // high-cardinality group-by holding millions of live digests pays per
+  // observed value, not 8 KB per empty buffer — and the kryo bytes that
+  // cross partitions shrink with it. Compressed when full (amortized
+  // O(δ log δ)).
   private val bufCap = 512
-  private var bufM: Array[Double] = new Array[Double](bufCap)
-  private var bufW: Array[Double] = new Array[Double](bufCap)
+  private var bufM: Array[Double] = null
+  private var bufW: Array[Double] = null
   private var bufN: Int = 0
 
   def add(x: Double, w: Double = 1.0): Unit = {
-    if (bufN == bufCap) compress()
+    if (bufM != null && bufN == bufM.length) {
+      if (bufN >= bufCap) compress() // resets bufN and releases buffers
+      else {
+        bufM = java.util.Arrays.copyOf(bufM, bufM.length * 2)
+        bufW = java.util.Arrays.copyOf(bufW, bufW.length * 2)
+      }
+    }
+    if (bufM == null) {
+      bufM = new Array[Double](32); bufW = new Array[Double](32)
+    }
     bufM(bufN) = x; bufW(bufN) = w; bufN += 1
   }
 
@@ -56,8 +69,10 @@ final class TDigest(val compression: Double) extends Serializable {
     val w = new Array[Double](n)
     System.arraycopy(means, 0, m, 0, means.length)
     System.arraycopy(weights, 0, w, 0, means.length)
-    System.arraycopy(bufM, 0, m, means.length, bufN)
-    System.arraycopy(bufW, 0, w, means.length, bufN)
+    if (bufN > 0) {
+      System.arraycopy(bufM, 0, m, means.length, bufN)
+      System.arraycopy(bufW, 0, w, means.length, bufN)
+    }
     bufN = 0
     // sort (mean asc) — indices sorted to keep (m, w) aligned
     val idx = (0 until n).sortBy(m(_)).toArray
@@ -96,6 +111,9 @@ final class TDigest(val compression: Double) extends Serializable {
     means = java.util.Arrays.copyOf(om, out)
     weights = java.util.Arrays.copyOf(ow, out)
     total = tot
+    // release the insert buffer: a compressed digest serializes as just
+    // its centroids (next add() re-allocates the small initial buffer)
+    bufM = null; bufW = null
   }
 
   /** Quantile at q ∈ [0,1] by linear interpolation between centroid
@@ -123,19 +141,32 @@ final class TDigest(val compression: Double) extends Serializable {
   }
 
   /** Fraction of mass ≤ x (inverse of [[quantile]], same centroid
-    * interpolation). */
+    * interpolation). A run of centroids whose mean EQUALS x (heavy
+    * duplicated values stay singletons under the k1 tail bound)
+    * contributes all its mass, counted half — symmetric at both edges
+    * and in the middle. */
   def cdf(x: Double): Double = {
     compress()
     val n = means.length
     if (n == 0) return Double.NaN
-    if (x <= means(0)) return if (n == 1 && x == means(0)) 0.5 else 0.0
-    if (x >= means(n - 1)) return if (x == means(n - 1)) 1.0 - weights(n - 1) / 2 / total else 1.0
-    var cum = 0.0
+    if (x < means(0)) return 0.0
+    if (x > means(n - 1)) return 1.0
+    // mass strictly below x and exactly at x (centroid-mean equality)
+    var below = 0.0; var at = 0.0
     var i = 0
+    while (i < n) {
+      if (means(i) < x) below += weights(i)
+      else if (means(i) == x) at += weights(i)
+      i += 1
+    }
+    if (at > 0.0) return (below + at / 2) / total
+    // x between two adjacent distinct centroid means: interpolate
+    i = 0
+    var cum = 0.0
     while (i < n - 1) {
-      val c0 = cum + weights(i) / 2
-      val c1 = cum + weights(i) + weights(i + 1) / 2
-      if (x >= means(i) && x < means(i + 1)) {
+      if (x > means(i) && x < means(i + 1)) {
+        val c0 = cum + weights(i) / 2
+        val c1 = cum + weights(i) + weights(i + 1) / 2
         val f = (x - means(i)) / (means(i + 1) - means(i))
         return (c0 + f * (c1 - c0)) / total
       }

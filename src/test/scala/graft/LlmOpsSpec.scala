@@ -933,6 +933,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // k=1: single cell, dist2 = within-cluster spread, all assigned
     val one = LlmOps.kmeansFit(embs, 1, iters = 1)
     assert(one.select("cell").distinct().count() == 1)
+    // zero vector: assigned (smallest-norm centroid), dist2 = ||c||^2 >= 0
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    val withZero = embs.unionByName(embs.limit(1)
+      .select(lit(999999L).cast("long").as("vec_id"),
+        array_repeat(lit(0.0f), dim).as("embedding"),
+        col("label")))
+    val z = LlmOps.kmeansFit(withZero, 4, iters = 2)
+      .filter(col("vec_id") === 999999L).head
+    assert(z.getInt(1) >= 1 && z.getInt(1) <= 4 && z.getDouble(2) >= 0.0)
     // KQL-reachable
     val kql = graft.kql.Kql.run(spark,
       "embeddings | evaluate kmeans(4, 2, vec_id, embedding)", TestSpark.sfDir)

@@ -1193,6 +1193,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(tp.getString(1) == "héllo ☃")
   }
 
+  test("review fixes: RFC3986 component set, invalid codepoints, 2^53-safe bin_at") {
+    // '~' stays unreserved, '*' escapes, space is %20 (not '+')
+    val ue = one("""print e = url_encode_component('~a *b')""")
+    assert(ue.getString(0) == "~a%20%2Ab")
+    // invalid code points yield null, never a task crash
+    val cp = one("""print bad = unicode_codepoints_to_string(pack_array(1114112)), sur = unicode_codepoints_to_string(pack_array(55296))""")
+    assert(cp.isNullAt(0) && cp.isNullAt(1))
+    // integer bin_at is exact beyond 2^53 (double floor would misbin)
+    val ba = one("""print b = bin_at(1152921504606846976, 10, 0)""")
+    assert(ba.getLong(0) == 1152921504606846970L)
+  }
+
   test("TPC-H Q6/Q14 plans: filters reach the scan, dim join broadcasts") {
     val q6 = Kql.run(spark,
       """lineitem

@@ -79,6 +79,18 @@ class SketchSpec extends AnyFunSuite {
     assert(back.centroidCount == t.centroidCount)
   }
 
+  test("tdigest edge ranks: duplicated minimum carries mass, empty digest serializes") {
+    val t = new graft.sketch.TDigest(100.0)
+    Seq(1.0, 1.0, 1.0, 5.0).foreach(t.add(_))
+    // pre-fix cdf(min) returned 0.0 regardless of the mass sitting there
+    assert(t.cdf(1.0) > 0.2, s"cdf(min)=${t.cdf(1.0)}")
+    assert(t.cdf(0.5) == 0.0 && t.cdf(6.0) == 1.0)
+    // empty digest: serialize/deserialize round-trips, quantile is NaN
+    val e = new graft.sketch.TDigest(100.0)
+    val back = graft.sketch.TDigest.deserialize(e.serialize())
+    assert(back.centroidCount == 0 && back.quantile(0.5).isNaN)
+  }
+
   test("tdigest merge of shard sketches matches the single-digest quantiles") {
     val n = 60000
     val full = new graft.sketch.TDigest(100.0)
