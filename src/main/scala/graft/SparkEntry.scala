@@ -1732,6 +1732,20 @@ object SparkEntry {
               tp = dynamic_to_json(treepath(dynamic({"a":{"b":1},"c":[5,6]})))"""),
       Some("""SELECT 1609.344 AS mi, 100.0 AS tf, 3.141593 AS an, 453.5924 AS ma, 1.852 AS sp, 3600.0 AS en, 3.785412 AS vo, '1,234,567.89' AS fn, 'a%20b%2Bc' AS ue, '[72,105,9731]' AS cp, 'Hi☃' AS cs, CAST(1 AS BIGINT) AS hi, CAST(40 AS BIGINT) AS ba, '["[''a'']","[''a''][''b'']","[''c'']","[''c''][0]","[''c''][1]"]' AS tp""")),
 
+    // geo point-to-line distance (r5): cross-track/along-track spherical
+    // decomposition per segment, min over the LineString. Expected
+    // values from an independent scalar implementation of the same
+    // spherical model (R=6371000 — the repo's haversine convention;
+    // WGS84 geodesics differ ~1%)
+    "q139_geo_point_to_line" -> Q(kqlQ(
+      """print interior = round(geo_distance_point_to_line(-73.9787, 40.7648,
+              dynamic({"type":"LineString","coordinates":[[-73.97687,40.78193],[-73.96537,40.78371]]})), 4),
+            endpoint = round(geo_distance_point_to_line(2.0, 0.0,
+              dynamic({"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]})), 4),
+            multiseg = round(geo_distance_point_to_line(0.5, 0.3,
+              dynamic({"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]})), 4)"""),
+      Some("""SELECT 1910.9925 AS interior, 111194.9266 AS endpoint, 33358.478 AS multiseg""")),
+
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(
       """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),

@@ -445,6 +445,8 @@ object Functions {
       haversineMeters(lon1, lat1, lon2, lat2) },
     "geo_point_in_circle" -> f { case lon :: lat :: cLon :: cLat :: radius :: Nil =>
       haversineMeters(lon, lat, cLon, cLat) <= radius.cast("double") },
+    "geo_distance_point_to_line" -> f { case lon :: lat :: line :: Nil =>
+      geoDistancePointToLine(lon, lat, line) },
     // -------------------------------------------------------- IP (§2.8.7)
     "parse_ipv4" -> f { case s :: Nil => parseIpv4(s) },
     "format_ipv4" -> f { case n :: Nil =>
@@ -1271,6 +1273,63 @@ object Functions {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     r * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** Initial great-circle bearing from (lon1,lat1) to (lon2,lat2), in
+    * radians — the spherical-trig standard form. */
+  private def bearingRad(lon1: Column, lat1: Column,
+                         lon2: Column, lat2: Column): Column = {
+    val dLon = radians(lon2 - lon1)
+    atan2(sin(dLon) * cos(radians(lat2)),
+      cos(radians(lat1)) * sin(radians(lat2)) -
+        sin(radians(lat1)) * cos(radians(lat2)) * cos(dLon))
+  }
+
+  /** Great-circle distance (meters) from point Q to the segment A→B via
+    * the cross-track/along-track decomposition: the perpendicular
+    * |cross-track| when Q projects inside the segment, else the nearer
+    * endpoint distance. Degenerate A=B segments collapse to a point. */
+  private def pointSegMeters(qLon: Column, qLat: Column,
+                             aLon: Column, aLat: Column,
+                             bLon: Column, bLat: Column): Column = {
+    val R = lit(6371000.0)
+    val d13 = haversineMeters(aLon, aLat, qLon, qLat)
+    val d12 = haversineMeters(aLon, aLat, bLon, bLat)
+    val thDiff = bearingRad(aLon, aLat, qLon, qLat) -
+      bearingRad(aLon, aLat, bLon, bLat)
+    val dxt = asin(greatest(lit(-1.0), least(lit(1.0),
+      sin(d13 / R) * sin(thDiff)))) * R
+    // signed along-track: negative when Q falls behind A
+    val dat = acos(greatest(lit(-1.0), least(lit(1.0),
+      cos(d13 / R) / cos(dxt / R)))) * R * signum(cos(thDiff))
+    when(d12 === 0.0, d13)
+      .when(dat < 0.0, d13)
+      .when(dat > d12, haversineMeters(bLon, bLat, qLon, qLat))
+      .otherwise(abs(dxt))
+  }
+
+  /** geo_distance_point_to_line(lon, lat, LineString-dynamic): minimum
+    * spherical distance to any segment of the GeoJSON line. Pure Column
+    * math (one transform over segments + array_min), codegen-friendly. */
+  def geoDistancePointToLine(lon: Column, lat: Column, line: Column): Column = {
+    val coords = from_json(line.cast("string"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("coordinates",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))))
+      .getField("coordinates")
+    def cx(i: Column) = element_at(element_at(coords, i), 1)
+    def cy(i: Column) = element_at(element_at(coords, i), 2)
+    // guard BEFORE sequence(1, n-1): a 1-point line would make it
+    // descend ([1, 0]) instead of being empty
+    when(coords.isNull || size(coords) === 0, lit(null).cast("double"))
+      .when(size(coords) === 1,
+        haversineMeters(cx(lit(1)), cy(lit(1)), lon, lat))
+      .otherwise(array_min(transform(sequence(lit(1), size(coords) - 1),
+        i => pointSegMeters(lon, lat, cx(i), cy(i), cx(i + 1), cy(i + 1)))))
   }
 
   /** series_fit_poly output shape. */

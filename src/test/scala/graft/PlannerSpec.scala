@@ -1205,6 +1205,17 @@ class PlannerSpec extends AnyFunSuite {
     assert(ba.getLong(0) == 1152921504606846970L)
   }
 
+  test("geo_distance_point_to_line edges: on-line zero, 1-point line, null") {
+    val r = one("""print zero = round(geo_distance_point_to_line(0.5, 0.0,
+        dynamic({"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]})), 4),
+      single = round(geo_distance_point_to_line(1.0, 0.0,
+        dynamic({"type":"LineString","coordinates":[[0.0,0.0]]})), 4),
+      bad = geo_distance_point_to_line(0.0, 0.0, dynamic(null))""")
+    assert(math.abs(r.getDouble(0)) < 1e-6)   // point ON the segment
+    assert(r.getDouble(1) > 111000 && r.getDouble(1) < 112000) // 1° arc
+    assert(r.isNullAt(2))
+  }
+
   test("TPC-H Q6/Q14 plans: filters reach the scan, dim join broadcasts") {
     val q6 = Kql.run(spark,
       """lineitem
