@@ -803,6 +803,28 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_points, true AS k_ok, true AS improved FROM embeddings""")),
 
+    // Curation pipeline v2 (r5): the NEW line-level stages composed end
+    // to end — boilerplate removal → corpus line dedup → normalize →
+    // sequence packing → per-(source, seq) accounting. Every stage is
+    // engine-portable, so the whole chain is value-exact (the
+    // llm_pipeline_e2e composition-proof pattern). Docs whose every
+    // line is removed stay in the corpus with weight 0.
+    "llm_pipeline_v2" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bp = LlmOps.boilerplateRemove(relined10(d), minDf = 3)
+        val ld = LlmOps.lineDedup(
+          bp.select(col("doc_id"), col("clean_text").as("text")))
+        val norm = LlmOps.textNormalize(
+          ld.select(col("doc_id"), col("clean_text").as("text")))
+        val withSrc = norm.join(d.select("doc_id", "source"), "doc_id")
+        LlmOps.packSequences(withSrc, 500, weightCol = "n_chars_norm")
+          .groupBy("source", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_chars"))
+          .orderBy("source", "seq_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lx GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM k1 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM k1 JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS txt FROM k2 GROUP BY 1), alldocs AS (SELECT d.doc_id, d.source, COALESCE(length(a.txt), 0) AS w FROM documents d LEFT JOIN agg a USING (doc_id)), c AS (SELECT source, doc_id, w, CAST(SUM(w) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS BIGINT) AS so FROM alldocs) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_chars FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // DSIR importance weights (r5): log p_target/p_raw over hashed
     // bigram feature buckets, target = the corpus's en slice. The
     // md5-hex bucket hash is engine-portable, so DuckDB recomputes the
