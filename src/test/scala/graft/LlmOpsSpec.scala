@@ -909,6 +909,13 @@ class LlmOpsSpec extends AnyFunSuite {
     // textNormalize: zero shuffle of any kind
     val normPlan = LlmOps.textNormalize(docs).queryExecution.executedPlan.toString
     assert(!normPlan.contains("Exchange"), normPlan.take(500))
+    // lineDedup consumes its exploded line rows twice (owner aggregate +
+    // join-back) — the shuffle must be REUSED, not recomputed, or the
+    // explode cost doubles at scale
+    val ldDf = LlmOps.lineDedup(docs)
+    ldDf.collect() // AQE finalizes the plan
+    assert(ldDf.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "lineDedup lost its exchange reuse")
     // dedupBloomFilter: the batch side is a map-side filter — no join, no
     // exchange in the returned plan (the sketch build ran eagerly)
     val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
