@@ -805,6 +805,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.count() == docs.count())
   }
 
+  test("lineDedup properties: idempotence and kept-mass conservation") {
+    // lines synthesized from fixture text: 10-token groups, heavy
+    // cross-doc duplication by construction (tiny vocabulary)
+    val toks = split(col("text"), "\\s+")
+    val relined = docs.limit(200).withColumn("text", array_join(transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+      k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
+    val once = LlmOps.lineDedup(relined)
+    // conservation: kept lines across the corpus == distinct line count
+    val distinctLines = relined
+      .select(explode(split(col("text"), "\n")).as("l")).distinct().count()
+    assert(once.agg(sum("n_kept")).head.getLong(0) == distinctLines)
+    // idempotence: deduping the deduped corpus keeps everything
+    val twice = LlmOps.lineDedup(
+      once.select(col("doc_id"), col("clean_text").as("text")))
+    // skip fully-emptied docs: their '' line collides corpus-wide
+    val stable = twice.filter(col("clean_text") =!= "")
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    once.filter(col("clean_text") =!= "").collect()
+      .foreach { r =>
+        assert(stable(r.getLong(0)) == r.getString(3),
+          s"doc ${r.getLong(0)} changed on second dedup")
+      }
+  }
+
+  test("packSequences properties: partition of the corpus, budget-dense sequences") {
+    val packed = LlmOps.packSequences(docs, 700)
+    // every doc appears exactly once (a partition of the corpus)
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // per (source, seq): total start-to-end span fits the arithmetic —
+    // every seq except its source's last must carry >= budget of
+    // cumulative weight from its first doc's offset onward
+    val rows = packed.select("source", "seq_id", "w", "offset_in_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((src, seqs) <- rows.groupBy(_._1)) {
+      val lastSeq = seqs.map(_._2).max
+      for ((seq, ss) <- seqs.groupBy(_._2) if seq != lastSeq) {
+        val minOff = ss.map(_._4).min
+        val mass = ss.map(_._3).sum
+        // the sequence fills from its lowest offset to the boundary
+        assert(minOff + mass >= 700,
+          s"$src seq $seq: off $minOff + mass $mass < budget")
+      }
+    }
+  }
+
   test("boilerplateRemove: frequent lines vanish everywhere, rare in-doc repeats stay") {
     val d = Seq(
       (1L, "cookie banner\nreal content a"),
