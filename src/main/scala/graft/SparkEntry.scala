@@ -823,7 +823,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_chars"))
           .orderBy("source", "seq_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lx GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM k1 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM k1 JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS txt FROM k2 GROUP BY 1), alldocs AS (SELECT d.doc_id, d.source, COALESCE(length(a.txt), 0) AS w FROM documents d LEFT JOIN agg a USING (doc_id)), c AS (SELECT source, doc_id, w, CAST(SUM(w) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS BIGINT) AS so FROM alldocs) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_chars FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lx GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM lx JOIN dfq USING (line) WHERE df < 3), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM k1 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM k1 JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS txt FROM k2 GROUP BY 1), alldocs AS (SELECT d.doc_id, d.source, COALESCE(length(trim(regexp_replace(regexp_replace(nfc_normalize(a.txt), '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))), 0) AS w FROM documents d LEFT JOIN agg a USING (doc_id)), c AS (SELECT source, doc_id, w, CAST(SUM(w) OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS BIGINT) AS so FROM alldocs) SELECT source, CAST(so // 500 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_chars FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // DSIR importance weights (r5): log p_target/p_raw over hashed
     // bigram feature buckets, target = the corpus's en slice. The

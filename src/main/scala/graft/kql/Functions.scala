@@ -1285,34 +1285,18 @@ object Functions {
         sin(radians(lat1)) * cos(radians(lat2)) * cos(dLon))
   }
 
-  /** Great-circle distance (meters) from point Q to the segment A→B via
-    * the cross-track/along-track decomposition: the perpendicular
-    * |cross-track| when Q projects inside the segment, else the nearer
-    * endpoint distance. Degenerate A=B segments collapse to a point. */
-  private def pointSegMeters(qLon: Column, qLat: Column,
-                             aLon: Column, aLat: Column,
-                             bLon: Column, bLat: Column): Column = {
-    val R = lit(6371000.0)
-    val d13 = haversineMeters(aLon, aLat, qLon, qLat)
-    val d12 = haversineMeters(aLon, aLat, bLon, bLat)
-    val thDiff = bearingRad(aLon, aLat, qLon, qLat) -
-      bearingRad(aLon, aLat, bLon, bLat)
-    val dxt = asin(greatest(lit(-1.0), least(lit(1.0),
-      sin(d13 / R) * sin(thDiff)))) * R
-    // signed along-track: negative when Q falls behind A
-    val dat = acos(greatest(lit(-1.0), least(lit(1.0),
-      cos(d13 / R) / cos(dxt / R)))) * R * signum(cos(thDiff))
-    when(d12 === 0.0, d13)
-      .when(dat < 0.0, d13)
-      .when(dat > d12, haversineMeters(bLon, bLat, qLon, qLat))
-      .otherwise(abs(dxt))
-  }
-
   /** geo_distance_point_to_line(lon, lat, LineString-dynamic): minimum
-    * spherical distance to any segment of the GeoJSON line. Pure Column
-    * math (one transform over segments + array_min), codegen-friendly. */
+    * spherical distance to any segment via the cross-track/along-track
+    * decomposition (perpendicular |cross-track| when Q projects inside
+    * the segment, else the nearer endpoint; A=B segments collapse to a
+    * point). Pure Column math, staged through per-segment structs so
+    * each haversine/bearing is evaluated ONCE (HOF lambdas get no
+    * subexpression elimination). Invalid input — not a LineString,
+    * fewer than 2 positions, or any malformed coordinate — yields null
+    * (the Kusto convention), never a confident number. */
   def geoDistancePointToLine(lon: Column, lat: Column, line: Column): Column = {
-    val coords = from_json(line.cast("string"),
+    val R = lit(6371000.0)
+    val parsed = from_json(line.cast("string"),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("type",
           org.apache.spark.sql.types.StringType),
@@ -1320,16 +1304,40 @@ object Functions {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType))))))
-      .getField("coordinates")
+    val coords = parsed.getField("coordinates")
     def cx(i: Column) = element_at(element_at(coords, i), 1)
     def cy(i: Column) = element_at(element_at(coords, i), 2)
+    // stage 1: the trig-heavy quantities, once per segment
+    val segs = transform(sequence(lit(1), size(coords) - 1), i => struct(
+      haversineMeters(cx(i), cy(i), lon, lat).as("d13"),
+      haversineMeters(cx(i), cy(i), cx(i + 1), cy(i + 1)).as("d12"),
+      (bearingRad(cx(i), cy(i), lon, lat) -
+        bearingRad(cx(i), cy(i), cx(i + 1), cy(i + 1))).as("th"),
+      haversineMeters(cx(i + 1), cy(i + 1), lon, lat).as("dB")))
+    // NULL-PROPAGATING clamp: greatest/least SKIP nulls, which would
+    // turn a malformed coordinate's null into asin(1) — a confident
+    // wrong distance instead of null
+    def clamp(x: Column): Column =
+      when(x < -1.0, -1.0).when(x > 1.0, 1.0).otherwise(x)
+    // stage 2: the decision tree over materialized fields
+    val dists = transform(segs, s => {
+      val d13 = s.getField("d13"); val d12 = s.getField("d12")
+      val th = s.getField("th"); val dB = s.getField("dB")
+      val dxt = asin(clamp(sin(d13 / R) * sin(th))) * R
+      // signed along-track: negative when Q falls behind A
+      val dat = acos(clamp(cos(d13 / R) / cos(dxt / R))) * R * signum(cos(th))
+      when(d12 === 0.0, d13)
+        .when(dat < 0.0, d13)
+        .when(dat > d12, dB)
+        .otherwise(abs(dxt))
+    })
     // guard BEFORE sequence(1, n-1): a 1-point line would make it
-    // descend ([1, 0]) instead of being empty
-    when(coords.isNull || size(coords) === 0, lit(null).cast("double"))
-      .when(size(coords) === 1,
-        haversineMeters(cx(lit(1)), cy(lit(1)), lon, lat))
-      .otherwise(array_min(transform(sequence(lit(1), size(coords) - 1),
-        i => pointSegMeters(lon, lat, cx(i), cy(i), cx(i + 1), cy(i + 1)))))
+    // descend ([1, 0]) instead of being empty; a null element means a
+    // malformed coordinate (array_min would silently skip it)
+    when(coords.isNull || size(coords) < 2 ||
+        !(parsed.getField("type") <=> lit("LineString")) || // null-safe: a missing type is invalid too
+        exists(dists, d => d.isNull), lit(null).cast("double"))
+      .otherwise(array_min(dists))
   }
 
   /** series_fit_poly output shape. */

@@ -1901,12 +1901,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           case (TimestampType, Lit(Timespan(us)), Lit(fp: java.sql.Timestamp)) =>
             val fpUs = fp.getTime * 1000
             timestamp_micros(floor((unix_micros(a(0)) - fpUs) / lit(us.toDouble)).cast("long") * us + fpUs)
-          case (t, _, _) if isIntegral(t) =>
-            // integer axis: exact integer math (double floor would
+          case (t, _, _) if isIntegral(t) && isIntegral(typeOf(df, a(1))) &&
+              isIntegral(typeOf(df, a(2))) =>
+            // all-integer axis: exact integer math (double floor would
             // misbin beyond 2^53 — 64-bit ids, nanosecond epochs)
             val off = a(0).cast("long") - a(2).cast("long")
             (off - pmod(off, a(1).cast("long")) + a(2).cast("long")).cast("long")
-          case (t, _, _) if t == DoubleType || t.isInstanceOf[DecimalType] =>
+          case (t, _, _) if isIntegral(t) || t == DoubleType ||
+              t.isInstanceOf[DecimalType] =>
+            // fractional size/alignment on any numeric axis: double
+            // floor (exact below 2^53, and a fractional size would be
+            // silently truncated by the integer path)
             floor((a(0) - a(2)) / a(1)) * a(1) + a(2)
           case _ => throw PlanError("bin_at supports datetime or numeric axes")
         }
@@ -1973,8 +1978,10 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           }
         }
         // concat_ws silently skips nulls; an invalid code point must
-        // null the WHOLE result, not vanish from it
-        when(parts.map(_.isNull).reduce(_ || _), lit(null).cast("string"))
+        // null the WHOLE result, not vanish from it (foldLeft: the
+        // zero-arg call reduces over an empty list and returns '')
+        when(parts.map(_.isNull).foldLeft(lit(false))(_ || _),
+          lit(null).cast("string"))
           .otherwise(concat_ws("", parts: _*))
       case "datetime_part" =>
         (litString(args(0), "datetime_part part").toLowerCase match {

@@ -1203,17 +1203,30 @@ class PlannerSpec extends AnyFunSuite {
     // integer bin_at is exact beyond 2^53 (double floor would misbin)
     val ba = one("""print b = bin_at(1152921504606846976, 10, 0)""")
     assert(ba.getLong(0) == 1152921504606846970L)
+    // fractional size over an integer axis stays on the double path
+    // (the integer path would truncate 2.5 to 2)
+    val bf = one("""print b = bin_at(7, 2.5, 0)""")
+    assert(bf.getDouble(0) == 5.0)
+    // zero-arg codepoints builds '' (foldLeft, not reduce-on-empty)
+    assert(one("""print s = unicode_codepoints_to_string()""").getString(0) == "")
   }
 
-  test("geo_distance_point_to_line edges: on-line zero, 1-point line, null") {
+  test("geo_distance_point_to_line edges: on-line zero, invalid inputs null") {
     val r = one("""print zero = round(geo_distance_point_to_line(0.5, 0.0,
         dynamic({"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]})), 4),
-      single = round(geo_distance_point_to_line(1.0, 0.0,
-        dynamic({"type":"LineString","coordinates":[[0.0,0.0]]})), 4),
-      bad = geo_distance_point_to_line(0.0, 0.0, dynamic(null))""")
+      single = geo_distance_point_to_line(1.0, 0.0,
+        dynamic({"type":"LineString","coordinates":[[0.0,0.0]]})),
+      bad = geo_distance_point_to_line(0.0, 0.0, dynamic(null)),
+      malformed = geo_distance_point_to_line(0.0, 0.0,
+        dynamic({"type":"LineString","coordinates":[[1.0],[2.0,0.0],[3.0,0.0]]})),
+      wrongtype = geo_distance_point_to_line(0.0, 0.0,
+        dynamic({"type":"Point","coordinates":[[0.0,0.0],[1.0,0.0]]}))""")
     assert(math.abs(r.getDouble(0)) < 1e-6)   // point ON the segment
-    assert(r.getDouble(1) > 111000 && r.getDouble(1) < 112000) // 1° arc
-    assert(r.isNullAt(2))
+    // every invalid-input class nulls — never a confident number:
+    // < 2 positions, null line, a malformed coordinate mid-line (a
+    // skipping array_min would return the distance to segment 2-3),
+    // and a non-LineString type
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
   test("TPC-H Q6/Q14 plans: filters reach the scan, dim join broadcasts") {
