@@ -1768,6 +1768,18 @@ object SparkEntry {
               dynamic({"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]})), 4)"""),
       Some("""SELECT 1910.9925 AS interior, 111194.9266 AS endpoint, 33358.478 AS multiseg""")),
 
+    // scalar batch 7 (r5): pairwise replace_strings, windows
+    // command-line parsing, geohash neighbor cells (NW..SE order,
+    // reference values from an independent scalar implementation),
+    // whole-domain IDN punycode
+    "q140_scalar_batch7" -> Q(kqlQ(
+      """print rs = replace_strings('A quick brown fox', dynamic(['quick', 'fox']), dynamic(['slow', 'dog'])),
+            cl = dynamic_to_json(parse_command_line('program.exe "a b"  c', 'windows')),
+            nb = dynamic_to_json(geo_geohash_neighbors('u4pruy')),
+            pd = punycode_domain_from_string('académie-française.fr'),
+            pu = punycode_domain_to_string('xn--acadmie-franaise-npb1a.fr')"""),
+      Some("""SELECT 'A slow brown dog' AS rs, '["program.exe","a b","c"]' AS cl, '["u4prux","u4pruz","u4prvp","u4pruw","u4prvn","u4prut","u4pruv","u4prvj"]' AS nb, 'xn--acadmie-franaise-npb1a.fr' AS pd, 'académie-française.fr' AS pu""")),
+
     // parallel-array sorting: companion arrays reordered by the first
     "q130_parallel_sort" -> Q(kqlQ(
       """print s = array_sort_asc(pack_array(3, 1, 2), pack_array(30, 10, 20)),

@@ -597,6 +597,18 @@ object Functions {
     // degenerate form (trailing '-') is handled explicitly
     "punycode_to_string" -> f { case s :: Nil => punyDecodeUdf(s.cast("string")) },
     "punycode_from_string" -> f { case s :: Nil => punyEncodeUdf(s.cast("string")) },
+    // whole-domain IDN forms (per-label xn-- handling is the JDK's)
+    "punycode_domain_from_string" -> f { case s :: Nil =>
+      punyDomainEncodeUdf(s.cast("string")) },
+    "punycode_domain_to_string" -> f { case s :: Nil =>
+      punyDomainDecodeUdf(s.cast("string")) },
+    // replace_strings is planner-side (dynamic-literal arrays arrive as
+    // JSON strings and need type-aware coercion)
+    "parse_command_line" -> f {
+      case c :: _ :: Nil => cmdLineUdf(c.cast("string")) // 'windows' only
+      case c :: Nil => cmdLineUdf(c.cast("string")) },
+    "geo_geohash_neighbors" -> f { case h :: Nil =>
+      geohashNeighborsUdf(h.cast("string")) },
     // file-path decomposition (KQL parse_path): scheme-less paths,
     // both separators; rightmost '.' after the last separator = extension
     "parse_path" -> f { case p0 :: Nil =>
@@ -1563,6 +1575,108 @@ object Functions {
   // (no "xn--" label prefix); the JDK IDN codec implements RFC 3492, so
   // we add/strip the ACE prefix around it. Pure-ASCII inputs are the
   // degenerate form: encoded as the string plus a trailing '-'.
+  /** Whole-domain IDN encode/decode (punycode_domain_*): the JDK walks
+    * the dot-separated labels itself. Same JDK-bound justification as
+    * the per-label pair below. */
+  private val punyDomainEncodeUdf = udf { s: String =>
+    if (s == null) null
+    else try java.net.IDN.toASCII(s) catch { case _: Exception => "" }
+  }
+  private val punyDomainDecodeUdf = udf { s: String =>
+    if (s == null) null
+    else try java.net.IDN.toUnicode(s) catch { case _: Exception => "" }
+  }
+
+  /** parse_command_line (windows rules — the only dialect KQL supports):
+    * the CommandLineToArgvW algorithm — 2n backslashes before a quote
+    * collapse to n, 2n+1 escape the quote, quotes toggle in-quote state.
+    * Deliberate UDF: a character state machine. */
+  private val cmdLineUdf = udf { (cmd: String) =>
+    if (cmd == null) null
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var inQuote = false
+      var started = false
+      var i = 0
+      while (i < cmd.length) {
+        val c = cmd.charAt(i)
+        if (c == '\\') {
+          var nBs = 0
+          while (i < cmd.length && cmd.charAt(i) == '\\') { nBs += 1; i += 1 }
+          if (i < cmd.length && cmd.charAt(i) == '"') {
+            cur.append("\\" * (nBs / 2))
+            if (nBs % 2 == 1) { cur.append('"'); i += 1 } // escaped quote
+            started = true
+          } else { cur.append("\\" * nBs); started = true }
+        } else if (c == '"') {
+          inQuote = !inQuote; started = true; i += 1
+        } else if ((c == ' ' || c == '\t') && !inQuote) {
+          if (started) { out += cur.toString; cur.clear(); started = false }
+          i += 1
+        } else { cur.append(c); started = true; i += 1 }
+      }
+      if (started) out += cur.toString
+      out.toArray
+    }
+  }
+
+  /** geo_geohash_neighbors: the 8 surrounding cells at the same
+    * precision, by decoding the cell's bounds and re-encoding the 8
+    * offset centers. Deterministic NW,N,NE,W,E,SW,S,SE order; longitude
+    * wraps at ±180, latitude neighbors beyond the poles are dropped. */
+  private val geohashNeighborsUdf = udf { (h: String) =>
+    if (h == null || h.isEmpty ||
+        !h.toLowerCase.forall(geohashChars.contains(_))) null
+    else {
+      var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+      var isLon = true
+      h.toLowerCase.foreach { c =>
+        val ci = geohashChars.indexOf(c)
+        var b = 4
+        while (b >= 0) {
+          val bit = (ci >> b) & 1
+          if (isLon) {
+            val mid = (lonLo + lonHi) / 2
+            if (bit == 1) lonLo = mid else lonHi = mid
+          } else {
+            val mid = (latLo + latHi) / 2
+            if (bit == 1) latLo = mid else latHi = mid
+          }
+          isLon = !isLon
+          b -= 1
+        }
+      }
+      val (cLon, cLat) = ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
+      val (dLon, dLat) = (lonHi - lonLo, latHi - latLo)
+      def enc(lon0: Double, lat0: Double): String = {
+        val lon = if (lon0 > 180) lon0 - 360 else if (lon0 < -180) lon0 + 360 else lon0
+        var (loLo, loHi, laLo, laHi) = (-180.0, 180.0, -90.0, 90.0)
+        val sb = new StringBuilder
+        var lonTurn = true; var bits = 0; var ch = 0
+        while (sb.length < h.length) {
+          if (lonTurn) {
+            val mid = (loLo + loHi) / 2
+            if (lon >= mid) { ch = (ch << 1) | 1; loLo = mid } else { ch <<= 1; loHi = mid }
+          } else {
+            val mid = (laLo + laHi) / 2
+            if (lat0 >= mid) { ch = (ch << 1) | 1; laLo = mid } else { ch <<= 1; laHi = mid }
+          }
+          lonTurn = !lonTurn; bits += 1
+          if (bits == 5) { sb += geohashChars(ch); bits = 0; ch = 0 }
+        }
+        sb.toString
+      }
+      val offsets = Seq((-dLon, dLat), (0.0, dLat), (dLon, dLat),
+        (-dLon, 0.0), (dLon, 0.0),
+        (-dLon, -dLat), (0.0, -dLat), (dLon, -dLat))
+      offsets.collect {
+        case (dx, dy) if cLat + dy > -90 && cLat + dy < 90 =>
+          enc(cLon + dx, cLat + dy)
+      }.toArray
+    }
+  }
+
   private val punyEncodeUdf = udf { s: String =>
     if (s == null) null
     else if (s.forall(_ < 128)) s + "-"

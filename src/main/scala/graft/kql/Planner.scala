@@ -1953,6 +1953,22 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         date_format(a(0), translateDatePattern(litString(args(1), "format_datetime pattern")))
       case "has_any" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ || _)
       case "has_all" => args.tail.map(t => hasTerm(a(0), t, df, cs = false)).reduce(_ && _)
+      // sequential pairwise replacement over lookup/rewrite arrays
+      // (dynamic literals arrive as JSON strings); mismatched lengths
+      // -> null (KQL raises)
+      case "replace_strings" if args.length == 3 =>
+        def arr(c: Column): Column = typeOf(df, c) match {
+          case StringType => from_json(c, ArrayType(StringType))
+          case _: ArrayType => c.cast("array<string>")
+          case _ => lit(null).cast("array<string>")
+        }
+        val t = a(0).cast("string")
+        val lc = arr(a(1)); val rc = arr(a(2))
+        when(lc.isNull || rc.isNull || size(lc) =!= size(rc),
+          lit(null).cast("string"))
+          .when(size(lc) === 0, t) // sequence(1, 0) DESCENDS, guard first
+          .otherwise(aggregate(sequence(lit(1), size(lc)), t,
+            (acc, i) => replace(acc, element_at(lc, i), element_at(rc, i))))
       // 0-based index of the FIRST matching term, -1 when none matches
       case "has_any_index" =>
         args.tail.map(t => hasTerm(a(0), t, df, cs = false)).zipWithIndex

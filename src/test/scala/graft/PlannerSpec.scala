@@ -1229,6 +1229,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("scalar batch 7 edges: replace_strings nulls, cmdline quoting, neighbor counts") {
+    // mismatched lookup/rewrite lengths -> null; pack_array form works too
+    val rs = one("""print bad = replace_strings('x', dynamic(['a']), dynamic(['b', 'c'])), arr = replace_strings('x y', pack_array('x'), pack_array('z'))""")
+    assert(rs.isNullAt(0) && rs.getString(1) == "z y")
+    // windows rules: 2n backslashes + quote -> n backslashes, toggle;
+    // 2n+1 -> escaped literal quote
+    val cl = one("""print a = dynamic_to_json(parse_command_line('a\\\\"b c" d', 'windows'))""")
+    assert(cl.getString(0) == """["a\\b c","d"]""")
+    // a mid-lat cell has 8 neighbors, a near-pole cell fewer; garbage -> null
+    val nb = one("""print n8 = array_length(geo_geohash_neighbors('u4pruy')), np = array_length(geo_geohash_neighbors('z')), bad = geo_geohash_neighbors('!!')""")
+    assert(nb.getLong(0) == 8L)
+    assert(nb.getLong(1) < 8L) // 'z' touches the pole band
+    assert(nb.isNullAt(2))
+  }
+
   test("TPC-H Q6/Q14 plans: filters reach the scan, dim join broadcasts") {
     val q6 = Kql.run(spark,
       """lineitem
