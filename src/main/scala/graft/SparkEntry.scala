@@ -803,6 +803,21 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_points, true AS k_ok, true AS improved FROM embeddings""")),
 
+    // Incremental LINE dedup (r5): even-id corpus builds the persisted
+    // line index, odd-id batch dedups against it + in-batch
+    // first-occurrence — value-exact (DuckDB replays corpus-line
+    // membership and batch ownership on the reformatted 10-token lines)
+    "llm_line_dedup_incr" -> Q(
+      (s, dir) => {
+        val r = relined10(docs(s, dir))
+        LlmOps.buildLineIndex(r.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "graft_line_index")
+        LlmOps.lineDedupIncremental(
+          r.filter(pmod(col("doc_id"), lit(2)) === 1), "graft_line_index")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), corp AS (SELECT DISTINCT line FROM lx WHERE doc_id % 2 = 0), bl AS (SELECT doc_id, pos, line FROM lx WHERE doc_id % 2 = 1), fresh AS (SELECT * FROM bl WHERE line NOT IN (SELECT line FROM corp)), own AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM fresh GROUP BY 1), kept AS (SELECT doc_id, pos, line FROM fresh JOIN own USING (line) WHERE doc_id * 1000000 + pos = o), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM bl GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+
     // Curation pipeline v2 (r5): the NEW line-level stages composed end
     // to end — boilerplate removal → corpus line dedup → normalize →
     // sequence packing → per-(source, seq) accounting. Every stage is

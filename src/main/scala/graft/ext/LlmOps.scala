@@ -1705,6 +1705,51 @@ object LlmOps {
     reassembleLines(lines, kept, delim, idCol)
   }
 
+  /** Build/extend the persisted line index behind
+    * [[lineDedupIncremental]]: distinct line hashes seen so far, written
+    * bucketed on the hash so every increment's anti-join meets the
+    * index AT REST (no index-side shuffle — the [[buildMinhashIndex]]
+    * layout idea applied to the C4 line rule). */
+  def buildLineIndex(docs: DataFrame, table: String, delim: String = "\n",
+                     textCol: String = "text", idCol: String = "doc_id",
+                     buckets: Int = 16): Unit =
+    graft.sources.BucketedLayout.writeBucketed(
+      lineRows(docs, delim, textCol, idCol).select("lh").distinct(),
+      s"${table}_lines", Seq("lh"), buckets)
+
+  /** Incremental line-level dedup: drop every line of the NEW batch
+    * already present in the persisted corpus index, apply the in-batch
+    * first-occurrence rule to the remainder, reassemble the docs, and
+    * append the batch's novel line hashes to the index. The
+    * continuous-ingestion form of [[lineDedup]] — the corpus's lines are
+    * never re-read or re-shuffled; only the (small) increment moves.
+    * Returns the cleaned batch; state lives AT REST in the bucketed
+    * table, so restarts are safe and the horizon is unbounded
+    * (the [[dedupIncremental]] pattern at line granularity). */
+  def lineDedupIncremental(newDocs: DataFrame, table: String,
+                           delim: String = "\n", textCol: String = "text",
+                           idCol: String = "doc_id",
+                           buckets: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val lines = lineRows(newDocs, delim, textCol, idCol)
+    val idx = graft.sources.BucketedLayout.readTable(spark, s"${table}_lines")
+    val fresh = lines.join(idx, Seq("lh"), "left_anti")
+    val owner = fresh.groupBy("lh")
+      .agg(min(struct(col("id"), col("pos"))).as("own"))
+    val kept = fresh.join(owner, "lh")
+      .filter(col("id") === col("own.id") && col("pos") === col("own.pos"))
+    // materialize BEFORE appending AND cut the lineage: the result must
+    // not observe its own index append, and a mere persist() is not
+    // enough — the append's refreshTable INVALIDATES caches that
+    // reference the index table, silently recomputing against the
+    // grown index (= everything dropped). localCheckpoint breaks the
+    // table dependency outright.
+    val out = reassembleLines(lines, kept, delim, idCol).localCheckpoint(true)
+    graft.sources.BucketedLayout.appendBucketed(
+      fresh.select("lh").distinct(), s"${table}_lines", Seq("lh"), buckets)
+    out
+  }
+
   /** Boilerplate-line removal (the RefinedWeb/C4 frequent-line rule):
     * drop every occurrence of any line appearing in ≥ `minDf` DISTINCT
     * documents — navigation chrome, cookie banners, license headers —

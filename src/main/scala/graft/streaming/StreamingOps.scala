@@ -116,6 +116,40 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Continuous LINE-level dedup ([[graft.ext.LlmOps.lineDedupIncremental]]
+    * per micro-batch): each batch drops lines already in the persisted
+    * line index, keeps in-batch first occurrences, lands its cleaned
+    * docs in a per-batch partition (dynamic overwrite ⇒ replay-safe),
+    * and grows the index with its novel line hashes. A replayed batch
+    * can re-append hashes — duplicate index rows never change the
+    * anti-join's answer, so correctness survives restarts (same
+    * idempotency budget as [[dedupIncrementalStream]]). */
+  def lineDedupIncrementalStream(stream: DataFrame, indexTable: String,
+                                 keptTable: String, delim: String = "\n",
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val cleaned = graft.ext.LlmOps.lineDedupIncremental(
+            batch, indexTable, delim, textCol, idCol)
+          .withColumn("__batch_id", lit(batchId))
+        if (!spark.catalog.tableExists(keptTable))
+          cleaned.limit(0).write.format("parquet")
+            .partitionBy("__batch_id").saveAsTable(keptTable)
+        cleaned.write.mode("overwrite").insertInto(keptTable)
+        // the op persists its materialized result (read-then-append
+        // discipline) — release it with the batch
+        spark.catalog.clearCache()
+        ()
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Wire a streaming DataFrame to an in-memory sink and process all
     * currently-available input (used by tests and the demo). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -219,6 +219,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 5L, 7.0))) // the cross-batch continuation
   }
 
+  test("streaming incremental LINE dedup: cross-batch first-occurrence via the line index") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    graft.ext.LlmOps.buildLineIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_line_idx", delim = " ")
+    spark.sql("DROP TABLE IF EXISTS graft_line_kept")
+    val staleLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_line_kept")
+    staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(staleLoc, true)
+    // ' ' delimiter: every token is a "line" on this fixture-style text
+    val q = graft.streaming.StreamingOps.lineDedupIncrementalStream(
+      src, "graft_line_idx", "graft_line_kept", delim = " ")
+    try {
+      def kept = {
+        spark.catalog.refreshTable("graft_line_kept")
+        spark.table("graft_line_kept")
+          .select("doc_id", "clean_text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      // batch 1: 'beta' repeats within the batch — only doc 1 keeps it
+      ms.addData((1L, "alpha beta"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      assert(kept == Map(1L -> "alpha beta", 2L -> "gamma"))
+      // batch 2: everything but 'delta' is already indexed cross-batch
+      ms.addData((3L, "alpha gamma delta"))
+      q.processAllAvailable()
+      assert(kept(3L) == "delta")
+      // the index holds exactly the 4 distinct line hashes
+      spark.catalog.refreshTable("graft_line_idx_lines")
+      assert(spark.table("graft_line_idx_lines").distinct().count() == 4L)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: index-backed cross-batch near-dup drops") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
