@@ -1717,19 +1717,20 @@ object LlmOps {
       lineRows(docs, delim, textCol, idCol).select("lh").distinct(),
       s"${table}_lines", Seq("lh"), buckets)
 
-  /** Incremental line-level dedup: drop every line of the NEW batch
-    * already present in the persisted corpus index, apply the in-batch
-    * first-occurrence rule to the remainder, reassemble the docs, and
-    * append the batch's novel line hashes to the index. The
-    * continuous-ingestion form of [[lineDedup]] — the corpus's lines are
-    * never re-read or re-shuffled; only the (small) increment moves.
-    * Returns the cleaned batch; state lives AT REST in the bucketed
-    * table, so restarts are safe and the horizon is unbounded
-    * (the [[dedupIncremental]] pattern at line granularity). */
+  /** Incremental line-level dedup (PURE — no index mutation): drop
+    * every line of the NEW batch already present in the persisted
+    * corpus index and apply the in-batch first-occurrence rule to the
+    * remainder. The continuous-ingestion form of [[lineDedup]] — the
+    * corpus's lines are never re-read or re-shuffled; only the (small)
+    * increment moves. Growing the index is a SEPARATE, caller-ordered
+    * step ([[appendToLineIndex]] on the cleaned output): a crash-safe
+    * pipeline commits its kept rows FIRST and appends LAST, so a replay
+    * re-derives the same answer against the unchanged index instead of
+    * anti-joining its own hashes away (the [[dedupIncrementalStream]]
+    * write-then-append discipline). */
   def lineDedupIncremental(newDocs: DataFrame, table: String,
                            delim: String = "\n", textCol: String = "text",
-                           idCol: String = "doc_id",
-                           buckets: Int = 16): DataFrame = {
+                           idCol: String = "doc_id"): DataFrame = {
     val spark = newDocs.sparkSession
     val lines = lineRows(newDocs, delim, textCol, idCol)
     val idx = graft.sources.BucketedLayout.readTable(spark, s"${table}_lines")
@@ -1738,17 +1739,20 @@ object LlmOps {
       .agg(min(struct(col("id"), col("pos"))).as("own"))
     val kept = fresh.join(owner, "lh")
       .filter(col("id") === col("own.id") && col("pos") === col("own.pos"))
-    // materialize BEFORE appending AND cut the lineage: the result must
-    // not observe its own index append, and a mere persist() is not
-    // enough — the append's refreshTable INVALIDATES caches that
-    // reference the index table, silently recomputing against the
-    // grown index (= everything dropped). localCheckpoint breaks the
-    // table dependency outright.
-    val out = reassembleLines(lines, kept, delim, idCol).localCheckpoint(true)
-    graft.sources.BucketedLayout.appendBucketed(
-      fresh.select("lh").distinct(), s"${table}_lines", Seq("lh"), buckets)
-    out
+    reassembleLines(lines, kept, delim, idCol)
   }
+
+  /** Append a cleaned batch's line hashes to the persisted line index —
+    * the kept lines of [[lineDedupIncremental]]'s output ARE the novel
+    * lines, so reading them back from the committed `clean_text` makes
+    * the append derivable from durable state (replay-safe ordering). */
+  def appendToLineIndex(cleanedDocs: DataFrame, table: String,
+                        delim: String = "\n", textCol: String = "clean_text",
+                        idCol: String = "doc_id", buckets: Int = 16): Unit =
+    graft.sources.BucketedLayout.appendBucketed(
+      lineRows(cleanedDocs.filter(length(coalesce(col(textCol), lit(""))) > 0),
+        delim, textCol, idCol).select("lh").distinct(),
+      s"${table}_lines", Seq("lh"), buckets)
 
   /** Boilerplate-line removal (the RefinedWeb/C4 frequent-line rule):
     * drop every occurrence of any line appearing in ≥ `minDf` DISTINCT

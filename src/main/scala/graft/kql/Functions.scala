@@ -605,7 +605,12 @@ object Functions {
     // replace_strings is planner-side (dynamic-literal arrays arrive as
     // JSON strings and need type-aware coercion)
     "parse_command_line" -> f {
-      case c :: _ :: Nil => cmdLineUdf(c.cast("string")) // 'windows' only
+      // only the windows dialect exists (matching KQL); any other
+      // parser-type value nulls rather than silently applying windows
+      // rules to e.g. a posix line
+      case c :: ty :: Nil =>
+        when(!(ty <=> lit("windows")), lit(null).cast("array<string>"))
+          .otherwise(cmdLineUdf(c.cast("string")))
       case c :: Nil => cmdLineUdf(c.cast("string")) },
     "geo_geohash_neighbors" -> f { case h :: Nil =>
       geohashNeighborsUdf(h.cast("string")) },
@@ -884,9 +889,12 @@ object Functions {
 
   private val geohashChars = "0123456789bcdefghjkmnpqrstuvwxyz"
 
-  /** Standard geohash encode (interleaved lon/lat bisection). */
-  private val geohashUdf = udf { (lon: Double, lat: Double, precision: Int) =>
-    val p = math.max(1, math.min(precision, 12))
+  /** Shared geohash encode kernel (interleaved lon/lat bisection) —
+    * the single implementation behind geohashUdf and the neighbors
+    * walk. */
+  private def geohashEncode(lon0: Double, lat: Double, p: Int): String = {
+    // wrap longitude so neighbor offsets across the antimeridian re-enter
+    val lon = if (lon0 > 180) lon0 - 360 else if (lon0 < -180) lon0 + 360 else lon0
     var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
     val sb = new StringBuilder
     var isLon = true
@@ -906,8 +914,9 @@ object Functions {
     sb.toString
   }
 
-  /** Center point of a geohash cell → struct(longitude, latitude). */
-  private val geohashDecodeUdf = udf { h: String =>
+  /** Shared geohash decode kernel: the cell's (lonLo, lonHi, latLo,
+    * latHi) bounds. */
+  private def geohashBounds(h: String): (Double, Double, Double, Double) = {
     var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
     var isLon = true
     h.toLowerCase.foreach { c =>
@@ -926,6 +935,16 @@ object Functions {
         b -= 1
       }
     }
+    (lonLo, lonHi, latLo, latHi)
+  }
+
+  private val geohashUdf = udf { (lon: Double, lat: Double, precision: Int) =>
+    geohashEncode(lon, lat, math.max(1, math.min(precision, 12)))
+  }
+
+  /** Center point of a geohash cell → struct(longitude, latitude). */
+  private val geohashDecodeUdf = udf { h: String =>
+    val (lonLo, lonHi, latLo, latHi) = geohashBounds(h)
     ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
   }
 
@@ -1610,7 +1629,11 @@ object Functions {
             started = true
           } else { cur.append("\\" * nBs); started = true }
         } else if (c == '"') {
-          inQuote = !inQuote; started = true; i += 1
+          // post-2008 CommandLineToArgvW: inside quotes, "" emits a
+          // literal quote and STAYS quoted
+          if (inQuote && i + 1 < cmd.length && cmd.charAt(i + 1) == '"') {
+            cur.append('"'); started = true; i += 2
+          } else { inQuote = !inQuote; started = true; i += 1 }
         } else if ((c == ' ' || c == '\t') && !inQuote) {
           if (started) { out += cur.toString; cur.clear(); started = false }
           i += 1
@@ -1629,50 +1652,15 @@ object Functions {
     if (h == null || h.isEmpty ||
         !h.toLowerCase.forall(geohashChars.contains(_))) null
     else {
-      var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
-      var isLon = true
-      h.toLowerCase.foreach { c =>
-        val ci = geohashChars.indexOf(c)
-        var b = 4
-        while (b >= 0) {
-          val bit = (ci >> b) & 1
-          if (isLon) {
-            val mid = (lonLo + lonHi) / 2
-            if (bit == 1) lonLo = mid else lonHi = mid
-          } else {
-            val mid = (latLo + latHi) / 2
-            if (bit == 1) latLo = mid else latHi = mid
-          }
-          isLon = !isLon
-          b -= 1
-        }
-      }
+      val (lonLo, lonHi, latLo, latHi) = geohashBounds(h)
       val (cLon, cLat) = ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
       val (dLon, dLat) = (lonHi - lonLo, latHi - latLo)
-      def enc(lon0: Double, lat0: Double): String = {
-        val lon = if (lon0 > 180) lon0 - 360 else if (lon0 < -180) lon0 + 360 else lon0
-        var (loLo, loHi, laLo, laHi) = (-180.0, 180.0, -90.0, 90.0)
-        val sb = new StringBuilder
-        var lonTurn = true; var bits = 0; var ch = 0
-        while (sb.length < h.length) {
-          if (lonTurn) {
-            val mid = (loLo + loHi) / 2
-            if (lon >= mid) { ch = (ch << 1) | 1; loLo = mid } else { ch <<= 1; loHi = mid }
-          } else {
-            val mid = (laLo + laHi) / 2
-            if (lat0 >= mid) { ch = (ch << 1) | 1; laLo = mid } else { ch <<= 1; laHi = mid }
-          }
-          lonTurn = !lonTurn; bits += 1
-          if (bits == 5) { sb += geohashChars(ch); bits = 0; ch = 0 }
-        }
-        sb.toString
-      }
       val offsets = Seq((-dLon, dLat), (0.0, dLat), (dLon, dLat),
         (-dLon, 0.0), (dLon, 0.0),
         (-dLon, -dLat), (0.0, -dLat), (dLon, -dLat))
       offsets.collect {
         case (dx, dy) if cLat + dy > -90 && cLat + dy < 90 =>
-          enc(cLon + dx, cLat + dy)
+          geohashEncode(cLon + dx, cLat + dy, h.length)
       }.toArray
     }
   }

@@ -118,12 +118,14 @@ object StreamingOps {
 
   /** Continuous LINE-level dedup ([[graft.ext.LlmOps.lineDedupIncremental]]
     * per micro-batch): each batch drops lines already in the persisted
-    * line index, keeps in-batch first occurrences, lands its cleaned
-    * docs in a per-batch partition (dynamic overwrite ⇒ replay-safe),
-    * and grows the index with its novel line hashes. A replayed batch
-    * can re-append hashes — duplicate index rows never change the
-    * anti-join's answer, so correctness survives restarts (same
-    * idempotency budget as [[dedupIncrementalStream]]). */
+    * line index, keeps in-batch first occurrences, COMMITS its cleaned
+    * docs to a per-batch partition (dynamic overwrite ⇒ replay-safe),
+    * and only THEN grows the index from the committed output — the
+    * write-then-append ordering that makes a crash between the two
+    * steps harmless: a replay recomputes against the unchanged index
+    * (or, after the append, re-derives the append from the same
+    * durable kept rows; duplicate index hashes never change the
+    * anti-join's answer). */
   def lineDedupIncrementalStream(stream: DataFrame, indexTable: String,
                                  keptTable: String, delim: String = "\n",
                                  textCol: String = "text",
@@ -136,14 +138,18 @@ object StreamingOps {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val cleaned = graft.ext.LlmOps.lineDedupIncremental(
             batch, indexTable, delim, textCol, idCol)
-          .withColumn("__batch_id", lit(batchId))
+          .withColumn("__batch_id", lit(batchId)).persist()
         if (!spark.catalog.tableExists(keptTable))
           cleaned.limit(0).write.format("parquet")
             .partitionBy("__batch_id").saveAsTable(keptTable)
         cleaned.write.mode("overwrite").insertInto(keptTable)
-        // the op persists its materialized result (read-then-append
-        // discipline) — release it with the batch
-        spark.catalog.clearCache()
+        // kept rows are durable — NOW grow the index, reading the novel
+        // lines back out of the cached cleaned output (its cache is
+        // only invalidated by the append's own trailing refresh, after
+        // the last read)
+        graft.ext.LlmOps.appendToLineIndex(
+          cleaned.drop("__batch_id"), indexTable, delim, idCol = idCol)
+        cleaned.unpersist()
         ()
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))

@@ -1237,6 +1237,11 @@ class PlannerSpec extends AnyFunSuite {
     // 2n+1 -> escaped literal quote
     val cl = one("""print a = dynamic_to_json(parse_command_line('a\\\\"b c" d', 'windows'))""")
     assert(cl.getString(0) == """["a\\b c","d"]""")
+    // "" inside quotes emits a literal quote and stays quoted
+    // (CommandLineToArgvW post-2008 rule); non-windows dialects null
+    val cq = one("""print q = dynamic_to_json(parse_command_line('"a""b" c', 'windows')), px = parse_command_line('a b', 'posix')""")
+    assert(cq.getString(0) == """["a\"b","c"]""")
+    assert(cq.isNullAt(1))
     // a mid-lat cell has 8 neighbors, a near-pole cell fewer; garbage -> null
     val nb = one("""print n8 = array_length(geo_geohash_neighbors('u4pruy')), np = array_length(geo_geohash_neighbors('z')), bad = geo_geohash_neighbors('!!')""")
     assert(nb.getLong(0) == 8L)
