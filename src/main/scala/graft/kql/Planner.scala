@@ -923,6 +923,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         textCol = colNameOf(df, textE, "dedup_incremental text"),
         idCol = colNameOf(df, idE, "dedup_incremental id"))
 
+    // `evaluate line_dedup_incremental('index_table', 'delim', text, id)`:
+    // drop lines already in the persisted line index
+    // (LlmOps.buildLineIndex) + in-batch first occurrences; pure — the
+    // index grows via appendToLineIndex on the committed output
+    case EvaluateOp("line_dedup_incremental", tblE :: dE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.lineDedupIncremental(df,
+        litString(tblE, "line_dedup_incremental index table"),
+        litString(dE, "line_dedup_incremental delimiter"),
+        colNameOf(df, textE, "line_dedup_incremental text"),
+        colNameOf(df, idE, "line_dedup_incremental id"))
+
     case EvaluateOp("funnel_sequence", idE :: tsE :: typeE :: stepEs) if stepEs.nonEmpty =>
       val typeName = colNameOf(df, typeE, "funnel type")
       val steps = stepEs.map { e =>

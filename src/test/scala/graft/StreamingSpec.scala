@@ -252,6 +252,13 @@ class StreamingSpec extends AnyFunSuite {
       // the index holds exactly the 4 distinct line hashes
       spark.catalog.refreshTable("graft_line_idx_lines")
       assert(spark.table("graft_line_idx_lines").distinct().count() == 4L)
+      // KQL-reachable against the same grown index: every line of a
+      // doc repeating indexed tokens drops
+      val kql = graft.kql.Kql.run(spark,
+        "src | evaluate line_dedup_incremental('graft_line_idx', ' ', text, doc_id)",
+        graft.kql.Catalog(spark, TestSpark.sfDir)
+          .withTable("src", Seq((9L, "alpha delta")).toDF("doc_id", "text")))
+      assert(kql.head.getString(3) == "")
     } finally q.stop()
   }
 
