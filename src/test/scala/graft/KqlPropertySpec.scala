@@ -288,4 +288,39 @@ class KqlPropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("chunkDocs covers every token exactly with the declared overlap (random shapes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      chunk <- Gen.chooseNum(2, 12)
+      ov <- Gen.chooseNum(0, chunk - 1)
+    } yield (n, chunk, ov)
+    for ((n, chunk, ov) <- samples(gen, 8)) {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.ext.LlmOps.chunkDocs(
+          Seq((1L, text)).toDF("doc_id", "text"), chunk, ov)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getInt(1), r.getString(3).split(" ").toSeq))
+      val stride = chunk - ov
+      // chunk k starts at k*stride+1 and is full-size except the tail
+      chunks.foreach { case (k, toks) =>
+        assert(toks.head == s"t${k * stride + 1}", s"($n,$chunk,$ov) chunk $k start")
+        assert(toks.length == math.min(chunk, n - k * stride),
+          s"($n,$chunk,$ov) chunk $k length")
+      }
+      // union of chunk tokens covers 1..n with no gaps
+      val covered = chunks.flatMap(_._2).map(_.drop(1).toInt).toSet
+      assert(covered == (1 to n).toSet, s"($n,$chunk,$ov) coverage")
+      // consecutive chunks share exactly ov tokens (clipped by a short
+      // tail: the next chunk can't share more tokens than it has)
+      chunks.sliding(2).foreach {
+        case Array((_, a), (_, b)) =>
+          assert(a.toSet.intersect(b.toSet).size == math.min(ov, b.length),
+            s"($n,$chunk,$ov) overlap")
+        case _ =>
+      }
+    }
+  }
 }
