@@ -849,7 +849,7 @@ object SparkEntry {
         val d = docs(s, dir)
         LlmOps.dsirWeights(d, d.filter(col("lang") === "en")).orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), gall AS (SELECT id, lang, concat_ws(' ', toks[i], toks[i+1]) AS gr FROM (SELECT id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)), g AS (SELECT id, lang, (ascii(substr(md5(gr),1,1))*10000 + ascii(substr(md5(gr),2,1))*100 + ascii(substr(md5(gr),3,1))) % 256 AS b FROM gall), tg AS (SELECT b FROM g WHERE lang = 'en'), cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY 1), ctx AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY 1), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM g), nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg), lam AS (SELECT b, CAST(ROUND((LN((COALESCE(ct, 0)+1)/(nt+256)) - LN((cr+1)/(nr+256)))*1000000) AS BIGINT) AS lam_u FROM cr LEFT JOIN ctx USING (b), nr, nt) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, ROUND(CAST(SUM(lam_u) AS DOUBLE)/1000000.0, 4) AS log_w FROM g JOIN lam USING (b) GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH t AS (SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), gall AS (SELECT id, lang, concat_ws(' ', toks[i], toks[i+1]) AS gr FROM (SELECT id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)), g AS (SELECT id, lang, (ascii(substr(md5(gr),1,1))*10000 + ascii(substr(md5(gr),2,1))*100 + ascii(substr(md5(gr),3,1))) % 256 AS b FROM gall), tg AS (SELECT b FROM g WHERE lang = 'en'), cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY 1), ctx AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY 1), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM g), nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg), lam AS (SELECT b, CAST(ROUND((LN((COALESCE(ct, 0)+1)/(nt+256)) - LN((cr+1)/(nr+256)))*1000000) AS BIGINT) AS lam_u FROM cr LEFT JOIN ctx USING (b), nr, nt) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(lam_u) AS BIGINT) AS log_w_u FROM g JOIN lam USING (b) GROUP BY 1 ORDER BY 1""")),
 
     // Canonical text normalization (r5): NFC + control-char strip +
     // whitespace collapse + trim — value-exact vs DuckDB nfc_normalize

@@ -1892,7 +1892,11 @@ object LlmOps {
     rg.join(broadcast(lam), "b")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        round(sum(col("lam_u")).cast("double") / 1e6, 4).as("log_w"))
+        // the score stays in exact integer micros: a rounded double
+        // lands on .00005 half-way boundaries where Spark's and
+        // DuckDB's ROUND disagree in the last digit (observed at
+        // sf0.001); integers cannot
+        sum(col("lam_u")).as("log_w_u"))
   }
 
   /** Canonical text normalization (the C4/CCNet cleanup front-end):

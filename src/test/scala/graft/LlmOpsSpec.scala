@@ -1011,7 +1011,7 @@ class LlmOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val target = raw.filter(col("doc_id") <= 2L)
     val r = LlmOps.dsirWeights(raw, target).collect()
-      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1).toSeq
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
     assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
     // target-dialect docs must outscore off-target docs decisively
     assert(r.filter(_._1 <= 2).map(_._3).min >
@@ -1020,7 +1020,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.map(_._2) == Seq(5L, 3L, 5L, 3L))
     // a doc scores identically however the input is partitioned
     val r7 = LlmOps.dsirWeights(raw.repartition(7, col("doc_id")), target)
-      .collect().map(x => (x.getLong(0), x.getDouble(2))).toSet
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
     assert(r7 == r.map(x => (x._1, x._3)).toSet)
     // KQL-reachable: target table by name
     val kql = graft.kql.Kql.run(spark,
