@@ -438,6 +438,10 @@ object Functions {
     // percentile())
     "percentile_tdigest" -> f { case s :: p :: Nil =>
       graft.sketch.TDigest.percentileTDigest(s, p) },
+    // percentiles_array form over one sketch (the percentile(s) naming
+    // convention applied to the tdigest extractor)
+    "percentiles_array_tdigest" -> f { case s :: ps if ps.nonEmpty =>
+      array(ps.map(p => graft.sketch.TDigest.percentileTDigest(s, p)): _*) },
     "rank_tdigest" -> f { case s :: x :: Nil =>
       graft.sketch.TDigest.rankTDigest(s, x) },
     // ------------------------------------------------------------- geo

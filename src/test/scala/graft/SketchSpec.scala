@@ -91,6 +91,16 @@ class SketchSpec extends AnyFunSuite {
     assert(back.centroidCount == 0 && back.quantile(0.5).isNaN)
   }
 
+  test("percentiles_array_tdigest: one sketch, many extractions, ordered") {
+    val r = Kql.run(spark,
+      """lineitem
+        | summarize td = tdigest(l_extendedprice)
+        | project ps = percentiles_array_tdigest(td, 5, 50, 95)""",
+      cat).head.getSeq[Double](0)
+    assert(r.length == 3)
+    assert(r(0) < r(1) && r(1) < r(2)) // quantile function is monotone
+  }
+
   test("tdigest merge of shard sketches matches the single-digest quantiles") {
     val n = 60000
     val full = new graft.sketch.TDigest(100.0)
