@@ -44,6 +44,7 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     // best-of-2 timed passes: single-JVM local mode shows large
@@ -53,14 +54,38 @@ object Bench {
     // accumulated storage otherwise squeezes execution memory and
     // inflates the heavy shuffle queries (measured 2× on minhash by the
     // end of a 142-query pass).
+    // clearCache() only drops DataFrame/catalog caches — RDD-level
+    // persists (the CC loop's localCheckpoint blocks) are invisible to
+    // it and were reclaimed only by ContextCleaner GC, which a 128 GiB
+    // single-JVM heap almost never triggers. Over 191 queries × (warmup
+    // + 2 passes) the leaked blocks squeezed unified execution memory
+    // and blew up pass 2 on exactly the heaviest rows (r5 verdict:
+    // llm_pipeline_v2 4.8→19.2 s). Explicitly unpersist every RDD too.
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    // bytes of block-manager storage currently in use — visible leak
+    // detector: should be ~0 at every pass boundary after clearAll()
+    def storageUsed(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      clearAll()
       name -> dt
     }
-    val (p1, p2) = (pass(), pass())
+    val loadBefore = loadavg()
+    val p1 = pass()
+    val (loadMid, storageMid) = (loadavg(), storageUsed())
+    val p2 = pass()
+    val (loadAfter, storageAfter) = (loadavg(), storageUsed())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -78,8 +103,13 @@ object Bench {
     val detail = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"""  "$k": {"best":$v,"pass1":${p1(k)},"pass2":${p2(k)}}"""
     }.mkString("{\n", ",\n", "\n}")
+    // loadavg before/mid/after + storage-bytes at pass boundaries: makes
+    // external-host-load contamination and cache leaks machine-detectable
+    // from the artifact alone (r5 verdict tasks 1+7)
     val payload =
-      s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"queries":$detail}"""
+      s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
+      s""""loadavg_before":"$loadBefore","loadavg_mid":"$loadMid","loadavg_after":"$loadAfter",""" +
+      s""""storage_bytes_mid":$storageMid,"storage_bytes_after":$storageAfter,"queries":$detail}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), payload)
     // ALSO write a round-numbered copy (r4 verdict task 8): the driver

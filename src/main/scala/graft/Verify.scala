@@ -53,8 +53,11 @@ object Verify {
       }
       // the pair/group operators persist per-doc frames for within-query
       // reuse; without a per-query clear those cached blocks accumulate
-      // across the 163-query session (same hygiene as Bench)
+      // across the 163-query session (same hygiene as Bench). RDD-level
+      // persists (CC localCheckpoint blocks) are invisible to
+      // clearCache() — unpersist them explicitly too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

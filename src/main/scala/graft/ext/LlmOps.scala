@@ -1199,14 +1199,26 @@ object LlmOps {
     labels.count()
     rmCkpt(edges)
     edges.unpersist(false)
-    // `labels` stays persisted deliberately: its localCheckpoint blocks
-    // ARE the returned frame's data (unpersisting here would destroy
-    // them before the caller's action). The blocks are reclaimed by
-    // ContextCleaner once the caller drops the frame (RDD GC), so the
-    // lifetime is one query, not the session.
-    // back to the DataFrame surface
+    // Hand the result off to a DATAFRAME-level cache and release every
+    // RDD persist before returning. Through r5 `labels` stayed RDD-
+    // persisted (its localCheckpoint blocks WERE the returned data) and
+    // was reclaimed only by ContextCleaner GC — which a large long-lived
+    // heap almost never runs, so blocks accumulated across a 191-query
+    // bench session and squeezed execution memory (the r5 pass-2
+    // blowups). A DF cache is visible to spark.catalog.clearCache() and
+    // to callers' unpersist(); the extra materialization is one pass
+    // over (node, group) 16-byte rows — noise next to the CC loop.
+    // Block-loss risk (executor death between here and the caller's
+    // action) is unchanged vs the r5 localCheckpoint design — both are
+    // non-recomputable once the internal RDDs die; MEMORY_AND_DISK
+    // spills under pressure rather than evicting.
     import spark.implicits._
-    spark.createDataset(labels).toDF("node", "group_id")
+    val out = spark.createDataset(labels).toDF("node", "group_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rmCkpt(labels)
+    labels.unpersist(false)
+    out
   }
 
   /** Near-duplicate GROUPS on the documents table: exact-Jaccard pairs
@@ -1724,10 +1736,12 @@ object LlmOps {
     * corpus's lines are never re-read or re-shuffled; only the (small)
     * increment moves. Growing the index is a SEPARATE, caller-ordered
     * step ([[appendToLineIndex]] on the cleaned output): a crash-safe
-    * pipeline commits its kept rows FIRST and appends LAST, so a replay
-    * re-derives the same answer against the unchanged index instead of
-    * anti-joining its own hashes away (the [[dedupIncrementalStream]]
-    * write-then-append discipline). */
+    * pipeline commits its kept rows FIRST, appends LAST, and on replay
+    * must NOT recompute once its output partition is committed — after
+    * the append, this batch's own hashes are in the index and a
+    * recompute would anti-join them all away (see
+    * `StreamingOps.processLineBatch` for the committed-partition
+    * guard). */
   def lineDedupIncremental(newDocs: DataFrame, table: String,
                            delim: String = "\n", textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {

@@ -1603,17 +1603,24 @@ object Functions {
     * the per-label pair below. */
   private val punyDomainEncodeUdf = udf { s: String =>
     if (s == null) null
-    else try java.net.IDN.toASCII(s) catch { case _: Exception => "" }
+    // codec failure ⇒ null, matching the per-label punycode pair and the
+    // registry-wide invalid-input convention ('' would be
+    // indistinguishable from an empty domain)
+    else try java.net.IDN.toASCII(s) catch { case _: Exception => null }
   }
   private val punyDomainDecodeUdf = udf { s: String =>
     if (s == null) null
-    else try java.net.IDN.toUnicode(s) catch { case _: Exception => "" }
+    else try java.net.IDN.toUnicode(s) catch { case _: Exception => null }
   }
 
   /** parse_command_line (windows rules — the only dialect KQL supports):
-    * the CommandLineToArgvW algorithm — 2n backslashes before a quote
-    * collapse to n, 2n+1 escape the quote, quotes toggle in-quote state.
-    * Deliberate UDF: a character state machine. */
+    * the CommandLineToArgvW algorithm. argv[0] (the program name) uses
+    * the SIMPLIFIED rule — backslashes are literal, a quote only
+    * toggles quoted mode, the token ends at the first unquoted
+    * whitespace; backslash counting applies only to the arguments
+    * (2n backslashes before a quote collapse to n, 2n+1 escape the
+    * quote, quotes toggle in-quote state). Deliberate UDF: a character
+    * state machine. */
   private val cmdLineUdf = udf { (cmd: String) =>
     if (cmd == null) null
     else {
@@ -1622,6 +1629,18 @@ object Functions {
       var inQuote = false
       var started = false
       var i = 0
+      // program name first, under the no-backslash-counting rule
+      while (i < cmd.length && (cmd.charAt(i) == ' ' || cmd.charAt(i) == '\t')) i += 1
+      var argv0Done = i >= cmd.length
+      while (!argv0Done) {
+        val c = cmd.charAt(i)
+        if (c == '"') { inQuote = !inQuote; started = true; i += 1 }
+        else if ((c == ' ' || c == '\t') && !inQuote) argv0Done = true
+        else { cur.append(c); started = true; i += 1 }
+        if (i >= cmd.length) argv0Done = true
+      }
+      if (started) { out += cur.toString; cur.clear(); started = false }
+      inQuote = false
       while (i < cmd.length) {
         val c = cmd.charAt(i)
         if (c == '\\') {

@@ -195,14 +195,29 @@ final class TDigest(val compression: Double) extends Serializable {
 object TDigest {
   val DefaultCompression = 100.0
 
-  def deserialize(bytes: Array[Byte]): TDigest = {
+  def deserialize(bytes: Array[Byte]): TDigest =
+    tryDeserialize(bytes).getOrElse(throw new IllegalArgumentException(
+      s"not a t-digest sketch (${if (bytes == null) "null" else s"${bytes.length} bytes"})"))
+
+  /** Validated parse: the extractor functions are user-callable on ANY
+    * binary column, so malformed/truncated bytes must yield None (the
+    * registry's invalid-input-⇒-null convention), not a
+    * BufferUnderflowException or a giant allocation from a corrupt n.
+    * The length identity `len == 4 + 16 + 16·n` pins n exactly. */
+  def tryDeserialize(bytes: Array[Byte]): Option[TDigest] = {
+    if (bytes == null || bytes.length < 20 || (bytes.length - 20) % 16 != 0)
+      return None
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val t = new TDigest(bb.getDouble)
+    if (n < 0 || bytes.length != 20 + 16L * n) return None
+    val compression = bb.getDouble
+    if (!(compression > 0 && compression <= 1e6)) return None
+    val t = new TDigest(compression)
     t.total = bb.getDouble
+    if (!(t.total >= 0) || t.total.isInfinite) return None
     t.means = Array.fill(n)(bb.getDouble)
     t.weights = Array.fill(n)(bb.getDouble)
-    t
+    Some(t)
   }
 
   /** `tdigest(x)` aggregate: values → serialized sketch. Buffers stay
@@ -242,13 +257,11 @@ object TDigest {
   // an opaque binary whose walk is a data-dependent loop; no builtin or
   // higher-order-function formulation exists
   private lazy val quantileUdf = org.apache.spark.sql.functions.udf(
-    (bytes: Array[Byte], pct: Double) =>
-      if (bytes == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(deserialize(bytes).quantile(pct / 100.0)))
+    (bytes: Array[Byte], pct: Double) => tryDeserialize(bytes)
+      .map(t => java.lang.Double.valueOf(t.quantile(pct / 100.0))).orNull)
   private lazy val rankUdf = org.apache.spark.sql.functions.udf(
-    (bytes: Array[Byte], x: Double) =>
-      if (bytes == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(deserialize(bytes).cdf(x) * 100.0))
+    (bytes: Array[Byte], x: Double) => tryDeserialize(bytes)
+      .map(t => java.lang.Double.valueOf(t.cdf(x) * 100.0)).orNull)
 
   /** `percentile_tdigest(sketch, p)`: value at percentile p (0–100). */
   def percentileTDigest(sketch: Column, pct: Column): Column =

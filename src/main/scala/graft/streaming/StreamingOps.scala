@@ -75,6 +75,62 @@ object StreamingOps {
     * batches sequentially, so append-then-next-batch ordering is safe.
     * Start from [[graft.ext.LlmOps.buildMinhashIndex]] on the seed
     * corpus (possibly empty). */
+  /** True when `table` already holds a committed `__batch_id = id`
+    * partition — i.e. this foreachBatch invocation is a checkpoint
+    * REPLAY of a batch whose output commit succeeded (Structured
+    * Streaming never re-runs batches whose checkpoint committed, so a
+    * present partition can only mean "crashed between the kept-commit
+    * and the checkpoint-commit"). Partition pruning makes the probe one
+    * footer read, not a table scan. */
+  private def batchCommitted(spark: SparkSession, table: String,
+                             id: Long): Boolean =
+    spark.catalog.tableExists(table) &&
+      spark.table(table).filter(col("__batch_id") === id).limit(1).count() > 0
+
+  /** One micro-batch of [[dedupIncrementalStream]] — package-visible so
+    * the crash-replay contract is directly testable. Replay idempotency
+    * has two cases: (1) the kept partition for this batchId already
+    * exists ⇒ the previous attempt committed its output and died
+    * between the index append and the checkpoint commit. RECOMPUTING
+    * here would dedup the batch against an index that may already hold
+    * its own signatures — every doc matches itself (Jaccard 1) and the
+    * dynamic overwrite would wipe the committed partition to empty. So
+    * the replay skips recompute and only re-derives the index append
+    * from the durable kept rows (duplicate signatures in the index make
+    * duplicate candidates, never different drops — re-appending is
+    * harmless). (2) No partition ⇒ the index is guaranteed untouched by
+    * this batch (the append runs strictly after the kept-commit), so
+    * the normal compute path is correct. */
+  private[graft] def processDedupBatch(batch: DataFrame, batchId: Long,
+      indexTable: String, keptTable: String, threshold: Double,
+      textCol: String, idCol: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (batchCommitted(spark, keptTable, batchId)) {
+      graft.ext.LlmOps.appendToMinhashIndex(
+        spark.table(keptTable).filter(col("__batch_id") === batchId)
+          .drop("__batch_id"),
+        indexTable, textCol = textCol, idCol = idCol)
+    } else {
+      val kept = graft.ext.LlmOps.dedupIncremental(
+          batch, indexTable, threshold, textCol = textCol, idCol = idCol)
+        .withColumn("__batch_id", lit(batchId)).persist()
+      if (!spark.catalog.tableExists(keptTable))
+        kept.limit(0).write.format("parquet")
+          .partitionBy("__batch_id").saveAsTable(keptTable)
+      kept.write.mode("overwrite").insertInto(keptTable)
+      graft.ext.LlmOps.appendToMinhashIndex(
+        kept.drop("__batch_id"), indexTable, textCol = textCol, idCol = idCol)
+      kept.unpersist()
+    }
+    // dedupIncremental persists its per-batch token/signature frames
+    // for within-query reuse; without this they accumulate one pair
+    // per micro-batch for the life of the stream. The wrapper
+    // assumes it owns the session's SQL cache (a dedicated
+    // ingestion job — the deployment shape this runner is for).
+    spark.catalog.clearCache()
+  }
+
   def dedupIncrementalStream(stream: DataFrame, indexTable: String,
                              keptTable: String, threshold: Double = 0.8,
                              textCol: String = "text", idCol: String = "doc_id",
@@ -82,50 +138,64 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // checkpoint-replay idempotency: kept rows land in a
-        // __batch_id partition via DYNAMIC partition overwrite, so a
-        // replayed batch REPLACES its own output instead of appending
-        // it twice. The index append is not similarly guarded — a
-        // replay can double a batch's signatures there, which costs
-        // index space but never correctness (duplicate signatures make
-        // duplicate candidates; drops are distinct verified ids).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val kept = graft.ext.LlmOps.dedupIncremental(
-            batch, indexTable, threshold, textCol = textCol, idCol = idCol)
-          .withColumn("__batch_id", lit(batchId)).persist()
-        if (!spark.catalog.tableExists(keptTable))
-          kept.limit(0).write.format("parquet")
-            .partitionBy("__batch_id").saveAsTable(keptTable)
-        kept.write.mode("overwrite").insertInto(keptTable)
-        graft.ext.LlmOps.appendToMinhashIndex(
-          kept.drop("__batch_id"), indexTable, textCol = textCol, idCol = idCol)
-        kept.unpersist()
-        // dedupIncremental persists its per-batch token/signature frames
-        // for within-query reuse; without this they accumulate one pair
-        // per micro-batch for the life of the stream. The wrapper
-        // assumes it owns the session's SQL cache (a dedicated
-        // ingestion job — the deployment shape this runner is for).
-        spark.catalog.clearCache()
-        ()
+        processDedupBatch(batch, batchId, indexTable, keptTable, threshold,
+          textCol, idCol)
       }
     // deploys pass a checkpoint dir so a restart resumes at the next
     // unprocessed offset (finished batches' writes are idempotent per
-    // above); tests drive batches via processAllAvailable
+    // processDedupBatch's replay contract); tests drive batches via
+    // processAllAvailable
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer.start()
+  }
+
+  /** One micro-batch of [[lineDedupIncrementalStream]] — package-visible
+    * so the crash-replay contract is directly testable. Same two-case
+    * replay idempotency as [[processDedupBatch]]: if this batch's kept
+    * partition is already committed, the previous attempt died between
+    * the index append and the checkpoint commit — recomputing would
+    * anti-join the batch's own line hashes away (the index has no line
+    * provenance) and overwrite the committed rows with empty
+    * clean_text, so the replay skips recompute and only re-derives the
+    * index append from the durable kept rows (duplicate hashes never
+    * change an anti-join's answer). Otherwise the index is untouched by
+    * this batch and the normal path runs. */
+  private[graft] def processLineBatch(batch: DataFrame, batchId: Long,
+      indexTable: String, keptTable: String, delim: String,
+      textCol: String, idCol: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (batchCommitted(spark, keptTable, batchId)) {
+      graft.ext.LlmOps.appendToLineIndex(
+        spark.table(keptTable).filter(col("__batch_id") === batchId)
+          .drop("__batch_id"),
+        indexTable, delim, idCol = idCol)
+    } else {
+      val cleaned = graft.ext.LlmOps.lineDedupIncremental(
+          batch, indexTable, delim, textCol, idCol)
+        .withColumn("__batch_id", lit(batchId)).persist()
+      if (!spark.catalog.tableExists(keptTable))
+        cleaned.limit(0).write.format("parquet")
+          .partitionBy("__batch_id").saveAsTable(keptTable)
+      cleaned.write.mode("overwrite").insertInto(keptTable)
+      // kept rows are durable — NOW grow the index, reading the novel
+      // lines back out of the cached cleaned output (its cache is
+      // only invalidated by the append's own trailing refresh, after
+      // the last read)
+      graft.ext.LlmOps.appendToLineIndex(
+        cleaned.drop("__batch_id"), indexTable, delim, idCol = idCol)
+      cleaned.unpersist()
+    }
   }
 
   /** Continuous LINE-level dedup ([[graft.ext.LlmOps.lineDedupIncremental]]
     * per micro-batch): each batch drops lines already in the persisted
     * line index, keeps in-batch first occurrences, COMMITS its cleaned
     * docs to a per-batch partition (dynamic overwrite ⇒ replay-safe),
-    * and only THEN grows the index from the committed output — the
-    * write-then-append ordering that makes a crash between the two
-    * steps harmless: a replay recomputes against the unchanged index
-    * (or, after the append, re-derives the append from the same
-    * durable kept rows; duplicate index hashes never change the
-    * anti-join's answer). */
+    * and only THEN grows the index from the committed output. A crash
+    * before the kept-commit replays cleanly against the unchanged
+    * index; a crash after it takes [[processLineBatch]]'s
+    * reuse-committed-partition path. */
   def lineDedupIncrementalStream(stream: DataFrame, indexTable: String,
                                  keptTable: String, delim: String = "\n",
                                  textCol: String = "text",
@@ -134,23 +204,8 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val cleaned = graft.ext.LlmOps.lineDedupIncremental(
-            batch, indexTable, delim, textCol, idCol)
-          .withColumn("__batch_id", lit(batchId)).persist()
-        if (!spark.catalog.tableExists(keptTable))
-          cleaned.limit(0).write.format("parquet")
-            .partitionBy("__batch_id").saveAsTable(keptTable)
-        cleaned.write.mode("overwrite").insertInto(keptTable)
-        // kept rows are durable — NOW grow the index, reading the novel
-        // lines back out of the cached cleaned output (its cache is
-        // only invalidated by the append's own trailing refresh, after
-        // the last read)
-        graft.ext.LlmOps.appendToLineIndex(
-          cleaned.drop("__batch_id"), indexTable, delim, idCol = idCol)
-        cleaned.unpersist()
-        ()
+        processLineBatch(batch, batchId, indexTable, keptTable, delim,
+          textCol, idCol)
       }
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer.start()

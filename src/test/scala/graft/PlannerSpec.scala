@@ -868,6 +868,10 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(0) == "acadmie-franaise-npb1a")
     assert(r.getString(1) == "académie-française")
     assert(r.getString(2) == "hello-")
+    // codec failure (label over 63 chars) -> null, not '' — the
+    // registry's invalid-input convention (r5 advice)
+    val bad = one(s"""print b = punycode_domain_from_string('${"x" * 70}.example')""")
+    assert(bad.isNullAt(0))
     assert(r.getLong(3) == 4L)  // second 'bc'
     assert(r.getLong(4) == 4L)  // first 'bc' at/after index 2
     assert(r.getLong(5) == -1L) // window 'ab' has no 'bc'
@@ -1233,15 +1237,21 @@ class PlannerSpec extends AnyFunSuite {
     // mismatched lookup/rewrite lengths -> null; pack_array form works too
     val rs = one("""print bad = replace_strings('x', dynamic(['a']), dynamic(['b', 'c'])), arr = replace_strings('x y', pack_array('x'), pack_array('z'))""")
     assert(rs.isNullAt(0) && rs.getString(1) == "z y")
-    // windows rules: 2n backslashes + quote -> n backslashes, toggle;
-    // 2n+1 -> escaped literal quote
+    // argv[0] uses CommandLineToArgvW's PROGRAM-NAME rule: backslashes
+    // stay literal and quotes only toggle — so the leading a\\"b c"
+    // keeps both backslashes; backslash counting applies from argv[1] on
     val cl = one("""print a = dynamic_to_json(parse_command_line('a\\\\"b c" d', 'windows'))""")
-    assert(cl.getString(0) == """["a\\b c","d"]""")
-    // "" inside quotes emits a literal quote and stays quoted
-    // (CommandLineToArgvW post-2008 rule); non-windows dialects null
-    val cq = one("""print q = dynamic_to_json(parse_command_line('"a""b" c', 'windows')), px = parse_command_line('a b', 'posix')""")
-    assert(cq.getString(0) == """["a\"b","c"]""")
+    assert(cl.getString(0) == """["a\\\\b c","d"]""")
+    // argv[0] quote handling is toggle-only ("" does NOT emit a quote in
+    // the program name); the post-2008 "" rule is argument-side. The
+    // ARGUMENT machine keeps it: see the 2nd token. Non-windows
+    // dialects null.
+    val cq = one("""print q = dynamic_to_json(parse_command_line('"a""b" "c""d"', 'windows')), px = parse_command_line('a b', 'posix')""")
+    assert(cq.getString(0) == """["ab","c\"d"]""")
     assert(cq.isNullAt(1))
+    // argument-side backslash counting still applies past argv[0]
+    val c2 = one("""print a = dynamic_to_json(parse_command_line('prog a\\\\"b c" d', 'windows'))""")
+    assert(c2.getString(0) == """["prog","a\\b c","d"]""")
     // a mid-lat cell has 8 neighbors, a near-pole cell fewer; garbage -> null
     val nb = one("""print n8 = array_length(geo_geohash_neighbors('u4pruy')), np = array_length(geo_geohash_neighbors('z')), bad = geo_geohash_neighbors('!!')""")
     assert(nb.getLong(0) == 8L)

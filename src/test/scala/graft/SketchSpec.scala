@@ -91,6 +91,28 @@ class SketchSpec extends AnyFunSuite {
     assert(back.centroidCount == 0 && back.quantile(0.5).isNaN)
   }
 
+  test("tdigest extractors null out on malformed binary (invalid-input convention)") {
+    // truncated, wrong-length, corrupt-n, and garbage inputs must all
+    // parse to None — the extractors are user-callable on ANY binary
+    // column, so a BufferUnderflow/huge-allocation crash is a task
+    // failure the registry convention forbids
+    import graft.sketch.TDigest
+    val good = { val t = new TDigest(100.0); t.add(1.0); t.add(2.0); t.serialize() }
+    assert(TDigest.tryDeserialize(null).isEmpty)
+    assert(TDigest.tryDeserialize(Array[Byte]()).isEmpty)
+    assert(TDigest.tryDeserialize(good.take(7)).isEmpty)     // truncated header
+    assert(TDigest.tryDeserialize(good.take(25)).isEmpty)    // truncated payload
+    assert(TDigest.tryDeserialize(good ++ Array[Byte](1)).isEmpty) // trailing junk
+    val corruptN = good.clone(); corruptN(0) = 0x7f.toByte   // n = ~2^31
+    assert(TDigest.tryDeserialize(corruptN).isEmpty)
+    assert(TDigest.tryDeserialize(good).nonEmpty)
+    // KQL surface: null out, never throw
+    val r = Kql.run(spark,
+      """print p = percentile_tdigest(substring('abc', 0, 2), 50),
+               q = rank_tdigest('garbage-bytes', 1.0)""", cat).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("percentiles_array_tdigest: one sketch, many extractions, ordered") {
     val r = Kql.run(spark,
       """lineitem

@@ -305,4 +305,65 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  // Crash-replay contract (r5 advice): a batch that died AFTER the index
+  // append but BEFORE the streaming checkpoint commit is re-run by the
+  // engine with the same batchId. The index then already contains the
+  // batch's own line hashes / signatures, so a recompute would anti-join
+  // (or self-match) the whole batch away and the dynamic partition
+  // overwrite would replace the committed kept rows with nothing. The
+  // committed-partition guard must skip recompute and only re-derive the
+  // index append from the durable rows.
+  test("line-dedup batch replay after index append preserves committed output") {
+    import spark.implicits._
+    def cleanTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    cleanTable("graft_replay_kept")
+    graft.ext.LlmOps.buildLineIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_replay_idx",
+      delim = " ")
+    val batch = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    def run() = graft.streaming.StreamingOps.processLineBatch(
+      batch, 0L, "graft_replay_idx", "graft_replay_kept", " ", "text", "doc_id")
+    run() // first attempt: commits kept partition 0 AND appends the index
+    def kept = {
+      spark.catalog.refreshTable("graft_replay_kept")
+      spark.table("graft_replay_kept").select("doc_id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val first = kept
+    assert(first == Map(1L -> "alpha beta", 2L -> "gamma"))
+    run() // replay with the index already poisoned by batch 0's hashes
+    assert(kept == first, "replay must not wipe the committed partition")
+    spark.catalog.refreshTable("graft_replay_idx_lines")
+    assert(spark.table("graft_replay_idx_lines").distinct().count() == 3L)
+  }
+
+  test("near-dup batch replay after index append preserves committed output") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_replay2_kept")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_replay2_kept")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    graft.ext.LlmOps.buildMinhashIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_replay2_idx")
+    val batch = Seq((1L, "alpha beta gamma delta"),
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    def run() = graft.streaming.StreamingOps.processDedupBatch(
+      batch, 0L, "graft_replay2_idx", "graft_replay2_kept", 0.8, "text", "doc_id")
+    run()
+    def keptIds = {
+      spark.catalog.refreshTable("graft_replay2_kept")
+      spark.table("graft_replay2_kept").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(keptIds == Set(1L, 2L))
+    run() // replay: both docs' signatures are already in the index
+    assert(keptIds == Set(1L, 2L),
+      "replay must not self-match the batch against its own index entries")
+  }
 }
