@@ -1749,6 +1749,97 @@ object SparkEntry {
         | take 100"""),
       Some("""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY 1 HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250) SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""")),
 
+    // TPC-H Q4 (r6, reduced to fixture columns — no l_commitdate/
+    // l_receiptdate, so the EXISTS predicate is l_returnflag == 'R'):
+    // the EXISTS-subquery shape — a leftsemi join that must NOT
+    // duplicate orders with several matching lines
+    "q141_tpch_q4" -> Q(kqlQ(
+      """orders
+        | where o_orderdate >= datetime(1997-01-01) and o_orderdate < datetime(1997-04-01)
+        | join kind=leftsemi (lineitem | where l_returnflag == 'R')
+          on $left.o_orderkey == $right.l_orderkey
+        | summarize order_count = count() by o_orderpriority
+        | sort by o_orderpriority asc"""),
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q12 (r6, l_linestatus standing in for l_shipmode): fact-fact
+    // join + dual conditional counts — the countif-over-join shape
+    "q142_tpch_q12" -> Q(kqlQ(
+      """orders
+        | join kind=inner (lineitem
+            | where l_returnflag in ('A', 'R')
+              and l_shipdate >= datetime(1997-01-01) and l_shipdate < datetime(1998-01-01))
+          on $left.o_orderkey == $right.l_orderkey
+        | summarize high_line_count = countif(o_orderpriority in ('1-URGENT', '2-HIGH')),
+                    low_line_count = countif(o_orderpriority !in ('1-URGENT', '2-HIGH'))
+          by l_linestatus
+        | sort by l_linestatus asc"""),
+      Some("""SELECT l_linestatus, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_returnflag IN ('A','R') AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q16 (r6; lineitem's (l_partkey, l_suppkey) is the partsupp
+    // surrogate — the fixture has no partsupp table; the NOT-IN
+    // complaint filter becomes s_acctbal < 0): NOT-IN anti-join +
+    // exact count-distinct aggregate
+    "q143_tpch_q16" -> Q(kqlQ(
+      """lineitem
+        | join kind=inner (part
+            | where p_brand != 'Brand#3' and p_size in (1, 5, 9, 14, 20, 27, 33, 40))
+          on $left.l_partkey == $right.p_partkey
+        | join kind=leftanti (supplier | where s_acctbal < 0)
+          on $left.l_suppkey == $right.s_suppkey
+        | summarize supplier_cnt = count_distinct(l_suppkey) by p_brand, p_size
+        | sort by supplier_cnt desc, p_brand asc, p_size asc
+        | take 20"""),
+      Some("""SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9, 14, 20, 27, 33, 40) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""")),
+
+    // TPC-H Q21 (r6, 'late' = l_returnflag == 'R'): the waiting-supplier
+    // EXISTS/NOT-EXISTS chain. The correlated suppkey-inequality
+    // subqueries become per-order distinct-supplier aggregates (>1
+    // suppliers ⇒ someone else contributed; exactly 1 late supplier ⇒
+    // nobody ELSE was late — together equivalent to the original
+    // EXISTS l2 / NOT EXISTS l3 pair because the probe row itself is
+    // late), then THREE chained leftsemi joins — each an ids-only
+    // probe, no fact-row duplication anywhere in the chain
+    "q144_tpch_q21" -> Q(kqlQ(
+      """let late = lineitem | where l_returnflag == 'R';
+        late
+        | join kind=leftsemi (orders | where o_orderstatus == 'F')
+          on $left.l_orderkey == $right.o_orderkey
+        | join kind=leftsemi (lineitem
+            | summarize ns = count_distinct(l_suppkey) by l_orderkey
+            | where ns > 1) on l_orderkey
+        | join kind=leftsemi (late
+            | summarize nl = count_distinct(l_suppkey) by l_orderkey
+            | where nl == 1) on l_orderkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | join kind=inner (nation | where n_name in ('NATION_1', 'NATION_2', 'NATION_3'))
+          on $left.s_nationkey == $right.n_nationkey
+        | summarize numwait = count_distinct(l_orderkey) by s_name
+        | sort by numwait desc, s_name asc
+        | take 100"""),
+      Some("""WITH late AS (SELECT * FROM lineitem WHERE l_returnflag = 'R'), multi AS (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1), onelate AS (SELECT l_orderkey FROM late GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) = 1) SELECT s_name, CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS numwait FROM late l JOIN supplier ON l.l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_1','NATION_2','NATION_3') AND l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') AND l.l_orderkey IN (SELECT l_orderkey FROM multi) AND l.l_orderkey IN (SELECT l_orderkey FROM onelate) GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // TPC-H Q2 (r6; lineitem (l_partkey, l_suppkey, min extendedprice)
+    // is the partsupp surrogate): the correlated-min-subquery shape —
+    // per-part minimum cost computed once, joined back on (part, cost)
+    // so ALL tied suppliers survive (arg_min would pick one
+    // arbitrarily). Integer-cents cost per the TPCH_Q1 money
+    // convention; the let-bound ps is planned once per reference
+    "q145_tpch_q2" -> Q(kqlQ(
+      """let ps = lineitem
+          | summarize cost_c = min(tolong(round(l_extendedprice * 100))) by l_partkey, l_suppkey;
+        ps
+        | join kind=inner (ps | summarize min_c = min(cost_c) by l_partkey) on l_partkey
+        | where cost_c == min_c
+        | join kind=inner (part | where p_size == 20 and p_type == 'PROMO')
+          on $left.l_partkey == $right.p_partkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | join kind=inner (nation) on $left.s_nationkey == $right.n_nationkey
+        | project s_acctbal, s_name, n_name, p_partkey, cost = todouble(min_c) / 100.0
+        | sort by s_acctbal desc, n_name asc, s_name asc, p_partkey asc
+        | take 100"""),
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey, MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c FROM lineitem GROUP BY 1, 2), mc AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM ps GROUP BY 1) SELECT s_acctbal, s_name, n_name, p_partkey, CAST(min_c AS DOUBLE)/100.0 AS cost FROM ps JOIN mc ON ps.l_partkey = mc.l_partkey AND ps.cost_c = mc.min_c JOIN part ON ps.l_partkey = p_partkey JOIN supplier ON ps.l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_size = 20 AND p_type = 'PROMO' ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
     // scalar batch 6 (r5): unit conversions, codepoints, treepath,
     // bin_auto via the canonical let, format/url/has_any_index extras
     "q134_scalar_batch6" -> Q(kqlQ(

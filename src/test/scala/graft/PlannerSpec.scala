@@ -1281,4 +1281,47 @@ class PlannerSpec extends AnyFunSuite {
       cat).queryExecution.executedPlan.toString
     assert(q14.contains("BroadcastHashJoin"), q14.take(1200))
   }
+
+  test("TPC-H Q4/Q16/Q21 plans: semi/anti stay semi/anti, small sides broadcast") {
+    // Q4: the EXISTS shape must plan as a SEMI join (no fact-row
+    // duplication + re-distinct), with the date window pushed to the
+    // orders scan
+    val q4 = Kql.run(spark,
+      """orders
+        | where o_orderdate >= datetime(1997-01-01) and o_orderdate < datetime(1997-04-01)
+        | join kind=leftsemi (lineitem | where l_returnflag == 'R')
+          on $left.o_orderkey == $right.l_orderkey
+        | summarize order_count = count() by o_orderpriority""",
+      cat).queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), q4.take(1500))
+    assert(q4.contains("PushedFilters: [IsNotNull(o_orderdate)"), q4.take(1500))
+    // Q16: the NOT-IN shape must plan as an ANTI join against the tiny
+    // supplier side — broadcast, not shuffled
+    val q16 = Kql.run(spark,
+      """lineitem
+        | join kind=leftanti (supplier | where s_acctbal < 0)
+          on $left.l_suppkey == $right.s_suppkey
+        | summarize supplier_cnt = count_distinct(l_suppkey)""",
+      cat).queryExecution.executedPlan.toString
+    assert(q16.contains("BroadcastHashJoin") && q16.contains("LeftAnti"), q16.take(1500))
+    // Q21: three chained semi-joins — every one must remain a semi join
+    // (ids-only probes), and the nation dim must broadcast
+    val q21 = Kql.run(spark,
+      """let late = lineitem | where l_returnflag == 'R';
+        late
+        | join kind=leftsemi (orders | where o_orderstatus == 'F')
+          on $left.l_orderkey == $right.o_orderkey
+        | join kind=leftsemi (lineitem
+            | summarize ns = count_distinct(l_suppkey) by l_orderkey
+            | where ns > 1) on l_orderkey
+        | join kind=leftsemi (late
+            | summarize nl = count_distinct(l_suppkey) by l_orderkey
+            | where nl == 1) on l_orderkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | join kind=inner (nation) on $left.s_nationkey == $right.n_nationkey
+        | summarize numwait = count_distinct(l_orderkey) by s_name""",
+      cat).queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(q21).size >= 3, q21.take(2000))
+    assert(q21.contains("BroadcastHashJoin"), q21.take(2000))
+  }
 }
