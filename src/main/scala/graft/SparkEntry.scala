@@ -92,6 +92,44 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** tmp_stream_line_dedup body (r6, verdict task 4): the STATEFUL
+    * streaming path — two micro-batches of documents through
+    * [[graft.streaming.StreamingOps.lineDedupIncrementalStream]], whose
+    * cross-batch state is the persisted line index AT REST (batch 2
+    * drops every line batch 1 kept). The committed kept table (both
+    * batch partitions) is returned and hash-compared to DuckDB's batch
+    * replay of the same two increments. State is rebuilt from empty on
+    * every invocation so bench/verify reruns in one JVM stay
+    * idempotent; the memory stream is fed a BOUNDED 40-doc slice
+    * (harness plumbing, not a data pass). */
+  def streamLineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    graft.ext.LlmOps.buildLineIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_stream_line_idx")
+    s.sql("DROP TABLE IF EXISTS graft_stream_line_kept")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_stream_line_kept")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val rows = relined10(docs(s, dir)).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingOps.lineDedupIncrementalStream(
+      src, "graft_stream_line_idx", "graft_stream_line_kept")
+    try {
+      ms.addData(rows.filter(_._1 < 20): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.catalog.refreshTable("graft_stream_line_kept")
+    s.table("graft_stream_line_kept")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"),
+        col("__batch_id").cast("long").as("batch_id"))
+      .orderBy("doc_id")
+  }
+
   // Sums of 2-decimal money doubles go through exact integer cents so the
   // result is bit-identical to the DuckDB oracle (double→decimal casts are
   // NOT cross-engine stable: Spark casts via shortest-string repr).
@@ -715,6 +753,41 @@ object SparkEntry {
         nLists = 16, nProbe = 16),
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // The persisted-index ANN probe (r6, verdict task 3): buildIvfIndex
+    // writes the corpus partitionBy(cell); the search reads ONLY the
+    // probed cells' files. Three seed-independent facts: (1) the query
+    // vector is its own top hit (its cell is by construction the top
+    // probe — cellOf and probeCells rank by the same score); (2) every
+    // returned score is the EXACT cosine (pruning never approximates
+    // scores); (3) the probe is a REAL prune — the probed cells hold
+    // some rows but strictly fewer than the corpus, recomputed from the
+    // same centroid metadata the search used.
+    "llm_ann_ivf_indexed" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val path = sys.props("java.io.tmpdir") + "/graft_ivf_index_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val cents = LlmOps.buildIvfIndex(e, path, nLists = 16)
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val res = LlmOps.annCosineIvfIndexed(s, path, cents, q0, k = 10, nProbe = 2)
+        val probes = LlmOps.ivfProbeCells(cents, q0, nProbe = 2)
+        val exact = LlmOps.cosineAll(e, queryId = 0)
+          .withColumnRenamed("cos", "cos_exact")
+        val idx = s.read.parquet(path)
+        res.join(exact, "vec_id")
+          .agg(max(when(col("vec_id") === 0, col("cos"))).as("self_cos"),
+            sum(when(col("cos") =!= col("cos_exact"), 1L).otherwise(0L))
+              .as("n_score_mismatch"))
+          .crossJoin(idx.agg(
+            sum(when(col("__cell").isin(probes: _*), 1L).otherwise(0L)).as("n_scanned"),
+            count(lit(1)).as("n_total")))
+          .select((col("self_cos") === 1.0).as("self_top"), col("n_score_mismatch"),
+            (col("n_scanned") > 0L && col("n_scanned") < col("n_total")).as("pruned"))
+      },
+      Some("""SELECT true AS self_top, CAST(0 AS BIGINT) AS n_score_mismatch, true AS pruned""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -1093,6 +1166,16 @@ object SparkEntry {
     "tmp_stream_parity" -> Q(
       (s, dir) => streamParityQuery(s, dir),
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s FROM events WHERE event_id <= 2000 GROUP BY 1 ORDER BY 1""")),
+
+    // STATEFUL streaming parity (r6): two micro-batches through the
+    // incremental line-dedup runner — batch 2 must drop lines batch 1
+    // committed to the persisted index, and each doc's batch
+    // attribution must match the replay. Value-exact: DuckDB replays
+    // increment 1 (empty index + in-batch ownership), grows the index
+    // from its kept lines, then replays increment 2 against it.
+    "tmp_stream_line_dedup" -> Q(
+      (s, dir) => streamLineDedupQuery(s, dir),
+      Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents WHERE doc_id < 40), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), b1 AS (SELECT * FROM lx WHERE doc_id < 20), own1 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM b1 GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM b1 JOIN own1 USING (line) WHERE doc_id * 1000000 + pos = o), idx1 AS (SELECT DISTINCT line FROM k1), b2 AS (SELECT * FROM lx WHERE doc_id >= 20), f2 AS (SELECT * FROM b2 WHERE line NOT IN (SELECT line FROM idx1)), own2 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM f2 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM f2 JOIN own2 USING (line) WHERE doc_id * 1000000 + pos = o), kept AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text, CAST(CASE WHEN nl.doc_id < 20 THEN 0 ELSE 1 END AS BIGINT) AS batch_id FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
 
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(

@@ -759,6 +759,17 @@ object LlmOps {
     centroids
   }
 
+  /** Probe-cell selection for a deployed [[buildIvfIndex]] index — which
+    * nProbe cells a raw query vector reads. Public because a probe
+    * service holds only the centroid metadata, and the declared pruning
+    * contract (`llm_ann_ivf_indexed`) recomputes the scanned-row count
+    * from the same cells the search touches. */
+  def ivfProbeCells(centroids: Array[Array[Double]], qRaw: Array[Double],
+                    nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    probeCells(centroids, qRaw.map(_ / qn), nProbe)
+  }
+
   /** Search a persisted IVF index: filter on the partition column prunes
     * to the probed cells' files, then cosine + TakeOrderedAndProject. */
   def annCosineIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
