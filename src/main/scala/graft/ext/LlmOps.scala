@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** Within-query persists that BACK a returned lazy frame (per-doc
+    * token/signature/norm frames; the CC labels handoff). They cannot
+    * be unpersisted inside the op — the caller's action still has to
+    * read them — so each one is registered here and reclaimed by
+    * [[releaseCaches]] once the caller has consumed its result. The
+    * queue holds query plans (kilobytes), not data; the blocks
+    * themselves are what releaseCaches frees. */
+  private val trackedPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    df.persist()
+    trackedPersists.add(df)
+    df
+  }
+
+  /** Unpersist every cache this library created since the last call —
+    * the long-lived-session hygiene hook (r5 verdict task 6). Call
+    * after consuming an operator's result; already-unpersisted entries
+    * (ops that clean up eagerly, e.g. the index builders) no-op.
+    * Bench/Verify's per-query sweep (clearCache + unpersist-all-RDDs)
+    * subsumes this for the harness; a library embedder calls this
+    * instead so OTHER caches in the session survive. */
+  def releaseCaches(): Unit = {
+    var d = trackedPersists.poll()
+    while (d != null) { d.unpersist(false); d = trackedPersists.poll() }
+  }
+
   /** Decouple compute parallelism from scan parallelism. The heavy
     * per-row operators (signatures, vector math) are CPU-bound, so their
     * parallelism must not be inherited from however few input splits the
@@ -87,11 +115,10 @@ object LlmOps {
     // rows are kilobytes/doc, cache-resident per executor at any scale;
     // Bench/Verify clear caches per query, so reuse is within-query only.
     val freq = posts.groupBy("tok").agg(count(lit(1)).as("f"))
-    val ordered = posts.join(freq, "tok")
+    val ordered = persistTracked(posts.join(freq, "tok")
       .groupBy("blk", "id")
       .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
-        x => x("tok")).as("toks"))
-      .persist()
+        x => x("tok")).as("toks")))
     val n = size(col("toks"))
     // prefix rows carry the set size so the size-ratio bound
     // (jac ≤ min(n)/max(n) < t ⇒ can never verify) prunes candidate
@@ -171,10 +198,10 @@ object LlmOps {
     val sig = array((0 until numHashes).map { i =>
       array_min(zip_with(col("h1"), col("h2"), (a, b) => a + lit(i.toLong) * b))
     }: _*)
-    val withToks = base.select(col("id"),
-      sort_array(array_distinct(col("h1"))).as("toks")).persist()
-    val withSig = base.select(col("id"),
-      size(array_distinct(col("h1"))).as("n"), sig.as("sig")).persist()
+    val withToks = persistTracked(base.select(col("id"),
+      sort_array(array_distinct(col("h1"))).as("toks")))
+    val withSig = persistTracked(base.select(col("id"),
+      size(array_distinct(col("h1"))).as("n"), sig.as("sig")))
     val buckets = array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }: _*)
@@ -867,8 +894,8 @@ object LlmOps {
     // reuse; per-vector rows are cache-resident per executor)
     // array<double> cast ONCE per row (float→double is exact); the pair
     // join then feeds the JIT'd dotKernel without per-pair casts
-    val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")).persist()
+    val withNorm = persistTracked(spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")))
     val a = withNorm.select(col("blk"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("__s", pmod(xxhash64(col("i")), lit(salt)))
     val b = withNorm.select(col("blk"), col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
@@ -927,8 +954,8 @@ object LlmOps {
     val hyper = Array.fill(nBands * b)(Array.fill(dim)(rnd.nextGaussian()))
     // persisted: read three times (banded self-join via `keyed` + both
     // exact-verify join sides) — within-query reuse, per-vector rows
-    val withNorm = spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")).persist()
+    val withNorm = persistTracked(spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")))
     val keyed = withNorm
       .withColumn("__sig", lshSignatures(hyper, nBands, b)(col("v")))
       .select(col("blk"), col("id"), col("__sig"),
@@ -1001,20 +1028,77 @@ object LlmOps {
     * recompute). Returns (id, cell) survivors. */
   def semDedup(emb: DataFrame, threshold: Double, nClusters: Int = 8,
                seed: Long = 42, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding", maxCellSize: Long = 0L): DataFrame = {
     // empty input degrades to an empty result (same contract as the
     // dedup siblings) instead of tripping the quantizer's empty-sample
     // require — an upstream filter matching nothing is not an error
     if (emb.isEmpty)
-      return emb.select(col(idCol), lit(1).as("cell")).limit(0)
+      return emb.select(col(idCol), lit(1L).as("cell")).limit(0)
     val cents = trainIvfCentroids(emb, nClusters, seed, idCol, vecCol)
-    val assigned = spread(emb).withColumn("__cell",
-      cellOf(cents)(col(vecCol).cast("array<double>")))
+    var assigned = spread(emb).withColumn("__cell",
+      cellOf(cents)(col(vecCol).cast("array<double>")).cast("long"))
+    // mega-cell guard (r6): the within-cell pair work is Σ|cell|², so a
+    // web-scale skew cell (one topic dominating the corpus) would own
+    // the whole stage. maxCellSize > 0 recursively re-quantizes
+    // oversize cells — the FAISS IVF-split move — bounding every
+    // cell's pair work at maxCellSize² while keeping near-identical
+    // vectors co-located (a sub-k-means, unlike a hash split, preserves
+    // the drops). 0 keeps the published single-level SemDeDup shape.
+    if (maxCellSize > 0L) {
+      require(nClusters <= 56,
+        "semDedup maxCellSize refinement needs nClusters <= 56 (64-ary refined-id ranges)")
+      assigned = splitOversizeCells(assigned, maxCellSize, seed, idCol, vecCol)
+    }
     val dropped = similarityPairs(assigned, threshold, blockCol = "__cell",
       idCol = idCol, vecCol = vecCol)
       .select(col("j").as(idCol)).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /** Recursive IVF mega-cell split behind [[semDedup]]'s `maxCellSize`:
+    * each round finds cells over the cap (one count aggregate; the
+    * collect is bounded by the number of SKEW OUTLIER cells, not data),
+    * trains an 8-way sub-quantizer on each oversize cell's own rows
+    * (the bounded ≤256·8 driver sample of [[trainIvfCentroids]] — index
+    * metadata, not a data pass), and refines ids as parent·64 + sub in
+    * one combined broadcast assignment pass. Rounds repeat while any
+    * cell exceeds the cap, up to `maxDepth` (64-ary fan-out: 3 rounds
+    * re-partition a 90 %-skew cell 512-ways). Refined id ranges stay
+    * disjoint across rounds because every parent id exceeds the
+    * previous round's unsplit maximum ÷ 64 (nClusters ≤ 56 guarded at
+    * the single call site). */
+  private[graft] def splitOversizeCells(assigned: DataFrame, maxCellSize: Long,
+      seed: Long, idCol: String, vecCol: String, maxDepth: Int = 3): DataFrame = {
+    val kSub = 8
+    var cur = assigned
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val oversize = cur.groupBy("__cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCellSize)
+        .select("__cell").collect().map(_.getLong(0)).toSet
+      if (oversize.isEmpty) done = true
+      else {
+        val subs: Map[Long, (Array[Array[Double]], Array[Double])] =
+          oversize.iterator.map { c =>
+            val cents = trainIvfCentroids(cur.filter(col("__cell") === c),
+              kSub, seed + 7919L * (depth + 1) + c, idCol, vecCol)
+            c -> (cents, cents.map(x => x.map(y => y * y).sum / 2))
+          }.toMap
+        val subsB = cur.sparkSession.sparkContext.broadcast(subs)
+        val refine = udf { (cell: Long, v: Seq[Double]) =>
+          subsB.value.get(cell) match {
+            case Some((cents, hn)) => cell * 64L + bestCell(v, cents, hn)._1
+            case None => cell
+          }
+        }
+        cur = cur.withColumn("__cell",
+          refine(col("__cell"), col(vecCol).cast("array<double>")))
+        depth += 1
+      }
+    }
+    cur
   }
 
   /** Connected components over an (i, j) pair frame: every node gets the
@@ -1224,8 +1308,7 @@ object LlmOps {
     // non-recomputable once the internal RDDs die; MEMORY_AND_DISK
     // spills under pressure rather than evicting.
     import spark.implicits._
-    val out = spark.createDataset(labels).toDF("node", "group_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = persistTracked(spark.createDataset(labels).toDF("node", "group_id"))
     out.count()
     rmCkpt(labels)
     labels.unpersist(false)

@@ -496,7 +496,8 @@ final class Parser(src: String) {
           while (!isSym(")")) { args += parseExpr(); if (!isSym(")")) eatSym(",") }
           eatSym(")")
           EvaluateOp(plugin, args.result())
-        case other => fail(s"unknown operator '$other'")
+        case other =>
+          fail(s"unknown operator '$other'${Suggest.hint(other, Suggest.operators)}")
       }
     case _ => fail("expected operator after |")
   }

@@ -868,10 +868,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     // `evaluate semdedup(threshold, nClusters, id, vec)`: SemDeDup-style
     // k-means-cell semantic dedup (LlmOps.semDedup)
-    case EvaluateOp("semdedup", tE :: kE :: idE :: vecE :: Nil) =>
+    // optional 5th arg = maxCellSize: the mega-cell split cap (0 = off)
+    case EvaluateOp("semdedup", tE :: kE :: idE :: vecE :: rest)
+        if rest.size <= 1 =>
       graft.ext.LlmOps.semDedup(df, litDouble(tE), litLong(kE).toInt,
         idCol = colNameOf(df, idE, "semdedup id"),
-        vecCol = colNameOf(df, vecE, "semdedup vector"))
+        vecCol = colNameOf(df, vecE, "semdedup vector"),
+        maxCellSize = rest.headOption.map(litLong).getOrElse(0L))
 
     // `evaluate source_cap(n, source, orderCol, id)`: keep the top-n rows
     // per source/domain (LlmOps.sourceCap)
@@ -955,7 +958,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sequence_detect timeline"),
         timespanUs(winE), timespanUs(spanE), steps)
 
-    case EvaluateOp(p, _) => throw PlanError(s"evaluate: unsupported plugin '$p'")
+    case EvaluateOp(p, _) => throw PlanError(
+      s"evaluate: unsupported plugin '$p'${Suggest.hint(p, Suggest.plugins)}")
 
     case PartitionOp(key, ops) =>
       // per-key-value subpipeline, rewritten to distribute instead of
@@ -1522,7 +1526,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       val ci = cols.filter(_.equalsIgnoreCase(name))
       if (ci.length == 1) Some(ci(0)) else None
     }.getOrElse(throw PlanError(
-      s"column '$name' not found among [${cols.mkString(", ")}]"))
+      s"column '$name' not found${Suggest.hint(name, cols)} " +
+        s"(available: [${cols.mkString(", ")}])"))
 
   private def defaultName(e: Expr, i: Int): String = e match {
     case Col(n) => n
@@ -2180,7 +2185,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       case other =>
         Functions.registry.get(other) match {
           case Some(builder) => builder(args.map(toCol(_, df, agg)))
-          case None => throw PlanError(s"unknown function '$other'")
+          case None => throw PlanError(s"unknown function '$other'" +
+            Suggest.hint(other, Functions.registry.keys))
         }
     }
   }

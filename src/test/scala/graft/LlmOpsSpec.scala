@@ -592,9 +592,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val exactKept = LlmOps.dedupNearCosine(all, 0.3, blockCol = "__all", method = "exact")
       .collect().map(_.getLong(0)).toSet
     val semRows = LlmOps.semDedup(embs, 0.3, nClusters = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val semKept = semRows.map(_._1).toSet
-    assert(semRows.forall { case (_, c) => c >= 1 && c <= 8 }) // 1-based cells
+    assert(semRows.forall { case (_, c) => c >= 1L && c <= 8L }) // 1-based cells
     // within-cell pairs ⊆ all pairs ⇒ every all-pairs exact survivor survives
     assert(exactKept.subsetOf(semKept))
     // zero false drops: every dropped id has a SMALLER-id global partner ≥ τ
@@ -604,12 +604,79 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((ids -- semKept).subsetOf(hasSmallerPartner))
     // fixed-seed quantizer ⇒ bit-stable across runs
     val again = LlmOps.semDedup(embs, 0.3, nClusters = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == semRows.toSet)
     val kql = graft.kql.Kql.run(spark,
       "embeddings | evaluate semdedup(0.3, 8, vec_id, embedding)", TestSpark.sfDir)
     assert(kql.columns.toSeq == Seq("vec_id", "cell"))
     assert(kql.select("vec_id").collect().map(_.getLong(0)).toSet == semKept)
+  }
+
+  test("persist hygiene: releaseCaches leaves zero net library blocks after each op") {
+    // Long-lived-session contract (r5 verdict task 6): the within-query
+    // persists (token/signature/norm frames, the CC labels handoff)
+    // back the RETURNED lazy frames, so they survive the op by design —
+    // but after the caller's action, one releaseCaches() sweep must
+    // return the session to its pre-op persisted-block state (no
+    // harness-dependence on Bench/Verify's blunt clearCache).
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+    val ops: Seq[(String, () => Long)] = Seq(
+      "similarityPairs" -> (() => LlmOps.similarityPairs(embs, 0.3).count()),
+      "minhashPairs" -> (() => LlmOps.nearDupPairsMinhash(docs, 0.8).count()),
+      "jaccardGroups" -> (() => LlmOps.nearDupGroups(docs, 0.8).count()),
+      "cosineGroups" -> (() => LlmOps.cosineGroups(embs, 0.3).count()),
+      "semDedup" -> (() => LlmOps.semDedup(embs, 0.3, nClusters = 4).count()))
+    ops.foreach { case (name, op) =>
+      op()
+      LlmOps.releaseCaches()
+      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty, s"$name leaked persisted RDDs/caches: $leaked")
+    }
+  }
+
+  test("semDedup mega-cell guard: a 90%-skew cell splits under the cap, drops preserved") {
+    import spark.implicits._
+    // the web-scale skew case (r5 verdict task 5): one cell holding ~90%
+    // of the corpus — its within-cell pair work |cell|² would own the
+    // whole stage. The hub is 8 tight sub-clusters (near-identical
+    // within, ~orthogonal across) so a sub-quantizer CAN separate it.
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def jit(base: Array[Double]): Seq[Double] =
+      base.map(_ + rnd.nextGaussian() * 0.01).toSeq
+    val hub = (0 until 448).map { i =>
+      val dir = Array.tabulate(dim)(d => if (d == i % 8) 1.0 else 0.0)
+      (i.toLong, jit(dir))
+    }
+    val scatter = (1000 until 1050).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    val assigned = (hub.map { case (id, v) => (id, v, 1L) } ++
+      scatter.map { case (id, v) => (id, v, 2L) })
+      .toDF("vec_id", "embedding", "__cell")
+    val split = LlmOps.splitOversizeCells(assigned, maxCellSize = 100L,
+      seed = 42, idCol = "vec_id", vecCol = "embedding")
+    val sizes = split.groupBy("__cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.max <= 100L,
+      s"mega-cell survived the recursive split: $sizes")
+    assert(sizes(2L) == 50L, "under-cap cells must pass through untouched")
+    assert(sizes.values.sum == 498L, "the split must not drop or duplicate rows")
+    // identical vectors always share a refined cell (same deterministic
+    // assignment) ⇒ exact duplicates still dedup under the cap
+    val dups = (0 until 10).map(i => ((9000 + i).toLong, hub(i)._2))
+    val emb2 = (hub ++ scatter ++ dups).toDF("vec_id", "embedding")
+    val capped = LlmOps.semDedup(emb2, 0.999, nClusters = 2, maxCellSize = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(dups.forall { case (id, _) => !capped.contains(id) },
+      "an exact duplicate of a smaller id must still drop under the cap")
+    // splitting only REMOVES candidate pairs ⇒ never a new false drop:
+    // all-pairs exact survivors all survive the capped run too
+    val exactKept2 = LlmOps.dedupNearCosine(emb2.withColumn("__all", lit(1)),
+      0.999, blockCol = "__all", method = "exact")
+      .collect().map(_.getLong(0)).toSet
+    assert(exactKept2.subsetOf(capped))
   }
 
   test("plan shapes: semDedup pair join is an equi-join; sourceCap phase-1 partitions on (source, slice)") {

@@ -1015,6 +1015,28 @@ class PlannerSpec extends AnyFunSuite {
       Seq((0L, "a", 13L), (0L, "rest", 5L), (10L, "a", 7L), (10L, "rest", 3L)))
   }
 
+  test("error suggestions: misspellings name the nearest candidate") {
+    def msg(q: String): String =
+      intercept[RuntimeException](run(q)).getMessage
+    // operator
+    assert(msg("lineitem | summarze x = count()")
+      .contains("did you mean 'summarize'"))
+    // dashed operator: the lexer splits at '-', so the unknown-operator
+    // error sees only the misspelled HEAD and suggests its neighbour
+    assert(msg("lineitem | projct-away l_tax")
+      .contains("did you mean 'project'"))
+    // scalar function
+    assert(msg("print x = tolongg('1')").contains("did you mean 'tolong'"))
+    // column
+    assert(msg("lineitem | project l_quantty")
+      .contains("did you mean 'l_quantity'"))
+    // evaluate plugin
+    assert(msg("lineitem | evaluate pivott(l_returnflag)")
+      .contains("did you mean 'pivot'"))
+    // nothing close -> no misleading hint
+    assert(!msg("print x = zzqqxxyy(1)").contains("did you mean"))
+  }
+
   test("make-graph not followed by a graph operator is a plan error") {
     val e = intercept[RuntimeException](run(
       """datatable(s:string, d:string) ['a', 'b']
