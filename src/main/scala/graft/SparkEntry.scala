@@ -1923,6 +1923,129 @@ object SparkEntry {
         | take 100"""),
       Some("""WITH ps AS (SELECT l_partkey, l_suppkey, MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c FROM lineitem GROUP BY 1, 2), mc AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM ps GROUP BY 1) SELECT s_acctbal, s_name, n_name, p_partkey, CAST(min_c AS DOUBLE)/100.0 AS cost FROM ps JOIN mc ON ps.l_partkey = mc.l_partkey AND ps.cost_c = mc.min_c JOIN part ON ps.l_partkey = p_partkey JOIN supplier ON ps.l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_size = 20 AND p_type = 'PROMO' ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
 
+    // TPC-H Q7 (r6): volume shipping between two nations by year — the
+    // dimension-joined-TWICE shape (nation as both supplier and
+    // customer nation via let-renamed copies) + disjunctive pair filter
+    "q146_tpch_q7" -> Q(kqlQ(
+      """let n1 = nation | project s_nationkey = n_nationkey, supp_nation = n_name;
+        let n2 = nation | project c_nationkey = n_nationkey, cust_nation = n_name;
+        supplier
+        | join kind=inner (lineitem
+            | where l_shipdate >= datetime(1996-01-01) and l_shipdate < datetime(1998-01-01))
+          on $left.s_suppkey == $right.l_suppkey
+        | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+        | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | join kind=inner (n1) on s_nationkey
+        | join kind=inner (n2) on c_nationkey
+        | where (supp_nation == 'NATION_1' and cust_nation == 'NATION_2')
+             or (supp_nation == 'NATION_2' and cust_nation == 'NATION_1')
+        | extend l_year = tolong(getyear(l_shipdate))
+        | summarize rc = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))
+            by supp_nation, cust_nation, l_year
+        | project supp_nation, cust_nation, l_year, revenue = todouble(rc) / 10000.0
+        | sort by supp_nation asc, cust_nation asc, l_year asc"""),
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q13 (r6, o_orderpriority filter standing in for the
+    // o_comment NOT LIKE): order-count-per-customer histogram — LEFT
+    // join with a join-side predicate + double aggregate
+    "q147_tpch_q13" -> Q(kqlQ(
+      """customer
+        | join kind=leftouter (orders | where o_orderpriority != '1-URGENT')
+          on $left.c_custkey == $right.o_custkey
+        | summarize c_count = countif(isnotnull(o_orderkey)) by c_custkey
+        | summarize custdist = count() by c_count
+        | sort by custdist desc, c_count desc"""),
+      Some("""WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY 1) SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q15 (r6): top supplier by quarterly revenue — the
+    // max-over-aggregate join-back (the view + scalar-subquery shape;
+    // ALL ties survive, unlike a top-1)
+    "q148_tpch_q15" -> Q(kqlQ(
+      """let rev = lineitem
+          | where l_shipdate >= datetime(1997-01-01) and l_shipdate < datetime(1997-04-01)
+          | summarize tr = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000))) by l_suppkey;
+        rev
+        | extend __k = 1
+        | join kind=inner (rev | summarize mx = max(tr) | extend __k = 1) on __k
+        | where tr == mx
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | project s_suppkey, s_name, total_revenue = todouble(tr) / 10000.0
+        | sort by s_suppkey asc"""),
+      Some("""WITH rev AS (SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS tr FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) / 10000.0 AS total_revenue FROM supplier JOIN rev ON s_suppkey = l_suppkey WHERE tr = (SELECT MAX(tr) FROM rev) ORDER BY s_suppkey""")),
+
+    // TPC-H Q17 (r6): small-quantity revenue — the correlated-AVG
+    // subquery as a per-part aggregate joined back. l_quantity is
+    // integral in the fixture, so avg = exact-int-sum / count is
+    // bit-identical cross-engine
+    "q149_tpch_q17" -> Q(kqlQ(
+      """let pa = lineitem | summarize aq = avg(l_quantity) by l_partkey;
+        lineitem
+        | join kind=inner (part | where p_brand == 'Brand#23')
+          on $left.l_partkey == $right.p_partkey
+        | join kind=inner (pa) on l_partkey
+        | where l_quantity < 0.2 * aq
+        | summarize rc = sum(tolong(round(l_extendedprice * 100)))
+        | project avg_yearly = round(todouble(rc) / 100.0 / 7.0, 4)"""),
+      Some("""WITH pa AS (SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY 1) SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pa USING (l_partkey) WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * aq""")),
+
+    // TPC-H Q19 (r6): the disjunction-of-conjunctions predicate — three
+    // brand/size/quantity bands OR'd over the same fact-dim join
+    "q150_tpch_q19" -> Q(kqlQ(
+      """lineitem
+        | join kind=inner (part) on $left.l_partkey == $right.p_partkey
+        | where (p_brand == 'Brand#12' and p_size between (1 .. 15) and l_quantity >= 1 and l_quantity <= 11)
+             or (p_brand == 'Brand#23' and p_size between (1 .. 25) and l_quantity >= 10 and l_quantity <= 20)
+             or (p_brand == 'Brand#34' and p_size between (1 .. 35) and l_quantity >= 20 and l_quantity <= 30)
+        | summarize rc = sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))
+        | project revenue = todouble(rc) / 10000.0"""),
+      Some("""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)""")),
+
+    // TPC-H Q22 (r6; nationkey%5 standing in for the phone country
+    // code, and the NOT EXISTS scoped to RECENT orders — the synthetic
+    // fixture gives every customer at least one historical order):
+    // global-scalar-subquery threshold + anti-join. The average is
+    // computed on integer cents so the threshold is bit-identical
+    // cross-engine
+    "q151_tpch_q22" -> Q(kqlQ(
+      """let cb = customer
+          | project c_custkey, code = c_nationkey % 5, bal_c = tolong(round(c_acctbal * 100));
+        cb
+        | extend __k = 1
+        | join kind=inner (cb | where bal_c > 0 | summarize a = avg(bal_c) | extend __k = 1) on __k
+        | where todouble(bal_c) > a
+        | join kind=leftanti (orders | where o_orderdate >= datetime(2000-01-01))
+          on $left.c_custkey == $right.o_custkey
+        | summarize numcust = count(), tb = sum(bal_c) by code
+        | project cntrycode = tolong(code), numcust, totacctbal = todouble(tb) / 100.0
+        | sort by cntrycode asc"""),
+      Some("""WITH cb AS (SELECT c_custkey, c_nationkey % 5 AS code, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer), av AS (SELECT AVG(bal_c) AS a FROM cb WHERE bal_c > 0) SELECT CAST(code AS BIGINT) AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal FROM cb, av WHERE bal_c > a AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q8 (r6): national market share — the deepest join tree in
+    // the suite (7 tables, nation joined twice, region rollup) + a
+    // conditional-share aggregate on exact integer volumes
+    "q152_tpch_q8" -> Q(kqlQ(
+      """let n2 = nation | project s_nationkey = n_nationkey, supp_nation = n_name;
+        part
+        | where p_type == 'PROMO'
+        | join kind=inner (lineitem) on $left.p_partkey == $right.l_partkey
+        | join kind=inner (orders
+            | where o_orderdate >= datetime(1996-01-01) and o_orderdate < datetime(1998-01-01))
+          on $left.l_orderkey == $right.o_orderkey
+        | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | join kind=inner (nation) on $left.c_nationkey == $right.n_nationkey
+        | join kind=inner (region | where r_name == 'ASIA')
+          on $left.n_regionkey == $right.r_regionkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | join kind=inner (n2) on s_nationkey
+        | extend o_year = tolong(getyear(o_orderdate)),
+                 v = tolong(round(l_extendedprice * (1 - l_discount) * 10000))
+        | summarize num = sum(iff(supp_nation == 'NATION_3', v, tolong(0))), den = sum(v)
+            by o_year
+        | project o_year, mkt_share = round(todouble(num) / todouble(den), 6)
+        | sort by o_year asc"""),
+      Some("""WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v, n2.n_name AS supp_nation FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'ASIA' AND p_type = 'PROMO' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') SELECT o_year, ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE) / SUM(v), 6) AS mkt_share FROM vol GROUP BY 1 ORDER BY 1""")),
+
     // scalar batch 6 (r5): unit conversions, codepoints, treepath,
     // bin_auto via the canonical let, format/url/has_any_index extras
     "q134_scalar_batch6" -> Q(kqlQ(
