@@ -800,6 +800,19 @@ object SparkEntry {
       },
       Some("""WITH f AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h, octet_length(CAST(text AS BLOB)) AS total FROM documents), g AS (SELECT doc_id, i AS frame_idx, substring(h, CAST(i * greatest(total - 16, 1) // 3 AS INT) * 2 + 1, 32) AS frame_hex FROM f, generate_series(0, 3) s(i)) SELECT doc_id, frame_idx, CAST(length(frame_hex) // 2 AS BIGINT) AS frame_size, frame_hex FROM g ORDER BY doc_id, frame_idx""")),
 
+    // BPE pair statistics (r6): frequency-weighted adjacent char-pair
+    // counts over the distinct-word vocabulary — the tokenizer-training
+    // merge-selection pass; value-exact vs DuckDB's recompute
+    "llm_bpe_pairs" -> Q(
+      (s, dir) => LlmOps.bpePairCounts(docs(s, dir), k = 20),
+      Some("""WITH w AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w WHERE length(w) >= 2 GROUP BY 1), px AS (SELECT substr(w, i, 2) AS pair, f FROM (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM f)) SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM px GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // corpus top-k n-grams (r6): phrase/vocabulary statistics — one
+    // explode + one hash aggregate, deterministic tiebreak
+    "llm_ngram_counts" -> Q(
+      (s, dir) => LlmOps.ngramCounts(docs(s, dir), n = 3, k = 25),
+      Some("""WITH t AS (SELECT string_split(lower(COALESCE(text, '')), ' ') AS tk FROM documents), g AS (SELECT array_to_string(tk[i : i + 2], ' ') AS gram FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM t WHERE len(tk) >= 3)) SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 25""")),
+
     "llm_token_count" -> Q(
       (s, dir) => LlmOps.tokenCount(docs(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens, ROUND(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) AS chars_per_token FROM documents ORDER BY doc_id""")),

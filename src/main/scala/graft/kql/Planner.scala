@@ -868,6 +868,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     // `evaluate semdedup(threshold, nClusters, id, vec)`: SemDeDup-style
     // k-means-cell semantic dedup (LlmOps.semDedup)
+    // `evaluate bpe_pair_counts(k, text)`: top-k adjacent char pairs,
+    // frequency-weighted over distinct words (one BPE-trainer pass)
+    case EvaluateOp("bpe_pair_counts", kE :: textE :: Nil) =>
+      graft.ext.LlmOps.bpePairCounts(df, litLong(kE).toInt,
+        textCol = colNameOf(df, textE, "bpe_pair_counts text"))
+
+    // `evaluate ngram_counts(n, k, text)`: corpus top-k n-grams
+    case EvaluateOp("ngram_counts", nE :: kE :: textE :: Nil) =>
+      graft.ext.LlmOps.ngramCounts(df, litLong(nE).toInt, litLong(kE).toInt,
+        textCol = colNameOf(df, textE, "ngram_counts text"))
+
     // optional 5th arg = maxCellSize: the mega-cell split cap (0 = off)
     case EvaluateOp("semdedup", tE :: kE :: idE :: vecE :: rest)
         if rest.size <= 1 =>

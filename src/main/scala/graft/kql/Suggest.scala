@@ -73,7 +73,8 @@ object Suggest {
   val plugins: Seq[String] = Seq(
     "active_users_count", "activity_counts_metrics", "activity_engagement",
     "autocluster", "bag_unpack", "basket", "bigram_logprob",
-    "boilerplate_remove", "chunk", "contamination", "cosine_groups",
+    "boilerplate_remove", "bpe_pair_counts", "chunk", "contamination",
+    "cosine_groups", "ngram_counts",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "dedup_incremental", "dsir", "fingerprint", "funnel_sequence",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",

@@ -610,6 +610,36 @@ class LlmOpsSpec extends AnyFunSuite {
       "embeddings | evaluate semdedup(0.3, 8, vec_id, embedding)", TestSpark.sfDir)
     assert(kql.columns.toSeq == Seq("vec_id", "cell"))
     assert(kql.select("vec_id").collect().map(_.getLong(0)).toSet == semKept)
+    // empty input degrades to an empty frame (detected from the
+    // quantizer's own sample — no up-front isEmpty job)
+    assert(LlmOps.semDedup(embs.filter(col("vec_id") < 0), 0.3, nClusters = 4)
+      .count() == 0L)
+  }
+
+  test("bpePairCounts / ngramCounts: known corpora, weighting, guards, KQL") {
+    import spark.implicits._
+    // 'abab' ×3 + 'abc' ×1: pair 'ab' = 2·3 + 1 = 7, 'ba' = 3, 'bc' = 1;
+    // the 1-char word contributes nothing
+    val d = Seq((1L, "abab abc abab"), (2L, "abab x")).toDF("doc_id", "text")
+    val bp = LlmOps.bpePairCounts(d, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(bp.toSeq == Seq("ab" -> 7L, "ba" -> 3L, "bc" -> 1L))
+    // trigrams with a deterministic tiebreak; docs shorter than n drop
+    val g = Seq((1L, "a b c a b c"), (2L, "a b"), (3L, "c a b")).toDF("doc_id", "text")
+    val ng = LlmOps.ngramCounts(g, n = 3, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(ng.head == ("a b c" -> 2L))
+    assert(ng.toMap == Map("a b c" -> 2L, "b c a" -> 1L, "c a b" -> 2L))
+    assert(ng.toSeq == Seq("a b c" -> 2L, "c a b" -> 2L, "b c a" -> 1L))
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      "src | evaluate bpe_pair_counts(2, text)",
+      graft.kql.Catalog(spark, TestSpark.sfDir).withTable("src", d))
+    assert(kql.collect().map(_.getString(0)).toSeq == Seq("ab", "ba"))
+    val kql2 = graft.kql.Kql.run(spark,
+      "src | evaluate ngram_counts(3, 1, text)",
+      graft.kql.Catalog(spark, TestSpark.sfDir).withTable("src", g))
+    assert(kql2.head.getString(0) == "a b c")
   }
 
   test("persist hygiene: releaseCaches leaves zero net library blocks after each op") {
