@@ -704,6 +704,45 @@ object SparkEntry {
       (s, dir) => LlmOps.similarityPairs(embs(s, dir), 0.3).orderBy("i", "j"),
       Some("""WITH pairs AS (SELECT a.label AS blk, a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT blk, i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM pairs, generate_series(1, 64) g(x) GROUP BY 1, 2, 3) SELECT blk, i, j, ROUND(dp / (na * nb), 4) AS cos FROM dots WHERE dp / (na * nb) >= 0.3 ORDER BY i, j""")),
 
+    // Incremental EMBEDDING dedup vs a persisted cosine index (r6): the
+    // continuous-ingestion analog of llm_dedup_incremental in vector
+    // space — evens build the at-rest LSH index, odds arrive as the
+    // batch. Corpus restricted to labels 0–3 so the exact audit is
+    // CLOSED (the op has no label blocking; an out-of-sample partner
+    // would otherwise read as a false drop). Contract facts: zero false
+    // drops (every candidate exact-verified) + the banding recall floor,
+    // with n_should DuckDB-recomputed from the exact pair set.
+    "llm_dedup_cosine_incr" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("label") <= 3)
+        LlmOps.buildCosineIndex(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_cos_row_idx", 0.3)
+        val batch = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+        val kept = LlmOps.dedupCosineIncremental(batch, "graft_cos_row_idx")
+          .select(col("vec_id")).withColumn("k", lit(1))
+        val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
+            blockCol = "__all", salt = 64)
+          .select("i", "j").persist()
+        // odd x should drop iff some exact pair links it to any even
+        // partner or a SMALLER odd one
+        val sd = p.filter(pmod(col("j"), lit(2)) === 1).select(col("j").as("vec_id"))
+          .union(p.filter(pmod(col("i"), lit(2)) === 1 && pmod(col("j"), lit(2)) === 0)
+            .select(col("i").as("vec_id")))
+          .distinct().withColumn("s", lit(1))
+        batch.select("vec_id")
+          .join(kept, Seq("vec_id"), "left_outer")
+          .join(sd, Seq("vec_id"), "left_outer")
+          .agg(
+            coalesce(sum(when(col("s") === 1, 1L).otherwise(0L)), lit(0L)).as("n_should"),
+            coalesce(sum(when(col("k").isNull && col("s").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_false_drops"),
+            coalesce(sum(when(col("s") === 1 && col("k").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("dropped_valid"))
+          .select(col("n_should"), col("n_false_drops"),
+            (col("dropped_valid") >= ceil(col("n_should") * 0.9)).as("recall_ok"))
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), sd AS (SELECT DISTINCT x FROM (SELECT j AS x FROM pr WHERE j % 2 = 1 UNION ALL SELECT i AS x FROM pr WHERE i % 2 = 1 AND j % 2 = 0)) SELECT CAST((SELECT COUNT(*) FROM sd) AS BIGINT) AS n_should, CAST(0 AS BIGINT) AS n_false_drops, true AS recall_ok""")),
+
     "llm_quality" -> Q(
       (s, dir) => LlmOps.qualityScore(docs(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_m, ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT) AS n_stopwords, ROUND(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS stop_ratio FROM documents ORDER BY doc_id""")),

@@ -941,17 +941,33 @@ object LlmOps {
     * collide with higher probability. Candidates travel ids-only through
     * the self-join; vectors re-attach afterwards (two hash joins), so the
     * wide rows never ride the candidate shuffle. */
+  /** planesPerBand auto-tuning shared by the self-join and index paths:
+    * smallest b with (1 − s^b)^B ≤ 0.05 at the threshold's collision
+    * probability s = 1 − θ/π. */
+  private def resolvePlanesPerBand(threshold: Double, nBands: Int,
+                                   planesPerBand: Int): Int = {
+    val s = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    if (planesPerBand > 0) planesPerBand
+    else math.max(1, (math.log(1.0 - math.pow(0.05, 1.0 / nBands)) /
+      math.log(s)).floor.toInt)
+  }
+
+  /** Seed-deterministic hyperplane set — byte-identical across JVMs for
+    * a given (nBands, b, dim, seed), which is what lets a persisted
+    * index and a later increment agree on buckets. */
+  private def hyperplanes(nBands: Int, b: Int, dim: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBands * b)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def similarityPairsLsh(emb: DataFrame, threshold: Double,
                          blockCol: String = "label", idCol: String = "vec_id",
                          vecCol: String = "embedding", nBands: Int = 16,
                          planesPerBand: Int = 0, dim: Int = 64,
                          seed: Long = 42): DataFrame = {
-    val s = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val b = if (planesPerBand > 0) planesPerBand
-      else math.max(1, (math.log(1.0 - math.pow(0.05, 1.0 / nBands)) /
-        math.log(s)).floor.toInt)
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(nBands * b)(Array.fill(dim)(rnd.nextGaussian()))
+    val b = resolvePlanesPerBand(threshold, nBands, planesPerBand)
+    val hyper = hyperplanes(nBands, b, dim, seed)
     // persisted: read three times (banded self-join via `keyed` + both
     // exact-verify join sides) — within-query reuse, per-vector rows
     val withNorm = persistTracked(spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
@@ -980,6 +996,127 @@ object LlmOps {
       .withColumn("cos", dotKernel(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Build a persisted embedding near-dup index — the vector-space
+    * analog of [[buildMinhashIndex]]: `{table}_bands` holds one
+    * (id, sig, band, bucket) row per vector per band, bucketed AT REST
+    * on (band, bucket) so every future increment's candidate join meets
+    * it exchange-free; `{table}_vecs` holds (id, v, nrm) bucketed on id
+    * for the exact-verify join; `{table}_meta` pins (threshold, nBands,
+    * planesPerBand, dim, seed, buckets) so increments regenerate the
+    * IDENTICAL hyperplanes — mismatched planes silently collapse recall,
+    * which is why the probe path takes no tuning parameters at all. */
+  def buildCosineIndex(emb: DataFrame, table: String, threshold: Double,
+                       nBands: Int = 16, planesPerBand: Int = 0, dim: Int = 64,
+                       seed: Long = 42, idCol: String = "vec_id",
+                       vecCol: String = "embedding", buckets: Int = 16): Unit = {
+    val b = resolvePlanesPerBand(threshold, nBands, planesPerBand)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (vecs, banded) = cosineIndexFrames(emb, nBands, b, dim, seed, idCol, vecCol)
+    vecs.persist()
+    graft.sources.BucketedLayout.writeBucketed(
+      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
+    graft.sources.BucketedLayout.writeBucketed(
+      vecs, s"${table}_vecs", Seq("id"), buckets)
+    graft.sources.BucketedLayout.writePlain(
+      Seq((threshold, nBands, b, dim, seed, buckets))
+        .toDF("threshold", "n_bands", "planes_per_band", "dim", "seed", "buckets"),
+      s"${table}_meta")
+    vecs.unpersist(false)
+  }
+
+  /** Append new vectors to an existing cosine index (parameters read
+    * from the index's own meta — the ingest step of a continuously
+    * growing embedding-dedup index; rows land in their buckets, so the
+    * index join stays exchange-free as the corpus grows). */
+  def appendToCosineIndex(emb: DataFrame, table: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val (_, nBands, b, dim, seed, buckets) = cosineIndexMeta(spark, table)
+    val (vecs, banded) = cosineIndexFrames(emb, nBands, b, dim, seed, idCol, vecCol)
+    vecs.persist()
+    graft.sources.BucketedLayout.appendBucketed(
+      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
+    graft.sources.BucketedLayout.appendBucketed(
+      vecs, s"${table}_vecs", Seq("id"), buckets)
+    vecs.unpersist(false)
+  }
+
+  private def cosineIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                              table: String): (Double, Int, Int, Int, Long, Int) = {
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"cosine index '$table' not found — run buildCosineIndex first")
+    val m = spark.table(s"${table}_meta").head
+    (m.getAs[Double]("threshold"), m.getAs[Int]("n_bands"),
+      m.getAs[Int]("planes_per_band"), m.getAs[Int]("dim"),
+      m.getAs[Long]("seed"), m.getAs[Int]("buckets"))
+  }
+
+  private def cosineIndexFrames(emb: DataFrame, nBands: Int, b: Int, dim: Int,
+                                seed: Long, idCol: String,
+                                vecCol: String): (DataFrame, DataFrame) = {
+    val hyper = hyperplanes(nBands, b, dim, seed)
+    val vecs = spread(emb).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm"))
+    val banded = vecs.withColumn("sig", lshSignatures(hyper, nBands, b)(col("v")))
+      .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    (vecs, banded)
+  }
+
+  /** Incremental embedding near-dup dedup of a NEW batch against a
+    * persisted [[buildCosineIndex]] corpus and against itself: a new
+    * vector is dropped when its EXACT cosine reaches the index's
+    * threshold against any indexed vector or any lower-id vector of the
+    * same batch (the greedy min-id rule of [[dedupNearCosine]], made
+    * continuous — the embedding-space analog of [[dedupIncremental]]).
+    * The index side is read AT REST (bucket joins on (band, bucket) and
+    * id); only the small increment shuffles. Every surviving candidate
+    * is exact-verified, so false drops are impossible by construction;
+    * recall is the banding's (tuned ≥0.95 at the threshold). */
+  def dedupCosineIncremental(newEmb: DataFrame, table: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val spark = newEmb.sparkSession
+    val (threshold, nBands, b, dim, seed, _) = cosineIndexMeta(spark, table)
+    val hyper = hyperplanes(nBands, b, dim, seed)
+    val vecs = persistTracked(spread(newEmb).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")))
+    val keyed = vecs.withColumn("sig", lshSignatures(hyper, nBands, b)(col("v")))
+      .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bucket")))
+    // probe-side partition count pinned against AQE coalescing (the
+    // kilobyte probe shuffle otherwise folds to one partition and
+    // serializes the fan-out — same measured effect as dedupIncremental)
+    val probe = keyed.repartition(spark.sparkContext.defaultParallelism, col("id"))
+    val idxBands = graft.sources.BucketedLayout.readTable(spark, s"${table}_bands")
+    val idxVecs = graft.sources.BucketedLayout.readTable(spark, s"${table}_vecs")
+    // keep a pair only at its FIRST colliding band — a filter in the
+    // join stage instead of a re-shuffling distinct over the fan-out
+    def firstCollision(aSig: Column, bSig: Column, band: Column): Column =
+      (0 until nBands).map { bb =>
+        band <= bb || element_at(aSig, bb + 1) =!= element_at(bSig, bb + 1)
+      }.reduce(_ && _)
+    val corpusCand = probe.as("a")
+      .join(idxBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(firstCollision(col("a.sig"), col("b.sig"), col("a.band")))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    def verified(cand: DataFrame, right: DataFrame): DataFrame = cand
+      .join(vecs.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
+      .join(right.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
+      .filter(dotKernel(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+    val corpusDrops = verified(corpusCand, idxVecs).select(col("i").as("drop_id"))
+    val selfCand = probe.as("a")
+      .join(keyed.repartition(col("band"), col("bucket")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .filter(firstCollision(col("a.sig"), col("b.sig"), col("a.band")))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    val selfDrops = verified(selfCand, vecs).select(col("j").as("drop_id"))
+    newEmb.join(corpusDrops.union(selfDrops).distinct(),
+      col(idCol) === col("drop_id"), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate dedup: drop every vector that has a

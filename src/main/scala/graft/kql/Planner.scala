@@ -868,6 +868,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
 
     // `evaluate semdedup(threshold, nClusters, id, vec)`: SemDeDup-style
     // k-means-cell semantic dedup (LlmOps.semDedup)
+    // `evaluate dedup_cosine_incremental('index', id, vec)`: dedup the
+    // input against a persisted buildCosineIndex corpus + itself
+    case EvaluateOp("dedup_cosine_incremental", tblE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.dedupCosineIncremental(df,
+        litString(tblE, "dedup_cosine_incremental index table"),
+        idCol = colNameOf(df, idE, "dedup_cosine_incremental id"),
+        vecCol = colNameOf(df, vecE, "dedup_cosine_incremental vector"))
+
     // `evaluate bpe_pair_counts(k, text)`: top-k adjacent char pairs,
     // frequency-weighted over distinct words (one BPE-trainer pass)
     case EvaluateOp("bpe_pair_counts", kE :: textE :: Nil) =>

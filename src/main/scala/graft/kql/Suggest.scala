@@ -76,7 +76,8 @@ object Suggest {
     "boilerplate_remove", "bpe_pair_counts", "chunk", "contamination",
     "cosine_groups", "ngram_counts",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
-    "dedup_incremental", "dsir", "fingerprint", "funnel_sequence",
+    "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
+    "funnel_sequence",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
     "neardup_groups", "neardup_minhash", "pack_sequences", "pii_scrub",

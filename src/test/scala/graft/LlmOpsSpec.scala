@@ -642,6 +642,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql2.head.getString(0) == "a b c")
   }
 
+  test("cosine index: incremental embedding dedup, cross-batch + in-batch + growth") {
+    import spark.implicits._
+    // index = even ids, batch = odd ids — the continuous-ingestion shape
+    val evens = embs.filter(col("vec_id") % 2 === 0)
+    val odds = embs.filter(col("vec_id") % 2 === 1)
+    LlmOps.buildCosineIndex(evens, "graft_cos_idx", 0.3)
+    val kept = LlmOps.dedupCosineIncremental(odds, "graft_cos_idx")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val oddIds = odds.select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact reference: odd x should drop iff some even y or smaller odd
+    // y has cos >= 0.3 (corpus-wide — the op does not block)
+    val all = embs.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val shouldDrop = oddIds.filter { x =>
+      all.exists { case (y, vy) =>
+        y != x && (y % 2 == 0 || y < x) && cos(all(x), vy) >= 0.3 }
+    }
+    val dropped = oddIds -- kept
+    // zero false drops by construction (every candidate exact-verified)
+    assert((dropped -- shouldDrop).isEmpty,
+      s"false drops: ${(dropped -- shouldDrop).take(5)}")
+    // banding recall floor (tuned >= 0.95 at the threshold)
+    assert(dropped.size >= math.ceil(shouldDrop.size * 0.9).toInt,
+      s"recall ${dropped.size}/${shouldDrop.size}")
+    // KQL surface (BEFORE the index grows — same input, same answer)
+    val kql = graft.kql.Kql.run(spark,
+      "src | evaluate dedup_cosine_incremental('graft_cos_idx', vec_id, embedding)",
+      graft.kql.Catalog(spark, TestSpark.sfDir).withTable("src", odds))
+    assert(kql.select("vec_id").collect().map(_.getLong(0)).toSet == kept)
+    // growth: append the kept batch, re-send it — identical vectors have
+    // identical signatures, so every band collides and ALL re-sent rows
+    // drop deterministically
+    LlmOps.appendToCosineIndex(odds.join(kept.toSeq.toDF("vec_id"), "vec_id"),
+      "graft_cos_idx")
+    val resent = LlmOps.dedupCosineIncremental(
+      odds.join(kept.toSeq.toDF("vec_id"), "vec_id"), "graft_cos_idx")
+    assert(resent.count() == 0L, "a re-sent batch must dedup away entirely")
+  }
+
   test("persist hygiene: releaseCaches leaves zero net library blocks after each op") {
     // Long-lived-session contract (r5 verdict task 6): the within-query
     // persists (token/signature/norm frames, the CC labels handoff)
