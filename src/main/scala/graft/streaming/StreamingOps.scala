@@ -149,6 +149,59 @@ object StreamingOps {
     writer.start()
   }
 
+  /** One micro-batch of [[dedupCosineIncrementalStream]] — the
+    * embedding-space sibling of [[processDedupBatch]], with the same
+    * committed-partition replay guard (a replayed batch whose
+    * signatures already reached the index would self-match and wipe its
+    * committed output; see processDedupBatch). */
+  private[graft] def processCosineBatch(batch: DataFrame, batchId: Long,
+      indexTable: String, keptTable: String,
+      idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (batchCommitted(spark, keptTable, batchId)) {
+      graft.ext.LlmOps.appendToCosineIndex(
+        spark.table(keptTable).filter(col("__batch_id") === batchId)
+          .drop("__batch_id"),
+        indexTable, idCol = idCol, vecCol = vecCol)
+    } else {
+      val kept = graft.ext.LlmOps.dedupCosineIncremental(
+          batch, indexTable, idCol = idCol, vecCol = vecCol)
+        .withColumn("__batch_id", lit(batchId)).persist()
+      if (!spark.catalog.tableExists(keptTable))
+        kept.limit(0).write.format("parquet")
+          .partitionBy("__batch_id").saveAsTable(keptTable)
+      kept.write.mode("overwrite").insertInto(keptTable)
+      graft.ext.LlmOps.appendToCosineIndex(
+        kept.drop("__batch_id"), indexTable, idCol = idCol, vecCol = vecCol)
+      kept.unpersist()
+    }
+    spark.catalog.clearCache()
+  }
+
+  /** Continuous embedding near-dup dedup: each micro-batch dedups
+    * against the persisted cosine index
+    * ([[graft.ext.LlmOps.dedupCosineIncremental]]), commits kept rows to
+    * a per-batch partition (dynamic overwrite ⇒ replay-safe), then grows
+    * the index from the committed output. Cross-batch state is the
+    * bucketed index AT REST — unbounded horizon, near-dup (not
+    * exact-key) matching, restart-safe. Seed the index with
+    * [[graft.ext.LlmOps.buildCosineIndex]] (possibly on an empty
+    * corpus). */
+  def dedupCosineIncrementalStream(stream: DataFrame, indexTable: String,
+                                   keptTable: String,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCosineBatch(batch, batchId, indexTable, keptTable, idCol, vecCol)
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** One micro-batch of [[lineDedupIncrementalStream]] — package-visible
     * so the crash-replay contract is directly testable. Same two-case
     * replay idempotency as [[processDedupBatch]]: if this batch's kept

@@ -306,6 +306,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental EMBEDDING dedup: index-backed cross-batch drops + replay") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def cleanTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    cleanTable("graft_cosstream_kept")
+    graft.ext.LlmOps.buildCosineIndex(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"),
+      "graft_cosstream_idx", threshold = 0.8)
+    val v1 = Seq(1.0, 0.0, 0.0, 0.1)
+    val v2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val v3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val src = ms.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamingOps.dedupCosineIncrementalStream(
+      src, "graft_cosstream_idx", "graft_cosstream_kept")
+    try {
+      def keptIds = {
+        spark.catalog.refreshTable("graft_cosstream_kept")
+        spark.table("graft_cosstream_kept")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+      // batch 1: 2 duplicates v1 (in-batch, min id keeps) + orthogonal v2
+      ms.addData((1L, v1), (2L, v1), (3L, v2))
+      q.processAllAvailable()
+      assert(keptIds == Set(1L, 3L))
+      // batch 2: v1 again (cross-batch drop via the grown index) + fresh v3
+      ms.addData((4L, v1), (5L, v3))
+      q.processAllAvailable()
+      assert(keptIds == Set(1L, 3L, 5L))
+    } finally q.stop()
+    // replay after the index append: recompute would self-match id 5 —
+    // the committed-partition guard must preserve the output instead
+    val replay = Seq((4L, v1), (5L, v3)).toDF("vec_id", "embedding")
+    graft.streaming.StreamingOps.processCosineBatch(replay, 1L,
+      "graft_cosstream_idx", "graft_cosstream_kept", "vec_id", "embedding")
+    spark.catalog.refreshTable("graft_cosstream_kept")
+    assert(spark.table("graft_cosstream_kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+  }
+
   // Crash-replay contract (r5 advice): a batch that died AFTER the index
   // append but BEFORE the streaming checkpoint commit is re-run by the
   // engine with the same batchId. The index then already contains the
