@@ -565,18 +565,6 @@ object LlmOps {
     * interpreter overhead dominates the arithmetic. Summation order is
     * the same sequential left fold as dotD ⇒ bit-identical doubles, so
     * swapping kernels never moves a value-exact oracle. */
-  private val dotKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
-    // null vector ⇒ null dot (matches dotD's null propagation: the pair's
-    // cos is null and the ≥ threshold filter drops it, instead of an NPE)
-    if (a == null || b == null) null
-    else {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      java.lang.Double.valueOf(s)
-    }: java.lang.Double
-  }
-
   private def normD(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
@@ -900,8 +888,10 @@ object LlmOps {
       .withColumn("__s", pmod(xxhash64(col("i")), lit(salt)))
     val b = withNorm.select(col("blk"), col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
       .withColumn("__s", explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    val spark = emb.sparkSession
     a.join(b, Seq("blk", "__s")).filter(col("i") < col("j"))
-      .withColumn("cos", dotKernel(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.expr.DotProductD(spark, col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
@@ -993,7 +983,9 @@ object LlmOps {
     candIds
       .join(withNorm.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
       .join(withNorm.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
-      .withColumn("cos", dotKernel(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.expr.DotProductD(emb.sparkSession, col("va"), col("vb")) /
+          (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
@@ -1106,7 +1098,8 @@ object LlmOps {
     def verified(cand: DataFrame, right: DataFrame): DataFrame = cand
       .join(vecs.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
       .join(right.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
-      .filter(dotKernel(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .filter(graft.expr.DotProductD(spark, col("va"), col("vb")) /
+        (col("na") * col("nb")) >= threshold)
     val corpusDrops = verified(corpusCand, idxVecs).select(col("i").as("drop_id"))
     val selfCand = probe.as("a")
       .join(keyed.repartition(col("band"), col("bucket")).as("b"),
