@@ -2098,6 +2098,80 @@ object SparkEntry {
         | sort by o_year asc"""),
       Some("""WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v, n2.n_name AS supp_nation FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'ASIA' AND p_type = 'PROMO' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') SELECT o_year, ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE) / SUM(v), 6) AS mkt_share FROM vol GROUP BY 1 ORDER BY 1""")),
 
+    // TPC-H Q9 (r6; the fixture has no partsupp table, so the three
+    // partsupp-dependent shapes run on a DOCUMENTED lineitem-derived
+    // surrogate: ps_supplycost = min extendedprice cents per (part,
+    // supplier), ps_availqty = 10·line-count; p_type = 'PROMO' stands
+    // in for p_name LIKE): product profit by supplier nation and order
+    // year — the 6-way join with an arithmetic combine of fact and
+    // surrogate-dim money, exact in integer ten-thousandths
+    "q153_tpch_q9" -> Q(kqlQ(
+      """let ps = lineitem
+          | summarize ps_supplycost_c = min(tolong(round(l_extendedprice * 100)))
+              by ps_partkey = l_partkey, ps_suppkey = l_suppkey;
+        lineitem
+        | join kind=inner (part | where p_type == 'PROMO')
+          on $left.l_partkey == $right.p_partkey
+        | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+        | join kind=inner (ps)
+          on $left.l_partkey == $right.ps_partkey, $left.l_suppkey == $right.ps_suppkey
+        | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+        | join kind=inner (nation) on $left.s_nationkey == $right.n_nationkey
+        | extend profit_tt = tolong(round(l_extendedprice * (1 - l_discount) * 10000))
+            - ps_supplycost_c * 100 * tolong(round(l_quantity))
+        | summarize pt = sum(profit_tt) by nation = n_name, o_year = tolong(getyear(o_orderdate))
+        | project nation, o_year, sum_profit = todouble(pt) / 10000.0
+        | sort by nation asc, o_year desc"""),
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_c FROM lineitem GROUP BY 1, 2) SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) - ps_supplycost_c * 100 * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_type = 'PROMO' GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
+
+    // TPC-H Q11 (r6, same surrogate): important-stock — the
+    // group-total-fraction HAVING over an exact integer value sum
+    "q154_tpch_q11" -> Q(kqlQ(
+      """let ps = lineitem
+          | summarize ps_supplycost_c = min(tolong(round(l_extendedprice * 100))),
+                      ps_availqty = 10 * count()
+              by ps_partkey = l_partkey, ps_suppkey = l_suppkey;
+        let pn = ps
+          | join kind=inner (supplier) on $left.ps_suppkey == $right.s_suppkey
+          | join kind=inner (nation | where n_name in ('NATION_3', 'NATION_8'))
+            on $left.s_nationkey == $right.n_nationkey
+          | project ps_partkey, v = ps_supplycost_c * ps_availqty;
+        pn
+        | summarize sv = sum(v) by ps_partkey
+        | extend __k = 1
+        | join kind=inner (pn | summarize t = sum(v) | extend __k = 1) on __k
+        | where todouble(sv) > todouble(t) * 0.0015
+        | project ps_partkey, value = todouble(sv) / 100.0
+        | sort by value desc, ps_partkey asc
+        | take 25"""),
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_c, CAST(COUNT(*) * 10 AS BIGINT) AS ps_availqty FROM lineitem GROUP BY 1, 2), pn AS (SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v FROM ps JOIN supplier ON ps_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_3','NATION_8')), tot AS (SELECT SUM(v) AS t FROM pn) SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) / 100.0 AS value FROM pn, tot GROUP BY 1, t HAVING CAST(SUM(v) AS DOUBLE) > CAST(t AS DOUBLE) * 0.0015 ORDER BY value DESC, ps_partkey LIMIT 25""")),
+
+    // TPC-H Q20 (r6, same surrogate): suppliers with surplus stock of a
+    // part type shipped in a window — the nested IN-subquery chain as a
+    // two-key join + threshold + semi-join
+    "q155_tpch_q20" -> Q(kqlQ(
+      """let ps = lineitem
+          | summarize ps_supplycost_c = min(tolong(round(l_extendedprice * 100))),
+                      ps_availqty = 10 * count()
+              by ps_partkey = l_partkey, ps_suppkey = l_suppkey;
+        let shipped = lineitem
+          | where l_shipdate >= datetime(1997-01-01) and l_shipdate < datetime(1998-01-01)
+          | summarize q = sum(tolong(round(l_quantity))) by l_partkey, l_suppkey;
+        let good = ps
+          | join kind=inner (shipped)
+            on $left.ps_partkey == $right.l_partkey, $left.ps_suppkey == $right.l_suppkey
+          | join kind=leftsemi (part | where p_type == 'PROMO')
+            on $left.ps_partkey == $right.p_partkey
+          | where ps_availqty * 2 > q
+          | distinct ps_suppkey;
+        supplier
+        | join kind=inner (nation | where n_name in ('NATION_1', 'NATION_2', 'NATION_3'))
+          on $left.s_nationkey == $right.n_nationkey
+        | join kind=leftsemi (good) on $left.s_suppkey == $right.ps_suppkey
+        | project s_name, s_suppkey
+        | sort by s_name asc"""),
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, CAST(COUNT(*) * 10 AS BIGINT) AS ps_availqty FROM lineitem GROUP BY 1, 2), shipped AS (SELECT l_partkey, l_suppkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), good AS (SELECT DISTINCT ps_suppkey FROM ps JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey JOIN part ON p_partkey = ps_partkey WHERE p_type = 'PROMO' AND ps_availqty * 2 > q) SELECT s_name, s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_1','NATION_2','NATION_3') AND s_suppkey IN (SELECT ps_suppkey FROM good) ORDER BY s_name""")),
+
     // scalar batch 6 (r5): unit conversions, codepoints, treepath,
     // bin_auto via the canonical let, format/url/has_any_index extras
     "q134_scalar_batch6" -> Q(kqlQ(
