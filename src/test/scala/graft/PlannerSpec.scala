@@ -1015,6 +1015,19 @@ class PlannerSpec extends AnyFunSuite {
       Seq((0L, "a", 13L), (0L, "rest", 5L), (10L, "a", 7L), (10L, "rest", 3L)))
   }
 
+  test("Suggest.plugins stays in sync with the planner's evaluate cases") {
+    // the suggestion list is hand-maintained next to the suggester; this
+    // guard reads the Planner source so a new EvaluateOp case (or a
+    // removed one) fails here instead of silently degrading suggestions
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/kql/Planner.scala")))
+    val declared = "EvaluateOp\\(\"([a-z_0-9]+)\"".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    val listed = graft.kql.Suggest.plugins.toSet
+    assert(declared == listed,
+      s"planner-only: ${declared -- listed}; list-only: ${listed -- declared}")
+  }
+
   test("error suggestions: misspellings name the nearest candidate") {
     def msg(q: String): String =
       intercept[RuntimeException](run(q)).getMessage
