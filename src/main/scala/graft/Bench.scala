@@ -64,6 +64,9 @@ object Bench {
     def clearAll(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // drains the library's persist-tracking queue (blocks are already
+      // freed above; this frees the retained plan references)
+      graft.ext.LlmOps.releaseCaches()
     }
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -58,6 +58,7 @@ object Verify {
       // clearCache() — unpersist them explicitly too.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.ext.LlmOps.releaseCaches() // drain the persist-tracking queue
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -558,13 +558,12 @@ object LlmOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** Pair dot product as a JIT'd primitive loop (UDF policy, COVERAGE
-    * §2.11: measured-faster small-array kernel). The higher-order
-    * [[dotD]] form is fine per ROW, but Spark interprets aggregate/
-    * zip_with per element, and on PAIR joins (O(n²)-shaped inputs) the
-    * interpreter overhead dominates the arithmetic. Summation order is
-    * the same sequential left fold as dotD ⇒ bit-identical doubles, so
-    * swapping kernels never moves a value-exact oracle. */
+  // PAIR dot products (O(n²)-shaped inputs) run through the codegen
+  // expression graft.expr.DotProductD (r6 — formerly a UDF kernel);
+  // the higher-order forms here are per-ROW only, where the HOF
+  // interpreter overhead is immaterial. All three share the same
+  // sequential left-fold summation order ⇒ bit-identical doubles, so
+  // swapping kernels never moves a value-exact oracle.
   private def normD(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
@@ -781,7 +780,10 @@ object LlmOps {
     * from the same cells the search touches. */
   def ivfProbeCells(centroids: Array[Array[Double]], qRaw: Array[Double],
                     nProbe: Int): Seq[Int] = {
-    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    // .max(1e-300): a zero query vector probes deterministically (the
+    // same guard bestCell applies at assignment time) instead of
+    // poisoning every score with NaN
+    val qn = math.sqrt(qRaw.map(x => x * x).sum).max(1e-300)
     probeCells(centroids, qRaw.map(_ / qn), nProbe)
   }
 
@@ -881,7 +883,7 @@ object LlmOps {
     // work. Persisted: both join sides read this frame (within-query
     // reuse; per-vector rows are cache-resident per executor)
     // array<double> cast ONCE per row (float→double is exact); the pair
-    // join then feeds the JIT'd dotKernel without per-pair casts
+    // join then feeds the codegen DotProductD without per-pair casts
     val withNorm = persistTracked(spread(emb).select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), normD(col(vecCol)).as("nrm")))
     val a = withNorm.select(col("blk"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
@@ -1208,7 +1210,13 @@ object LlmOps {
   private[graft] def splitOversizeCells(assigned: DataFrame, maxCellSize: Long,
       seed: Long, idCol: String, vecCol: String, maxDepth: Int = 3): DataFrame = {
     val kSub = 8
-    var cur = assigned
+    // each round reads `cur` several times (the oversize count + one
+    // bounded trainIvfCentroids sample per skew cell) — without a
+    // persist every read re-runs the whole refine chain of all prior
+    // rounds over the corpus. Rounds hand off persists eagerly; the
+    // final frame backs the returned DataFrame, so it is registered for
+    // releaseCaches rather than unpersisted here.
+    var cur = assigned.persist()
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -1230,11 +1238,15 @@ object LlmOps {
             case None => cell
           }
         }
-        cur = cur.withColumn("__cell",
-          refine(col("__cell"), col(vecCol).cast("array<double>")))
+        val next = cur.withColumn("__cell",
+          refine(col("__cell"), col(vecCol).cast("array<double>"))).persist()
+        next.count() // materialize BEFORE dropping the parent's blocks
+        cur.unpersist(false)
+        cur = next
         depth += 1
       }
     }
+    trackedPersists.add(cur)
     cur
   }
 
@@ -2055,8 +2067,11 @@ object LlmOps {
   def ngramCounts(docs: DataFrame, n: Int = 2, k: Int = 20,
                   textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, "need n >= 1 and k >= 1")
-    spread(docs).select(split(lower(txt(textCol)), "\\s+").as("t"))
-      // size guard FIRST: sequence(a, b) descends when a > b
+    spread(docs).select(filter(split(lower(txt(textCol)), "\\s+"),
+        x => length(x) > 0).as("t"))
+      // size guard FIRST: sequence(a, b) descends when a > b (and the
+      // empty-token filter above keeps leading-whitespace text from
+      // minting grams with empty components — bpePairCounts' guard)
       .filter(size(col("t")) >= n)
       .select(explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
         i => array_join(slice(col("t"), i, lit(n)), " "))).as("gram"))

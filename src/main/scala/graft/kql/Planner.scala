@@ -977,8 +977,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "sequence_detect timeline"),
         timespanUs(winE), timespanUs(spanE), steps)
 
-    case EvaluateOp(p, _) => throw PlanError(
-      s"evaluate: unsupported plugin '$p'${Suggest.hint(p, Suggest.plugins)}")
+    case EvaluateOp(p, args) =>
+      // a KNOWN plugin reaching the catch-all means no case matched its
+      // arg count — say so instead of suggesting the name back at the
+      // user at edit distance 0
+      if (Suggest.plugins.contains(p))
+        throw PlanError(s"evaluate: plugin '$p' does not take ${args.length} " +
+          "argument(s) — check the expected signature")
+      else throw PlanError(
+        s"evaluate: unsupported plugin '$p'${Suggest.hint(p, Suggest.plugins)}")
 
     case PartitionOp(key, ops) =>
       // per-key-value subpipeline, rewritten to distribute instead of

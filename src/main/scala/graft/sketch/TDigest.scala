@@ -210,8 +210,11 @@ object TDigest {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     if (n < 0 || bytes.length != 20 + 16L * n) return None
+    // bound only what breaks PARSING (NaN/non-positive/infinite headers)
+    // — an upper compression limit would reject sketches this library's
+    // own constructor legally produced (round-trip totality)
     val compression = bb.getDouble
-    if (!(compression > 0 && compression <= 1e6)) return None
+    if (!(compression > 0) || compression.isInfinite) return None
     val t = new TDigest(compression)
     t.total = bb.getDouble
     if (!(t.total >= 0) || t.total.isInfinite) return None

@@ -58,23 +58,6 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Continuous-ingestion near-dup dedup: each micro-batch is deduped
-    * against the persisted minhash index (LlmOps.dedupIncremental —
-    * index candidates + in-batch self-join, exact-verified), the kept
-    * rows are appended to `keptTable`, and their signatures are
-    * APPENDED to the index, so later batches dedup against everything
-    * kept so far.
-    *
-    * The cross-batch state is the bucketed index AT REST, not streaming
-    * state: unlike dropDuplicatesWithinWatermark (whose state store
-    * must hold every key inside the watermark horizon in executor
-    * memory), the index is unbounded-corpus-sized on disk, bucket-
-    * joined exchange-free, and survives restarts/redeploys — the only
-    * viable shape when the dedup horizon is "the whole 100 TB corpus",
-    * with near-dup (not just exact-key) matching. foreachBatch runs
-    * batches sequentially, so append-then-next-batch ordering is safe.
-    * Start from [[graft.ext.LlmOps.buildMinhashIndex]] on the seed
-    * corpus (possibly empty). */
   /** True when `table` already holds a committed `__batch_id = id`
     * partition — i.e. this foreachBatch invocation is a checkpoint
     * REPLAY of a batch whose output commit succeeded (Structured
@@ -86,6 +69,28 @@ object StreamingOps {
                              id: Long): Boolean =
     spark.catalog.tableExists(table) &&
       spark.table(table).filter(col("__batch_id") === id).limit(1).count() > 0
+
+  /** Replay sanity check for the committed-partition path: every id the
+    * partition holds must appear in the incoming batch. A violated
+    * containment means the batchId collision is NOT a checkpoint replay
+    * — e.g. a deleted/reset checkpoint restarted batch numbering at 0
+    * against a RETAINED kept table — and silently reusing the partition
+    * would discard the new batch's data forever. Throwing loudly is the
+    * only safe move; full content equality cannot be required because
+    * dedup legitimately commits a subset of the batch. One
+    * partition-pruned read against the (small) in-memory batch. */
+  private def requireReplayConsistent(spark: SparkSession, table: String,
+      id: Long, batch: DataFrame, idCol: String): Unit = {
+    val stray = spark.table(table).filter(col("__batch_id") === id)
+      .select(col(idCol))
+      .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+    if (stray.limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"batch $id is already committed to '$table' with ids absent from " +
+          "the incoming batch — this batchId collision is not a checkpoint " +
+          "replay (was the checkpoint reset while the kept table was " +
+          "retained?); refusing to reuse or overwrite the committed partition")
+  }
 
   /** One micro-batch of [[dedupIncrementalStream]] — package-visible so
     * the crash-replay contract is directly testable. Replay idempotency
@@ -107,6 +112,7 @@ object StreamingOps {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (batchCommitted(spark, keptTable, batchId)) {
+      requireReplayConsistent(spark, keptTable, batchId, batch, idCol)
       graft.ext.LlmOps.appendToMinhashIndex(
         spark.table(keptTable).filter(col("__batch_id") === batchId)
           .drop("__batch_id"),
@@ -124,13 +130,31 @@ object StreamingOps {
       kept.unpersist()
     }
     // dedupIncremental persists its per-batch token/signature frames
-    // for within-query reuse; without this they accumulate one pair
-    // per micro-batch for the life of the stream. The wrapper
-    // assumes it owns the session's SQL cache (a dedicated
-    // ingestion job — the deployment shape this runner is for).
-    spark.catalog.clearCache()
+    // for within-query reuse; without a per-batch release they
+    // accumulate for the life of the stream. releaseCaches() frees
+    // exactly the library's own persists AND drains its tracking queue
+    // (a clearCache here would leak one tracked plan per micro-batch
+    // and nuke any unrelated caches the embedding app holds).
+    graft.ext.LlmOps.releaseCaches()
   }
 
+  /** Continuous-ingestion near-dup dedup: each micro-batch is deduped
+    * against the persisted minhash index (LlmOps.dedupIncremental —
+    * index candidates + in-batch self-join, exact-verified), the kept
+    * rows are appended to `keptTable`, and their signatures are
+    * APPENDED to the index, so later batches dedup against everything
+    * kept so far.
+    *
+    * The cross-batch state is the bucketed index AT REST, not streaming
+    * state: unlike dropDuplicatesWithinWatermark (whose state store
+    * must hold every key inside the watermark horizon in executor
+    * memory), the index is unbounded-corpus-sized on disk, bucket-
+    * joined exchange-free, and survives restarts/redeploys — the only
+    * viable shape when the dedup horizon is "the whole 100 TB corpus",
+    * with near-dup (not just exact-key) matching. foreachBatch runs
+    * batches sequentially, so append-then-next-batch ordering is safe.
+    * Start from [[graft.ext.LlmOps.buildMinhashIndex]] on the seed
+    * corpus (possibly empty). */
   def dedupIncrementalStream(stream: DataFrame, indexTable: String,
                              keptTable: String, threshold: Double = 0.8,
                              textCol: String = "text", idCol: String = "doc_id",
@@ -160,6 +184,7 @@ object StreamingOps {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (batchCommitted(spark, keptTable, batchId)) {
+      requireReplayConsistent(spark, keptTable, batchId, batch, idCol)
       graft.ext.LlmOps.appendToCosineIndex(
         spark.table(keptTable).filter(col("__batch_id") === batchId)
           .drop("__batch_id"),
@@ -176,7 +201,8 @@ object StreamingOps {
         kept.drop("__batch_id"), indexTable, idCol = idCol, vecCol = vecCol)
       kept.unpersist()
     }
-    spark.catalog.clearCache()
+    // free the library's per-batch persists + drain the tracking queue
+    graft.ext.LlmOps.releaseCaches()
   }
 
   /** Continuous embedding near-dup dedup: each micro-batch dedups
@@ -219,6 +245,7 @@ object StreamingOps {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if (batchCommitted(spark, keptTable, batchId)) {
+      requireReplayConsistent(spark, keptTable, batchId, batch, idCol)
       graft.ext.LlmOps.appendToLineIndex(
         spark.table(keptTable).filter(col("__batch_id") === batchId)
           .drop("__batch_id"),

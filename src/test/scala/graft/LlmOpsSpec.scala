@@ -175,6 +175,9 @@ class LlmOpsSpec extends AnyFunSuite {
     // only nProbe/nLists of the index files are read
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__cell"))
+    // zero query vector: deterministic probe cells, never NaN poisoning
+    val zp = LlmOps.ivfProbeCells(cents, new Array[Double](64), 2)
+    assert(zp.length == 2 && zp.forall(c => c >= 1 && c <= cents.length), zp)
     val direct = LlmOps.annCosineIvf(embs, 7L, 10, nProbe = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(indexed.collect().map(_.getLong(0)).toSeq == direct)
@@ -640,6 +643,10 @@ class LlmOpsSpec extends AnyFunSuite {
       "src | evaluate ngram_counts(3, 1, text)",
       graft.kql.Catalog(spark, TestSpark.sfDir).withTable("src", g))
     assert(kql2.head.getString(0) == "a b c")
+    // leading whitespace must not mint grams with empty components
+    val ws = Seq((1L, "  a b c")).toDF("doc_id", "text")
+    val g2 = LlmOps.ngramCounts(ws, n = 3, k = 5).collect().map(_.getString(0))
+    assert(g2.toSeq == Seq("a b c"), g2.toSeq)
   }
 
   test("cosine index: incremental embedding dedup, cross-batch + in-batch + growth") {

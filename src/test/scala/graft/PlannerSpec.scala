@@ -1048,6 +1048,10 @@ class PlannerSpec extends AnyFunSuite {
       .contains("did you mean 'pivot'"))
     // nothing close -> no misleading hint
     assert(!msg("print x = zzqqxxyy(1)").contains("did you mean"))
+    // wrong arity on a KNOWN plugin: an arity message, never the name
+    // suggested back at the user at edit distance 0
+    val ar = msg("lineitem | evaluate semdedup(0.3)")
+    assert(ar.contains("does not take 1 argument") && !ar.contains("did you mean"), ar)
   }
 
   test("make-graph not followed by a graph operator is a plan error") {

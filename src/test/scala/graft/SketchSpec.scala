@@ -106,6 +106,10 @@ class SketchSpec extends AnyFunSuite {
     val corruptN = good.clone(); corruptN(0) = 0x7f.toByte   // n = ~2^31
     assert(TDigest.tryDeserialize(corruptN).isEmpty)
     assert(TDigest.tryDeserialize(good).nonEmpty)
+    // round-trip totality: any compression the public constructor
+    // accepts must parse back (validation bounds PARSING, not params)
+    val big = new TDigest(2e6); big.add(1.0)
+    assert(TDigest.tryDeserialize(big.serialize()).nonEmpty)
     // KQL surface: null out, never throw
     val r = Kql.run(spark,
       """print p = percentile_tdigest(substring('abc', 0, 2), 50),

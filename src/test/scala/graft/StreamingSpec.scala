@@ -386,6 +386,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == first, "replay must not wipe the committed partition")
     spark.catalog.refreshTable("graft_replay_idx_lines")
     assert(spark.table("graft_replay_idx_lines").distinct().count() == 3L)
+    // a batchId collision that is NOT a replay (different ids — the
+    // deleted-checkpoint-with-retained-kept-table case) must fail
+    // loudly instead of silently discarding the new batch
+    val foreign = Seq((9L, "totally new")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingOps.processLineBatch(
+        foreign, 0L, "graft_replay_idx", "graft_replay_kept", " ", "text", "doc_id")
+    }
+    assert(e.getMessage.contains("not a checkpoint replay"))
+    assert(kept == first, "the refused batch must leave the partition intact")
   }
 
   test("near-dup batch replay after index append preserves committed output") {
