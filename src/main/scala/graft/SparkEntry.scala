@@ -827,6 +827,94 @@ object SparkEntry {
       },
       Some("""SELECT true AS self_top, CAST(0 AS BIGINT) AS n_score_mismatch, true AS pruned""")),
 
+    // Product-quantization ANN (r6): Jégou-style PQ codes + ADC scoring
+    // + exact re-rank of the top k·refine. Codebooks are deterministic
+    // (hash-ORDERED driver sample, fixed seed), so the contract facts
+    // are reproducible per corpus: (1) k results; (2) every returned
+    // score matches the independent exact recompute to 4dp (the re-rank
+    // never returns an approximated score — PQ only SELECTS candidates);
+    // (3) the query or an identical duplicate survives refine (max cos
+    // = 1.0); (4) recall@10 vs the brute-force top-10 >= 7/10 at
+    // refine = 8 (measured 10/10 at both declared SFs; the floor leaves
+    // margin for corpus drift). The recall-grows-with-refine dial and
+    // the IVF-PQ coarse-pruning composition are pinned in LlmOpsSpec.
+    "llm_ann_pq" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val res = LlmOps.annCosinePq(e, queryId = 0, k = 10, refine = 8)
+        val exact = LlmOps.cosineAll(e, queryId = 0)
+          .withColumnRenamed("cos", "cos_exact")
+        val topExact = LlmOps.knnCosine(e, queryId = 0, k = 10)
+          .select(col("vec_id")).withColumn("t", lit(1L))
+        res.join(exact, "vec_id")
+          .join(topExact, Seq("vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(abs(col("cos") - col("cos_exact")) > 0.0001, 1L)
+              .otherwise(0L)).as("n_score_mismatch"),
+            max(col("cos")).as("maxcos"),
+            coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+          .select(col("n_results"), col("n_score_mismatch"),
+            (col("maxcos") === 1.0).as("self_top"),
+            (col("n_hits") >= 7L).as("recall_ok"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_results, CAST(0 AS BIGINT) AS n_score_mismatch, true AS self_top, true AS recall_ok""")),
+
+    // The persisted IVF-PQ index (r6): buildPqIndex writes PQ codes
+    // partitioned by coarse cell (m bytes/row — the FAISS on-disk
+    // economics) + vectors + quantizer meta; the probe partition-prunes
+    // to the probed cells' CODE files, ADC-scores them, and exact
+    // re-ranks only the k·refine candidates via one id-join against the
+    // vector files. Facts mirror llm_ann_ivf_indexed: the query (or an
+    // identical dup) survives with cos 1.0, every returned score equals
+    // the exact recompute to 4dp, and the probe is a REAL prune
+    // (scanned codes rows strictly between 0 and the corpus),
+    // recomputed from the same persisted meta the search used.
+    "llm_ann_pq_indexed" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val path = sys.props("java.io.tmpdir") + "/graft_pq_index_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (cents, _) = LlmOps.buildPqIndex(e, path, nLists = 16)
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val res = LlmOps.annCosineIvfPqIndexed(s, path, q0, k = 10,
+          nProbe = 2, refine = 4)
+        val probes = LlmOps.ivfProbeCells(cents, q0, nProbe = 2)
+        val exact = LlmOps.cosineAll(e, queryId = 0)
+          .withColumnRenamed("cos", "cos_exact")
+        val codes = s.read.parquet(s"$path/codes")
+        res.join(exact, "vec_id")
+          .agg(max(col("cos")).as("maxcos"),
+            sum(when(abs(col("cos") - col("cos_exact")) > 0.0001, 1L)
+              .otherwise(0L)).as("n_score_mismatch"))
+          .crossJoin(codes.agg(
+            sum(when(col("__cell").isin(probes: _*), 1L).otherwise(0L)).as("n_scanned"),
+            count(lit(1)).as("n_total")))
+          .select((col("maxcos") === 1.0).as("self_top"), col("n_score_mismatch"),
+            (col("n_scanned") > 0L && col("n_scanned") < col("n_total")).as("pruned"))
+      },
+      Some("""SELECT true AS self_top, CAST(0 AS BIGINT) AS n_score_mismatch, true AS pruned""")),
+
+    // Vocabulary spelling-variant pairs (r6): tokens within Levenshtein
+    // distance 2, SymSpell deletion-neighborhood blocked (lossless), so
+    // the DuckDB brute-force-over-vocab recompute is value-exact. The
+    // top-1000 vocabulary cut is (freq desc, token) on both engines.
+    "llm_fuzzy_pairs" -> Q(
+      (s, dir) => LlmOps.fuzzyTokenPairs(docs(s, dir), minLen = 4,
+        maxVocab = 1000, maxDist = 2).orderBy("tok_a", "tok_b"),
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks WHERE length(w) >= 4 GROUP BY 1), v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 1000) SELECT a.w AS tok_a, b.w AS tok_b, a.cnt AS cnt_a, b.cnt AS cnt_b, CAST(levenshtein(a.w, b.w) AS INT) AS dist FROM v a JOIN v b ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2 AND levenshtein(a.w, b.w) <= 2 ORDER BY tok_a, tok_b""")),
+
+    // Asymmetric shingle-containment pairs (r6): Broder's c(A→B) =
+    // |S(A)∩S(B)|/|S(A)| — doc-in-doc detection where Jaccard stays
+    // low. Spark hashes shingles (count-identical modulo ~1e-9
+    // collisions — the llm_substring_dup convention); the oracle keeps
+    // the strings.
+    "llm_containment" -> Q(
+      (s, dir) => LlmOps.containmentPairs(docs(s, dir), threshold = 0.4,
+        w = 5).orderBy("i", "j"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t WHERE len(toks) >= 5), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s FROM ix), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), pr AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT i, j, inter, sa.n AS n_i, sb.n AS n_j, ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS cont_ij, ROUND(CAST(inter AS DOUBLE) / sb.n, 4) AS cont_ji FROM pr JOIN sz sa ON pr.i = sa.doc_id JOIN sz sb ON pr.j = sb.doc_id WHERE ROUND(CAST(inter AS DOUBLE) / sa.n, 4) >= 0.4 OR ROUND(CAST(inter AS DOUBLE) / sb.n, 4) >= 0.4 ORDER BY i, j""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

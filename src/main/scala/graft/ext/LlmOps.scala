@@ -149,6 +149,96 @@ object LlmOps {
       .select(col("i"), col("j"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Typo-cluster vocabulary pairs: distinct corpus tokens within
+    * Levenshtein distance `maxDist` (1 or 2) of each other, with their
+    * corpus frequencies — the spelling-variant detection pass of a
+    * vocabulary cleanup (merge `recieve` into `receive` by frequency
+    * dominance).
+    *
+    * Sub-quadratic and LOSSLESS via SymSpell-style deletion
+    * neighborhoods: D_d(w) = {w minus ≤ d chars}; lev(a,b) ≤ d ⇒
+    * D_d(a) ∩ D_d(b) ≠ ∅ (take an optimal alignment and delete from
+    * each side its substituted/unmatched chars — ≤ d per side — leaving
+    * the equal matched subsequence), so candidates come from an
+    * equi-join on variant HASHES — O(|w|^d) variants per token, never
+    * O(|vocab|²) — and `levenshtein` verifies (the ⇐ direction is not
+    * needed). The work is vocabulary-sized, not corpus-sized: one
+    * corpus explode builds the frequency table, everything after runs
+    * on ≤ maxVocab rows. The top-maxVocab cut is (freq desc, token) —
+    * deterministic, planned as TakeOrderedAndProject. */
+  def fuzzyTokenPairs(docs: DataFrame, minLen: Int = 4, maxVocab: Int = 1000,
+                      maxDist: Int = 1,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
+    require(minLen > maxDist, "minLen must exceed maxDist (deletions must leave chars)")
+    val vocab = spread(docs)
+      .select(explode(split(lower(txt(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= minLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
+    // variant set: the token plus every ≤ maxDist-char deletion, deduped
+    // (repeated chars collapse), hashed to fixed-width join keys
+    val w = col("w")
+    val L = length(w)
+    val singles = transform(sequence(lit(1), L), i =>
+      concat(w.substr(lit(1), i - 1), w.substr(i + 1, L)))
+    // two deletions at original positions i < j (minLen > maxDist ⇒
+    // L ≥ 3, so both sequences ascend — the sequence(a,b) descent trap)
+    val doubles = flatten(transform(sequence(lit(1), L - 1), i =>
+      transform(sequence(i + 1, L), j =>
+        concat(w.substr(lit(1), i - 1), w.substr(i + 1, j - i - 1),
+          w.substr(j + 1, L)))))
+    val variantSet = array_distinct(
+      if (maxDist >= 2) concat(array(w), singles, doubles)
+      else concat(array(w), singles))
+    val variants = vocab.select(w, col("cnt"), explode(variantSet).as("v"))
+      .select(w, col("cnt"), xxhash64(col("v")).as("vh"))
+    variants.as("a")
+      .join(variants.as("b"), col("a.vh") === col("b.vh") &&
+        col("a.w") < col("b.w"))
+      .select(col("a.w").as("tok_a"), col("b.w").as("tok_b"),
+        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder's containment measure,
+    * "On the Resemblance and Containment of Documents", 1997): for each
+    * doc pair sharing shingles, c(A→B) = |S(A)∩S(B)| / |S(A)| — catches
+    * a small document embedded verbatim in a large one, where Jaccard
+    * stays low because the union is large (quote detection, page-in-site
+    * dups, training-data provenance). Returns pairs where EITHER
+    * direction's containment ≥ threshold.
+    *
+    * Shape: one explode to distinct (doc, shingle-hash) rows, an
+    * inverted-index self-join on the shingle hash (cost ∝ Σ df² over
+    * shared shingles — corpus-pair work, never O(n²)), one (i,j) count
+    * aggregate, two broadcast-size joins for the per-doc set sizes.
+    * Shingles travel as 64-bit hashes (count-identical modulo ~1e-9
+    * collisions — the [[substringDup]] convention). */
+  def containmentPairs(docs: DataFrame, threshold: Double, w: Int = 5,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = withTokens(docs, textCol).select(col(idCol).as("id"), col("toks"))
+    val nsh = size(col("toks")) - (w - 1)
+    val sh = spread(toks).filter(size(col("toks")) >= w)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), nsh), i =>
+          xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))).as("s"))
+    val sizes = persistTracked(sh.groupBy("id").agg(count(lit(1)).as("n")))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("i"), col("n").as("n_i")), "i")
+      .join(sizes.select(col("id").as("j"), col("n").as("n_j")), "j")
+      .withColumn("cont_ij", round(col("inter").cast("double") / col("n_i"), 4))
+      .withColumn("cont_ji", round(col("inter").cast("double") / col("n_j"), 4))
+      .filter(col("cont_ij") >= threshold || col("cont_ji") >= threshold)
+      .select(col("i"), col("j"), col("inter"), col("n_i"), col("n_j"),
+        col("cont_ij"), col("cont_ji"))
+  }
+
   /** MinHash + LSH banding near-duplicate candidate pairs, verified by
     * exact token-set Jaccard. The 100 TB path: signatures are computed
     * per-row (no shuffle), candidates come from a self-join on (band,
@@ -863,6 +953,214 @@ object LlmOps {
       }
     }
     cents
+  }
+
+  // ───── Product quantization (PQ) ANN ─────
+
+  /** Train PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the unit-normalized dim-d
+    * space splits into `m` subspaces of d/m dims; each gets an
+    * independent ksub-centroid k-means codebook, so a vector compresses
+    * from d floats to m small codes (dim·4 bytes → m bytes at ksub ≤
+    * 256 — the memory lever that lets a 100 TB corpus' index fit in
+    * cluster RAM). Trained like the IVF quantizer: on a BOUNDED
+    * (≤256·ksub) driver sample — index metadata, not a data pass. The
+    * sample is hash-ORDERED (not limit-sampled) so codebooks are
+    * deterministic per corpus, which keeps the declared recall contract
+    * reproducible. */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+                       seed: Long = 42, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2, "need m >= 1 subspaces and ksub >= 2 codes")
+    val nrm = normD(col(vecCol))
+    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
+    val sample = emb
+      .orderBy(idHash(col(idCol)), col(idCol))
+      .select(unit.as("__uv")).limit(256 * ksub)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim does not split into $m equal subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansDriver(sub, ksub, seed + s, iters = 8)
+    }
+  }
+
+  /** PQ-encode: per subspace the argmin-L2 codebook entry of the
+    * unit-normalized vector. One JIT'd primitive loop per row — the
+    * same kernel-shape rationale as [[cellOf]]. */
+  private def pqCodesOf(codebooks: Array[Array[Array[Double]]]) = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    udf { v: Seq[Double] =>
+      var raw = 0.0; var i = 0
+      while (i < v.length) { raw += v(i) * v(i); i += 1 }
+      val n = math.sqrt(raw).max(1e-300)
+      Array.tabulate(m) { s =>
+        val cb = codebooks(s)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val t = v(s * dsub + j) / n - cb(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+  }
+
+  /** ANN via product quantization with EXACT re-rank: score every
+    * vector by ADC (asymmetric distance computation — the query is
+    * never quantized: per subspace, a driver-built m×ksub lookup table
+    * of q_s·c partial dots turns scoring into m table lookups + adds),
+    * take the top k·refine by ADC, then re-score ONLY those candidates
+    * with the exact cosine and return the top k. Returned scores are
+    * therefore always exact — PQ only decides which candidates get the
+    * exact pass, and `refine` is the recall/cost dial (refine ≥ n/k
+    * degenerates to brute force by construction).
+    *
+    * Scale shape: the scoring pass is an embarrassingly parallel
+    * projection (no shuffle) feeding one TakeOrderedAndProject of
+    * k·refine rows; the exact re-rank touches only those rows. With
+    * nLists/nProbe > 0 a coarse IVF quantizer prunes the scan to the
+    * probed cells first — the FAISS IVF-PQ composition (codes here are
+    * computed in-flight; a deployed index stores them at rest next to
+    * the [[buildIvfIndex]] partition layout, making the scan
+    * m-bytes-per-row I/O instead of dim·4). */
+  def annCosinePq(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
+                  ksub: Int = 16, refine: Int = 4, nLists: Int = 0,
+                  nProbe: Int = 0, seed: Long = 42,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && refine >= 1, "need k >= 1 and refine >= 1")
+    val codebooks = trainPqCodebooks(emb, m, ksub, seed, idCol, vecCol)
+    val raw = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(raw.map(x => x * x).sum).max(1e-300)
+    val qVec = raw.map(_ / qn)
+    val dsub = raw.length / m
+    val adc: Array[Array[Double]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += qVec(s * dsub + j) * codebooks(s)(c)(j); j += 1 }
+        d
+      }
+    }
+    val adcScoreOf = udf { codes: Seq[Int] =>
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += adc(s)(codes(s)); s += 1 }
+      acc
+    }
+    val base0 = spread(emb)
+    val base = if (nLists > 0 && nProbe > 0) {
+      val cents = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
+      val probes = probeCells(cents, qVec, nProbe)
+      base0.withColumn("__cell", cellOf(cents)(col(vecCol).cast("array<double>")))
+        .filter(col("__cell").isin(probes: _*))
+    } else base0
+    val qLit = array(qVec.map(lit).toIndexedSeq: _*)
+    base
+      .withColumn("__codes", pqCodesOf(codebooks)(col(vecCol).cast("array<double>")))
+      .withColumn("__adc", adcScoreOf(col("__codes")))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(math.max(k * refine, k))
+      .select(col(idCol),
+        round(dotD(col(vecCol), qLit) / (normD(col(vecCol)) * normD(qLit)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist an IVF-PQ index — the deployed form of [[annCosinePq]]
+    * with the FAISS on-disk economics: `codes/` holds (id, m PQ codes)
+    * partitioned by coarse cell, so a probe is partition-pruned I/O of
+    * m-bytes-per-row files (NOT dim·4-byte vectors); `vecs/` holds the
+    * raw vectors, touched only for the k·refine exact re-rank
+    * candidates; `meta/` pins centroids + codebooks so any probe
+    * service reconstructs the EXACT same quantizers (at 100 TB the
+    * codes partition for a probed cell is ~m/256 of the vector bytes —
+    * the difference between a RAM-resident scan and an I/O-bound one). */
+  def buildPqIndex(emb: DataFrame, path: String, nLists: Int = 16,
+                   m: Int = 8, ksub: Int = 16, seed: Long = 42,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
+    val codebooks = trainPqCodebooks(emb, m, ksub, seed, idCol, vecCol)
+    val base = persistTracked(spread(emb).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    base.select(col("id"),
+        pqCodesOf(codebooks)(col("v")).as("codes"),
+        cellOf(centroids)(col("v")).as("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/codes")
+    base.select(col("id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    (centroids.zipWithIndex.map { case (c, i) => ("cent", i, 0, c.toSeq) } ++
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, j) => ("code", s, j, c.toSeq) } }).toSeq
+      .toDF("kind", "i", "j", "vals")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    (centroids, codebooks)
+  }
+
+  /** Load the quantizer metadata of a [[buildPqIndex]] index. */
+  def readPqIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    val cents = rows.filter(_.getString(0) == "cent").sortBy(_.getInt(1))
+      .map(_.getSeq[Double](3).toArray)
+    val byS = rows.filter(_.getString(0) == "code").groupBy(_.getInt(1))
+    val codebooks = (0 until byS.size).toArray.map { s =>
+      byS(s).sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)
+    }
+    (cents, codebooks)
+  }
+
+  /** Search a persisted [[buildPqIndex]] index: partition-pruned scan of
+    * the probed cells' CODE files (m bytes/row), ADC lookup-table
+    * scoring, top k·refine, then ONE id-join against `vecs/` to
+    * exact-re-rank just those candidates. Scores returned are exact. */
+  def annCosineIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
+                            path: String, qRaw: Array[Double], k: Int,
+                            nProbe: Int = 2, refine: Int = 4,
+                            idCol: String = "vec_id"): DataFrame = {
+    val (centroids, codebooks) = readPqIndexMeta(spark, path)
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val qn = math.sqrt(qRaw.map(x => x * x).sum).max(1e-300)
+    val qVec = qRaw.map(_ / qn)
+    require(qVec.length == m * dsub, "query dim does not match the index")
+    val probes = ivfProbeCells(centroids, qRaw, nProbe)
+    val adc: Array[Array[Double]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += qVec(s * dsub + j) * codebooks(s)(c)(j); j += 1 }
+        d
+      }
+    }
+    val adcScoreOf = udf { codes: Seq[Int] =>
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += adc(s)(codes(s)); s += 1 }
+      acc
+    }
+    val qLit = array(qVec.map(lit).toIndexedSeq: _*)
+    val cand = spark.read.parquet(s"$path/codes")
+      .filter(col("__cell").isin(probes: _*))
+      .withColumn("__adc", adcScoreOf(col("codes")))
+      .orderBy(col("__adc").desc, col("id").asc)
+      .limit(math.max(k * refine, k))
+      .select("id")
+    cand.join(spark.read.parquet(s"$path/vecs"), "id")
+      .select(col("id").as(idCol),
+        round(dotD(col("v"), qLit) / (normD(col("v")) * normD(qLit)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** All vector pairs with cosine ≥ threshold, blocked by a grouping

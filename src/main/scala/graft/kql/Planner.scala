@@ -684,6 +684,29 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         rest.headOption.map(colNameOf(df, _, "jaccard_pairs block")),
         colNameOf(df, textE, "jaccard_pairs text"), colNameOf(df, idE, "jaccard_pairs id"))
 
+    // `evaluate fuzzy_token_pairs(minLen, maxVocab, maxDist, text)`:
+    // vocabulary spelling-variant pairs within Levenshtein distance
+    // maxDist, found by deletion-neighborhood blocking
+    // (LlmOps.fuzzyTokenPairs)
+    case EvaluateOp("fuzzy_token_pairs", mE :: vE :: dE :: textE :: Nil) =>
+      graft.ext.LlmOps.fuzzyTokenPairs(df, litLong(mE).toInt, litLong(vE).toInt,
+        litLong(dE).toInt, colNameOf(df, textE, "fuzzy_token_pairs text"))
+
+    // `evaluate containment_pairs(threshold, w, text, id)`: asymmetric
+    // shingle-containment pairs (LlmOps.containmentPairs)
+    case EvaluateOp("containment_pairs", tE :: wE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.containmentPairs(df, litDouble(tE), litLong(wE).toInt,
+        colNameOf(df, textE, "containment_pairs text"),
+        colNameOf(df, idE, "containment_pairs id"))
+
+    // `evaluate ann_pq(queryId, k, refine, id, vec)`: product-quantization
+    // ANN with exact re-rank (LlmOps.annCosinePq)
+    case EvaluateOp("ann_pq", qE :: kE :: rE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.annCosinePq(df, litLong(qE), litLong(kE).toInt,
+        refine = litLong(rE).toInt,
+        idCol = colNameOf(df, idE, "ann_pq id"),
+        vecCol = colNameOf(df, vecE, "ann_pq vector"))
+
     case EvaluateOp("neardup_minhash", tE :: textE :: idE :: Nil) =>
       graft.ext.LlmOps.nearDupPairsMinhash(df, litDouble(tE),
         textCol = colNameOf(df, textE, "neardup text"),

@@ -72,12 +72,12 @@ object Suggest {
     * cases) — for the unsupported-plugin error. */
   val plugins: Seq[String] = Seq(
     "active_users_count", "activity_counts_metrics", "activity_engagement",
-    "autocluster", "bag_unpack", "basket", "bigram_logprob",
-    "boilerplate_remove", "bpe_pair_counts", "chunk", "contamination",
-    "cosine_groups", "ngram_counts",
+    "ann_pq", "autocluster", "bag_unpack", "basket", "bigram_logprob",
+    "boilerplate_remove", "bpe_pair_counts", "chunk", "containment_pairs",
+    "contamination", "cosine_groups", "ngram_counts",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
-    "funnel_sequence",
+    "funnel_sequence", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
     "neardup_groups", "neardup_minhash", "pack_sequences", "pii_scrub",

@@ -1196,4 +1196,133 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.columns.toSeq == Seq("doc_id", "norm_text", "n_chars_norm"))
     assert(kql.count() == docs.count())
   }
+
+  test("ann-pq: exact re-ranked scores, recall grows with refine, full refine = brute force") {
+    val n = embs.count().toInt
+    val brute = LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def run(refine: Int) = LlmOps.annCosinePq(embs, queryId = 0, k = 10,
+      refine = refine).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val exactAll = LlmOps.cosineAll(embs, queryId = 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r4 = run(4)
+    // every returned score is the EXACT cosine (PQ only selects candidates)
+    r4.foreach { case (id, c) => assert(c == exactAll(id)) }
+    assert(r4.map(_._2).max == 1.0) // the query (or an identical dup) survives refine
+    val rec4 = r4.map(_._1).count(brute.contains)
+    val recFull = run(math.max(1, n / 10 + 1)).map(_._1).count(brute.contains)
+    assert(rec4 >= 5 && rec4 <= recFull)
+    assert(recFull == 10) // refine >= n/k degenerates to brute force
+    // IVF-PQ composition: coarse pruning + ADC still self-finds the query
+    val ivfpq = LlmOps.annCosinePq(embs, queryId = 0, k = 5, refine = 4,
+      nLists = 8, nProbe = 2).collect()
+    assert(ivfpq.map(_.getDouble(1)).max == 1.0)
+  }
+
+  test("fuzzyTokenPairs: deletion neighborhoods find exactly the lev<=d vocab pairs") {
+    val d = Seq(
+      (1L, "receive recieve receive believe belive wold world word banana"),
+      (2L, "receive believe world word zebra zebra zebra banana")
+    ).toDF("doc_id", "text")
+    // brute-force ground truth over the same vocabulary, both depths
+    val vocab = d.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 4).distinct().collect().map(_.getString(0))
+    for (maxDist <- Seq(1, 2)) {
+      val got = LlmOps.fuzzyTokenPairs(d, minLen = 4, maxVocab = 100,
+        maxDist = maxDist).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = (for {
+        a <- vocab; b <- vocab if a < b
+        if levDist(a, b) <= maxDist
+      } yield (a, b)).toSet
+      assert(got == want, s"maxDist=$maxDist got $got want $want")
+    }
+    val got1 = LlmOps.fuzzyTokenPairs(d, 4, 100, 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the known shapes: substitution and insertion pairs present at d=1;
+    // the ie/ei transposition is distance 2 — excluded at 1, found at 2
+    assert(!got1.contains(("receive", "recieve")))
+    assert(got1.contains(("wold", "word")))  // substitution
+    assert(got1.contains(("wold", "world"))) // insertion
+    assert(got1.contains(("word", "world"))) // insertion
+    val got2 = LlmOps.fuzzyTokenPairs(d, 4, 100, 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got2.contains(("receive", "recieve")))
+    // frequencies ride along and dist respects the cap
+    LlmOps.fuzzyTokenPairs(d, 4, 100, 1).collect().foreach { r =>
+      assert(r.getAs[Long]("cnt_a") >= 1L && r.getInt(r.fieldIndex("dist")) <= 1)
+    }
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate fuzzy_token_pairs(4, 500, 2, text)", TestSpark.sfDir)
+    assert(kql.columns.toSeq ==
+      Seq("tok_a", "tok_b", "cnt_a", "cnt_b", "dist"))
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("ivf-pq index: meta round-trip, pruned code scan, exact re-rank, brute-force limit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val (cents, cbs) = LlmOps.buildPqIndex(embs, dir, nLists = 8)
+    // quantizer metadata survives the round-trip exactly
+    val (rc, rcb) = LlmOps.readPqIndexMeta(spark, dir)
+    assert(rc.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(rcb.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // the codes files carry only (id, codes, cell) — m bytes of codes,
+    // never the vector (the index's I/O economics)
+    val codesSchema = spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
+    assert(codesSchema == Set("id", "codes", "__cell"))
+    val qRaw = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    // full probe + corpus-sized refine degenerates to brute force
+    val n = embs.count().toInt
+    val full = LlmOps.annCosineIvfPqIndexed(spark, dir, qRaw, k = 10,
+      nProbe = 8, refine = n / 10 + 1).collect()
+    val brute = LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
+    assert(full.map(_.getLong(0)).toSeq == brute.map(_.getLong(0)).toSeq)
+    // partial probe: self-hit survives, every score exact, scan pruned
+    val part = LlmOps.annCosineIvfPqIndexed(spark, dir, qRaw, k = 10,
+      nProbe = 2, refine = 4).collect()
+    assert(part.map(_.getDouble(1)).max == 1.0)
+    val exact = LlmOps.cosineAll(embs, queryId = 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    part.foreach { r => assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) <= 1e-4) }
+    val probes = LlmOps.ivfProbeCells(cents, qRaw, 2)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val scanned = codes.filter(col("__cell").isin(probes: _*)).count()
+    assert(scanned > 0 && scanned < codes.count())
+  }
+
+  test("containmentPairs: embedded doc has containment 1.0 despite low jaccard") {
+    val small = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, small),                       // 8 tokens, 4 shingles at w=5
+      (2L, s"$filler $small"),           // contains doc 1 verbatim
+      (3L, "totally unrelated content here with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val rows = LlmOps.containmentPairs(d, threshold = 0.9, w = 5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L))) // i < j
+    assert(r.getAs[Double]("cont_ij") == 1.0)  // all of doc 1 inside doc 2
+    assert(r.getAs[Double]("cont_ji") < 0.2)   // asymmetric: doc 2 mostly novel
+    // jaccard would have missed this pair at any usable threshold
+    val jac = LlmOps.jaccardPairs(d, 0.3).collect()
+    assert(!jac.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
+    // threshold filters: at 1.01 nothing passes
+    assert(LlmOps.containmentPairs(d, 1.01, w = 5).count() == 0)
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate containment_pairs(0.8, 5, text, doc_id)", TestSpark.sfDir)
+    assert(kql.columns.toSeq ==
+      Seq("i", "j", "inter", "n_i", "n_j", "cont_ij", "cont_ji"))
+  }
 }
