@@ -216,15 +216,34 @@ object LlmOps {
     * shared shingles — corpus-pair work, never O(n²)), one (i,j) count
     * aggregate, two broadcast-size joins for the per-doc set sizes.
     * Shingles travel as 64-bit hashes (count-identical modulo ~1e-9
-    * collisions — the [[substringDup]] convention). */
+    * collisions — the [[substringDup]] convention).
+    *
+    * `maxDf` is the web-scale skew guard: a boilerplate shingle in df
+    * docs contributes df² candidate rows, and at 100 TB a site-footer
+    * shingle's df is corpus-sized. Capping drops shingles with df >
+    * maxDf from BOTH the index and the per-doc set sizes, so the
+    * measure stays a true containment — over the informative shingle
+    * vocabulary rather than the raw one (the IDF-style cut every
+    * production near-dup pipeline applies). None (the default, and the
+    * declared oracle row) computes the exact raw measure. */
   def containmentPairs(docs: DataFrame, threshold: Double, w: Int = 5,
+                       maxDf: Option[Long] = None,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = withTokens(docs, textCol).select(col(idCol).as("id"), col("toks"))
     val nsh = size(col("toks")) - (w - 1)
-    val sh = spread(toks).filter(size(col("toks")) >= w)
+    val shRaw = spread(toks).filter(size(col("toks")) >= w)
       .select(col("id"), explode(array_distinct(
         transform(sequence(lit(1), nsh), i =>
           xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))).as("s"))
+    val sh = maxDf match {
+      case Some(cap) =>
+        val df = shRaw.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("s")
+        // the df table is shingle-vocabulary-sized after the cap; the
+        // join is a semi-join that never widens rows
+        shRaw.join(df, "s")
+      case None => shRaw
+    }
     val sizes = persistTracked(sh.groupBy("id").agg(count(lit(1)).as("n")))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -696,8 +696,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     // shingle-containment pairs (LlmOps.containmentPairs)
     case EvaluateOp("containment_pairs", tE :: wE :: textE :: idE :: Nil) =>
       graft.ext.LlmOps.containmentPairs(df, litDouble(tE), litLong(wE).toInt,
-        colNameOf(df, textE, "containment_pairs text"),
-        colNameOf(df, idE, "containment_pairs id"))
+        textCol = colNameOf(df, textE, "containment_pairs text"),
+        idCol = colNameOf(df, idE, "containment_pairs id"))
 
     // `evaluate ann_pq(queryId, k, refine, id, vec)`: product-quantization
     // ANN with exact re-rank (LlmOps.annCosinePq)

@@ -1319,6 +1319,12 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!jac.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
     // threshold filters: at 1.01 nothing passes
     assert(LlmOps.containmentPairs(d, 1.01, w = 5).count() == 0)
+    // maxDf skew guard: df for every shared shingle here is 2, so a cap
+    // of 1 empties the index (the hot-shingle drop) while cap 2 is the
+    // exact measure
+    assert(LlmOps.containmentPairs(d, 0.9, w = 5, maxDf = Some(1L)).count() == 0)
+    assert(LlmOps.containmentPairs(d, 0.9, w = 5, maxDf = Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     // KQL-reachable
     val kql = graft.kql.Kql.run(spark,
       "documents | evaluate containment_pairs(0.8, 5, text, doc_id)", TestSpark.sfDir)
