@@ -859,6 +859,36 @@ object SparkEntry {
       },
       Some("""SELECT CAST(10 AS BIGINT) AS n_results, CAST(0 AS BIGINT) AS n_score_mismatch, true AS self_top, true AS recall_ok""")),
 
+    // SQ8 scalar-quantization ANN (r6): per-dim affine int8 codes
+    // (dim bytes/vector — the high-recall end of the FAISS compression
+    // dial, vs PQ's m bytes), approximate int-dot scoring with the
+    // dequantization folded into per-dim query weights, exact re-rank.
+    // FULLY deterministic (no seed, no sample — min/max params are
+    // merge-order independent), so the contract facts are exact: 10
+    // results, scores equal the exact recompute to 4dp, self (or an
+    // identical dup) on top, recall@10 >= 8/10 at refine = 4 (8-bit
+    // per-dim quantization is tight; measured 10/10 at both SFs).
+    "llm_ann_sq8" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val res = LlmOps.annCosineSq8(e, queryId = 0, k = 10, refine = 4)
+        val exact = LlmOps.cosineAll(e, queryId = 0)
+          .withColumnRenamed("cos", "cos_exact")
+        val topExact = LlmOps.knnCosine(e, queryId = 0, k = 10)
+          .select(col("vec_id")).withColumn("t", lit(1L))
+        res.join(exact, "vec_id")
+          .join(topExact, Seq("vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(abs(col("cos") - col("cos_exact")) > 0.0001, 1L)
+              .otherwise(0L)).as("n_score_mismatch"),
+            max(col("cos")).as("maxcos"),
+            coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+          .select(col("n_results"), col("n_score_mismatch"),
+            (col("maxcos") === 1.0).as("self_top"),
+            (col("n_hits") >= 8L).as("recall_ok"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_results, CAST(0 AS BIGINT) AS n_score_mismatch, true AS self_top, true AS recall_ok""")),
+
     // The persisted IVF-PQ index (r6): buildPqIndex writes PQ codes
     // partitioned by coarse cell (m bytes/row — the FAISS on-disk
     // economics) + vectors + quantizer meta; the probe partition-prunes

@@ -1094,6 +1094,73 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Per-dimension SQ8 quantizer bounds: (min_d, max_d) of each
+    * dimension over the UNIT-normalized corpus — one posexplode + one
+    * dim-row aggregate (bounded metadata to the driver, not a data
+    * pass; min/max are merge-order-independent, so the params are
+    * EXACTLY deterministic — no seed, no sample). */
+  def sq8Params(emb: DataFrame, vecCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val nrm = normD(col(vecCol))
+    val unit = transform(col(vecCol), x => x.cast("double") / greatest(nrm, lit(1e-300)))
+    val rows = spread(emb).select(posexplode(unit).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** ANN via scalar quantization (SQ8) with exact re-rank — the
+    * FAISS `SQ8` leg: each dimension compresses to one affine int8
+    * code (dim bytes/vector, 4× vs float32; higher recall, lower
+    * compression than [[annCosinePq]]'s m-byte codes — the two ends of
+    * the FAISS compression dial). Approximate scores fold the per-dim
+    * dequantization into the query: Σ q_d·min_d is a constant and
+    * q_d·step_d a per-dim weight, so scoring is one int-code dot per
+    * row. Top k·refine re-ranks exactly — returned scores are always
+    * exact, and the whole operator is deterministic (no seed at all).
+    * Scale shape matches [[annCosinePq]]: embarrassingly parallel
+    * projection → TakeOrderedAndProject → candidate-only exact pass. */
+  def annCosineSq8(emb: DataFrame, queryId: Long, k: Int, refine: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && refine >= 1, "need k >= 1 and refine >= 1")
+    val (mins, maxs) = sq8Params(emb, vecCol)
+    val dim = mins.length
+    val steps = Array.tabulate(dim)(d => (maxs(d) - mins(d)) / 255.0)
+    val codesOf = udf { v: Seq[Double] =>
+      var raw = 0.0; var i = 0
+      while (i < v.length) { raw += v(i) * v(i); i += 1 }
+      val n = math.sqrt(raw).max(1e-300)
+      Array.tabulate(dim) { d =>
+        if (steps(d) == 0.0) 0
+        else {
+          val c = math.round((v(d) / n - mins(d)) / steps(d)).toInt
+          if (c < 0) 0 else if (c > 255) 255 else c
+        }
+      }
+    }
+    val raw = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(raw.map(x => x * x).sum).max(1e-300)
+    val qVec = raw.map(_ / qn)
+    val base = qVec.zip(mins).map { case (q, mn) => q * mn }.sum
+    val weights = Array.tabulate(dim)(d => qVec(d) * steps(d))
+    val approxOf = udf { codes: Seq[Int] =>
+      var acc = base; var d = 0
+      while (d < codes.length) { acc += codes(d) * weights(d); d += 1 }
+      acc
+    }
+    val qLit = array(qVec.map(lit).toIndexedSeq: _*)
+    spread(emb)
+      .withColumn("__codes", codesOf(col(vecCol).cast("array<double>")))
+      .withColumn("__sq", approxOf(col("__codes")))
+      .orderBy(col("__sq").desc, col(idCol).asc)
+      .limit(math.max(k * refine, k))
+      .select(col(idCol),
+        round(dotD(col(vecCol), qLit) / (normD(col(vecCol)) * normD(qLit)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Persist an IVF-PQ index — the deployed form of [[annCosinePq]]
     * with the FAISS on-disk economics: `codes/` holds (id, m PQ codes)
     * partitioned by coarse cell, so a probe is partition-pruned I/O of

@@ -707,6 +707,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         idCol = colNameOf(df, idE, "ann_pq id"),
         vecCol = colNameOf(df, vecE, "ann_pq vector"))
 
+    // `evaluate ann_sq8(queryId, k, refine, id, vec)`: scalar-quantized
+    // (int8) ANN with exact re-rank (LlmOps.annCosineSq8)
+    case EvaluateOp("ann_sq8", qE :: kE :: rE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.annCosineSq8(df, litLong(qE), litLong(kE).toInt,
+        refine = litLong(rE).toInt,
+        idCol = colNameOf(df, idE, "ann_sq8 id"),
+        vecCol = colNameOf(df, vecE, "ann_sq8 vector"))
+
     case EvaluateOp("neardup_minhash", tE :: textE :: idE :: Nil) =>
       graft.ext.LlmOps.nearDupPairsMinhash(df, litDouble(tE),
         textCol = colNameOf(df, textE, "neardup text"),

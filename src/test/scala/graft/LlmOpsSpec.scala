@@ -1268,6 +1268,36 @@ class LlmOpsSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
+    val (mins, maxs) = LlmOps.sq8Params(embs)
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    // deterministic: a second computation is bit-identical (min/max are
+    // merge-order independent — no seed anywhere in the operator)
+    val (mins2, maxs2) = LlmOps.sq8Params(embs)
+    assert(mins.toSeq == mins2.toSeq && maxs.toSeq == maxs2.toSeq)
+    val exact = LlmOps.cosineAll(embs, queryId = 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r4 = LlmOps.annCosineSq8(embs, queryId = 0, k = 10, refine = 4).collect()
+    r4.foreach { r => assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) <= 1e-4) }
+    assert(r4.map(_.getDouble(1)).max == 1.0)
+    // SQ8 at 8 bits/dim is a tight quantizer: top-10 recall vs brute
+    // force should be high even at small refine
+    val brute = LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(r4.map(_.getLong(0)).count(brute.contains) >= 8)
+    // refine >= n/k degenerates to brute force
+    val n = embs.count().toInt
+    val full = LlmOps.annCosineSq8(embs, queryId = 0, k = 10, refine = n / 10 + 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == LlmOps.knnCosine(embs, queryId = 0, k = 10).collect()
+      .map(_.getLong(0)).toSeq)
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "embeddings | evaluate ann_sq8(0, 5, 4, vec_id, embedding)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("vec_id", "cos") && kql.count() == 5)
+  }
+
   test("ivf-pq index: meta round-trip, pruned code scan, exact re-rank, brute-force limit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
     val (cents, cbs) = LlmOps.buildPqIndex(embs, dir, nLists = 8)
