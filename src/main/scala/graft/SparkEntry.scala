@@ -130,6 +130,93 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
+    * row for EMBEDDING dedup — two micro-batches of odd-id vectors
+    * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
+    * against an even-id seed index; cross-batch state is the cosine LSH
+    * index AT REST (batch 1's KEPT vectors grow it, so batch 2 drops
+    * against them). Corpus restricted to labels 0–3 so the exact audit
+    * is CLOSED (the llm_dedup_cosine_incr convention). Facts:
+    * - n_should_seed: odd vectors with an exact-cos ≥ τ partner among
+    *   the evens — INDEPENDENT of engine recall, DuckDB-recomputable
+    *   exactly from the pair set;
+    * - n_false_drops: dropped odds with no partner in their visible
+    *   superset (evens ∪ same-batch lower ids ∪, for batch 2, batch 1)
+    *   — zero by construction (every drop is exact-verified against a
+    *   SUBSET of that superset);
+    * - recall_seed_ok: ≥ 90% of the seed-should-drop set actually
+    *   dropped (banding recall floor);
+    * - cross_state_drop: some batch-2 drop has NO even partner and NO
+    *   lower-batch-2 partner — explainable ONLY by batch-1 kept state,
+    *   the driver-visible proof the stream is stateful;
+    * - n_batches = 2 (both partitions committed). */
+  def streamCosineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = embs(s, dir).filter(col("label") <= 3)
+    LlmOps.buildCosineIndex(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_stream_cos_idx", 0.3)
+    s.sql("DROP TABLE IF EXISTS graft_stream_cos_kept")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_stream_cos_kept")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val odds = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val src = ms.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamingOps.dedupCosineIncrementalStream(
+      src, "graft_stream_cos_idx", "graft_stream_cos_kept")
+    try {
+      ms.addData(odds.filter(_._1 % 4 == 1): _*)
+      q.processAllAvailable()
+      ms.addData(odds.filter(_._1 % 4 == 3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.catalog.refreshTable("graft_stream_cos_kept")
+    val kept = s.table("graft_stream_cos_kept")
+      .select(col("vec_id"), col("__batch_id").cast("long").as("bid"))
+    // closed exact audit over the full label<=3 corpus
+    val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
+        blockCol = "__all", salt = 64)
+      .select("i", "j").persist()
+    val undirected = p.select(col("i").as("x"), col("j").as("y"))
+      .union(p.select(col("j").as("x"), col("i").as("y")))
+    // per-odd partner classes (x = the odd vector, y = its partner)
+    val cls = undirected.filter(pmod(col("x"), lit(2)) === 1)
+      .groupBy("x").agg(
+        max((pmod(col("y"), lit(2)) === 0).cast("int")).as("has_even"),
+        max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 1 &&
+          col("y") < col("x")).cast("int")).as("has_lower_b1"),
+        max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 3)
+          .cast("int")).as("has_b1"),
+        max((pmod(col("y"), lit(4)) === 3 && pmod(col("x"), lit(4)) === 3 &&
+          col("y") < col("x")).cast("int")).as("has_lower_b2"))
+    val audit = e.filter(pmod(col("vec_id"), lit(2)) === 1).select(col("vec_id"))
+      .join(kept, Seq("vec_id"), "left_outer")
+      .join(cls.withColumnRenamed("x", "vec_id"), Seq("vec_id"), "left_outer")
+      .na.fill(0, Seq("has_even", "has_lower_b1", "has_b1", "has_lower_b2"))
+      .withColumn("dropped", col("bid").isNull)
+      .withColumn("superset_ok", when(pmod(col("vec_id"), lit(4)) === 1,
+          col("has_even") === 1 || col("has_lower_b1") === 1)
+        .otherwise(col("has_even") === 1 || col("has_b1") === 1 ||
+          col("has_lower_b2") === 1))
+    audit.agg(
+        sum(when(col("has_even") === 1, 1L).otherwise(0L)).as("n_should_seed"),
+        sum(when(col("dropped") && !col("superset_ok"), 1L).otherwise(0L))
+          .as("n_false_drops"),
+        sum(when(col("dropped") && col("has_even") === 1, 1L).otherwise(0L))
+          .as("dropped_seed"),
+        sum(when(col("dropped") && pmod(col("vec_id"), lit(4)) === 3 &&
+          col("has_even") === 0 && col("has_lower_b2") === 0, 1L).otherwise(0L))
+          .as("n_cross"))
+      .crossJoin(kept.agg(countDistinct(col("bid")).as("n_batches")))
+      .select(col("n_should_seed"), col("n_false_drops"),
+        (col("dropped_seed") >= ceil(col("n_should_seed") * 0.9)).as("recall_seed_ok"),
+        (col("n_cross") >= 1L).as("cross_state_drop"),
+        col("n_batches"))
+  }
+
   // Sums of 2-decimal money doubles go through exact integer cents so the
   // result is bit-identical to the DuckDB oracle (double→decimal casts are
   // NOT cross-engine stable: Spark casts via shortest-string repr).
@@ -933,7 +1020,7 @@ object SparkEntry {
     "llm_fuzzy_pairs" -> Q(
       (s, dir) => LlmOps.fuzzyTokenPairs(docs(s, dir), minLen = 4,
         maxVocab = 1000, maxDist = 2).orderBy("tok_a", "tok_b"),
-      Some("""WITH toks AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks WHERE length(w) >= 4 GROUP BY 1), v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 1000) SELECT a.w AS tok_a, b.w AS tok_b, a.cnt AS cnt_a, b.cnt AS cnt_b, CAST(levenshtein(a.w, b.w) AS INT) AS dist FROM v a JOIN v b ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2 AND levenshtein(a.w, b.w) <= 2 ORDER BY tok_a, tok_b""")),
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks WHERE length(w) BETWEEN 4 AND 32 GROUP BY 1), v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 1000) SELECT a.w AS tok_a, b.w AS tok_b, a.cnt AS cnt_a, b.cnt AS cnt_b, CAST(levenshtein(a.w, b.w) AS INT) AS dist FROM v a JOIN v b ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2 AND levenshtein(a.w, b.w) <= 2 ORDER BY tok_a, tok_b""")),
 
     // Asymmetric shingle-containment pairs (r6): Broder's c(A→B) =
     // |S(A)∩S(B)|/|S(A)| — doc-in-doc detection where Jaccard stays
@@ -1346,6 +1433,17 @@ object SparkEntry {
     "tmp_stream_line_dedup" -> Q(
       (s, dir) => streamLineDedupQuery(s, dir),
       Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents WHERE doc_id < 40), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), b1 AS (SELECT * FROM lx WHERE doc_id < 20), own1 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM b1 GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM b1 JOIN own1 USING (line) WHERE doc_id * 1000000 + pos = o), idx1 AS (SELECT DISTINCT line FROM k1), b2 AS (SELECT * FROM lx WHERE doc_id >= 20), f2 AS (SELECT * FROM b2 WHERE line NOT IN (SELECT line FROM idx1)), own2 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM f2 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM f2 JOIN own2 USING (line) WHERE doc_id * 1000000 + pos = o), kept AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text, CAST(CASE WHEN nl.doc_id < 20 THEN 0 ELSE 1 END AS BIGINT) AS batch_id FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+
+    // STATEFUL streaming parity in EMBEDDING space (r6): two
+    // micro-batches of odd-id vectors against an even-id seed cosine
+    // index; batch 1's kept vectors grow the at-rest index, and the
+    // cross_state_drop fact proves batch 2 dropped against that grown
+    // state (no even or lower-batch-2 explanation exists). Facts per
+    // the streamCosineDedupQuery scaladoc; n_should_seed is
+    // DuckDB-recomputed exactly from the closed label<=3 pair set.
+    "tmp_stream_cosine_dedup" -> Q(
+      (s, dir) => streamCosineDedupQuery(s, dir),
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), und AS (SELECT i AS x, j AS y FROM pr UNION ALL SELECT j AS x, i AS y FROM pr), sd AS (SELECT DISTINCT x FROM und WHERE x % 2 = 1 AND y % 2 = 0) SELECT CAST((SELECT COUNT(*) FROM sd) AS BIGINT) AS n_should_seed, CAST(0 AS BIGINT) AS n_false_drops, true AS recall_seed_ok, true AS cross_state_drop, CAST(2 AS BIGINT) AS n_batches""")),
 
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(

@@ -167,13 +167,20 @@ object LlmOps {
     * on ≤ maxVocab rows. The top-maxVocab cut is (freq desc, token) —
     * deterministic, planned as TakeOrderedAndProject. */
   def fuzzyTokenPairs(docs: DataFrame, minLen: Int = 4, maxVocab: Int = 1000,
-                      maxDist: Int = 1,
+                      maxDist: Int = 1, maxLen: Int = 32,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
     require(minLen > maxDist, "minLen must exceed maxDist (deletions must leave chars)")
+    require(maxLen >= minLen, "maxLen must be >= minLen")
+    // maxLen is the variant-fanout guard: depth-2 neighborhoods are
+    // C(L,2) variants per token, so an unbounded pathological "token"
+    // (a pasted URL, a base64 blob) would explode quadratically.
+    // Spelling variants beyond 32 chars are not a real vocabulary
+    // phenomenon — the cap costs nothing semantically and bounds the
+    // explode at C(32,2) ≈ 500 rows/token.
     val vocab = spread(docs)
       .select(explode(split(lower(txt(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) >= minLen)
+      .filter(length(col("w")).between(minLen, maxLen))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(maxVocab)
     // variant set: the token plus every ≤ maxDist-char deletion, deduped

@@ -690,7 +690,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     // (LlmOps.fuzzyTokenPairs)
     case EvaluateOp("fuzzy_token_pairs", mE :: vE :: dE :: textE :: Nil) =>
       graft.ext.LlmOps.fuzzyTokenPairs(df, litLong(mE).toInt, litLong(vE).toInt,
-        litLong(dE).toInt, colNameOf(df, textE, "fuzzy_token_pairs text"))
+        litLong(dE).toInt, textCol = colNameOf(df, textE, "fuzzy_token_pairs text"))
 
     // `evaluate containment_pairs(threshold, w, text, id)`: asymmetric
     // shingle-containment pairs (LlmOps.containmentPairs)

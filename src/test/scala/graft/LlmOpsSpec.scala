@@ -1252,6 +1252,13 @@ class LlmOpsSpec extends AnyFunSuite {
     LlmOps.fuzzyTokenPairs(d, 4, 100, 1).collect().foreach { r =>
       assert(r.getAs[Long]("cnt_a") >= 1L && r.getInt(r.fieldIndex("dist")) <= 1)
     }
+    // maxLen fanout guard: a pathological 100-char "token" (and a
+    // near-identical copy) never enters the vocabulary
+    val blob = "x" * 100
+    val dLong = d.unionByName(Seq((3L, s"$blob ${blob}y")).toDF("doc_id", "text"))
+    val gotLong = LlmOps.fuzzyTokenPairs(dLong, 4, 100, 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!gotLong.exists { case (a, b) => a.length > 32 || b.length > 32 })
     // KQL-reachable
     val kql = graft.kql.Kql.run(spark,
       "documents | evaluate fuzzy_token_pairs(4, 500, 2, text)", TestSpark.sfDir)
