@@ -2658,6 +2658,21 @@ object SparkEntry {
          | sort by tid asc"""),
       Some("""WITH c1 AS (SELECT c_nationkey FROM customer WHERE c_custkey = 1) SELECT 'n' || c_nationkey AS tid, CAST(1 AS BIGINT) AS hops FROM c1 UNION ALL SELECT 'r' || n_regionkey, CAST(2 AS BIGINT) FROM nation JOIN c1 ON n_nationkey = c1.c_nationkey ORDER BY 1""")),
 
+    // PageRank (r6): damped power iteration over the customer→nation→
+    // region edge union, 5 rounds. Every step is integer-micro
+    // arithmetic (contribution = rank div outdeg, update = 0.15 +
+    // (85·Σ) div 100), so the iterative algorithm is VALUE-EXACT
+    // cross-engine — DuckDB replays the 5 unrolled rounds verbatim
+    // (the integer-cents convention applied to an iterative op).
+    "q156_pagerank" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate pagerank(5, src, dst)
+         | sort by id asc"""),
+      Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
+
     // special-math family: Lanczos gamma/loggamma (pure Column
     // arithmetic) + incomplete-beta CDF/inverse; closed-form pins
     "q108_special_math" -> Q(kqlQ(

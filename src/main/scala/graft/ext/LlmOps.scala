@@ -28,7 +28,7 @@ object LlmOps {
   private val trackedPersists =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     df.persist()
     trackedPersists.add(df)
     df

@@ -273,6 +273,56 @@ object GraphOps {
     }: _*)
   }
 
+  /** Distributed PageRank over an edge frame (power iteration,
+    * damping 0.85, init 1.0 per node) — the link-centrality signal
+    * web-corpus curation pipelines use as a document-quality prior.
+    *
+    * Engine-portable INTEGER arithmetic: ranks live as micro-units
+    * (longs); per-edge contribution is floor(rank/outdeg) and the
+    * damped update is 0.15 + floor(85·Σ/100) — every step exact
+    * integer ops, so the result is bit-identical on any engine and the
+    * DuckDB oracle replays the iterations verbatim (the integer-cents
+    * convention applied to an iterative algorithm). Dangling-node mass
+    * leaks (the standard simplified variant — no teleport
+    * redistribution), documented rather than hidden.
+    *
+    * Scale shape: each iteration is ONE equi-join of the edge frame
+    * with the current rank frame plus ONE hash aggregate — no driver
+    * state, no collect; the loop builds a lazily-planned chain (at
+    * true 100 TB scale insert a localCheckpoint every few rounds to
+    * cap lineage, as connectedComponents does). Edges and the node set
+    * are computed once and reused across iterations. */
+  def pageRank(edges: DataFrame, iters: Int, srcCol: String, dstCol: String): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    try {
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val eDeg = e.join(outdeg, "src")
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to iters) {
+        val contrib = eDeg
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      }
+      // hand the final ranks to a TRACKED catalog-visible DataFrame
+      // cache (the connectedComponents handoff convention — released by
+      // LlmOps.releaseCaches / the harness per-query clear), materialize
+      // once under the input persists, then free the internals
+      val out = graft.ext.LlmOps.persistTracked(
+        ranks.select(col("id"), col("r").as("rank_micros"),
+          (col("r").cast("double") / 1000000.0d).as("rank")))
+      out.count()
+      out
+    } finally { e.unpersist(false); nodes.unpersist(false) }
+  }
+
   def graphToTable(ctx: GraphCtx, what: String): DataFrame = what match {
     case "edges" => ctx.edges
     case "nodes" =>

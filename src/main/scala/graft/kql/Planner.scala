@@ -707,6 +707,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         idCol = colNameOf(df, idE, "ann_pq id"),
         vecCol = colNameOf(df, vecE, "ann_pq vector"))
 
+    // `evaluate pagerank(iters, src, dst)`: damped power-iteration
+    // PageRank over the input edge frame, integer-micro arithmetic
+    // (GraphOps.pageRank)
+    case EvaluateOp("pagerank", iE :: srcE :: dstE :: Nil) =>
+      GraphOps.pageRank(df, litLong(iE).toInt,
+        colNameOf(df, srcE, "pagerank src"),
+        colNameOf(df, dstE, "pagerank dst"))
+
     // `evaluate ann_sq8(queryId, k, refine, id, vec)`: scalar-quantized
     // (int8) ANN with exact re-rank (LlmOps.annCosineSq8)
     case EvaluateOp("ann_sq8", qE :: kE :: rE :: idE :: vecE :: Nil) =>

@@ -59,4 +59,36 @@ class GraphPlanSpec extends AnyFunSuite {
     val plan = Kql.run(spark, q, cat).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("pagerank: hand-computed integer-micro rounds, dangling leak, KQL-reachable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A→B, A→C, B→C, C→A; outdeg A=2, B=1, C=1; init 1_000_000 each.
+    // Round 1: sums A=1e6 (from C), B=5e5, C=1.5e6 ⇒ ranks 1_000_000 /
+    // 575_000 / 1_425_000. Round 2: sums A=1_425_000, B=500_000,
+    // C=1_075_000 ⇒ 1_361_250 / 575_000 / 1_063_750.
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("s", "d")
+    val r2 = graft.kql.GraphOps.pageRank(e, 2, "s", "d").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("A" -> 1361250L, "B" -> 575000L, "C" -> 1063750L))
+    graft.ext.LlmOps.releaseCaches()
+    // dangling node: B has no outlinks — its mass leaks (documented
+    // simplified variant); A keeps only the teleport term
+    val dang = graft.kql.GraphOps.pageRank(
+      Seq(("A", "B")).toDF("s", "d"), 1, "s", "d").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dang == Map("A" -> 150000L, "B" -> 1000000L))
+    graft.ext.LlmOps.releaseCaches()
+    // KQL-reachable with the declared output shape
+    val kql = Kql.run(spark,
+      """let E = nation | project src = strcat('n', n_nationkey),
+                                  dst = strcat('r', n_regionkey);
+         E | evaluate pagerank(3, src, dst)""", "/root/testdata/sf0.001")
+    assert(kql.columns.toSeq == Seq("id", "rank_micros", "rank"))
+    // every region's rank exceeds every nation's (nations only donate)
+    val rows = kql.collect().map(r => (r.getString(0), r.getLong(1)))
+    val (regions, nations) = rows.partition(_._1.startsWith("r"))
+    assert(regions.map(_._2).min > nations.map(_._2).max)
+    graft.ext.LlmOps.releaseCaches()
+  }
 }
