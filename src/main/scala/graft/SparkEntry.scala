@@ -2673,6 +2673,21 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // Generic connected components (r6): the CC engine exposed as a
+    // KQL plugin over any edge frame. The customer→nation→region union
+    // partitions into exactly one component per region, so DuckDB
+    // derives the same grouping STRUCTURALLY (each node's region key)
+    // without recursion — value-exact including min-id representatives
+    // and sizes.
+    "q157_graph_components" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate connected_components(src, dst)
+         | sort by id asc"""),
+      Some("""WITH cn AS (SELECT 'c' || c_custkey AS id, n_regionkey AS rk FROM customer JOIN nation ON c_nationkey = n_nationkey), nn AS (SELECT DISTINCT 'n' || n_nationkey AS id, n_regionkey AS rk FROM nation), rr AS (SELECT DISTINCT 'r' || n_regionkey AS id, n_regionkey AS rk FROM nation), allx AS (SELECT id, rk FROM cn UNION ALL SELECT id, rk FROM nn UNION ALL SELECT id, rk FROM rr), grp AS (SELECT rk, MIN(id) AS group_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM allx GROUP BY 1) SELECT a.id, g.group_id, g.group_size FROM allx a JOIN grp g USING (rk) ORDER BY a.id""")),
+
     // special-math family: Lanczos gamma/loggamma (pure Column
     // arithmetic) + incomplete-beta CDF/inverse; closed-form pins
     "q108_special_math" -> Q(kqlQ(

@@ -323,6 +323,34 @@ object GraphOps {
     } finally { e.unpersist(false); nodes.unpersist(false) }
   }
 
+  /** Generic connected components over ANY edge frame — the KQL front
+    * door to the two-phase large-star/small-star engine behind
+    * neardup_groups/cosine_groups ([[graft.ext.LlmOps.connectedComponents]]).
+    * Node ids travel as xxhash64 longs through the RDD loop (the fixed
+    * 8-byte shuffle keys the CC engine wants; collisions ~1e-9 — the
+    * library's hashed-key convention); the canonical representative is
+    * re-derived as the MIN ORIGINAL id string per component, so the
+    * output is hash-free: (id, group_id, group_size). */
+  def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+    val ids = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val pairs = e.select(xxhash64(col("a")).as("i"), xxhash64(col("b")).as("j"))
+      .filter(col("i") =!= col("j")).persist()
+    try {
+      val comp = graft.ext.LlmOps.connectedComponents(pairs)
+      val labeled = ids
+        .join(comp.withColumnRenamed("node", "h"),
+          xxhash64(col("id")) === col("h"), "left")
+        .select(col("id"), coalesce(col("group_id"), xxhash64(col("id"))).as("g"))
+      val reps = labeled.groupBy("g")
+        .agg(min(col("id")).as("group_id"), count(lit(1)).as("group_size"))
+      labeled.join(reps, "g")
+        .select(col("id"), col("group_id"), col("group_size"))
+    } finally pairs.unpersist(false)
+  }
+
   def graphToTable(ctx: GraphCtx, what: String): DataFrame = what match {
     case "edges" => ctx.edges
     case "nodes" =>

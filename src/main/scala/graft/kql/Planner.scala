@@ -707,6 +707,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         idCol = colNameOf(df, idE, "ann_pq id"),
         vecCol = colNameOf(df, vecE, "ann_pq vector"))
 
+    // `evaluate connected_components(src, dst)`: transitive components
+    // over the input edge frame via the two-phase star engine
+    // (GraphOps.components)
+    case EvaluateOp("connected_components", srcE :: dstE :: Nil) =>
+      GraphOps.components(df,
+        colNameOf(df, srcE, "connected_components src"),
+        colNameOf(df, dstE, "connected_components dst"))
+
     // `evaluate pagerank(iters, src, dst)`: damped power-iteration
     // PageRank over the input edge frame, integer-micro arithmetic
     // (GraphOps.pageRank)

@@ -75,6 +75,7 @@ object Suggest {
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "boilerplate_remove", "bpe_pair_counts", "chunk", "containment_pairs",
     "contamination", "cosine_groups", "ngram_counts",
+    "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
     "funnel_sequence", "fuzzy_token_pairs",

@@ -91,4 +91,15 @@ class GraphPlanSpec extends AnyFunSuite {
     assert(regions.map(_._2).min > nations.map(_._2).max)
     graft.ext.LlmOps.releaseCaches()
   }
+
+  test("connected_components plugin: disjoint chains, min-id reps, sizes") {
+    import spark.implicits._
+    // two chains and one self-loop singleton: {a,b,c}, {x,y}, {s}
+    val e = Seq(("b", "a"), ("b", "c"), ("x", "y"), ("s", "s")).toDF("s", "d")
+    val got = graft.kql.GraphOps.components(e, "s", "d").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("s", "s", 1L), ("x", "x", 2L), ("y", "x", 2L)))
+    graft.ext.LlmOps.releaseCaches()
+  }
 }
