@@ -2673,6 +2673,17 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // Cohort retention (r6): the documented new_activity_metrics
+    // plugin — users cohorted by first-seen day; every (cohort,
+    // activity-day) pair reports retained/churned counts. Rates in
+    // exact integer micros (the pagerank convention — a retained/new
+    // ratio of small counts can land on a ROUND half-way boundary).
+    "q158_new_activity" -> Q(kqlQ(
+      """events
+        | evaluate new_activity_metrics(user_id, ts, 1d)
+        | sort by from_ts asc, to_ts asc"""),
+      Some("""WITH act AS (SELECT DISTINCT user_id AS id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS b FROM events), co AS (SELECT id, MIN(b) AS f FROM act GROUP BY 1), cs AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS dcount_new_values FROM co GROUP BY 1), rt AS (SELECT co.f, act.b, CAST(COUNT(*) AS BIGINT) AS dcount_retained_values FROM co JOIN act USING (id) GROUP BY 1, 2) SELECT make_timestamp(rt.f) AS from_ts, make_timestamp(rt.b) AS to_ts, dcount_new_values, dcount_retained_values, dcount_new_values - dcount_retained_values AS dcount_churn_values, CAST((dcount_retained_values * 1000000) // dcount_new_values AS BIGINT) AS retention_rate_micros, CAST((dcount_retained_values * 1000000) // dcount_new_values AS DOUBLE) / 1000000.0 AS retention_rate FROM rt JOIN cs USING (f) ORDER BY 1, 2""")),
+
     // Generic connected components (r6): the CC engine exposed as a
     // KQL plugin over any edge frame. The customer→nation→region union
     // partitions into exactly one component per region, so DuckDB

@@ -153,6 +153,49 @@ object ActivityOps {
         col("dcount"), col("new_dcount"), col("aggregated_dcount"))
   }
 
+  /** KQL `evaluate new_activity_metrics(id, timeline, step)` — cohort
+    * retention/churn: users are COHORTED by their first-seen bin; for
+    * every (from = cohort bin, to ≥ from) pair with activity, how many
+    * of the cohort's new users were active in `to` (retained) vs not
+    * (churned). The from == to row is the cohort itself (retention
+    * 100%). Bins are epoch-aligned step multiples.
+    *
+    * Rates ship as EXACT integer micros — (retained·10⁶) div cohort —
+    * plus the double view micros/10⁶ (identical IEEE division on any
+    * engine): the pagerank convention, because a rounded ratio of two
+    * small counts can land on a ROUND(x,4) half-way boundary where
+    * engines disagree in the last digit.
+    *
+    * Shape: one distinct (user, bin) projection, one min aggregate
+    * (the cohort), one hash join back on user id, one (from, to)
+    * aggregate — all shuffle-based hash ops keyed on user/bin; output
+    * is ≤ bins² rows (grid-sized, not data-sized). */
+  def newActivityMetrics(df: DataFrame, idCol: String, tsCol: String,
+                         binUs: Long): DataFrame = {
+    require(binUs > 0, "step must be > 0")
+    val us = unix_micros(col(tsCol))
+    val act = df.select(col(idCol).as("__id"),
+      (us - pmod(us, lit(binUs))).as("__b")).distinct()
+    val cohort = act.groupBy("__id").agg(min(col("__b")).as("__from"))
+    val cohortSize = cohort.groupBy("__from")
+      .agg(count(lit(1)).as("dcount_new_values"))
+    cohort.join(act, "__id")
+      .groupBy(col("__from"), col("__b"))
+      .agg(count(lit(1)).as("dcount_retained_values"))
+      .join(cohortSize, "__from")
+      .select(
+        timestamp_micros(col("__from")).as(s"from_$tsCol"),
+        timestamp_micros(col("__b")).as(s"to_$tsCol"),
+        col("dcount_new_values"),
+        col("dcount_retained_values"),
+        (col("dcount_new_values") - col("dcount_retained_values"))
+          .as("dcount_churn_values"),
+        expr("(dcount_retained_values * 1000000L) div dcount_new_values")
+          .as("retention_rate_micros"))
+      .withColumn("retention_rate",
+        col("retention_rate_micros").cast("double") / 1000000.0d)
+  }
+
   /** KQL `evaluate session_count(id, timeline, start, stop, bin,
     * lookback)`: for every grid bin b in [start, stop] step bin, the
     * number of distinct ids with activity in (b − lookback, b] — an id's

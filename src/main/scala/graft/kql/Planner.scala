@@ -630,6 +630,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "activity_counts_metrics timeline"),
         tsLitUs(startE), tsLitUs(stopE), timespanUs(binE))
 
+    // `evaluate new_activity_metrics(id, timeline, step)`: cohort
+    // retention/churn per (first-seen bin, activity bin) pair
+    // (ActivityOps.newActivityMetrics)
+    case EvaluateOp("new_activity_metrics", idE :: tsE :: binE :: Nil) =>
+      graft.ext.ActivityOps.newActivityMetrics(df,
+        colNameOf(df, idE, "new_activity_metrics id"),
+        colNameOf(df, tsE, "new_activity_metrics timeline"),
+        timespanUs(binE))
+
     case EvaluateOp("session_count", idE :: tsE :: startE :: stopE :: binE :: lookE :: Nil) =>
       graft.ext.ActivityOps.sessionCount(df,
         colNameOf(df, idE, "session_count id"),

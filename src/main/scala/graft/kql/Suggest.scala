@@ -81,8 +81,8 @@ object Suggest {
     "funnel_sequence", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
-    "neardup_groups", "neardup_minhash", "pack_sequences", "pagerank",
-    "pii_scrub",
+    "neardup_groups", "neardup_minhash", "new_activity_metrics",
+    "pack_sequences", "pagerank", "pii_scrub",
     "pivot", "preview", "quality_filter", "quality_score",
     "repetition_score", "rolling_percentile", "rows_near", "semdedup",
     "sequence_detect", "session_count", "simhash", "simhash_pairs",

@@ -1126,6 +1126,31 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
   }
 
+  test("new_activity_metrics: cohort retention with exact micro rates") {
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 01:00:00), 'a',
+           datetime(2024-01-01 02:00:00), 'b',
+           datetime(2024-01-01 03:00:00), 'c',
+           datetime(2024-01-02 01:00:00), 'a',
+           datetime(2024-01-02 02:00:00), 'd',
+           datetime(2024-01-03 01:00:00), 'a',
+           datetime(2024-01-03 02:00:00), 'd']
+         | evaluate new_activity_metrics(u, ts, 1d)
+         | sort by from_ts asc, to_ts asc""")
+    // cohort d1 = {a,b,c}: d1 3/3 retained, d2 1/3 (a), d3 1/3 (a);
+    // cohort d2 = {d}: d2 1/1, d3 1/1
+    val got = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got == Seq(
+      (3L, 3L, 0L, 1000000L),   // d1 → d1
+      (3L, 1L, 2L, 333333L),    // d1 → d2 (floor micro division)
+      (3L, 1L, 2L, 333333L),    // d1 → d3
+      (1L, 1L, 0L, 1000000L),   // d2 → d2
+      (1L, 1L, 0L, 1000000L)))  // d2 → d3
+    // the double view is micros/1e6 exactly
+    assert(rows.map(_.getDouble(6)) == got.map(_._4 / 1000000.0))
+  }
+
   private val graphEdges =
     """datatable(src:string, dst:string, w:long) [
          'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 5, 'c', 'd', 1]"""
