@@ -2673,6 +2673,18 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // Window-over-window retention (r6): the documented
+    // activity_metrics plugin — per bin: dcount, new, retained from
+    // the previous bin, retention rate in exact integer micros; the
+    // first bin's rate is null (no previous window). KQL asc sort is
+    // nulls-first on both engines here because only the first bin is
+    // null-rated and it sorts first by ts anyway.
+    "q159_activity_metrics" -> Q(kqlQ(
+      """events
+        | evaluate activity_metrics(user_id, ts, 1d)
+        | sort by ts asc"""),
+      Some("""WITH act AS (SELECT DISTINCT user_id AS id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS b FROM events), per AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS dcount_values FROM act GROUP BY 1), fi AS (SELECT id, MIN(b) AS b FROM act GROUP BY 1), nw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS dcount_new_values FROM fi GROUP BY 1), rt AS (SELECT c.b, CAST(COUNT(*) AS BIGINT) AS retained FROM act p JOIN act c ON p.id = c.id AND p.b + 86400000000 = c.b GROUP BY 1), pv AS (SELECT b + 86400000000 AS b, dcount_values AS prev FROM per) SELECT make_timestamp(per.b) AS ts, dcount_values, COALESCE(dcount_new_values, 0) AS dcount_new_values, CASE WHEN prev IS NOT NULL THEN COALESCE(retained, 0) ELSE NULL END AS dcount_retained_values, CAST((COALESCE(retained, 0) * 1000000) // prev AS BIGINT) AS retention_rate_micros, CAST(CAST((COALESCE(retained, 0) * 1000000) // prev AS BIGINT) AS DOUBLE) / 1000000.0 AS retention_rate FROM per LEFT JOIN nw USING (b) LEFT JOIN rt USING (b) LEFT JOIN pv USING (b) ORDER BY 1""")),
+
     // Cohort retention (r6): the documented new_activity_metrics
     // plugin — users cohorted by first-seen day; every (cohort,
     // activity-day) pair reports retained/churned counts. Rates in

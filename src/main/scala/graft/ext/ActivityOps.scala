@@ -196,6 +196,54 @@ object ActivityOps {
         col("retention_rate_micros").cast("double") / 1000000.0d)
   }
 
+  /** KQL `evaluate activity_metrics(id, timeline, step)` — per-bin
+    * activity with window-over-window retention (the non-cohort
+    * sibling of [[newActivityMetrics]]): for each bin b, distinct
+    * actors, NEW actors (first appearance), actors retained FROM the
+    * previous bin (active in both b−step and b), and the retention
+    * rate retained/|active(b−step)| — churn is its complement. Rates
+    * in exact integer micros (same convention as newActivityMetrics);
+    * bins with no previous-bin activity report null rates.
+    *
+    * Shape: one distinct (id, bin) projection feeding (a) a per-bin
+    * count, (b) a first-seen aggregate, (c) ONE self-equi-join on
+    * (id, bin = bin + step) for the retained counts — all hash ops on
+    * (id, bin) keys, output grid-sized. */
+  def activityMetrics(df: DataFrame, idCol: String, tsCol: String,
+                      binUs: Long): DataFrame = {
+    require(binUs > 0, "step must be > 0")
+    val us = unix_micros(col(tsCol))
+    val act = df.select(col(idCol).as("__id"),
+      (us - pmod(us, lit(binUs))).as("__b")).distinct()
+    val perBin = act.groupBy("__b").agg(count(lit(1)).as("dcount_values"))
+    val firsts = act.groupBy("__id").agg(min(col("__b")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("dcount_new_values"))
+    val retained = act.as("p")
+      .join(act.as("c"), col("p.__id") === col("c.__id") &&
+        col("p.__b") + binUs === col("c.__b"))
+      .groupBy(col("c.__b").as("__b"))
+      .agg(count(lit(1)).as("dcount_retained_values"))
+    val prev = perBin.select((col("__b") + binUs).as("__b"),
+      col("dcount_values").as("__prev_dcount"))
+    perBin
+      .join(firsts, Seq("__b"), "left_outer")
+      .join(retained, Seq("__b"), "left_outer")
+      .join(prev, Seq("__b"), "left_outer")
+      .select(
+        timestamp_micros(col("__b")).as(tsCol),
+        col("dcount_values"),
+        coalesce(col("dcount_new_values"), lit(0L)).as("dcount_new_values"),
+        when(col("__prev_dcount").isNotNull,
+          coalesce(col("dcount_retained_values"), lit(0L)))
+          .as("dcount_retained_values"),
+        col("__prev_dcount"))
+      .withColumn("retention_rate_micros",
+        expr("(coalesce(dcount_retained_values, 0L) * 1000000L) div __prev_dcount"))
+      .withColumn("retention_rate",
+        col("retention_rate_micros").cast("double") / 1000000.0d)
+      .drop("__prev_dcount")
+  }
+
   /** KQL `evaluate session_count(id, timeline, start, stop, bin,
     * lookback)`: for every grid bin b in [start, stop] step bin, the
     * number of distinct ids with activity in (b − lookback, b] — an id's

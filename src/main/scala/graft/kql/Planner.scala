@@ -630,6 +630,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tsE, "activity_counts_metrics timeline"),
         tsLitUs(startE), tsLitUs(stopE), timespanUs(binE))
 
+    // `evaluate activity_metrics(id, timeline, step)`: per-bin dcount /
+    // new / retained-from-previous-bin with exact micro rates
+    // (ActivityOps.activityMetrics)
+    case EvaluateOp("activity_metrics", idE :: tsE :: binE :: Nil) =>
+      graft.ext.ActivityOps.activityMetrics(df,
+        colNameOf(df, idE, "activity_metrics id"),
+        colNameOf(df, tsE, "activity_metrics timeline"),
+        timespanUs(binE))
+
     // `evaluate new_activity_metrics(id, timeline, step)`: cohort
     // retention/churn per (first-seen bin, activity bin) pair
     // (ActivityOps.newActivityMetrics)

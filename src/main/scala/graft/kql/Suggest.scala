@@ -72,6 +72,7 @@ object Suggest {
     * cases) — for the unsupported-plugin error. */
   val plugins: Seq[String] = Seq(
     "active_users_count", "activity_counts_metrics", "activity_engagement",
+    "activity_metrics",
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "boilerplate_remove", "bpe_pair_counts", "chunk", "containment_pairs",
     "contamination", "cosine_groups", "ngram_counts",

@@ -1151,6 +1151,29 @@ class PlannerSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(6)) == got.map(_._4 / 1000000.0))
   }
 
+  test("activity_metrics: window-over-window retention, null rate on first bin") {
+    val rows = run(
+      """datatable(ts:datetime, u:string) [
+           datetime(2024-01-01 01:00:00), 'a',
+           datetime(2024-01-01 02:00:00), 'b',
+           datetime(2024-01-01 03:00:00), 'c',
+           datetime(2024-01-02 01:00:00), 'a',
+           datetime(2024-01-02 02:00:00), 'd',
+           datetime(2024-01-03 01:00:00), 'a',
+           datetime(2024-01-03 02:00:00), 'd']
+         | evaluate activity_metrics(u, ts, 1d)
+         | sort by ts asc""")
+    // (dcount, new, retained, rate_micros): d1 has no previous bin ⇒
+    // null retained/rate; d2 retains {a} of 3; d3 retains {a,d} of 2
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = rows.map(r => (r.getLong(1), r.getLong(2), optL(r, 3), optL(r, 4)))
+    assert(got == Seq(
+      (3L, 3L, None, None),
+      (2L, 1L, Some(1L), Some(333333L)),
+      (2L, 0L, Some(2L), Some(1000000L))))
+  }
+
   private val graphEdges =
     """datatable(src:string, dst:string, w:long) [
          'a', 'b', 1, 'b', 'c', 2, 'a', 'c', 5, 'c', 'd', 1]"""
