@@ -657,6 +657,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case EvaluateOp("autocluster", pctE :: colEs) if colEs.nonEmpty =>
       cubeSegments(df, colEs, litDouble(pctE), "autocluster column")
 
+    // simplified KQL diffpatterns: attribute segments whose share
+    // DIFFERS between the A and B splits of the data (incident
+    // investigation — "what changed?"); same cube lattice as
+    // autocluster/basket, split counted map-side as two conditional
+    // sums, difference threshold in percentage points
+    case EvaluateOp("diffpatterns", splitE :: aE :: bE :: dE :: colEs) if colEs.nonEmpty =>
+      diffPatterns(df, splitE, litString(aE, "diffpatterns A value"),
+        litString(bE, "diffpatterns B value"), litDouble(dE), colEs)
+
     // simplified KQL basket: frequent attribute segments over the same
     // cube lattice, support threshold as a ratio (default 0.05)
     case EvaluateOp("basket", args) if args.nonEmpty =>
@@ -1572,6 +1581,42 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       .withColumn("percent", round(col("count_") * 100.0 / col("__total"), 2))
       .filter(col("percent") >= minPct)
       .select((col("count_") +: col("percent") +: names.map(col)): _*)
+  }
+
+  /** `evaluate diffpatterns(split, 'A', 'B', minDiffPct, cols...)`:
+    * cube segments (conjunctions of column=value, null = wildcard)
+    * whose SHARE of the A rows differs from their share of the B rows
+    * by ≥ minDiffPct percentage points. Same single-aggregate shape as
+    * [[cubeSegments]] — the split membership is two conditional sums
+    * computed map-side inside the cube, and both denominators come from
+    * the cube's own all-wildcard row. The documented Kusto plugin mines
+    * the same segment space with a proprietary significance heuristic;
+    * this engine uses the transparent share-difference criterion (the
+    * autocluster/basket simplification convention). */
+  private def diffPatterns(df: DataFrame, splitE: Expr, aVal: String,
+                           bVal: String, minDiffPct: Double,
+                           colEs: List[Expr]): DataFrame = {
+    val splitName = colNameOf(df, splitE, "diffpatterns split column")
+    val names = colEs.map(colNameOf(df, _, "diffpatterns column"))
+    val flagged = df
+      .withColumn("__inA", when(col(splitName) === aVal, 1L).otherwise(0L))
+      .withColumn("__inB", when(col(splitName) === bVal, 1L).otherwise(0L))
+    val cubed = flagged.cube(names.map(col): _*)
+      .agg(sum(col("__inA")).as("count_a"), sum(col("__inB")).as("count_b"),
+        grouping_id().as("__g"))
+    val totalRow = cubed.filter(col("__g") === (1L << names.length) - 1)
+      .select(col("count_a").cast("double").as("__ta"),
+        col("count_b").cast("double").as("__tb"))
+    cubed.filter(col("__g") < (1L << names.length) - 1).drop("__g")
+      .crossJoin(broadcast(totalRow))
+      .withColumn("percent_a", round(col("count_a") * 100.0 / col("__ta"), 2))
+      .withColumn("percent_b", round(col("count_b") * 100.0 / col("__tb"), 2))
+      .withColumn("percent_diff",
+        round(abs(col("count_a") * 100.0 / col("__ta") -
+          col("count_b") * 100.0 / col("__tb")), 2))
+      .filter(col("percent_diff") >= minDiffPct)
+      .select((col("count_a") +: col("count_b") +: col("percent_a") +:
+        col("percent_b") +: col("percent_diff") +: names.map(col)): _*)
   }
 
   private def orderExpr(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc

@@ -78,6 +78,7 @@ object Suggest {
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
+    "diffpatterns",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
     "funnel_sequence", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",

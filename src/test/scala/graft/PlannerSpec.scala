@@ -1126,6 +1126,23 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
   }
 
+  test("diffpatterns: segments whose share differs between the A and B splits") {
+    val rows = run(
+      """datatable(s:string, x:string) [
+           'A', 'p', 'A', 'p', 'A', 'p', 'A', 'q',
+           'B', 'p', 'B', 'q', 'B', 'q', 'B', 'q']
+         | evaluate diffpatterns(s, 'A', 'B', 10.0, x)
+         | sort by x asc""")
+    // x=p: 3/4 of A vs 1/4 of B (diff 50); x=q mirrors it
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getString(5))) ==
+      Seq((3L, 1L, 75.0, 25.0, 50.0, "p"), (1L, 3L, 25.0, 75.0, 50.0, "q")))
+    // a 100-point threshold filters everything
+    assert(run(
+      """datatable(s:string, x:string) ['A', 'p', 'B', 'p']
+         | evaluate diffpatterns(s, 'A', 'B', 100.0, x)""").isEmpty)
+  }
+
   test("new_activity_metrics: cohort retention with exact micro rates") {
     val rows = run(
       """datatable(ts:datetime, u:string) [
