@@ -2673,6 +2673,17 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // Funnel completion (r6): per (start-day, step) — users whose
+    // earliest signup→click→purchase chain reached the step within 7
+    // days of the start; zero-filled grid. Earliest-chain semantics
+    // documented in TemporalOps.funnelCompletion.
+    "q161_funnel_completion" -> Q(kqlQ(
+      """events
+        | evaluate funnel_sequence_completion(user_id, ts, event_type, 1d, 7d,
+            'signup', 'click', 'purchase')
+        | sort by period asc, step_idx asc"""),
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1), s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1), s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1), f AS (SELECT s1.user_id, epoch_us(t1) AS u1, epoch_us(t2) AS u2, epoch_us(t3) AS u3 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)), b AS (SELECT *, u1 - u1 % 86400000000 AS bin FROM f), grid AS (SELECT d.bin, s.i, s.st FROM (SELECT DISTINCT bin FROM b) d, (VALUES (CAST(0 AS BIGINT), 'signup'), (1, 'click'), (2, 'purchase')) s(i, st)), c1 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1), c2 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b WHERE u2 IS NOT NULL AND u2 - u1 <= 604800000000 GROUP BY 1), c3 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b WHERE u3 IS NOT NULL AND u3 - u1 <= 604800000000 GROUP BY 1) SELECT make_timestamp(g.bin) AS period, g.i AS step_idx, g.st AS step, COALESCE(CASE g.i WHEN 0 THEN c1.n WHEN 1 THEN c2.n ELSE c3.n END, 0) AS dcount FROM grid g LEFT JOIN c1 ON g.bin = c1.bin LEFT JOIN c2 ON g.bin = c2.bin LEFT JOIN c3 ON g.bin = c3.bin ORDER BY 1, 2""")),
+
     // diffpatterns (r6): which sources are over-represented in English
     // vs Spanish documents — the incident-investigation "what changed"
     // plugin on the autocluster cube lattice, share-difference

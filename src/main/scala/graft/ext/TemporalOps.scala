@@ -55,6 +55,39 @@ object TemporalOps {
       doneCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _).cast("long"))
   }
 
+  /** KQL `evaluate funnel_sequence_completion(id, timeline, type, bin,
+    * window, steps...)` (simplified): per period bin of the funnel
+    * START t₁ and per step, how many ids' EARLIEST funnel chain
+    * ([[funnel]]'s recurrence) reached the step within `windowUs` of
+    * t₁. Earliest-chain semantics are inherited — a later chain that
+    * fits the window when the earliest does not is NOT counted (the
+    * documented transparent simplification, same convention class as
+    * diffpatterns vs Kusto's heuristic). Output is the zero-filled
+    * (start-bin × step) grid — grid-sized, not data-sized.
+    * `ts` must be an epoch-µs long column (callers convert datetimes
+    * via unix_micros — the [[funnel]] usage convention). */
+  def funnelCompletion(df: DataFrame, key: String, ts: String,
+                       binUs: Long, windowUs: Long,
+                       steps: Seq[(String, Column)]): DataFrame = {
+    require(binUs > 0 && windowUs > 0, "bin and window must be > 0")
+    val f = funnel(df, key, ts, steps)
+    val names = steps.map(_._1)
+    val t1 = col(s"t_${names.head}")
+    val withBin = f.withColumn("__bin", t1 - pmod(t1, lit(binUs)))
+    val counts = names.map { n =>
+      withBin.filter(col(s"t_$n").isNotNull && col(s"t_$n") - t1 <= windowUs)
+        .groupBy(col("__bin")).agg(count(lit(1)).as("dcount"))
+        .withColumn("step", lit(n))
+    }.reduce(_ unionByName _)
+    val grid = withBin.select(col("__bin")).distinct()
+      .select(col("__bin"),
+        posexplode(array(names.map(lit): _*)).as(Seq("step_idx", "step")))
+    grid.join(counts, Seq("__bin", "step"), "left_outer")
+      .select(timestamp_micros(col("__bin")).as("period"),
+        col("step_idx").cast("long").as("step_idx"), col("step"),
+        coalesce(col("dcount"), lit(0L)).as("dcount"))
+  }
+
   /** KQL `evaluate sequence_detect`-style ordered sequence search: all
     * step-1 occurrences per key, extended greedily — step k completes at
     * the EARLIEST matching event in (t_{k−1}, t_{k−1} + stepWindow]

@@ -298,9 +298,12 @@ object GraphOps {
       col(dstCol).cast("string").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // persisted: the degree-joined edge frame is read once per
+    // iteration — without the persist the e⋈outdeg join re-runs
+    // `iters` times inside the one final DAG
+    val eDeg = e.join(outdeg, "src").persist()
     try {
-      val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val eDeg = e.join(outdeg, "src")
       var ranks = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to iters) {
         val contrib = eDeg
@@ -320,7 +323,9 @@ object GraphOps {
           (col("r").cast("double") / 1000000.0d).as("rank")))
       out.count()
       out
-    } finally { e.unpersist(false); nodes.unpersist(false) }
+    } finally {
+      eDeg.unpersist(false); e.unpersist(false); nodes.unpersist(false)
+    }
   }
 
   /** Generic connected components over ANY edge frame — the KQL front

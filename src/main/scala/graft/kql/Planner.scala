@@ -1038,6 +1038,22 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.TemporalOps.funnel(df, colNameOf(df, idE, "funnel id"),
         colNameOf(df, tsE, "funnel timeline"), steps)
 
+    // `evaluate funnel_sequence_completion(id, timeline, type, bin,
+    // window, 's1', 's2', ...)`: per (start bin, step) — ids whose
+    // earliest funnel chain reached the step within the window
+    // (TemporalOps.funnelCompletion)
+    case EvaluateOp("funnel_sequence_completion",
+        idE :: tsE :: typeE :: binE :: winE :: stepEs) if stepEs.nonEmpty =>
+      val typeName = colNameOf(df, typeE, "funnel type")
+      val steps = stepEs.map { e =>
+        val s = litString(e, "funnel step"); s -> (col(typeName) === s)
+      }
+      val tsName = colNameOf(df, tsE, "funnel timeline")
+      graft.ext.TemporalOps.funnelCompletion(
+        df.withColumn("__fc_us", unix_micros(col(tsName))),
+        colNameOf(df, idE, "funnel id"), "__fc_us",
+        timespanUs(binE), timespanUs(winE), steps)
+
     // `evaluate sequence_detect(ts, stepWindow, span, pred1, pred2, ...,
     // keyCol)`: every step-1 occurrence, greedily extended within the
     // step window, whole chain within the span (see TemporalOps)

@@ -80,7 +80,7 @@ object Suggest {
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "diffpatterns",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
-    "funnel_sequence", "fuzzy_token_pairs",
+    "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
     "neardup_groups", "neardup_minhash", "new_activity_metrics",

@@ -1126,6 +1126,27 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
   }
 
+  test("funnel_sequence_completion: per-start-bin step counts within the window") {
+    val rows = run(
+      """datatable(ts:datetime, u:string, et:string) [
+           datetime(2024-01-01 00:30:00), 'u1', 'signup',
+           datetime(2024-01-01 01:00:00), 'u1', 'click',
+           datetime(2024-01-09 01:00:00), 'u1', 'purchase',
+           datetime(2024-01-01 02:00:00), 'u2', 'signup',
+           datetime(2024-01-02 02:00:00), 'u2', 'click',
+           datetime(2024-01-02 03:00:00), 'u3', 'signup',
+           datetime(2024-01-02 04:00:00), 'u3', 'purchase']
+         | evaluate funnel_sequence_completion(u, ts, et, 1d, 7d,
+             'signup', 'click', 'purchase')
+         | sort by period asc, step_idx asc""")
+    // day-1 starts {u1,u2}: both click within 7d; u1's purchase is 8d+
+    // out (earliest-chain window miss). day-2 start {u3}: purchase
+    // without a click never completes the chain.
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getLong(3))) == Seq(
+      (0L, "signup", 2L), (1L, "click", 2L), (2L, "purchase", 0L),
+      (0L, "signup", 1L), (1L, "click", 0L), (2L, "purchase", 0L)))
+  }
+
   test("diffpatterns: segments whose share differs between the A and B splits") {
     val rows = run(
       """datatable(s:string, x:string) [
