@@ -323,4 +323,63 @@ class KqlPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzzyTokenPairs ≡ brute-force lev<=d over random vocabularies (losslessness)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random words over a 3-letter alphabet concentrate edit-neighbors,
+    // exercising substitution/insert/delete collisions hard
+    val word = Gen.chooseNum(4, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.listOfN(30, word)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for ((words, k) <- samples(gen, 5).zipWithIndex; maxDist <- Seq(1, 2)) {
+      val docs = Seq((k.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ext.LlmOps.fuzzyTokenPairs(docs, minLen = 4,
+        maxVocab = 1000, maxDist = maxDist).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val vocab = words.distinct.filter(_.length >= 4)
+      val want = (for {
+        a <- vocab; b <- vocab if a < b && lev(a, b) <= maxDist
+      } yield (a, b)).toSet
+      assert(got == want, s"case $k maxDist=$maxDist")
+    }
+  }
+
+  test("containmentPairs ≡ brute-force shingle containment on random corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+    val gen = Gen.listOfN(6, doc)
+    for ((ds, k) <- samples(gen, 5).zipWithIndex) {
+      val docs = ds.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.LlmOps.containmentPairs(docs, threshold = 0.3, w = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("cont_ij"), r.getAs[Double]("cont_ji"))).toSet
+      def sh(ws: Seq[String]): Set[Seq[String]] =
+        if (ws.length < 3) Set.empty else ws.sliding(3).map(_.toSeq).toSet
+      val want = (for {
+        i <- ds.indices; j <- ds.indices if i < j
+        si = sh(ds(i)); sj = sh(ds(j))
+        inter = si.intersect(sj).size if inter > 0
+        cij = BigDecimal(inter.toDouble / si.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cji = BigDecimal(inter.toDouble / sj.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cij >= 0.3 || cji >= 0.3
+      } yield (i.toLong, j.toLong, cij, cji)).toSet
+      assert(got == want, s"case $k")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
 }

@@ -1126,6 +1126,24 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
   }
 
+  test("r6 plugin plan shapes: top-k ANN, single-cube diffpatterns, no cartesians") {
+    def plan(q: String): String =
+      graft.kql.Kql.run(spark, q, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+    // SQ8 ANN: candidate selection is distributed top-k, never a sort
+    val sq8 = plan("embeddings | evaluate ann_sq8(0, 5, 4, vec_id, embedding)")
+    assert(sq8.contains("TakeOrderedAndProject"))
+    assert(!sq8.contains("CartesianProduct"))
+    // diffpatterns: ONE cube aggregate (Expand) + a 1-row broadcast for
+    // the totals — no cartesian, no second scan-side aggregate pass
+    val dp = plan("documents | evaluate diffpatterns(lang, 'en', 'es', 0.5, source)")
+    assert(dp.contains("Expand") && !dp.contains("CartesianProduct"))
+    // retention plugins: equi-joins only
+    val am = plan("events | evaluate activity_metrics(user_id, ts, 1d)")
+    val nam = plan("events | evaluate new_activity_metrics(user_id, ts, 1d)")
+    assert(!am.contains("CartesianProduct") && !nam.contains("CartesianProduct"))
+  }
+
   test("funnel_sequence_completion: per-start-bin step counts within the window") {
     val rows = run(
       """datatable(ts:datetime, u:string, et:string) [
