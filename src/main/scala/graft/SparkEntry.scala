@@ -1032,6 +1032,29 @@ object SparkEntry {
         w = 5).orderBy("i", "j"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t WHERE len(toks) >= 5), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s FROM ix), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), pr AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT i, j, inter, sa.n AS n_i, sb.n AS n_j, ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS cont_ij, ROUND(CAST(inter AS DOUBLE) / sb.n, 4) AS cont_ji FROM pr JOIN sz sa ON pr.i = sa.doc_id JOIN sz sb ON pr.j = sb.doc_id WHERE ROUND(CAST(inter AS DOUBLE) / sa.n, 4) >= 0.4 OR ROUND(CAST(inter AS DOUBLE) / sb.n, 4) >= 0.4 ORDER BY i, j""")),
 
+    // Magic-bytes media-type sniffing (r6): synthetic payloads get one
+    // of 7 published container signatures (or none) by doc_id; the
+    // sniff is pure hex-prefix Column matching — value-exact, both
+    // engines build and classify the identical byte streams.
+    "llm_media_sniff" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(8))
+        val d = docs(s, dir).withColumn("payload", concat(
+          when(m === 0, unhex(lit("89504E470D0A1A0A")))
+            .when(m === 1, unhex(lit("FFD8FFE000104A46")))
+            .when(m === 2, unhex(lit("474946383961")))
+            .when(m === 3, unhex(lit("000000186674797069736F6D")))
+            .when(m === 4, unhex(lit("524946462400000057415645")))
+            .when(m === 5, unhex(lit("255044462D312E34")))
+            .when(m === 6, unhex(lit("1F8B0800")))
+            .otherwise(unhex(lit(""))),
+          encode(col("text"), "UTF-8")))
+        LlmOps.sniffMediaType(d, "payload")
+          .groupBy("media_type").agg(count(lit(1)).as("n"))
+          .orderBy("media_type")
+      },
+      Some("""WITH p AS (SELECT doc_id, (CASE doc_id % 8 WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE000104A46') WHEN 2 THEN unhex('474946383961') WHEN 3 THEN unhex('000000186674797069736F6D') WHEN 4 THEN unhex('524946462400000057415645') WHEN 5 THEN unhex('255044462D312E34') WHEN 6 THEN unhex('1F8B0800') ELSE unhex('') END) || CAST(text AS BLOB) AS payload FROM documents), s AS (SELECT doc_id, upper(hex(payload)) AS h FROM p), t AS (SELECT CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'image/png' WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg' WHEN substring(h, 1, 12) IN ('474946383761', '474946383961') THEN 'image/gif' WHEN substring(h, 1, 8) = '25504446' THEN 'application/pdf' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645' THEN 'audio/wav' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57454250' THEN 'image/webp' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '41564920' THEN 'video/avi' WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4' WHEN substring(h, 1, 8) = '504B0304' THEN 'application/zip' WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip' ELSE 'application/octet-stream' END AS media_type FROM s) SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 ORDER BY 1""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

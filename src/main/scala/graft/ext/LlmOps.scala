@@ -2666,6 +2666,34 @@ object LlmOps {
     df.withColumn("media_size", length(col(binCol)).cast("long"))
       .withColumn("media_hash", xxhash64(col(binCol)))
 
+  /** Magic-bytes media-type sniffing — the REAL (non-stub) half of the
+    * multimodal surface: container formats are identified by their
+    * published signatures, so a 100 TB crawl partitions by media type
+    * before any decoder runs (route images to the image pipeline, drop
+    * executables, quarantine archives). Pure `Column` prefix matching
+    * over the payload's hex — whole-stage codegen, no UDF; RIFF and MP4
+    * containers check their inner format tag (bytes 9–12 / 5–8). Null
+    * payloads sniff null; unknown bytes fall through to
+    * application/octet-stream. */
+  def sniffMediaType(df: DataFrame, binCol: String,
+                     out: String = "media_type"): DataFrame = {
+    val h = upper(hex(col(binCol)))
+    def pre(n: Int) = substring(h, 1, n)
+    df.withColumn(out,
+      when(col(binCol).isNull, lit(null).cast("string"))
+        .when(pre(8) === "89504E47", "image/png")
+        .when(pre(6) === "FFD8FF", "image/jpeg")
+        .when(pre(12) === "474946383761" || pre(12) === "474946383961", "image/gif")
+        .when(pre(8) === "25504446", "application/pdf")
+        .when(pre(8) === "52494646" && substring(h, 17, 8) === "57415645", "audio/wav")
+        .when(pre(8) === "52494646" && substring(h, 17, 8) === "57454250", "image/webp")
+        .when(pre(8) === "52494646" && substring(h, 17, 8) === "41564920", "video/avi")
+        .when(substring(h, 9, 8) === "66747970", "video/mp4")
+        .when(pre(8) === "504B0304", "application/zip")
+        .when(pre(4) === "1F8B", "application/gzip")
+        .otherwise("application/octet-stream"))
+  }
+
   /** STUB feature extraction: 8-dim pseudo-embedding from payload hash —
     * stands in for a real decoder (mapInPandas/ONNX in production). */
   def stubDecodeFeatures(df: DataFrame, binCol: String, dims: Int = 8): DataFrame =

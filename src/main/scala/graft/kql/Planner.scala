@@ -878,6 +878,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, textE, "dedup_bloom text"),
         colNameOf(df, idE, "dedup_bloom id"))
 
+    // `evaluate sniff_media_type(binCol)`: magic-bytes media-type
+    // detection on a binary (or string-bytes) column
+    // (LlmOps.sniffMediaType)
+    case EvaluateOp("sniff_media_type", binE :: Nil) =>
+      graft.ext.LlmOps.sniffMediaType(df,
+        colNameOf(df, binE, "sniff_media_type payload"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

@@ -88,6 +88,7 @@ object Suggest {
     "pivot", "preview", "quality_filter", "quality_score",
     "repetition_score", "rolling_percentile", "rows_near", "semdedup",
     "sequence_detect", "session_count", "simhash", "simhash_pairs",
+    "sniff_media_type",
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
     "source_cap", "source_sample", "stratified_sample", "substring_dup",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",

@@ -1275,6 +1275,40 @@ class LlmOpsSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("sniffMediaType: every magic branch, container inner tags, nulls, short payloads") {
+    val d = Seq(
+      1L -> "89504E470D0A1A0A00", 2L -> "FFD8FFE0", 3L -> "474946383761FF",
+      4L -> "474946383961FF", 5L -> "255044462D",
+      6L -> "52494646AAAAAAAA57415645", 7L -> "52494646AAAAAAAA57454250",
+      8L -> "52494646AAAAAAAA41564920", 9L -> "0000001C667479706D703432",
+      10L -> "504B0304FF", 11L -> "1F8B08", 12L -> "DEADBEEF", 13L -> "89",
+      14L -> null.asInstanceOf[String]
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.sniffMediaType(d, "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(r.fieldIndex("media_type")))).toMap
+    assert(got == Map(
+      1L -> Some("image/png"), 2L -> Some("image/jpeg"),
+      3L -> Some("image/gif"), 4L -> Some("image/gif"),
+      5L -> Some("application/pdf"), 6L -> Some("audio/wav"),
+      7L -> Some("image/webp"), 8L -> Some("video/avi"),
+      9L -> Some("video/mp4"), 10L -> Some("application/zip"),
+      11L -> Some("application/gzip"),
+      12L -> Some("application/octet-stream"),
+      13L -> Some("application/octet-stream"), // short prefix never matches
+      14L -> None))                            // null payload sniffs null
+    // a RIFF header whose inner tag is unknown is NOT wav/webp/avi
+    val riff = Seq(1L -> "52494646AAAAAAAA58585858").toDF("id", "hx")
+      .withColumn("payload", unhex(col("hx")))
+    val riffRow = LlmOps.sniffMediaType(riff, "payload").head
+    assert(riffRow.getString(riffRow.fieldIndex("media_type")) ==
+      "application/octet-stream")
+    // KQL-reachable (string payloads sniff over their UTF-8 bytes)
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate sniff_media_type(text) | summarize n = count() by media_type",
+      TestSpark.sfDir)
+    assert(kql.collect().map(_.getString(0)).toSeq == Seq("application/octet-stream"))
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
