@@ -2696,6 +2696,17 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // GUID ⇄ base64 (r6): Kusto's .NET mixed-endian Guid byte layout —
+    // known-answer from the public docs example, zero-GUID, round-trip,
+    // and the invalid-input → null convention.
+    "q162_guid_base64" -> Q(kqlQ(
+      """print enc = base64_encode_fromguid(toguid('ae3133f2-6e22-49ae-b06a-16e6a9b212eb')),
+              dec = base64_decode_toguid('8jMxriJurkmwahbmqbIS6w=='),
+              zero = base64_encode_fromguid(toguid('00000000-0000-0000-0000-000000000000')),
+              rt = base64_decode_toguid(base64_encode_fromguid(toguid('12345678-9abc-def0-1234-56789abcdef0'))),
+              bad = base64_decode_toguid('@@not-base64@@')"""),
+      Some("""SELECT '8jMxriJurkmwahbmqbIS6w==' AS enc, 'ae3133f2-6e22-49ae-b06a-16e6a9b212eb' AS dec, 'AAAAAAAAAAAAAAAAAAAAAA==' AS zero, '12345678-9abc-def0-1234-56789abcdef0' AS rt, CAST(NULL AS VARCHAR) AS bad""")),
+
     // Funnel completion (r6): per (start-day, step) — users whose
     // earliest signup→click→purchase chain reached the step within 7
     // days of the start; zero-filled grid. Earliest-chain semantics

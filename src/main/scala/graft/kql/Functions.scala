@@ -62,6 +62,8 @@ object Functions {
       convertTemperature(v, fr, to) },
     "base64_encode_tostring" -> f { case c :: Nil => base64(c.cast("binary")) },
     "base64_decode_tostring" -> f { case c :: Nil => decode(unbase64(c), "UTF-8") },
+    "base64_encode_fromguid" -> f { case c :: Nil => base64FromGuidUdf(c.cast("string")) },
+    "base64_decode_toguid" -> f { case c :: Nil => base64ToGuidUdf(c.cast("string")) },
     "url_encode" -> f { case c :: Nil => url_encode(c) },
     "url_decode" -> f { case c :: Nil => url_decode(c) },
     "isempty" -> f { case c :: Nil => c.isNull || c === lit("") },
@@ -843,6 +845,46 @@ object Functions {
   // libs). Deliberate UDFs like the IVF/decompose cases: there is no
   // built-in expression for deflate or geohash, and the per-row work is
   // a tight primitive loop.
+
+  // GUID ⇄ base64: Kusto follows .NET Guid.ToByteArray's MIXED-endian
+  // layout — the first three groups are little-endian, the last two
+  // big-endian (docs example: ae3133f2-6e22-49ae-b06a-16e6a9b212eb ⇄
+  // "8jMxriJurkmwahbmqbIS6w=="). Invalid input → null (the registry's
+  // invalid-input convention).
+  private def guidToNetBytes(g: String): Array[Byte] = {
+    val u = java.util.UUID.fromString(g)
+    val hi = u.getMostSignificantBits; val lo = u.getLeastSignificantBits
+    val b = new Array[Byte](16)
+    // groups 1-3 from the high long, little-endian within each group
+    var i = 0
+    while (i < 4) { b(i) = (hi >>> (32 + i * 8)).toByte; i += 1 }
+    b(4) = (hi >>> 16).toByte; b(5) = (hi >>> 24).toByte
+    b(6) = hi.toByte; b(7) = (hi >>> 8).toByte
+    i = 0
+    while (i < 8) { b(8 + i) = (lo >>> (56 - i * 8)).toByte; i += 1 }
+    b
+  }
+
+  private val base64FromGuidUdf = udf { g: String =>
+    if (g == null) null
+    else try java.util.Base64.getEncoder.encodeToString(guidToNetBytes(g))
+    catch { case _: Exception => null }
+  }
+
+  private val base64ToGuidUdf = udf { s: String =>
+    if (s == null) null
+    else try {
+      val b = java.util.Base64.getDecoder.decode(s)
+      require(b.length == 16)
+      // invert the mixed-endian layout
+      def u8(x: Byte): Long = x.toLong & 0xffL
+      val hi = (u8(b(3)) << 56) | (u8(b(2)) << 48) | (u8(b(1)) << 40) |
+        (u8(b(0)) << 32) | (u8(b(5)) << 24) | (u8(b(4)) << 16) |
+        (u8(b(7)) << 8) | u8(b(6))
+      val lo = (0 until 8).map(i => u8(b(8 + i)) << (56 - i * 8)).reduce(_ | _)
+      new java.util.UUID(hi, lo).toString
+    } catch { case _: Exception => null }
+  }
 
   private val gzipCompressUdf = udf { s: String =>
     if (s == null) null
