@@ -1631,9 +1631,11 @@ object SparkEntry {
               i3 = ipv4_is_in_range('192.168.1.10', '192.168.1.0/24'),
               i4 = ipv4_is_in_range('192.168.2.10', '192.168.1.0/24'),
               i5 = ipv4_is_in_range('10.0.0.1', '10.0.0.1'),
+              m1 = parse_ipv4_mask('192.168.1.10', 24),
+              m2 = parse_ipv4_mask('10.5.7.9', 32),
               u = parse_url('https://host.example.com/a/b?q=1'),
               g = round(geo_distance_2points(-122.4194, 37.7749, -73.9857, 40.7484), 0)"""),
-      Some("""SELECT CAST(3232235786 AS BIGINT) AS i1, '192.168.1.10' AS i2, true AS i3, false AS i4, true AS i5, '{"Scheme":"https","Host":"host.example.com","Path":"/a/b","Query":"q=1"}' AS u, 4129962.0 AS g""")),
+      Some("""SELECT CAST(3232235786 AS BIGINT) AS i1, '192.168.1.10' AS i2, true AS i3, false AS i4, true AS i5, CAST(3232235776 AS BIGINT) AS m1, CAST(168101641 AS BIGINT) AS m2, '{"Scheme":"https","Host":"host.example.com","Path":"/a/b","Query":"q=1"}' AS u, 4129962.0 AS g""")),
 
     "q67_row_window_session" -> Q(kqlQ(
       """events

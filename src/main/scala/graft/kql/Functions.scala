@@ -455,6 +455,13 @@ object Functions {
       geoDistancePointToLine(lon, lat, line) },
     // -------------------------------------------------------- IP (§2.8.7)
     "parse_ipv4" -> f { case s :: Nil => parseIpv4(s) },
+    // mask via subtraction of the low-bit remainder: 2^(32−p) is exact
+    // in a double for p ∈ [0, 32], so the block size round-trips the
+    // cast (no Column-arg shift exists in the functions API)
+    "parse_ipv4_mask" -> f { case s :: p :: Nil =>
+      val ip = parseIpv4(s)
+      val block = pow(lit(2.0), lit(32) - p.cast("double")).cast("long")
+      (ip - pmod(ip, block)).cast("long") },
     "format_ipv4" -> f { case n :: Nil =>
       concat_ws(".", shiftright(n.cast("long"), 24) % 256,
         shiftright(n.cast("long"), 16) % 256,
