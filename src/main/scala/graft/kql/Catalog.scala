@@ -16,14 +16,18 @@ final class Catalog(spark: SparkSession, dir: String,
   def table(name: String): DataFrame =
     extra.getOrElse(name, cache.getOrElseUpdate(name, load(name)))
 
-  /** Parquet is the primary at-rest format; CSV/JSON fall back by file
-    * extension (ADX ingest formats, SURVEY §2.1). Local-FS existence
-    * check — a metastore fronts this on a real cluster. */
+  /** Parquet is the primary at-rest format; ORC/CSV/JSON fall back by
+    * file extension (ADX ingest formats, SURVEY §2.1; ORC via Spark's
+    * built-in vectorized reader — same pushdown/pruning class as
+    * parquet). Local-FS existence check — a metastore fronts this on a
+    * real cluster. */
   private def load(name: String): DataFrame = {
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (exists(s"$dir/$name.parquet"))
       normalize(spark.read.parquet(s"$dir/$name.parquet"),
         nanosTimestampCols(s"$dir/$name.parquet"))
+    else if (exists(s"$dir/$name.orc"))
+      normalize(spark.read.orc(s"$dir/$name.orc"), Set.empty)
     else if (exists(s"$dir/$name.csv"))
       normalize(spark.read.option("header", "true").option("inferSchema", "true")
         .csv(s"$dir/$name.csv"), Set.empty)

@@ -324,6 +324,53 @@ class KqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank ≡ exact integer-micro driver replay on random digraphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.chooseNum(0, 9); b <- Gen.chooseNum(0, 9)
+    } yield (s"n$a", s"n$b"))
+    for ((es0, k) <- samples(edgeGen, 5).zipWithIndex) {
+      val es = es0.distinct
+      val got = graft.kql.GraphOps.pageRank(es.toDF("s", "d"), 4, "s", "d")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // driver replay with the identical integer operations
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 4) {
+        val contrib = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (a, b) => contrib(b) += r(a) / outdeg(a) }
+        r = nodes.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+      }
+      assert(got == r, s"case $k")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
+
+  test("connected_components plugin ≡ driver union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(14, for {
+      a <- Gen.chooseNum(0, 11); b <- Gen.chooseNum(0, 11)
+    } yield (f"v$a%02d", f"v$b%02d"))
+    for ((es0, k) <- samples(edgeGen, 5).zipWithIndex) {
+      val es = es0.distinct
+      val got = graft.kql.GraphOps.components(es.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: String): String =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val byRoot = nodes.groupBy(find)
+      val want = byRoot.values.flatMap { members =>
+        val rep = members.min; members.map(m => (m, rep, members.size.toLong))
+      }.toSet
+      assert(got == want, s"case $k")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
+
   test("fuzzyTokenPairs ≡ brute-force lev<=d over random vocabularies (losslessness)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

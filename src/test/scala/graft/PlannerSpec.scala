@@ -1126,6 +1126,19 @@ class PlannerSpec extends AnyFunSuite {
       Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
   }
 
+  test("ORC source: catalog extension fallback, same results, pushdown reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .write.mode("overwrite").orc(s"$dir/nation.orc")
+    val q = "nation | where n_regionkey == 2 | summarize n = count()"
+    val viaOrc = graft.kql.Kql.run(spark, q, dir)
+    val viaParquet = graft.kql.Kql.run(spark, q, TestSpark.sfDir)
+    assert(viaOrc.head.getLong(0) == viaParquet.head.getLong(0))
+    val plan = viaOrc.queryExecution.executedPlan.toString
+    assert(plan.contains("orc") || plan.contains("Orc"))
+    assert(plan.contains("PushedFilters") || plan.contains("pushedFilters"))
+  }
+
   test("r6 plugin plan shapes: top-k ANN, single-cube diffpatterns, no cartesians") {
     def plan(q: String): String =
       graft.kql.Kql.run(spark, q, TestSpark.sfDir)
