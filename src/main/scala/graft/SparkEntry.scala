@@ -1032,6 +1032,15 @@ object SparkEntry {
         w = 5).orderBy("i", "j"),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t WHERE len(toks) >= 5), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s FROM ix), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), pr AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT i, j, inter, sa.n AS n_i, sb.n AS n_j, ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS cont_ij, ROUND(CAST(inter AS DOUBLE) / sb.n, 4) AS cont_ji FROM pr JOIN sz sa ON pr.i = sa.doc_id JOIN sz sb ON pr.j = sb.doc_id WHERE ROUND(CAST(inter AS DOUBLE) / sa.n, 4) >= 0.4 OR ROUND(CAST(inter AS DOUBLE) / sb.n, 4) >= 0.4 ORDER BY i, j""")),
 
+    // Containment dedup (r6): the subset-document curation rule — docs
+    // ≥ 40% shingle-contained in another doc drop, supersets survive,
+    // mutual containment keeps the min id. Value-exact: DuckDB replays
+    // the pair set and the directed drop rules.
+    "llm_dedup_contained" -> Q(
+      (s, dir) => LlmOps.dedupContained(docs(s, dir), threshold = 0.4,
+        w = 5).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM t WHERE len(toks) >= 5), sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS s FROM ix), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), pr0 AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT i, j, ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS cij, ROUND(CAST(inter AS DOUBLE) / sb.n, 4) AS cji FROM pr0 JOIN sz sa ON pr0.i = sa.doc_id JOIN sz sb ON pr0.j = sb.doc_id WHERE ROUND(CAST(inter AS DOUBLE) / sa.n, 4) >= 0.4 OR ROUND(CAST(inter AS DOUBLE) / sb.n, 4) >= 0.4), d AS (SELECT i AS victim, j AS keeper FROM pr WHERE cij >= 0.4 AND cji < 0.4 UNION ALL SELECT j, i FROM pr WHERE cji >= 0.4 AND cij < 0.4 UNION ALL SELECT greatest(i, j), least(i, j) FROM pr WHERE cij >= 0.4 AND cji >= 0.4), dm AS (SELECT victim, MIN(keeper) AS contained_in FROM d GROUP BY 1) SELECT doc_id, contained_in IS NULL AS kept, contained_in FROM documents LEFT JOIN dm ON doc_id = victim ORDER BY doc_id""")),
+
     // Magic-bytes media-type sniffing (r6): synthetic payloads get one
     // of 7 published container signatures (or none) by doc_id; the
     // sniff is pure hex-prefix Column matching — value-exact, both

@@ -265,6 +265,35 @@ object LlmOps {
         col("cont_ij"), col("cont_ji"))
   }
 
+  /** Containment DEDUP — the subset-document rule [[containmentPairs]]
+    * enables: drop every doc whose shingle set is ≥ threshold contained
+    * in another doc (a quote-only page, a page embedded in its
+    * aggregator) and KEEP the superset; mutual containment
+    * (near-identical docs) keeps the min id. Greedy: a drop is
+    * justified by its containing partner even if that partner is
+    * itself dropped into a larger doc — the chain's top survives, so
+    * content is never lost (the standard greedy-dedup argument).
+    * Output: every doc with its kept flag and, for dropped docs, the
+    * min-id containing partner. Work = the pair join + one per-doc
+    * aggregate; `maxDf` passes through as the skew guard. */
+  def dedupContained(docs: DataFrame, threshold: Double, w: Int = 5,
+                     maxDf: Option[Long] = None,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = containmentPairs(docs, threshold, w, maxDf, textCol, idCol)
+    // directed drop edges (victim, keeper)
+    val drops = p.filter(col("cont_ij") >= threshold && col("cont_ji") < threshold)
+      .select(col("i").as("victim"), col("j").as("keeper"))
+      .unionByName(p.filter(col("cont_ji") >= threshold && col("cont_ij") < threshold)
+        .select(col("j").as("victim"), col("i").as("keeper")))
+      .unionByName(p.filter(col("cont_ij") >= threshold && col("cont_ji") >= threshold)
+        .select(greatest(col("i"), col("j")).as("victim"),
+          least(col("i"), col("j")).as("keeper")))
+      .groupBy("victim").agg(min(col("keeper")).as("contained_in"))
+    docs.select(col(idCol))
+      .join(drops.withColumnRenamed("victim", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), col("contained_in").isNull.as("kept"), col("contained_in"))
+  }
+
   /** MinHash + LSH banding near-duplicate candidate pairs, verified by
     * exact token-set Jaccard. The 100 TB path: signatures are computed
     * per-row (no shuffle), candidates come from a self-join on (band,

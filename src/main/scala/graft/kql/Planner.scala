@@ -726,6 +726,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         textCol = colNameOf(df, textE, "containment_pairs text"),
         idCol = colNameOf(df, idE, "containment_pairs id"))
 
+    // `evaluate dedup_contained(threshold, w, text, id)`: drop docs
+    // contained in a larger doc, keep the superset
+    // (LlmOps.dedupContained)
+    case EvaluateOp("dedup_contained", tE :: wE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.dedupContained(df, litDouble(tE), litLong(wE).toInt,
+        textCol = colNameOf(df, textE, "dedup_contained text"),
+        idCol = colNameOf(df, idE, "dedup_contained id"))
+
     // `evaluate ann_pq(queryId, k, refine, id, vec)`: product-quantization
     // ANN with exact re-rank (LlmOps.annCosinePq)
     case EvaluateOp("ann_pq", qE :: kE :: rE :: idE :: vecE :: Nil) =>

@@ -79,6 +79,7 @@ object Suggest {
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "diffpatterns",
+    "dedup_contained",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",

@@ -1401,5 +1401,17 @@ class LlmOpsSpec extends AnyFunSuite {
       "documents | evaluate containment_pairs(0.8, 5, text, doc_id)", TestSpark.sfDir)
     assert(kql.columns.toSeq ==
       Seq("i", "j", "inter", "n_i", "n_j", "cont_ij", "cont_ji"))
+    // containment DEDUP on the same corpus + an exact copy of doc 1:
+    // doc 1 ⊂ doc 2 → dropped (kept superset); doc 4 ≡ doc 1 → mutual
+    // containment keeps the min id (1 is itself dropped into 2 — the
+    // greedy chain's top, doc 2, survives)
+    val d4 = d.unionByName(Seq((4L, small)).toDF("doc_id", "text"))
+    val dd = LlmOps.dedupContained(d4, threshold = 0.9, w = 5).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(dd(1L) == ((false, Some(2L))))
+    assert(dd(2L) == ((true, None)))   // the superset survives
+    assert(dd(3L) == ((true, None)))   // unrelated doc untouched
+    assert(dd(4L)._1 == false)         // the copy drops (into 1 or 2)
   }
 }
