@@ -1275,6 +1275,32 @@ class LlmOpsSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("r6 ops: empty and degenerate inputs are safe (or fail loudly)") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LlmOps.fuzzyTokenPairs(noDocs, 4, 100, 2).count() == 0)
+    assert(LlmOps.containmentPairs(noDocs, 0.5, w = 5).count() == 0)
+    assert(LlmOps.dedupContained(noDocs, 0.5, w = 5).count() == 0)
+    val noEdges = Seq.empty[(String, String)].toDF("s", "d")
+    assert(graft.kql.GraphOps.pageRank(noEdges, 3, "s", "d").count() == 0)
+    assert(graft.kql.GraphOps.components(noEdges, "s", "d").count() == 0)
+    graft.ext.LlmOps.releaseCaches()
+    // single-vector corpus: SQ8 degenerates to the one exact hit (all
+    // dims constant ⇒ step 0 ⇒ code 0 everywhere — no NaN, no crash)
+    val one = Seq((7L, Seq.fill(64)(0.5d))).toDF("vec_id", "embedding")
+    val sq = LlmOps.annCosineSq8(one, queryId = 7, k = 5).collect()
+    assert(sq.length == 1 && sq.head.getLong(0) == 7L && sq.head.getDouble(1) == 1.0)
+    // PQ on a 1-point sample: kmeansDriver jitter-fills the codebook —
+    // still returns the exact self hit
+    val pq = LlmOps.annCosinePq(one, queryId = 7, k = 3).collect()
+    assert(pq.length == 1 && pq.head.getDouble(1) == 1.0)
+    // empty embedding corpus fails LOUDLY at trainer time, not with a
+    // silent empty result
+    val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      LlmOps.trainPqCodebooks(noEmb)
+    }
+  }
+
   test("sniffMediaType: every magic branch, container inner tags, nulls, short payloads") {
     val d = Seq(
       1L -> "89504E470D0A1A0A00", 2L -> "FFD8FFE0", 3L -> "474946383761FF",
