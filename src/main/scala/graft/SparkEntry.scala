@@ -2739,6 +2739,15 @@ object SparkEntry {
         | sort by source asc"""),
       Some("""WITH t AS (SELECT source, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM documents GROUP BY 1), tot AS (SELECT CAST(SUM(ca) AS DOUBLE) AS ta, CAST(SUM(cb) AS DOUBLE) AS tb FROM t) SELECT ca AS count_a, cb AS count_b, ROUND(ca * 100 / ta, 2) AS percent_a, ROUND(cb * 100 / tb, 2) AS percent_b, ROUND(ABS(ca * 100 / ta - cb * 100 / tb), 2) AS percent_diff, source FROM t, tot WHERE ROUND(ABS(ca * 100 / ta - cb * 100 / tb), 2) >= 0.5 ORDER BY source""")),
 
+    // diffpatterns_text (r6): tokens over- or under-represented in
+    // English vs Spanish documents by document-frequency share — the
+    // text sibling of diffpatterns, same transparent criterion.
+    "q163_diffpatterns_text" -> Q(kqlQ(
+      """documents
+        | evaluate diffpatterns_text(text, lang, 'en', 'es', 1.0)
+        | sort by token asc"""),
+      Some("""WITH r AS (SELECT CASE WHEN lang = 'en' THEN 'a' WHEN lang = 'es' THEN 'b' END AS side, text FROM documents WHERE lang IN ('en', 'es')), tot AS (SELECT CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS ta, CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS DOUBLE) AS tb FROM r), tk AS (SELECT side, unnest(list_distinct(string_split(lower(COALESCE(text, '')), ' '))) AS token FROM r), pt AS (SELECT token, CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS count_a, CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS count_b FROM tk WHERE token <> '' GROUP BY 1) SELECT token, count_a, count_b, ROUND(count_a * 100 / ta, 2) AS percent_a, ROUND(count_b * 100 / tb, 2) AS percent_b, ROUND(ABS(count_a * 100 / ta - count_b * 100 / tb), 2) AS percent_diff FROM pt, tot WHERE ROUND(ABS(count_a * 100 / ta - count_b * 100 / tb), 2) >= 1.0 ORDER BY token""")),
+
     // Window-over-window retention (r6): the documented
     // activity_metrics plugin — per bin: dcount, new, retained from
     // the previous bin, retention rate in exact integer micros; the

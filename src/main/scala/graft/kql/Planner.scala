@@ -666,6 +666,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       diffPatterns(df, splitE, litString(aE, "diffpatterns A value"),
         litString(bE, "diffpatterns B value"), litDouble(dE), colEs)
 
+    // simplified KQL diffpatterns_text: TOKENS whose document-frequency
+    // share differs between the A and B splits — the text sibling of
+    // diffpatterns (error-message clustering: "which words appear in
+    // failing requests but not passing ones")
+    case EvaluateOp("diffpatterns_text",
+        textE :: splitE :: aE :: bE :: dE :: Nil) =>
+      diffPatternsText(df, colNameOf(df, textE, "diffpatterns_text text"),
+        colNameOf(df, splitE, "diffpatterns_text split"),
+        litString(aE, "diffpatterns_text A value"),
+        litString(bE, "diffpatterns_text B value"), litDouble(dE))
+
     // simplified KQL basket: frequent attribute segments over the same
     // cube lattice, support threshold as a ratio (default 0.05)
     case EvaluateOp("basket", args) if args.nonEmpty =>
@@ -1648,6 +1659,44 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       .filter(col("percent_diff") >= minDiffPct)
       .select((col("count_a") +: col("count_b") +: col("percent_a") +:
         col("percent_b") +: col("percent_diff") +: names.map(col)): _*)
+  }
+
+  /** `evaluate diffpatterns_text(text, split, 'A', 'B', minDiffPct)`:
+    * distinct tokens ranked by how much their DOCUMENT-FREQUENCY share
+    * differs between the A rows and the B rows. One distinct
+    * (row, token) explode → one (token, side) aggregate → percent
+    * arithmetic against the two row totals (1-row broadcast) — linear
+    * in corpus tokens. Same transparent share-difference criterion as
+    * [[diffPatterns]]. */
+  private def diffPatternsText(df: DataFrame, textCol: String,
+                               splitCol: String, aVal: String, bVal: String,
+                               minDiffPct: Double): DataFrame = {
+    val side = when(col(splitCol) === aVal, lit("a"))
+      .when(col(splitCol) === bVal, lit("b"))
+    val rows = df.filter(side.isNotNull)
+      .select(side.as("__side"), col(textCol).as("__t"))
+    val totals = rows.groupBy("__side").agg(count(lit(1)).as("__n"))
+      .groupBy().pivot("__side", Seq("a", "b")).sum("__n")
+      .select(coalesce(col("a"), lit(0L)).cast("double").as("__ta"),
+        coalesce(col("b"), lit(0L)).cast("double").as("__tb"))
+    // array_distinct BEFORE the explode ⇒ counts are document
+    // frequencies (one vote per row), not term frequencies
+    val toks = rows.select(col("__side"),
+        explode(array_distinct(split(lower(coalesce(col("__t"), lit(""))),
+          "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+    val perTok = toks.groupBy("token").agg(
+      sum(when(col("__side") === "a", 1L).otherwise(0L)).as("count_a"),
+      sum(when(col("__side") === "b", 1L).otherwise(0L)).as("count_b"))
+    perTok.crossJoin(broadcast(totals))
+      .withColumn("percent_a", round(col("count_a") * 100.0 / col("__ta"), 2))
+      .withColumn("percent_b", round(col("count_b") * 100.0 / col("__tb"), 2))
+      .withColumn("percent_diff",
+        round(abs(col("count_a") * 100.0 / col("__ta") -
+          col("count_b") * 100.0 / col("__tb")), 2))
+      .filter(col("percent_diff") >= minDiffPct)
+      .select(col("token"), col("count_a"), col("count_b"),
+        col("percent_a"), col("percent_b"), col("percent_diff"))
   }
 
   private def orderExpr(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc

@@ -78,7 +78,7 @@ object Suggest {
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
-    "diffpatterns",
+    "diffpatterns", "diffpatterns_text",
     "dedup_contained",
     "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",

@@ -1195,6 +1195,27 @@ class PlannerSpec extends AnyFunSuite {
          | evaluate diffpatterns(s, 'A', 'B', 100.0, x)""").isEmpty)
   }
 
+  test("diffpatterns_text: tokens whose doc-frequency share differs between splits") {
+    val rows = run(
+      """datatable(s:string, t:string) [
+           'A', 'fail timeout db', 'A', 'fail timeout net',
+           'B', 'ok fast db', 'B', 'ok fast net']
+         | evaluate diffpatterns_text(t, s, 'A', 'B', 50.0)
+         | sort by token asc""")
+    // fail/timeout are 100% of A, ok/fast 100% of B; db/net are 50/50
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(5))) == Seq(
+      ("fail", 2L, 0L, 100.0), ("fast", 0L, 2L, 100.0),
+      ("ok", 0L, 2L, 100.0), ("timeout", 2L, 0L, 100.0)))
+    // repeated token in one row counts ONCE (doc frequency, not tf)
+    val rep = run(
+      """datatable(s:string, t:string) ['A', 'x x x', 'B', 'y']
+         | evaluate diffpatterns_text(t, s, 'A', 'B', 1.0)
+         | sort by token asc""")
+    assert(rep.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("x", 1L), ("y", 0L)))
+  }
+
   test("new_activity_metrics: cohort retention with exact micro rates") {
     val rows = run(
       """datatable(ts:datetime, u:string) [
