@@ -1213,6 +1213,18 @@ object SparkEntry {
       },
       Some("""WITH t AS (SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), gall AS (SELECT id, lang, concat_ws(' ', toks[i], toks[i+1]) AS gr FROM (SELECT id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)), g AS (SELECT id, lang, (ascii(substr(md5(gr),1,1))*10000 + ascii(substr(md5(gr),2,1))*100 + ascii(substr(md5(gr),3,1))) % 256 AS b FROM gall), tg AS (SELECT b FROM g WHERE lang = 'en'), cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY 1), ctx AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY 1), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM g), nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg), lam AS (SELECT b, CAST(ROUND((LN((COALESCE(ct, 0)+1)/(nt+256)) - LN((cr+1)/(nr+256)))*1000000) AS BIGINT) AS lam_u FROM cr LEFT JOIN ctx USING (b), nr, nt) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(lam_u) AS BIGINT) AS log_w_u FROM g JOIN lam USING (b) GROUP BY 1 ORDER BY 1""")),
 
+    // DSIR Gumbel top-k resampling (r6): the paper's sampling step —
+    // deterministic hash-seeded Gumbel noise on the integer-micro log
+    // weights; key and cut replay value-exactly in DuckDB (the naive
+    // Knuth modmul is safe at fixture id magnitudes).
+    "llm_dsir_resample" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        LlmOps.dsirResample(d, d.filter(col("lang") === "en"), k = 200)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), gall AS (SELECT id, lang, concat_ws(' ', toks[i], toks[i+1]) AS gr FROM (SELECT id, lang, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t)), g AS (SELECT id, lang, (ascii(substr(md5(gr),1,1))*10000 + ascii(substr(md5(gr),2,1))*100 + ascii(substr(md5(gr),3,1))) % 256 AS b FROM gall), tg AS (SELECT b FROM g WHERE lang = 'en'), cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY 1), ctx AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY 1), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM g), nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg), lam AS (SELECT b, CAST(ROUND((LN((COALESCE(ct, 0)+1)/(nt+256)) - LN((cr+1)/(nr+256)))*1000000) AS BIGINT) AS lam_u FROM cr LEFT JOIN ctx USING (b), nr, nt), w AS (SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(lam_u) AS BIGINT) AS log_w_u FROM g JOIN lam USING (b) GROUP BY 1), sel AS (SELECT doc_id, n_grams, log_w_u, log_w_u + CAST(ROUND(-LN(-LN((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296)) * 1000000) AS BIGINT) AS key_u FROM w ORDER BY key_u DESC, doc_id LIMIT 200) SELECT doc_id, n_grams, log_w_u, key_u FROM sel ORDER BY doc_id""")),
+
     // Canonical text normalization (r5): NFC + control-char strip +
     // whitespace collapse + trim — value-exact vs DuckDB nfc_normalize
     "llm_text_normalize" -> Q(

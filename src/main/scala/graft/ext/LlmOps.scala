@@ -265,6 +265,31 @@ object LlmOps {
         col("cont_ij"), col("cont_ji"))
   }
 
+  /** DSIR importance RESAMPLING — the Xie et al. 2023 paper's actual
+    * sampling step on top of [[dsirWeights]]: keep the top `k`
+    * documents by Gumbel-perturbed log weight, log w + g with
+    * g = −ln(−ln u) and u derived from the Knuth id hash — the
+    * "randomness" is deterministic, growth-stable, and
+    * engine-portable. log_w_u is already exact integer micros; the
+    * Gumbel term rounds to micros the same way (the unigram_logprob
+    * convention — a transcendental landing exactly on a .5 µ boundary
+    * is measure-zero), so the ranking key is an exact integer and the
+    * top-k cut is value-exact cross-engine (ties broken by id).
+    * Selection plans as TakeOrderedAndProject — distributed top-k, no
+    * global sort. */
+  def dsirResample(raw: DataFrame, target: DataFrame, k: Int, n: Int = 2,
+                   buckets: Int = 256, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val w = dsirWeights(raw, target, n, buckets, textCol, idCol)
+    val u = (idHash(col(idCol)) + 0.5d) / 4294967296.0d
+    val gumbelU = round(-log(-log(u)) * 1e6).cast("long")
+    w.withColumn("key_u", col("log_w_u") + gumbelU)
+      .orderBy(col("key_u").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_grams"), col("log_w_u"), col("key_u"))
+  }
+
   /** Containment DEDUP — the subset-document rule [[containmentPairs]]
     * enables: drop every doc whose shingle set is ≥ threshold contained
     * in another doc (a quote-only page, a page embedded in its

@@ -882,6 +882,16 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         litLong(bE).toInt, colNameOf(df, textE, "dsir text"),
         colNameOf(df, idE, "dsir id"))
 
+    // `evaluate dsir_resample(TargetTable, k, n, buckets, text, id)`:
+    // Gumbel top-k importance resampling on the DSIR weights
+    // (LlmOps.dsirResample)
+    case EvaluateOp("dsir_resample", Col(tbl) :: kE :: nE :: bE :: textE :: idE :: Nil) =>
+      val target = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.dsirResample(df, target, litLong(kE).toInt,
+        litLong(nE).toInt, litLong(bE).toInt,
+        colNameOf(df, textE, "dsir_resample text"),
+        colNameOf(df, idE, "dsir_resample id"))
+
     // `evaluate text_normalize(text, id)`: NFC + control strip +
     // whitespace collapse (LlmOps.textNormalize)
     case EvaluateOp("text_normalize", textE :: idE :: Nil) =>

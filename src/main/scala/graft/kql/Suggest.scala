@@ -80,7 +80,8 @@ object Suggest {
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "diffpatterns", "diffpatterns_text",
     "dedup_contained",
-    "dedup_cosine_incremental", "dedup_incremental", "dsir", "fingerprint",
+    "dedup_cosine_incremental", "dedup_incremental", "dsir",
+    "dsir_resample", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",

@@ -1275,6 +1275,32 @@ class LlmOpsSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("dsirResample: deterministic Gumbel top-k, weight bias, KQL-reachable") {
+    val target = docs.filter(col("lang") === "en")
+    val r1 = LlmOps.dsirResample(docs, target, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val r2 = LlmOps.dsirResample(docs, target, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(r1.toSeq == r2.toSeq && r1.length == 50) // hash noise ⇒ deterministic
+    // the kept set's mean log-weight exceeds the corpus mean (importance
+    // sampling biases toward the target distribution)
+    val all = LlmOps.dsirWeights(docs, target).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val keptMean = r1.map(x => all(x._1).toDouble).sum / r1.length
+    val corpusMean = all.values.map(_.toDouble).sum / all.size
+    assert(keptMean > corpusMean)
+    // growth stability: enlarging k only ADDS documents
+    val r80 = LlmOps.dsirResample(docs, target, k = 80).collect()
+      .map(_.getLong(0)).toSet
+    assert(r1.map(_._1).toSet.subsetOf(r80))
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      """let T = documents | where lang == 'en';
+         documents | evaluate dsir_resample(T, 25, 2, 256, text, doc_id)""",
+      TestSpark.sfDir)
+    assert(kql.count() == 25)
+  }
+
   test("r6 ops: empty and degenerate inputs are safe (or fail loudly)") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(LlmOps.fuzzyTokenPairs(noDocs, 4, 100, 2).count() == 0)
