@@ -2719,6 +2719,24 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
 
+    // bag_zip (r6): property bag from parallel key/value arrays —
+    // result keyed by the KEYS length (missing values null, extras
+    // ignored, per the docs); plus column_ifexists plan-time schema
+    // probes (resolving and non-resolving) on a real table.
+    "q164_bag_zip" -> Q(kqlQ(
+      """print z1 = bag_zip(pack_array('a', 'b', 'c'), pack_array(1, 2)),
+              z2 = bag_zip(pack_array('x', 'y'), pack_array(10, 20, 30)),
+              z3 = bag_zip(pack_array('k'), pack_array('v'))"""),
+      Some("""SELECT '{"a":1,"b":2,"c":null}' AS z1, '{"x":10,"y":20}' AS z2, '{"k":"v"}' AS z3""")),
+
+    "q165_column_ifexists" -> Q(kqlQ(
+      """documents
+        | summarize n = count()
+            by l = tostring(column_ifexists('lang', 'xx')),
+               m = tostring(column_ifexists('no_such_col', 'fb'))
+        | sort by l asc"""),
+      Some("""SELECT lang AS l, 'fb' AS m, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2 ORDER BY 1""")),
+
     // GUID ⇄ base64 (r6): Kusto's .NET mixed-endian Guid byte layout —
     // known-answer from the public docs example, zero-GUID, round-trip,
     // and the invalid-input → null convention.

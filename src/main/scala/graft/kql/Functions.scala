@@ -62,6 +62,14 @@ object Functions {
       convertTemperature(v, fr, to) },
     "base64_encode_tostring" -> f { case c :: Nil => base64(c.cast("binary")) },
     "base64_decode_tostring" -> f { case c :: Nil => decode(unbase64(c), "UTF-8") },
+    // bag_zip(keys, values): property bag from parallel arrays — the
+    // result length is the KEYS length (extra values ignored, missing
+    // values null, per the KQL docs); ignoreNullFields=false keeps the
+    // padded nulls visible in the JSON
+    "bag_zip" -> f { case k :: v :: Nil =>
+      to_json(map_from_arrays(transform(k, x => x.cast("string")),
+          transform(k, (_, i) => when(i < size(v), element_at(v, i + 1)))),
+        Map("ignoreNullFields" -> "false")) },
     "base64_encode_fromguid" -> f { case c :: Nil => base64FromGuidUdf(c.cast("string")) },
     "base64_decode_toguid" -> f { case c :: Nil => base64ToGuidUdf(c.cast("string")) },
     "url_encode" -> f { case c :: Nil => url_encode(c) },

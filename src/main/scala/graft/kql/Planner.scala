@@ -2129,6 +2129,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     fn match {
       // ---------------------------------------------------- conditionals
       case "iff" | "iif" => when(a(0), a(1)).otherwise(a(2))
+      // plan-time schema probe: the column reference if it resolves,
+      // else the fallback expression (KQL column_ifexists)
+      case "column_ifexists" =>
+        args match {
+          case Lit(name: String) :: fallback :: Nil =>
+            if (df.columns.exists(_.equalsIgnoreCase(name)))
+              col(resolveName(df, name))
+            else toCol(fallback, df, agg)
+          case _ =>
+            throw PlanError("column_ifexists needs ('name', fallbackExpr)")
+        }
       case "case" =>
         val pairs = args.dropRight(1).grouped(2).toList
         val dflt = toCol(args.last, df, agg)
