@@ -2010,13 +2010,21 @@ object SparkEntry {
       Some("""WITH r AS (SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS rs FROM events) SELECT user_id, CAST(MAX(rs) AS BIGINT) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1 ORDER BY 1""")),
 
     // ACF local-maxima period detection: period-4 signal over 24 points →
-    // ACF(4)=25/30, ACF(8)=20/30 (exact closed-form, pinned as literals)
+    // ACF(4)=25/30, ACF(8)=20/30 (exact closed-form, pinned as literals);
+    // r6 adds series_periods_validate on the same signal (echoes the
+    // CALLER's candidates — lag 6 is anti-phase, ACF(6)=−13.5/30) and
+    // series_sqrt
     "q94_series_periods" -> Q(kqlQ(
       """print r = series_periods_detect(pack_array(
            1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
-           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 2, 12, 2)
-        | project periods = dynamic_to_json(r.periods), scores = dynamic_to_json(r.scores)"""),
-      Some("""SELECT '[4.0,8.0]' AS periods, '[0.8333,0.6667]' AS scores""")),
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 2, 12, 2),
+              v = series_periods_validate(pack_array(
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0,
+           1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0), 4, 6)
+        | project periods = dynamic_to_json(r.periods), scores = dynamic_to_json(r.scores),
+                  vperiods = dynamic_to_json(v.periods), vscores = dynamic_to_json(v.scores),
+                  sq = dynamic_to_json(series_sqrt(pack_array(4.0, 9.0)))"""),
+      Some("""SELECT '[4.0,8.0]' AS periods, '[0.8333,0.6667]' AS scores, '[4.0,6.0]' AS vperiods, '[0.8333,-0.45]' AS vscores, '[2.0,3.0]' AS sq""")),
 
     // externaldata over a local parquet URI (zero-egress env: file paths
     // are the reachable URI class; schema declared, not inferred)

@@ -393,6 +393,11 @@ object Functions {
     "series_periods_detect" -> f {
       case a :: minP :: maxP :: k :: Nil => seriesPeriodsDetect(a, minP, maxP, k)
       case a :: Nil => seriesPeriodsDetect(a, lit(2), lit(0), lit(1)) },
+    // score CALLER-GIVEN candidate periods with the same ACF measure
+    // the detector uses (KQL series_periods_validate)
+    "series_periods_validate" -> f { case a :: rest if rest.nonEmpty =>
+      seriesPeriodsValidateUdf(a.cast("array<double>"),
+        array(rest.map(_.cast("int")): _*)) },
     // Tukey-fence outlier scores (k=1.5): 0 inside the fences, distance
     // past the fence in IQR units outside (sign marks the direction)
     "series_outliers" -> f { case a :: Nil => seriesOutliers(a) },
@@ -419,6 +424,7 @@ object Functions {
     "series_floor" -> f { case a :: Nil => transform(a, x => floor(x).cast("double")) },
     "series_log" -> f { case a :: Nil => transform(a, x => log(x)) },
     "series_exp" -> f { case a :: Nil => transform(a, x => exp(x)) },
+    "series_sqrt" -> f { case a :: Nil => transform(a, x => sqrt(x)) },
     "series_sin" -> f { case a :: Nil => transform(a, x => sin(x)) },
     "series_cos" -> f { case a :: Nil => transform(a, x => cos(x)) },
     "series_tan" -> f { case a :: Nil => transform(a, x => tan(x)) },
@@ -1263,6 +1269,30 @@ object Functions {
 
   private def seriesPeriodsDetect(a: Column, minP: Column, maxP: Column, k: Column): Column =
     seriesPeriodsUdf(a.cast("array<double>"), minP.cast("int"), maxP.cast("int"), k.cast("int"))
+
+  /** ACF score of each caller-given period — the same centred-ACF
+    * measure [[seriesPeriodsUdf]] ranks with (periods echoed in input
+    * order; out-of-range or degenerate inputs score 0). */
+  private val seriesPeriodsValidateUdf =
+    udf { (v: Seq[Double], ps: Seq[Int]) =>
+      val n = v.length
+      if (n < 4) PeriodsDetect(ps.map(_.toDouble), ps.map(_ => 0.0))
+      else {
+        val mean = v.sum / n
+        val c = Array.tabulate(n)(i => v(i) - mean)
+        var denom = 0.0; var i = 0
+        while (i < n) { denom += c(i) * c(i); i += 1 }
+        def acf(lag: Int): Double =
+          if (denom == 0 || lag <= 0 || lag >= n) 0.0
+          else {
+            var s = 0.0; var j = 0
+            while (j + lag < n) { s += c(j) * c(j + lag); j += 1 }
+            s / denom
+          }
+        PeriodsDetect(ps.map(_.toDouble),
+          ps.map(p => math.rint(acf(p) * 10000) / 10000))
+      }
+    }
 
   private def seriesFitLine(a: Column): Column = {
     val n = size(a).cast("double")
