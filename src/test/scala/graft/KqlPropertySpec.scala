@@ -324,6 +324,34 @@ class KqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parser/planner totality: random garbage fails cleanly — message, no NPE/SO/MatchError") {
+    val chars = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(Seq(' ', '|', '(', ')', '[', ']', ',', '.', '\'', '"',
+        '=', '<', '>', '!', '-', '+', '*', '/', ':')),
+      1 -> Gen.oneOf(Seq('\n', '\t')))
+    val garbage = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, chars).map(_.mkString))
+    // raw garbage AND garbage grafted onto a valid pipeline head
+    val queries = samples(garbage, 40) ++
+      samples(garbage, 20).map(g => s"lineitem | where $g") ++
+      samples(garbage, 20).map(g => s"lineitem | summarize $g")
+    var clean = 0
+    for (q <- queries) {
+      try { Kql.run(spark, q, cat); clean += 1 }
+      catch {
+        case e: StackOverflowError => fail(s"stack overflow on: $q")
+        case e: NullPointerException => fail(s"NPE on: $q")
+        case e: MatchError => fail(s"MatchError on: $q")
+        case e: Throwable =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty,
+            s"messageless ${e.getClass.getSimpleName} on: $q")
+      }
+    }
+    // sanity: the generator is hostile — most inputs must actually fail
+    assert(clean < queries.length / 2)
+  }
+
   test("pagerank ≡ exact integer-micro driver replay on random digraphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(25, for {
