@@ -40,7 +40,16 @@ object LlmOps {
     * (ops that clean up eagerly, e.g. the index builders) no-op.
     * Bench/Verify's per-query sweep (clearCache + unpersist-all-RDDs)
     * subsumes this for the harness; a library embedder calls this
-    * instead so OTHER caches in the session survive. */
+    * instead so OTHER caches in the session survive.
+    *
+    * SINGLE-CONSUMER CONTRACT: the tracked queue is session-global, so
+    * with two concurrent graft queries in one SparkSession, one caller's
+    * release would unpersist caches backing the other's not-yet-consumed
+    * result — and for connectedComponents/pageRank outputs the backing
+    * lineage is gone (localCheckpoint already truncated it), so the
+    * victim fails with missing-block errors rather than recomputing.
+    * Run concurrent graft queries in separate SparkSessions (caches are
+    * session-scoped) or serialize consume→release cycles. */
   def releaseCaches(): Unit = {
     var d = trackedPersists.poll()
     while (d != null) { d.unpersist(false); d = trackedPersists.poll() }
@@ -810,7 +819,14 @@ object LlmOps {
                         vecCol: String = "embedding"): Array[Array[Double]] = {
     val nrm = normD(col(vecCol))
     val unit = transform(col(vecCol), x => x.cast("double") / nrm)
+    // hash-ORDERED before limit (the trainPqCodebooks convention): a bare
+    // limit takes whichever partitions the scheduler delivers first, so
+    // the collected row ORDER — which seeds kmeansDriver's shuffled init —
+    // would vary run-to-run on a cluster and bias the sample toward the
+    // first-scanned data at 100 TB. Ordered, the sample and therefore the
+    // trained quantizer are a pure function of the corpus.
     var sample = emb.filter(pmod(xxhash64(col(idCol)), lit(16)) === 0)
+      .orderBy(idHash(col(idCol)), col(idCol))
       .select(unit.as("__uv")).limit(256 * nLists)
       .collect().map(_.getSeq[Double](0).toArray)
     // below ~4 points per centroid the 1/16 hash-sample genuinely starves
@@ -822,7 +838,8 @@ object LlmOps {
     // dup mass there), and at scale the hash-sample saturates the cap so
     // neither branch ever collects more than the bounded sample.
     if (sample.length < 4 * nLists)
-      sample = emb.select(unit.as("__uv")).limit(256 * nLists)
+      sample = emb.orderBy(idHash(col(idCol)), col(idCol))
+        .select(unit.as("__uv")).limit(256 * nLists)
         .collect().map(_.getSeq[Double](0).toArray)
     kmeansDriver(sample, nLists, seed, iters = 8)
   }
@@ -2731,7 +2748,10 @@ object LlmOps {
     * application/octet-stream. */
   def sniffMediaType(df: DataFrame, binCol: String,
                      out: String = "media_type"): DataFrame = {
-    val h = upper(hex(col(binCol)))
+    // hex only the 12-byte prefix the signatures inspect — hexing the
+    // whole payload would materialize a 2×-payload string per row,
+    // which defeats the route-before-decode economics at 100 TB
+    val h = upper(hex(substring(col(binCol), 1, 12)))
     def pre(n: Int) = substring(h, 1, n)
     df.withColumn(out,
       when(col(binCol).isNull, lit(null).cast("string"))

@@ -67,9 +67,16 @@ object Functions {
     // values null, per the KQL docs); ignoreNullFields=false keeps the
     // padded nulls visible in the JSON
     "bag_zip" -> f { case k :: v :: Nil =>
-      to_json(map_from_arrays(transform(k, x => x.cast("string")),
-          transform(k, (_, i) => when(i < size(v), element_at(v, i + 1)))),
-        Map("ignoreNullFields" -> "false")) },
+      val ks = transform(k, x => x.cast("string"))
+      val pairs = transform(ks, (key, i) =>
+        struct(key.as("key"), when(i < size(v), element_at(v, i + 1)).as("value")))
+      // drop null keys and keep the FIRST occurrence of a duplicate —
+      // map_from_arrays under the default EXCEPTION dedup policy would
+      // otherwise kill the whole query on one malformed bag (registry
+      // invalid-input convention: degrade, never throw)
+      val cleaned = filter(pairs, (p, i) =>
+        p("key").isNotNull && array_position(slice(ks, lit(1), i), p("key")) === 0)
+      to_json(map_from_entries(cleaned), Map("ignoreNullFields" -> "false")) },
     "base64_encode_fromguid" -> f { case c :: Nil => base64FromGuidUdf(c.cast("string")) },
     "base64_decode_toguid" -> f { case c :: Nil => base64ToGuidUdf(c.cast("string")) },
     "url_encode" -> f { case c :: Nil => url_encode(c) },
@@ -475,7 +482,11 @@ object Functions {
     "parse_ipv4_mask" -> f { case s :: p :: Nil =>
       val ip = parseIpv4(s)
       val block = pow(lit(2.0), lit(32) - p.cast("double")).cast("long")
-      (ip - pmod(ip, block)).cast("long") },
+      // out-of-range prefixes are uniformly null (a negative p would
+      // otherwise mask everything to 0; p > 32 only nulled by accident
+      // via pmod-by-zero) — registry invalid-input convention
+      when(p.cast("long").between(0L, 32L),
+        (ip - pmod(ip, block)).cast("long")).otherwise(lit(null).cast("long")) },
     "format_ipv4" -> f { case n :: Nil =>
       concat_ws(".", shiftright(n.cast("long"), 24) % 256,
         shiftright(n.cast("long"), 16) % 256,

@@ -1466,4 +1466,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dd(3L) == ((true, None)))   // unrelated doc untouched
     assert(dd(4L)._1 == false)         // the copy drops (into 1 or 2)
   }
+
+  test("IVF/PQ index builds are run-deterministic under arbitrary scan order") {
+    // The r6 finding: trainIvfCentroids limit-sampled WITHOUT orderBy, so
+    // the collected row order — which seeds kmeansDriver's shuffled init —
+    // depended on task-completion order. Rebuild the same index from a
+    // round-robin-shuffled input (different partitioning ⇒ different scan
+    // order) and demand BIT-identical quantizers and meta/ tables.
+    def bits(v: Seq[Double]): Seq[Long] = v.map(java.lang.Double.doubleToLongBits)
+    val shuffled = embs.repartition(7)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_det1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_det2").toString
+    val c1 = LlmOps.buildIvfIndex(embs, d1, nLists = 8)
+    val c2 = LlmOps.buildIvfIndex(shuffled, d2, nLists = 8)
+    assert(c1.map(c => bits(c.toSeq)).toSeq == c2.map(c => bits(c.toSeq)).toSeq)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_detpq1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_detpq2").toString
+    LlmOps.buildPqIndex(embs, p1, nLists = 8)
+    LlmOps.buildPqIndex(shuffled, p2, nLists = 8)
+    def meta(path: String): Seq[(String, Int, Int, Seq[Long])] =
+      spark.read.parquet(s"$path/meta").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), bits(r.getSeq[Double](3))))
+        .toSeq.sortBy(t => (t._1, t._2, t._3))
+    assert(meta(p1) == meta(p2))
+    // the starvation fallback branch (sample < 4·nLists) is ordered too:
+    // at nLists=64 the 1/16 hash-sample of the 500-row fixture starves
+    val f1 = LlmOps.trainIvfCentroids(embs, nLists = 64)
+    val f2 = LlmOps.trainIvfCentroids(shuffled, nLists = 64)
+    assert(f1.map(c => bits(c.toSeq)).toSeq == f2.map(c => bits(c.toSeq)).toSeq)
+  }
 }

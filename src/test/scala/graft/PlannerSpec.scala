@@ -1040,6 +1040,46 @@ class PlannerSpec extends AnyFunSuite {
       s"planner-only: ${declared -- listed}; list-only: ${listed -- declared}")
   }
 
+  test("bag_zip degrades on malformed bags instead of throwing") {
+    // null key: pair dropped (map_from_arrays would raise 'null as map
+    // key'); duplicate key: FIRST occurrence kept (the default
+    // mapKeyDedupPolicy=EXCEPTION would kill the whole query)
+    val r = run("""print z1 = bag_zip(pack_array('a', null, 'b'), pack_array(1, 2, 3)),
+                         z2 = bag_zip(pack_array('k', 'k', 'j'), pack_array(1, 2, 3))""").head
+    assert(r.getString(0) == """{"a":1,"b":3}""")
+    assert(r.getString(1) == """{"k":1,"j":3}""")
+  }
+
+  test("parse_ipv4_mask nulls out-of-range prefixes uniformly") {
+    val r = run("""print ok = parse_ipv4_mask('192.168.1.10', 24),
+                         neg = parse_ipv4_mask('192.168.1.10', -1),
+                         big = parse_ipv4_mask('192.168.1.10', 33)""").head
+    assert(r.getLong(0) == 3232235776L) // 192.168.1.0
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("Suggest.operators stays in sync with the parser's tab-op cases") {
+    // same drift guard as the plugins one: scan parseTabOp's source for
+    // its case-string literals so a new operator keyword (or a removed
+    // one) fails here instead of silently degrading suggestions
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/kql/Parser.scala")))
+    val start = src.indexOf("private def parseTabOp")
+    val rest = src.substring(start + 10)
+    val end = "\n  (?:private )?def ".r.findFirstMatchIn(rest).get.start
+    val body = src.substring(start, start + 10 + end)
+    // nested literals inside parseTabOp that are NOT operator keywords:
+    // scan's column-type defaults and parse-kv's option names
+    val nested = Set("bool", "boolean", "double", "int", "long", "real",
+      "timespan", "kv_delimiter", "pair_delimiter")
+    val declared = "case (\"[^=]+?)=>".r.findAllMatchIn(body).map(_.group(1))
+      .flatMap("\"([a-z][a-z0-9_-]*)\"".r.findAllMatchIn(_).map(_.group(1)))
+      .toSet -- nested
+    val listed = graft.kql.Suggest.operators.toSet
+    assert(declared == listed,
+      s"parser-only: ${declared -- listed}; list-only: ${listed -- declared}")
+  }
+
   test("error suggestions: misspellings name the nearest candidate") {
     def msg(q: String): String =
       intercept[RuntimeException](run(q)).getMessage
