@@ -288,10 +288,13 @@ object GraphOps {
     *
     * Scale shape: each iteration is ONE equi-join of the edge frame
     * with the current rank frame plus ONE hash aggregate — no driver
-    * state, no collect; the loop builds a lazily-planned chain (at
-    * true 100 TB scale insert a localCheckpoint every few rounds to
-    * cap lineage, as connectedComponents does). Edges and the node set
-    * are computed once and reused across iterations. */
+    * state, no collect. Lineage is CAPPED: every 5 rounds the rank
+    * frame is eagerly localCheckpoint-ed (the connectedComponents
+    * cadence) so the planned DAG never chains more than 5 join+agg
+    * rounds — at 50 iterations an uncapped chain's analysis/codegen
+    * cost and recovery lineage are real; the previous checkpoint's
+    * blocks are freed as soon as the next one materializes. Edges and
+    * the node set are computed once and reused across iterations. */
   def pageRank(edges: DataFrame, iters: Int, srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col(srcCol).cast("string").as("src"),
@@ -303,9 +306,10 @@ object GraphOps {
     // iteration — without the persist the e⋈outdeg join re-runs
     // `iters` times inside the one final DAG
     val eDeg = e.join(outdeg, "src").persist()
+    var prevCkpt: DataFrame = null
     try {
       var ranks = nodes.withColumn("r", lit(1000000L))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = eDeg
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("r div outdeg").as("c"))
@@ -313,6 +317,17 @@ object GraphOps {
         ranks = nodes.join(contrib, Seq("id"), "left_outer")
           .select(col("id"),
             (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        if (i % 5 == 0 && i < iters) {
+          // eager localCheckpoint: materializes THIS round's ranks and
+          // truncates the join+agg chain. Once it exists, the previous
+          // checkpoint's blocks back nothing (the new one was computed
+          // from them and localCheckpoint recovery is already
+          // truncation-limited), so free them immediately.
+          val ck = ranks.localCheckpoint()
+          if (prevCkpt != null) prevCkpt.unpersist(false)
+          prevCkpt = ck
+          ranks = ck
+        }
       }
       // hand the final ranks to a TRACKED catalog-visible DataFrame
       // cache (the connectedComponents handoff convention — released by
@@ -324,6 +339,7 @@ object GraphOps {
       out.count()
       out
     } finally {
+      if (prevCkpt != null) prevCkpt.unpersist(false)
       eDeg.unpersist(false); e.unpersist(false); nodes.unpersist(false)
     }
   }

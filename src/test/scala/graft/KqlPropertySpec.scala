@@ -357,21 +357,23 @@ class KqlPropertySpec extends AnyFunSuite {
     val edgeGen = Gen.listOfN(25, for {
       a <- Gen.chooseNum(0, 9); b <- Gen.chooseNum(0, 9)
     } yield (s"n$a", s"n$b"))
-    for ((es0, k) <- samples(edgeGen, 5).zipWithIndex) {
+    // iters=20 on the first case crosses THREE localCheckpoint
+    // boundaries (cadence 5) — proves the lineage cap changes nothing
+    for (((es0, iters), k) <- samples(edgeGen, 5).zip(Seq(20, 4, 4, 4, 4)).zipWithIndex) {
       val es = es0.distinct
-      val got = graft.kql.GraphOps.pageRank(es.toDF("s", "d"), 4, "s", "d")
+      val got = graft.kql.GraphOps.pageRank(es.toDF("s", "d"), iters, "s", "d")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // driver replay with the identical integer operations
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
       val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       var r = nodes.map(_ -> 1000000L).toMap
-      for (_ <- 1 to 4) {
+      for (_ <- 1 to iters) {
         val contrib = scala.collection.mutable.Map.empty[String, Long]
           .withDefaultValue(0L)
         es.foreach { case (a, b) => contrib(b) += r(a) / outdeg(a) }
         r = nodes.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
       }
-      assert(got == r, s"case $k")
+      assert(got == r, s"case $k (iters=$iters)")
       graft.ext.LlmOps.releaseCaches()
     }
   }
