@@ -84,6 +84,21 @@ object Bench {
       clearAll()
       name -> dt
     }
+    // Per-query perf budgets (r6 verdict task 4): bench_budget.json pins
+    // each query's clean-host best-of-2; any row whose best exceeds
+    // multiplier× its budget lands in budget_violations. Turns "diff
+    // per-query bests across bench_detail_r*.json by hand" into a
+    // machine check that protects the 2×-of-baseline gate as heavy
+    // coverage rows accumulate. Interpret under the loadavg fields: a
+    // loaded host (r6: loadavg 8-9.5) produces spurious violations.
+    val budgetFile = new java.io.File("bench_budget.json")
+    val (budgets, budgetMult): (Map[String, Double], Double) =
+      if (budgetFile.isFile) {
+        val txt = scala.io.Source.fromFile(budgetFile).mkString
+        val kv = "\"(\\w+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        (kv - "multiplier", kv.getOrElse("multiplier", 2.0))
+      } else (Map.empty, 2.0)
     val loadBefore = loadavg()
     val p1 = pass()
     val (loadMid, storageMid) = (loadavg(), storageUsed())
@@ -109,10 +124,21 @@ object Bench {
     // loadavg before/mid/after + storage-bytes at pass boundaries: makes
     // external-host-load contamination and cache leaks machine-detectable
     // from the artifact alone (r5 verdict tasks 1+7)
+    // violations: best > multiplier×budget. New queries (no budget row
+    // yet) are listed separately so a missing budget is visible, not a
+    // silent pass.
+    val violations = results.toSeq.sortBy(_._1).collect {
+      case (k, v) if budgets.contains(k) && v > budgetMult * budgets(k) =>
+        s"""{"q":"$k","best":$v,"budget":${budgets(k)}}"""
+    }
+    val unbudgeted = results.keys.filterNot(budgets.contains).toSeq.sorted
     val payload =
       s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
       s""""loadavg_before":"$loadBefore","loadavg_mid":"$loadMid","loadavg_after":"$loadAfter",""" +
-      s""""storage_bytes_mid":$storageMid,"storage_bytes_after":$storageAfter,"queries":$detail}"""
+      s""""storage_bytes_mid":$storageMid,"storage_bytes_after":$storageAfter,""" +
+      s""""budget_violations":${violations.mkString("[", ",", "]")},""" +
+      s""""unbudgeted":${unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""queries":$detail}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), payload)
     // ALSO write a round-numbered copy (r4 verdict task 8): the driver
