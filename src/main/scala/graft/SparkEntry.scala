@@ -1064,6 +1064,51 @@ object SparkEntry {
       },
       Some("""WITH p AS (SELECT doc_id, (CASE doc_id % 8 WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE000104A46') WHEN 2 THEN unhex('474946383961') WHEN 3 THEN unhex('000000186674797069736F6D') WHEN 4 THEN unhex('524946462400000057415645') WHEN 5 THEN unhex('255044462D312E34') WHEN 6 THEN unhex('1F8B0800') ELSE unhex('') END) || CAST(text AS BLOB) AS payload FROM documents), s AS (SELECT doc_id, upper(hex(payload)) AS h FROM p), t AS (SELECT CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'image/png' WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg' WHEN substring(h, 1, 12) IN ('474946383761', '474946383961') THEN 'image/gif' WHEN substring(h, 1, 8) = '25504446' THEN 'application/pdf' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645' THEN 'audio/wav' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57454250' THEN 'image/webp' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '41564920' THEN 'video/avi' WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4' WHEN substring(h, 1, 8) = '504B0304' THEN 'application/zip' WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip' ELSE 'application/octet-stream' END AS media_type FROM s) SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 ORDER BY 1""")),
 
+    // Header-parsed image dimensions (r7): the query PLANTS width/height
+    // (arithmetic functions of doc_id) into honest PNG / GIF / JPEG
+    // headers — JPEG behind 0-2 variable-length APP0 segments so the
+    // SOF segment walk is exercised, GIF little-endian, PNG big-endian
+    // u32 — and mediaDims must recover them byte-exactly. The oracle
+    // computes the same dims ARITHMETICALLY (it never parses): any
+    // offset/endianness/walk bug on the Spark side mismatches. Case 3
+    // payloads are non-image bytes -> null dims by contract.
+    "llm_media_dims" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(4))
+        val w = (lit(16) + pmod(col("doc_id"), lit(1000))).cast("int")
+        val hh = (lit(9) + pmod(col("doc_id"), lit(700))).cast("int")
+        def beHex(c: org.apache.spark.sql.Column, digits: Int) = lpad(conv(c, 10, 16), digits, "0")
+        def leHex16(c: org.apache.spark.sql.Column) = {
+          val be = beHex(c, 4)
+          concat(substring(be, 3, 2), substring(be, 1, 2))
+        }
+        // one APP0 segment: marker + BE16 length (pad+2, includes
+        // itself) + pad zero bytes; pad varies by doc so successive
+        // segment offsets differ row to row
+        val pad = pmod(col("doc_id"), lit(5)).cast("int")
+        val seg = concat(lit("FFE0"), beHex(pad + 2, 4),
+          expr("repeat('00', CAST(doc_id % 5 AS INT))"))
+        val k = pmod(col("doc_id"), lit(3))
+        val jpegHex = concat(lit("FFD8"),
+          when(k === 0, lit("")).when(k === 1, seg).otherwise(concat(seg, seg)),
+          lit("FFC0"), lit("0008"), lit("08"), beHex(hh, 4), beHex(w, 4), lit("00"))
+        val pngHex = concat(lit("89504E470D0A1A0A"), lit("0000000D"),
+          lit("49484452"), beHex(w, 8), beHex(hh, 8), lit("08"))
+        val gifHex = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("474946383761"))
+            .otherwise(lit("474946383961")),
+          leHex16(w), leHex16(hh))
+        val d = docs(s, dir).withColumn("payload",
+          when(m === 0, unhex(pngHex))
+            .when(m === 1, unhex(gifHex))
+            .when(m === 2, unhex(jpegHex))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.mediaDims(d, "payload")
+          .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg' ELSE 'application/octet-stream' END AS media_type, CASE WHEN doc_id % 4 <= 2 THEN CAST(16 + doc_id % 1000 AS INT) END AS width, CASE WHEN doc_id % 4 <= 2 THEN CAST(9 + doc_id % 700 AS INT) END AS height FROM documents ORDER BY doc_id""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

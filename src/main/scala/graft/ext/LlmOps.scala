@@ -2768,6 +2768,84 @@ object LlmOps {
         .otherwise("application/octet-stream"))
   }
 
+  /** Image dimensions from container HEADERS — no decode: the
+    * resolution-filter rule every multimodal curation pipeline applies
+    * right after type routing (drop icons/thumbnails, cap megapixels
+    * before the decoder ever runs). Pure `Column` arithmetic over the
+    * payload's hex prefix (the sniffMediaType technique — whole-stage
+    * codegen, no UDF):
+    *
+    *  - PNG: IHDR is mandatory-first, so width/height are big-endian
+    *    u32 at fixed byte offsets 17-20 / 21-24.
+    *  - GIF: logical-screen width/height are LITTLE-endian u16 at
+    *    bytes 7-8 / 9-10 (both 87a and 89a).
+    *  - JPEG: no fixed offset — the frame size lives in the SOF0-SOF3
+    *    segment, so the expression WALKS the segment chain from byte 3
+    *    (marker u16, big-endian length u16 that includes itself),
+    *    unrolled `maxSegments` deep: stop with dims on FFC0-FFC3
+    *    (height BE16 at seg+5, width at seg+7), stop with null on SOS
+    *    (FFDA — entropy data follows, a naive byte scan would false-
+    *    positive on 0xFFC0 inside it), a non-FF byte (corrupt), or
+    *    walk exhaustion. Each unroll level re-derives the position
+    *    expression, so keep maxSegments modest (default 6 covers
+    *    JFIF+EXIF+ICC+COM chains; headers past `headerBytes` bail to
+    *    null rather than mis-parse).
+    *
+    * Non-image / unknown / truncated payloads yield null dims — a
+    * 100 TB filter must degrade per-row, never throw. Output columns:
+    * `media_type` (the sniff), `width`, `height` (nullable int). */
+  def mediaDims(df: DataFrame, binCol: String, headerBytes: Int = 1024,
+                maxSegments: Int = 6): DataFrame = {
+    require(headerBytes >= 32 && maxSegments >= 1,
+      "need headerBytes >= 32 and maxSegments >= 1")
+    val h = upper(hex(substring(col(binCol), 1, headerBytes)))
+    // byte offset (1-based) -> hex slice; bePos as Column for the walk
+    def hexAt(pos: Column, nBytes: Int): Column =
+      h.substr(pos * 2 - 1, lit(nBytes * 2))
+    def be16(pos: Column): Column = {
+      val s = hexAt(pos, 2)
+      when(length(s) === 4, conv(s, 16, 10).cast("int"))
+    }
+    def be32At(charPos: Int): Column = {
+      val s = substring(h, charPos, 8)
+      when(length(s) === 8, conv(s, 16, 10).cast("int"))
+    }
+    def le16At(charPos: Int): Column = {
+      val lo = substring(h, charPos, 2); val hi = substring(h, charPos + 2, 2)
+      when(length(hi) === 2,
+        (conv(hi, 16, 10).cast("int") * 256 + conv(lo, 16, 10).cast("int")))
+    }
+    val noDims = struct(lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
+    // unrolled segment walk; each level's `pos` re-derives from the
+    // previous level's, so expression size is O(2^maxSegments) nodes —
+    // bounded by the require above and fine for codegen at 6
+    def jpegStep(pos: Column, depth: Int): Column =
+      if (depth == 0) noDims
+      else {
+        val marker = hexAt(pos, 2)
+        when(length(marker) =!= 4 || substring(marker, 1, 2) =!= "FF" ||
+             marker === "FFDA", noDims)
+          .when(marker.isin("FFC0", "FFC1", "FFC2", "FFC3"),
+            struct(be16(pos + 7).as("w"), be16(pos + 5).as("h")))
+          .otherwise(jpegStep(pos + 2 + be16(pos + 2), depth - 1))
+      }
+    val dims =
+      when(col(binCol).isNull, noDims)
+        .when(substring(h, 1, 16) === "89504E470D0A1A0A" &&
+              substring(h, 25, 8) === "49484452",
+          struct(be32At(33).as("w"), be32At(41).as("h")))
+        .when(substring(h, 1, 12) === "474946383761" ||
+              substring(h, 1, 12) === "474946383961",
+          struct(le16At(13).as("w"), le16At(17).as("h")))
+        .when(substring(h, 1, 6) === "FFD8FF", jpegStep(lit(3), maxSegments))
+        .otherwise(noDims)
+    sniffMediaType(df, binCol)
+      .withColumn("__d", dims)
+      .withColumn("width", col("__d.w"))
+      .withColumn("height", col("__d.h"))
+      .drop("__d")
+  }
+
   /** STUB feature extraction: 8-dim pseudo-embedding from payload hash —
     * stands in for a real decoder (mapInPandas/ONNX in production). */
   def stubDecodeFeatures(df: DataFrame, binCol: String, dims: Int = 8): DataFrame =

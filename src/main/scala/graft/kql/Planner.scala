@@ -914,6 +914,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.sniffMediaType(df,
         colNameOf(df, binE, "sniff_media_type payload"))
 
+    // `evaluate media_dims(binCol)`: image width/height parsed from
+    // PNG/GIF/JPEG container headers — no decode (LlmOps.mediaDims)
+    case EvaluateOp("media_dims", binE :: Nil) =>
+      graft.ext.LlmOps.mediaDims(df,
+        colNameOf(df, binE, "media_dims payload"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

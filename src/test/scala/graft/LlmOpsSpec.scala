@@ -1361,6 +1361,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.collect().map(_.getString(0)).toSeq == Seq("application/octet-stream"))
   }
 
+  test("mediaDims: PNG/GIF/JPEG header parsing per format, degraded inputs to null") {
+    // real-world header layouts: PNG 800x600 (BE u32), GIF89a 320x200
+    // (LE u16), JPEG JFIF APP0 then SOF0 123x45, JPEG with a 10-byte
+    // APP1 (EXIF-ish) before SOF2, progressive marker FFC2
+    val jfif = "FFD8" + "FFE00010" + "4A46494600010100000100010000" + // APP0 len 16
+      "FFC0" + "0011" + "08" + "002D" + "007B" + "03" + "012200" + "021101" + "031101"
+    val exif = "FFD8" + "FFE1000A" + "4578696600000000" + // APP1 len 10 (8 payload bytes)
+      "FFC2" + "000B" + "08" + "0100" + "0200" + "01" + "012200" // h=256 w=512
+    val rows = Seq(
+      1L -> ("89504E470D0A1A0A" + "0000000D" + "49484452" +
+             "00000320" + "00000258" + "0802000000"),       // PNG 800x600
+      2L -> ("474946383961" + "4001" + "C800" + "F700"),     // GIF89a 320x200
+      3L -> jfif,                                            // JPEG 123x45
+      4L -> exif,                                            // JPEG 256x512 progressive
+      5L -> "FFD8FFE1",                                      // truncated JPEG
+      6L -> "89504E470D0A1A0A00000001",                      // truncated PNG
+      7L -> "255044462D312E34",                              // PDF: type, no dims
+      8L -> null.asInstanceOf[String]
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.mediaDims(rows, "payload").collect().map { r =>
+      r.getLong(0) -> ((Option(r.getString(r.fieldIndex("media_type"))),
+        if (r.isNullAt(r.fieldIndex("width"))) None else Some(r.getInt(r.fieldIndex("width"))),
+        if (r.isNullAt(r.fieldIndex("height"))) None else Some(r.getInt(r.fieldIndex("height")))))
+    }.toMap
+    assert(got(1L) == ((Some("image/png"), Some(800), Some(600))))
+    assert(got(2L) == ((Some("image/gif"), Some(320), Some(200))))
+    assert(got(3L) == ((Some("image/jpeg"), Some(123), Some(45))))
+    assert(got(4L) == ((Some("image/jpeg"), Some(512), Some(256))))
+    assert(got(5L) == ((Some("image/jpeg"), None, None)))    // truncated -> null, no throw
+    assert(got(6L) == ((Some("image/png"), None, None)))     // IHDR tag missing -> null
+    assert(got(7L) == ((Some("application/pdf"), None, None)))
+    assert(got(8L) == ((None, None, None)))
+    // a JPEG whose SOF sits past maxSegments bails to null (never a
+    // mis-parse); raising the walk depth finds it
+    // seven minimal APP0 segments (len 2 = just the length field)
+    val deep = "FFD8" + "FFE00002" * 7 +
+      "FFC0" + "000B" + "08" + "0100" + "0200" + "01" + "012200" // h=256 w=512
+    val dd = Seq(9L -> deep).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val shallow = LlmOps.mediaDims(dd, "payload").head
+    assert(shallow.isNullAt(shallow.fieldIndex("width")))
+    val deepParsed = LlmOps.mediaDims(dd, "payload", maxSegments = 8).head
+    assert(deepParsed.getInt(deepParsed.fieldIndex("width")) == 512 &&
+      deepParsed.getInt(deepParsed.fieldIndex("height")) == 256)
+    // SOS (FFDA) stops the walk: 0xFFC0 bytes inside entropy data are
+    // never read as a frame header
+    val sos = "FFD8" + "FFDA0008" + "FFC0000B080100020001"
+    val ss = Seq(10L -> sos).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val sr = LlmOps.mediaDims(ss, "payload").head
+    assert(sr.isNullAt(sr.fieldIndex("width")))
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate media_dims(text) | summarize n = count() by media_type",
+      TestSpark.sfDir)
+    assert(kql.collect().map(_.getString(0)).toSeq == Seq("application/octet-stream"))
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
