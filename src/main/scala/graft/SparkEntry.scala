@@ -1124,6 +1124,20 @@ object SparkEntry {
     // BPE pair statistics (r6): frequency-weighted adjacent char-pair
     // counts over the distinct-word vocabulary — the tokenizer-training
     // merge-selection pass; value-exact vs DuckDB's recompute
+    // Iterative BPE training (r7): 3 merge rounds, each = pick the
+    // best frequency-weighted adjacent pair (cnt desc, pair asc
+    // tiebreak) and apply it greedily left-to-right over the
+    // vocabulary. The oracle replays all 3 rounds UNROLLED (the
+    // q156_pagerank convention): per round it recounts pairs, takes
+    // the same argmax, and rebuilds each word via the positional
+    // greedy rule — matches of the pair grouped into consecutive
+    // runs, every other position merged (exactly the Spark fold's
+    // left-to-right semantics, including x==y runs like "aaa").
+    // Value-exact: integer counts, string symbols, no FP anywhere.
+    "llm_bpe_train" -> Q(
+      (s, dir) => LlmOps.bpeTrain(docs(s, dir), rounds = 3),
+      Some("""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents) WHERE length(w) >= 2 GROUP BY 1), v0 AS (SELECT w, f, array_to_string(list_transform(generate_series(1, CAST(length(w) AS INT)), i -> substr(w, i, 1)), ' ') AS s FROM wf), sp1 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v0), e1 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp1), b1 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e1 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m1 AS (SELECT e.w, e.j FROM e1 e, b1 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k1 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m1)) WHERE (j - p) % 2 = 0), v1 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e1 e CROSS JOIN b1 b LEFT JOIN k1 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k1 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp2 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v1), e2 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp2), b2 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e2 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m2 AS (SELECT e.w, e.j FROM e2 e, b2 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k2 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m2)) WHERE (j - p) % 2 = 0), v2 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e2 e CROSS JOIN b2 b LEFT JOIN k2 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k2 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp3 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v2), e3 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp3), b3 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e3 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1) SELECT * FROM (SELECT CAST(1 AS INT) AS round, x AS sym_a, y AS sym_b, cnt FROM b1 UNION ALL SELECT CAST(2 AS INT), x, y, cnt FROM b2 UNION ALL SELECT CAST(3 AS INT), x, y, cnt FROM b3) ORDER BY round""")),
+
     "llm_bpe_pairs" -> Q(
       (s, dir) => LlmOps.bpePairCounts(docs(s, dir), k = 20),
       Some("""WITH w AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w WHERE length(w) >= 2 GROUP BY 1), px AS (SELECT substr(w, i, 2) AS pair, f FROM (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM f)) SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM px GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),

@@ -2521,6 +2521,77 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Iterative BPE merge training — N rounds of: count frequency-
+    * weighted adjacent symbol pairs over the vocabulary, select the
+    * best (cnt desc, then sym_a/sym_b asc — fully deterministic),
+    * apply it greedily left-to-right to every word, recount. Returns
+    * the merge table (round, sym_a, sym_b, cnt) — the actual artifact
+    * a BPE tokenizer ships.
+    *
+    * The greedy merge is an `aggregate` fold over each word's symbol
+    * array: append, or fuse with the previous symbol when (prev,
+    * cur) = (x, y). Because a fused symbol x||y can never equal x
+    * again within the round (y is non-empty), the fold IS the
+    * canonical left-to-right non-overlapping merge ("aaaa" + (a,a) →
+    * [aa, aa], "aaaaa" → [aa, aa, a]).
+    *
+    * Scale shape: corpus-sized work happens ONCE (tokenize + word-
+    * frequency hash aggregate with map-side partials); every round
+    * after that is vocabulary-sized — pair explode over DISTINCT words
+    * (the standard BPE trick), one hash aggregate, one
+    * TakeOrderedAndProject(1). Driver traffic is `rounds` single-row
+    * argmax collects plus the final merge table; the evolving vocab is
+    * persisted per round (previous round unpersisted) so round r does
+    * not replay rounds 1..r-1. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "need 1 <= rounds <= 10")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = spread(docs)
+      .select(explode(split(lower(txt(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("x"),
+              element_at(col("syms"), i + 1).as("y")))).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word fully merged
+        else {
+          val (x, y, cnt) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((r, x, y, cnt))
+          val merged = aggregate(col("syms"),
+            array().cast("array<string>"),
+            (out, s) => when(size(out) > 0 &&
+                element_at(out, -1) === lit(x) && s === lit(y),
+              concat(slice(out, lit(1), size(out) - 1), array(lit(x + y))))
+              .otherwise(concat(out, array(s))))
+          val next = vocab.withColumn("syms", merged).persist()
+          next.count()
+          vocab.unpersist(false)
+          vocab = next
+        }
+        r += 1
+      }
+    } finally vocab.unpersist(false)
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+  }
+
   /** Corpus-level top-k n-gram frequencies — the vocabulary/phrase-
     * statistics staple (quality auditing, stopword discovery, boilerplate
     * phrase detection). Deterministic (count desc, gram asc) tiebreak.

@@ -998,6 +998,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bpePairCounts(df, litLong(kE).toInt,
         textCol = colNameOf(df, textE, "bpe_pair_counts text"))
 
+    // `evaluate bpe_train(rounds, text)`: N-round iterative BPE merge
+    // training -> the merge table (LlmOps.bpeTrain)
+    case EvaluateOp("bpe_train", rE :: textE :: Nil) =>
+      graft.ext.LlmOps.bpeTrain(df, litLong(rE).toInt,
+        textCol = colNameOf(df, textE, "bpe_train text"))
+
     // `evaluate ngram_counts(n, k, text)`: corpus top-k n-grams
     case EvaluateOp("ngram_counts", nE :: kE :: textE :: Nil) =>
       graft.ext.LlmOps.ngramCounts(df, litLong(nE).toInt, litLong(kE).toInt,

@@ -1417,6 +1417,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.collect().map(_.getString(0)).toSeq == Seq("application/octet-stream"))
   }
 
+  test("bpeTrain: hand-computed merges incl. same-symbol runs; exact driver replay") {
+    // vocab: "aaaa" x3, "ab" x2. Round 1: (a,a) weight 9 wins; greedy
+    // left-to-right turns aaaa into [aa, aa] (NOT [aa, a, a]). Round 2:
+    // (aa,aa) weight 3. Round 3: only (a,b) weight 2 remains.
+    val d1 = Seq("aaaa aaaa ab", "aaaa ab").toDF("text")
+    val got1 = LlmOps.bpeTrain(d1, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got1 == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L), (3, "a", "b", 2L)))
+    // exhaustion: a vocab that runs out of pairs stops early
+    val d2 = Seq("ab ab cd").toDF("text")
+    val got2 = LlmOps.bpeTrain(d2, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got2 == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)))
+    // exact driver replay on a seeded random corpus, 4 rounds
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(40)(
+      (0 until (2 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val got = LlmOps.bpeTrain(Seq(words.mkString(" ")).toDF("text"), rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // driver replay with identical greedy-fold + argmax semantics
+    def fold(syms: List[String], x: String, y: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      for (s <- syms)
+        if (out.nonEmpty && out.last == x && s == y) {
+          out.remove(out.length - 1); out += (x + y)
+        } else out += s
+      out.toList
+    }
+    var vocab: Map[List[String], Long] = words.filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) =>
+        w.toList.map(_.toString) -> g.size.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach { p => if (p.size == 2) counts((p(0), p(1))) += f } }
+      if (counts.nonEmpty) {
+        val ((x, y), c) = counts.toSeq.minBy(t => (-t._2, t._1._1, t._1._2))
+        expect += ((r, x, y, c))
+        vocab = vocab.map { case (syms, f) => fold(syms, x, y) -> f }
+      }
+    }
+    assert(got == expect.toSeq)
+    LlmOps.releaseCaches()
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
