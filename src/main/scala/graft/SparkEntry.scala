@@ -130,6 +130,54 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** tmp_stream_matview body (r7, verdict task 7): ADX materialized-
+    * view / update-policy semantics — a continuous `summarize n, s by
+    * bin(ts, 1h)` run in UPDATE output mode over two micro-batches of
+    * `events`, upserted into a changelog-backed view table
+    * ([[graft.streaming.StreamingOps.matViewStream]]). The returned
+    * frame is the view's FINAL state ([[StreamingOps.matViewRead]]:
+    * latest batch per key) — hash-compared to DuckDB's batch
+    * recompute. `n_updates` (changelog rows per key) proves UPDATE
+    * emission: under complete mode every key would carry
+    * n_updates = n_batches, but the fixture's batch split touches 140
+    * of 141 bins exactly once. Integer-µs hour bins and integer-cent
+    * sums keep every value bit-exact cross-engine. View state is
+    * rebuilt from empty per invocation (rerun idempotency); the
+    * driver-side collect feeds the memory stream a BOUNDED
+    * event_id ≤ 2000 slice — harness plumbing, not a data pass. */
+  def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.sql("DROP TABLE IF EXISTS graft_stream_matview")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_stream_matview")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    // epoch-µs ints into the stream (session TZ is UTC, so the NTZ
+    // cast is identity) — matches the oracle's epoch_us convention
+    val rows = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val src = ms.toDF().toDF("event_id", "ts_us", "value")
+    val agg = src
+      .groupBy(expr("ts_us div 3600000000").as("bin_h"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("s"))
+    val q = graft.streaming.StreamingOps.matViewStream(agg, "graft_stream_matview")
+    try {
+      ms.addData(rows.filter(_._1 < 1000): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 1000): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.catalog.refreshTable("graft_stream_matview")
+    graft.streaming.StreamingOps.matViewRead(s, "graft_stream_matview", Seq("bin_h"))
+      .select(col("bin_h"), col("n"), col("s"), col("n_updates"))
+      .orderBy("bin_h")
+  }
+
   /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
     * row for EMBEDDING dedup — two micro-batches of odd-id vectors
     * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
@@ -1536,6 +1584,16 @@ object SparkEntry {
     "tmp_stream_line_dedup" -> Q(
       (s, dir) => streamLineDedupQuery(s, dir),
       Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk FROM documents WHERE doc_id < 40), lx AS (SELECT doc_id, k AS pos, array_to_string(tk[k*10+1 : k*10+10], ' ') AS line FROM (SELECT doc_id, tk, unnest(generate_series(0, CAST(floor((len(tk)-1)/10.0) AS INT))) AS k FROM t)), b1 AS (SELECT * FROM lx WHERE doc_id < 20), own1 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM b1 GROUP BY 1), k1 AS (SELECT doc_id, pos, line FROM b1 JOIN own1 USING (line) WHERE doc_id * 1000000 + pos = o), idx1 AS (SELECT DISTINCT line FROM k1), b2 AS (SELECT * FROM lx WHERE doc_id >= 20), f2 AS (SELECT * FROM b2 WHERE line NOT IN (SELECT line FROM idx1)), own2 AS (SELECT line, MIN(doc_id * 1000000 + pos) AS o FROM f2 GROUP BY 1), k2 AS (SELECT doc_id, pos, line FROM f2 JOIN own2 USING (line) WHERE doc_id * 1000000 + pos = o), kept AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2), nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1), ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY 1) SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text, CAST(CASE WHEN nl.doc_id < 20 THEN 0 ELSE 1 END AS BIGINT) AS batch_id FROM nl LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")),
+
+    // Materialized-view streaming parity (r7): continuous hourly
+    // aggregation in UPDATE mode over two micro-batches; final view
+    // state (latest batch per key) hash-compared to the batch
+    // recompute, and n_updates — the per-key changelog depth — proves
+    // only touched keys were re-emitted (complete mode would pin it at
+    // n_batches for every key; the fixture split yields 140 ones).
+    "tmp_stream_matview" -> Q(
+      (s, dir) => streamMatViewQuery(s, dir),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bin_h, CAST(ROUND(value * 100) AS BIGINT) AS c, event_id FROM events WHERE event_id <= 2000) SELECT bin_h, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(DISTINCT CASE WHEN event_id < 1000 THEN 0 ELSE 1 END) AS BIGINT) AS n_updates FROM e GROUP BY 1 ORDER BY 1""")),
 
     // STATEFUL streaming parity in EMBEDDING space (r6): two
     // micro-batches of odd-id vectors against an even-id seed cosine

@@ -421,4 +421,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(keptIds == Set(1L, 2L),
       "replay must not self-match the batch against its own index entries")
   }
+
+  test("matview: update-mode changelog holds only touched keys; read = latest per key") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS graft_test_matview")
+    val staleLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_test_matview")
+    staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(staleLoc, true)
+    val ms = MemoryStream[(String, Long)]
+    val src = ms.toDF().toDF("k", "v")
+    val agg = src.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = graft.streaming.StreamingOps.matViewStream(agg, "graft_test_matview")
+    try {
+      ms.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      ms.addData(("b", 5L), ("c", 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("graft_test_matview")
+    // changelog: batch 0 touched {a, b}; batch 1 re-emitted ONLY {b, c}
+    // ("a" unchanged -> absent; this is the update-vs-complete proof),
+    // and b's batch-1 row carries the CUMULATIVE aggregate from state
+    val log = spark.table("graft_test_matview")
+      .select("k", "n", "s", "__batch_id").collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(log.keySet == Set("a" -> 0L, "b" -> 0L, "b" -> 1L, "c" -> 1L))
+    assert(log(("b", 0L)) == ((1L, 10L)) && log(("b", 1L)) == ((2L, 15L)))
+    // materialized state: latest batch per key + per-key update depth
+    val st = graft.streaming.StreamingOps
+      .matViewRead(spark, "graft_test_matview", Seq("k")).collect()
+      .map(r => r.getString(r.fieldIndex("k")) ->
+        ((r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("s")),
+          r.getLong(r.fieldIndex("n_updates"))))).toMap
+    assert(st == Map("a" -> ((2L, 3L, 1L)), "b" -> ((2L, 15L, 2L)),
+      "c" -> ((1L, 7L, 1L))))
+  }
 }
