@@ -1148,11 +1148,11 @@ object LlmOps {
         d
       }
     }
-    val adcScoreOf = udf { codes: Seq[Int] =>
-      var acc = 0.0; var s = 0
-      while (s < codes.length) { acc += adc(s)(codes(s)); s += 1 }
-      acc
-    }
+    // native codegen ADC lookup (r7: the DotProductD precedent — the
+    // per-row UDF boxed every codes array; measured swap recorded in
+    // COVERAGE §2.11)
+    def adcScoreOf(codes: Column) =
+      graft.expr.AdcScoreD(emb.sparkSession, codes, adc)
     val base0 = spread(emb)
     val base = if (nLists > 0 && nProbe > 0) {
       val cents = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
@@ -1308,11 +1308,8 @@ object LlmOps {
         d
       }
     }
-    val adcScoreOf = udf { codes: Seq[Int] =>
-      var acc = 0.0; var s = 0
-      while (s < codes.length) { acc += adc(s)(codes(s)); s += 1 }
-      acc
-    }
+    // native codegen ADC lookup on the pruned codes stream (r7)
+    def adcScoreOf(codes: Column) = graft.expr.AdcScoreD(spark, codes, adc)
     val qLit = array(qVec.map(lit).toIndexedSeq: _*)
     val cand = spark.read.parquet(s"$path/codes")
       .filter(col("__cell").isin(probes: _*))
