@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.LlmOps
+
+/** Empirical scale-slope harness (r6 verdict task 2): build ×K corpora
+  * from the sf0.1 fixtures by id-shifted self-union and time the
+  * heaviest LLM-pipeline operators at each size, so the "banded /
+  * bucketed / partition-pruned ⇒ near-linear" design claims become
+  * measured s/row slopes (recorded in BASELINE.md).
+  *
+  * Corpus construction — "more data of the same distribution", not
+  * clones: copy 0 is the original; copy i ≥ 1
+  *  - shifts ids by i·10⁷ (disjoint id spaces);
+  *  - prefixes every TOKEN with `c<i>_` (disjoint vocabularies, so a
+  *    copy has the fixture's internal duplicate structure but no
+  *    cross-copy near-dups — cloned text would instead create size-K
+  *    duplicate groups and measure K² pair blowup, i.e. the corpus,
+  *    not the engine);
+  *  - sign-flips embedding dimensions by a per-copy deterministic
+  *    pattern (norms and intra-copy cosines exactly preserved,
+  *    cross-copy cosines decorrelated);
+  *  - suffixes `source` / offsets `label` per copy — block keys SCALE
+  *    WITH the data, the documented dial for the exact-within-block
+  *    operators (at 100 TB you shard block columns finer, you don't
+  *    grow one block to the corpus).
+  *
+  * Scaled tables are WRITTEN to parquet and read back, so each timing
+  * includes the real scan path. One warm-up pass runs at ×1 (JIT +
+  * codegen, the Bench convention); slopes are then read from the ×8
+  * and ×32 timings of the same warm JVM. Emits one JSON line per
+  * (op, scale). */
+object Scale {
+  private val ID_SHIFT = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 32)
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (k <- scales) {
+      buildScaled(spark, sfDir, s"$base/x$k", k)
+      // the at-rest PQ index is built once per scale OUTSIDE any timer
+      // (a one-time indexing job; the probe is the path under test)
+      if (!new java.io.File(s"$base/x$k/pq_index/meta").exists())
+        LlmOps.buildPqIndex(
+          spark.read.parquet(s"$base/x$k/embeddings.parquet"),
+          s"$base/x$k/pq_index", nLists = 16)
+    }
+
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      LlmOps.releaseCaches()
+    }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+
+    // warm-up at the smallest scale (JIT + codegen), untimed
+    ops(spark, s"$base/x${scales.min}", scales.min).foreach { case (_, fn) =>
+      try fn() catch { case _: Throwable => () }
+      clearAll()
+    }
+    val sb = new StringBuilder
+    for (k <- scales) {
+      val dir = s"$base/x$k"
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      ops(spark, dir, k).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val out = try fn() catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearAll()
+        val rowsIn = if (name.startsWith("ann_") || name.contains("kmeans") ||
+          name.contains("cosine") || name.contains("semdedup")) nVecs else nDocs
+        val line = s"""{"metric":"scale","op":"$name","scale":$k,""" +
+          s""""rows_in":$rowsIn,"out_rows":$out,"sec":$dt,"loadavg":"${loadavg()}"}"""
+        println(line); sb.append(line).append('\n')
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_detail.jsonl"), sb.toString)
+    spark.stop()
+  }
+
+  /** ×K self-union with the per-copy transforms documented above. */
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
+                  k: Int): Unit = {
+    if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) return
+    val copies = explode(sequence(lit(0), lit(k - 1))).as("__c")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("*"), copies)
+      .select(
+        (col("doc_id") + col("__c") * ID_SHIFT).as("doc_id"),
+        when(col("__c") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(^|\\s)"),
+            concat(lit("$1c"), col("__c").cast("string"), lit("_")))).as("text"),
+        col("lang"),
+        concat(col("source"), lit("_c"), col("__c").cast("string")).as("source"),
+        col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("*"), copies)
+      .select(
+        (col("vec_id") + col("__c") * ID_SHIFT).as("vec_id"),
+        transform(col("embedding"), (x, d) =>
+          (x * when(col("__c") === 0 ||
+              pmod(xxhash64(col("__c"), d), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))).cast("float")).as("embedding"),
+        (col("label") + col("__c") * 100).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The measured operator set (the r6 verdict's list): each entry
+    * runs the operator's production path and returns its output row
+    * count. Exact O(n²) audit stages from the CORRECTNESS harness are
+    * deliberately NOT run here — they are oracle plumbing. */
+  private def ops(spark: SparkSession, dir: String,
+                  k: Int): Seq[(String, () => Long)] = {
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    def relined10(d: DataFrame): DataFrame = {
+      val toks = split(coalesce(col("text"), lit("")), "\\s+")
+      d.withColumn("text", array_join(transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+        x => array_join(slice(toks, x * 10 + 1, lit(10)), " ")), "\n"))
+    }
+    val pqPath = s"$dir/pq_index"
+    Seq(
+      "neardup_minhash" -> (() =>
+        LlmOps.nearDupPairsMinhash(docs, 0.8).count()),
+      "neardup_groups" -> (() =>
+        LlmOps.nearDupGroups(docs, 0.8, blockCol = Some("source")).count()),
+      "cosine_groups_lsh" -> (() =>
+        LlmOps.cosineGroups(embs, 0.3, method = "lsh").count()),
+      "semdedup" -> (() =>
+        LlmOps.semDedup(embs, 0.3, nClusters = 8).count()),
+      // end-to-end: build the corpus index on the lower-id half, dedup
+      // the upper-id half against it (constant split fraction ⇒ both
+      // stages scale with K)
+      "dedup_incremental" -> (() => {
+        val d = docs
+        val mm = d.agg(min("doc_id"), max("doc_id")).head
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        LlmOps.buildMinhashIndex(d.filter(col("doc_id") < cut),
+          s"graft_scale_mh_x$k")
+        LlmOps.dedupIncremental(d.filter(col("doc_id") >= cut),
+          s"graft_scale_mh_x$k").count()
+      }),
+      "line_dedup" -> (() =>
+        LlmOps.lineDedup(relined10(docs)).count()),
+      // probe-only against the index main() built outside the timer
+      "ann_pq_indexed_probe" -> (() => {
+        val q0 = embs.orderBy("vec_id").limit(1)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        LlmOps.annCosineIvfPqIndexed(spark, pqPath, q0, k = 10,
+          nProbe = 2, refine = 4).count()
+      }),
+      "kmeans" -> (() =>
+        LlmOps.kmeansFit(embs, 8, iters = 5).count()))
+  }
+}
