@@ -1110,25 +1110,37 @@ object SparkEntry {
           .groupBy("media_type").agg(count(lit(1)).as("n"))
           .orderBy("media_type")
       },
-      Some("""WITH p AS (SELECT doc_id, (CASE doc_id % 8 WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE000104A46') WHEN 2 THEN unhex('474946383961') WHEN 3 THEN unhex('000000186674797069736F6D') WHEN 4 THEN unhex('524946462400000057415645') WHEN 5 THEN unhex('255044462D312E34') WHEN 6 THEN unhex('1F8B0800') ELSE unhex('') END) || CAST(text AS BLOB) AS payload FROM documents), s AS (SELECT doc_id, upper(hex(payload)) AS h FROM p), t AS (SELECT CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'image/png' WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg' WHEN substring(h, 1, 12) IN ('474946383761', '474946383961') THEN 'image/gif' WHEN substring(h, 1, 8) = '25504446' THEN 'application/pdf' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645' THEN 'audio/wav' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57454250' THEN 'image/webp' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '41564920' THEN 'video/avi' WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4' WHEN substring(h, 1, 8) = '504B0304' THEN 'application/zip' WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip' ELSE 'application/octet-stream' END AS media_type FROM s) SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH p AS (SELECT doc_id, (CASE doc_id % 8 WHEN 0 THEN unhex('89504E470D0A1A0A') WHEN 1 THEN unhex('FFD8FFE000104A46') WHEN 2 THEN unhex('474946383961') WHEN 3 THEN unhex('000000186674797069736F6D') WHEN 4 THEN unhex('524946462400000057415645') WHEN 5 THEN unhex('255044462D312E34') WHEN 6 THEN unhex('1F8B0800') ELSE unhex('') END) || CAST(text AS BLOB) AS payload FROM documents), s AS (SELECT doc_id, upper(hex(payload)) AS h FROM p), t AS (SELECT CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'image/png' WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg' WHEN substring(h, 1, 12) IN ('474946383761', '474946383961') THEN 'image/gif' WHEN substring(h, 1, 4) = '424D' THEN 'image/bmp' WHEN substring(h, 1, 8) = '25504446' THEN 'application/pdf' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645' THEN 'audio/wav' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57454250' THEN 'image/webp' WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '41564920' THEN 'video/avi' WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4' WHEN substring(h, 1, 8) = '504B0304' THEN 'application/zip' WHEN substring(h, 1, 4) = '1F8B' THEN 'application/gzip' ELSE 'application/octet-stream' END AS media_type FROM s) SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1 ORDER BY 1""")),
 
     // Header-parsed image dimensions (r7): the query PLANTS width/height
     // (arithmetic functions of doc_id) into honest PNG / GIF / JPEG
-    // headers — JPEG behind 0-2 variable-length APP0 segments so the
-    // SOF segment walk is exercised, GIF little-endian, PNG big-endian
-    // u32 — and mediaDims must recover them byte-exactly. The oracle
-    // computes the same dims ARITHMETICALLY (it never parses): any
-    // offset/endianness/walk bug on the Spark side mismatches. Case 3
+    // / BMP / WebP(VP8, VP8L, VP8X) headers — JPEG behind 0-2
+    // variable-length APP0 segments so the SOF segment walk is
+    // exercised; GIF and BMP little-endian; PNG big-endian u32; the
+    // three WebP variants cover the LE24 canvas pair, the packed
+    // 14+14-bit field, and the start-code-guarded LE16 pair — and
+    // mediaDims must recover them byte-exactly. The oracle computes
+    // the same dims ARITHMETICALLY (it never parses): any offset/
+    // endianness/bit-unpack bug on the Spark side mismatches. Case 7
     // payloads are non-image bytes -> null dims by contract.
     "llm_media_dims" -> Q(
       (s, dir) => {
-        val m = pmod(col("doc_id"), lit(4))
+        val m = pmod(col("doc_id"), lit(8))
         val w = (lit(16) + pmod(col("doc_id"), lit(1000))).cast("int")
         val hh = (lit(9) + pmod(col("doc_id"), lit(700))).cast("int")
         def beHex(c: org.apache.spark.sql.Column, digits: Int) = lpad(conv(c, 10, 16), digits, "0")
         def leHex16(c: org.apache.spark.sql.Column) = {
           val be = beHex(c, 4)
           concat(substring(be, 3, 2), substring(be, 1, 2))
+        }
+        def leHex24(c: org.apache.spark.sql.Column) = {
+          val be = beHex(c, 6)
+          concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
+        }
+        def leHex32(c: org.apache.spark.sql.Column) = {
+          val be = beHex(c, 8)
+          concat(substring(be, 7, 2), substring(be, 5, 2),
+            substring(be, 3, 2), substring(be, 1, 2))
         }
         // one APP0 segment: marker + BE16 length (pad+2, includes
         // itself) + pad zero bytes; pad varies by doc so successive
@@ -1146,16 +1158,33 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(2)) === 0, lit("474946383761"))
             .otherwise(lit("474946383961")),
           leHex16(w), leHex16(hh))
+        // BMP: BM + file-size/reserved/offset junk + biSize 40 + LE32 dims
+        val bmpHex = concat(lit("424D"), lit("00" * 12), lit("28000000"),
+          leHex32(w), leHex32(hh), lit("0100"))
+        val riff = lit("52494646" + "00000000" + "57454250")
+        // lossy VP8: frame tag junk + 9D012A start code + LE16 dims
+        val webpVp8Hex = concat(riff, lit("56503820"), lit("00000000"),
+          lit("000000"), lit("9D012A"), leHex16(w), leHex16(hh))
+        // VP8L: 0x2F signature + (w-1 | (h-1)<<14) packed LE32
+        val webpVp8lHex = concat(riff, lit("5650384C"), lit("00000000"),
+          lit("2F"), leHex32((w - 1) + (hh - 1) * 16384))
+        // VP8X: flags + reserved + LE24 (canvas-1) pair
+        val webpVp8xHex = concat(riff, lit("56503858"), lit("00000000"),
+          lit("00"), lit("000000"), leHex24(w - 1), leHex24(hh - 1))
         val d = docs(s, dir).withColumn("payload",
           when(m === 0, unhex(pngHex))
             .when(m === 1, unhex(gifHex))
             .when(m === 2, unhex(jpegHex))
+            .when(m === 3, unhex(bmpHex))
+            .when(m === 4, unhex(webpVp8Hex))
+            .when(m === 5, unhex(webpVp8lHex))
+            .when(m === 6, unhex(webpVp8xHex))
             .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
         LlmOps.mediaDims(d, "payload")
           .select(col("doc_id"), col("media_type"), col("width"), col("height"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg' ELSE 'application/octet-stream' END AS media_type, CASE WHEN doc_id % 4 <= 2 THEN CAST(16 + doc_id % 1000 AS INT) END AS width, CASE WHEN doc_id % 4 <= 2 THEN CAST(9 + doc_id % 700 AS INT) END AS height FROM documents ORDER BY doc_id""")),
+      Some("""SELECT doc_id, CASE WHEN doc_id % 8 = 0 THEN 'image/png' WHEN doc_id % 8 = 1 THEN 'image/gif' WHEN doc_id % 8 = 2 THEN 'image/jpeg' WHEN doc_id % 8 = 3 THEN 'image/bmp' WHEN doc_id % 8 <= 6 THEN 'image/webp' ELSE 'application/octet-stream' END AS media_type, CASE WHEN doc_id % 8 <= 6 THEN CAST(16 + doc_id % 1000 AS INT) END AS width, CASE WHEN doc_id % 8 <= 6 THEN CAST(9 + doc_id % 700 AS INT) END AS height FROM documents ORDER BY doc_id""")),
 
     "llm_frame_sample" -> Q(
       (s, dir) => {

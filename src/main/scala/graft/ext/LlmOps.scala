@@ -2826,6 +2826,7 @@ object LlmOps {
         .when(pre(8) === "89504E47", "image/png")
         .when(pre(6) === "FFD8FF", "image/jpeg")
         .when(pre(12) === "474946383761" || pre(12) === "474946383961", "image/gif")
+        .when(pre(4) === "424D", "image/bmp")
         .when(pre(8) === "25504446", "application/pdf")
         .when(pre(8) === "52494646" && substring(h, 17, 8) === "57415645", "audio/wav")
         .when(pre(8) === "52494646" && substring(h, 17, 8) === "57454250", "image/webp")
@@ -2847,6 +2848,15 @@ object LlmOps {
     *    u32 at fixed byte offsets 17-20 / 21-24.
     *  - GIF: logical-screen width/height are LITTLE-endian u16 at
     *    bytes 7-8 / 9-10 (both 87a and 89a).
+    *  - BMP: BITMAPINFOHEADER biWidth/biHeight are little-endian i32
+    *    at bytes 19-22 / 23-26; a NEGATIVE biHeight means top-down row
+    *    order and carries no size information beyond |h| — both fields
+    *    are sign-decoded and returned as magnitudes.
+    *  - WebP: RIFF + WEBP, then by chunk fourCC — VP8X canvas
+    *    (width-1, height-1 as LE u24 at bytes 25-27 / 28-30), VP8L
+    *    (0x2F signature then 14+14 bits packed LE over bytes 22-25),
+    *    lossy VP8 (0x9D012A start code then LE u16 pair, low 14 bits
+    *    each).
     *  - JPEG: no fixed offset — the frame size lives in the SOF0-SOF3
     *    segment, so the expression WALKS the segment chain from byte 3
     *    (marker u16, big-endian length u16 that includes itself),
@@ -2883,7 +2893,38 @@ object LlmOps {
       when(length(hi) === 2,
         (conv(hi, 16, 10).cast("int") * 256 + conv(lo, 16, 10).cast("int")))
     }
+    // little-endian n-byte unsigned value as LONG (n <= 4)
+    def leAt(charPos: Int, nBytes: Int): Column = {
+      val last = substring(h, charPos + 2 * (nBytes - 1), 2)
+      val v = (0 until nBytes).map(b =>
+        conv(substring(h, charPos + 2 * b, 2), 16, 10).cast("long") *
+          lit(1L << (8 * b))).reduce(_ + _)
+      when(length(last) === 2, v)
+    }
+    // LE i32 sign-decode -> magnitude (BMP top-down heights)
+    def leMag32At(charPos: Int): Column = {
+      val u = leAt(charPos, 4)
+      abs(when(u >= 2147483648L, u - 4294967296L).otherwise(u)).cast("int")
+    }
     val noDims = struct(lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
+    // WebP: dispatch on the first chunk fourCC (bytes 13-16)
+    val webpDims = {
+      val fourcc = substring(h, 25, 8)
+      when(fourcc === "56503858", // VP8X: canvas (w-1, h-1) LE u24
+        struct((leAt(49, 3) + 1).cast("int").as("w"),
+          (leAt(55, 3) + 1).cast("int").as("h")))
+        .when(fourcc === "5650384C" && substring(h, 41, 2) === "2F", {
+          // VP8L: 14-bit (w-1) then 14-bit (h-1) packed LE
+          val b = leAt(43, 4)
+          struct((b.bitwiseAND(lit(16383L)) + 1).cast("int").as("w"),
+            (shiftright(b, 14).bitwiseAND(lit(16383L)) + 1).cast("int").as("h"))
+        })
+        .when(fourcc === "56503820" && substring(h, 47, 6) === "9D012A",
+          // lossy VP8: LE u16 pair after the frame start code, low 14 bits
+          struct(le16At(53).bitwiseAND(lit(16383)).as("w"),
+            le16At(57).bitwiseAND(lit(16383)).as("h")))
+        .otherwise(noDims)
+    }
     // unrolled segment walk; each level's `pos` re-derives from the
     // previous level's, so expression size is O(2^maxSegments) nodes —
     // bounded by the require above and fine for codegen at 6
@@ -2905,6 +2946,10 @@ object LlmOps {
         .when(substring(h, 1, 12) === "474946383761" ||
               substring(h, 1, 12) === "474946383961",
           struct(le16At(13).as("w"), le16At(17).as("h")))
+        .when(substring(h, 1, 4) === "424D",
+          struct(leMag32At(37).as("w"), leMag32At(45).as("h")))
+        .when(substring(h, 1, 8) === "52494646" &&
+              substring(h, 17, 8) === "57454250", webpDims)
         .when(substring(h, 1, 6) === "FFD8FF", jpegStep(lit(3), maxSegments))
         .otherwise(noDims)
     sniffMediaType(df, binCol)

@@ -1393,6 +1393,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(6L) == ((Some("image/png"), None, None)))     // IHDR tag missing -> null
     assert(got(7L) == ((Some("application/pdf"), None, None)))
     assert(got(8L) == ((None, None, None)))
+    // BMP + the three WebP container variants
+    val riff = "52494646" + "00000000" + "57454250"
+    val rows2 = Seq(
+      11L -> ("424D" + "00" * 12 + "28000000" + "20030000" + "58020000"), // BMP 800x600
+      12L -> ("424D" + "00" * 12 + "28000000" + "20030000" + "A8FDFFFF"), // top-down h=-600
+      13L -> (riff + "56503820" + "00000000" + "000000" + "9D012A" + "4001" + "F000"), // VP8 320x240
+      14L -> (riff + "5650384C" + "00000000" + "2F" + "7A000B00"),        // VP8L 123x45
+      15L -> (riff + "56503858" + "00000000" + "00" + "000000" + "E70300" + "F30100"), // VP8X 1000x500
+      16L -> (riff + "58585858" + "00000000"),                            // unknown WebP chunk
+      17L -> "424D0000"                                                   // truncated BMP
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got2 = LlmOps.mediaDims(rows2, "payload").collect().map { r =>
+      r.getLong(0) -> ((r.getString(r.fieldIndex("media_type")),
+        if (r.isNullAt(r.fieldIndex("width"))) None else Some(r.getInt(r.fieldIndex("width"))),
+        if (r.isNullAt(r.fieldIndex("height"))) None else Some(r.getInt(r.fieldIndex("height")))))
+    }.toMap
+    assert(got2(11L) == (("image/bmp", Some(800), Some(600))))
+    assert(got2(12L) == (("image/bmp", Some(800), Some(600)))) // |biHeight|
+    assert(got2(13L) == (("image/webp", Some(320), Some(240))))
+    assert(got2(14L) == (("image/webp", Some(123), Some(45))))
+    assert(got2(15L) == (("image/webp", Some(1000), Some(500))))
+    assert(got2(16L) == (("image/webp", None, None)))
+    assert(got2(17L) == (("image/bmp", None, None)))
     // a JPEG whose SOF sits past maxSegments bails to null (never a
     // mis-parse); raising the walk depth finds it
     // seven minimal APP0 segments (len 2 = just the length field)
