@@ -1215,6 +1215,17 @@ object SparkEntry {
       (s, dir) => LlmOps.bpeTrain(docs(s, dir), rounds = 3),
       Some("""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents) WHERE length(w) >= 2 GROUP BY 1), v0 AS (SELECT w, f, array_to_string(list_transform(generate_series(1, CAST(length(w) AS INT)), i -> substr(w, i, 1)), ' ') AS s FROM wf), sp1 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v0), e1 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp1), b1 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e1 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m1 AS (SELECT e.w, e.j FROM e1 e, b1 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k1 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m1)) WHERE (j - p) % 2 = 0), v1 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e1 e CROSS JOIN b1 b LEFT JOIN k1 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k1 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp2 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v1), e2 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp2), b2 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e2 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m2 AS (SELECT e.w, e.j FROM e2 e, b2 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k2 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m2)) WHERE (j - p) % 2 = 0), v2 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e2 e CROSS JOIN b2 b LEFT JOIN k2 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k2 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp3 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v2), e3 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp3), b3 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e3 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1) SELECT * FROM (SELECT CAST(1 AS INT) AS round, x AS sym_a, y AS sym_b, cnt FROM b1 UNION ALL SELECT CAST(2 AS INT), x, y, cnt FROM b2 UNION ALL SELECT CAST(3 AS INT), x, y, cnt FROM b3) ORDER BY round""")),
 
+    // BPE tokenizer APPLICATION (r7): the corpus token-budget question
+    // — per-doc whitespace-word count and post-merge BPE token count
+    // under the 3 trained merges. The oracle extends the unrolled
+    // replay through the third merge's vocabulary rebuild (v3), maps
+    // every doc word to its merged symbol count (1-char words, below
+    // the training floor, count 1), and re-aggregates per doc.
+    // Value-exact: integer counts end to end.
+    "llm_bpe_tokenize" -> Q(
+      (s, dir) => LlmOps.bpeTokenize(docs(s, dir), rounds = 3).orderBy("doc_id"),
+      Some("""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents) WHERE length(w) >= 2 GROUP BY 1), v0 AS (SELECT w, f, array_to_string(list_transform(generate_series(1, CAST(length(w) AS INT)), i -> substr(w, i, 1)), ' ') AS s FROM wf), sp1 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v0), e1 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp1), b1 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e1 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m1 AS (SELECT e.w, e.j FROM e1 e, b1 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k1 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m1)) WHERE (j - p) % 2 = 0), v1 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e1 e CROSS JOIN b1 b LEFT JOIN k1 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k1 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp2 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v1), e2 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp2), b2 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e2 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m2 AS (SELECT e.w, e.j FROM e2 e, b2 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k2 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m2)) WHERE (j - p) % 2 = 0), v2 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e2 e CROSS JOIN b2 b LEFT JOIN k2 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k2 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sp3 AS (SELECT w, f, string_split(s, ' ') AS sl FROM v2), e3 AS (SELECT w, f, sl, unnest(generate_series(1, len(sl))) AS j FROM sp3), b3 AS (SELECT sl[j] AS x, sl[j+1] AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM e3 WHERE j < len(sl) GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1), m3 AS (SELECT e.w, e.j FROM e3 e, b3 b WHERE e.j < len(e.sl) AND e.sl[e.j] = b.x AND e.sl[e.j+1] = b.y), k3 AS (SELECT w, j FROM (SELECT w, j, MIN(j) OVER (PARTITION BY w, g) AS p FROM (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS g FROM m3)) WHERE (j - p) % 2 = 0), v3 AS (SELECT e.w, MIN(e.f) AS f, string_agg(CASE WHEN ka.j IS NOT NULL THEN b.x || b.y ELSE e.sl[e.j] END, ' ' ORDER BY e.j) AS s FROM e3 e CROSS JOIN b3 b LEFT JOIN k3 ka ON e.w = ka.w AND e.j = ka.j LEFT JOIN k3 kb ON e.w = kb.w AND e.j = kb.j + 1 WHERE kb.j IS NULL GROUP BY e.w), sz AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms FROM v3), dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents) WHERE length(w) >= 1), jj AS (SELECT doc_id, COALESCE(n_syms, 1) AS n FROM dw LEFT JOIN sz USING (w)), ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens FROM jj GROUP BY 1) SELECT d.doc_id, COALESCE(n_words, CAST(0 AS BIGINT)) AS n_words, COALESCE(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""")),
+
     "llm_bpe_pairs" -> Q(
       (s, dir) => LlmOps.bpePairCounts(docs(s, dir), k = 20),
       Some("""WITH w AS (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w WHERE length(w) >= 2 GROUP BY 1), px AS (SELECT substr(w, i, 2) AS pair, f FROM (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM f)) SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM px GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),

@@ -2542,51 +2542,96 @@ object LlmOps {
     * not replay rounds 1..r-1. */
   def bpeTrain(docs: DataFrame, rounds: Int = 3,
                textCol: String = "text"): DataFrame = {
-    require(rounds >= 1 && rounds <= 10, "need 1 <= rounds <= 10")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = spread(docs)
+    val (merges, vocab) = bpeMergeRounds(bpeInitVocab(docs, textCol), rounds)
+    vocab.unpersist(false)
+    merges.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+  }
+
+  /** Apply the merges [[bpeTrain]] learns to the corpus itself: per-doc
+    * whitespace token count and post-merge BPE token count — the
+    * "how many tokens is this corpus under the trained tokenizer"
+    * budget question. Words below the 2-char training floor (and any
+    * word, pre-merge, = its own symbols) count 1 token per character
+    * group as trained; unseen-in-training 1-char words count 1.
+    * Scale shape: training is [[bpeTrain]]'s (corpus pass + vocabulary
+    * rounds); application is ONE doc-word explode joined to the
+    * vocabulary-sized (word → n_syms) map — broadcastable at any
+    * realistic vocabulary — then a per-doc sum. */
+  def bpeTokenize(docs: DataFrame, rounds: Int = 3, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val (_, vocab) = bpeMergeRounds(bpeInitVocab(docs, textCol), rounds)
+    // hand the vocabulary sizes to a TRACKED cache (the CC handoff
+    // convention) so the merge-loop lineage can be released while the
+    // returned frame stays cheap to consume
+    val sizes = persistTracked(
+      vocab.select(col("w"), size(col("syms")).cast("long").as("n_syms")))
+    sizes.count()
+    vocab.unpersist(false)
+    val docWords = spread(docs)
+      .select(col(idCol), explode(split(lower(txt(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val agg = docWords.join(broadcast(sizes), Seq("w"), "left_outer")
+      .withColumn("n_syms", coalesce(col("n_syms"), lit(1L)))
+      .groupBy(idCol).agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+    spread(docs).select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Initial BPE vocabulary: distinct words (≥ 2 chars) with corpus
+    * frequency and their character symbol arrays. */
+  private def bpeInitVocab(docs: DataFrame, textCol: String): DataFrame =
+    spread(docs)
       .select(explode(split(lower(txt(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))))
-      .persist()
+
+  /** The shared merge loop: N rounds of argmax + greedy fold. Returns
+    * the merge table and the FINAL vocabulary (persisted — caller
+    * unpersists or hands off). */
+  private def bpeMergeRounds(vocab0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 10, "need 1 <= rounds <= 10")
+    var vocab = vocab0.persist()
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val best = vocab.filter(size(col("syms")) >= 2)
-          .select(col("f"), explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("x"),
-              element_at(col("syms"), i + 1).as("y")))).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true // every word fully merged
-        else {
-          val (x, y, cnt) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          merges += ((r, x, y, cnt))
-          val merged = aggregate(col("syms"),
-            array().cast("array<string>"),
-            (out, s) => when(size(out) > 0 &&
-                element_at(out, -1) === lit(x) && s === lit(y),
-              concat(slice(out, lit(1), size(out) - 1), array(lit(x + y))))
-              .otherwise(concat(out, array(s))))
-          val next = vocab.withColumn("syms", merged).persist()
-          next.count()
-          vocab.unpersist(false)
-          vocab = next
-        }
-        r += 1
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("x"),
+            element_at(col("syms"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (x, y, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, x, y, cnt))
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (out, s) => when(size(out) > 0 &&
+              element_at(out, -1) === lit(x) && s === lit(y),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(x + y))))
+            .otherwise(concat(out, array(s))))
+        val next = vocab.withColumn("syms", merged).persist()
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
       }
-    } finally vocab.unpersist(false)
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+      r += 1
+    }
+    (merges.toSeq, vocab)
   }
 
   /** Corpus-level top-k n-gram frequencies — the vocabulary/phrase-

@@ -1004,6 +1004,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bpeTrain(df, litLong(rE).toInt,
         textCol = colNameOf(df, textE, "bpe_train text"))
 
+    // `evaluate bpe_tokenize(rounds, text, id)`: per-doc token counts
+    // under the trained merges (LlmOps.bpeTokenize)
+    case EvaluateOp("bpe_tokenize", rE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.bpeTokenize(df, litLong(rE).toInt,
+        textCol = colNameOf(df, textE, "bpe_tokenize text"),
+        idCol = colNameOf(df, idE, "bpe_tokenize id"))
+
     // `evaluate ngram_counts(n, k, text)`: corpus top-k n-grams
     case EvaluateOp("ngram_counts", nE :: kE :: textE :: Nil) =>
       graft.ext.LlmOps.ngramCounts(df, litLong(nE).toInt, litLong(kE).toInt,

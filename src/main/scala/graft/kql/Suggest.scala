@@ -74,7 +74,8 @@ object Suggest {
     "active_users_count", "activity_counts_metrics", "activity_engagement",
     "activity_metrics",
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
-    "boilerplate_remove", "bpe_pair_counts", "bpe_train", "chunk", "containment_pairs",
+    "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
+    "chunk", "containment_pairs",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",

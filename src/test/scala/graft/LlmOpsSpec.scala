@@ -1487,6 +1487,21 @@ class LlmOpsSpec extends AnyFunSuite {
     LlmOps.releaseCaches()
   }
 
+  test("bpeTokenize: per-doc counts under trained merges; 1-char words count 1") {
+    val d = Seq((0L, "aaaa aaaa ab"), (1L, "aaaa ab"), (2L, "a aaaa"))
+      .toDF("doc_id", "text")
+    // 3 rounds fully merge the vocab: (a,a,12) -> (aa,aa,4) -> (a,b,2);
+    // every trained word is 1 token, the 1-char word "a" counts 1
+    val got3 = LlmOps.bpeTokenize(d, rounds = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got3 == Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 2L, 2L)))
+    // 1 round: only (a,a) merged -> aaaa = [aa,aa] (2), ab = [a,b] (2)
+    val got1 = LlmOps.bpeTokenize(d, rounds = 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got1 == Seq((0L, 3L, 6L), (1L, 2L, 4L), (2L, 2L, 3L)))
+    LlmOps.releaseCaches()
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
