@@ -1186,6 +1186,54 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CASE WHEN doc_id % 8 = 0 THEN 'image/png' WHEN doc_id % 8 = 1 THEN 'image/gif' WHEN doc_id % 8 = 2 THEN 'image/jpeg' WHEN doc_id % 8 = 3 THEN 'image/bmp' WHEN doc_id % 8 <= 6 THEN 'image/webp' ELSE 'application/octet-stream' END AS media_type, CASE WHEN doc_id % 8 <= 6 THEN CAST(16 + doc_id % 1000 AS INT) END AS width, CASE WHEN doc_id % 8 <= 6 THEN CAST(9 + doc_id % 700 AS INT) END AS height FROM documents ORDER BY doc_id""")),
 
+    // WAV audio metadata (r7): the query PLANTS format/channels/rate/
+    // bits/frame-count (arithmetic functions of doc_id) into honest
+    // RIFF/WAVE files — case 1 hides `fmt ` behind a variable ODD-size
+    // LIST chunk so the even-padding chunk walk is exercised — and
+    // audioMeta must recover them byte-exactly; the oracle computes
+    // the same values arithmetically (it never parses). Case 2 is
+    // non-audio -> all-null by contract. duration_ms is exact integer
+    // floor division on both engines.
+    "llm_audio_meta" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(3))
+        val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+        val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int")
+        val bits = (lit(8) * (lit(1) + pmod(col("doc_id"), lit(2)))).cast("int")
+        val block = (ch * bits / lit(8)).cast("int")
+        val frames = (lit(10) + pmod(col("doc_id"), lit(50))).cast("int")
+        val dataSize = frames * block
+        def beHex(c: org.apache.spark.sql.Column, digits: Int) = lpad(conv(c, 10, 16), digits, "0")
+        def leHex16(c: org.apache.spark.sql.Column) = {
+          val be = beHex(c, 4); concat(substring(be, 3, 2), substring(be, 1, 2))
+        }
+        def leHex32(c: org.apache.spark.sql.Column) = {
+          val be = beHex(c, 8)
+          concat(substring(be, 7, 2), substring(be, 5, 2),
+            substring(be, 3, 2), substring(be, 1, 2))
+        }
+        // LIST chunk of odd-leaning size (3..6) + RIFF even padding
+        val listChunk = concat(lit("4C495354"),
+          leHex32(lit(3) + pmod(col("doc_id"), lit(4))),
+          expr("repeat('00', CAST(3 + doc_id % 4 + (3 + doc_id % 4) % 2 AS INT))"))
+        val wavHex = concat(lit("52494646"), leHex32(lit(36) + dataSize),
+          lit("57415645"),
+          when(m === 1, listChunk).otherwise(lit("")),
+          lit("666D7420"), leHex32(lit(16)),
+          leHex16(lit(1)), leHex16(ch), leHex32(rate),
+          leHex32(rate * block), leHex16(block), leHex16(bits),
+          lit("64617461"), leHex32(dataSize))
+        val d = docs(s, dir).withColumn("payload",
+          when(m <= 1, unhex(wavHex))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.audioMeta(d, "payload")
+          .select(col("doc_id"), col("audio_format"), col("n_channels"),
+            col("sample_rate"), col("bits_per_sample"), col("n_frames"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 AS INT) END AS audio_format, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels, CASE WHEN doc_id % 3 <= 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, CASE WHEN doc_id % 3 <= 1 THEN CAST(8 * (1 + doc_id % 2) AS INT) END AS bits_per_sample, CASE WHEN doc_id % 3 <= 1 THEN CAST(10 + doc_id % 50 AS BIGINT) END AS n_frames, CASE WHEN doc_id % 3 <= 1 THEN CAST((10 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) END AS duration_ms FROM documents ORDER BY doc_id""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

@@ -3004,6 +3004,87 @@ object LlmOps {
       .drop("__d")
   }
 
+  /** Audio metadata from WAV headers — no decode (the sample-rate /
+    * channel / duration filter an audio curation pipeline applies right
+    * after type routing, e.g. "16 kHz mono ≥ 1 s"). RIFF is a CHUNKED
+    * container with no fixed layout — `fmt ` may sit behind LIST/INFO
+    * metadata and `data` behind fact chunks — so the expression WALKS
+    * the chunk chain from byte 13 (fourCC + LE32 size, sizes padded to
+    * even offsets per the RIFF spec), unrolled `maxChunks` deep, once
+    * for `fmt ` and once for `data`. From the fmt payload: audio
+    * format tag, channels, sample rate, bits/sample, block align; from
+    * the data size: frame count and integer-ms duration. Non-WAV /
+    * truncated / walk-exhausted payloads yield nulls per field — a
+    * 100 TB filter degrades per-row, never throws. Pure codegen hex
+    * arithmetic over a bounded prefix (the mediaDims technique). */
+  def audioMeta(df: DataFrame, binCol: String, headerBytes: Int = 4096,
+                maxChunks: Int = 6): DataFrame = {
+    require(headerBytes >= 44 && maxChunks >= 1,
+      "need headerBytes >= 44 and maxChunks >= 1")
+    // The walk is materialized as a withColumn CHAIN (__p0..__pN), one
+    // column per chunk position, each referencing the previous as a
+    // bound ATTRIBUTE — the naive recursive Column form re-derives the
+    // position expression ~7× per level (the LE32 size read alone
+    // references it 5×), i.e. 7^maxChunks duplicated subtrees, which
+    // stalls the analyzer. mediaDims' JPEG walk tolerates inlining at
+    // ~3×/level; a RIFF walk does not. CollapseProject leaves the
+    // aliases alone because they are non-cheap and multiply referenced.
+    def hexAt(pos: Column, nBytes: Int): Column =
+      col("__amh").substr(pos * 2 - 1, lit(nBytes * 2))
+    def leC(pos: Column, nBytes: Int): Column = {
+      val last = hexAt(pos + (nBytes - 1), 1)
+      val v = (0 until nBytes).map(b =>
+        conv(hexAt(pos + b, 1), 16, 10).cast("long") * lit(1L << (8 * b)))
+        .reduce(_ + _)
+      when(length(last) === 2, v)
+    }
+    val isWav = substring(col("__amh"), 1, 8) === "52494646" &&
+      substring(col("__amh"), 17, 8) === "57415645"
+    var out = df
+      .withColumn("__amh", upper(hex(substring(col(binCol), 1, headerBytes))))
+      .withColumn("__p0", when(isWav, lit(13L)))
+    for (k <- 1 until maxChunks) {
+      val prev = col(s"__p${k - 1}")
+      val sz = leC(prev + 4, 4)
+      // RIFF pads odd-size chunks to even offsets: advance by the
+      // even-rounded size (single reference to sz via shift-rounding)
+      out = out.withColumn(s"__p$k",
+        prev + 8 + shiftleft(shiftright(sz + 1, 1), 1))
+    }
+    val levels = (0 until maxChunks).map(k => col(s"__p$k"))
+    // payload position of the FIRST chunk whose fourCC matches (the
+    // chunk header is 8 bytes); null when absent/corrupt/exhausted
+    def findPayload(targetHex: String): Column =
+      coalesce(levels.map(p =>
+        when(hexAt(p, 4) === targetHex, p + 8)) :+ lit(null).cast("long"): _*)
+    out = out
+      .withColumn("__fmtp", findPayload("666D7420"))
+      .withColumn("__datap", findPayload("64617461"))
+    val fmtP = col("__fmtp")
+    val blockAlign = leC(fmtP + 12, 2)
+    val rate = leC(fmtP + 4, 4)
+    val dataSize = leC(col("__datap") - 4, 4) // size field precedes payload
+    val frames = when(blockAlign > 0, expr_div(dataSize, blockAlign))
+    out
+      .withColumn("audio_format", leC(fmtP, 2).cast("int"))
+      .withColumn("n_channels", leC(fmtP + 2, 2).cast("int"))
+      .withColumn("sample_rate", rate.cast("int"))
+      .withColumn("bits_per_sample", leC(fmtP + 14, 2).cast("int"))
+      .withColumn("n_frames", frames)
+      .withColumn("duration_ms", when(rate > 0, expr_div(frames * 1000L, rate)))
+      .drop("__amh" +: "__fmtp" +: "__datap" +:
+        (0 until maxChunks).map(k => s"__p$k"): _*)
+  }
+
+  // exact integer floor-division as a Column (Column./ is double
+  // division — but floor of a correctly-rounded double quotient of two
+  // non-negative longs is EXACT while the dividend < 2^52: a non-integer
+  // true quotient sits ≥ 1/b from the next integer, and the FP error
+  // q·2⁻⁵² is smaller than that whenever a < 2^52; header arithmetic
+  // here tops out near 2^42)
+  private def expr_div(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
   /** STUB feature extraction: 8-dim pseudo-embedding from payload hash —
     * stands in for a real decoder (mapInPandas/ONNX in production). */
   def stubDecodeFeatures(df: DataFrame, binCol: String, dims: Int = 8): DataFrame =

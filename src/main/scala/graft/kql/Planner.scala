@@ -915,10 +915,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, binE, "sniff_media_type payload"))
 
     // `evaluate media_dims(binCol)`: image width/height parsed from
-    // PNG/GIF/JPEG container headers — no decode (LlmOps.mediaDims)
+    // PNG/GIF/BMP/WebP/JPEG container headers — no decode
+    // (LlmOps.mediaDims)
     case EvaluateOp("media_dims", binE :: Nil) =>
       graft.ext.LlmOps.mediaDims(df,
         colNameOf(df, binE, "media_dims payload"))
+
+    // `evaluate audio_meta(binCol)`: WAV fmt/data chunk-walk metadata
+    // (sample rate, channels, bits, frames, duration) — no decode
+    // (LlmOps.audioMeta)
+    case EvaluateOp("audio_meta", binE :: Nil) =>
+      graft.ext.LlmOps.audioMeta(df,
+        colNameOf(df, binE, "audio_meta payload"))
 
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),

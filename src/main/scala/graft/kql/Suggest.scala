@@ -86,7 +86,8 @@ object Suggest {
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
-    "media_dims", "neardup_groups", "neardup_minhash", "new_activity_metrics",
+    "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
+    "new_activity_metrics",
     "pack_sequences", "pagerank", "pii_scrub",
     "pivot", "preview", "quality_filter", "quality_score",
     "repetition_score", "rolling_percentile", "rows_near", "semdedup",

@@ -1502,6 +1502,59 @@ class LlmOpsSpec extends AnyFunSuite {
     LlmOps.releaseCaches()
   }
 
+  test("audioMeta: canonical WAV, LIST-preceded fmt, padding, degraded inputs") {
+    // 16 kHz mono 8-bit PCM, 100 frames
+    val fmt8k = "666D7420" + "10000000" + "0100" + "0100" + "803E0000" +
+      "803E0000" + "0100" + "0800"
+    // 44.1 kHz stereo 16-bit, 50 frames (block align 4)
+    val fmt44 = "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000"
+    val rows = Seq(
+      1L -> ("52494646" + "A8000000" + "57415645" + fmt8k + "64617461" + "64000000"),
+      // odd-size LIST (3 bytes + pad) before fmt: the walk must pad to even
+      2L -> ("52494646" + "A8000000" + "57415645" + "4C495354" + "03000000" +
+        "000000" + "00" + fmt8k + "64617461" + "64000000"),
+      3L -> "52494646AA",                                   // truncated RIFF
+      4L -> "DEADBEEF00000000",                             // not RIFF
+      5L -> ("52494646" + "24000000" + "57415645" + fmt8k), // fmt, no data
+      6L -> ("52494646" + "C8000000" + "57415645" + fmt44 + "64617461" + "C8000000")
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.audioMeta(rows, "payload").collect().map { r =>
+      def oi(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getInt(r.fieldIndex(c)))
+      def ol(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      r.getLong(0) -> ((oi("audio_format"), oi("n_channels"), oi("sample_rate"),
+        oi("bits_per_sample"), ol("n_frames"), ol("duration_ms")))
+    }.toMap
+    assert(got(1L) == ((Some(1), Some(1), Some(16000), Some(8), Some(100L), Some(6L))))
+    assert(got(2L) == got(1L)) // LIST + padding walked over
+    assert(got(3L) == ((None, None, None, None, None, None)))
+    assert(got(4L) == ((None, None, None, None, None, None)))
+    assert(got(5L) == ((Some(1), Some(1), Some(16000), Some(8), None, None)))
+    assert(got(6L) == ((Some(1), Some(2), Some(44100), Some(16), Some(50L), Some(1L))))
+    // KQL-reachable; string payloads are not RIFF -> all null
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate audio_meta(text) | summarize n = countif(isnull(sample_rate))",
+      TestSpark.sfDir)
+    assert(kql.head.getLong(0) > 0)
+  }
+
+  test("byte parsers are total: signature-prefixed random payloads never throw") {
+    val rnd = new scala.util.Random(7)
+    val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
+      "52494646AAAAAAAA57454250", "52494646AAAAAAAA57415645", "1F8B", "")
+    val rows = (0 until 240).map { i =>
+      val sig = sigs(i % sigs.length)
+      val tail = Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
+      val sigBytes = sig.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      (i.toLong, sigBytes ++ tail)
+    }.toDF("id", "payload")
+    // collect() forces every parsed column; hostile headers must
+    // degrade to null per field, never throw
+    assert(LlmOps.mediaDims(rows, "payload").collect().length == 240)
+    assert(LlmOps.audioMeta(rows, "payload").collect().length == 240)
+    assert(LlmOps.sniffMediaType(rows, "payload").collect().length == 240)
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
