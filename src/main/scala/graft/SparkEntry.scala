@@ -1234,6 +1234,44 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 AS INT) END AS audio_format, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels, CASE WHEN doc_id % 3 <= 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, CASE WHEN doc_id % 3 <= 1 THEN CAST(8 * (1 + doc_id % 2) AS INT) END AS bits_per_sample, CASE WHEN doc_id % 3 <= 1 THEN CAST(10 + doc_id % 50 AS BIGINT) END AS n_frames, CASE WHEN doc_id % 3 <= 1 THEN CAST((10 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) END AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // MP4 video metadata (r7): the query PLANTS timescale/duration/
+    // track dims (arithmetic functions of doc_id) into honest ISO-BMFF
+    // box trees — ftyp, then a variable-size free box so the top-level
+    // walk is exercised, then moov{mvhd, trak{tkhd}} with v0 layouts
+    // and 16.16-fixed dims — and videoMeta must recover them
+    // byte-exactly; the oracle computes the same values arithmetically
+    // (it never parses). Case 1 is non-video -> all-null by contract.
+    "llm_video_meta" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(2))
+        val tsc = (lit(1000) + pmod(col("doc_id"), lit(10)) * 100).cast("int")
+        val dur = (lit(500) + pmod(col("doc_id"), lit(5000))).cast("int")
+        val w = (lit(160) + pmod(col("doc_id"), lit(800))).cast("int")
+        val hh = (lit(90) + pmod(col("doc_id"), lit(600))).cast("int")
+        def beHex(c: org.apache.spark.sql.Column, digits: Int) = lpad(conv(c, 10, 16), digits, "0")
+        val pad = pmod(col("doc_id"), lit(4)).cast("int")
+        val freeBox = concat(beHex(lit(8) + pad, 8), lit("66726565"),
+          expr("repeat('00', CAST(doc_id % 4 AS INT))"))
+        val mvhd = concat(lit("0000001C"), lit("6D766864"),
+          lit("00000000"), lit("00000000"), lit("00000000"),
+          beHex(tsc, 8), beHex(dur, 8))
+        val tkhd = concat(lit("0000005C"), lit("746B6864"),
+          lit("00000007"), lit("00" * 20), lit("00" * 8), lit("00" * 8),
+          lit("00" * 36), beHex(w * 65536, 8), beHex(hh * 65536, 8))
+        val trak = concat(lit("00000064"), lit("7472616B"), tkhd)
+        val moov = concat(beHex(lit(8 + 28 + 100), 8), lit("6D6F6F76"), mvhd, trak)
+        val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+        val mp4Hex = concat(ftyp, freeBox, moov)
+        val d = docs(s, dir).withColumn("payload",
+          when(m === 0, unhex(mp4Hex))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.videoMeta(d, "payload")
+          .select(col("doc_id"), col("timescale"), col("duration_ms"),
+            col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN CAST(1000 + (doc_id % 10) * 100 AS INT) END AS timescale, CASE WHEN doc_id % 2 = 0 THEN CAST((500 + doc_id % 5000) * 1000 // (1000 + (doc_id % 10) * 100) AS BIGINT) END AS duration_ms, CASE WHEN doc_id % 2 = 0 THEN CAST(160 + doc_id % 800 AS INT) END AS width, CASE WHEN doc_id % 2 = 0 THEN CAST(90 + doc_id % 600 AS INT) END AS height FROM documents ORDER BY doc_id""")),
+
     "llm_frame_sample" -> Q(
       (s, dir) => {
         val withBin = docs(s, dir).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

@@ -3076,6 +3076,70 @@ object LlmOps {
         (0 until maxChunks).map(k => s"__p$k"): _*)
   }
 
+  /** Video metadata from MP4/ISO-BMFF headers — no decode (the
+    * duration / resolution filter a video curation pipeline applies
+    * right after type routing). Boxes are [BE32 size][fourCC] with
+    * nesting, so three bounded walks chain: top-level → `moov`, inside
+    * moov → `mvhd` (v0: timescale at payload+12, duration at +16) and
+    * the first `trak`, inside trak → `tkhd` (v0: 16.16-fixed width /
+    * height at payload +76 / +80). Each walk is a materialized
+    * withColumn chain (the audioMeta technique — recursive Column
+    * inlining is exponential); a zero/corrupt box size pins the walk
+    * in place until depth exhausts (bounded, never hangs). Version-1
+    * boxes (64-bit times) and non-MP4 / truncated payloads yield
+    * nulls. Outputs: `timescale`, `duration_ms` (exact integer floor
+    * division), `width`, `height`. */
+  def videoMeta(df: DataFrame, binCol: String,
+                headerBytes: Int = 4096): DataFrame = {
+    require(headerBytes >= 32, "need headerBytes >= 32")
+    def hexAt(pos: Column, nBytes: Int): Column =
+      col("__vmh").substr(pos * 2 - 1, lit(nBytes * 2))
+    def beC(pos: Column, nBytes: Int): Column = {
+      val s = hexAt(pos, nBytes)
+      when(length(s) === nBytes * 2, conv(s, 16, 10).cast("long"))
+    }
+    // chain a box walk from `start`, then first-match payload positions
+    def walk(out0: DataFrame, pre: String, start: Column,
+             depth: Int): (DataFrame, Seq[Column]) = {
+      var out = out0.withColumn(s"${pre}0", start)
+      for (k <- 1 until depth) {
+        val prev = col(s"$pre${k - 1}")
+        out = out.withColumn(s"$pre$k", prev + beC(prev, 4))
+      }
+      (out, (0 until depth).map(k => col(s"$pre$k")))
+    }
+    def findPayload(levels: Seq[Column], targetHex: String): Column =
+      coalesce(levels.map(p =>
+        when(hexAt(p + 4, 4) === targetHex, p + 8)) :+
+        lit(null).cast("long"): _*)
+    val isMp4 = substring(col("__vmh"), 9, 8) === "66747970"
+    var out = df.withColumn("__vmh",
+      upper(hex(substring(col(binCol), 1, headerBytes))))
+    val (out1, top) = walk(out, "__vt", when(isMp4, lit(1L)), 4)
+    out = out1.withColumn("__moovp", findPayload(top, "6D6F6F76"))
+    val (out2, inMoov) = walk(out, "__vm", col("__moovp"), 4)
+    out = out2
+      .withColumn("__mvhdp", findPayload(inMoov, "6D766864"))
+      .withColumn("__trakp", findPayload(inMoov, "7472616B"))
+    val (out3, inTrak) = walk(out, "__vk", col("__trakp"), 3)
+    out = out3.withColumn("__tkhdp", findPayload(inTrak, "746B6864"))
+    val mvhdV0 = hexAt(col("__mvhdp"), 1) === "00"
+    val tkhdV0 = hexAt(col("__tkhdp"), 1) === "00"
+    val timescale = when(mvhdV0, beC(col("__mvhdp") + 12, 4))
+    val duration = when(mvhdV0, beC(col("__mvhdp") + 16, 4))
+    out
+      .withColumn("timescale", timescale.cast("int"))
+      .withColumn("duration_ms",
+        when(timescale > 0, expr_div(duration * 1000L, timescale)))
+      .withColumn("width",
+        when(tkhdV0, shiftright(beC(col("__tkhdp") + 76, 4), 16)).cast("int"))
+      .withColumn("height",
+        when(tkhdV0, shiftright(beC(col("__tkhdp") + 80, 4), 16)).cast("int"))
+      .drop("__vmh" +: "__moovp" +: "__mvhdp" +: "__trakp" +: "__tkhdp" +:
+        ((0 until 4).map(k => s"__vt$k") ++ (0 until 4).map(k => s"__vm$k") ++
+          (0 until 3).map(k => s"__vk$k")): _*)
+  }
+
   // exact integer floor-division as a Column (Column./ is double
   // division — but floor of a correctly-rounded double quotient of two
   // non-negative longs is EXACT while the dividend < 2^52: a non-integer

@@ -928,6 +928,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.audioMeta(df,
         colNameOf(df, binE, "audio_meta payload"))
 
+    // `evaluate video_meta(binCol)`: MP4 mvhd/tkhd box-walk metadata
+    // (timescale, duration, track dims) — no decode (LlmOps.videoMeta)
+    case EvaluateOp("video_meta", binE :: Nil) =>
+      graft.ext.LlmOps.videoMeta(df,
+        colNameOf(df, binE, "video_meta payload"))
+
     case EvaluateOp("lang_id", textE :: idE :: Nil) =>
       graft.ext.LlmOps.langId(df, colNameOf(df, textE, "lang_id text"),
         colNameOf(df, idE, "lang_id id"))

@@ -1553,6 +1553,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(LlmOps.mediaDims(rows, "payload").collect().length == 240)
     assert(LlmOps.audioMeta(rows, "payload").collect().length == 240)
     assert(LlmOps.sniffMediaType(rows, "payload").collect().length == 240)
+    assert(LlmOps.videoMeta(rows, "payload").collect().length == 240)
+  }
+
+  test("videoMeta: mvhd/tkhd box walk, v1 boxes and degraded inputs to null") {
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    val mvhd0 = "0000001C" + "6D766864" + "00000000" * 3 + "00000258" + "000004B0"
+    val mvhd1 = "0000001C" + "6D766864" + "01000000" + "00000000" * 2 +
+      "00000258" + "000004B0" // version 1: 64-bit times, refuse to parse
+    val tkhd = "0000005C" + "746B6864" + "00000007" + "00" * 20 + "00" * 8 +
+      "00" * 8 + "00" * 36 + "01400000" + "00B40000" // 320x180 as 16.16
+    val trak = "00000064" + "7472616B" + tkhd
+    def moov(mv: String) = "00000088" + "6D6F6F76" + mv + trak
+    val rows = Seq(
+      1L -> (ftyp + moov(mvhd0)),
+      2L -> (ftyp + "00000009" + "66726565" + "00" + moov(mvhd0)), // odd free box
+      3L -> (ftyp + moov(mvhd1)),                                  // v1 mvhd
+      4L -> "0000001866",                                          // truncated
+      5L -> "DEADBEEF00000000"                                     // not MP4
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.videoMeta(rows, "payload").collect().map { r =>
+      def oi(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getInt(r.fieldIndex(c)))
+      def ol(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      r.getLong(0) -> ((oi("timescale"), ol("duration_ms"), oi("width"), oi("height")))
+    }.toMap
+    assert(got(1L) == ((Some(600), Some(2000L), Some(320), Some(180))))
+    assert(got(2L) == got(1L)) // free box (odd size, no padding) walked over
+    assert(got(3L) == ((None, None, Some(320), Some(180)))) // v1 mvhd, v0 tkhd
+    assert(got(4L) == ((None, None, None, None)))
+    assert(got(5L) == ((None, None, None, None)))
+    // KQL-reachable; string payloads are not MP4 -> null
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate video_meta(text) | summarize n = countif(isnull(timescale))",
+      TestSpark.sfDir)
+    assert(kql.head.getLong(0) > 0)
   }
 
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
