@@ -1003,6 +1003,15 @@ object SparkEntry {
     // results, scores equal the exact recompute to 4dp, self (or an
     // identical dup) on top, recall@10 >= 8/10 at refine = 4 (8-bit
     // per-dim quantization is tight; measured 10/10 at both SFs).
+    // JL sign random projection (r7): 64-d -> 16-d in integer micros.
+    // The md5-parity sign rule is replayed verbatim by DuckDB and the
+    // projection is an integer sum, so every projected value is exact
+    // cross-engine regardless of aggregation order.
+    "llm_random_projection" -> Q(
+      (s, dir) => LlmOps.randomProjection(embs(s, dir), k = 16, dim = 64)
+        .orderBy("vec_id", "dim"),
+      Some("""WITH sg AS (SELECT d, j, CASE WHEN (position(substring(md5('rp_' || d || '_' || j), 1, 1) IN '0123456789abcdef')) % 2 = 1 THEN 1 ELSE -1 END AS sg FROM generate_series(1, 16) t(d), generate_series(1, 64) u(j)), e AS (SELECT vec_id, j, CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT) AS vm FROM embeddings, generate_series(1, 64) g(j)), p AS (SELECT vec_id, d, CAST(SUM(sg * vm) AS BIGINT) AS proj_micro FROM e JOIN sg USING (j) GROUP BY 1, 2) SELECT vec_id, CAST(d AS INT) AS dim, proj_micro FROM p ORDER BY vec_id, dim""")),
+
     "llm_ann_sq8" -> Q(
       (s, dir) => {
         val e = embs(s, dir)

@@ -1172,6 +1172,50 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Johnson-Lindenstrauss SIGN random projection: reduce `dim`-d
+    * embeddings to `k` dimensions via a ±1 matrix derived from md5
+    * (engine-portable, seedless, growth-stable — the projection of a
+    * vector never changes as the corpus grows). Achlioptas 2003 shows
+    * ±1 entries give the JL distance-preservation guarantee without
+    * Gaussian sampling; this is the cheap densifying step before
+    * LSH / clustering / ANN at scale. Values are micro-quantized
+    * (CAST(ROUND(v·10⁶)) — the integer-cents convention) so the
+    * projection is an INTEGER sum: value-exact cross-engine, immune to
+    * FP summation order. Output: one row per (id, output dim) with the
+    * projected integer-micro value (divide by 10⁶ for the real
+    * projection; scaling by 1/√k is a constant the consumer folds in).
+    *
+    * Scale shape: pure per-row projection — k·dim literal-sign
+    * multiply-adds fully inside whole-stage codegen (the sign matrix
+    * is k·dim plan-time literals, NOT a join), zero shuffle, map-only
+    * at any corpus size. Embeddings shorter than `dim` project null
+    * (degrade, never throw). */
+  def randomProjection(emb: DataFrame, k: Int = 16, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 256 && dim >= 1 && dim <= 4096,
+      "need 1 <= k <= 256 and 1 <= dim <= 4096")
+    // ±1 from md5("rp_<d>_<j>") first hex char parity — identical rule
+    // in the DuckDB oracle, and deliberately md5 (not xxhash64): both
+    // engines ship it (the DSIR bucket-hash convention)
+    def sign(d: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${d}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1L else -1L
+    }
+    val vm = transform(col(vecCol),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val projs = (1 to k).map { d =>
+      (1 to dim).map(j => element_at(col("__vm"), j) * lit(sign(d, j)))
+        .reduce(_ + _)
+    }
+    spread(emb).select(col(idCol), vm.as("__vm"))
+      .select(col(idCol), posexplode(array(projs: _*)).as(Seq("__d0", "proj_micro")))
+      .select(col(idCol), (col("__d0") + 1).cast("int").as("dim"),
+        col("proj_micro"))
+  }
+
   /** Per-dimension SQ8 quantizer bounds: (min_d, max_d) of each
     * dimension over the UNIT-normalized corpus — one posexplode + one
     * dim-row aggregate (bounded metadata to the driver, not a data

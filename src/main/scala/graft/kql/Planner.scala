@@ -928,6 +928,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.audioMeta(df,
         colNameOf(df, binE, "audio_meta payload"))
 
+    // `evaluate random_projection(k, dim, vec, id)`: JL ±1 projection
+    // to k dims in integer micros (LlmOps.randomProjection)
+    case EvaluateOp("random_projection", kE :: dimE :: vecE :: idE :: Nil) =>
+      graft.ext.LlmOps.randomProjection(df, litLong(kE).toInt,
+        litLong(dimE).toInt,
+        idCol = colNameOf(df, idE, "random_projection id"),
+        vecCol = colNameOf(df, vecE, "random_projection vec"))
+
     // `evaluate video_meta(binCol)`: MP4 mvhd/tkhd box-walk metadata
     // (timescale, duration, track dims) — no decode (LlmOps.videoMeta)
     case EvaluateOp("video_meta", binE :: Nil) =>

@@ -89,7 +89,7 @@ object Suggest {
     "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pii_scrub",
-    "pivot", "preview", "quality_filter", "quality_score",
+    "pivot", "preview", "quality_filter", "quality_score", "random_projection",
     "repetition_score", "rolling_percentile", "rows_near", "semdedup",
     "sequence_detect", "session_count", "simhash", "simhash_pairs",
     "sniff_media_type",

@@ -1589,6 +1589,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.head.getLong(0) > 0)
   }
 
+  test("randomProjection: exact driver replay, short vectors null, JL correlation") {
+    def sign(d: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${d}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.charAt(0)) % 2 == 0) 1L else -1L
+    }
+    val proj = LlmOps.randomProjection(embs, k = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // exact integer replay for one vector
+    val v0 = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val vm = v0.map(x => math.round(x * 1000000))
+    for (d <- 1 to 16)
+      assert(proj((0L, d)) == (1 to 64).map(j => sign(d, j) * vm(j - 1)).sum)
+    // deterministic: a second run is bit-identical
+    val proj2 = LlmOps.randomProjection(embs, k = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(proj == proj2)
+    // JL property on the FIXED matrix: E[||Pv||²/k] = ||v||² for ±1
+    // signs (Achlioptas), so the mean norm-preservation ratio over 41
+    // vectors concentrates near 1 (per-vector std √(2/k) ≈ 0.35 →
+    // mean std ≈ 0.055; the matrix is deterministic, so this is a
+    // constant — no flake)
+    val vecs = embs.filter(col("vec_id") < 41)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ratios = vecs.toSeq.map { case (id, v) =>
+      val n2 = v.map(x => x * x).sum
+      val p2 = (1 to 16).map { d =>
+        val p = proj((id, d)).toDouble / 1e6; p * p
+      }.sum / 16.0
+      p2 / n2
+    }
+    val meanRatio = ratios.sum / ratios.length
+    assert(meanRatio > 0.7 && meanRatio < 1.3,
+      s"JL norm preservation off: mean ratio $meanRatio")
+    // short vector -> null projection values, row preserved
+    val shorty = Seq((99L, Seq(0.5, -0.5))).toDF("vec_id", "embedding")
+    val sp = LlmOps.randomProjection(shorty, k = 4, dim = 64).collect()
+    assert(sp.length == 4 && sp.forall(_.isNullAt(2)))
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
