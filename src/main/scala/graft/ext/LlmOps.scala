@@ -1979,6 +1979,64 @@ object LlmOps {
     out
   }
 
+  /** DBSCAN-style density clustering over embeddings with a cosine
+    * neighborhood (N(p) = vectors with cos ≥ eps): CORE points have
+    * |N(p)| + 1 ≥ minPts, clusters are the connected components of the
+    * core-core neighbor graph, BORDER points (non-core with ≥ 1 core
+    * neighbor) attach to the MINIMUM core-neighbor cluster id — the
+    * deterministic resolution of DBSCAN's order-dependent border
+    * assignment — and everything else is NOISE (null cluster). The
+    * curation read: noise = embedding-space outliers to quarantine,
+    * clusters = semantic modes for balancing/dedup.
+    *
+    * Scale shape: pairs come from [[similarityPairs]] (exact within
+    * blocks — closed-audit path) or [[similarityPairsLsh]] (banded —
+    * the 100 TB default); degree/core/border are one aggregate + two
+    * joins over the pair frame; clusters reuse the checkpointed
+    * O(log² n) [[connectedComponents]] engine. No driver state. */
+  def dbscanCosine(emb: DataFrame, eps: Double, minPts: Int,
+                   blockCol: String = "label", idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   method: String = "exact"): DataFrame = {
+    require(minPts >= 1, "need minPts >= 1")
+    // TRACKED persist (not a local one): the returned frame's lineage
+    // reads the pair frame through sym/borderAttach, so it must stay
+    // cached until the caller consumes — releaseCaches() frees it
+    val pairs = persistTracked((method match {
+      case "exact" => similarityPairs(emb, eps, blockCol, idCol, vecCol)
+      case "lsh" => similarityPairsLsh(emb, eps, blockCol, idCol, vecCol)
+      case other => throw new IllegalArgumentException(
+        s"dbscanCosine method '$other' (want exact | lsh)")
+    }).select(col("i"), col("j")))
+    val sym = pairs.union(pairs.select(col("j").as("i"), col("i").as("j")))
+    val core = sym.groupBy("i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") + 1 >= minPts).select(col("i").as("id"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "i"), "i")
+      .join(core.withColumnRenamed("id", "j"), "j")
+      .select("i", "j").persist()
+    val comp = connectedComponents(coreEdges)
+    coreEdges.unpersist(false)
+    // isolated cores (no core neighbor) are their own clusters
+    val coreClusters = persistTracked(
+      core.join(comp.withColumnRenamed("node", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("group_id"), col("id")).as("cluster_id")))
+    coreClusters.count()
+    val borderAttach = sym
+      .join(coreClusters.select(col("id").as("j"), col("cluster_id").as("__cj")), "j")
+      .groupBy("i").agg(min(col("__cj")).as("__cb"))
+    val out = spread(emb).select(col(idCol))
+      .join(coreClusters.select(col("id").as(idCol), col("cluster_id").as("__cc")),
+        Seq(idCol), "left")
+      .join(borderAttach.withColumnRenamed("i", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cc").isNotNull, "core")
+          .when(col("__cb").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("__cc"), col("__cb")).as("cluster_id"))
+    out
+  }
+
   /** Near-duplicate GROUPS on the documents table: exact-Jaccard pairs
     * (prefix-filtered, [[jaccardPairs]]) → transitive clusters
     * ([[connectedComponents]]) → one row per doc with its group id and

@@ -928,6 +928,16 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.audioMeta(df,
         colNameOf(df, binE, "audio_meta payload"))
 
+    // `evaluate dbscan(eps, minPts, 'method', block, vec, id)`:
+    // density clustering with core/border/noise roles
+    // (LlmOps.dbscanCosine)
+    case EvaluateOp("dbscan", epsE :: mpE :: mE :: blkE :: vecE :: idE :: Nil) =>
+      graft.ext.LlmOps.dbscanCosine(df, litDouble(epsE), litLong(mpE).toInt,
+        blockCol = colNameOf(df, blkE, "dbscan block"),
+        idCol = colNameOf(df, idE, "dbscan id"),
+        vecCol = colNameOf(df, vecE, "dbscan vec"),
+        method = litString(mE, "dbscan method"))
+
     // `evaluate random_projection(k, dim, vec, id)`: JL ±1 projection
     // to k dims in integer micros (LlmOps.randomProjection)
     case EvaluateOp("random_projection", kE :: dimE :: vecE :: idE :: Nil) =>

@@ -75,7 +75,7 @@ object Suggest {
     "activity_metrics",
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
-    "chunk", "containment_pairs",
+    "chunk", "containment_pairs", "dbscan",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",

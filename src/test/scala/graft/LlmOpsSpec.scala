@@ -1631,6 +1631,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sp.length == 4 && sp.forall(_.isNullAt(2)))
   }
 
+  test("dbscanCosine: exact driver replay on random vectors; LSH core subset") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i => i -> Array.fill(4)(rnd.nextGaussian()))
+    val df = vecs.map { case (i, v) => (i, v.toSeq, 1) }
+      .toDF("vec_id", "embedding", "label")
+    val got = LlmOps.dbscanCosine(df, eps = 0.5, minPts = 3, blockCol = "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // driver replay with the IDENTICAL double arithmetic (dot and norms
+    // summed in index order, cos = dot / (na * nb)) so pair inclusion
+    // is bit-identical
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- 0 until 4) { d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vm = vecs.toMap
+    val prs = for { i <- 0L until 30L; j <- (i + 1) until 30L
+      if cos(vm(i), vm(j)) >= 0.5 } yield (i, j)
+    val adj = (prs ++ prs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    val core = (0L until 30L).filter(i => adj(i).size + 1 >= 3).toSet
+    // union-find over core-core edges -> min-id clusters
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((i, j) <- prs if core(i) && core(j)) {
+      val (a, b) = (find(i), find(j)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expect = (0L until 30L).map { i =>
+      if (core(i)) i -> (("core", Some(find(i))))
+      else {
+        val cn = adj(i).filter(core)
+        if (cn.nonEmpty) i -> (("border", Some(cn.map(find).min)))
+        else i -> (("noise", None))
+      }
+    }.toMap
+    assert(got == expect)
+    // the fixture slice exercises all three roles (52/70/80 at these
+    // parameters); banded LSH can only MISS pairs -> degrees only drop
+    // -> its core set is a subset of the exact one, with banding recall
+    val e = embs.filter(col("label") <= 3).withColumn("__all", lit(1))
+    def run(method: String) =
+      LlmOps.dbscanCosine(e, 0.3, 4, blockCol = "__all", method = method)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+    val exact = run("exact")
+    assert(exact.map(_._2).toSet == Set("core", "border", "noise"))
+    def coreOf(rows: Array[(Long, String)]) =
+      rows.collect { case (id, "core") => id }.toSet
+    val (ce, cl) = (coreOf(exact), coreOf(run("lsh")))
+    assert(cl.subsetOf(ce))
+    assert(cl.size >= (ce.size * 0.8).toInt, s"lsh core recall ${cl.size}/${ce.size}")
+    LlmOps.releaseCaches()
+  }
+
   test("ann-sq8: deterministic params, exact re-ranked scores, brute-force limit") {
     val (mins, maxs) = LlmOps.sq8Params(embs)
     assert(mins.length == 64 && maxs.length == 64)
