@@ -1538,6 +1538,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.head.getLong(0) > 0)
   }
 
+  test("r7 plugins are KQL-reachable: bpe_train/bpe_tokenize/random_projection/dbscan") {
+    val bt = graft.kql.Kql.run(spark,
+      "documents | evaluate bpe_train(2, text)", TestSpark.sfDir).collect()
+    assert(bt.length == 2 && bt.map(_.getInt(0)).toSeq == Seq(1, 2))
+    val tk = graft.kql.Kql.run(spark,
+      "documents | evaluate bpe_tokenize(2, text, doc_id) | summarize total = sum(n_bpe_tokens)",
+      TestSpark.sfDir).head
+    assert(tk.getLong(0) > 0)
+    val rp = graft.kql.Kql.run(spark,
+      "embeddings | evaluate random_projection(4, 64, embedding, vec_id) | summarize n = count()",
+      TestSpark.sfDir).head
+    assert(rp.getLong(0) == embs.count() * 4)
+    val db = graft.kql.Kql.run(spark,
+      "embeddings | where label <= 1 | extend blk = 1 | evaluate dbscan(0.3, 4, 'exact', blk, embedding, vec_id) | summarize n = count() by role | sort by role asc",
+      TestSpark.sfDir).collect()
+    assert(db.map(_.getLong(1)).sum == embs.filter(col("label") <= 1).count())
+    LlmOps.releaseCaches()
+  }
+
   test("byte parsers are total: signature-prefixed random payloads never throw") {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
