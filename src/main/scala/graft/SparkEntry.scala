@@ -2984,6 +2984,19 @@ object SparkEntry {
     // (85·Σ) div 100), so the iterative algorithm is VALUE-EXACT
     // cross-engine — DuckDB replays the 5 unrolled rounds verbatim
     // (the integer-cents convention applied to an iterative op).
+    // Label-propagation communities (r7): synchronous min-tie LPA is
+    // pure count/string arithmetic, so 3 unrolled rounds replay
+    // value-exactly in DuckDB (the pagerank convention). Finds dense
+    // communities where components find only reachability.
+    "q166_label_propagation" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate label_propagation(3, src, dst)
+         | sort by id asc"""),
+      Some("""WITH e0 AS (SELECT DISTINCT src AS a, dst AS b FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation) WHERE src <> dst), sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), nodes AS (SELECT 'c' || c_custkey AS id FROM customer UNION SELECT 'n' || c_nationkey FROM customer UNION SELECT 'n' || n_nationkey FROM nation UNION SELECT 'r' || n_regionkey FROM nation), l0 AS (SELECT id, id AS lbl FROM nodes), w1 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l0 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l1 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w1 w ON n.id = w.id), w2 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l1 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l2 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w2 w ON n.id = w.id), w3 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l2 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l3 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w3 w ON n.id = w.id), sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size FROM l3 GROUP BY 1) SELECT id, lbl AS community, community_size FROM l3 JOIN sz USING (lbl) ORDER BY id""")),
+
     "q156_pagerank" -> Q(kqlQ(
       """let E = union
            (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),

@@ -344,6 +344,70 @@ object GraphOps {
     }
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over ANY edge frame — finds DENSE communities where connected
+    * components only find reachability (on a connected graph CC is one
+    * blob; LPA still splits it along sparse cuts). Every node starts
+    * labeled with its own id; each round it adopts the most frequent
+    * label among its neighbors (undirected, deduplicated edges,
+    * self-loops dropped), ties broken by MINIMUM label — so the whole
+    * iteration is count-and-string arithmetic and the result is
+    * VALUE-EXACT cross-engine (the pagerank unrolled-round oracle
+    * convention; classic async LPA is order-dependent, this synchronous
+    * min-tie form is deterministic). Isolated nodes keep their own
+    * label. Output: (id, community, community_size).
+    *
+    * Scale shape: per round ONE equi-join of the symmetric edge frame
+    * with the label frame + one (node, label) count aggregate + one
+    * min-struct argmax aggregate — no driver state, no collect; lineage
+    * capped by the pageRank localCheckpoint cadence. Synchronous LPA
+    * can oscillate on bipartite structures — `iters` bounds it (the
+    * caller picks convergence vs cost, as with pagerank). */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String, dstCol: String): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e0 = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    val nodes = edges.select(col(srcCol).cast("string").as("id"))
+      .union(edges.select(col(dstCol).cast("string").as("id")))
+      .distinct().persist()
+    sym.count(); nodes.count()
+    var prevCkpt: DataFrame = null
+    try {
+      var labels = nodes.withColumn("lbl", col("id"))
+      for (i <- 1 to iters) {
+        val votes = sym.join(labels.select(col("id").as("b"), col("lbl")), "b")
+          .groupBy(col("a").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax (count desc, label asc) as one min-struct aggregate:
+        // struct ordering is lexicographic, so min((-c, lbl)) is the
+        // deterministic winner
+        val winner = votes.groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("id"), col("m.l").as("__nl"))
+        labels = nodes.join(winner, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("__nl"), col("id")).as("lbl"))
+        if (i % 5 == 0 && i < iters) {
+          val ck = labels.localCheckpoint()
+          if (prevCkpt != null) prevCkpt.unpersist(false)
+          prevCkpt = ck
+          labels = ck
+        }
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      val out = graft.ext.LlmOps.persistTracked(
+        labels.join(sizes, "lbl")
+          .select(col("id"), col("lbl").as("community"), col("community_size")))
+      out.count()
+      out
+    } finally {
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      sym.unpersist(false); nodes.unpersist(false)
+    }
+  }
+
   /** Generic connected components over ANY edge frame — the KQL front
     * door to the two-phase large-star/small-star engine behind
     * neardup_groups/cosine_groups ([[graft.ext.LlmOps.connectedComponents]]).

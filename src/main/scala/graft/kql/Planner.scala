@@ -769,6 +769,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, srcE, "pagerank src"),
         colNameOf(df, dstE, "pagerank dst"))
 
+    // synchronous min-tie label-propagation communities over the input
+    // edge frame (GraphOps.labelPropagation)
+    case EvaluateOp("label_propagation", iE :: srcE :: dstE :: Nil) =>
+      GraphOps.labelPropagation(df, litLong(iE).toInt,
+        colNameOf(df, srcE, "label_propagation src"),
+        colNameOf(df, dstE, "label_propagation dst"))
+
     // `evaluate ann_sq8(queryId, k, refine, id, vec)`: scalar-quantized
     // (int8) ANN with exact re-rank (LlmOps.annCosineSq8)
     case EvaluateOp("ann_sq8", qE :: kE :: rE :: idE :: vecE :: Nil) =>

@@ -85,6 +85,7 @@ object Suggest {
     "dsir_resample", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
+    "label_propagation",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
     "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
     "new_activity_metrics",

@@ -361,6 +361,29 @@ class KqlPropertySpec extends AnyFunSuite {
     // boundaries (cadence 5) — proves the lineage cap changes nothing
     for (((es0, iters), k) <- samples(edgeGen, 5).zip(Seq(20, 4, 4, 4, 4)).zipWithIndex) {
       val es = es0.distinct
+      // label propagation: exact driver replay on the same random graph
+      // (iters=6 on the first case crosses the checkpoint boundary)
+      val lpIters = if (k == 0) 6 else 3
+      val gotLp = graft.kql.GraphOps.labelPropagation(
+          es.toDF("s", "d"), lpIters, "s", "d")
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val undirected = es.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, p.swap)).distinct
+      val adj = undirected.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .withDefaultValue(Seq.empty[String])
+      val allNodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      var lbl = allNodes.map(n => n -> n).toMap
+      for (_ <- 1 to lpIters) {
+        lbl = allNodes.map { n =>
+          val votes = adj(n).map(lbl).groupBy(identity).view.mapValues(_.size)
+          if (votes.isEmpty) n -> n
+          else n -> votes.toSeq.minBy(t => (-t._2, t._1))._1
+        }.toMap
+      }
+      val szs = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(gotLp == allNodes.map(n => n -> ((lbl(n), szs(lbl(n))))).toMap,
+        s"lp case $k")
+      graft.ext.LlmOps.releaseCaches()
       val got = graft.kql.GraphOps.pageRank(es.toDF("s", "d"), iters, "s", "d")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // driver replay with the identical integer operations
