@@ -1017,6 +1017,14 @@ object SparkEntry {
       },
       Some("""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), sym AS (SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr), deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM sym GROUP BY 1), core AS (SELECT i AS id FROM deg WHERE n + 1 >= 4), ce AS (SELECT p.i, p.j FROM pr p JOIN core a ON p.i = a.id JOIN core b ON p.j = b.id), edges AS (SELECT i AS a, j AS b FROM ce UNION SELECT j, i FROM ce), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS g FROM reach GROUP BY a), cc AS (SELECT id, COALESCE(grp.g, id) AS cluster_id FROM core LEFT JOIN grp ON id = node), ba AS (SELECT s.i, MIN(c.cluster_id) AS bcl FROM sym s JOIN cc c ON s.j = c.id GROUP BY 1) SELECT b.vec_id, CASE WHEN cc.id IS NOT NULL THEN 'core' WHEN ba.i IS NOT NULL THEN 'border' ELSE 'noise' END AS role, CASE WHEN cc.id IS NOT NULL THEN cc.cluster_id ELSE ba.bcl END AS cluster_id FROM base b LEFT JOIN cc ON b.vec_id = cc.id LEFT JOIN ba ON b.vec_id = ba.i ORDER BY b.vec_id""")),
 
+    // Feature-hashing vectorizer (r7): signed hashing trick, sparse
+    // (doc, dim, value) integer output — value-exact via the DSIR
+    // md5-hex-char bucket convention plus an independent sign char.
+    "llm_feature_hash" -> Q(
+      (s, dir) => LlmOps.featureHash(docs(s, dir), dim = 64)
+        .orderBy("doc_id", "dim"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), f AS (SELECT doc_id, w FROM w WHERE length(w) >= 1), h AS (SELECT doc_id, (ascii(substr(md5(w), 1, 1)) * 10000 + ascii(substr(md5(w), 2, 1)) * 100 + ascii(substr(md5(w), 3, 1))) % 64 AS dim, CASE WHEN ascii(substr(md5(w), 4, 1)) % 2 = 0 THEN 1 ELSE -1 END AS s FROM f) SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(s) AS BIGINT) AS value FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0 ORDER BY doc_id, dim""")),
+
     // JL sign random projection (r7): 64-d -> 16-d in integer micros.
     // The md5-parity sign rule is replayed verbatim by DuckDB and the
     // projection is an integer sum, so every projected value is exact

@@ -2315,6 +2315,41 @@ object LlmOps {
       .drop(textCol)
   }
 
+  /** Feature-hashing (hashing-trick) bag-of-words vectorizer
+    * (Weinberger et al. 2009): every token maps to a dimension by an
+    * engine-portable md5 bucket and contributes ±1 by a second hash
+    * bit, so a document becomes a sparse `dim`-dimensional integer
+    * vector with NO vocabulary pass, no dictionary state, and
+    * growth-stable coordinates — the bridge from the text table into
+    * the embedding operators (ANN, dbscan, kmeans, semdedup) when no
+    * model embedding exists. The signed trick keeps collisions
+    * unbiased (E[collision contribution] = 0). Output is the sparse
+    * form (doc_id, dim, value ≠ 0) — integer counts, VALUE-EXACT
+    * cross-engine.
+    *
+    * Scale shape: one token explode + one (doc, dim) hash aggregate
+    * with map-side partials — linear in corpus tokens, no joins, no
+    * driver state. */
+  def featureHash(docs: DataFrame, dim: Int = 64, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), "need 2 <= dim <= 2^20")
+    val words = spread(docs).select(col(idCol),
+        explode(split(lower(txt(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    // the DSIR md5-hex-char bucket convention (engine-portable); the
+    // sign bit comes from the FOURTH hex char so it is independent of
+    // the bucket chars
+    val m = md5(col("w"))
+    words
+      .withColumn("dim", pmod(
+        ascii(substring(m, 1, 1)) * 10000 + ascii(substring(m, 2, 1)) * 100 +
+          ascii(substring(m, 3, 1)), lit(dim)).cast("int"))
+      .withColumn("__s",
+        when(pmod(ascii(substring(m, 4, 1)), lit(2)) === 0, 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("dim")).agg(sum(col("__s")).as("value"))
+      .filter(col("value") =!= 0)
+  }
+
   /** Document fingerprints: whole-text md5 + min-3-gram-shingle md5
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",

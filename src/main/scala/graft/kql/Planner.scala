@@ -945,6 +945,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         vecCol = colNameOf(df, vecE, "dbscan vec"),
         method = litString(mE, "dbscan method"))
 
+    // `evaluate feature_hash(dim, text, id)`: hashing-trick signed
+    // bag-of-words vectorizer, sparse output (LlmOps.featureHash)
+    case EvaluateOp("feature_hash", dE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.featureHash(df, litLong(dE).toInt,
+        textCol = colNameOf(df, textE, "feature_hash text"),
+        idCol = colNameOf(df, idE, "feature_hash id"))
+
     // `evaluate random_projection(k, dim, vec, id)`: JL ±1 projection
     // to k dims in integer micros (LlmOps.randomProjection)
     case EvaluateOp("random_projection", kE :: dimE :: vecE :: idE :: Nil) =>

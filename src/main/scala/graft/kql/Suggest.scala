@@ -82,7 +82,7 @@ object Suggest {
     "diffpatterns", "diffpatterns_text",
     "dedup_contained",
     "dedup_cosine_incremental", "dedup_incremental", "dsir",
-    "dsir_resample", "fingerprint",
+    "dsir_resample", "feature_hash", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
     "label_propagation",

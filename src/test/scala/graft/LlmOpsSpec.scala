@@ -1557,6 +1557,28 @@ class LlmOpsSpec extends AnyFunSuite {
     LlmOps.releaseCaches()
   }
 
+  test("featureHash: exact md5 driver replay, sign independence, KQL-reachable") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "beta"), (3L, "")).toDF("doc_id", "text")
+    val got = LlmOps.featureHash(d, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String) = {
+      val m = md5hex(w)
+      (m(0).toInt * 10000 + m(1).toInt * 100 + m(2).toInt) % 16
+    }
+    def sign(w: String) = if (md5hex(w)(3).toInt % 2 == 0) 1L else -1L
+    val expect = scala.collection.mutable.Map.empty[(Long, Int), Long].withDefaultValue(0L)
+    for ((id, ws) <- Seq(1L -> Seq("alpha", "beta", "alpha"), 2L -> Seq("beta")); w <- ws)
+      expect((id, bucket(w))) += sign(w)
+    assert(got == expect.filter(_._2 != 0).toMap) // doc 3 contributes nothing
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate feature_hash(32, text, doc_id) | summarize n = count(), dims = dcount(dim)",
+      TestSpark.sfDir).head
+    assert(kql.getLong(0) > 0 && kql.getLong(1) <= 32)
+  }
+
   test("byte parsers are total: signature-prefixed random payloads never throw") {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
