@@ -178,6 +178,56 @@ object SparkEntry {
       .orderBy("bin_h")
   }
 
+  /** tmp_stream_matview_late body (r7): WATERMARK semantics made
+    * driver-visible — the same update-mode materialized view as
+    * [[streamMatViewQuery]] but with `withWatermark(ts, 3700s)` and a
+    * synthetic STRAGGLER injected into batch 2 that replays batch 1's
+    * EARLIEST timestamp (hours below the watermark, which advanced to
+    * max(batch-1 ts) − 3700 s after batch 1). Structured Streaming
+    * must DROP it, so the final view equals the batch recompute over
+    * the real events only — if the straggler leaked into its
+    * (batch-1-owned) bin, that bin's n, s (distinctive 12345.00
+    * value), and n_updates would all mismatch. The 3700 s delay is
+    * deliberately NOT hour-aligned and the fixture's batch-2 rows all
+    * sit ABOVE batch 1's max ts, so no real row is near the
+    * watermark boundary — the drop decision is unambiguous on any
+    * boundary convention. */
+  def streamMatViewLateQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.sql("DROP TABLE IF EXISTS graft_stream_matview_late")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_stream_matview_late")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val evs = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val b1 = evs.filter(_._1 <= 1000)
+    val b2 = evs.filter(_._1 > 1000) :+ ((999999L, b1.map(_._2).min, 12345.0))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val src = ms.toDF().toDF("event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "3700 seconds")
+    val agg = src.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("s"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("bin_h"),
+        col("n"), col("s"))
+    val q = graft.streaming.StreamingOps.matViewStream(agg, "graft_stream_matview_late")
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.catalog.refreshTable("graft_stream_matview_late")
+    graft.streaming.StreamingOps.matViewRead(s, "graft_stream_matview_late", Seq("bin_h"))
+      .select(col("bin_h"), col("n"), col("s"), col("n_updates"))
+      .orderBy("bin_h")
+  }
+
   /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
     * row for EMBEDDING dedup — two micro-batches of odd-id vectors
     * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
@@ -1751,6 +1801,17 @@ object SparkEntry {
     "tmp_stream_matview" -> Q(
       (s, dir) => streamMatViewQuery(s, dir),
       Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bin_h, CAST(ROUND(value * 100) AS BIGINT) AS c, event_id FROM events WHERE event_id <= 2000) SELECT bin_h, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(DISTINCT CASE WHEN event_id < 1000 THEN 0 ELSE 1 END) AS BIGINT) AS n_updates FROM e GROUP BY 1 ORDER BY 1""")),
+
+    // Watermark/late-data parity (r7): the update-mode view with a
+    // 3700 s watermark must DROP the batch-2 straggler that replays
+    // batch 1's earliest timestamp — the final view hash-equals the
+    // batch recompute over the REAL events only, and the straggler's
+    // distinctive value would corrupt n, s, and n_updates of its bin
+    // if it leaked. One bin (the batch-boundary hour) legitimately
+    // carries n_updates = 2.
+    "tmp_stream_matview_late" -> Q(
+      (s, dir) => streamMatViewLateQuery(s, dir),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bin_h, CAST(ROUND(value * 100) AS BIGINT) AS c, CASE WHEN event_id <= 1000 THEN 0 ELSE 1 END AS b FROM events WHERE event_id <= 2000) SELECT bin_h, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_updates FROM e GROUP BY 1 ORDER BY 1""")),
 
     // STATEFUL streaming parity in EMBEDDING space (r6): two
     // micro-batches of odd-id vectors against an even-id seed cosine
