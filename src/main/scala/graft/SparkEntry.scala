@@ -1075,6 +1075,24 @@ object SparkEntry {
         .orderBy("doc_id", "dim"),
       Some("""WITH w AS (SELECT doc_id, unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w FROM documents), f AS (SELECT doc_id, w FROM w WHERE length(w) >= 1), h AS (SELECT doc_id, (ascii(substr(md5(w), 1, 1)) * 10000 + ascii(substr(md5(w), 2, 1)) * 100 + ascii(substr(md5(w), 3, 1))) % 64 AS dim, CASE WHEN ascii(substr(md5(w), 4, 1)) % 2 = 0 THEN 1 ELSE -1 END AS s FROM f) SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(s) AS BIGINT) AS value FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0 ORDER BY doc_id, dim""")),
 
+    // Text clustering end-to-end (r7): the featureHash bridge feeds the
+    // k-means engine directly from the TEXT table — no model embedding
+    // anywhere. Contract facts (the llm_kmeans convention): full
+    // assignment, cell bound, Lloyd descent.
+    "llm_text_cluster" -> Q(
+      (s, dir) => {
+        val dense = LlmOps.featureHashDense(docs(s, dir), dim = 32)
+        val w1 = LlmOps.kmeansFit(dense, 4, iters = 1, idCol = "doc_id")
+          .agg(sum(col("dist2")).as("w1"))
+        LlmOps.kmeansFit(dense, 4, iters = 3, idCol = "doc_id")
+          .agg(sum(col("dist2")).as("w3"), count(lit(1)).as("n_docs"),
+            count_distinct(col("cell")).as("kc"))
+          .crossJoin(w1)
+          .select(col("n_docs"), (col("kc") <= 4).as("k_ok"),
+            (col("w3") <= col("w1") + 1e-6).as("improved"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS k_ok, true AS improved FROM documents""")),
+
     // JL sign random projection (r7): 64-d -> 16-d in integer micros.
     // The md5-parity sign rule is replayed verbatim by DuckDB and the
     // projection is an integer sum, so every projected value is exact

@@ -2350,6 +2350,25 @@ object LlmOps {
       .filter(col("value") =!= 0)
   }
 
+  /** Dense form of [[featureHash]]: (id, embedding array<double>) —
+    * plugs the text table straight into the embedding operators
+    * (kmeans / semdedup / dbscan / ANN) with no model in the loop.
+    * Empty docs become zero vectors (they cluster, not crash). The
+    * map lookup is key-based, so the nondeterministic collect_list
+    * order cannot affect the result. */
+  def featureHashDense(docs: DataFrame, dim: Int = 64,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val sparse = featureHash(docs, dim, textCol, idCol)
+    val m = sparse.groupBy(idCol).agg(
+      map_from_entries(collect_list(struct(col("dim"), col("value")))).as("__m"))
+    spread(docs).select(col(idCol)).distinct()
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        d => coalesce(element_at(col("__m"), d), lit(0L)).cast("double"))
+        .as("embedding"))
+  }
+
   /** Document fingerprints: whole-text md5 + min-3-gram-shingle md5
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",

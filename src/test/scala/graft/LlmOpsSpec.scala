@@ -1579,6 +1579,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.getLong(0) > 0 && kql.getLong(1) <= 32)
   }
 
+  test("featureHashDense: dense bridge preserves sparse values; empty doc = zero vector") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val dense = LlmOps.featureHashDense(d, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sparse = LlmOps.featureHash(d, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(dense(1L).length == 16 && dense(2L).length == 16)
+    assert(dense(1L).zipWithIndex.forall { case (v, i) =>
+      v == sparse.getOrElse((1L, i), 0L).toDouble })
+    assert(dense(2L).forall(_ == 0.0)) // empty doc clusters, never crashes
+    // end-to-end: text -> dense vectors -> k-means assigns every doc
+    val fit = LlmOps.kmeansFit(LlmOps.featureHashDense(docs.limit(60), dim = 16),
+      k = 3, iters = 2, idCol = "doc_id")
+    assert(fit.count() == 60 &&
+      fit.select("cell").distinct().count() <= 3)
+  }
+
   test("byte parsers are total: signature-prefixed random payloads never throw") {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
