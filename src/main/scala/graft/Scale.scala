@@ -178,6 +178,17 @@ object Scale {
           nProbe = 2, refine = 4).count()
       }),
       "kmeans" -> (() =>
-        LlmOps.kmeansFit(embs, 8, iters = 5).count()))
+        LlmOps.kmeansFit(embs, 8, iters = 5).count()),
+      // r7 additions: the banded (100 TB-path) dbscan, synchronous LPA
+      // over the doc near-dup graph scale-free edges, and the
+      // hashing-trick vectorizer
+      "dbscan_lsh" -> (() =>
+        LlmOps.dbscanCosine(embs, 0.3, 4, method = "lsh").count()),
+      "label_propagation" -> (() =>
+        graft.kql.GraphOps.labelPropagation(
+          docs.select(col("doc_id").cast("string").as("s"),
+            col("source").as("d")), 3, "s", "d").count()),
+      "feature_hash" -> (() =>
+        LlmOps.featureHash(docs, dim = 64).count()))
   }
 }
