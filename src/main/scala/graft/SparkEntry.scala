@@ -1067,6 +1067,15 @@ object SparkEntry {
       },
       Some("""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), sym AS (SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr), deg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM sym GROUP BY 1), core AS (SELECT i AS id FROM deg WHERE n + 1 >= 4), ce AS (SELECT p.i, p.j FROM pr p JOIN core a ON p.i = a.id JOIN core b ON p.j = b.id), edges AS (SELECT i AS a, j AS b FROM ce UNION SELECT j, i FROM ce), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS g FROM reach GROUP BY a), cc AS (SELECT id, COALESCE(grp.g, id) AS cluster_id FROM core LEFT JOIN grp ON id = node), ba AS (SELECT s.i, MIN(c.cluster_id) AS bcl FROM sym s JOIN cc c ON s.j = c.id GROUP BY 1) SELECT b.vec_id, CASE WHEN cc.id IS NOT NULL THEN 'core' WHEN ba.i IS NOT NULL THEN 'border' ELSE 'noise' END AS role, CASE WHEN cc.id IS NOT NULL THEN cc.cluster_id ELSE ba.bcl END AS cluster_id FROM base b LEFT JOIN cc ON b.vec_id = cc.id LEFT JOIN ba ON b.vec_id = ba.i ORDER BY b.vec_id""")),
 
+    // Winnowing fingerprints (r7): MOSS local fingerprinting — every
+    // w-window of k-token shingles selects its min-hash shingle
+    // (leftmost tie rule), encoded as min(h*1e6 + pos) so both engines
+    // take one integer window minimum. Value-exact.
+    "llm_winnow" -> Q(
+      (s, dir) => LlmOps.winnowFingerprints(docs(s, dir), k = 4, w = 5)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> length(x) > 0) AS tk FROM documents), sh AS (SELECT doc_id, i AS pos, md5(array_to_string(tk[i : i + 3], ' ')) AS m FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i FROM t WHERE len(tk) >= 4)), keyed AS (SELECT doc_id, pos, (CAST(ascii(substr(m, 1, 1)) AS BIGINT) + CAST(ascii(substr(m, 2, 1)) AS BIGINT) * 100 + CAST(ascii(substr(m, 3, 1)) AS BIGINT) * 10000 + CAST(ascii(substr(m, 4, 1)) AS BIGINT) * 1000000 + CAST(ascii(substr(m, 5, 1)) AS BIGINT) * 100000000 + CAST(ascii(substr(m, 6, 1)) AS BIGINT) * 10000000000) * 1000000 + pos AS key FROM sh), sel AS (SELECT DISTINCT doc_id, sel_key FROM (SELECT doc_id, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel_key, COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n FROM keyed) WHERE n = 5) SELECT doc_id, CAST(sel_key % 1000000 AS INT) AS pos, CAST(sel_key // 1000000 AS BIGINT) AS fp FROM sel ORDER BY doc_id, pos""")),
+
     // Feature-hashing vectorizer (r7): signed hashing trick, sparse
     // (doc, dim, value) integer output — value-exact via the DSIR
     // md5-hex-char bucket convention plus an independent sign char.

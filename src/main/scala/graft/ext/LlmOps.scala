@@ -2369,6 +2369,49 @@ object LlmOps {
         .as("embedding"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): select, from every window of `w` consecutive k-token
+    * shingles, the minimum-hash shingle — guaranteeing that any match
+    * of ≥ k+w−1 tokens between two documents shares a selected
+    * fingerprint, at ~2/(w+1) of the shingle density. This is LOCAL
+    * fingerprinting: contamination/plagiarism detection at substring
+    * granularity, where whole-doc fingerprints miss partial copies.
+    *
+    * Deterministic and VALUE-EXACT cross-engine: the shingle hash is
+    * md5-hex-char integer arithmetic (the DSIR convention, 6 chars),
+    * and each window's argmin is min(h·10⁶ + pos) — one integer whose
+    * order is lexicographic (hash, then LEFTMOST position as the
+    * documented tie rule). Scale shape: one shingle explode + ONE
+    * window-function pass partitioned by doc + a distinct — no joins,
+    * no driver state; positions are bounded < 10⁶ per doc by require.
+    * Output: (doc_id, pos, fp) — selected shingle positions (1-based)
+    * and their integer fingerprints. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), x => length(x) > 0)
+    val base = spread(docs).select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) >= k && size(col("t")) < 1000000 + k)
+    val sh = base.select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (k - 1)),
+        i => array_join(slice(col("t"), i, lit(k)), " "))).as(Seq("__p0", "__s")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), md5(col("__s")).as("__m"))
+    val h = (0 until 6).map(i =>
+      ascii(substring(col("__m"), i + 1, 1)).cast("long") *
+        lit(math.pow(100, i).toLong)).reduce(_ + _)
+    val keyed = sh.select(col(idCol), col("pos"), (h * 1000000L + col("pos")).as("__key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    keyed
+      .withColumn("__sel", min(col("__key")).over(win))
+      .withColumn("__n", count(lit(1)).over(win))
+      .filter(col("__n") === w) // only FULL windows select
+      .select(col(idCol), col("__sel")).distinct()
+      .select(col(idCol), pmod(col("__sel"), lit(1000000L)).cast("int").as("pos"),
+        expr("__sel div 1000000").as("fp"))
+  }
+
   /** Document fingerprints: whole-text md5 + min-3-gram-shingle md5
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",

@@ -945,6 +945,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         vecCol = colNameOf(df, vecE, "dbscan vec"),
         method = litString(mE, "dbscan method"))
 
+    // `evaluate winnow(k, w, text, id)`: MOSS winnowing fingerprints —
+    // local substring-granular fingerprinting (LlmOps.winnowFingerprints)
+    case EvaluateOp("winnow", kE :: wE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.winnowFingerprints(df, litLong(kE).toInt,
+        litLong(wE).toInt,
+        textCol = colNameOf(df, textE, "winnow text"),
+        idCol = colNameOf(df, idE, "winnow id"))
+
     // `evaluate feature_hash(dim, text, id)`: hashing-trick signed
     // bag-of-words vectorizer, sparse output (LlmOps.featureHash)
     case EvaluateOp("feature_hash", dE :: textE :: idE :: Nil) =>

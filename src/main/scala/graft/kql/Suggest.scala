@@ -97,5 +97,5 @@ object Suggest {
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
     "source_cap", "source_sample", "stratified_sample", "substring_dup",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",
-    "token_count", "unigram_logprob", "video_meta")
+    "token_count", "unigram_logprob", "video_meta", "winnow")
 }

@@ -1596,6 +1596,39 @@ class LlmOpsSpec extends AnyFunSuite {
       fit.select("cell").distinct().count() <= 3)
   }
 
+  test("winnowFingerprints: exact hand case and the shared-span guarantee") {
+    // 8 tokens, k=4, w=5 -> 5 shingles, exactly ONE full window -> one
+    // selected fingerprint; replay the md5 arithmetic on the driver
+    val d1 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r1 = LlmOps.winnowFingerprints(d1, 4, 5).collect()
+    assert(r1.length == 1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String) = (0 until 6).map(i =>
+      md5hex(s)(i).toInt.toLong * math.pow(100, i).toLong).sum
+    val toks = "a b c d e f g h".split(" ")
+    val sel = (0 until 5).map(i =>
+      h(toks.slice(i, i + 4).mkString(" ")) * 1000000L + (i + 1)).min
+    assert(r1.head.getInt(1) == (sel % 1000000L).toInt &&
+      r1.head.getLong(2) == sel / 1000000L)
+    // the winnowing GUARANTEE: documents sharing a contiguous run of
+    // >= k+w-1 = 8 tokens share at least one fingerprint VALUE
+    val rnd = new scala.util.Random(11)
+    def tok() = "t" + rnd.nextInt(50)
+    val span = (1 to 12).map(_ => tok()).mkString(" ")
+    val a = (1 to 30).map(_ => tok()).mkString(" ") + " " + span + " " +
+      (1 to 7).map(_ => tok()).mkString(" ")
+    val b = (1 to 19).map(_ => tok()).mkString(" ") + " " + span + " " +
+      (1 to 5).map(_ => tok()).mkString(" ")
+    val fps = LlmOps.winnowFingerprints(Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+        4, 5).collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // short docs (< k tokens) contribute nothing, never throw
+    assert(LlmOps.winnowFingerprints(
+      Seq((9L, "a b")).toDF("doc_id", "text"), 4, 5).count() == 0)
+  }
+
   test("byte parsers are total: signature-prefixed random payloads never throw") {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
