@@ -228,6 +228,71 @@ object SparkEntry {
       .orderBy("bin_h")
   }
 
+  /** tmp_stream_join body (r8): STREAM-STREAM inner join parity — the
+    * one §2.10 join shape the earlier rows don't cover (stream-static
+    * joins are spec'd in StreamingSpec; this is two unbounded sides
+    * with watermark-bounded state). Clicks and purchases from `events`
+    * arrive on two MemoryStreams in two time-split micro-batches each;
+    * the join matches purchases to same-user clicks within the
+    * preceding hour. Both sides carry 3700 s watermarks, so click
+    * state is evicted once it can no longer match a future purchase —
+    * bounded state, the 100 TB requirement.
+    *
+    * Losslessness (what makes the batch oracle VALID): batches split
+    * at event_id 516 and 836, and the fixture's events are
+    * time-ordered, so every later-batch row sits above the previous
+    * batch's max ts M. After each batch the watermark is M − 3700 s; a
+    * click is evicted only when it cannot match any
+    * event-time ≥ watermark purchase, i.e. clicks older than
+    * M − 3700 s − 1 h. Any cross-batch match needs
+    * click ts > (purchase ts) − 1 h ≥ M − 1 h — above the eviction
+    * bound — so append-mode emission equals the batch join exactly,
+    * and the result hash-compares to DuckDB's plain two-sided join.
+    * The split ids are chosen so a cross-batch pair EXISTS at both
+    * verify SFs (sf0.001: click 515 ⋈ purchase 517 across the first
+    * boundary; sf0.01: click 834 ⋈ purchase 839 across the second) —
+    * join state provably crossed micro-batches; the spec pins it. */
+  def streamStreamJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000 &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def side(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+             pre: String) =
+      ms.toDF().toDF(s"${pre}_id", s"${pre}_user", s"${pre}_ts_us")
+        .withColumn(s"${pre}_ts", timestamp_micros(col(s"${pre}_ts_us")))
+        .withWatermark(s"${pre}_ts", "3700 seconds")
+    val joined = side(msC, "c").join(side(msP, "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+        col("c_user").as("user_id"),
+        (col("p_ts_us") - col("c_ts_us")).as("dt_us"))
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_stream_join_sink").outputMode("append").start()
+    def feed(batch: Seq[(Long, Long, Long, String)]): Unit = {
+      msC.addData(batch.filter(_._4 == "click").map(t => (t._1, t._2, t._3)): _*)
+      msP.addData(batch.filter(_._4 == "purchase").map(t => (t._1, t._2, t._3)): _*)
+    }
+    try {
+      feed(evs.filter(_._1 < 516))
+      q.processAllAvailable()
+      feed(evs.filter(t => t._1 >= 516 && t._1 < 836))
+      q.processAllAvailable()
+      feed(evs.filter(_._1 >= 836))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_stream_join_sink").orderBy("click_id", "purchase_id")
+  }
+
   /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
     * row for EMBEDDING dedup — two micro-batches of odd-id vectors
     * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
@@ -1076,6 +1141,61 @@ object SparkEntry {
         .orderBy("doc_id", "pos"),
       Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> length(x) > 0) AS tk FROM documents), sh AS (SELECT doc_id, i AS pos, md5(array_to_string(tk[i : i + 3], ' ')) AS m FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i FROM t WHERE len(tk) >= 4)), keyed AS (SELECT doc_id, pos, (CAST(ascii(substr(m, 1, 1)) AS BIGINT) + CAST(ascii(substr(m, 2, 1)) AS BIGINT) * 100 + CAST(ascii(substr(m, 3, 1)) AS BIGINT) * 10000 + CAST(ascii(substr(m, 4, 1)) AS BIGINT) * 1000000 + CAST(ascii(substr(m, 5, 1)) AS BIGINT) * 100000000 + CAST(ascii(substr(m, 6, 1)) AS BIGINT) * 10000000000) * 1000000 + pos AS key FROM sh), sel AS (SELECT DISTINCT doc_id, sel_key FROM (SELECT doc_id, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel_key, COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n FROM keyed) WHERE n = 5) SELECT doc_id, CAST(sel_key % 1000000 AS INT) AS pos, CAST(sel_key // 1000000 AS BIGINT) AS fp FROM sel ORDER BY doc_id, pos""")),
 
+    // Winnow-based cross-corpus contamination (r8): the training
+    // corpus' winnow fingerprints joined against an eval slice's —
+    // every (train, eval) pair sharing >= 2 fingerprints, with the
+    // eval doc's matched fraction in exact integer micros. The eval
+    // slice is drawn from the same table, so each eval doc's verbatim
+    // train copy guarantees full-fraction rows while near-dups surface
+    // partial overlaps. Value-exact: both engines replay the winnow
+    // selection (the llm_winnow machinery) and the integer-micro
+    // fraction.
+    "llm_winnow_contaminate" -> Q(kqlQ(
+      """let EvalDocs = documents | where doc_id % 7 == 0;
+         documents
+         | evaluate winnow_contamination(EvalDocs, 4, 5, 2, text, doc_id)
+         | sort by train_id asc, eval_id asc"""),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> length(x) > 0) AS tk FROM documents), sh AS (SELECT doc_id, i AS pos, md5(array_to_string(tk[i : i + 3], ' ')) AS m FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i FROM t WHERE len(tk) >= 4)), keyed AS (SELECT doc_id, pos, (CAST(ascii(substr(m, 1, 1)) AS BIGINT) + CAST(ascii(substr(m, 2, 1)) AS BIGINT) * 100 + CAST(ascii(substr(m, 3, 1)) AS BIGINT) * 10000 + CAST(ascii(substr(m, 4, 1)) AS BIGINT) * 1000000 + CAST(ascii(substr(m, 5, 1)) AS BIGINT) * 100000000 + CAST(ascii(substr(m, 6, 1)) AS BIGINT) * 10000000000) * 1000000 + pos AS key FROM sh), sel AS (SELECT DISTINCT doc_id, sel_key FROM (SELECT doc_id, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel_key, COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n FROM keyed) WHERE n = 5), fps AS (SELECT DISTINCT doc_id, sel_key // 1000000 AS fp FROM sel), ev AS (SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 7 = 0), esz AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval_fp FROM ev GROUP BY 1), j AS (SELECT f.doc_id AS train_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM fps f JOIN ev e USING (fp) GROUP BY 1, 2 HAVING COUNT(*) >= 2) SELECT train_id, eval_id, n_shared, n_eval_fp, CAST((n_shared * 1000000) // n_eval_fp AS BIGINT) AS frac_micros FROM j JOIN esz USING (eval_id) ORDER BY train_id, eval_id""")),
+
+    // Distributed PCA (r8): one-pass covariance (posexplode + dim-row
+    // aggregate) + driver Jacobi eigensolve (bounded 64x64 model
+    // metadata — the kmeans convention) + DotProductD projection.
+    // Contract facts (the kmeans/llm_text_cluster convention —
+    // eigenvectors are fp-sensitive, so facts are structural):
+    // orthonormal axes, descending eigenvalues bounded by total
+    // variance, per-axis projected population variance == eigenvalue,
+    // projections mean-centered, full row coverage.
+    "llm_pca" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir)
+        val p = 4
+        val (_, comps, evals, totVar) = LlmOps.pcaFit(e, p)
+        def dot(u: Array[Double], v: Array[Double]) =
+          u.indices.map(i => u(i) * v(i)).sum
+        val orth = (for (i <- comps.indices; j <- comps.indices) yield
+          math.abs(dot(comps(i), comps(j)) - (if (i == j) 1.0 else 0.0))).max < 1e-8
+        val desc = evals.indices.drop(1).forall(i => evals(i - 1) >= evals(i) - 1e-12)
+        val bounded = evals.forall(_ >= -1e-9) && evals.sum <= totVar + 1e-6 * math.max(totVar, 1.0)
+        // p-row model check, not a data pass: per-axis projected
+        // moments vs the eigenvalues
+        val stats = LlmOps.pca(e, p).groupBy("pc")
+          .agg(avg(col("proj")).as("m"),
+            avg(col("proj") * col("proj")).as("m2"),
+            count(lit(1)).as("n")).collect()
+        val tol = 1e-6 * math.max(totVar, 1.0)
+        val varOk = stats.forall { r =>
+          math.abs(r.getDouble(2) - r.getDouble(1) * r.getDouble(1) -
+            evals(r.getInt(0) - 1)) <= tol }
+        val centered = stats.forall(r =>
+          math.abs(r.getDouble(1)) <= 1e-6 * (1 + math.sqrt(math.max(totVar, 0))))
+        Seq((stats.map(_.getLong(3)).sum, p.toLong, orth, desc, bounded,
+          varOk && centered))
+          .toDF("n_proj_rows", "k_components", "orthonormal",
+            "evals_descending", "evals_bounded", "proj_var_matches")
+      },
+      Some("""SELECT CAST((SELECT COUNT(*) FROM embeddings) * 4 AS BIGINT) AS n_proj_rows, CAST(4 AS BIGINT) AS k_components, TRUE AS orthonormal, TRUE AS evals_descending, TRUE AS evals_bounded, TRUE AS proj_var_matches""")),
+
     // Feature-hashing vectorizer (r7): signed hashing trick, sparse
     // (doc, dim, value) integer output — value-exact via the DSIR
     // md5-hex-char bucket convention plus an independent sign char.
@@ -1850,6 +1970,20 @@ object SparkEntry {
     "tmp_stream_cosine_dedup" -> Q(
       (s, dir) => streamCosineDedupQuery(s, dir),
       Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), und AS (SELECT i AS x, j AS y FROM pr UNION ALL SELECT j AS x, i AS y FROM pr), sd AS (SELECT DISTINCT x FROM und WHERE x % 2 = 1 AND y % 2 = 0) SELECT CAST((SELECT COUNT(*) FROM sd) AS BIGINT) AS n_should_seed, CAST(0 AS BIGINT) AS n_false_drops, true AS recall_seed_ok, true AS cross_state_drop, CAST(2 AS BIGINT) AS n_batches""")),
+
+    // STREAM-STREAM join parity (r8): two unbounded sides (clicks,
+    // purchases) with 3700 s watermarks, purchases matched to
+    // same-user clicks within the preceding hour, THREE time-split
+    // micro-batches per side (splits at event_id 516/836 — chosen so a
+    // cross-batch pair exists at both verify SFs). The time-ordered
+    // fixture makes append-mode emission provably equal to the batch
+    // join (see streamStreamJoinQuery's losslessness note), so
+    // DuckDB's plain two-sided join is a value-exact oracle;
+    // cross-batch pairs prove join state survived the micro-batch
+    // boundary (spec-pinned).
+    "tmp_stream_join" -> Q(
+      (s, dir) => streamStreamJoinQuery(s, dir),
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS dt_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND c.event_id <= 2000 AND p.event_id <= 2000 AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000 ORDER BY click_id, purchase_id""")),
 
     // ------------------------------------------------- batch 2: joins etc.
     "q43_join_rightouter" -> Q(kqlQ(
@@ -3092,6 +3226,62 @@ object SparkEntry {
          | evaluate label_propagation(3, src, dst)
          | sort by id asc"""),
       Some("""WITH e0 AS (SELECT DISTINCT src AS a, dst AS b FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation) WHERE src <> dst), sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), nodes AS (SELECT 'c' || c_custkey AS id FROM customer UNION SELECT 'n' || c_nationkey FROM customer UNION SELECT 'n' || n_nationkey FROM nation UNION SELECT 'r' || n_regionkey FROM nation), l0 AS (SELECT id, id AS lbl FROM nodes), w1 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l0 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l1 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w1 w ON n.id = w.id), w2 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l1 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l2 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w2 w ON n.id = w.id), w3 AS (SELECT id, lbl FROM (SELECT s.a AS id, p.lbl, COUNT(*) AS c, ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, p.lbl) AS rn FROM sym s JOIN l2 p ON s.b = p.id GROUP BY s.a, p.lbl) WHERE rn = 1), l3 AS (SELECT n.id, COALESCE(w.lbl, n.id) AS lbl FROM nodes n LEFT JOIN w3 w ON n.id = w.id), sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size FROM l3 GROUP BY 1) SELECT id, lbl AS community, community_size FROM l3 JOIN sz USING (lbl) ORDER BY id""")),
+
+    // Triangle counting (r8): per-node triangle counts via
+    // degree-ordered orientation (each undirected edge points from its
+    // lower-(degree, id) endpoint, so every triangle materializes
+    // exactly once at its minimum-key apex — the O(m^1.5) bound that
+    // survives hub skew). The customer→nation→region tree alone has no
+    // triangles; adding the skip-level customer→region edge closes one
+    // triangle per customer. Pure count/string arithmetic ⇒ VALUE-EXACT
+    // cross-engine: the oracle replays the same orientation verbatim.
+    "q167_triangle_count" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey)),
+           (customer
+             | join kind=inner (nation) on $left.c_nationkey == $right.n_nationkey
+             | project src = strcat('c', c_custkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate triangle_count(src, dst)
+         | sort by id asc"""),
+      Some("""WITH e AS (SELECT 'c' || c_custkey AS x, 'n' || c_nationkey AS y FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation UNION ALL SELECT 'c' || c_custkey, 'r' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), nodes AS (SELECT DISTINCT x AS id FROM e UNION SELECT DISTINCT y FROM e), und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM e WHERE x <> y), deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1), o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b) THEN und.a ELSE und.b END AS u, CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b) THEN und.b ELSE und.a END AS v, CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b) THEN db.d ELSE da.d END AS dv FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b), tri AS (SELECT l.u, l.v AS v1, r.v AS v2 FROM o l JOIN o r ON l.u = r.u AND (l.dv < r.dv OR (l.dv = r.dv AND l.v < r.v)) JOIN o c ON c.u = l.v AND c.v = r.v), pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM (SELECT u AS id FROM tri UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri) GROUP BY 1) SELECT n.id, COALESCE(pn.t, CAST(0 AS BIGINT)) AS triangles FROM nodes n LEFT JOIN pn USING (id) ORDER BY n.id""")),
+
+    // k-core peeling (r8): 3 synchronous rounds of "drop nodes with
+    // fewer than 2 surviving neighbors". Suppliers (degree 1 — their
+    // nation only) peel in round 1; the customer/nation/region web
+    // survives with its post-peel degrees. Pure count arithmetic ⇒
+    // VALUE-EXACT: the oracle replays the 3 unrolled rounds verbatim
+    // (the pagerank convention).
+    "q168_kcore" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey)),
+           (supplier | project src = strcat('s', s_suppkey), dst = strcat('n', s_nationkey)),
+           (customer
+             | join kind=inner (nation) on $left.c_nationkey == $right.n_nationkey
+             | project src = strcat('c', c_custkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate kcore(2, 3, src, dst)
+         | sort by id asc"""),
+      Some("""WITH e AS (SELECT 'c' || c_custkey AS x, 'n' || c_nationkey AS y FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier UNION ALL SELECT 'c' || c_custkey, 'r' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), u0 AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM e WHERE x <> y), d1 AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM u0 UNION ALL SELECT b FROM u0) GROUP BY 1), k1 AS (SELECT id FROM d1 WHERE d >= 2), u1 AS (SELECT a, b FROM u0 JOIN k1 ka ON ka.id = u0.a JOIN k1 kb ON kb.id = u0.b), d2 AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM u1 UNION ALL SELECT b FROM u1) GROUP BY 1), k2 AS (SELECT id FROM d2 WHERE d >= 2), u2 AS (SELECT a, b FROM u1 JOIN k2 ka ON ka.id = u1.a JOIN k2 kb ON kb.id = u1.b), d3 AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM u2 UNION ALL SELECT b FROM u2) GROUP BY 1), k3 AS (SELECT id FROM d3 WHERE d >= 2), u3 AS (SELECT a, b FROM u2 JOIN k3 ka ON ka.id = u2.a JOIN k3 kb ON kb.id = u2.b) SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (SELECT a AS id FROM u3 UNION ALL SELECT b FROM u3) GROUP BY 1 ORDER BY 1""")),
+
+    // graph-mark-components (r8): the ADX operator — label every node
+    // of the pending graph with its component id, then expose the node
+    // table. Same structural oracle as q157: the customer→nation→region
+    // union partitions into exactly one component per region, so DuckDB
+    // derives the grouping from each node's region key, min-id
+    // representative included — value-exact without recursion.
+    "q169_graph_mark_components" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | make-graph src --> dst
+         | graph-mark-components with_component_id = comp
+         | graph-to-table nodes
+         | sort by id asc"""),
+      Some("""WITH cn AS (SELECT 'c' || c_custkey AS id, n_regionkey AS rk FROM customer JOIN nation ON c_nationkey = n_nationkey), nn AS (SELECT DISTINCT 'n' || n_nationkey AS id, n_regionkey AS rk FROM nation), rr AS (SELECT DISTINCT 'r' || n_regionkey AS id, n_regionkey AS rk FROM nation), allx AS (SELECT id, rk FROM cn UNION ALL SELECT id, rk FROM nn UNION ALL SELECT id, rk FROM rr), grp AS (SELECT rk, MIN(id) AS comp FROM allx GROUP BY 1) SELECT a.id, g.comp FROM allx a JOIN grp g USING (rk) ORDER BY a.id""")),
 
     "q156_pagerank" -> Q(kqlQ(
       """let E = union

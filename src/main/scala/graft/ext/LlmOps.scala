@@ -2412,6 +2412,160 @@ object LlmOps {
         expr("__sel div 1000000").as("fp"))
   }
 
+  /** Cross-corpus contamination report at SUBSTRING granularity — the
+    * winnowing complement to [[contamination]]'s whole-n-gram overlap:
+    * join the training corpus' winnow fingerprints
+    * ([[winnowFingerprints]] with the same k, w) against an eval
+    * table's, reporting every (train doc, eval doc) pair that shares at
+    * least `minShared` distinct fingerprints, plus the fraction of the
+    * eval doc's fingerprints found in that train doc as EXACT integer
+    * micros (the DSIR log_w_u convention — a quotient of small counts
+    * can land on a ROUND half-way boundary). Winnowing's density
+    * guarantee makes this SPAN-sensitive: any common run of
+    * ≥ k+w−1 tokens shares a selected fingerprint, so a benchmark
+    * question pasted into the middle of a long page surfaces even when
+    * whole-doc fingerprints and doc-level n-gram ratios stay low.
+    *
+    * Scale shape: fingerprints travel as integers (never text); each
+    * side is one shingle explode + one window pass; the eval side — a
+    * benchmark suite, thousands of docs against a 100 TB corpus — is
+    * distinct-reduced and BROADCAST, so the train side never shuffles
+    * for the join; one (train, eval) aggregate ends the plan. Output:
+    * (train_id, eval_id, n_shared, n_eval_fp, frac_micros). */
+  def winnowContamination(train: DataFrame, eval0: DataFrame, k: Int = 4,
+      w: Int = 5, minShared: Int = 1, textCol: String = "text",
+      idCol: String = "doc_id", evalTextCol: String = "text",
+      evalIdCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val tf = winnowFingerprints(train, k, w, textCol, idCol)
+      .select(col(idCol).as("train_id"), col("fp")).distinct()
+    val ef = winnowFingerprints(eval0, k, w, evalTextCol, evalIdCol)
+      .select(col(evalIdCol).as("eval_id"), col("fp")).distinct()
+    val evalSz = ef.groupBy("eval_id").agg(count(lit(1)).as("n_eval_fp"))
+    tf.join(broadcast(ef), "fp")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(evalSz), "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("n_eval_fp"),
+        expr("(n_shared * 1000000) div n_eval_fp").as("frac_micros"))
+  }
+
+  /** Distributed PCA over an embedding column — the linear
+    * dimensionality reducer curation pipelines use before clustering /
+    * ANN when a data-independent JL projection
+    * ([[randomProjection]]) loses too much structure. Fit:
+    * (mean, top-p principal axes, their eigenvalues, total variance).
+    *
+    * Scale shape (the kmeans convention — model metadata to the
+    * driver, never data): the mean and the dim×dim second-moment
+    * matrix come from ONE posexplode + one dim-row aggregate carrying
+    * dim sums each (map-side partial, merge-order only affects double
+    * rounding); the eigendecomposition runs on the DRIVER over the
+    * dim×dim matrix (bounded: 64×64 here) via cyclic Jacobi rotations —
+    * deterministic given the matrix, with eigenvectors sign-fixed
+    * (largest-|coordinate| positive) and sorted by descending
+    * eigenvalue. dim ≤ 512 keeps the driver matrix trivially bounded.
+    *
+    * Why Jacobi: symmetric PSD input, unconditionally convergent,
+    * ~40 lines with no library dependency — and at dim ≤ 512 the
+    * O(dim³) sweep cost is microscopic next to one data pass. */
+  def pcaFit(emb: DataFrame, p: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding")
+      : (Array[Double], Array[Array[Double]], Array[Double], Double) = {
+    val dim = emb.select(size(col(vecCol)).as("__sz"))
+      .filter(col("__sz") > 0).head().getInt(0)
+    require(p >= 1 && p <= dim, s"need 1 <= p <= dim=$dim")
+    require(dim <= 512, "pca supports dim <= 512 (driver eigensolve)")
+    // one pass: n, per-dim sums, per-dim second moments (dim rows of
+    // dim+2 values — bounded model metadata, not a data pass)
+    val base = spread(emb)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(size(col("v")) === dim)
+    val momRows = base
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("vi")).as("s"),
+        array((0 until dim).map(j =>
+          sum(col("vi") * element_at(col("v"), j + 1))): _*).as("xx"))
+      .collect()
+    require(momRows.nonEmpty, "pca needs at least one full-length vector")
+    val n = momRows.head.getLong(1).toDouble
+    val mean = new Array[Double](dim)
+    val cov = Array.ofDim[Double](dim, dim)
+    momRows.foreach { r =>
+      val i = r.getInt(0)
+      mean(i) = r.getDouble(2) / n
+      val xx = r.getSeq[Double](3)
+      (0 until dim).foreach(j => cov(i)(j) = xx(j) / n)
+    }
+    for (i <- 0 until dim; j <- 0 until dim) cov(i)(j) -= mean(i) * mean(j)
+    val totalVar = (0 until dim).map(i => cov(i)(i)).sum
+    // cyclic Jacobi: rotate out the largest off-diagonal until
+    // convergence (deterministic sweep order)
+    val a = cov.map(_.clone())
+    val q = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12 * math.max(totalVar, 1e-300)) {
+      off = 0.0
+      for (i <- 0 until dim - 1; j <- i + 1 until dim) {
+        off = math.max(off, math.abs(a(i)(j)))
+        if (math.abs(a(i)(j)) > 1e-18) {
+          val theta = 0.5 * math.atan2(2 * a(i)(j), a(j)(j) - a(i)(i))
+          val c = math.cos(theta); val s = math.sin(theta)
+          for (t <- 0 until dim) {
+            val ai = a(t)(i); val aj = a(t)(j)
+            a(t)(i) = c * ai - s * aj; a(t)(j) = s * ai + c * aj
+          }
+          for (t <- 0 until dim) {
+            val ai = a(i)(t); val aj = a(j)(t)
+            a(i)(t) = c * ai - s * aj; a(j)(t) = s * ai + c * aj
+          }
+          for (t <- 0 until dim) {
+            val qi = q(t)(i); val qj = q(t)(j)
+            q(t)(i) = c * qi - s * qj; q(t)(j) = s * qi + c * qj
+          }
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until dim).map { j =>
+      val vec = (0 until dim).map(i => q(i)(j)).toArray
+      // deterministic sign: the largest-|coordinate| entry positive
+      // (first index wins ties)
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      (a(j)(j), if (vec(m) < 0) vec.map(-_) else vec)
+    }.sortBy(-_._1) // stable sort keeps equal-eigenvalue order deterministic
+    (mean, pairs.take(p).map(_._2).toArray, pairs.take(p).map(_._1).toArray,
+      totalVar)
+  }
+
+  /** Apply [[pcaFit]]: project every vector onto the top-p axes.
+    * Per-row work is p DotProductD codegen loops minus a constant
+    * (dot(mean, axis) folds into a literal) — zero shuffle, map-only;
+    * short/null vectors yield null (the randomProjection guard).
+    * Output: (id, pc int [1..p], proj double). */
+  def pca(emb: DataFrame, p: Int = 4, idCol: String = "vec_id",
+          vecCol: String = "embedding"): DataFrame = {
+    val (mean, comps, _, _) = pcaFit(emb, p, idCol, vecCol)
+    val dim = mean.length
+    val spark = emb.sparkSession
+    val projs = comps.zipWithIndex.map { case (axis, i) =>
+      val c = axis.indices.map(d => axis(d) * mean(d)).sum
+      graft.expr.DotProductD(spark, col("__vd"),
+        typedLit(axis.toSeq)) - lit(c)
+    }
+    val okLen = size(col("__vd")) >= dim
+    spread(emb)
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__vd"))
+      .select(col(idCol),
+        posexplode(array(projs.map(pr => when(okLen, pr)): _*))
+          .as(Seq("__p0", "proj")))
+      .select(col(idCol), (col("__p0") + 1).cast("int").as("pc"), col("proj"))
+  }
+
   /** Document fingerprints: whole-text md5 + min-3-gram-shingle md5
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",

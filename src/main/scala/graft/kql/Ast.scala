@@ -128,6 +128,10 @@ object Ast {
   final case class GraphShortestPathsOp(pattern: List[PatElem], where: Option[Expr],
                                         project: List[(Option[String], Expr)]) extends TabOp
   final case class GraphToTableOp(what: String) extends TabOp // "nodes" | "edges"
+  /** `graph-mark-components [with_component_id = col]` — labels nodes
+    * with their connected-component id; the graph stays pending for the
+    * next graph consumer (canonically `graph-to-table nodes`). */
+  final case class GraphMarkComponentsOp(compCol: String) extends TabOp
 
   // ------------------------------------------------------------- sources
   sealed trait Source

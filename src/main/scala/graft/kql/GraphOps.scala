@@ -436,6 +436,150 @@ object GraphOps {
     } finally pairs.unpersist(false)
   }
 
+  /** ADX `graph-mark-components`: label every node of the pending graph
+    * with its connected-component id (the public operator's semantics;
+    * the reference implements nothing —
+    * `/root/reference/projects/kql-core/src/lib.rs:7-9`). Returns a NEW
+    * graph context whose node-property table carries the component
+    * column, so the canonical follow-up `graph-to-table nodes` exposes
+    * (id, component [, original props]) and a `graph-match` after it can
+    * read `a.<comp>` like any node property. Component ids are the
+    * hash-free MIN-original-id representatives from [[components]] (the
+    * same two-phase star engine — O(log² n) rounds at any scale). The
+    * node table key is an internal name so `graph-to-table`'s key drop
+    * never collides with the exposed `id` column. */
+  def markComponents(ctx: GraphCtx, compCol: String): GraphCtx = {
+    val comp = components(ctx.edges, ctx.src, ctx.dst)
+      .select(col("id").as("__mcid"), col("group_id").as(compCol))
+    val nodes = ctx.nodes match {
+      case Some((nd, key)) =>
+        comp.join(nd, comp("__mcid") === nd(key), "left").drop(nd(key))
+      case None => comp
+    }
+    GraphCtx(ctx.edges, ctx.src, ctx.dst, Some((nodes, "__mcid")))
+  }
+
+  /** Per-node triangle counts over ANY edge frame (the clustering /
+    * cohesion primitive — spam-farm detection in link graphs, community
+    * density in interaction graphs). Self-loops dropped, multi-edges
+    * deduplicated, direction ignored.
+    *
+    * Degree-ordered orientation (the standard O(m^1.5) bound): each
+    * undirected edge points from its LOWER-(degree, id) endpoint to the
+    * higher, making the edge set a DAG in which every triangle
+    * {x, y, z} materializes exactly once — as the wedge x→y, x→z at its
+    * minimum-key apex x, closed by the oriented edge y→z. A hub's
+    * wedges are therefore enumerated at its low-degree neighbors, so a
+    * skewed graph never explodes quadratically at the hub (orienting by
+    * id alone would — a low-id hub would own all its wedges). Pure
+    * count/string arithmetic ⇒ VALUE-EXACT cross-engine; the DuckDB
+    * oracle replays the same orientation verbatim.
+    *
+    * Scale shape: two degree joins to orient + one self-equi-join on
+    * the apex (bounded per-apex by its oriented out-degree ≤ √(2m)) +
+    * one closing equi-join + one explode-by-3 aggregate. No driver
+    * state, no collect. Output: (id, triangles) for every node
+    * appearing in the input (isolated-by-dedup nodes count 0). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("string").as("x"),
+      col(dstCol).cast("string").as("y"))
+    val nodes = e0.select(col("x").as("id"))
+      .unionByName(e0.select(col("y").as("id"))).distinct()
+    val und = e0.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().persist()
+    try {
+      val deg = und.select(col("a").as("id"))
+        .unionByName(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val wd = und
+        .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = wd.select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv")).persist()
+      // wedges at the apex: two out-edges of u, legs ordered by the
+      // orientation key so the closing edge's direction is determined
+      val l = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      val r = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+      val wedge = l.join(r, Seq("u"))
+        .filter(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2")))
+      val tri = wedge.join(
+        o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("t"))
+      val out = graft.ext.LlmOps.persistTracked(
+        nodes.join(perNode, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("t"), lit(0L)).as("triangles")))
+      out.count()
+      out
+    } finally { und.unpersist(false) }
+  }
+
+  /** k-core peeling over ANY edge frame: `rounds` synchronous rounds of
+    * "drop every node with fewer than k surviving neighbors" (degrees
+    * over the deduplicated undirected edge set, self-loops dropped) —
+    * the density filter that isolates the graph's cohesive kernel
+    * (spam-link cores, tightly-coupled doc clusters). Output: the
+    * surviving subgraph's nodes with their surviving degree,
+    * (id, degree). After convergence (no node removed in a round) this
+    * IS the k-core: every survivor has ≥ k neighbors among survivors.
+    * `rounds` bounds the cost exactly like pagerank's `iters` — the
+    * caller picks convergence vs cost, and the DuckDB oracle replays
+    * the same fixed rounds verbatim (pure count arithmetic ⇒
+    * VALUE-EXACT cross-engine).
+    *
+    * Scale shape: per round ONE degree aggregate + two semi-join-shaped
+    * edge filters (Catalyst broadcasts the keep-set when small) — no
+    * driver state, no collect; lineage capped at the pageRank
+    * localCheckpoint cadence. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            srcCol: String, dstCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
+    val und0 = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().persist()
+    var prevCkpt: DataFrame = null
+    try {
+      var cur = und0
+      for (i <- 1 to rounds) {
+        val keep = cur.select(col("a").as("id"))
+          .unionByName(cur.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("id"))
+        cur = cur
+          .join(keep.select(col("id").as("a")), "a")
+          .join(keep.select(col("id").as("b")), "b")
+          .select(col("a"), col("b"))
+        if (i % 5 == 0 && i < rounds) {
+          val ck = cur.localCheckpoint()
+          if (prevCkpt != null) prevCkpt.unpersist(false)
+          prevCkpt = ck
+          cur = ck
+        }
+      }
+      val out = graft.ext.LlmOps.persistTracked(
+        cur.select(col("a").as("id"))
+          .unionByName(cur.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree")))
+      out.count()
+      out
+    } finally {
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      und0.unpersist(false)
+    }
+  }
+
   def graphToTable(ctx: GraphCtx, what: String): DataFrame = what match {
     case "edges" => ctx.edges
     case "nodes" =>

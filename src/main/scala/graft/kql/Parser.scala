@@ -472,6 +472,11 @@ final class Parser(src: String) {
           if (what != "nodes" && what != "edges")
             fail("graph-to-table expects 'nodes' or 'edges'")
           GraphToTableOp(what)
+        case "graph-mark-components" =>
+          val compCol = if (tryIdent("with_component_id")) {
+            eatSym("="); identName()
+          } else "ComponentId"
+          GraphMarkComponentsOp(compCol)
         case "top-nested" => parseTopNested()
         case "invoke" =>
           val fn = identName()

@@ -240,12 +240,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     // stale ctx for an unrelated later graph-match (r2 ADVICE).
     if (graphCtx.nonEmpty && !op.isInstanceOf[GraphMatchOp]
         && !op.isInstanceOf[GraphShortestPathsOp]
-        && !op.isInstanceOf[GraphToTableOp]) {
+        && !op.isInstanceOf[GraphToTableOp]
+        && !op.isInstanceOf[GraphMarkComponentsOp]) {
       // reset before throwing: a caller that catches PlanError and
       // replans on this instance must not see the stale graph context
       graphCtx = None
       throw PlanError("make-graph must be immediately followed by " +
-        "graph-match, graph-shortest-paths, or graph-to-table")
+        "graph-match, graph-shortest-paths, graph-mark-components, " +
+        "or graph-to-table")
     }
     applyOp1(df, op)
   }
@@ -274,6 +276,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       val ctx = graphCtx.getOrElse(throw PlanError("graph-to-table needs make-graph first"))
       graphCtx = None
       GraphOps.graphToTable(ctx, what)
+
+    case GraphMarkComponentsOp(compCol) =>
+      val ctx = graphCtx.getOrElse(
+        throw PlanError("graph-mark-components needs make-graph first"))
+      // the graph STAYS pending — the canonical follow-up is
+      // `graph-to-table nodes` (or a graph-match reading the new
+      // node property)
+      graphCtx = Some(GraphOps.markComponents(ctx, compCol))
+      df
 
     case Project(items) =>
       df.select(items.zipWithIndex.map { case ((alias, e), i) =>
@@ -776,6 +787,21 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, srcE, "label_propagation src"),
         colNameOf(df, dstE, "label_propagation dst"))
 
+    // `evaluate triangle_count(src, dst)`: per-node triangle counts
+    // via degree-ordered orientation (GraphOps.triangleCount)
+    case EvaluateOp("triangle_count", srcE :: dstE :: Nil) =>
+      GraphOps.triangleCount(df,
+        colNameOf(df, srcE, "triangle_count src"),
+        colNameOf(df, dstE, "triangle_count dst"))
+
+    // `evaluate kcore(k, rounds, src, dst)`: k-core peeling — surviving
+    // nodes + surviving degree after `rounds` synchronous peels
+    // (GraphOps.kCore)
+    case EvaluateOp("kcore", kE :: rE :: srcE :: dstE :: Nil) =>
+      GraphOps.kCore(df, litLong(kE).toInt, litLong(rE).toInt,
+        colNameOf(df, srcE, "kcore src"),
+        colNameOf(df, dstE, "kcore dst"))
+
     // `evaluate ann_sq8(queryId, k, refine, id, vec)`: scalar-quantized
     // (int8) ANN with exact re-rank (LlmOps.annCosineSq8)
     case EvaluateOp("ann_sq8", qE :: kE :: rE :: idE :: vecE :: Nil) =>
@@ -821,6 +847,25 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.contamination(df, ev, litLong(nE).toInt,
         colNameOf(df, textE, "contamination text"),
         colNameOf(df, idE, "contamination id"), evalText, bcast)
+
+    // `evaluate winnow_contamination(EvalTable, k, w, minShared, text,
+    // id)`: substring-granular contamination pairs via shared winnow
+    // fingerprints (LlmOps.winnowContamination)
+    case EvaluateOp("winnow_contamination",
+        Col(tbl) :: kE :: wE :: mE :: textE :: idE :: Nil) =>
+      val ev = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.winnowContamination(df, ev,
+        litLong(kE).toInt, litLong(wE).toInt, litLong(mE).toInt,
+        colNameOf(df, textE, "winnow_contamination text"),
+        colNameOf(df, idE, "winnow_contamination id"))
+
+    // `evaluate pca(p, id, vec)`: top-p principal-component projection
+    // (LlmOps.pca — driver Jacobi eigensolve over the one-pass
+    // covariance, bounded model metadata)
+    case EvaluateOp("pca", pE :: idE :: vecE :: Nil) =>
+      graft.ext.LlmOps.pca(df, litLong(pE).toInt,
+        colNameOf(df, idE, "pca id"),
+        colNameOf(df, vecE, "pca vector"))
 
     case EvaluateOp("stratified_sample", nE :: strataE :: idE :: Nil) =>
       graft.ext.LlmOps.stratifiedSample(df, litLong(nE).toInt,

@@ -65,7 +65,8 @@ object Suggest {
     "mv-combine", "as", "parse", "parse-where", "parse-kv", "getschema",
     "serialize", "consume", "fork", "facet", "scan", "render", "sample",
     "sample-distinct", "search", "make-series", "make-graph",
-    "graph-match", "graph-shortest-paths", "graph-to-table", "invoke",
+    "graph-match", "graph-shortest-paths", "graph-to-table",
+    "graph-mark-components", "invoke",
     "reduce", "partition", "evaluate")
 
   /** Registered `evaluate` plugin names (the Planner's EvaluateOp
@@ -84,12 +85,12 @@ object Suggest {
     "dedup_cosine_incremental", "dedup_incremental", "dsir",
     "dsir_resample", "feature_hash", "fingerprint",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
-    "hash_split", "ipv4_lookup", "jaccard_pairs", "kmeans", "knn_cosine",
-    "label_propagation",
+    "hash_split", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
+    "knn_cosine", "label_propagation",
     "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
     "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
     "new_activity_metrics",
-    "pack_sequences", "pagerank", "pii_scrub",
+    "pack_sequences", "pagerank", "pca", "pii_scrub",
     "pivot", "preview", "quality_filter", "quality_score", "random_projection",
     "repetition_score", "rolling_percentile", "rows_near", "semdedup",
     "sequence_detect", "session_count", "simhash", "simhash_pairs",
@@ -97,5 +98,6 @@ object Suggest {
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
     "source_cap", "source_sample", "stratified_sample", "substring_dup",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",
-    "token_count", "unigram_logprob", "video_meta", "winnow")
+    "token_count", "triangle_count", "unigram_logprob", "video_meta",
+    "winnow", "winnow_contamination")
 }

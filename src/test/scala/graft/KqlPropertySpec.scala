@@ -424,6 +424,56 @@ class KqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount ≡ driver brute-force triangle enumeration on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(0, 11); b <- Gen.chooseNum(0, 11)
+    } yield (f"v$a%02d", f"v$b%02d"))
+    for ((es0, k) <- samples(edgeGen, 5).zipWithIndex) {
+      val es = es0.distinct
+      val got = graft.kql.GraphOps.triangleCount(es.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val und = es.filter(p => p._1 != p._2)
+        .map(p => if (p._1 < p._2) p else p.swap).distinct.toSet
+      def conn(x: String, y: String) =
+        und(if (x < y) (x, y) else (y, x))
+      val sn = nodes.sorted.toIndexedSeq
+      var cnt = nodes.map(_ -> 0L).toMap
+      for {
+        i <- sn.indices; j <- i + 1 until sn.length; l <- j + 1 until sn.length
+        if conn(sn(i), sn(j)) && conn(sn(i), sn(l)) && conn(sn(j), sn(l))
+      } Seq(sn(i), sn(j), sn(l)).foreach(v => cnt += v -> (cnt(v) + 1))
+      assert(got == cnt, s"case $k")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
+
+  test("kCore ≡ driver peeling replay on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(26, for {
+      a <- Gen.chooseNum(0, 11); b <- Gen.chooseNum(0, 11)
+    } yield (f"v$a%02d", f"v$b%02d"))
+    for ((es0, k) <- samples(edgeGen, 4).zipWithIndex; kk <- Seq(2, 3)) {
+      val es = es0.distinct
+      // rounds=6 on the first case crosses the localCheckpoint cadence
+      val rounds = if (k == 0) 6 else 3
+      val got = graft.kql.GraphOps.kCore(es.toDF("s", "d"), kk, rounds, "s", "d")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var und = es.filter(p => p._1 != p._2)
+        .map(p => if (p._1 < p._2) p else p.swap).distinct
+      for (_ <- 1 to rounds) {
+        val deg = (und.map(_._1) ++ und.map(_._2))
+          .groupBy(x => x).view.mapValues(_.size).toMap
+        und = und.filter(p => deg(p._1) >= kk && deg(p._2) >= kk)
+      }
+      val want = (und.map(_._1) ++ und.map(_._2))
+        .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"case $k k=$kk rounds=$rounds")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
+
   test("fuzzyTokenPairs ≡ brute-force lev<=d over random vocabularies (losslessness)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1882,6 +1882,86 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dd(4L)._1 == false)         // the copy drops (into 1 or 2)
   }
 
+  test("winnowContamination: planted span detected, exact join replay, minShared gates") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val ev = Seq(
+      (10L, (5 to 20).map(i => s"a$i").mkString(" ")), // 16-token span of doc 1
+      (11L, (1 to 12).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val got = LlmOps.winnowContamination(train, ev, k = 4, w = 5, minShared = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a >= k+w-1-token common run MUST share a fingerprint (winnowing
+    // density guarantee) -> the (1, 10) pair exists; the disjoint eval
+    // doc 11 matches nothing
+    assert(got.contains((1L, 10L)))
+    assert(!got.keySet.exists(_._2 == 11L))
+    // exact replay: recompute the per-pair shared-fp counts from the
+    // fingerprint frames directly
+    val tf = LlmOps.winnowFingerprints(train, 4, 5)
+      .select("doc_id", "fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ef = LlmOps.winnowFingerprints(ev, 4, 5)
+      .select("doc_id", "fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nEval = ef.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = (for { (t, f) <- tf.toSeq; (e, f2) <- ef.toSeq if f == f2 }
+      yield (t, e)).groupBy(x => x).view.mapValues(_.size.toLong).toMap
+      .map { case ((t, e), n) => (t, e) -> ((n, nEval(e), n * 1000000L / nEval(e))) }
+    assert(got == want)
+    // minShared gate: an impossible floor empties the report
+    assert(LlmOps.winnowContamination(train, ev, 4, 5, minShared = 1000).count() == 0L)
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      """let E = documents | where doc_id % 7 == 0;
+         documents | evaluate winnow_contamination(E, 4, 5, 2, text, doc_id)""",
+      TestSpark.sfDir)
+    assert(kql.columns.toSeq ==
+      Seq("train_id", "eval_id", "n_shared", "n_eval_fp", "frac_micros"))
+  }
+
+  test("pca: exact 2D line recovery, orthonormal axes, eigen-matched projections") {
+    import spark.implicits._
+    // points on the line y = 2x: C = [[2,4],[4,8]], eigenvalues {10, 0},
+    // principal axis (1,2)/sqrt(5), projection of (i,2i) = i*sqrt(5)
+    val pts = (-2 to 2).map(i => (i.toLong, Seq(i.toFloat, (2 * i).toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val (mean, comps, evals, totVar) = LlmOps.pcaFit(df, 2)
+    assert(mean.forall(m => math.abs(m) < 1e-12))
+    assert(math.abs(totVar - 10.0) < 1e-9)
+    assert(math.abs(evals(0) - 10.0) < 1e-9 && math.abs(evals(1)) < 1e-9)
+    assert(math.abs(comps(0)(0) - 1 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(comps(0)(1) - 2 / math.sqrt(5)) < 1e-9)
+    LlmOps.pca(df, 1).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(0) * math.sqrt(5)) < 1e-9)
+    }
+    // fixture embeddings: orthonormal axes, descending eigenvalues
+    // bounded by total variance, per-axis projected population
+    // variance == eigenvalue
+    val (_, c64, ev64, tv64) = LlmOps.pcaFit(embs, 6)
+    def dot(u: Array[Double], v: Array[Double]) = u.indices.map(i => u(i) * v(i)).sum
+    for (i <- c64.indices; j <- c64.indices)
+      assert(math.abs(dot(c64(i), c64(j)) - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    assert(ev64.indices.drop(1).forall(i => ev64(i - 1) >= ev64(i) - 1e-12))
+    assert(ev64.forall(_ >= -1e-9) && ev64.sum <= tv64 + 1e-6 * tv64)
+    val stats = LlmOps.pca(embs, 6).groupBy("pc")
+      .agg(org.apache.spark.sql.functions.avg(org.apache.spark.sql.functions.col("proj")).as("m"),
+        org.apache.spark.sql.functions.avg(org.apache.spark.sql.functions.col("proj") *
+          org.apache.spark.sql.functions.col("proj")).as("m2")).collect()
+    stats.foreach { r =>
+      val v = r.getDouble(2) - r.getDouble(1) * r.getDouble(1)
+      assert(math.abs(v - ev64(r.getInt(0) - 1)) <= 1e-6 * math.max(tv64, 1.0))
+      assert(math.abs(r.getDouble(1)) <= 1e-6 * (1 + math.sqrt(tv64)))
+    }
+    // KQL-reachable
+    val kql = graft.kql.Kql.run(spark,
+      "embeddings | evaluate pca(2, vec_id, embedding)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("vec_id", "pc", "proj"))
+  }
+
   test("IVF/PQ index builds are run-deterministic under arbitrary scan order") {
     // The r6 finding: trainIvfCentroids limit-sampled WITHOUT orderBy, so
     // the collected row order — which seeds kmeansDriver's shuffled init —

@@ -656,6 +656,57 @@ class PlannerSpec extends AnyFunSuite {
     assert(sub.forall(_.getLong(2) >= 1L))       // both share the leading shingle
   }
 
+  test("r8 graph plugins: triangle_count / kcore / graph-mark-components") {
+    // one triangle {a,b,c} plus a pendant d hanging off c
+    val tri = run(
+      """datatable(s:string, d:string) ['a','b', 'b','c', 'a','c', 'c','d']
+        | evaluate triangle_count(s, d) | sort by id asc""")
+    assert(tri.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 0L)))
+    // k=2 peels the pendant; the triangle survives with degree 2 each
+    val core = run(
+      """datatable(s:string, d:string) ['a','b', 'b','c', 'a','c', 'c','d']
+        | evaluate kcore(2, 3, s, d) | sort by id asc""")
+    assert(core.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    // mark-components: default column name, then the named form
+    val mc = run(
+      """datatable(s:string, d:string) ['a','b', 'c','d']
+        | make-graph s --> d
+        | graph-mark-components
+        | graph-to-table nodes
+        | sort by id asc""")
+    assert(mc.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")))
+    assert(mc.head.schema.fieldNames.toSeq == Seq("id", "ComponentId"))
+    val named = run(
+      """datatable(s:string, d:string) ['a','b', 'b','c']
+        | make-graph s --> d
+        | graph-mark-components with_component_id = comp
+        | graph-to-table nodes
+        | sort by id asc""")
+    assert(named.head.schema.fieldNames.toSeq == Seq("id", "comp"))
+    assert(named.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("a", "a"), ("b", "a"), ("c", "a")))
+    // a marked graph is still pending: a non-graph consumer is an error
+    val e = intercept[RuntimeException](run(
+      """datatable(s:string, d:string) ['a','b']
+        | make-graph s --> d
+        | graph-mark-components
+        | where s == 'a'"""))
+    assert(e.getMessage.contains("graph"))
+    // and graph-match can read the component id as a node property
+    val gm = run(
+      """datatable(s:string, d:string) ['a','b', 'c','d']
+        | make-graph s --> d
+        | graph-mark-components with_component_id = comp
+        | graph-match (x)-[e]->(y)
+            where x.comp == 'a'
+            project xid = x.id, yid = y.id
+        | sort by xid asc""")
+    assert(gm.map(r => (r.getString(0), r.getString(1))) == Seq(("a", "b")))
+  }
+
   test("column_ifexists falls back to default for missing columns") {
     val r = one("""datatable(x:long) [7]
                   | project a = column_ifexists('x', 0), b = column_ifexists('nope', -1)""")

@@ -459,4 +459,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(st == Map("a" -> ((2L, 3L, 1L)), "b" -> ((2L, 15L, 2L)),
       "c" -> ((1L, 7L, 1L))))
   }
+
+  test("stream-stream join: watermarked time-window pairs incl. cross-batch state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = 1700000000000000L // epoch us
+    def m(min: Long) = base + min * 60000000L
+    val msC = MemoryStream[(Long, Long, Long)]
+    val msP = MemoryStream[(Long, Long, Long)]
+    def side(ms: MemoryStream[(Long, Long, Long)], pre: String) =
+      ms.toDF().toDF(s"${pre}_id", s"${pre}_user", s"${pre}_ts_us")
+        .withColumn(s"${pre}_ts", timestamp_micros(col(s"${pre}_ts_us")))
+        .withWatermark(s"${pre}_ts", "3700 seconds")
+    val joined = side(msC, "c").join(side(msP, "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_id"), col("p_id"), (col("p_ts_us") - col("c_ts_us")).as("dt"))
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_test_ssjoin").outputMode("append").start()
+    try {
+      // batch 1: two clicks, one in-window purchase for user 7
+      msC.addData((1L, 7L, m(0)), (2L, 8L, m(5)))
+      msP.addData((101L, 7L, m(30)))
+      q.processAllAvailable()
+      // batch 2: a purchase matching batch 1's click 1 (CROSS-BATCH
+      // state), one out-of-window purchase for user 8 (75 min > 1 h)
+      msP.addData((102L, 7L, m(50)), (103L, 8L, m(80)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("graft_test_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 101L, 30L * 60000000L), (1L, 102L, 50L * 60000000L)))
+    // the fixture the declared row runs on really has a cross-batch
+    // pair: click below / purchase at-or-above one of the 516/836
+    // splits within the hour window (sf0.001: 515 -> 517)
+    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tu"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def batchOf(id: Long) = if (id < 516) 0 else if (id < 836) 1 else 2
+    val cross = for {
+      c <- evs if c._4 == "click"
+      p <- evs if p._4 == "purchase" && p._2 == c._2 &&
+        p._3 >= c._3 && p._3 - c._3 <= 3600000000L &&
+        batchOf(p._1) > batchOf(c._1)
+    } yield (c._1, p._1)
+    assert(cross.nonEmpty, "declared-row fixture lost its cross-batch pair")
+  }
 }
