@@ -1462,6 +1462,36 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 AS INT) END AS audio_format, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels, CASE WHEN doc_id % 3 <= 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, CASE WHEN doc_id % 3 <= 1 THEN CAST(8 * (1 + doc_id % 2) AS INT) END AS bits_per_sample, CASE WHEN doc_id % 3 <= 1 THEN CAST(10 + doc_id % 50 AS BIGINT) END AS n_frames, CASE WHEN doc_id % 3 <= 1 THEN CAST((10 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) END AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // FLAC audio metadata (r8): plants rate/channels/bits/total-samples
+    // (arithmetic functions of doc_id) into the spec-mandated
+    // fixed-offset STREAMINFO first block — the packed 64-bit field is
+    // assembled by the query as two BE32 halves and flacMeta must
+    // recover every field byte-exactly; odd ids are non-FLAC -> all
+    // null by contract. The oracle computes the same values
+    // arithmetically (it never parses).
+    "llm_flac_meta" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(2))
+        val rate = lit(8000L) + pmod(col("doc_id"), lit(8)) * 1000L
+        val ch = lit(1L) + pmod(col("doc_id"), lit(5))
+        val bps = lit(8L) + pmod(col("doc_id"), lit(3)) * 4L
+        val tot = lit(1000L) + pmod(col("doc_id"), lit(997))
+        val hi = rate * 4096L + (ch - 1L) * 512L + (bps - 1L) * 16L
+        def beHex(c: org.apache.spark.sql.Column, digits: Int) =
+          lpad(conv(c, 10, 16), digits, "0")
+        val flacHex = concat(lit("664C6143"), lit("80"), lit("000022"),
+          lit("1000"), lit("1000"), lit("000000"), lit("000000"),
+          beHex(hi, 8), beHex(tot, 8))
+        val d = docs(s, dir).withColumn("payload",
+          when(m === 0, unhex(flacHex))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.flacMeta(d, "payload")
+          .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+            col("bits_per_sample"), col("total_samples"), col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 5 AS INT) END AS n_channels, CASE WHEN doc_id % 2 = 0 THEN CAST(8 + (doc_id % 3) * 4 AS INT) END AS bits_per_sample, CASE WHEN doc_id % 2 = 0 THEN CAST(1000 + doc_id % 997 AS BIGINT) END AS total_samples, CASE WHEN doc_id % 2 = 0 THEN CAST((1000 + doc_id % 997) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) END AS duration_ms FROM documents ORDER BY doc_id""")),
+
     // MP4 video metadata (r7): the query PLANTS timescale/duration/
     // track dims (arithmetic functions of doc_id) into honest ISO-BMFF
     // box trees — ftyp, then a variable-size free box so the top-level
@@ -1576,6 +1606,47 @@ object SparkEntry {
     "llm_bigram_logprob" -> Q(
       (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
+
+    // Count-min sketch (r8): depth-4 × width-512 sketch over the corpus
+    // token stream, probed for five present tokens + one absent — the
+    // md5-hex-char salted hashes make counters, probe buckets, and the
+    // row-min VALUE-EXACT in DuckDB (the featureHash bucket convention
+    // applied to a sketch). est ≥ true structurally; the spec pins the
+    // overestimate bound and shard-merge additivity.
+    "llm_cms_count" -> Q(
+      (s, dir) => LlmOps.cmsCount(docs(s, dir),
+        "scan join window stream fast zebra", width = 512, depth = 4),
+      Some("""WITH tk AS (SELECT tok FROM (SELECT unnest(string_split(lower(COALESCE(text, '')), ' ')) AS tok FROM documents) WHERE len(tok) >= 1), rs AS (SELECT unnest(generate_series(0, 3)) AS r), h AS (SELECT r, (ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || tok), 1, 1)) * 10000 + ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || tok), 2, 1)) * 100 + ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || tok), 3, 1))) % 512 AS bucket FROM tk CROSS JOIN rs), counters AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2), probes AS (SELECT unnest(['fast', 'join', 'scan', 'stream', 'window', 'zebra']) AS token), ph AS (SELECT token, r, (ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || token), 1, 1)) * 10000 + ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || token), 2, 1)) * 100 + ascii(substring(md5('cms' || CAST(r AS VARCHAR) || '_' || token), 3, 1))) % 512 AS bucket FROM probes CROSS JOIN rs) SELECT token, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est FROM ph LEFT JOIN counters USING (r, bucket) GROUP BY 1 ORDER BY 1""")),
+
+    // OLS linear regression (r8): planted-recovery oracle — the target
+    // is the exact integer relation y = 3·n_chars − 2·(doc_id mod 7) +
+    // 7, every Gram sum is an exact integer-valued double (< 2^53), so
+    // the normal-equations solve recovers the planted coefficients to
+    // ≫ 6dp at every SF and R² = 1 exactly; the oracle pins the
+    // constants plus the row count (proof all rows participated).
+    "llm_linreg" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+            pmod(col("doc_id"), lit(7L)).as("dmod"))
+          .withColumn("y",
+            lit(3L) * col("n_chars") - lit(2L) * col("dmod") + lit(7L))
+        LlmOps.linReg(d, "y", Seq("n_chars", "dmod"))
+          .select(col("feature"), round(col("coef"), 6).as("coef"))
+          .orderBy("feature")
+      },
+      Some("""SELECT feature, coef FROM (SELECT '_intercept' AS feature, 7.0 AS coef UNION ALL SELECT '_n', CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) UNION ALL SELECT '_r2', 1.0 UNION ALL SELECT 'dmod', -2.0 UNION ALL SELECT 'n_chars', 3.0) ORDER BY feature""")),
+
+    // Okapi BM25 top-10 retrieval (r8): lexical ranking next to the ANN
+    // family — per-(doc, term) contributions in integer micros make the
+    // scores, the rank order, and the k-cut VALUE-EXACT cross-engine
+    // (the unigram_logprob convention; score stays the integer per the
+    // DSIR ROUND(,4) lesson). Both SQL and Column trees fold constants
+    // identically — (1.2 + 1.0) and CAST(1.2 AS DOUBLE) are spelled out
+    // so DuckDB never drops into DECIMAL arithmetic.
+    "llm_bm25" -> Q(
+      (s, dir) => LlmOps.bm25(docs(s, dir),
+        "fast window merge sort stream", k = 10),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM t), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), h AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d) WHERE tok IN ('fast', 'window', 'merge', 'sort', 'stream') GROUP BY 1, 2, 3), dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1), c AS (SELECT doc_id, CAST(ROUND(LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (tf * (CAST(1.2 AS DOUBLE) + 1.0) / (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))) * 1000000.0) AS BIGINT) AS cu FROM h JOIN dfq USING (tok) CROSS JOIN s) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(cu) AS BIGINT) AS score_u FROM c GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 10""")),
 
     // C4-style line-level dedup (r5): the fixture text is single-line,
     // so both engines first reformat it into 10-token lines — the op
@@ -3291,6 +3362,21 @@ object SparkEntry {
          | evaluate pagerank(5, src, dst)
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), r1 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r0 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r2 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r1 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r2 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r4 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r3 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id), r5 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(x.s, 0)) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS id, SUM(p.r // od.d) AS s FROM e JOIN r4 p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY 1) x ON n.id = x.id) SELECT id, r AS rank_micros, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5 ORDER BY id""")),
+
+    // HITS hubs & authorities (r8): 2 rounds of Kleinberg's mutual
+    // reinforcement on the customer→nation→region graph, max-normalized
+    // in exact integer micros — the oracle unrolls both rounds (each =
+    // authority half-step from hubs, then hub half-step from the NEW
+    // authorities) verbatim (the q156_pagerank convention). Customers
+    // are pure hubs (no in-edges ⇒ auth 0), regions pure authorities.
+    "q170_hits" -> Q(kqlQ(
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E
+         | evaluate hits(2, src, dst)
+         | sort by id asc"""),
+      Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), ar1 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h0 p ON e.src = p.id GROUP BY 1), a1 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar1) AS BIGINT) AS a FROM nodes n LEFT JOIN ar1 x ON n.id = x.id), hr1 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a1 q ON e.dst = q.id GROUP BY 1), h1 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr1) AS BIGINT) AS h FROM nodes n LEFT JOIN hr1 x ON n.id = x.id), ar2 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h1 p ON e.src = p.id GROUP BY 1), a2 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar2) AS BIGINT) AS a FROM nodes n LEFT JOIN ar2 x ON n.id = x.id), hr2 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a2 q ON e.dst = q.id GROUP BY 1), h2 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr2) AS BIGINT) AS h FROM nodes n LEFT JOIN hr2 x ON n.id = x.id) SELECT n.id, h2.h AS hub_micros, a2.a AS auth_micros, CAST(h2.h AS DOUBLE) / 1000000.0 AS hub, CAST(a2.a AS DOUBLE) / 1000000.0 AS auth FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id ORDER BY n.id""")),
 
     // bag_zip (r6): property bag from parallel key/value arrays —
     // result keyed by the KEYS length (missing values null, extras

@@ -2369,6 +2369,118 @@ object LlmOps {
         .as("embedding"))
   }
 
+  /** Count–min sketch token-frequency estimates (Cormode & Muthukrishnan
+    * 2005): `depth` salted hash rows × `width` counters; est(t) =
+    * min_r counter[r][h_r(t)] ≥ true(t) always (collisions only ADD).
+    * The sketch is the bounded-memory heavy-hitter primitive: the
+    * aggregate's key cardinality is capped at depth·width REGARDLESS of
+    * vocabulary size (an exact token groupBy scales with the vocabulary;
+    * at web scale that is billions of keys), and counters are additive,
+    * so shard sketches merge by plain +.
+    *
+    * Deterministic and VALUE-EXACT cross-engine: h_r is md5-hex-char
+    * integer arithmetic over the salted token `cms<r>_<tok>` (the
+    * [[featureHash]] bucket convention), so the DuckDB oracle replays
+    * the entire sketch — counters, probe buckets, and the min — bit for
+    * bit. Scale shape: one token explode ×depth projections + ONE hash
+    * aggregate with map-side partials (≤ depth·width result rows), then
+    * a probe-side join against the tiny counter table. Probe tokens the
+    * corpus never saw estimate as their collision mass (usually 0). */
+  def cmsCount(docs: DataFrame, probeQuery: String, width: Int = 512,
+               depth: Int = 4, textCol: String = "text"): DataFrame = {
+    require(width >= 16 && width <= (1 << 20), "need 16 <= width <= 2^20")
+    require(depth >= 1 && depth <= 8, "need 1 <= depth <= 8")
+    val probes = probeQuery.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(probes.nonEmpty, "cms_count: no probe tokens")
+    def bucket(r: Int, tok: Column): Column = {
+      val m = md5(concat(lit(s"cms${r}_"), tok))
+      pmod(ascii(substring(m, 1, 1)) * 10000 + ascii(substring(m, 2, 1)) * 100 +
+        ascii(substring(m, 3, 1)), lit(width)).cast("int")
+    }
+    val words = spread(docs)
+      .select(explode(split(lower(txt(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val counters = words.select(posexplode(array(
+        (0 until depth).map(r => bucket(r, col("tok"))): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = probes.toDF("token").select(col("token"), posexplode(array(
+        (0 until depth).map(r => bucket(r, col("token"))): _*))
+        .as(Seq("r", "bucket")))
+    ph.join(counters, Seq("r", "bucket"), "left_outer")
+      .groupBy("token").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .orderBy("token")
+  }
+
+  /** Hashed-feature logistic-regression document classifier — the
+    * fastText-style quality-classifier shape (label a few thousand docs,
+    * train, score the corpus; the filter behind "looks like a reference
+    * page" curation gates). Features are L1-normalized hashed
+    * bag-of-words counts over the [[featureHash]] md5 buckets (no
+    * vocabulary pass, growth-stable coordinates) plus a bias feature at
+    * index `dim`; training is full-batch gradient descent on logistic
+    * loss from w = 0 with a fixed learning rate — deterministic given
+    * the input multiset (per-round FP sums are merge-order sensitive,
+    * so only contract facts — loss descent, accuracy — are
+    * cross-engine stable, the [[kmeansFit]] convention).
+    *
+    * Scale shape: the sparse feature frame is built once and persisted;
+    * each round is ONE broadcast-weights margin aggregate + ONE join
+    * back + ONE per-dimension gradient aggregate whose dim+1-row result
+    * is the only driver traffic (bounded model metadata). No per-pair
+    * work, no O(dim²) anywhere.
+    *
+    * Output: (id, label, margin, prob, predicted) for every input row.
+    */
+  def logRegScore(docs: DataFrame, labelCol: String, dim: Int = 256,
+                  iters: Int = 20, lr: Double = 1.0,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 16), "need 2 <= dim <= 2^16")
+    require(iters >= 1 && iters <= 200, "need 1 <= iters <= 200")
+    val words = spread(docs).select(col(idCol).as("id"),
+        col(labelCol).cast("double").as("y"),
+        explode(split(lower(txt(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val m = md5(col("w"))
+    val tf = words.withColumn("j", pmod(
+        ascii(substring(m, 1, 1)) * 10000 + ascii(substring(m, 2, 1)) * 100 +
+          ascii(substring(m, 3, 1)), lit(dim)).cast("int"))
+      .groupBy("id", "y", "j").agg(count(lit(1)).as("c"))
+    val docLen = tf.groupBy("id").agg(sum(col("c")).as("n"))
+    // L1-normalized counts + the bias feature j = dim, x = 1; empty
+    // docs still get the bias row (they train on the prior)
+    val feats = persistTracked(
+      tf.join(docLen, "id")
+        .select(col("id"), col("y"),
+          col("j"), (col("c").cast("double") / col("n")).as("x"))
+        .unionByName(spread(docs).select(col(idCol).as("id"),
+          col(labelCol).cast("double").as("y"),
+          lit(dim).as("j"), lit(1.0d).as("x"))))
+    val w = Array.fill(dim + 1)(0.0)
+    val n = feats.select(col("id")).distinct().count().toDouble
+    for (_ <- 1 to iters) {
+      val bw = typedLit(w.toSeq)
+      val margins = feats
+        .groupBy("id", "y")
+        .agg(sum(col("x") * element_at(bw, col("j") + 1)).as("mg"))
+        .withColumn("r", lit(1.0) / (lit(1.0) + exp(-col("mg"))) - col("y"))
+      val grad = feats.join(margins.select("id", "r"), "id")
+        .groupBy("j").agg(sum(col("x") * col("r")).as("g"))
+        .collect()
+      grad.foreach(row =>
+        w(row.getInt(0)) -= lr * row.getDouble(1) / n)
+    }
+    val bw = typedLit(w.toSeq)
+    feats.groupBy(col("id").as(idCol), col("y").as(labelCol))
+      .agg(sum(col("x") * element_at(bw, col("j") + 1)).as("margin"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+      .withColumn("predicted", (col("prob") >= 0.5).cast("int"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
     * algorithm): select, from every window of `w` consecutive k-token
     * shingles, the minimum-hash shingle — guaranteeing that any match
@@ -2566,6 +2678,81 @@ object LlmOps {
       .select(col(idCol), (col("__p0") + 1).cast("int").as("pc"), col("proj"))
   }
 
+  /** Ordinary least squares via the normal equations — the closed-form
+    * regression a data pipeline reaches for when fitting quality priors
+    * (predict a human rating from cheap per-doc features) or
+    * de-trending metrics. β = (XᵀX)⁻¹ Xᵀy with an intercept column
+    * prepended.
+    *
+    * Scale shape: the ENTIRE data pass is one hash aggregate producing
+    * the (p+1)(p+2)/2 upper-triangle Gram sums + p+1 moment sums + Σy²
+    * — bounded model metadata (the [[kmeansFit]] round-aggregate
+    * convention), collected as a single row; the solve is
+    * driver-side Gaussian elimination with partial pivoting
+    * (deterministic pivot = max |value|, ties to the lowest row index).
+    * No per-row work after the aggregate; p ≤ 32 keeps the aggregate
+    * row and the O(p³) solve trivial.
+    *
+    * Determinism: Gram sums are doubles, so bit-identity across
+    * PARTITIONINGS needs integer-valued features (then every sum < 2^53
+    * is exact — the planted-recovery oracle uses exactly that); with
+    * fractional features the usual double-summation caveat applies and
+    * only contract facts are cross-engine stable.
+    *
+    * Output: one row per coefficient — ('_intercept', β₀), (feature,
+    * βᵢ)… — plus ('_n', n) and ('_r2', R²); R² = 1 − SSE/SST via
+    * SSE = Σy² − βᵀXᵀy (exactly 0 on a planted exact fit), R² = 1.0
+    * when SST = 0 (constant target: the intercept-only fit is exact). */
+  def linReg(df: DataFrame, targetCol: String,
+             featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty && featureCols.size <= 32,
+      "linreg: 1..32 features")
+    require(featureCols.distinct.size == featureCols.size,
+      "linreg: duplicate feature column")
+    val p = featureCols.size + 1
+    val xs: Seq[Column] = lit(1.0d) +: featureCols.map(c => col(c).cast("double"))
+    val y = col(targetCol).cast("double")
+    val aggs: Seq[Column] =
+      (for { i <- 0 until p; j <- i until p } yield
+        sum(xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
+      (0 until p).map(i => sum(xs(i) * y).as(s"xy_$i")) ++
+      Seq(sum(y * y).as("yy"), count(lit(1)).as("n"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0), "linreg: empty input")
+    val a = Array.ofDim[Double](p, p + 1)
+    var idx = 0
+    for (i <- 0 until p; j <- i until p) {
+      val v = r.getDouble(idx); a(i)(j) = v; a(j)(i) = v; idx += 1
+    }
+    for (i <- 0 until p) { a(i)(p) = r.getDouble(idx); idx += 1 }
+    val yy = r.getDouble(idx)
+    val n = r.getLong(idx + 1)
+    val xty = (0 until p).map(a(_)(p)).toArray
+    // Gaussian elimination, partial pivoting (deterministic tiebreak)
+    for (c <- 0 until p) {
+      var piv = c
+      for (rr <- c + 1 until p)
+        if (math.abs(a(rr)(c)) > math.abs(a(piv)(c))) piv = rr
+      require(math.abs(a(piv)(c)) > 1e-12,
+        s"linreg: singular design matrix at column $c (collinear features)")
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+      for (rr <- 0 until p if rr != c) {
+        val f = a(rr)(c) / a(c)(c)
+        for (cc <- c to p) a(rr)(cc) -= f * a(c)(cc)
+      }
+    }
+    val beta = (0 until p).map(i => a(i)(p) / a(i)(i)).toArray
+    val sse = yy - (0 until p).map(i => beta(i) * xty(i)).sum
+    val sst = yy - xty(0) * xty(0) / n // xty(0) = Σ(1·y)
+    val r2 = if (math.abs(sst) < 1e-12) 1.0 else 1.0 - sse / sst
+    val rows = ("_intercept", beta(0)) +:
+      featureCols.zipWithIndex.map { case (f, i) => (f, beta(i + 1)) } :+
+      ("_n", n.toDouble) :+ ("_r2", r2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.createDataset(rows).toDF("feature", "coef")
+  }
+
   /** Document fingerprints: whole-text md5 + min-3-gram-shingle md5
     * (winnowing-style). md5 on both engines ⇒ oracle-comparable. */
   def fingerprint(docs: DataFrame, textCol: String = "text",
@@ -2731,6 +2918,53 @@ object LlmOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nlp_u")).cast("double") / count(lit(1)) / 1e6, 4)
           .as("mean_neg_logp2"))
+  }
+
+  /** Okapi BM25 top-k retrieval (Robertson et al., TREC-3; the idf is
+    * Lucene's ln(1 + (N − df + 0.5)/(df + 0.5)) form, positive for every
+    * df) — THE lexical ranking baseline a RAG corpus needs next to the
+    * embedding ANN family: score(q, d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·|d|/avgdl)).
+    *
+    * Shape: one explode filtered to the ≤|q| query terms (map-side — the
+    * non-matching token stream never shuffles), one (doc, term) hash
+    * aggregate, a |q|-row df aggregate joined back, corpus totals (N,
+    * Σ|d|) on a lazy 1-row broadcast, TakeOrderedAndProject top-k. Per
+    * (doc, term) contributions round to integer micros so the per-doc
+    * sum — and therefore the rank order and the k-cut — is engine-exact
+    * (the [[unigramLogProb]] convention); `score_u` stays the integer
+    * (the DSIR ROUND(,4)-boundary lesson). Constant subexpressions
+    * mirror the oracle's parse tree exactly ((k1+1), (1−b) folded the
+    * same way) so both engines walk identical IEEE double sequences.
+    * Ties break on ascending id. Docs matching no query term are never
+    * ranked (BM25 gives them score 0). */
+  def bm25(docs: DataFrame, query: String, k: Int, k1: Double = 1.2,
+           b: Double = 0.75, textCol: String = "text",
+           idCol: String = "doc_id"): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qTerms.nonEmpty, "bm25: query has no terms")
+    val base = spread(docs).select(col(idCol).as("id"),
+        split(lower(txt(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = base.agg(count(lit(1)).as("n_corpus"),
+      sum(col("dl")).as("sum_dl"))
+    val hits = base
+      .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_corpus")
+    val idf = log(lit(1.0) +
+      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    hits.join(dfc, "tok").crossJoin(broadcast(stats))
+      .withColumn("c_u", round(idf * tfn * lit(1e6)).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_u")).as("score_u"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
   }
 
   // ============================================== line-level curation ops
@@ -3452,6 +3686,42 @@ object LlmOps {
       .withColumn("duration_ms", when(rate > 0, expr_div(frames * 1000L, rate)))
       .drop("__amh" +: "__fmtp" +: "__datap" +:
         (0 until maxChunks).map(k => s"__p$k"): _*)
+  }
+
+  /** Audio metadata from FLAC STREAMINFO — no decode. Unlike RIFF, the
+    * FLAC spec MANDATES that the first metadata block after the `fLaC`
+    * magic is STREAMINFO (type 0, length 34), so the parse is fixed
+    * offsets, no chunk walk: file bytes 19–26 pack sample-rate (20
+    * bits) | channels−1 (3) | bits/sample−1 (5) | total-samples (36).
+    * The 64-bit field is read as two BE32 halves so a ≥ 2¹⁹ Hz sample
+    * rate can never sign-overflow a single 64-bit `conv`. Non-FLAC /
+    * truncated / spec-violating payloads (wrong first-block type or
+    * length) yield all-null fields. duration_ms is exact integer floor
+    * division. Pure codegen hex arithmetic over a 26-byte prefix. */
+  def flacMeta(df: DataFrame, binCol: String): DataFrame = {
+    val h = col("__ffh")
+    def beC(pos: Int, nBytes: Int): Column = {
+      val s = substring(h, pos * 2 - 1, nBytes * 2)
+      when(length(s) === nBytes * 2, conv(s, 16, 10).cast("long"))
+    }
+    val isFlac = substring(h, 1, 8) === "664C6143" &&
+      conv(substring(h, 9, 2), 16, 10).cast("int")
+        .bitwiseAND(lit(127)) === 0 &&
+      substring(h, 11, 6) === "000022"
+    val hi = beC(19, 4)
+    val lo = beC(23, 4)
+    val rate = shiftright(hi, 12)
+    val ch = (shiftright(hi, 9).bitwiseAND(lit(7L)) + 1).cast("int")
+    val bps = (shiftright(hi, 4).bitwiseAND(lit(31L)) + 1).cast("int")
+    val tot = hi.bitwiseAND(lit(15L)) * lit(4294967296L) + lo
+    df.withColumn("__ffh", upper(hex(substring(col(binCol), 1, 26))))
+      .withColumn("sample_rate", when(isFlac, rate).cast("int"))
+      .withColumn("n_channels", when(isFlac, ch))
+      .withColumn("bits_per_sample", when(isFlac, bps))
+      .withColumn("total_samples", when(isFlac, tot))
+      .withColumn("duration_ms",
+        when(isFlac && rate > 0, expr_div(tot * 1000L, rate)))
+      .drop("__ffh")
   }
 
   /** Video metadata from MP4/ISO-BMFF headers — no decode (the

@@ -344,6 +344,89 @@ object GraphOps {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM) over a directed
+    * edge frame — the link-analysis complement to [[pageRank]]: a good
+    * HUB points at good authorities, a good AUTHORITY is pointed at by
+    * good hubs. In corpus curation the authority score separates
+    * frequently-referenced canonical pages from the link farms that
+    * cite them (which score as hubs, not authorities).
+    *
+    * Engine-portable INTEGER arithmetic (the [[pageRank]] convention):
+    * scores live as micro-units; each round computes the raw mutual
+    * sums a′(v) = Σ_{u→v} h(u) and h′(u) = Σ_{u→v} a(v) and
+    * max-normalizes them back to [0, 1e6] with exact integer division
+    * ((raw · 1e6) div max — the standard max-norm HITS variant, chosen
+    * over L2 because it stays in integers), so every step is exact and
+    * the DuckDB oracle replays the rounds verbatim. Nodes with no
+    * in-edges have authority 0; no out-edges ⇒ hub 0. Overflow bound:
+    * raw · 1e6 needs Σ-degree ≤ ~9.2e6 micro-saturated neighbors —
+    * beyond that drop to millis (documented dial, not auto-switched).
+    *
+    * Scale shape: per round TWO equi-joins of the edge frame with a
+    * score frame + two hash aggregates + two 1-row max aggregates
+    * broadcast back — no driver state, no data collect; each half-step
+    * materializes eagerly (see the loop comment), so lineage is one
+    * round deep at all times. */
+  def hits(edges: DataFrame, iters: Int, srcCol: String, dstCol: String): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    // Unlike pageRank's single linear rank chain, each HITS round
+    // references its intermediate frames SEVERAL times (raw sums feed
+    // both the data join and the 1-row max, and the new authorities
+    // feed both the hub half-step and the final assembly) — a lazy
+    // chain multiplies the planned subtree ~8× per round (the analyzer
+    // blow-up the audioMeta scaladoc documents; measured: an iters=6
+    // lazy chain stalled for minutes). So every half-step materializes
+    // via an EAGER localCheckpoint — per round that is two node-sized
+    // materializations, the connectedComponents per-round cadence, and
+    // the previous round's blocks are freed as soon as the next exists.
+    var prevCkpt: DataFrame = null
+    try {
+      var scores = nodes.select(col("id"), lit(1000000L).as("h"),
+        lit(1000000L).as("a")).localCheckpoint()
+      prevCkpt = scores
+      for (_ <- 1 to iters) {
+        // authority half-step: a'(v) = Σ_{u→v} h(u), max-normalized
+        val aRaw = e.join(scores.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+        val aMax = aRaw.agg(max(col("ar")).as("am"))
+        val aNew = nodes.join(aRaw, Seq("id"), "left_outer")
+          .crossJoin(broadcast(aMax))
+          .select(col("id"),
+            expr("(coalesce(ar, 0L) * 1000000) div am").as("a"))
+          .localCheckpoint()
+        // hub half-step reads the NEW authorities (Kleinberg's order)
+        val hRaw = e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+        val hMax = hRaw.agg(max(col("hr")).as("hm"))
+        val sNew = nodes.join(hRaw, Seq("id"), "left_outer")
+          .crossJoin(broadcast(hMax))
+          .select(col("id"),
+            expr("(coalesce(hr, 0L) * 1000000) div hm").as("h"))
+          .join(aNew, "id")
+          .select(col("id"), col("h"), col("a"))
+          .localCheckpoint()
+        prevCkpt.unpersist(false)
+        aNew.unpersist(false)
+        prevCkpt = sNew
+        scores = sNew
+      }
+      val out = graft.ext.LlmOps.persistTracked(
+        scores.select(col("id"), col("h").as("hub_micros"),
+          col("a").as("auth_micros"),
+          (col("h").cast("double") / 1000000.0d).as("hub"),
+          (col("a").cast("double") / 1000000.0d).as("auth")))
+      out.count()
+      out
+    } finally {
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      e.unpersist(false); nodes.unpersist(false)
+    }
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007)
     * over ANY edge frame — finds DENSE communities where connected
     * components only find reachability (on a connected graph CC is one

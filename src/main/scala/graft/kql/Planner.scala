@@ -780,6 +780,37 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, srcE, "pagerank src"),
         colNameOf(df, dstE, "pagerank dst"))
 
+    // `evaluate logreg_score(iters, dim, label, text, id)`: hashed
+    // bag-of-words logistic-regression classifier, full-batch GD
+    // (LlmOps.logRegScore)
+    case EvaluateOp("logreg_score", iE :: dE :: lE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.logRegScore(df,
+        colNameOf(df, lE, "logreg_score label"),
+        dim = litLong(dE).toInt, iters = litLong(iE).toInt,
+        textCol = colNameOf(df, textE, "logreg_score text"),
+        idCol = colNameOf(df, idE, "logreg_score id"))
+
+    // `evaluate cms_count('probe toks', width, depth, text)`: count-min
+    // sketch frequency estimates (LlmOps.cmsCount)
+    case EvaluateOp("cms_count", pE :: wE :: dE :: textE :: Nil) =>
+      graft.ext.LlmOps.cmsCount(df, litString(pE, "cms_count probes"),
+        litLong(wE).toInt, litLong(dE).toInt,
+        textCol = colNameOf(df, textE, "cms_count text"))
+
+    // `evaluate linreg(y, x1, x2, ...)`: OLS via the normal equations —
+    // one Gram-sums aggregate + a driver-side deterministic solve
+    // (LlmOps.linReg); output (feature, coef) incl. _intercept/_n/_r2
+    case EvaluateOp("linreg", yE :: featEs) if featEs.nonEmpty =>
+      graft.ext.LlmOps.linReg(df, colNameOf(df, yE, "linreg target"),
+        featEs.map(e => colNameOf(df, e, "linreg feature")))
+
+    // `evaluate hits(iters, src, dst)`: Kleinberg hubs & authorities,
+    // max-normalized integer-micro arithmetic (GraphOps.hits)
+    case EvaluateOp("hits", iE :: srcE :: dstE :: Nil) =>
+      GraphOps.hits(df, litLong(iE).toInt,
+        colNameOf(df, srcE, "hits src"),
+        colNameOf(df, dstE, "hits dst"))
+
     // synchronous min-tie label-propagation communities over the input
     // edge frame (GraphOps.labelPropagation)
     case EvaluateOp("label_propagation", iE :: srcE :: dstE :: Nil) =>
@@ -897,6 +928,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bigramLogProb(df, colNameOf(df, textE, "bigram text"),
         colNameOf(df, idE, "bigram id"))
 
+    // `evaluate bm25('query terms', k, text, id)`: Okapi BM25 top-k
+    // lexical retrieval (LlmOps.bm25)
+    case EvaluateOp("bm25", qE :: kE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.bm25(df, litString(qE, "bm25 query"),
+        litLong(kE).toInt,
+        textCol = colNameOf(df, textE, "bm25 text"),
+        idCol = colNameOf(df, idE, "bm25 id"))
+
     // `evaluate line_dedup('delim', text, id)`: corpus-wide
     // first-occurrence line dedup (LlmOps.lineDedup)
     case EvaluateOp("line_dedup", dE :: textE :: idE :: Nil) =>
@@ -979,6 +1018,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case EvaluateOp("audio_meta", binE :: Nil) =>
       graft.ext.LlmOps.audioMeta(df,
         colNameOf(df, binE, "audio_meta payload"))
+
+    // `evaluate flac_meta(binCol)`: FLAC STREAMINFO metadata (sample
+    // rate, channels, bits, total samples, duration) — fixed-offset
+    // parse, no decode (LlmOps.flacMeta)
+    case EvaluateOp("flac_meta", binE :: Nil) =>
+      graft.ext.LlmOps.flacMeta(df,
+        colNameOf(df, binE, "flac_meta payload"))
 
     // `evaluate dbscan(eps, minPts, 'method', block, vec, id)`:
     // density clustering with core/border/noise roles

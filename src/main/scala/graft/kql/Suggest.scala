@@ -75,8 +75,9 @@ object Suggest {
     "active_users_count", "activity_counts_metrics", "activity_engagement",
     "activity_metrics",
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
+    "bm25",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
-    "chunk", "containment_pairs", "dbscan",
+    "chunk", "cms_count", "containment_pairs", "dbscan",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
@@ -84,10 +85,12 @@ object Suggest {
     "dedup_contained",
     "dedup_cosine_incremental", "dedup_incremental", "dsir",
     "dsir_resample", "feature_hash", "fingerprint",
+    "flac_meta",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
-    "hash_split", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
+    "hash_split", "hits", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
     "knn_cosine", "label_propagation",
-    "lang_id", "line_dedup", "line_dedup_incremental", "narrow",
+    "lang_id", "line_dedup", "line_dedup_incremental", "linreg",
+    "logreg_score", "narrow",
     "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pca", "pii_scrub",

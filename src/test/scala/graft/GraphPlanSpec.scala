@@ -92,6 +92,38 @@ class GraphPlanSpec extends AnyFunSuite {
     graft.ext.LlmOps.releaseCaches()
   }
 
+  test("hits: hand-computed integer-micro rounds, pure hub/authority, KQL-reachable") {
+    import spark.implicits._
+    // A→B, A→C, B→C. Round 1: ar(B)=1e6, ar(C)=2e6, max 2e6 ⇒ a =
+    // (0, 500000, 1e6); hr(A)=1.5e6, hr(B)=1e6, max 1.5e6 ⇒ h =
+    // (1e6, 666666, 0). Round 2: ar(B)=1e6, ar(C)=1666666 ⇒ a =
+    // (0, 600000, 1e6); hr(A)=1.6e6, hr(B)=1e6 ⇒ h = (1e6, 625000, 0).
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+    val r = graft.kql.GraphOps.hits(e, 2, "s", "d").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("A" -> ((1000000L, 0L)), "B" -> ((625000L, 600000L)),
+      "C" -> ((0L, 1000000L))))
+    graft.ext.LlmOps.releaseCaches()
+    // KQL-reachable with the declared output shape; customers are pure
+    // hubs (auth 0), regions pure authorities (hub 0), nations both
+    val kql = Kql.run(spark,
+      """let E = union
+           (customer | project src = strcat('c', c_custkey), dst = strcat('n', c_nationkey)),
+           (nation | project src = strcat('n', n_nationkey), dst = strcat('r', n_regionkey));
+         E | evaluate hits(2, src, dst)""", "/root/testdata/sf0.001")
+    assert(kql.columns.toSeq ==
+      Seq("id", "hub_micros", "auth_micros", "hub", "auth"))
+    val rows = kql.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(rows.filter(_._1.startsWith("c")).forall(_._3 == 0L))
+    assert(rows.filter(_._1.startsWith("r")).forall(_._2 == 0L))
+    // max-normalization pins the top hub and top authority at exactly 1e6
+    // (the top authority is a NATION — in-degree ≈ customers/nation > 5)
+    assert(rows.exists(_._2 == 1000000L) && rows.exists(_._3 == 1000000L))
+    assert(rows.filter(_._1.startsWith("n")).exists(_._3 > 0L))
+    graft.ext.LlmOps.releaseCaches()
+  }
+
   test("connected_components plugin: disjoint chains, min-id reps, sizes") {
     import spark.implicits._
     // two chains and one self-loop singleton: {a,b,c}, {x,y}, {s}

@@ -401,6 +401,37 @@ class KqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hits ≡ exact integer-micro driver replay on random digraphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.chooseNum(0, 9); b <- Gen.chooseNum(0, 9)
+    } yield (s"n$a", s"n$b"))
+    // iters=6 on the first case crosses a localCheckpoint boundary
+    for (((es0, iters), k) <- samples(edgeGen, 4).zip(Seq(6, 2, 2, 3)).zipWithIndex) {
+      val es = es0.distinct
+      val got = graft.kql.GraphOps.hits(es.toDF("s", "d"), iters, "s", "d")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val ar = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (u, v) => ar(v) += h(u) }
+        val am = ar.values.max
+        a = nodes.map(n => n -> ar(n) * 1000000L / am).toMap
+        val hr = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (u, v) => hr(u) += a(v) }
+        val hm = hr.values.max
+        h = nodes.map(n => n -> hr(n) * 1000000L / hm).toMap
+      }
+      assert(got == nodes.map(n => n -> ((h(n), a(n)))).toMap,
+        s"hits case $k (iters=$iters)")
+      graft.ext.LlmOps.releaseCaches()
+    }
+  }
+
   test("connected_components plugin ≡ driver union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(14, for {

@@ -1632,7 +1632,8 @@ class LlmOpsSpec extends AnyFunSuite {
   test("byte parsers are total: signature-prefixed random payloads never throw") {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
-      "52494646AAAAAAAA57454250", "52494646AAAAAAAA57415645", "1F8B", "")
+      "52494646AAAAAAAA57454250", "52494646AAAAAAAA57415645", "1F8B", "",
+      "664C6143")
     val rows = (0 until 240).map { i =>
       val sig = sigs(i % sigs.length)
       val tail = Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
@@ -1645,6 +1646,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(LlmOps.audioMeta(rows, "payload").collect().length == 240)
     assert(LlmOps.sniffMediaType(rows, "payload").collect().length == 240)
     assert(LlmOps.videoMeta(rows, "payload").collect().length == 240)
+    assert(LlmOps.flacMeta(rows, "payload").collect().length == 240)
   }
 
   test("videoMeta: mvhd/tkhd box walk, v1 boxes and degraded inputs to null") {
@@ -1989,5 +1991,176 @@ class LlmOpsSpec extends AnyFunSuite {
     val f1 = LlmOps.trainIvfCentroids(embs, nLists = 64)
     val f2 = LlmOps.trainIvfCentroids(shuffled, nLists = 64)
     assert(f1.map(c => bits(c.toSeq)).toSeq == f2.map(c => bits(c.toSeq)).toSeq)
+  }
+
+  test("bm25 replays the exact Okapi formula, ranks deterministically, cuts at k") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry date elderberry fig grape")
+    ).toDF("doc_id", "text")
+    // driver replay of the exact per-(doc, term) micro contribution
+    val nC = 4L; val avgdl = 14.0.toLong.toDouble / nC
+    def cu(tf: Long, df: Long, dl: Int): Long = {
+      val idf = math.log(1.0 + ((nC - df).toDouble + 0.5) / (df.toDouble + 0.5))
+      val tfn = tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      math.round(idf * tfn * 1e6)
+    }
+    val exp = Map(
+      1L -> (cu(2, 2, 3) + cu(1, 2, 3)), // matches both query terms
+      2L -> cu(1, 2, 2),
+      3L -> cu(4, 2, 4))
+    val r = LlmOps.bm25(corpus, "apple banana", k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 matches nothing
+    assert(r.map(t => t._1 -> t._3).toMap == exp) // micros value-exact
+    assert(r.map(t => t._1 -> t._2).toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val scores = r.map(_._3).toSeq
+    assert(scores == scores.sorted.reverse) // ranked desc
+    // k cut keeps the top-k of the same order
+    val top2 = LlmOps.bm25(corpus, "apple banana", k = 2).collect()
+      .map(_.getLong(0)).toSeq
+    assert(top2 == r.map(_._1).take(2).toSeq)
+    // deterministic id tiebreak: two identical docs tie -> lower id first
+    val ties = Seq((7L, "kiwi"), (5L, "kiwi"), (6L, "kiwi"))
+      .toDF("doc_id", "text")
+    assert(LlmOps.bm25(ties, "kiwi", k = 3).collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate bm25('fast window', 5, text, doc_id)",
+      TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("doc_id", "n_terms", "score_u"))
+    assert(kql.count() == 5)
+  }
+
+
+  test("linReg: planted recovery, closed-form slope, orthogonality, guards, KQL") {
+    // exact planted fit: y = 2x - 5 recovered to machine precision
+    val d1 = Seq((1L, 10L), (2L, 20L), (3L, 35L), (4L, 70L), (5L, 41L))
+      .toDF("id", "x").withColumn("y", lit(2L) * col("x") - lit(5L))
+    val m1 = LlmOps.linReg(d1, "y", Seq("x")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m1("x") - 2.0) < 1e-9)
+    assert(math.abs(m1("_intercept") + 5.0) < 1e-9)
+    assert(m1("_n") == 5.0 && math.abs(m1("_r2") - 1.0) < 1e-9)
+    // noisy single feature ≡ the closed-form slope/intercept
+    val pts = Seq((1.0, 3.1), (2.0, 4.9), (3.0, 7.2), (4.0, 8.8), (5.0, 11.1))
+    val d2 = pts.toDF("x", "y")
+    val m2 = LlmOps.linReg(d2, "y", Seq("x")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / n
+    assert(math.abs(m2("x") - slope) < 1e-9)
+    assert(math.abs(m2("_intercept") - icpt) < 1e-9)
+    assert(m2("_r2") > 0.99 && m2("_r2") < 1.0)
+    // normal equations ⇒ residuals orthogonal to every regressor
+    val rows2 = pts.map { case (x, y) =>
+      (x, y - (m2("_intercept") + m2("x") * x)) }
+    assert(math.abs(rows2.map(_._2).sum) < 1e-9)          // ⊥ intercept
+    assert(math.abs(rows2.map(t => t._1 * t._2).sum) < 1e-9) // ⊥ x
+    // collinear features fail loudly, not with a garbage fit
+    val d3 = d1.withColumn("x2", col("x") * 2)
+    val ex = intercept[Exception] {
+      LlmOps.linReg(d3, "y", Seq("x", "x2")).collect()
+    }
+    assert(ex.getMessage.contains("singular"))
+    // constant target: R² defined as 1 (intercept-only exact fit)
+    val d4 = d1.withColumn("y", lit(9L))
+    val m4 = LlmOps.linReg(d4, "y", Seq("x")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m4("_r2") - 1.0) < 1e-9)
+    assert(math.abs(m4("_intercept") - 9.0) < 1e-9)
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      "documents | extend y = 2 * n_chars + 1 | evaluate linreg(y, n_chars)",
+      TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("feature", "coef"))
+    val mk = kql.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(mk("n_chars") - 2.0) < 1e-6)
+  }
+
+
+  test("cmsCount: est >= true always, exact at wide width, shards merge, KQL") {
+    // exact token counts on the fixture
+    val exact = docs.select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 1)
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = "scan join window stream fast zebra"
+    val est = LlmOps.cmsCount(docs, probes, width = 512, depth = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == probes.split(" ").toSet)
+    // the structural CMS guarantee: never underestimates
+    for ((t, e) <- est) assert(e >= exact.getOrElse(t, 0L), s"under at $t")
+    // overestimate bounded: depth-4 min of width-512 rows over ~27k
+    // tokens keeps collision mass small (loose 2x bound, tight below)
+    for ((t, e) <- est if exact.contains(t))
+      assert(e <= exact(t) * 2, s"wild overestimate at $t")
+    // a wide sketch is exact on this vocabulary (~30 distinct tokens)
+    val wide = LlmOps.cmsCount(docs, probes, width = 65536, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, e) <- wide) assert(e == exact.getOrElse(t, 0L), s"wide $t")
+    // counters are additive: the sketch of a doubled corpus estimates
+    // exactly twice the original (same hashes, doubled counts)
+    val doubled = LlmOps.cmsCount(
+      docs.unionByName(docs), probes, width = 512, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(doubled == est.map { case (t, e) => t -> e * 2 })
+    // deterministic across partitionings
+    val reparted = LlmOps.cmsCount(docs.repartition(13), probes,
+      width = 512, depth = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reparted == est)
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate cms_count('scan zebra', 512, 4, text)",
+      TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("token", "est"))
+    assert(kql.count() == 2)
+  }
+
+
+  test("flacMeta: canonical STREAMINFO, 36-bit totals, degraded inputs to null") {
+    // 44.1 kHz stereo 16-bit, 441000 samples: hi = rate<<12 | 1<<9 |
+    // 15<<4 = 0x0AC442F0, lo = 0x0006BAA8; duration 10000 ms
+    val head = "664C6143" + "00" + "000022" + "1000" + "1000" +
+      "000000" + "000000"
+    val rows = Seq(
+      1L -> (head + "0AC442F0" + "0006BAA8"),
+      // last-block flag set (0x80) parses the same
+      2L -> ("664C6143" + "80" + "000022" + "1000" + "1000" +
+        "000000" + "000000" + "0AC442F0" + "0006BAA8"),
+      // 36-bit total: top nibble 0x2 adds 2 * 2^32 samples
+      3L -> (head + "0AC442F2" + "0006BAA8"),
+      4L -> "664C614300",                       // truncated after magic
+      5L -> ("664C6143" + "04" + "000022" + "1000" + "1000" +
+        "000000" + "000000" + "0AC442F0" + "0006BAA8"), // wrong first block type
+      6L -> "DEADBEEF0000000000000000000000000000000000000000000000"
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.flacMeta(rows, "payload").collect().map { r =>
+      def oi(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getInt(r.fieldIndex(c)))
+      def ol(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      r.getLong(0) -> ((oi("sample_rate"), oi("n_channels"),
+        oi("bits_per_sample"), ol("total_samples"), ol("duration_ms")))
+    }.toMap
+    assert(got(1L) == ((Some(44100), Some(2), Some(16), Some(441000L), Some(10000L))))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((Some(44100), Some(2), Some(16),
+      Some(441000L + 2L * 4294967296L), Some((441000L + 2L * 4294967296L) * 1000L / 44100L))))
+    assert(got(4L) == ((None, None, None, None, None)))
+    assert(got(5L) == ((None, None, None, None, None)))
+    assert(got(6L) == ((None, None, None, None, None)))
+    // KQL-reachable; string payloads are not FLAC -> all null
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate flac_meta(text) | summarize n = countif(isnull(sample_rate))",
+      TestSpark.sfDir)
+    assert(kql.head.getLong(0) > 0)
   }
 }
