@@ -1607,6 +1607,33 @@ object SparkEntry {
       (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
 
+    // Hashed-BoW logistic-regression classifier (r8): contract row (the
+    // llm_kmeans convention — per-round double sums are merge-order
+    // FP-sensitive, so booleans are hashed, mechanics pinned in the
+    // spec). A planted ' qualmark' marker on every doc_id%3==0 doc makes
+    // the task separable at every SF: 25 full-batch GD rounds must
+    // reach >= 95% training accuracy with class-1 probabilities above
+    // class-0 on average, covering all rows.
+    "llm_quality_classifier" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("label",
+            when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0))
+          .withColumn("text",
+            when(col("label") === 1, concat(col("text"), lit(" qualmark")))
+              .otherwise(col("text")))
+        LlmOps.logRegScore(d, "label", dim = 256, iters = 25, lr = 2.0)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"),
+            avg(when(col("label") === 1, col("prob"))).as("p1"),
+            avg(when(col("label") === 0, col("prob"))).as("p0"))
+          .select(col("n_docs"),
+            (col("n_correct") >= col("n_docs") * 0.95).as("acc_ok"),
+            (col("p1") > col("p0")).as("separated"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS acc_ok, true AS separated FROM documents""")),
+
     // Count-min sketch (r8): depth-4 × width-512 sketch over the corpus
     // token stream, probed for five present tokens + one absent — the
     // md5-hex-char salted hashes make counters, probe buckets, and the

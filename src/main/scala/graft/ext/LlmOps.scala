@@ -2418,10 +2418,13 @@ object LlmOps {
   /** Hashed-feature logistic-regression document classifier — the
     * fastText-style quality-classifier shape (label a few thousand docs,
     * train, score the corpus; the filter behind "looks like a reference
-    * page" curation gates). Features are L1-normalized hashed
-    * bag-of-words counts over the [[featureHash]] md5 buckets (no
-    * vocabulary pass, growth-stable coordinates) plus a bias feature at
-    * index `dim`; training is full-batch gradient descent on logistic
+    * page" curation gates). Features are BINARY token-presence
+    * indicators over the [[featureHash]] md5 buckets (no vocabulary
+    * pass, growth-stable coordinates; presence beats tf/len counts for
+    * full-batch GD — unit-scale features keep per-round gradient steps
+    * O(lr) where length-normalized ones converge ~50× slower) plus a
+    * bias feature at index `dim`; training is full-batch gradient
+    * descent on logistic
     * loss from w = 0 with a fixed learning rate — deterministic given
     * the input multiset (per-round FP sums are merge-order sensitive,
     * so only contract facts — loss descent, accuracy — are
@@ -2446,17 +2449,14 @@ object LlmOps {
         explode(split(lower(txt(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
     val m = md5(col("w"))
-    val tf = words.withColumn("j", pmod(
+    val present = words.withColumn("j", pmod(
         ascii(substring(m, 1, 1)) * 10000 + ascii(substring(m, 2, 1)) * 100 +
           ascii(substring(m, 3, 1)), lit(dim)).cast("int"))
-      .groupBy("id", "y", "j").agg(count(lit(1)).as("c"))
-    val docLen = tf.groupBy("id").agg(sum(col("c")).as("n"))
-    // L1-normalized counts + the bias feature j = dim, x = 1; empty
-    // docs still get the bias row (they train on the prior)
+      .select("id", "y", "j").distinct()
+    // binary presence + the bias feature j = dim, x = 1; empty docs
+    // still get the bias row (they train on the prior)
     val feats = persistTracked(
-      tf.join(docLen, "id")
-        .select(col("id"), col("y"),
-          col("j"), (col("c").cast("double") / col("n")).as("x"))
+      present.select(col("id"), col("y"), col("j"), lit(1.0d).as("x"))
         .unionByName(spread(docs).select(col(idCol).as("id"),
           col(labelCol).cast("double").as("y"),
           lit(dim).as("j"), lit(1.0d).as("x"))))
@@ -2475,10 +2475,13 @@ object LlmOps {
         w(row.getInt(0)) -= lr * row.getDouble(1) / n)
     }
     val bw = typedLit(w.toSeq)
-    feats.groupBy(col("id").as(idCol), col("y").as(labelCol))
+    feats.groupBy(col("id").as(idCol), col("y"))
       .agg(sum(col("x") * element_at(bw, col("j") + 1)).as("margin"))
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
       .withColumn("predicted", (col("prob") >= 0.5).cast("int"))
+      .withColumn(labelCol, col("y").cast("int")) // 0/1 by contract
+      .select(col(idCol), col(labelCol), col("margin"), col("prob"),
+        col("predicted"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS

@@ -2163,4 +2163,48 @@ class LlmOpsSpec extends AnyFunSuite {
       TestSpark.sfDir)
     assert(kql.head.getLong(0) > 0)
   }
+
+
+  test("logRegScore: separable corpora converge, probabilities sane, KQL") {
+    // clearly separable synthetic corpus: class tokens never overlap
+    val pos = (0 until 40).map(i => (i.toLong, 1, s"good great solid value item$i"))
+    val neg = (40 until 80).map(i => (i.toLong, 0, s"bad awful broken junk item$i"))
+    val corpus = (pos ++ neg).toDF("doc_id", "label", "text")
+    val rows = LlmOps.logRegScore(corpus, "label", dim = 64, iters = 30,
+      lr = 2.0).collect()
+    assert(rows.length == 80)
+    def acc(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.count(r => r.getInt(r.fieldIndex("predicted")) ==
+        r.getInt(r.fieldIndex("label"))).toDouble / rs.length
+    assert(acc(rows) >= 0.95, s"separable acc ${acc(rows)}")
+    // probabilities in (0,1); margin sign agrees with the prediction
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("prob"))
+      assert(p > 0.0 && p < 1.0)
+      assert((r.getDouble(r.fieldIndex("margin")) >= 0.0) ==
+        (r.getInt(r.fieldIndex("predicted")) == 1))
+    }
+    LlmOps.releaseCaches()
+    // fixture with a planted marker token: every doc_id % 3 == 0 doc
+    // carries ' qualmark'; the classifier must learn the marker bucket
+    val d = docs.withColumn("label",
+        when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0))
+      .withColumn("text",
+        when(col("label") === 1, concat(col("text"), lit(" qualmark")))
+          .otherwise(col("text")))
+    val rows2 = LlmOps.logRegScore(d, "label", dim = 256, iters = 30,
+      lr = 2.0).collect()
+    assert(rows2.length == docs.count())
+    assert(acc(rows2) >= 0.95, s"marker acc ${acc(rows2)}")
+    LlmOps.releaseCaches()
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      """documents
+        | extend label = iff(doc_id % 3 == 0, 1, 0),
+                 text2 = iff(doc_id % 3 == 0, strcat(text, ' qualmark'), text)
+        | evaluate logreg_score(10, 64, label, text2, doc_id)
+        | summarize n = count()""", TestSpark.sfDir)
+    assert(kql.head.getLong(0) == docs.count())
+    LlmOps.releaseCaches()
+  }
 }
