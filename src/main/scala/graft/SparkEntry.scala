@@ -1607,6 +1607,30 @@ object SparkEntry {
       (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
 
+    // Reciprocal-rank fusion (r8): fuses the BM25 lexical top-50 with a
+    // deterministic length-prior top-50 (stand-in for the second
+    // retrieval system; both rankings and the fusion are exact integer
+    // arithmetic, so the fused order and the 10-cut are VALUE-EXACT —
+    // ANN-side fusion, whose ranks are FP-tied, is spec'd in ScalaTest
+    // instead). Each rank window runs over an ALREADY top-k-bounded
+    // 50-row frame (TakeOrderedAndProject first), never the corpus.
+    "llm_rrf_fuse" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bm = LlmOps.bm25(docs(s, dir),
+            "fast window merge sort stream", k = 50)
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score_u").desc, col("doc_id"))).as("rank"))
+          .withColumn("system", lit("bm25"))
+        val ln = docs(s, dir).select(col("doc_id"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+          .withColumn("system", lit("length"))
+        LlmOps.rrfFuse(bm.unionByName(ln), k0 = 60, topK = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM t), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), h AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d) WHERE tok IN ('fast', 'window', 'merge', 'sort', 'stream') GROUP BY 1, 2, 3), dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1), c AS (SELECT doc_id, CAST(ROUND(LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (tf * (CAST(1.2 AS DOUBLE) + 1.0) / (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))) * 1000000.0) AS BIGINT) AS cu FROM h JOIN dfq USING (tok) CROSS JOIN s), bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY SUM(cu) DESC, doc_id) AS rank FROM c GROUP BY doc_id ORDER BY SUM(cu) DESC, doc_id LIMIT 50), ln AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM documents QUALIFY rank <= 50), u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM ln), f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems, CAST(SUM(CAST(ROUND(CAST(1000000 AS DOUBLE) / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_u FROM u GROUP BY 1) SELECT doc_id, n_systems, rrf_u FROM f ORDER BY rrf_u DESC, doc_id LIMIT 10""")),
+
     // Hashed-BoW logistic-regression classifier (r8): contract row (the
     // llm_kmeans convention — per-round double sums are merge-order
     // FP-sensitive, so booleans are hashed, mechanics pinned in the

@@ -2970,6 +2970,30 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each system contributes
+    * 1/(k0 + rank) per document; documents surfacing in several
+    * rankings (e.g. [[bm25]] lexical + ANN embedding top-k) rise above
+    * single-system hits. Input is the tall form (system, id, rank ≥ 1);
+    * contributions round to integer micros so the fused scores, the
+    * order, and the k-cut are VALUE-EXACT cross-engine (the [[bm25]]
+    * convention). Ties break on ascending id.
+    *
+    * Scale shape: one projection + one hash aggregate over the ranked
+    * lists (each system's list is already top-k-bounded, so the input
+    * is k·systems rows, not corpus-sized) + TakeOrderedAndProject. */
+  def rrfFuse(ranked: DataFrame, k0: Int = 60, topK: Int = 10,
+              systemCol: String = "system", idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(k0 >= 1 && topK >= 1, "need k0 >= 1 and topK >= 1")
+    ranked.select(col(idCol).as("id"), col(rankCol).cast("long").as("rk"))
+      .withColumn("cu", round(lit(1e6) / (lit(k0) + col("rk"))).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_systems"), sum(col("cu")).as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col(idCol))
+      .limit(topK)
+  }
+
   // ============================================== line-level curation ops
 
   /** Shared line front-end: (id, pos, line, lh) rows, one per line

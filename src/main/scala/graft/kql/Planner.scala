@@ -780,6 +780,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, srcE, "pagerank src"),
         colNameOf(df, dstE, "pagerank dst"))
 
+    // `evaluate rrf_fuse(k0, topK, system, id, rank)`: reciprocal-rank
+    // fusion of tall (system, id, rank) lists (LlmOps.rrfFuse)
+    case EvaluateOp("rrf_fuse", kE :: tE :: sE :: idE :: rE :: Nil) =>
+      graft.ext.LlmOps.rrfFuse(df, litLong(kE).toInt, litLong(tE).toInt,
+        systemCol = colNameOf(df, sE, "rrf_fuse system"),
+        idCol = colNameOf(df, idE, "rrf_fuse id"),
+        rankCol = colNameOf(df, rE, "rrf_fuse rank"))
+
     // `evaluate logreg_score(iters, dim, label, text, id)`: hashed
     // bag-of-words logistic-regression classifier, full-batch GD
     // (LlmOps.logRegScore)

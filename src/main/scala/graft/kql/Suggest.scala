@@ -95,7 +95,8 @@ object Suggest {
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pca", "pii_scrub",
     "pivot", "preview", "quality_filter", "quality_score", "random_projection",
-    "repetition_score", "rolling_percentile", "rows_near", "semdedup",
+    "repetition_score", "rolling_percentile", "rows_near", "rrf_fuse",
+    "semdedup",
     "sequence_detect", "session_count", "simhash", "simhash_pairs",
     "sniff_media_type",
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",

@@ -2207,4 +2207,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.head.getLong(0) == docs.count())
     LlmOps.releaseCaches()
   }
+
+
+  test("rrfFuse: exact micros, consensus beats single-system, ANN hybrid, KQL") {
+    // hand case: doc 1 ranks 1st + 2nd, doc 2 ranks 2nd + 1st, doc 3
+    // only 3rd in A, doc 4 only 3rd in B
+    val ranked = Seq(
+      ("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 2L, 1), ("B", 1L, 2), ("B", 4L, 3)
+    ).toDF("system", "doc_id", "rank")
+    val r = LlmOps.rrfFuse(ranked, k0 = 60, topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def cu(rk: Int): Long = math.round(1e6 / (60 + rk))
+    assert(r.map(t => t._1 -> t._3).toMap == Map(
+      1L -> (cu(1) + cu(2)), 2L -> (cu(1) + cu(2)),
+      3L -> cu(3), 4L -> cu(3)))
+    // equal scores tie-break on id; consensus docs outrank singles
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.take(2).forall(_._2 == 2L))
+    // ANN-side hybrid: fuse bm25 with embedding-kNN ranks (same-engine
+    // spec because FP cosine near-ties make rank order engine-local)
+    val bm = LlmOps.bm25(docs, "fast window", k = 20)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_u").desc, col("doc_id"))).as("rank"))
+      .withColumn("system", lit("bm25"))
+    val ann = LlmOps.knnCosine(embs, queryId = 0, k = 20)
+      .select(col("vec_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))).as("rank"))
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumn("system", lit("ann"))
+    val fused = LlmOps.rrfFuse(bm.unionByName(ann), k0 = 60, topK = 15)
+      .collect()
+    assert(fused.length == 15)
+    // every fused doc came from at least one system; scores descend
+    val scores = fused.map(_.getLong(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // KQL surface
+    val kql = graft.kql.Kql.run(spark,
+      """documents
+        | sort by doc_id asc
+        | extend system = 'len', rank = toint(row_number())
+        | where rank <= 20
+        | evaluate rrf_fuse(60, 5, system, doc_id, rank)""",
+      TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("doc_id", "n_systems", "rrf_u"))
+    assert(kql.count() == 5)
+  }
 }
