@@ -189,6 +189,24 @@ object Scale {
           docs.select(col("doc_id").cast("string").as("s"),
             col("source").as("d")), 3, "s", "d").count()),
       "feature_hash" -> (() =>
-        LlmOps.featureHash(docs, dim = 64).count()))
+        LlmOps.featureHash(docs, dim = 64).count()),
+      // r8 additions: lexical retrieval (corpus-pass + bounded top-k),
+      // the capped-cardinality sketch, 5 GD rounds of the classifier
+      // (slope isolates per-round linearity), and 2 HITS rounds over
+      // the doc→source bipartite graph (per-half-step checkpoints)
+      "bm25" -> (() =>
+        LlmOps.bm25(docs, "fast window merge sort stream", k = 10).count()),
+      "cms_count" -> (() =>
+        LlmOps.cmsCount(docs,
+          "scan join window stream fast zebra").count()),
+      "logreg_score" -> (() => {
+        val d = docs.withColumn("label",
+          when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0))
+        LlmOps.logRegScore(d, "label", dim = 64, iters = 5).count()
+      }),
+      "hits" -> (() =>
+        graft.kql.GraphOps.hits(
+          docs.select(col("doc_id").cast("string").as("s"),
+            col("source").as("d")), 2, "s", "d").count()))
   }
 }

@@ -1492,6 +1492,40 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate, CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 5 AS INT) END AS n_channels, CASE WHEN doc_id % 2 = 0 THEN CAST(8 + (doc_id % 3) * 4 AS INT) END AS bits_per_sample, CASE WHEN doc_id % 2 = 0 THEN CAST(1000 + doc_id % 997 AS BIGINT) END AS total_samples, CASE WHEN doc_id % 2 = 0 THEN CAST((1000 + doc_id % 997) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) END AS duration_ms FROM documents ORDER BY doc_id""")),
 
+    // MP3 audio metadata (r8): plants bitrate/rate-index/padding/mode
+    // (arithmetic functions of doc_id) into MPEG-1 Layer III frame
+    // headers — doc_id%3==1 hides the frame behind a variable-size
+    // ID3v2 tag so the syncsafe skip is exercised; the oracle replays
+    // the index→value tables as DuckDB list literals and the frame-size
+    // rule arithmetically (it never parses). doc_id%3==2 is non-MP3 ->
+    // all null by contract.
+    "llm_mp3_meta" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(3))
+        val brIdx = lit(1L) + pmod(col("doc_id"), lit(14))
+        val srIdx = pmod(expr("doc_id div 3"), lit(2))
+        val pad = pmod(col("doc_id"), lit(2))
+        val mode = pmod(col("doc_id"), lit(4))
+        val b3 = brIdx * 16L + srIdx * 4L + pad * 2L
+        val b4 = mode * 64L
+        def byteHex(c: org.apache.spark.sql.Column) =
+          lpad(conv(c, 10, 16), 2, "0")
+        val frameHex = concat(lit("FFFB"), byteHex(b3), byteHex(b4))
+        val junk = pmod(col("doc_id"), lit(5))
+        val id3Hex = concat(lit("494433"), lit("0400"), lit("00"),
+          lit("000000"), byteHex(junk),
+          expr("repeat('00', CAST(doc_id % 5 AS INT))"))
+        val d = docs(s, dir).withColumn("payload",
+          when(m === 0, unhex(frameHex))
+            .when(m === 1, unhex(concat(id3Hex, frameHex)))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.mp3Meta(d, "payload")
+          .select(col("doc_id"), col("bitrate_kbps"), col("sample_rate"),
+            col("n_channels"), col("frame_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 3 <= 1 THEN CAST(list_extract([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0], CAST(1 + doc_id % 14 AS INT) + 1) AS INT) END AS bitrate_kbps, CASE WHEN doc_id % 3 <= 1 THEN CAST(list_extract([44100,48000,32000,0], CAST((doc_id // 3) % 2 AS INT) + 1) AS INT) END AS sample_rate, CASE WHEN doc_id % 3 <= 1 THEN CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT) END AS n_channels, CASE WHEN doc_id % 3 <= 1 THEN CAST(CAST(list_extract([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0], CAST(1 + doc_id % 14 AS INT) + 1) AS BIGINT) * 144000 // list_extract([44100,48000,32000,0], CAST((doc_id // 3) % 2 AS INT) + 1) + doc_id % 2 AS BIGINT) END AS frame_bytes FROM documents ORDER BY doc_id""")),
+
     // MP4 video metadata (r7): the query PLANTS timescale/duration/
     // track dims (arithmetic functions of doc_id) into honest ISO-BMFF
     // box trees — ftyp, then a variable-size free box so the top-level
@@ -3428,6 +3462,20 @@ object SparkEntry {
          | evaluate hits(2, src, dst)
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), ar1 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h0 p ON e.src = p.id GROUP BY 1), a1 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar1) AS BIGINT) AS a FROM nodes n LEFT JOIN ar1 x ON n.id = x.id), hr1 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a1 q ON e.dst = q.id GROUP BY 1), h1 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr1) AS BIGINT) AS h FROM nodes n LEFT JOIN hr1 x ON n.id = x.id), ar2 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h1 p ON e.src = p.id GROUP BY 1), a2 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar2) AS BIGINT) AS a FROM nodes n LEFT JOIN ar2 x ON n.id = x.id), hr2 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a2 q ON e.dst = q.id GROUP BY 1), h2 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr2) AS BIGINT) AS h FROM nodes n LEFT JOIN hr2 x ON n.id = x.id) SELECT n.id, h2.h AS hub_micros, a2.a AS auth_micros, CAST(h2.h AS DOUBLE) / 1000000.0 AS hub, CAST(a2.a AS DOUBLE) / 1000000.0 AS auth FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id ORDER BY n.id""")),
+
+    // Weighted shortest paths (r8): 3 Bellman-Ford rounds from region
+    // r0 over the region→nation→customer tree with integer weights —
+    // the oracle unrolls every round verbatim (the q156_pagerank
+    // convention); parallel-edge min and the bounded-hop horizon are
+    // spec'd. All arithmetic is integer min/+, value-exact.
+    "q171_shortest_paths_weighted" -> Q(kqlQ(
+      """let E = union
+           (nation | project src = strcat('r', n_regionkey), dst = strcat('n', n_nationkey), w = n_nationkey % 5 + 1),
+           (customer | project src = strcat('n', c_nationkey), dst = strcat('c', c_custkey), w = c_custkey % 7 + 1);
+         E
+         | evaluate shortest_paths_weighted('r0', 3, src, dst, w)
+         | sort by id asc"""),
+      Some("""WITH e0 AS (SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst, CAST(n_nationkey % 5 + 1 AS BIGINT) AS w FROM nation UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey, CAST(c_custkey % 7 + 1 AS BIGINT) FROM customer), e AS (SELECT src, dst, MIN(w) AS w FROM e0 GROUP BY 1, 2), d0(id, d) AS (VALUES ('r0', CAST(0 AS BIGINT))), d1 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d0 UNION ALL SELECT e.dst, d0.d + e.w FROM e JOIN d0 ON e.src = d0.id) GROUP BY 1), d2 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d1 UNION ALL SELECT e.dst, d1.d + e.w FROM e JOIN d1 ON e.src = d1.id) GROUP BY 1), d3 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d2 UNION ALL SELECT e.dst, d2.d + e.w FROM e JOIN d2 ON e.src = d2.id) GROUP BY 1) SELECT id, d AS dist FROM d3 ORDER BY id""")),
 
     // bag_zip (r6): property bag from parallel key/value arrays —
     // result keyed by the KEYS length (missing values null, extras

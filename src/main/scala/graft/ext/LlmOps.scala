@@ -3751,6 +3751,56 @@ object LlmOps {
       .drop("__ffh")
   }
 
+  /** Audio metadata from an MP3 (MPEG-1 Layer III) frame header — no
+    * decode. An optional ID3v2 tag is skipped via its syncsafe 28-bit
+    * size (4 × 7-bit bytes); the first frame header is then 4 bytes:
+    * 11-bit sync + version/layer bits gate to MPEG-1 Layer III, the
+    * bitrate/sample-rate INDEX fields map through the published tables
+    * (free-format 0 and reserved 15 / reserved rate 3 ⇒ null), channel
+    * mode 3 = mono, and the standard frame size 144·bitrate/rate +
+    * padding comes out as exact integer division. Everything is pure
+    * codegen hex arithmetic; the table lookups are element_at over
+    * literal arrays (engine-portable: the oracle replays them as DuckDB
+    * list literals). Non-MP3 / truncated / reserved-index payloads
+    * yield all-null fields. */
+  def mp3Meta(df: DataFrame, binCol: String,
+              headerBytes: Int = 4096): DataFrame = {
+    require(headerBytes >= 16, "need headerBytes >= 16")
+    val h = col("__m3h")
+    def byteAt(pos: Column): Column = {
+      val s = h.substr(pos * 2 - 1, lit(2))
+      when(length(s) === 2, conv(s, 16, 10).cast("int"))
+    }
+    val hasId3 = substring(h, 1, 6) === "494433"
+    val tagSize = (0 until 4).map(i =>
+      byteAt(lit(7 + i)) * lit(1 << (7 * (3 - i)))).reduce(_ + _)
+    val fpos = when(hasId3, tagSize + 11).otherwise(lit(1))
+    val b1 = byteAt(fpos)
+    val b2 = byteAt(fpos + 1)
+    val b3 = byteAt(fpos + 2)
+    val b4 = byteAt(fpos + 3)
+    val isMp3 = b1 === 255 && shiftright(b2, 5) === 7 &&
+      shiftright(b2, 3).bitwiseAND(lit(3)) === 3 &&
+      shiftright(b2, 1).bitwiseAND(lit(3)) === 1
+    val brIdx = shiftright(b3, 4)
+    val bitrate = element_at(typedLit(Seq(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320, 0)), brIdx + 1)
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3))
+    val rate = element_at(typedLit(Seq(44100, 48000, 32000, 0)), srIdx + 1)
+    val pad = shiftright(b3, 1).bitwiseAND(lit(1))
+    val mode = shiftright(b4, 6)
+    val valid = isMp3 && brIdx >= 1 && brIdx <= 14 && srIdx <= 2
+    df.withColumn("__m3h",
+        upper(hex(substring(col(binCol), 1, headerBytes))))
+      .withColumn("bitrate_kbps", when(valid, bitrate))
+      .withColumn("sample_rate", when(valid, rate))
+      .withColumn("n_channels",
+        when(valid, when(mode === 3, 1).otherwise(2)))
+      .withColumn("frame_bytes", when(valid,
+        expr_div(bitrate.cast("long") * 144000L, rate.cast("long")) + pad))
+      .drop("__m3h")
+  }
+
   /** Video metadata from MP4/ISO-BMFF headers — no decode (the
     * duration / resolution filter a video curation pipeline applies
     * right after type routing). Boxes are [BE32 size][fourCC] with

@@ -427,6 +427,64 @@ object GraphOps {
     }
   }
 
+  /** Single-source weighted shortest paths by synchronous Bellman–Ford
+    * relaxation — `graph-shortest-paths` counts hops; this is the
+    * weighted complement (latency, cost, −log-probability edges).
+    * Non-negative INTEGER weights keep every relaxation exact, so the
+    * distances are value-exact cross-engine and the DuckDB oracle
+    * replays the rounds verbatim (the [[pageRank]] convention). After
+    * `iters` rounds the output holds every node whose true distance
+    * uses ≤ iters hops (Bellman–Ford's standard bound — iters ≥ V−1 is
+    * exact on any graph without negative cycles; fewer rounds = a
+    * bounded-hop horizon, often exactly what a radius query wants).
+    *
+    * Scale shape: per round ONE equi-join of the edge frame with the
+    * current distance frontier + one min aggregate — no driver state;
+    * each round's distance frame is referenced twice (the relax join
+    * and the keep-old union), so rounds materialize via eager
+    * localCheckpoint (the [[hits]] lesson — a lazy chain doubles the
+    * planned subtree per round), previous blocks freed immediately. */
+  def shortestPathsWeighted(edges: DataFrame, sourceId: String, iters: Int,
+                            srcCol: String, dstCol: String,
+                            wCol: String): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") >= 0) // negative edges break the exactness bound
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
+      .persist()
+    var prevCkpt: DataFrame = null
+    try {
+      var dist = e.sparkSession.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(sourceId, 0L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .localCheckpoint()
+      prevCkpt = dist
+      for (_ <- 1 to iters) {
+        val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+        val next = dist.unionByName(relaxed)
+          .groupBy("id").agg(min(col("d")).as("d"))
+          .localCheckpoint()
+        prevCkpt.unpersist(false)
+        prevCkpt = next
+        dist = next
+      }
+      val out = graft.ext.LlmOps.persistTracked(
+        dist.select(col("id"), col("d").as("dist")))
+      out.count()
+      out
+    } finally {
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      e.unpersist(false)
+    }
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007)
     * over ANY edge frame — finds DENSE communities where connected
     * components only find reachability (on a connected graph CC is one
@@ -632,24 +690,30 @@ object GraphOps {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct().persist()
+    // Each peel references `cur` FOUR times (both unions of the degree
+    // count + both semi-join sides), so a lazy chain multiplies the
+    // planned subtree ~4× per round — the r8 property replay at
+    // rounds=6 stalled the analyzer for minutes (the [[hits]] lesson,
+    // found the same way). Every round therefore materializes via an
+    // EAGER localCheckpoint; the previous round's blocks are freed as
+    // soon as the next exists. Edge-set-sized materializations, the
+    // connectedComponents per-round cadence.
     var prevCkpt: DataFrame = null
     try {
       var cur = und0
-      for (i <- 1 to rounds) {
+      for (_ <- 1 to rounds) {
         val keep = cur.select(col("a").as("id"))
           .unionByName(cur.select(col("b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("id"))
-        cur = cur
+        val ck = cur
           .join(keep.select(col("id").as("a")), "a")
           .join(keep.select(col("id").as("b")), "b")
           .select(col("a"), col("b"))
-        if (i % 5 == 0 && i < rounds) {
-          val ck = cur.localCheckpoint()
-          if (prevCkpt != null) prevCkpt.unpersist(false)
-          prevCkpt = ck
-          cur = ck
-        }
+          .localCheckpoint()
+        if (prevCkpt != null) prevCkpt.unpersist(false)
+        prevCkpt = ck
+        cur = ck
       }
       val out = graft.ext.LlmOps.persistTracked(
         cur.select(col("a").as("id"))

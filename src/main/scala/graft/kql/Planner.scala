@@ -812,6 +812,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.linReg(df, colNameOf(df, yE, "linreg target"),
         featEs.map(e => colNameOf(df, e, "linreg feature")))
 
+    // `evaluate shortest_paths_weighted('srcId', iters, src, dst, w)`:
+    // single-source Bellman-Ford distances, non-negative integer
+    // weights (GraphOps.shortestPathsWeighted)
+    case EvaluateOp("shortest_paths_weighted",
+        sE :: iE :: srcE :: dstE :: wE :: Nil) =>
+      GraphOps.shortestPathsWeighted(df,
+        litString(sE, "shortest_paths_weighted source"),
+        litLong(iE).toInt,
+        colNameOf(df, srcE, "shortest_paths_weighted src"),
+        colNameOf(df, dstE, "shortest_paths_weighted dst"),
+        colNameOf(df, wE, "shortest_paths_weighted w"))
+
     // `evaluate hits(iters, src, dst)`: Kleinberg hubs & authorities,
     // max-normalized integer-micro arithmetic (GraphOps.hits)
     case EvaluateOp("hits", iE :: srcE :: dstE :: Nil) =>
@@ -1026,6 +1038,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case EvaluateOp("audio_meta", binE :: Nil) =>
       graft.ext.LlmOps.audioMeta(df,
         colNameOf(df, binE, "audio_meta payload"))
+
+    // `evaluate mp3_meta(binCol)`: MP3 frame-header metadata (bitrate,
+    // rate, channels, frame size), ID3v2-aware — no decode
+    // (LlmOps.mp3Meta)
+    case EvaluateOp("mp3_meta", binE :: Nil) =>
+      graft.ext.LlmOps.mp3Meta(df,
+        colNameOf(df, binE, "mp3_meta payload"))
 
     // `evaluate flac_meta(binCol)`: FLAC STREAMINFO metadata (sample
     // rate, channels, bits, total samples, duration) — fixed-offset

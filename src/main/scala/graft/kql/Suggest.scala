@@ -91,13 +91,15 @@ object Suggest {
     "knn_cosine", "label_propagation",
     "lang_id", "line_dedup", "line_dedup_incremental", "linreg",
     "logreg_score", "narrow",
-    "audio_meta", "media_dims", "neardup_groups", "neardup_minhash",
+    "audio_meta", "media_dims", "mp3_meta", "neardup_groups",
+    "neardup_minhash",
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pca", "pii_scrub",
     "pivot", "preview", "quality_filter", "quality_score", "random_projection",
     "repetition_score", "rolling_percentile", "rows_near", "rrf_fuse",
     "semdedup",
-    "sequence_detect", "session_count", "simhash", "simhash_pairs",
+    "sequence_detect", "session_count", "shortest_paths_weighted",
+    "simhash", "simhash_pairs",
     "sniff_media_type",
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
     "source_cap", "source_sample", "stratified_sample", "substring_dup",

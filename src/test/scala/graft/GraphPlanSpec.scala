@@ -124,6 +124,52 @@ class GraphPlanSpec extends AnyFunSuite {
     graft.ext.LlmOps.releaseCaches()
   }
 
+  test("shortestPathsWeighted: relaxation beats greedy, horizon, parallel edges") {
+    import spark.implicits._
+    // diamond: A→B w10 (direct, heavy) vs A→C w1, C→B w2 (2-hop, light);
+    // B→D w1 extends the light path to 3 hops
+    val e = Seq(("A", "B", 10L), ("A", "C", 1L), ("C", "B", 2L),
+      ("B", "D", 1L)).toDF("s", "d", "w")
+    def run(iters: Int) = graft.kql.GraphOps
+      .shortestPathsWeighted(e, "A", iters, "s", "d", "w").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1 round: only direct edges relaxed
+    assert(run(1) == Map("A" -> 0L, "B" -> 10L, "C" -> 1L))
+    graft.ext.LlmOps.releaseCaches()
+    // 2 rounds: the 2-hop light path wins; D reached through heavy B
+    assert(run(2) == Map("A" -> 0L, "B" -> 3L, "C" -> 1L, "D" -> 11L))
+    graft.ext.LlmOps.releaseCaches()
+    // 3 rounds: D improves through the light chain
+    assert(run(3) == Map("A" -> 0L, "B" -> 3L, "C" -> 1L, "D" -> 4L))
+    graft.ext.LlmOps.releaseCaches()
+    // parallel edges keep the cheapest
+    val pe = Seq(("A", "B", 7L), ("A", "B", 3L)).toDF("s", "d", "w")
+    assert(graft.kql.GraphOps.shortestPathsWeighted(pe, "A", 1, "s", "d", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("A" -> 0L, "B" -> 3L))
+    graft.ext.LlmOps.releaseCaches()
+    // random digraphs: exact replay of the same synchronous relaxation
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 30).map(_ =>
+      (s"n${rnd.nextInt(8)}", s"n${rnd.nextInt(8)}", rnd.nextInt(9).toLong + 1))
+      .distinct
+    val iters = 6 // crosses several per-round checkpoints
+    val got = graft.kql.GraphOps.shortestPathsWeighted(
+        es.toDF("s", "d", "w"), "n0", iters, "s", "d", "w").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minW = es.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).min).toMap
+    var dist = Map("n0" -> 0L)
+    for (_ <- 1 to iters) {
+      val relaxed = minW.toSeq.flatMap { case ((a, b), w) =>
+        dist.get(a).map(d => b -> (d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist)
+    graft.ext.LlmOps.releaseCaches()
+  }
+
   test("connected_components plugin: disjoint chains, min-id reps, sizes") {
     import spark.implicits._
     // two chains and one self-loop singleton: {a,b,c}, {x,y}, {s}

@@ -1633,7 +1633,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val sigs = Seq("89504E470D0A1A0A", "47494638", "424D", "FFD8FF",
       "52494646AAAAAAAA57454250", "52494646AAAAAAAA57415645", "1F8B", "",
-      "664C6143")
+      "664C6143", "FFFB", "494433")
     val rows = (0 until 240).map { i =>
       val sig = sigs(i % sigs.length)
       val tail = Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte)
@@ -1647,6 +1647,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(LlmOps.sniffMediaType(rows, "payload").collect().length == 240)
     assert(LlmOps.videoMeta(rows, "payload").collect().length == 240)
     assert(LlmOps.flacMeta(rows, "payload").collect().length == 240)
+    assert(LlmOps.mp3Meta(rows, "payload").collect().length == 240)
   }
 
   test("videoMeta: mvhd/tkhd box walk, v1 boxes and degraded inputs to null") {
@@ -2254,5 +2255,40 @@ class LlmOpsSpec extends AnyFunSuite {
       TestSpark.sfDir)
     assert(kql.columns.toSeq == Seq("doc_id", "n_systems", "rrf_u"))
     assert(kql.count() == 5)
+  }
+
+
+  test("mp3Meta: frame header, ID3v2 syncsafe skip, reserved indexes to null") {
+    // 0xFFFB = MPEG-1 Layer III no-CRC; 0x92 = bitrate idx 9 (128kbps),
+    // rate idx 0 (44100), padding 1; 0xC0 = mode 3 (mono)
+    val frame = "FFFB" + "92" + "C0"
+    // ID3v2: 'ID3' v2.4 flags 0, syncsafe size 5, 5 junk bytes
+    val id3 = "494433" + "0400" + "00" + "000000" + "05" + "00" * 5
+    val rows = Seq(
+      1L -> frame,
+      2L -> (id3 + frame),
+      3L -> ("FFFB" + "02" + "C0"),  // bitrate idx 0 = free format -> null
+      4L -> ("FFFB" + "F2" + "C0"),  // bitrate idx 15 = reserved -> null
+      5L -> ("FFFB" + "9E" + "C0"),  // rate idx 3 = reserved -> null
+      6L -> "FFFB",                   // truncated
+      7L -> ("FFF3" + "92" + "C0"),  // version bits 10 = MPEG-2 -> null
+      8L -> "DEADBEEF00000000"
+    ).toDF("id", "hx").withColumn("payload", unhex(col("hx")))
+    val got = LlmOps.mp3Meta(rows, "payload").collect().map { r =>
+      def oi(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getInt(r.fieldIndex(c)))
+      def ol(c: String) = if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      r.getLong(0) -> ((oi("bitrate_kbps"), oi("sample_rate"),
+        oi("n_channels"), ol("frame_bytes")))
+    }.toMap
+    // frame = 128*144000/44100 + 1 = 417 + 1 = 418
+    assert(got(1L) == ((Some(128), Some(44100), Some(1), Some(418L))))
+    assert(got(2L) == got(1L)) // ID3 skipped via syncsafe size
+    for (k <- 3L to 8L)
+      assert(got(k) == ((None, None, None, None)), s"row $k")
+    // KQL-reachable; string payloads are not MP3 -> all null
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate mp3_meta(text) | summarize n = countif(isnull(sample_rate))",
+      TestSpark.sfDir)
+    assert(kql.head.getLong(0) > 0)
   }
 }
