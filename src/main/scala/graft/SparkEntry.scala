@@ -3463,6 +3463,28 @@ object SparkEntry {
          | sort by id asc"""),
       Some("""WITH e AS (SELECT DISTINCT src, dst FROM (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation)), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), ar1 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h0 p ON e.src = p.id GROUP BY 1), a1 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar1) AS BIGINT) AS a FROM nodes n LEFT JOIN ar1 x ON n.id = x.id), hr1 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a1 q ON e.dst = q.id GROUP BY 1), h1 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr1) AS BIGINT) AS h FROM nodes n LEFT JOIN hr1 x ON n.id = x.id), ar2 AS (SELECT e.dst AS id, SUM(p.h) AS ar FROM e JOIN h1 p ON e.src = p.id GROUP BY 1), a2 AS (SELECT n.id, CAST((COALESCE(x.ar, 0) * 1000000) // (SELECT MAX(ar) FROM ar2) AS BIGINT) AS a FROM nodes n LEFT JOIN ar2 x ON n.id = x.id), hr2 AS (SELECT e.src AS id, SUM(q.a) AS hr FROM e JOIN a2 q ON e.dst = q.id GROUP BY 1), h2 AS (SELECT n.id, CAST((COALESCE(x.hr, 0) * 1000000) // (SELECT MAX(hr) FROM hr2) AS BIGINT) AS h FROM nodes n LEFT JOIN hr2 x ON n.id = x.id) SELECT n.id, h2.h AS hub_micros, a2.a AS auth_micros, CAST(h2.h AS DOUBLE) / 1000000.0 AS hub, CAST(a2.a AS DOUBLE) / 1000000.0 AS auth FROM nodes n JOIN h2 ON n.id = h2.id JOIN a2 ON n.id = a2.id ORDER BY n.id""")),
 
+    // Z-order layout round-trip (r8): documents written z-ordered on
+    // (n_chars, knuth-hash dim) and re-read through a two-dimensional
+    // filter — the layout must change placement, never content, so the
+    // filtered read is value-exact vs DuckDB filtering the original
+    // table (the per-file range-narrowing that makes the layout PRUNE
+    // on both dims is measured in ZOrderLayoutSpec).
+    "tmp_zorder_scan" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("h", pmod(pmod(col("doc_id") * 2654435761L,
+            lit(4294967296L)), lit(1000L)))
+          .select("doc_id", "n_chars", "h")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_zq").toString + "/t"
+        graft.sources.ZOrderLayout.zorderWrite(d, path,
+          Seq("n_chars", "h"), bits = 4, files = 8)
+        s.read.parquet(path)
+          .filter(col("n_chars") > 200 && col("h") < 500)
+          .select("doc_id", "n_chars", "h").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, CAST((doc_id * 2654435761) % 4294967296 % 1000 AS BIGINT) AS h FROM documents WHERE n_chars > 200 AND (doc_id * 2654435761) % 4294967296 % 1000 < 500 ORDER BY doc_id""")),
+
     // Weighted shortest paths (r8): 3 Bellman-Ford rounds from region
     // r0 over the region→nation→customer tree with integer weights —
     // the oracle unrolls every round verbatim (the q156_pagerank
