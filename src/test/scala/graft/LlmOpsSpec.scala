@@ -2171,8 +2171,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val pos = (0 until 40).map(i => (i.toLong, 1, s"good great solid value item$i"))
     val neg = (40 until 80).map(i => (i.toLong, 0, s"bad awful broken junk item$i"))
     val corpus = (pos ++ neg).toDF("doc_id", "label", "text")
-    val rows = LlmOps.logRegScore(corpus, "label", dim = 64, iters = 30,
-      lr = 2.0).collect()
+    val rows = LlmOps.logRegScore(corpus, "label", dim = 64, iters = 12,
+      lr = 1.3).collect()
     assert(rows.length == 80)
     def acc(rs: Array[org.apache.spark.sql.Row]): Double =
       rs.count(r => r.getInt(r.fieldIndex("predicted")) ==
@@ -2193,8 +2193,8 @@ class LlmOpsSpec extends AnyFunSuite {
       .withColumn("text",
         when(col("label") === 1, concat(col("text"), lit(" qualmark")))
           .otherwise(col("text")))
-    val rows2 = LlmOps.logRegScore(d, "label", dim = 256, iters = 30,
-      lr = 2.0).collect()
+    val rows2 = LlmOps.logRegScore(d, "label", dim = 256, iters = 12,
+      lr = 1.3).collect()
     assert(rows2.length == docs.count())
     assert(acc(rows2) >= 0.95, s"marker acc ${acc(rows2)}")
     LlmOps.releaseCaches()
