@@ -1658,6 +1658,30 @@ object SparkEntry {
       (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
 
+    // CUSUM change detection (r8): Page's positive-drift statistic over
+    // literal series — integer-valued steps make every fold state
+    // exactly representable, so the peak statistic and its position are
+    // VALUE-EXACT constants both engines agree on (known-answer print
+    // oracle, the q162 convention). Case 2 never drifts above target →
+    // (0, 0); case 3's drift starts mid-series.
+    "q172_cusum" -> Q(kqlQ(
+      """print a = series_cusum_detect(pack_array(10.0, 12.0, 9.0, 15.0, 16.0, 14.0), 11.0, 1.0),
+              b = series_cusum_detect(pack_array(5.0, 6.0, 5.0, 4.0), 11.0, 1.0),
+              c = series_cusum_detect(pack_array(0.0, 0.0, 0.0, 4.0, 4.0, 0.0), 1.0, 1.0)
+        | project stat_a = todouble(a.max_stat), idx_a = tolong(a.idx),
+                  stat_b = todouble(b.max_stat), idx_b = tolong(b.idx),
+                  stat_c = todouble(c.max_stat), idx_c = tolong(c.idx)"""),
+      Some("""SELECT CAST(9.0 AS DOUBLE) AS stat_a, CAST(6 AS BIGINT) AS idx_a, CAST(0.0 AS DOUBLE) AS stat_b, CAST(0 AS BIGINT) AS idx_b, CAST(4.0 AS DOUBLE) AS stat_c, CAST(5 AS BIGINT) AS idx_c""")),
+
+    // Per-source KL divergence (r8): the domain-drift statistic — each
+    // (source, token) term p·ln(p/q) rounds to integer micros before
+    // the per-source sum, so the divergences are VALUE-EXACT (both
+    // engines walk identical IEEE division/log sequences; mixed-sign
+    // terms round half-away identically).
+    "llm_source_kl" -> Q(
+      (s, dir) => LlmOps.sourceKl(docs(s, dir)),
+      Some("""WITH tk AS (SELECT source, t FROM (SELECT source, unnest(string_split(lower(COALESCE(text, '')), ' ')) AS t FROM documents) WHERE len(t) >= 1), st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cst FROM tk GROUP BY 1, 2), s AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS cs FROM st GROUP BY 1), tt AS (SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1), c AS (SELECT CAST(SUM(cst) AS BIGINT) AS ctot FROM st), terms AS (SELECT source, CAST(ROUND((CAST(cst AS DOUBLE) / cs) * LN((CAST(cst AS DOUBLE) / cs) / (CAST(ct AS DOUBLE) / ctot)) * 1000000.0) AS BIGINT) AS u FROM st JOIN s USING (source) JOIN tt USING (t) CROSS JOIN c) SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(u) AS BIGINT) AS kl_u FROM terms GROUP BY 1 ORDER BY 1""")),
+
     // Reciprocal-rank fusion (r8): fuses the BM25 lexical top-50 with a
     // deterministic length-prior top-50 (stand-in for the second
     // retrieval system; both rankings and the fusion are exact integer

@@ -3019,6 +3019,39 @@ object LlmOps {
       .limit(k)
   }
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * KL(P_source ‖ P_corpus) = Σ_t p ln(p/q) — the domain-drift /
+    * mixture-audit statistic a curation pipeline tracks per ingest
+    * source (a source whose divergence jumps changed its content mix;
+    * sources near 0 are corpus-typical). Only tokens the source
+    * actually contains contribute (p > 0 terms), so the sum is always
+    * finite and ≥ ~0.
+    *
+    * VALUE-EXACT cross-engine: each (source, token) term rounds to
+    * integer micros before the per-source sum (the [[bm25]]
+    * convention; ROUND's half-away behavior agrees across engines for
+    * both signs). Shape: one token explode + three hash aggregates
+    * over (source, token) keys — bounded by sources × vocabulary, not
+    * the corpus — with the 1-row corpus total on a lazy broadcast. */
+  def sourceKl(docs: DataFrame, textCol: String = "text",
+               srcCol: String = "source"): DataFrame = {
+    val words = spread(docs).select(col(srcCol).as("source"),
+        explode(split(lower(txt(textCol)), "\\s+")).as("t"))
+      .filter(length(col("t")) >= 1)
+    val st = persistTracked(
+      words.groupBy("source", "t").agg(count(lit(1)).as("cst")))
+    val s = st.groupBy("source").agg(sum(col("cst")).as("cs"))
+    val tt = st.groupBy("t").agg(sum(col("cst")).as("ct"))
+    val ctot = st.agg(sum(col("cst")).as("ctot"))
+    val p = col("cst").cast("double") / col("cs")
+    val q = col("ct").cast("double") / col("ctot")
+    st.join(s, "source").join(tt, "t").crossJoin(broadcast(ctot))
+      .withColumn("u", round(p * log(p / q) * lit(1e6)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("kl_u"))
+      .orderBy("source")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each system contributes
     * 1/(k0 + rank) per document; documents surfacing in several

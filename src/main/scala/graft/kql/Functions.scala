@@ -742,7 +742,34 @@ object Functions {
     // trend(line-fit)+seasonal baseline across the whole horizon
     "series_decompose_forecast" -> f { case a :: pts :: p :: Nil =>
       seriesForecastUdf(a.cast("array<double>"), pts.cast("int"), p.cast("int")) },
+    // positive-drift CUSUM change detection vs a KNOWN target level
+    // (Page 1954): S_i = max(0, S_{i-1} + x_i − target − slack);
+    // returns struct(max_stat, idx) — the peak statistic and its
+    // 1-based position (0 when the series never drifts up). The target
+    // is an explicit parameter, as in classic CUSUM — deriving it from
+    // the series inside the fold would re-evaluate the mean subtree per
+    // element (the recursive-Column trap, see audioMeta).
+    "series_cusum_detect" -> f { case a :: t :: k :: Nil =>
+      seriesCusumDetect(a, t, k) },
   )
+
+  /** One O(n) fold carrying (s, smax, imax, i); see the registry note. */
+  private def seriesCusumDetect(a: Column, target: Column,
+                                slack: Column): Column = {
+    val init = struct(lit(0.0d).as("s"), lit(0.0d).as("smax"),
+      lit(0L).as("imax"), lit(0L).as("i"))
+    val res = aggregate(a, init, (st, x0) => {
+      val s2 = greatest(lit(0.0d), st.getField("s") +
+        (x0.cast("double") - target.cast("double") - slack.cast("double")))
+      val i2 = st.getField("i") + 1
+      val better = s2 > st.getField("smax")
+      struct(s2.as("s"),
+        when(better, s2).otherwise(st.getField("smax")).as("smax"),
+        when(better, i2).otherwise(st.getField("imax")).as("imax"),
+        i2.as("i"))
+    })
+    struct(res.getField("smax").as("max_stat"), res.getField("imax").as("idx"))
+  }
 
   /** Pairwise dot product over two aligned numeric series. */
   private def seriesDot(a: Column, b: Column): Column =

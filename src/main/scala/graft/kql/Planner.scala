@@ -780,6 +780,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, srcE, "pagerank src"),
         colNameOf(df, dstE, "pagerank dst"))
 
+    // `evaluate source_kl(text, source)`: per-source KL divergence from
+    // the corpus token distribution (LlmOps.sourceKl)
+    case EvaluateOp("source_kl", textE :: srcE :: Nil) =>
+      graft.ext.LlmOps.sourceKl(df,
+        textCol = colNameOf(df, textE, "source_kl text"),
+        srcCol = colNameOf(df, srcE, "source_kl source"))
+
     // `evaluate rrf_fuse(k0, topK, system, id, rank)`: reciprocal-rank
     // fusion of tall (system, id, rank) lists (LlmOps.rrfFuse)
     case EvaluateOp("rrf_fuse", kE :: tE :: sE :: idE :: rE :: Nil) =>

@@ -102,7 +102,8 @@ object Suggest {
     "simhash", "simhash_pairs",
     "sniff_media_type",
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
-    "source_cap", "source_sample", "stratified_sample", "substring_dup",
+    "source_cap", "source_kl", "source_sample", "stratified_sample",
+    "substring_dup",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",
     "token_count", "triangle_count", "unigram_logprob", "video_meta",
     "winnow", "winnow_contamination")

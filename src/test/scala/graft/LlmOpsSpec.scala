@@ -2291,4 +2291,33 @@ class LlmOpsSpec extends AnyFunSuite {
       TestSpark.sfDir)
     assert(kql.head.getLong(0) > 0)
   }
+
+
+  test("sourceKl: hand-computed divergences, identical source = 0, KQL") {
+    // srcA: "a a b"; srcB: "c". corpus: a:2 b:1 c:1 (C=4)
+    // KL(A) = 2/3 ln((2/3)/(2/4)) + 1/3 ln((1/3)/(1/4))
+    // KL(B) = 1 ln(1/(1/4)) = ln 4
+    val d = Seq(("srcA", "a a b"), ("srcB", "c")).toDF("source", "text")
+    val r = LlmOps.sourceKl(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    def u(p: Double, q: Double): Long = math.round(p * math.log(p / q) * 1e6)
+    val pa = 2.0 / 3; val pb = 1.0 / 3
+    assert(r("srcA") == ((2L, u(pa, 2.0 / 4) + u(pb, 1.0 / 4))))
+    assert(r("srcB") == ((1L, u(1.0, 1.0 / 4))))
+    LlmOps.releaseCaches()
+    // two sources with the SAME distribution both diverge ~0
+    val same = Seq(("s1", "x y"), ("s2", "x y")).toDF("source", "text")
+    val rs = LlmOps.sourceKl(same).collect().map(_.getLong(2))
+    assert(rs.forall(math.abs(_) <= 1)) // micro rounding only
+    LlmOps.releaseCaches()
+    // KQL surface on the fixture: every source diverges >= 0 (up to
+    // rounding) and the op covers all sources
+    val kql = graft.kql.Kql.run(spark,
+      "documents | evaluate source_kl(text, source)", TestSpark.sfDir)
+    assert(kql.columns.toSeq == Seq("source", "n_terms", "kl_u"))
+    val rows = kql.collect()
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.forall(_.getLong(2) >= -rows.length)) // >= 0 up to micros
+    LlmOps.releaseCaches()
+  }
 }
