@@ -1101,6 +1101,21 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getString(1) == """{"k":1,"j":3}""")
   }
 
+  test("series_cusum_detect: drift position, no-drift zero, tie keeps first peak") {
+    // [1,1,5,5,1]: target 1, slack 1 -> steps [-1,-1,3,3,-1] ->
+    // S = [0,0,3,6,5] -> peak 6 at position 4
+    val r = run("""print a = series_cusum_detect(pack_array(1.0, 1.0, 5.0, 5.0, 1.0), 1.0, 1.0),
+                         b = series_cusum_detect(pack_array(1.0), 5.0, 0.0),
+                         c = series_cusum_detect(pack_array(3.0, 3.0), 1.0, 1.0)
+                   | project sa = todouble(a.max_stat), ia = tolong(a.idx),
+                             sb = todouble(b.max_stat), ib = tolong(b.idx),
+                             sc = todouble(c.max_stat), ic = tolong(c.idx)""").head
+    assert(r.getDouble(0) == 6.0 && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.0 && r.getLong(3) == 0L) // below target
+    // strictly-better rule: equal increments keep growing, idx follows
+    assert(r.getDouble(4) == 2.0 && r.getLong(5) == 2L)
+  }
+
   test("parse_ipv4_mask nulls out-of-range prefixes uniformly") {
     val r = run("""print ok = parse_ipv4_mask('192.168.1.10', 24),
                          neg = parse_ipv4_mask('192.168.1.10', -1),
