@@ -3068,7 +3068,12 @@ object LlmOps {
               systemCol: String = "system", idCol: String = "doc_id",
               rankCol: String = "rank"): DataFrame = {
     require(k0 >= 1 && topK >= 1, "need k0 >= 1 and topK >= 1")
-    ranked.select(col(idCol).as("id"), col(rankCol).cast("long").as("rk"))
+    // normalize to ONE row per (system, id) first — the contract is one
+    // rank per system, and a duplicated input row would otherwise
+    // double-count that system's contribution; best (lowest) rank wins
+    ranked.select(col(systemCol).as("sys"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rk"))
+      .groupBy("sys", "id").agg(min(col("rk")).as("rk"))
       .withColumn("cu", round(lit(1e6) / (lit(k0) + col("rk"))).cast("long"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_systems"), sum(col("cu")).as("rrf_u"))

@@ -2226,6 +2226,14 @@ class LlmOpsSpec extends AnyFunSuite {
     // equal scores tie-break on id; consensus docs outrank singles
     assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(r.take(2).forall(_._2 == 2L))
+    // a duplicated (system, id) row must not double-count its system:
+    // normalization keeps the best rank per (system, id)
+    val dup = ranked.unionByName(
+      Seq(("A", 1L, 3)).toDF("system", "doc_id", "rank"))
+    val rd = LlmOps.rrfFuse(dup, k0 = 60, topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(rd.find(_._1 == 1L).get._2 == 2L)            // still 2 systems
+    assert(rd.find(_._1 == 1L).get._3 == cu(1) + cu(2)) // best rank kept
     // ANN-side hybrid: fuse bm25 with embedding-kNN ranks (same-engine
     // spec because FP cosine near-ties make rank order engine-local)
     val bm = LlmOps.bm25(docs, "fast window", k = 20)
