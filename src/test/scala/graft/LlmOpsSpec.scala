@@ -390,6 +390,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!splitPlan.contains("Exchange"), splitPlan.take(500))
   }
 
+  test("r8 plan shapes: bounded top-k selections, no cartesian products") {
+    // bm25: the k-cut must be a distributed top-k, not a global sort,
+    // and the 1-row corpus-stats side must not force a cartesian
+    val bm = LlmOps.bm25(docs, "fast window merge", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("TakeOrderedAndProject"), bm.take(400))
+    assert(!bm.contains("CartesianProduct"), bm.take(400))
+    // rrf fusion of bounded lists: same top-k shape
+    val ranked = docs.select(col("doc_id"), lit("s").as("system"),
+      (pmod(col("doc_id"), lit(50)) + 1).cast("int").as("rank"))
+    val rf = LlmOps.rrfFuse(ranked, 60, 10)
+      .queryExecution.executedPlan.toString
+    assert(rf.contains("TakeOrderedAndProject"), rf.take(400))
+    // source KL: broadcast 1-row total, no cartesian
+    val kl = LlmOps.sourceKl(docs).queryExecution.executedPlan.toString
+    assert(!kl.contains("CartesianProduct"), kl.take(400))
+    LlmOps.releaseCaches()
+    // cms: probes meet the bounded counter table without a cartesian
+    val cm = LlmOps.cmsCount(docs, "scan zebra")
+      .queryExecution.executedPlan.toString
+    assert(!cm.contains("CartesianProduct"), cm.take(400))
+  }
+
   test("multimodal stub: metadata + fixed-width features, no nulls") {
     val withBin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val out = LlmOps.stubDecodeFeatures(LlmOps.withMediaMeta(withBin, "payload"), "payload")
