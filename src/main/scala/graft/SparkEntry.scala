@@ -1658,6 +1658,19 @@ object SparkEntry {
       (s, dir) => LlmOps.bigramLogProb(docs(s, dir)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), g AS (SELECT id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT id, toks, unnest(generate_series(2, len(toks))) AS i FROM t)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM g GROUP BY 1) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp2 FROM g JOIN c2 USING (prev, cur) JOIN c1 USING (prev) GROUP BY 1 ORDER BY 1""")),
 
+    // URL canonicalization (r8): crawl-dedup front door — known-answer
+    // oracle over the documented rules (lowercase scheme+authority,
+    // fragment stripped, :80/:443 dropped, utm_*/fbclid/gclid dropped,
+    // surviving query params byte-sorted, non-URLs pass through with
+    // only the fragment stripped).
+    "q173_url_normalize" -> Q(kqlQ(
+      """print a = url_normalize('HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag'),
+              b = url_normalize('https://site.com:443/'),
+              c = url_normalize('https://site.com/x?utm_campaign=z&fbclid=abc'),
+              d = url_normalize('not a url#frag'),
+              e = url_normalize('https://h.io/p?z=1&y=2&z=0')"""),
+      Some("""SELECT 'http://example.com/Path/Page?a=1&b=2' AS a, 'https://site.com/' AS b, 'https://site.com/x' AS c, 'not a url' AS d, 'https://h.io/p?y=2&z=0&z=1' AS e""")),
+
     // CUSUM change detection (r8): Page's positive-drift statistic over
     // literal series — integer-valued steps make every fold state
     // exactly representable, so the peak statistic and its position are

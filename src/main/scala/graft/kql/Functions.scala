@@ -593,6 +593,15 @@ object Functions {
         parse_url(u, lit("HOST")).as("Host"),
         parse_url(u, lit("PATH")).as("Path"),
         parse_url(u, lit("QUERY")).as("Query"))) },
+    // URL canonicalization for crawl dedup (the exact-dedup front
+    // door: the same page arrives as http://Site.com/a?utm_source=x&b=1
+    // and https://site.com/a?b=1#frag) — documented rules: lowercase
+    // scheme+authority (path/query case preserved), strip the
+    // fragment, drop default :80/:443 ports, drop utm_*/fbclid/gclid
+    // tracking params, sort surviving query params bytewise. Pure
+    // regexp/array Column ops in codegen; non-URLs (no scheme://) pass
+    // through with only fragment stripping so the op is total.
+    "url_normalize" -> f { case u0 :: Nil => urlNormalize(u0.cast("string")) },
     // simplified UA parsing (the public token heuristics: Edge before
     // Chrome before Safari; OS from platform tokens) — pure when-chains
     // and regexp_extract, no UDF, no lookup tables
@@ -752,6 +761,26 @@ object Functions {
     "series_cusum_detect" -> f { case a :: t :: k :: Nil =>
       seriesCusumDetect(a, t, k) },
   )
+
+  /** See the `url_normalize` registry note for the rule set. */
+  private def urlNormalize(u0: Column): Column = {
+    val noFrag = regexp_replace(u0, "#.*$", "")
+    val auth0 = regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)", 1)
+    val isUrl = length(auth0) > 0
+    val auth = regexp_replace(lower(auth0), ":(80|443)$", "")
+    val rest = noFrag.substr(length(auth0) + 1, length(noFrag))
+    val qPos = instr(rest, "?")
+    val path = when(qPos === 0, rest).otherwise(rest.substr(lit(1), qPos - 1))
+    val query = when(qPos === 0, lit("")).otherwise(
+      rest.substr(qPos + 1, length(rest)))
+    val kept = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$")))
+    val qs = array_join(kept, "&")
+    when(isUrl, concat(auth, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+      .otherwise(noFrag)
+  }
 
   /** One O(n) fold carrying (s, smax, imax, i); see the registry note. */
   private def seriesCusumDetect(a: Column, target: Column,

@@ -1116,6 +1116,23 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 2.0 && r.getLong(5) == 2L)
   }
 
+  test("url_normalize: idempotent, null-safe, collapses tracking variants") {
+    val r = run("""print a = url_normalize(url_normalize('HTTP://A.io:80/x?utm_source=1&b=2#f')),
+                         n = url_normalize(''),
+                         q = url_normalize('https://a.io/x?'),
+                         p = url_normalize('https://a.io:8080/x')""").head
+    assert(r.getString(0) == "http://a.io/x?b=2") // idempotent
+    assert(r.getString(1) == "") // empty passes through, never throws
+    assert(r.getString(2) == "https://a.io/x")    // empty query dropped
+    assert(r.getString(3) == "https://a.io:8080/x") // non-default port kept
+    // two tracking-variants of one page collapse to one dedup key
+    val keys = run("""datatable (u: string) [
+        'https://Site.com/p?utm_campaign=a&x=1',
+        'https://site.com:443/p?x=1&fbclid=zz'
+      ] | extend k = url_normalize(u) | distinct k""")
+    assert(keys.length == 1)
+  }
+
   test("parse_ipv4_mask nulls out-of-range prefixes uniformly") {
     val r = run("""print ok = parse_ipv4_mask('192.168.1.10', 24),
                          neg = parse_ipv4_mask('192.168.1.10', -1),
