@@ -3722,6 +3722,80 @@ object SparkEntry {
         | evaluate autocluster(10.0, o_orderpriority, o_orderstatus)
         | sort by percent desc, o_orderpriority asc nulls first, o_orderstatus asc nulls first"""),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS count_, ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) AS percent, o_orderpriority, o_orderstatus FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) HAVING NOT (GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 1) AND ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) >= 10.0 ORDER BY percent DESC, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")),
+
+    // ------------------------------------------------------------- r9
+
+    // Exact heavy hitters via the Misra-Gries candidate pass + exact
+    // recount (LlmOps.heavyHitters). The fixture vocabulary (31 tokens)
+    // is far below the sketch capacity, so the summary is lossless here
+    // and the top-20 is exact BY CONSTRUCTION at every SF; the bounded-
+    // memory compaction path (vocab >> m) plus the n/(m+1) error bound
+    // are property-proven in SketchSpec on synthetic skewed streams.
+    "llm_heavy_hitters" -> Q(
+      (s, dir) => LlmOps.heavyHitters(docs(s, dir), m = 1024, k = 20),
+      Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents) SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""")),
+
+    // Bigram collocation mining by integer lift (PMI-equivalent
+    // ranking, corpus-constant factor dropped): value-exact — both
+    // engines compute c_xy·10^12 div (c_x·c_y) in pure BIGINT
+    "llm_collocations" -> Q(
+      (s, dir) => LlmOps.collocations(docs(s, dir), minCount = 5, k = 20),
+      Some("""WITH tk AS (SELECT list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1) AS toks FROM documents), uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c_w FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1), bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM tk, unnest(generate_series(1, len(toks)-1)) s(i) WHERE len(toks) >= 2) GROUP BY 1,2 HAVING COUNT(*) >= 5) SELECT w1, w2, c_xy, u1.c_w AS c_x, u2.c_w AS c_y, CAST((c_xy * CAST(1000000000000 AS BIGINT)) // (u1.c_w * u2.c_w) AS BIGINT) AS lift_u FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2 ORDER BY lift_u DESC, w1, w2 LIMIT 20""")),
+
+    // Canonical-URL keep-best dedup: synthetic per-doc URLs carry the
+    // noise url_normalize must collapse (odd docs get an uppercase
+    // scheme + an explicit :443, every doc gets tracking params), the
+    // oracle computes the canonical form ARITHMETICALLY — any
+    // normalization drift mismatches. Keep = max n_chars, tie min id.
+    "llm_dedup_url" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("url", concat(
+          when(pmod(col("doc_id"), lit(2)) === 1, lit("HTTPS://"))
+            .otherwise(lit("https://")),
+          col("source"), lit(".example.com"),
+          when(pmod(col("doc_id"), lit(2)) === 1, lit(":443")).otherwise(lit("")),
+          lit("/page/"), pmod(col("doc_id"), lit(10)),
+          lit("?utm_source=s"), col("doc_id"), lit("&fbclid=x")))
+        LlmOps.dedupByCanonicalUrl(d, "url", "n_chars")
+          .orderBy("canonical_url")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars, 'https://' || source || '.example.com/page/' || CAST(doc_id % 10 AS VARCHAR) AS canonical_url FROM documents), r AS (SELECT canonical_url, doc_id, n_chars, CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups, ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id ASC) AS rn FROM u) SELECT canonical_url, doc_id, n_chars, n_dups FROM r WHERE rn = 1 ORDER BY canonical_url""")),
+
+    // Multinomial naive-Bayes language classifier (add-one smoothing,
+    // 80/20 split by doc_id mod 5): every log term micro-rounded per
+    // token (the unigram_logprob convention) so per-doc sums are exact
+    // integers; argmax tiebreak = smallest class name
+    "llm_naive_bayes" -> Q(
+      (s, dir) => LlmOps.naiveBayesLangId(docs(s, dir), holdMod = 5)
+        .orderBy("doc_id"),
+      Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0), test AS (SELECT * FROM documents WHERE doc_id % 5 = 0), tt AS (SELECT doc_id, lang, unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM train), ct AS (SELECT lang AS cl, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1,2), tot AS (SELECT lang AS cl, CAST(COUNT(*) AS BIGINT) AS n_l FROM tt GROUP BY 1), v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM tt), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM train), pri AS (SELECT lang AS cl, CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / n_docs) * 1000000) AS BIGINT) AS prior_u FROM train, nd GROUP BY lang, n_docs), st AS (SELECT doc_id, lang AS true_lang, unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM test), sc AS (SELECT s.doc_id, s.true_lang, l.cl, CAST(SUM(CAST(ROUND(LN((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1) / (tot.n_l + v.vv)) * 1000000) AS BIGINT)) AS BIGINT) AS ev_u FROM st s CROSS JOIN (SELECT cl FROM tot) l LEFT JOIN ct ON ct.cl = l.cl AND ct.tok = s.tok JOIN tot ON tot.cl = l.cl CROSS JOIN v GROUP BY 1, 2, 3), fin AS (SELECT doc_id, true_lang, cl, ev_u + prior_u AS score_u FROM sc JOIN pri USING (cl)), best AS (SELECT doc_id, true_lang, cl AS pred_lang, score_u, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, cl ASC) AS rn FROM fin) SELECT doc_id, true_lang, pred_lang, score_u FROM best WHERE rn = 1 ORDER BY doc_id""")),
+
+    // One-pass per-column profiling plugin (dataset-card stats): min/max
+    // on native types then stringified; columns chosen without doubles
+    // (double→string shortest-repr is not cross-engine stable)
+    "q174_profile" -> Q(kqlQ(
+      """lineitem
+        | evaluate profile(l_linenumber, l_returnflag, l_shipdate, l_orderkey)
+        | sort by column asc"""),
+      Some("""WITH p AS (SELECT 'l_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct, CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s FROM lineitem UNION ALL SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT), CAST(COUNT(DISTINCT l_linenumber) AS BIGINT), CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem UNION ALL SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT), CAST(COUNT(DISTINCT l_returnflag) AS BIGINT), CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem UNION ALL SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT), CAST(COUNT(DISTINCT l_shipdate) AS BIGINT), CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem) SELECT "column", n, n_null, n_distinct, min_s, max_s FROM p ORDER BY "column" """.trim)),
+
+    // Deterministic salted join (SkewOps.saltedJoin): the hot-key
+    // mitigation AQE cannot do — spread each left key over 8 salt
+    // shuffle partitions, replicate the dim side 8x. Oracle = the plain
+    // join; parity proves salting changes the layout, not the answer.
+    "tmp_salted_join" -> Q(
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val ord = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ext.SkewOps.saltedJoin(li, ord, "l_orderkey", salts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -3988,4 +3988,140 @@ object LlmOps {
       .withColumn("frame_fp", md5(col("frame")))
       .drop(binCol)
   }
+
+  // -------------------------------------------------------------- r9 ops
+
+  /** Exact heavy hitters via the two-pass sketch-then-recount pattern:
+    * pass 1 aggregates a capacity-m Misra–Gries summary
+    * ([[graft.sketch.MisraGries]] — per-partition state and shuffle
+    * bytes are O(m) REGARDLESS of vocabulary cardinality, the property
+    * a plain `groupBy(token).count` loses when the key space itself is
+    * near-corpus-sized: URLs, user ids, raw n-grams at 100 TB); pass 2
+    * recounts ONLY the ≤ m surviving candidates exactly via a broadcast
+    * semi-join scan. The MG guarantee (est ≥ true − n/(m+1)) means
+    * every token with true count > n/(m+1) is among the candidates, so
+    * the returned top-k is EXACT whenever the k-th true count clears
+    * that floor — pick m accordingly (k ≪ m).
+    *
+    * The single `.head` is a bounded collect: one row holding the ≤ m
+    * candidate entries (the toscalar convention). */
+  def heavyHitters(docs: DataFrame, m: Int = 1024, k: Int = 20,
+                   textCol: String = "text"): DataFrame = {
+    require(k <= m, s"heavy_hitters: k=$k must be <= sketch capacity m=$m")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks = spread(docs)
+      .select(explode(split(lower(txt(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val bytes = toks.agg(graft.sketch.MisraGries.sketch(m)(col("tok")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val (_, _, entries) = graft.sketch.MisraGries.deserialize(bytes)
+    val cand = entries.map(_._1).toDF("tok")
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Bigram collocation mining by lift (PMI without the log — the same
+    * ranking): score = c(xy)/(c(x)·c(y)) scaled to an exact integer,
+    * the corpus-constant factor N₁²/N₂ dropped since it cannot change
+    * the order. All work is vocabulary-sized (one unigram aggregate,
+    * one bigram aggregate filtered to c(xy) ≥ minCount BEFORE the two
+    * count joins) and the selection is a bounded top-k
+    * (TakeOrderedAndProject). Integer scale 10¹² keeps c(xy)·10¹²
+    * within long for corpora up to ~10⁶ occurrences of a single
+    * bigram; at true 100 TB drop the scale to 10⁶ (ranking-equivalent,
+    * coarser ties). */
+  def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 20,
+                   textCol: String = "text"): DataFrame = {
+    val toksArr = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    val base = spread(docs).select(toksArr.as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), Seq("w2"))
+      .withColumn("lift_u",
+        expr("(c_xy * CAST(1000000000000 AS BIGINT)) div (c_x * c_y)"))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_u")
+      .orderBy(col("lift_u").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Canonical-URL dedup, keep-best: the crawl-side exact dedup rule —
+    * normalize each document's URL (scheme/host case, default ports,
+    * tracking params, fragments — [[graft.kql.Functions]]
+    * `url_normalize`) and keep ONE document per canonical URL, the one
+    * maximizing `qualityCol` (ties → smallest id). One hash aggregate
+    * on the canonical key; the argmax is the min-struct idiom, so no
+    * window or second pass. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, qualityCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    val canon = graft.kql.Functions.registry("url_normalize")(List(col(urlCol)))
+    df.withColumn("canonical_url", canon)
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct((-col(qualityCol)).as("nq"), col(idCol).as("id"))).as("b"))
+      .select(col("canonical_url"), col("b.id").as(idCol),
+        (-col("b.nq")).as(qualityCol), col("n_dups"))
+  }
+
+  /** Multinomial naive-Bayes language classifier with add-one
+    * smoothing: train token-given-class counts on the `doc_id % holdMod
+    * != 0` fold, score the held-out fold, predict argmax_l [ ln P(l) +
+    * Σ_tok ln P(tok|l) ]. Every log term is micro-rounded per token
+    * (the unigram_logprob convention), so the per-document sums are
+    * exact integers both engines agree on. Scale shape: the model is a
+    * vocabulary×L count table built by one aggregate; scoring is the
+    * held-out token stream crossed with the L class rows (L small) and
+    * joined to the model — corpus×L narrow rows, one sum aggregate, no
+    * driver state beyond the two scalar totals (V, n_docs — the
+    * toscalar convention). Held-out docs with zero tokens carry no
+    * evidence and are not scored (both engines drop them identically).
+    */
+  def naiveBayesLangId(docs: DataFrame, holdMod: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toksOf(d: DataFrame) = spread(d).select(col("doc_id"), col("lang"),
+      explode(filter(split(lower(txt("text")), "\\s+"),
+        t => length(t) >= 1)).as("tok"))
+    val train = docs.filter(pmod(col("doc_id"), lit(holdMod)) =!= 0)
+    val test = docs.filter(pmod(col("doc_id"), lit(holdMod)) === 0)
+    val ttoks = toksOf(train)
+    val classTok = ttoks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val classTot = ttoks.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val vocabV: Long = ttoks.select("tok").distinct().count()
+    val nDocs: Long = train.count()
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("d_l"))
+      .withColumn("prior_u",
+        round(log(col("d_l").cast("double") / lit(nDocs.toDouble)) * 1e6)
+          .cast("long"))
+      .select(col("lang").as("cl"), col("prior_u"))
+    val langs = priors.select(col("cl"))
+    val scored = toksOf(test).withColumnRenamed("lang", "true_lang")
+      .crossJoin(broadcast(langs))
+      .join(classTok.select(col("lang").as("cl"), col("tok"), col("c")),
+        Seq("cl", "tok"), "left_outer")
+      .join(broadcast(classTot.select(col("lang").as("cl"), col("n_l"))),
+        Seq("cl"))
+      .withColumn("lp_u",
+        round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_l") + lit(vocabV)).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("true_lang"), col("cl"))
+      .agg(sum(col("lp_u")).as("ev_u"))
+      .join(broadcast(priors), Seq("cl"))
+      .withColumn("score_u", col("ev_u") + col("prior_u"))
+    scored.groupBy(col("doc_id"), col("true_lang"))
+      .agg(min(struct((-col("score_u")).as("ns"), col("cl").as("l"))).as("b"))
+      .select(col("doc_id"), col("true_lang"), col("b.l").as("pred_lang"),
+        (-col("b.ns")).as("score_u"))
+  }
 }

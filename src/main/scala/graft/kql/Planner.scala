@@ -812,6 +812,56 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         litLong(wE).toInt, litLong(dE).toInt,
         textCol = colNameOf(df, textE, "cms_count text"))
 
+    // `evaluate heavy_hitters(m, k, text)`: exact top-k tokens via the
+    // bounded-memory Misra-Gries candidate pass + exact recount
+    case EvaluateOp("heavy_hitters", mE :: kE :: textE :: Nil) =>
+      graft.ext.LlmOps.heavyHitters(df, litLong(mE).toInt, litLong(kE).toInt,
+        colNameOf(df, textE, "heavy_hitters text"))
+
+    // `evaluate collocations(min_count, k, text)`: top-k bigram
+    // collocations by lift (vocabulary-sized work, bounded selection)
+    case EvaluateOp("collocations", mcE :: kE :: textE :: Nil) =>
+      graft.ext.LlmOps.collocations(df, litLong(mcE).toInt, litLong(kE).toInt,
+        colNameOf(df, textE, "collocations text"))
+
+    // `evaluate naive_bayes_lang(hold_mod)`: multinomial NB language
+    // classifier over a documents-shaped frame (doc_id, lang, text)
+    case EvaluateOp("naive_bayes_lang", modE :: Nil) =>
+      graft.ext.LlmOps.naiveBayesLangId(df, litLong(modE).toInt)
+
+    // `evaluate dedup_url(url, quality, id)`: canonical-URL keep-best
+    case EvaluateOp("dedup_url", urlE :: qE :: idE :: Nil) =>
+      graft.ext.LlmOps.dedupByCanonicalUrl(df,
+        colNameOf(df, urlE, "dedup_url url"),
+        colNameOf(df, qE, "dedup_url quality"),
+        colNameOf(df, idE, "dedup_url id"))
+
+    // `evaluate profile(c1, c2, ...)`: one-pass per-column profiling —
+    // (column, n, n_null, n_distinct, min_s, max_s), the dataset-card /
+    // data-quality summary. One aggregate over all requested columns
+    // (the multi-distinct Expand is ncols+1 wide — at 100 TB swap
+    // count_distinct for approx_count_distinct, same plan shape);
+    // min/max are computed on the NATIVE type then stringified, so
+    // numeric columns don't sort lexically.
+    case EvaluateOp("profile", args) if args.nonEmpty =>
+      val names = args.map(a => colNameOf(df, a, "profile"))
+      val aggs = names.flatMap(n => Seq(
+        count(col(n)).as(s"__nn_$n"),
+        countDistinct(col(n)).as(s"__nd_$n"),
+        min(col(n)).cast("string").as(s"__mn_$n"),
+        max(col(n)).cast("string").as(s"__mx_$n")))
+      val agged = df.agg(count(lit(1)).as("__t"), aggs: _*)
+      agged.select(explode(array(names.map(n => struct(
+          lit(n).as("column"), col("__t").as("n"),
+          (col("__t") - col(s"__nn_$n")).as("n_null"),
+          col(s"__nd_$n").as("n_distinct"),
+          col(s"__mn_$n").as("min_s"), col(s"__mx_$n").as("max_s"))): _*))
+          .as("__p"))
+        .select(col("__p.column").as("column"), col("__p.n").as("n"),
+          col("__p.n_null").as("n_null"),
+          col("__p.n_distinct").as("n_distinct"),
+          col("__p.min_s").as("min_s"), col("__p.max_s").as("max_s"))
+
     // `evaluate linreg(y, x1, x2, ...)`: OLS via the normal equations —
     // one Gram-sums aggregate + a driver-side deterministic solve
     // (LlmOps.linReg); output (feature, coef) incl. _intercept/_n/_r2

@@ -77,7 +77,8 @@ object Suggest {
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "bm25",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
-    "chunk", "cms_count", "containment_pairs", "dbscan",
+    "chunk", "cms_count", "collocations", "containment_pairs", "dbscan",
+    "dedup_url", "heavy_hitters", "naive_bayes_lang", "profile",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
