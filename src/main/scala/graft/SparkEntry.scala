@@ -145,6 +145,37 @@ object SparkEntry {
     * rebuilt from empty per invocation (rerun idempotency); the
     * driver-side collect feeds the memory stream a BOUNDED
     * event_id ≤ 2000 slice — harness plumbing, not a data pass. */
+  /** tmp_stream_topk body (r9): the continuous top-k dashboard shape —
+    * cumulative token counts over two micro-batches in COMPLETE output
+    * mode with a bounded sort+limit (legal only after a streaming
+    * aggregation in complete mode, which is exactly this plan). The
+    * final table must equal the batch recompute over BOTH batches: if
+    * batch-2 processing failed to carry batch-1's aggregation state,
+    * every shared token's count (and likely the membership of the
+    * top-10 itself) would mismatch the oracle. */
+  def streamTopkQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val src = ms.toDF().toDF("doc_id", "text")
+    val topk = src.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+    val q = topk.writeStream.format("memory")
+      .queryName("graft_stream_topk_sink").outputMode("complete").start()
+    try {
+      ms.addData(rows.filter(_._1 < 20): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= 20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_stream_topk_sink").orderBy(col("cnt").desc, col("tok"))
+  }
+
   def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -3796,6 +3827,35 @@ object SparkEntry {
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""")),
+
+    // Per-doc token entropy + type-token ratio (information-density
+    // quality signal); entropy in exact integer micro·count units
+    "llm_entropy" -> Q(
+      (s, dir) => LlmOps.docEntropy(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents), c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1,2), n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS types FROM c GROUP BY 1) SELECT c.doc_id, n.n AS n_tokens, n.types AS n_types, CAST(SUM(c.c * CAST(ROUND(-LN(CAST(c.c AS DOUBLE)/n.n)*1000000) AS BIGINT)) AS BIGINT) AS token_entropy_u, ROUND(CAST(n.types AS DOUBLE)/n.n, 4) AS ttr FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id, n.n, n.types ORDER BY 1""")),
+
+    // MMR diverse top-k selection (r9): integer-quantized scoring
+    // makes every greedy round exact; the oracle unrolls all 6 rounds
+    // (the pagerank unrolled-round convention)
+    "llm_mmr_select" -> Q(
+      (s, dir) => LlmOps.mmrSelect(embs(s, dir), queryId = 0, nCand = 16, k = 6)
+        .orderBy("step"),
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings WHERE vec_id = 0), ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings WHERE vec_id <> 0), rel AS (SELECT e.vec_id, CAST(SUM(e.v[s.i]*q.qv[s.i]) AS BIGINT) AS rel_u FROM ev e, q, unnest(generate_series(1,64)) s(i) GROUP BY e.vec_id), cand AS (SELECT vec_id, rel_u FROM rel ORDER BY rel_u DESC, vec_id LIMIT 16), cv AS (SELECT c.vec_id, c.rel_u, e.v FROM cand c JOIN ev e USING (vec_id)), sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(SUM(a.v[s.i]*b.v[s.i]) AS BIGINT) AS sim_u FROM cv a, cv b, unnest(generate_series(1,64)) s(i) WHERE a.vec_id <> b.vec_id GROUP BY 1,2), p1 AS (SELECT vec_id, rel_u, CAST(7*rel_u AS BIGINT) AS mmr_u, CAST(1 AS BIGINT) AS step FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1), s1 AS (SELECT vec_id FROM p1), p2 AS (SELECT c.vec_id, c.rel_u, CAST(7*c.rel_u - 3*MAX(m.sim_u) AS BIGINT) AS mmr_u, CAST(2 AS BIGINT) AS step FROM cand c JOIN sims m ON m.ia = c.vec_id AND m.ib IN (SELECT vec_id FROM s1) WHERE c.vec_id NOT IN (SELECT vec_id FROM s1) GROUP BY c.vec_id, c.rel_u ORDER BY mmr_u DESC, c.vec_id LIMIT 1), s2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM p2), p3 AS (SELECT c.vec_id, c.rel_u, CAST(7*c.rel_u - 3*MAX(m.sim_u) AS BIGINT) AS mmr_u, CAST(3 AS BIGINT) AS step FROM cand c JOIN sims m ON m.ia = c.vec_id AND m.ib IN (SELECT vec_id FROM s2) WHERE c.vec_id NOT IN (SELECT vec_id FROM s2) GROUP BY c.vec_id, c.rel_u ORDER BY mmr_u DESC, c.vec_id LIMIT 1), s3 AS (SELECT vec_id FROM s2 UNION ALL SELECT vec_id FROM p3), p4 AS (SELECT c.vec_id, c.rel_u, CAST(7*c.rel_u - 3*MAX(m.sim_u) AS BIGINT) AS mmr_u, CAST(4 AS BIGINT) AS step FROM cand c JOIN sims m ON m.ia = c.vec_id AND m.ib IN (SELECT vec_id FROM s3) WHERE c.vec_id NOT IN (SELECT vec_id FROM s3) GROUP BY c.vec_id, c.rel_u ORDER BY mmr_u DESC, c.vec_id LIMIT 1), s4 AS (SELECT vec_id FROM s3 UNION ALL SELECT vec_id FROM p4), p5 AS (SELECT c.vec_id, c.rel_u, CAST(7*c.rel_u - 3*MAX(m.sim_u) AS BIGINT) AS mmr_u, CAST(5 AS BIGINT) AS step FROM cand c JOIN sims m ON m.ia = c.vec_id AND m.ib IN (SELECT vec_id FROM s4) WHERE c.vec_id NOT IN (SELECT vec_id FROM s4) GROUP BY c.vec_id, c.rel_u ORDER BY mmr_u DESC, c.vec_id LIMIT 1), s5 AS (SELECT vec_id FROM s4 UNION ALL SELECT vec_id FROM p5), p6 AS (SELECT c.vec_id, c.rel_u, CAST(7*c.rel_u - 3*MAX(m.sim_u) AS BIGINT) AS mmr_u, CAST(6 AS BIGINT) AS step FROM cand c JOIN sims m ON m.ia = c.vec_id AND m.ib IN (SELECT vec_id FROM s5) WHERE c.vec_id NOT IN (SELECT vec_id FROM s5) GROUP BY c.vec_id, c.rel_u ORDER BY mmr_u DESC, c.vec_id LIMIT 1), s6 AS (SELECT vec_id FROM s5 UNION ALL SELECT vec_id FROM p6) SELECT step, vec_id, rel_u, mmr_u FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6) ORDER BY step""")),
+
+    // series_iir IIR filter (r9): EWMA with dyadic alpha=1/2 (every
+    // fold state exactly representable -> known-answer print oracle,
+    // the q172 convention) and a first-difference filter
+    "q175_series_iir" -> Q(kqlQ(
+      """print e = dynamic_to_json(series_iir(pack_array(1, 2, 3, 4, 5, 6, 7, 8), pack_array(0.5), pack_array(1.0, -0.5))),
+              d = dynamic_to_json(series_iir(pack_array(5, 3, 8, 2), pack_array(1.0, -1.0), pack_array(1.0)))"""),
+      Some("""SELECT '[0.5,1.25,2.125,3.0625,4.03125,5.015625,6.0078125,7.00390625]' AS e, '[5.0,-2.0,5.0,-6.0]' AS d""")),
+
+    // Streaming cumulative top-k (complete mode, 2 micro-batches):
+    // the oracle recomputes over BOTH batches in one pass — equality
+    // proves the aggregation state crossed the batch boundary
+    "tmp_stream_topk" -> Q(
+      (s, dir) => streamTopkQuery(s, dir),
+      Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id < 40) SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

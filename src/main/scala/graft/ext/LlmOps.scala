@@ -4074,6 +4074,86 @@ object LlmOps {
         (-col("b.nq")).as(qualityCol), col("n_dups"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diverse top-k selection
+    * (Carbonell & Goldstein 1998 — the standard diversity-aware
+    * retrieval/data-selection rule): greedily pick k items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected. All
+    * scoring runs on integer-quantized vectors (round(x·1000) — the
+    * int8/int16 quantized-scoring convention), so every dot product,
+    * margin, and argmax is EXACT integer arithmetic with zero FP
+    * order sensitivity; λ=0.7 becomes the ×10-scaled 7·rel − 3·maxsim.
+    *
+    * Scale shape: the corpus-wide work is the relevance scan + a
+    * bounded top-nCand selection (TakeOrderedAndProject); the greedy
+    * loop then runs driver-side on that ≤ nCand×dim candidate block —
+    * an index-metadata-sized object (the kmeans-centroid bounded-
+    * collect convention), NOT a corpus collect. k and nCand are the
+    * recall/diversity dials; at 100 TB only the scan grows. */
+  def mmrSelect(embs: DataFrame, queryId: Long = 0, nCand: Int = 16,
+                k: Int = 6): DataFrame = {
+    require(k <= nCand && nCand <= 1024, s"mmr: need k <= nCand <= 1024")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val vInt = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val qv = embs.filter(col("vec_id") === queryId).select(vInt.as("q"))
+      .head.getSeq[Long](0).toArray
+    val cand = embs.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), vInt.as("v"))
+      .withColumn("rel_u", aggregate(
+        zip_with(col("v"), typedLit(qv), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .orderBy(col("rel_u").desc, col("vec_id")).limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    for (step <- 1 to k) {
+      val best = cand.iterator.filterNot(c => chosen(c._1)).map {
+        case (id, v, rel) =>
+          val maxSim = if (selected.isEmpty) 0L
+          else selected.iterator.map { case (_, sid, _, _) =>
+            dot(v, cand.find(_._1 == sid).get._2)
+          }.max
+          (id, rel, 7L * rel - 3L * maxSim)
+      }.reduceLeft { (a, b) =>
+        if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+      }
+      selected += ((step.toLong, best._1, best._2, best._3))
+      chosen += best._1
+    }
+    selected.toSeq.toDF("step", "vec_id", "rel_u", "mmr_u")
+  }
+
+  /** Shannon token-entropy quality signals per document: low-entropy
+    * documents are template/boilerplate/spam candidates (the
+    * information-density cousin of the repetition fractions). Emits
+    * n_tokens, n_types, the entropy Σ c_t·round(−ln(c_t/n)·10⁶) in
+    * integer micros·count units (exact cross-engine — the
+    * unigram_logprob rounding convention; divide by n·10⁶ for
+    * nats/token), and the type-token ratio. Two hash aggregates on
+    * (doc, token) then (doc) — corpus-sized narrow shuffles, no
+    * windows. */
+  def docEntropy(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toksArr = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    val c = spread(docs).select(col(idCol).as("id"), explode(toksArr).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val n = c.groupBy("id").agg(sum("c").as("n"), count(lit(1)).as("types"))
+    c.join(n, Seq("id"))
+      .withColumn("mic",
+        round(-log(col("c").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("id"), col("n"), col("types"))
+      .agg(sum(col("c") * col("mic")).as("token_entropy_u"))
+      .select(col("id").as(idCol), col("n").as("n_tokens"),
+        col("types").as("n_types"), col("token_entropy_u"),
+        round(col("types").cast("double") / col("n"), 4).as("ttr"))
+  }
+
   /** Multinomial naive-Bayes language classifier with add-one
     * smoothing: train token-given-class counts on the `doc_id % holdMod
     * != 0` fold, score the held-out fold, predict argmax_l [ ln P(l) +

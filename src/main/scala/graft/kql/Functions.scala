@@ -372,6 +372,7 @@ object Functions {
         transform(sc, x => when(x > excess, 1L).when(x < -excess, -1L)
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    "series_iir" -> f { case x :: b :: a :: Nil => seriesIir(x, b, a) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
     // degree-k polynomial least squares (x = 0..n−1): normal equations +
     // Gaussian elimination with partial pivoting; coefficients
@@ -1389,6 +1390,35 @@ object Functions {
         (acc, j) => acc + element_at(coefs, j).cast("double"))
       num / den
     })
+  }
+
+  /** ADX series_iir(x, b, a): infinite-impulse-response filter
+    * y[i] = (Σ_k b[k]·x[i−k] − Σ_{k≥1} a[k]·y[i−k]) / a[0], inputs
+    * zero-padded before the series start. EWMA is the b=[α],
+    * a=[1, α−1] special case; first-difference is b=[1,−1], a=[1].
+    * One O(n·(|a|+|b|)) fold per row building the output array
+    * incrementally (the recurrence needs its own history, so unlike
+    * series_fir this cannot be a flat transform). Empty/short coef
+    * guards matter: Spark's sequence(lo, hi) DESCENDS when lo > hi. */
+  private def seriesIir(x: Column, b: Column, a: Column): Column = {
+    val a0 = element_at(a, 1).cast("double")
+    aggregate(sequence(lit(1), size(x)),
+      array().cast("array<double>"),
+      (ys, i) => {
+        val bsum = when(size(b) >= 1,
+          aggregate(sequence(lit(1), size(b)), lit(0.0d),
+            (acc, j) => acc + when(i - j + 1 >= 1,
+              element_at(b, j).cast("double") *
+                element_at(x, i - j + 1).cast("double")).otherwise(lit(0.0d))))
+          .otherwise(lit(0.0d))
+        val asum = when(size(a) >= 2,
+          aggregate(sequence(lit(2), size(a)), lit(0.0d),
+            (acc, j) => acc + when(i - j + 1 >= 1,
+              element_at(a, j).cast("double") *
+                element_at(ys, i - j + 1)).otherwise(lit(0.0d))))
+          .otherwise(lit(0.0d))
+        concat(ys, array((bsum - asum) / a0))
+      })
   }
 
   private def seriesStats(a: Column): Column = {

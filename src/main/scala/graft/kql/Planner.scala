@@ -829,6 +829,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     case EvaluateOp("naive_bayes_lang", modE :: Nil) =>
       graft.ext.LlmOps.naiveBayesLangId(df, litLong(modE).toInt)
 
+    // `evaluate mmr_select(query_id, n_cand, k)`: diverse top-k over an
+    // embeddings-shaped frame (vec_id, embedding)
+    case EvaluateOp("mmr_select", qE :: nE :: kE :: Nil) =>
+      graft.ext.LlmOps.mmrSelect(df, litLong(qE), litLong(nE).toInt,
+        litLong(kE).toInt)
+
+    // `evaluate doc_entropy(text, id)`: per-doc token entropy + TTR
+    case EvaluateOp("doc_entropy", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
+        colNameOf(df, idE, "doc_entropy id"))
+
     // `evaluate dedup_url(url, quality, id)`: canonical-URL keep-best
     case EvaluateOp("dedup_url", urlE :: qE :: idE :: Nil) =>
       graft.ext.LlmOps.dedupByCanonicalUrl(df,

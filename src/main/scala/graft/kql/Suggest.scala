@@ -78,7 +78,7 @@ object Suggest {
     "bm25",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
     "chunk", "cms_count", "collocations", "containment_pairs", "dbscan",
-    "dedup_url", "heavy_hitters", "naive_bayes_lang", "profile",
+    "dedup_url", "doc_entropy", "heavy_hitters", "naive_bayes_lang", "profile",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
@@ -92,7 +92,7 @@ object Suggest {
     "knn_cosine", "label_propagation",
     "lang_id", "line_dedup", "line_dedup_incremental", "linreg",
     "logreg_score", "narrow",
-    "audio_meta", "media_dims", "mp3_meta", "neardup_groups",
+    "audio_meta", "media_dims", "mmr_select", "mp3_meta", "neardup_groups",
     "neardup_minhash",
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pca", "pii_scrub",

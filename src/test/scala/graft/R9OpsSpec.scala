@@ -161,6 +161,72 @@ class R9OpsSpec extends AnyFunSuite {
     assert(sR.getString(4) == "a" && sR.getString(5) == "b")
   }
 
+  test("series_iir matches a reference Scala fold on random dyadic inputs") {
+    val rnd = new scala.util.Random(11)
+    // dyadic inputs/coefs (multiples of 1/8) keep every fold state
+    // exactly representable, so Spark and the reference fold must agree
+    // BIT-exactly, not approximately
+    def dy() = rnd.nextInt(33).toDouble / 8.0 - 2.0
+    for (_ <- 1 to 10) {
+      val n = 1 + rnd.nextInt(12)
+      val xs = Seq.fill(n)(dy())
+      val b = Seq.fill(1 + rnd.nextInt(3))(dy())
+      val a = 1.0 +: Seq.fill(rnd.nextInt(2))(dy()) // a0 = 1
+      def ref: Seq[Double] = {
+        val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (i <- 1 to n) {
+          val bs = b.indices.map(k =>
+            if (i - k >= 1) b(k) * xs(i - k - 1) else 0.0).sum
+          val as = (1 until a.length).map(k =>
+            if (i - k >= 1) a(k) * ys(i - k - 1) else 0.0).sum
+          ys += (bs - as) / a.head
+        }
+        ys.toSeq
+      }
+      val got = Kql.run(spark,
+        s"""print y = series_iir(pack_array(${xs.mkString(", ")}),
+                                pack_array(${b.mkString(", ")}),
+                                pack_array(${a.mkString(", ")}))""", cat)
+        .head.getSeq[Double](0)
+      assert(got == ref, s"xs=$xs b=$b a=$a: $got != $ref")
+    }
+  }
+
+  test("mmrSelect: first pick is max relevance; later picks trade rel for diversity") {
+    val out = LlmOps.mmrSelect(
+      spark.read.parquet(TestSpark.sfDir + "/embeddings.parquet"),
+      queryId = 0, nCand = 16, k = 6).orderBy("step").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getLong(1)).distinct.length == 6, "picks must be distinct")
+    // step 1 has the globally max rel_u among picks, and mmr_u decreases:
+    // each greedy round's objective can only shrink (smaller candidate
+    // pool, larger selected set)
+    assert(out.head.getLong(2) == out.map(_.getLong(2)).max)
+    val mmrs = out.map(_.getLong(3)).toSeq
+    assert(mmrs == mmrs.sorted.reverse, s"mmr not non-increasing: $mmrs")
+  }
+
+  test("docEntropy: hand-checked values, single-type doc has zero entropy") {
+    val df = Seq((1L, "a a a a"), (2L, "a b a b"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+    val out = LlmOps.docEntropy(df).orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 0L) // ln(1) = 0
+    // doc 2: two types, each c=2, n=4: micro = round(ln(2)*1e6) = 693147
+    assert(out(1).getLong(3) == 4L * 693147L)
+    // doc 3: four types c=1, n=4: micro = round(ln(4)*1e6) = 1386294
+    assert(out(2).getLong(3) == 4L * 1386294L)
+    assert(out(2).getDouble(4) == 1.0 && out(0).getDouble(4) == 0.25)
+  }
+
+  test("doc_entropy/mmr_select reachable from KQL") {
+    val de = Kql.run(spark,
+      "documents | evaluate doc_entropy(text, doc_id) | take 5", cat).collect()
+    assert(de.length == 5)
+    val mm = Kql.run(spark,
+      "embeddings | evaluate mmr_select(0, 16, 4)", cat).collect()
+    assert(mm.length == 4)
+  }
+
   test("heavy_hitters/collocations/naive_bayes/dedup_url reachable from KQL") {
     val hh = Kql.run(spark,
       "documents | evaluate heavy_hitters(256, 5, text)", cat).collect()
