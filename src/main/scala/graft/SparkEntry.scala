@@ -3856,6 +3856,73 @@ object SparkEntry {
     "tmp_stream_topk" -> Q(
       (s, dir) => streamTopkQuery(s, dir),
       Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id < 40) SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10""")),
+
+    // HTML text extraction round trip: each doc is wrapped in a planted
+    // page (title/style/script/comment/entity noise, text entity-escaped
+    // going in); html_strip must recover exactly the known planted
+    // content — the oracle DERIVES it, never parses, so any
+    // script-block / tag / entity / whitespace bug mismatches
+    "llm_html_strip" -> Q(
+      (s, dir) => {
+        val esc = replace(replace(replace(coalesce(col("text"), lit("")),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+          lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>T"), col("doc_id"),
+          lit("</title><style>p { color: red; }</style>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "</head>\n<body><h1>Doc "),
+          col("doc_id"), lit("</h1><p>"), esc,
+          lit("</p><!-- hidden --> <div>&amp;&nbsp;&quot;end&quot;" +
+            "</div></body></html>"))
+        docs(s, dir).select(col("doc_id"), html.as("h"))
+          .select(col("doc_id"),
+            graft.kql.Functions.registry("html_strip")(List(col("h")))
+              .as("extracted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, trim(regexp_replace(COALESCE(text,''), '\s+', ' ', 'g')) AS tx FROM documents) SELECT doc_id, 'T' || CAST(doc_id AS VARCHAR) || ' Doc ' || CAST(doc_id AS VARCHAR) || CASE WHEN tx = '' THEN '' ELSE ' ' || tx END || ' & "end"' AS extracted FROM t ORDER BY doc_id""")),
+
+    // Flesch / FK-grade readability: all-integer micro scores (floor
+    // div per term) -> value-exact
+    "llm_readability" -> Q(
+      (s, dir) => LlmOps.readability(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1) AS toks, COALESCE(text,'') AS tx FROM documents), b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, CAST(GREATEST(1, len(regexp_extract_all(tx, '[.!?]+'))) AS BIGINT) AS n_sentences, CAST(list_sum(list_transform(toks, w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT) AS n_syllables FROM t WHERE len(toks) > 0) SELECT doc_id, n_words, n_sentences, n_syllables, CAST(206835000 - (1015000 * n_words) // n_sentences - (84600000 * n_syllables) // n_words AS BIGINT) AS flesch_u, CAST((390000 * n_words) // n_sentences + (11800000 * n_syllables) // n_words - 15590000 AS BIGINT) AS fk_grade_u FROM b ORDER BY doc_id""")),
+
+    // Snapshot diff: old = orders minus key%97, new = orders minus
+    // key%89 with totalprice perturbed on key%7 — added/removed/
+    // changed/unchanged counts must land exactly; the oracle compares
+    // COLUMNS directly (the Spark side compares md5 row digests — two
+    // different methods agreeing is the point)
+    "tmp_table_diff" -> Q(
+      (s, dir) => {
+        val ord = s.read.parquet(s"$dir/orders.parquet")
+        val old = ord.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        val nw = ord.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(7)) === 0,
+              col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+        graft.ext.TableOps.tableDiff(old, nw, Seq("o_orderkey"))
+          .groupBy("status").agg(count(lit(1)).as("n"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+          .orderBy("status")
+      },
+      Some("""WITH old AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0), nw AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS tp FROM orders WHERE o_orderkey % 89 <> 0), d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k, CASE WHEN o.o_orderkey IS NULL THEN 'added' WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_totalprice = n.tp THEN 'unchanged' ELSE 'changed' END AS status FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey) SELECT status, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // Compaction planner: 503 synthetic "files" (cents-sized) packed to
+    // 2 GB bins by sorted next-fit; the whole assignment replays as one
+    // SQL window -> value-exact
+    "tmp_compact_plan" -> Q(
+      (s, dir) => {
+        val files = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(pmod(col("l_orderkey"), lit(503)).as("file_id"))
+          .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+            .as("size_bytes"))
+        graft.ext.TableOps.compactPlan(files, "size_bytes", "file_id",
+            2000000000L)
+          .orderBy("bin", "file_id")
+      },
+      Some("""WITH f AS (SELECT CAST(l_orderkey % 503 AS BIGINT) AS file_id, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes FROM lineitem GROUP BY 1), c AS (SELECT file_id, size_bytes, SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM f) SELECT file_id, size_bytes, CAST((cum - size_bytes) // 2000000000 AS BIGINT) AS bin FROM c ORDER BY bin, file_id""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

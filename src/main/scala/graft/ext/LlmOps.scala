@@ -4154,6 +4154,37 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Flesch reading-ease + Flesch-Kincaid grade level per document —
+    * the classical readability gates next to the length/punct quality
+    * score. Dictionary-free syllable heuristic: vowel-group count per
+    * token, min 1; sentences = [.!?]+ runs, min 1. Every score is
+    * computed in INTEGER micro units (coefficients ×10⁶, integer div —
+    * the q156 exact-division convention) so scores, ordering, and any
+    * downstream threshold cut are value-exact cross-engine. One per-row
+    * projection, zero shuffles; empty docs are dropped (no word base).
+    * Flesch ≈ 206.835 − 1.015·w/s − 84.6·syl/w; FK grade ≈ 0.39·w/s +
+    * 11.8·syl/w − 15.59 (each term floor-divided in micros). */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    docs.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(txt(textCol), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        aggregate(toks, lit(0L), (acc, t) => acc +
+          greatest(lit(1L), regexp_count(t, lit("[aeiouy]+")).cast("long")))
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_u", expr(
+        "206835000L - (1015000L * n_words) div n_sentences" +
+          " - (84600000L * n_syllables) div n_words"))
+      .withColumn("fk_grade_u", expr(
+        "(390000L * n_words) div n_sentences" +
+          " + (11800000L * n_syllables) div n_words - 15590000L"))
+  }
+
   /** Multinomial naive-Bayes language classifier with add-one
     * smoothing: train token-given-class counts on the `doc_id % holdMod
     * != 0` fold, score the held-out fold, predict argmax_l [ ln P(l) +

@@ -603,6 +603,10 @@ object Functions {
     // regexp/array Column ops in codegen; non-URLs (no scheme://) pass
     // through with only fragment stripping so the op is total.
     "url_normalize" -> f { case u0 :: Nil => urlNormalize(u0.cast("string")) },
+    // crawl-layer text extraction: drop script/style blocks wholesale,
+    // strip comments + every remaining tag, decode the six standard
+    // entities, collapse whitespace; total on any string (see htmlStrip)
+    "html_strip" -> f { case h :: Nil => htmlStrip(h.cast("string")) },
     // simplified UA parsing (the public token heuristics: Edge before
     // Chrome before Safari; OS from platform tokens) — pure when-chains
     // and regexp_extract, no UDF, no lookup tables
@@ -762,6 +766,30 @@ object Functions {
     "series_cusum_detect" -> f { case a :: t :: k :: Nil =>
       seriesCusumDetect(a, t, k) },
   )
+
+  /** Crawl-layer HTML → text extraction (the step between media-type
+    * routing and every text-quality op): remove script/style elements
+    * with their CONTENT (code is not prose), strip comments and all
+    * remaining tags to a space (block/inline distinction collapses
+    * under the final whitespace fold anyway), decode the six standard
+    * entities with `&amp;` LAST (single-pass decoder semantics:
+    * "&amp;lt;" yields the literal "&lt;", never "<"), collapse
+    * whitespace, trim. Pure regexp/replace chain in whole-stage
+    * codegen; non-HTML passes through with only whitespace collapsing,
+    * so the function is total. */
+  private def htmlStrip(h0: Column): Column = {
+    val h = coalesce(h0, lit(""))
+    val noScript =
+      regexp_replace(h, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 
   /** See the `url_normalize` registry note for the rule set. */
   private def urlNormalize(u0: Column): Column = {

@@ -840,6 +840,28 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate readability(text, id)`: Flesch / FK-grade integer-micro
+    // readability signals per doc
+    case EvaluateOp("readability", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.readability(df,
+        colNameOf(df, textE, "readability text"),
+        colNameOf(df, idE, "readability id"))
+
+    // `evaluate table_diff(NewTable, key1 [, key2 ...])`: snapshot
+    // reconciliation — classify keys added/removed/changed/unchanged
+    // between the piped (old) table and NewTable
+    case EvaluateOp("table_diff", Col(tbl) :: keyEs) if keyEs.nonEmpty =>
+      val nw = letTables.getOrElse(tbl, catalog.table(tbl))
+      val keys = keyEs.map(e => colNameOf(df, e, "table_diff key"))
+      graft.ext.TableOps.tableDiff(df, nw, keys)
+
+    // `evaluate compact_plan(targetBytes, size, id)`: small-file
+    // bin-packing over a file-metadata frame
+    case EvaluateOp("compact_plan", tE :: sizeE :: idE :: Nil) =>
+      graft.ext.TableOps.compactPlan(df,
+        colNameOf(df, sizeE, "compact_plan size"),
+        colNameOf(df, idE, "compact_plan id"), litLong(tE))
+
     // `evaluate dedup_url(url, quality, id)`: canonical-URL keep-best
     case EvaluateOp("dedup_url", urlE :: qE :: idE :: Nil) =>
       graft.ext.LlmOps.dedupByCanonicalUrl(df,

@@ -77,8 +77,10 @@ object Suggest {
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "bm25",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
-    "chunk", "cms_count", "collocations", "containment_pairs", "dbscan",
+    "chunk", "cms_count", "collocations", "compact_plan",
+    "containment_pairs", "dbscan",
     "dedup_url", "doc_entropy", "heavy_hitters", "naive_bayes_lang", "profile",
+    "readability", "table_diff",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{LlmOps, TableOps}
+import graft.kql.{Kql, Catalog, Functions}
+
+/** Round-10 operators: html_strip crawl extraction, Flesch/FK
+  * readability, snapshot table diff, and the compaction planner. */
+class R10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = Catalog(spark, TestSpark.sfDir)
+  import spark.implicits._
+
+  private def strip(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("h")
+    df.select(Functions.registry("html_strip")(List(col("h"))).as("x"))
+      .head.getString(0)
+  }
+
+  test("html_strip: script/style content dropped, tags stripped, entities decoded") {
+    assert(strip("<html><body><p>Hello <b>world</b></p></body></html>") ==
+      "Hello world")
+    // script/style CONTENT must vanish, not just the tags
+    assert(strip("<script>var x = '<p>not text</p>';</script>after") == "after")
+    assert(strip("<style>p { color: red; }</style>text") == "text")
+    // case-insensitive, attributes, multiline blocks
+    assert(strip("<SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT>ok") == "ok")
+    // comments go, including markup inside them
+    assert(strip("a<!-- <p>ghost</p> -->b") == "a b")
+    // entity decoding with &amp; LAST: "&amp;lt;" is the LITERAL "&lt;"
+    assert(strip("x &amp; y") == "x & y")
+    assert(strip("&lt;tag&gt;") == "<tag>")
+    assert(strip("&amp;lt;") == "&lt;")
+    assert(strip("a&nbsp;b &quot;q&quot; &#39;s&#39;") == "a b \"q\" 's'")
+    // whitespace collapse + trim; non-HTML passes through (total)
+    assert(strip("  plain   text\nhere  ") == "plain text here")
+    assert(strip("") == "")
+  }
+
+  test("readability: hand-checked counts and integer-micro scores") {
+    val df = Seq(
+      (1L, "the cat sat. it ran away!"),
+      (2L, "a"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = LlmOps.readability(df).orderBy("doc_id").collect()
+    // doc 3 has no words -> dropped
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val r1 = out(0)
+    // words: the cat sat. it ran away! -> 6; sentences: 2 runs of [.!?]
+    // syllables: the=1 cat=1 sat.=1 it=1 ran=1 away!=2 (a, ay) -> 7
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 2L && r1.getLong(3) == 7L)
+    val fleschU = 206835000L - (1015000L * 6) / 2 - (84600000L * 7) / 6
+    val fkU = (390000L * 6) / 2 + (11800000L * 7) / 6 - 15590000L
+    assert(r1.getLong(4) == fleschU, s"flesch ${r1.getLong(4)} != $fleschU")
+    assert(r1.getLong(5) == fkU)
+    // single consonant-free-vowel word: min-1 syllable rule
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L && r2.getLong(3) == 1L)
+  }
+
+  test("tableDiff: added/removed/changed/unchanged incl. null handling") {
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), None),
+      (3L, Some("c"), Some(3.0)), (4L, None, Some(4.0)))
+      .toDF("k", "s", "v")
+    val nw = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (4L, None, Some(4.0)), (5L, Some("e"), Some(5.0)))
+      .toDF("k", "s", "v")
+    val m = TableOps.tableDiff(old, nw, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("tableDiff: multi-column keys and value-vs-null transitions") {
+    val old = Seq[(String, Long, Option[String])](("x", 1L, Some("p")),
+      ("x", 2L, None)).toDF("a", "b", "v")
+    val nw = Seq[(String, Long, Option[String])](("x", 1L, None),
+      ("x", 2L, None)).toDF("a", "b", "v")
+    val m = TableOps.tableDiff(old, nw, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    // value -> null is CHANGED (null sentinel distinct from any value)
+    assert(m == Map(("x", 1L) -> "changed", ("x", 2L) -> "unchanged"))
+  }
+
+  test("compactPlan: sorted next-fit bins match a hand replay; bins near target") {
+    val files = Seq((1L, 70L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 25L),
+      (6L, 50L)).toDF("fid", "sz")
+    val out = TableOps.compactPlan(files, "sz", "fid", 100L)
+      .orderBy("fid").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // order (sz desc, fid asc): 70,50(f2),50(f6),40,30,25 cum 70,120,170,210,240,265
+    // bin = (cum - sz) div 100     :  0,  0,  1,  1,  2,  2
+    assert(out == Map(1L -> 0L, 2L -> 0L, 6L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 2L))
+  }
+
+  test("compactPlan: deterministic across repartitionings") {
+    val base = (1L to 500L).map(i => (i, (i * 7919) % 997 + 1))
+    val a = TableOps.compactPlan(base.toDF("fid", "sz").repartition(13),
+      "sz", "fid", 5000L).orderBy("fid").collect().toSeq
+    val b = TableOps.compactPlan(base.toDF("fid", "sz").repartition(2),
+      "sz", "fid", 5000L).orderBy("fid").collect().toSeq
+    assert(a == b)
+    // every bin except the last lands within max-file-size of target
+    val bins = a.map(r => r.getLong(2) -> r.getLong(1))
+      .groupBy(_._1).map { case (bin, xs) => bin -> xs.map(_._2).sum }
+    val lastBin = bins.keys.max
+    bins.filter(_._1 != lastBin).foreach { case (bin, tot) =>
+      assert(tot >= 5000L - 997 && tot <= 5000L + 997, s"bin $bin = $tot")
+    }
+  }
+
+  test("readability/table_diff/compact_plan reachable from KQL; html_strip in exprs") {
+    val rd = Kql.run(spark,
+      "documents | evaluate readability(text, doc_id) | take 5", cat).collect()
+    assert(rd.length == 5)
+    val td = Kql.run(spark,
+      "orders | evaluate table_diff(orders, o_orderkey) | summarize n = count() by status",
+      cat).collect()
+    assert(td.length == 1 && td.head.getString(0) == "unchanged")
+    val cp = Kql.run(spark,
+      """lineitem
+        | summarize sz = sum(tolong(l_quantity)) by fid = l_orderkey % 100
+        | evaluate compact_plan(500, sz, fid)
+        | summarize n_bins = dcount(bin)""", cat).collect()
+    assert(cp.head.getLong(0) >= 2L)
+    val hs = Kql.run(spark,
+      """print x = html_strip("<p>a &amp; b</p>")""", cat).collect()
+    assert(hs.head.getString(0) == "a & b")
+  }
+}
