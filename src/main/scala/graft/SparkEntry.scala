@@ -3857,6 +3857,15 @@ object SparkEntry {
       (s, dir) => streamTopkQuery(s, dir),
       Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id < 40) SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10""")),
 
+    // Exact duplicated-substring removal (Lee et al. 2021, token
+    // granular): DuckDB replays the whole rewrite — windows, md5
+    // identities, global first-occurrence owners (packed doc*1e6+pos),
+    // covered-token union, ordered reassembly — value-exact
+    "llm_dedup_substring" -> Q(
+      (s, dir) => LlmOps.dedupSubstringRemove(docs(s, dir), spanLen = 8)
+        .orderBy("doc_id"),
+      Some("""WITH b2 AS (SELECT doc_id, list_filter(string_split(COALESCE(text,''),' '), x->len(x)>=1) AS toks, CAST(len(list_filter(string_split(COALESCE(text,''),' '), x->len(x)>=1)) AS BIGINT) AS n FROM documents), w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h FROM b2, unnest(generate_series(1, CAST(n AS INTEGER) - 7)) s(i) WHERE n >= 8), own AS (SELECT h, MIN(doc_id * 1000000 + pos) AS o, COUNT(*) AS cnt FROM w GROUP BY 1), dup AS (SELECT w.doc_id, w.pos FROM w JOIN own ON w.h = own.h WHERE own.cnt > 1 AND w.doc_id * 1000000 + w.pos <> own.o), cov AS (SELECT DISTINCT doc_id, t FROM dup, unnest(generate_series(pos, pos + 7)) s(t)), tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, toks[i] AS tok FROM b2, unnest(generate_series(1, CAST(n AS INTEGER))) s(i) WHERE n >= 1), kept AS (SELECT tp.doc_id, tp.t, tp.tok FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.t WHERE cov.doc_id IS NULL), agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS text_kept, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1) SELECT b2.doc_id, COALESCE(agg.text_kept, '') AS text_kept, b2.n AS n_tokens, b2.n - COALESCE(agg.n_kept, 0) AS n_removed FROM b2 LEFT JOIN agg USING (doc_id) ORDER BY b2.doc_id""")),
+
     // HTML text extraction round trip: each doc is wrapped in a planted
     // page (title/style/script/comment/entity noise, text entity-escaped
     // going in); html_strip must recover exactly the known planted

@@ -4154,6 +4154,73 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Exact duplicated-substring REMOVAL (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operation, token-granular): every span of L consecutive tokens
+    * that occurs more than once corpus-wide keeps only its FIRST
+    * occurrence (global min (doc, pos)); all other occurrences have
+    * their tokens cut out and the surviving tokens are reassembled in
+    * order. Catches within-doc repetition too (the first in-doc copy
+    * is the keeper). Unlike line_dedup this needs no delimiter
+    * structure — it is the fallthrough for boilerplate that re-wraps
+    * across lines.
+    *
+    * Determinism/portability: window identity = md5 over the
+    * space-joined ORIGINAL tokens (whitespace-split ⇒ the join is
+    * injective; case-sensitive like the published op), owner = min
+    * struct(doc, pos) — all engine-portable, so the whole rewrite is
+    * VALUE-EXACT in DuckDB (which packs the owner as doc·10⁶+pos; the
+    * documented contract is < 10⁶ tokens per document).
+    *
+    * Scale shape: one window explode (n windows/doc), one hash
+    * aggregate for owners, one join back, then covered-token explode
+    * bounded by L × duplicate-occurrence count (duplicates only — the
+    * clean corpus never expands), one anti-join, one per-doc ordered
+    * reassembly aggregate. All narrow-keyed shuffles; no windows over
+    * data, no driver state. */
+  def dedupSubstringRemove(docs: DataFrame, spanLen: Int = 8,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(spanLen >= 2, "dedupSubstringRemove: spanLen must be >= 2")
+    val toksArr = filter(split(txt(textCol), "\\s+"), t => length(t) >= 1)
+    val base = spread(docs)
+      .select(col(idCol).as("id"), toksArr.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val wins = base.filter(col("n") >= spanLen)
+      .select(col("id"), explode(transform(
+        sequence(lit(0L), col("n") - spanLen),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("toks"), (i + 1).cast("int"),
+            lit(spanLen)))).as("h")))).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val owners = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("o"),
+        count(lit(1)).as("cnt"))
+    val dups = wins
+      .join(owners.filter(col("cnt") > 1).select(col("h"), col("o")),
+        Seq("h"))
+      .filter(!(col("id") === col("o.id") && col("pos") === col("o.pos")))
+    val covered = dups
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1).cast("long")))
+          .as("t"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("t", "tok")))
+      .withColumn("t", col("t").cast("long"))
+      .join(covered, Seq("id", "t"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok"))).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+    base.join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        col("n").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Flesch reading-ease + Flesch-Kincaid grade level per document —
     * the classical readability gates next to the length/punct quality
     * score. Dictionary-free syllable heuristic: vowel-group count per

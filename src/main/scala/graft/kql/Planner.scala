@@ -840,6 +840,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate dedup_substring(L, text, id)`: remove duplicated
+    // L-token spans corpus-wide, keeping each span's first occurrence
+    case EvaluateOp("dedup_substring", lE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.dedupSubstringRemove(df, litLong(lE).toInt,
+        colNameOf(df, textE, "dedup_substring text"),
+        colNameOf(df, idE, "dedup_substring id"))
+
     // `evaluate readability(text, id)`: Flesch / FK-grade integer-micro
     // readability signals per doc
     case EvaluateOp("readability", textE :: idE :: Nil) =>

@@ -79,7 +79,8 @@ object Suggest {
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
     "chunk", "cms_count", "collocations", "compact_plan",
     "containment_pairs", "dbscan",
-    "dedup_url", "doc_entropy", "heavy_hitters", "naive_bayes_lang", "profile",
+    "dedup_substring", "dedup_url", "doc_entropy", "heavy_hitters",
+    "naive_bayes_lang", "profile",
     "readability", "table_diff",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",

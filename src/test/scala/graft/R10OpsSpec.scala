@@ -110,7 +110,54 @@ class R10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSubstringRemove: cross-doc span cut, owner keeps, clean docs untouched") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (1L, s"intro $span tail1"),          // owner (min doc, pos)
+      (2L, s"other $span tail2"),          // duplicate -> span removed
+      (3L, "a totally distinct document"), // untouched
+      (4L, span)                           // duplicate, fully covered
+    ).toDF("doc_id", "text")
+    val out = LlmOps.dedupSubstringRemove(df, spanLen = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == s"intro $span tail1")
+    assert(out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "other tail2" && out(1).getLong(3) == 8L)
+    assert(out(2).getString(1) == "a totally distinct document")
+    assert(out(3).getString(1) == "" && out(3).getLong(3) == 8L)
+  }
+
+  test("dedupSubstringRemove: within-doc repetition keeps the first copy") {
+    val span = (1 to 8).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, s"$span mid $span")).toDF("doc_id", "text")
+    val out = LlmOps.dedupSubstringRemove(df, spanLen = 8).collect()
+    assert(out.head.getString(1) == s"$span mid")
+    assert(out.head.getLong(3) == 8L)
+  }
+
+  test("dedupSubstringRemove: overlapping duplicate windows merge their covered spans") {
+    // doc 2 repeats a 9-token span: two overlapping 8-windows both dup,
+    // covered union = 9 tokens, not 16
+    val span9 = (1 to 9).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, s"$span9 end"), (2L, s"pre $span9")).toDF("doc_id", "text")
+    val out = LlmOps.dedupSubstringRemove(df, spanLen = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "pre" && out(1).getLong(3) == 9L)
+  }
+
+  test("dedupSubstringRemove: the fixture corpus actually contains duplicate spans") {
+    val out = LlmOps.dedupSubstringRemove(
+      spark.read.parquet(TestSpark.sfDir + "/documents.parquet"), spanLen = 8)
+    val removed = out.agg(sum("n_removed")).head.getLong(0)
+    assert(removed > 0, "expected shared 8-token spans in the fixture")
+  }
+
   test("readability/table_diff/compact_plan reachable from KQL; html_strip in exprs") {
+    val ds = Kql.run(spark,
+      "documents | evaluate dedup_substring(8, text, doc_id) | take 5",
+      cat).collect()
+    assert(ds.length == 5)
     val rd = Kql.run(spark,
       "documents | evaluate readability(text, doc_id) | take 5", cat).collect()
     assert(rd.length == 5)
