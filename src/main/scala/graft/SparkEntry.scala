@@ -176,6 +176,51 @@ object SparkEntry {
     s.table("graft_stream_topk_sink").orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** tmp_stream_session body: stateful SESSION WINDOWS made driver-
+    * visible — gap-based sessions (30 min) per user over two time-
+    * ordered micro-batches in append mode. Sessions spanning the batch
+    * boundary MUST merge across batches (the state-crossing proof);
+    * the oracle recomputes sessionization over both batches in one
+    * gaps-and-islands pass, so a session split at the boundary would
+    * mismatch start/end/n_events. Append mode only emits watermark-
+    * CLOSED sessions, so two far-future sentinel batches (user −1,
+    * filtered out) push the watermark past every real session's end —
+    * watermarks advance between batches, hence two flushes. */
+  def streamSessionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val maxTs = evs.map(_._2).max
+    // split at the median id so BOTH batches are non-empty at every SF
+    // (sf0.001's slice tops out below id 1000); events are time-ordered
+    // by event_id, so batch 2 never falls behind batch 1's watermark
+    val halfId = evs.map(_._1).max / 2
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val src = ms.toDF().toDF("event_id", "ts_us", "user_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val sess = graft.streaming.StreamingOps.sessionAgg(
+      src, "30 minutes", "10 seconds")
+      .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
+        unix_micros(col("sess_end")).as("end_us"), col("n_events"))
+    val q = sess.writeStream.format("memory")
+      .queryName("graft_stream_session_sink").outputMode("append").start()
+    try {
+      ms.addData(evs.filter(_._1 < halfId): _*)
+      q.processAllAvailable()
+      ms.addData(evs.filter(_._1 >= halfId) :+
+        ((888888L, maxTs + 86400L * 1000000L, -1L)): _*)
+      q.processAllAvailable()
+      ms.addData((888889L, maxTs + 2 * 86400L * 1000000L, -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_stream_session_sink").filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_us")
+  }
+
   def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -3856,6 +3901,32 @@ object SparkEntry {
     "tmp_stream_topk" -> Q(
       (s, dir) => streamTopkQuery(s, dir),
       Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id < 40) SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 10""")),
+
+    // Pairwise source token-set Jaccard (corpus-composition audit):
+    // inverted-index self-join over distinct (source, token), integer
+    // micros -> value-exact
+    "llm_source_similarity" -> Q(
+      (s, dir) => LlmOps.sourceSimilarity(docs(s, dir))
+        .orderBy("src_a", "src_b"),
+      Some("""WITH st AS (SELECT DISTINCT src, tok FROM (SELECT source AS src, unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents)), sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1), it AS (SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS inter FROM st a JOIN st b ON a.tok = b.tok AND a.src < b.src GROUP BY 1, 2) SELECT src_a, src_b, za.n AS n_a, zb.n AS n_b, inter, CAST((inter * 1000000) // (za.n + zb.n - inter) AS BIGINT) AS jaccard_u FROM it JOIN sz za ON za.src = it.src_a JOIN sz zb ON zb.src = it.src_b ORDER BY src_a, src_b""")),
+
+    // Tukey-fence outliers per returnflag over integer cents:
+    // nearest-rank quartiles, all-integer fences -> value-exact
+    "tmp_iqr_outliers" -> Q(
+      (s, dir) => graft.ext.TableOps.iqrOutliers(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("cents",
+            expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")),
+        "cents", "l_returnflag").orderBy("l_returnflag"),
+      Some("""WITH t AS (SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem), r AS (SELECT g, v, CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS r, CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM t), q AS (SELECT g, MIN(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS p25, MIN(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS p75 FROM r GROUP BY 1), f AS (SELECT g, p25, p75, p25 - (3 * (p75 - p25)) // 2 AS lo_fence, p75 + (3 * (p75 - p25)) // 2 AS hi_fence FROM q) SELECT t.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, CAST(f.p25 AS BIGINT) AS p25, CAST(f.p75 AS BIGINT) AS p75, CAST(f.lo_fence AS BIGINT) AS lo_fence, CAST(f.hi_fence AS BIGINT) AS hi_fence, CAST(SUM(CASE WHEN t.v < f.lo_fence OR t.v > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM t JOIN f ON t.g = f.g GROUP BY t.g, f.p25, f.p75, f.lo_fence, f.hi_fence ORDER BY 1""")),
+
+    // Streaming session windows (append mode, 2 data batches + 2
+    // sentinel flushes): final emitted sessions must equal the batch
+    // gaps-and-islands recompute over BOTH batches — a session split at
+    // the batch boundary would mismatch
+    "tmp_stream_session" -> Q(
+      (s, dir) => streamSessionQuery(s, dir),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_id <= 2000), o AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) SELECT user_id, CAST(MIN(t) AS BIGINT) AS start_us, CAST(MAX(t) + 1800000000 AS BIGINT) AS end_us, CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""")),
 
     // Exact duplicated-substring removal (Lee et al. 2021, token
     // granular): DuckDB replays the whole rewrite — windows, md5

@@ -4154,6 +4154,33 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Pairwise token-set Jaccard similarity between ingest SOURCES —
+    * the corpus-composition audit (mirror detection, over-represented
+    * domain families) next to source_kl's distributional drift. Work =
+    * inverted-index self-join over DISTINCT (source, token) rows: a
+    * token in s sources costs s² — bounded by vocabulary × sources²,
+    * never corpus². Jaccard in integer micros (inter·10⁶ div union) ⇒
+    * value-exact. Source sizes ride broadcast joins. */
+  def sourceSimilarity(docs: DataFrame, textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val st = spread(docs).select(col(srcCol).as("src"),
+        explode(filter(split(lower(txt(textCol)), "\\s+"),
+          t => length(t) >= 1)).as("tok"))
+      .distinct()
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("n"))
+    val a = st.select(col("tok"), col("src").as("src_a"))
+    val b = st.select(col("tok"), col("src").as("src_b"))
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard_u",
+        expr("(inter * 1000000L) div (n_a + n_b - inter)"))
+      .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard_u")
+  }
+
   /** Exact duplicated-substring REMOVAL (the Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better"
     * operation, token-granular): every span of L consecutive tokens

@@ -840,6 +840,20 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate source_similarity(text, source)`: pairwise source
+    // token-set Jaccard (corpus-composition audit)
+    case EvaluateOp("source_similarity", textE :: srcE :: Nil) =>
+      graft.ext.LlmOps.sourceSimilarity(df,
+        colNameOf(df, textE, "source_similarity text"),
+        colNameOf(df, srcE, "source_similarity source"))
+
+    // `evaluate iqr_outliers(val, by)`: Tukey-fence outlier counts per
+    // group over an integer measure
+    case EvaluateOp("iqr_outliers", valE :: byE :: Nil) =>
+      graft.ext.TableOps.iqrOutliers(df,
+        colNameOf(df, valE, "iqr_outliers val"),
+        colNameOf(df, byE, "iqr_outliers by"))
+
     // `evaluate dedup_substring(L, text, id)`: remove duplicated
     // L-token spans corpus-wide, keeping each span's first occurrence
     case EvaluateOp("dedup_substring", lE :: textE :: idE :: Nil) =>

@@ -80,8 +80,9 @@ object Suggest {
     "chunk", "cms_count", "collocations", "compact_plan",
     "containment_pairs", "dbscan",
     "dedup_substring", "dedup_url", "doc_entropy", "heavy_hitters",
+    "iqr_outliers",
     "naive_bayes_lang", "profile",
-    "readability", "table_diff",
+    "readability", "source_similarity", "table_diff",
     "contamination", "cosine_groups", "ngram_counts",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",

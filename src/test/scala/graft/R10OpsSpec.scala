@@ -153,7 +153,65 @@ class R10OpsSpec extends AnyFunSuite {
     assert(removed > 0, "expected shared 8-token spans in the fixture")
   }
 
+  test("sourceSimilarity: hand corpus with known Jaccard, bounds hold") {
+    val df = Seq(
+      (1L, "a b c d", "s1"), (2L, "c d e f", "s2"), (3L, "x y", "s3"),
+      (4L, "a b", "s1") // dup tokens within a source count once
+    ).toDF("doc_id", "text", "source")
+    val out = LlmOps.sourceSimilarity(df).orderBy("src_a", "src_b").collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1 = {a,b,c,d}, s2 = {c,d,e,f}: inter 2, union 6 -> 333333
+    assert(m(("s1", "s2")) == (4L, 4L, 2L, 333333L))
+    // disjoint pairs produce no row (inverted index never joins them)
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")))
+    out.foreach { r =>
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("iqrOutliers: hand-checked nearest-rank quartiles and fences") {
+    // group g: values 1..8 plus outlier 100 -> n=9, r25=ceil(2.25)=3,
+    // r75=ceil(6.75)=7 -> p25=3, p75=7, iqr=4, fences [-3, 13], 1 outlier
+    val df = ((1L to 8L) :+ 100L).map(v => ("g", v)).toDF("grp", "v")
+    val r = TableOps.iqrOutliers(df, "v", "grp").collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == 3L && r.getLong(3) == 7L)
+    assert(r.getLong(4) == -3L && r.getLong(5) == 13L && r.getLong(6) == 1L)
+  }
+
+  test("iqrOutliers: tiny group degenerates to p25 = p75, zero outliers") {
+    val df = Seq(("h", 5L), ("h", 5L)).toDF("grp", "v")
+    val r = TableOps.iqrOutliers(df, "v", "grp").collect().head
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L && r.getLong(6) == 0L)
+  }
+
+  test("stream sessions: at least one emitted session spans the batch boundary") {
+    val dir = TestSpark.sfDir
+    // boundary = last batch-1 event's ts (batches split at half max id)
+    val slice = spark.read.parquet(dir + "/events.parquet")
+      .filter(col("event_id") <= 2000)
+    val halfId = slice.agg(max("event_id")).head.getLong(0) / 2
+    val boundaryTs = slice.filter(col("event_id") < halfId)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+    val sessions = SparkEntry.streamSessionQuery(spark, dir).collect()
+    assert(sessions.nonEmpty)
+    val spanning = sessions.count(r =>
+      r.getLong(1) < boundaryTs && r.getLong(2) > boundaryTs)
+    assert(spanning > 0,
+      "no session spans the micro-batch boundary - the state-crossing " +
+        "proof would be vacuous")
+  }
+
   test("readability/table_diff/compact_plan reachable from KQL; html_strip in exprs") {
+    val ss = Kql.run(spark,
+      "documents | evaluate source_similarity(text, source) | take 3",
+      cat).collect()
+    assert(ss.length == 3)
+    val iq = Kql.run(spark,
+      """lineitem
+        | extend cents = tolong(round(l_extendedprice * 100))
+        | evaluate iqr_outliers(cents, l_returnflag)""", cat).collect()
+    assert(iq.length == 3)
     val ds = Kql.run(spark,
       "documents | evaluate dedup_substring(8, text, doc_id) | take 5",
       cat).collect()
