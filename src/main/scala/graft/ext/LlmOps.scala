@@ -4154,6 +4154,106 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** SentencePiece-style unigram-LM Viterbi segmentation (Kudo 2018)
+    * — the third tokenizer family next to the BPE trainer/tokenizer:
+    * build a data-derived piece vocabulary (all substrings of length
+    * 1..4 of the distinct words weighted by corpus frequency; top
+    * `vocabTop` by (count desc, piece asc) UNION every single char so
+    * coverage is total), assign each piece lp = round(ln(cnt/total)
+    * ·10⁶) integer micros over the SELECTED set, then segment each
+    * word by the max-log-prob piece path. Ties break to the LONGEST
+    * last piece (min split point) — deterministic, so the whole DP
+    * replays value-exact in SQL (unrolled per position, the mmr
+    * convention). Words longer than `maxWordLen` chars are out of
+    * contract (filtered; the fixture vocabulary is far shorter).
+    *
+    * Scale shape: vocabulary work only after one corpus token
+    * aggregate — substring explode runs over DISTINCT words × ≤ 4·len
+    * pieces; the DP is a per-word aggregate FOLD over its ≤ 4·len
+    * collected edge structs (runtime iteration, not plan-time unroll —
+    * the series_iir lesson), so no vocab literal ever enters the plan
+    * and the candidate join is one broadcast. Output is top-k words by
+    * frequency via TakeOrderedAndProject. */
+  def unigramSegment(docs: DataFrame, vocabTop: Int = 256, topK: Int = 200,
+                     maxWordLen: Int = 12, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val words = spread(docs)
+      .select(explode(filter(split(lower(txt(textCol)), "\\s+"),
+        t => length(t) >= 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) <= maxWordLen)
+    words.persist()
+    trackedPersists.add(words)
+    // candidate pieces: every substring of length 1..4, weighted by
+    // word frequency per occurrence position
+    // sequence(a, b) DESCENDS when a > b — every inner range is
+    // guarded on word length (the bigram/chunk lesson)
+    val pieces = words
+      .select(col("freq"), explode(flatten(transform(sequence(lit(1), lit(4)),
+        l => when(length(col("w")) >= l,
+          transform(sequence(lit(1), length(col("w")) - l + 1),
+            j => substring2(col("w"), j, l)))
+          .otherwise(array().cast("array<string>"))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    val top = pieces
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabTop)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val vocab0 = top.unionByName(chars).groupBy("piece")
+      .agg(max(col("cnt")).as("cnt"))
+    val total = vocab0.agg(sum("cnt")).head.getLong(0)
+    val vocab = vocab0.withColumn("lp_u",
+      round(log(col("cnt").cast("double") / lit(total.toDouble)) * 1e6)
+        .cast("long"))
+    // edges (word, j, i, lp_u, piece): piece = chars (j+1 .. i)
+    val edges = words
+      .select(col("w"), col("freq"),
+        explode(flatten(transform(sequence(lit(1), lit(4)),
+          l => when(length(col("w")) >= l,
+            transform(sequence(lit(1), length(col("w")) - l + 1),
+              j => struct((j - 1).cast("long").as("j"),
+                (j + l - 1).cast("long").as("i"),
+                substring2(col("w"), j, l).as("piece"))))
+            .otherwise(array()
+              .cast("array<struct<j:bigint,i:bigint,piece:string>>")))))
+          .as("e"))
+      .select(col("w"), col("freq"), col("e.j").as("j"), col("e.i").as("i"),
+        col("e.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("lp_u"))), Seq("piece"))
+    val folded = edges.groupBy(col("w"), col("freq"))
+      .agg(array_sort(collect_list(struct(col("i"), col("j"), col("lp_u"),
+        col("piece")))).as("es"))
+      .withColumn("best", aggregate(
+        sequence(lit(1L), length(col("w")).cast("long")),
+        array(struct(lit(0L).as("s"), lit("").as("p"))),
+        (acc, i) => {
+          val cands = filter(col("es"), e => e.getField("i") === i)
+          val scored = transform(cands, e => struct(
+            (element_at(acc, (e.getField("j") + 1L).cast("int"))
+              .getField("s") + e.getField("lp_u")).as("s"),
+            (-e.getField("j")).as("nj"),
+            e.getField("piece").as("piece")))
+          val b = array_max(scored)
+          concat(acc, array(struct(
+            b.getField("s").as("s"),
+            concat(
+              element_at(acc, (-b.getField("nj") + 1L).cast("int"))
+                .getField("p"),
+              when(b.getField("nj") === 0L, lit("")).otherwise(lit(" ")),
+              b.getField("piece")).as("p"))))
+        }))
+      .withColumn("fin",
+        element_at(col("best"), (length(col("w")) + 1).cast("int")))
+    folded
+      .select(col("w").as("word"), col("freq"),
+        col("fin.p").as("seg"),
+        (size(split(col("fin.p"), " "))).cast("long").as("n_pieces"),
+        col("fin.s").as("score_u"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topK)
+  }
+
+  private def substring2(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+
   /** Pairwise token-set Jaccard similarity between ingest SOURCES —
     * the corpus-composition audit (mirror detection, over-represented
     * domain families) next to source_kl's distributional drift. Work =

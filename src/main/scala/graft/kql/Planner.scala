@@ -840,6 +840,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate unigram_segment(vocabTop, topK, text, id)`: unigram-LM
+    // Viterbi segmentation of the corpus vocabulary (Kudo 2018)
+    case EvaluateOp("unigram_segment", vE :: kE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.unigramSegment(df, litLong(vE).toInt,
+        litLong(kE).toInt, 12,
+        colNameOf(df, textE, "unigram_segment text"),
+        colNameOf(df, idE, "unigram_segment id"))
+
     // `evaluate source_similarity(text, source)`: pairwise source
     // token-set Jaccard (corpus-composition audit)
     case EvaluateOp("source_similarity", textE :: srcE :: Nil) =>
