@@ -221,6 +221,41 @@ object SparkEntry {
       .orderBy("user_id", "start_us")
   }
 
+  /** tmp_stream_sliding body: OVERLAPPING sliding windows (1 h window,
+    * 30 min slide) driver-visible — every event lands in exactly two
+    * windows, so the final complete-mode table doubles memberships in
+    * a way the oracle derives arithmetically (each event contributes
+    * to starts floor30(t) and floor30(t) − 30 min). Two micro-batches;
+    * cumulative counts must merge across the batch boundary. */
+  def streamSlidingQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val halfId = rows.map(_._1).max / 2
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val src = ms.toDF().toDF("event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("n"), col("cents"))
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_stream_sliding_sink").outputMode("complete").start()
+    try {
+      ms.addData(rows.filter(_._1 < halfId): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 >= halfId): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_stream_sliding_sink").orderBy("start_us")
+  }
+
   def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -3910,6 +3945,24 @@ object SparkEntry {
       (s, dir) => LlmOps.unigramSegment(docs(s, dir))
         .orderBy(col("freq").desc, col("word")),
       Some("""WITH wrd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS w FROM documents) GROUP BY 1 HAVING len(w) <= 12), pc AS MATERIALIZED (SELECT substr(w, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l GROUP BY 1), top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 256), ch AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1), v0 AS (SELECT piece, MAX(cnt) AS cnt FROM (SELECT * FROM top UNION ALL SELECT * FROM ch) GROUP BY 1), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0), voc AS MATERIALIZED (SELECT piece, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp FROM v0, tot), ed0 AS (SELECT w, freq, CAST(j - 1 AS BIGINT) AS j, CAST(j + l - 1 AS BIGINT) AS i, substr(w, j, l) AS piece FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l), ed AS MATERIALIZED (SELECT ed0.w, ed0.freq, ed0.j, ed0.i, ed0.piece, voc.lp FROM ed0 JOIN voc ON voc.piece = ed0.piece), b0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s, '' AS pth FROM wrd), b1 AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT w, freq, CAST(1 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b0 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 1) WHERE rn = 1), b2 AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT w, freq, CAST(2 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b1 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 2) WHERE rn = 1), b3 AS MATERIALIZED (SELECT * FROM b2 UNION ALL SELECT w, freq, CAST(3 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b2 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 3) WHERE rn = 1), b4 AS MATERIALIZED (SELECT * FROM b3 UNION ALL SELECT w, freq, CAST(4 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b3 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 4) WHERE rn = 1), b5 AS MATERIALIZED (SELECT * FROM b4 UNION ALL SELECT w, freq, CAST(5 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b4 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 5) WHERE rn = 1), b6 AS MATERIALIZED (SELECT * FROM b5 UNION ALL SELECT w, freq, CAST(6 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b5 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 6) WHERE rn = 1), b7 AS MATERIALIZED (SELECT * FROM b6 UNION ALL SELECT w, freq, CAST(7 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b6 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 7) WHERE rn = 1), b8 AS MATERIALIZED (SELECT * FROM b7 UNION ALL SELECT w, freq, CAST(8 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b7 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 8) WHERE rn = 1), b9 AS MATERIALIZED (SELECT * FROM b8 UNION ALL SELECT w, freq, CAST(9 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b8 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 9) WHERE rn = 1), b10 AS MATERIALIZED (SELECT * FROM b9 UNION ALL SELECT w, freq, CAST(10 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b9 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 10) WHERE rn = 1), b11 AS MATERIALIZED (SELECT * FROM b10 UNION ALL SELECT w, freq, CAST(11 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b10 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 11) WHERE rn = 1), b12 AS MATERIALIZED (SELECT * FROM b11 UNION ALL SELECT w, freq, CAST(12 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b11 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 12) WHERE rn = 1) SELECT w AS word, freq, pth AS seg, CAST(len(string_split(pth, ' ')) AS BIGINT) AS n_pieces, s AS score_u FROM b12 WHERE pos = len(w) ORDER BY freq DESC, word LIMIT 200""")),
+
+    // Vocabulary drift between two snapshot halves (even/odd docs):
+    // smoothed log frequency ratios in integer micros, top movers
+    "llm_vocab_drift" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        LlmOps.vocabDrift(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), k = 20)
+          .orderBy(abs(col("drift_u")).desc, col("tok"))
+      },
+      Some("""WITH o AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), n AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents WHERE doc_id % 2 = 1) GROUP BY 1), so AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM o), sn AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM n), j AS (SELECT COALESCE(o.tok, n.tok) AS tok, COALESCE(o.c, 0) AS c_old, COALESCE(n.c, 0) AS c_new FROM o FULL OUTER JOIN n ON o.tok = n.tok) SELECT tok, c_old, c_new, CAST(ROUND(LN((CAST(c_new + 1 AS DOUBLE) / CAST(sn.t + 1 AS DOUBLE)) / (CAST(c_old + 1 AS DOUBLE) / CAST(so.t + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS drift_u FROM j, so, sn ORDER BY ABS(drift_u) DESC, tok LIMIT 20""")),
+
+    // Overlapping sliding windows on a stream (complete mode, 2
+    // micro-batches): each event lands in EXACTLY two window starts —
+    // the oracle derives both memberships arithmetically
+    "tmp_stream_sliding" -> Q(
+      (s, dir) => streamSlidingQuery(s, dir),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events WHERE event_id <= 2000), m AS (SELECT (t // 1800000000) * 1800000000 - off AS start_us, cents FROM e, unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) s(off)) SELECT CAST(start_us AS BIGINT) AS start_us, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents FROM m GROUP BY 1 ORDER BY 1""")),
 
     // Pairwise source token-set Jaccard (corpus-composition audit):
     // inverted-index self-join over distinct (source, token), integer

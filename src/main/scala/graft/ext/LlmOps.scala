@@ -4154,6 +4154,35 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Vocabulary drift between two corpus snapshots: per-token
+    * add-one-smoothed log frequency ratio ln((c_new+1)/(n_new+1) ÷
+    * (c_old+1)/(n_old+1)) in integer micros, top movers by |drift| —
+    * the release-over-release corpus audit (emerging slang, template
+    * injections, scraper drift) next to source_kl's within-snapshot
+    * view. Two token aggregates + one full-outer join + bounded top-k;
+    * totals ride 1-row broadcasts; value-exact. */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    def tf(df: DataFrame) = spread(df)
+      .select(explode(filter(split(lower(txt(textCol)), "\\s+"),
+        t => length(t) >= 1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val o = tf(oldDocs); val n = tf(newDocs)
+    val nOld = o.agg(sum("c")).head.getLong(0)
+    val nNew = n.agg(sum("c")).head.getLong(0)
+    o.select(col("tok"), col("c").as("c_old"))
+      .join(n.select(col("tok"), col("c").as("c_new")), Seq("tok"),
+        "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .withColumn("drift_u",
+        round(log(((col("c_new") + 1).cast("double") / lit((nNew + 1).toDouble)) /
+          ((col("c_old") + 1).cast("double") / lit((nOld + 1).toDouble))) * 1e6)
+          .cast("long"))
+      .orderBy(abs(col("drift_u")).desc, col("tok").asc).limit(k)
+  }
+
   /** SentencePiece-style unigram-LM Viterbi segmentation (Kudo 2018)
     * — the third tokenizer family next to the BPE trainer/tokenizer:
     * build a data-derived piece vocabulary (all substrings of length

@@ -840,6 +840,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate vocab_drift(NewTable, k, text)`: top token-frequency
+    // movers between the piped (old) snapshot and NewTable
+    case EvaluateOp("vocab_drift", Col(tbl) :: kE :: textE :: Nil) =>
+      val nw = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.vocabDrift(df, nw, litLong(kE).toInt,
+        colNameOf(df, textE, "vocab_drift text"))
+
     // `evaluate unigram_segment(vocabTop, topK, text, id)`: unigram-LM
     // Viterbi segmentation of the corpus vocabulary (Kudo 2018)
     case EvaluateOp("unigram_segment", vE :: kE :: textE :: idE :: Nil) =>

@@ -110,7 +110,7 @@ object Suggest {
     "source_cap", "source_kl", "source_sample", "stratified_sample",
     "substring_dup",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",
-    "unigram_segment",
+    "unigram_segment", "vocab_drift",
     "token_count", "triangle_count", "unigram_logprob", "video_meta",
     "winnow", "winnow_contamination")
 }

@@ -202,7 +202,35 @@ class R10OpsSpec extends AnyFunSuite {
         "proof would be vacuous")
   }
 
+  test("vocabDrift: new-only tokens drift up, old-only down, shared ~0") {
+    val old = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha alpha beta"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    val out = LlmOps.vocabDrift(old, nw, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("delta")._1 == 0L && out("delta")._2 == 1L &&
+      out("delta")._3 > 0L)
+    assert(out("gamma")._1 == 1L && out("gamma")._2 == 0L &&
+      out("gamma")._3 < 0L)
+    // identical counts and totals -> drift exactly 0
+    assert(out("alpha")._3 == 0L && out("beta")._3 == 0L)
+  }
+
+  test("stream sliding windows: every event lands in exactly two windows") {
+    val dir = TestSpark.sfDir
+    val nEvents = spark.read.parquet(dir + "/events.parquet")
+      .filter(col("event_id") <= 2000).count()
+    val windows = SparkEntry.streamSlidingQuery(spark, dir).collect()
+    assert(windows.map(_.getLong(1)).sum == 2 * nEvents)
+  }
+
   test("readability/table_diff/compact_plan reachable from KQL; html_strip in exprs") {
+    val vd = Kql.run(spark,
+      "documents | where doc_id % 2 == 0 | evaluate vocab_drift(documents, 5, text)",
+      cat).collect()
+    assert(vd.length == 5)
     val ss = Kql.run(spark,
       "documents | evaluate source_similarity(text, source) | take 3",
       cat).collect()
