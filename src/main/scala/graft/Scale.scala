@@ -73,8 +73,15 @@ object Scale {
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
 
+    // SPARK_GRAFT_SCALE_ONLY=op1,op2 measures a subset (builder
+    // iteration on newly added ops without re-timing the whole set)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(dir: String, k: Int) = ops(spark, dir, k)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // warm-up at the smallest scale (JIT + codegen), untimed
-    ops(spark, s"$base/x${scales.min}", scales.min).foreach { case (_, fn) =>
+    selected(s"$base/x${scales.min}", scales.min).foreach { case (_, fn) =>
       try fn() catch { case _: Throwable => () }
       clearAll()
     }
@@ -83,7 +90,7 @@ object Scale {
       val dir = s"$base/x$k"
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      ops(spark, dir, k).foreach { case (name, fn) =>
+      selected(dir, k).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val out = try fn() catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -95,8 +102,11 @@ object Scale {
         println(line); sb.append(line).append('\n')
       }
     }
+    // subset runs must not clobber the full-session artifact
+    val outName =
+      if (only.isDefined) "scale_detail_subset.jsonl" else "scale_detail.jsonl"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scale_detail.jsonl"), sb.toString)
+      java.nio.file.Paths.get(outName), sb.toString)
     spark.stop()
   }
 
@@ -207,6 +217,21 @@ object Scale {
       "hits" -> (() =>
         graft.kql.GraphOps.hits(
           docs.select(col("doc_id").cast("string").as("s"),
-            col("source").as("d")), 2, "s", "d").count()))
+            col("source").as("d")), 2, "s", "d").count()),
+      // r10 additions. heavy_hitters: two corpus passes, aggregate
+      // cardinality capped at m. dedup_substring: window explode +
+      // owner aggregate; copies are vocab-disjoint so duplicate spans
+      // stay within-copy (covered-explode scales with duplicates, not
+      // K²). source_similarity: per-copy-disjoint tokens keep the
+      // inverted-index join Σdf² linear in K. unigram_segment:
+      // vocabulary-sized DP over K× distinct words.
+      "heavy_hitters" -> (() =>
+        LlmOps.heavyHitters(docs, m = 1024, k = 20).count()),
+      "dedup_substring" -> (() =>
+        LlmOps.dedupSubstringRemove(docs, spanLen = 8).count()),
+      "source_similarity" -> (() =>
+        LlmOps.sourceSimilarity(docs).count()),
+      "unigram_segment" -> (() =>
+        LlmOps.unigramSegment(docs, topK = 200).count()))
   }
 }
