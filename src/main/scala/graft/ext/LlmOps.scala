@@ -4154,6 +4154,43 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** α-temperature source mixing (the mT5/XLM-R multilingual-mixing
+    * rule): sampling probability p_s ∝ n_s^α flattens the source
+    * distribution — α < 1 upsamples tail domains and downsamples mega
+    * domains. Realized as per-source KEEP RATES for a corpus target of
+    * `targetFrac`·N rows: quota q_s = p_s·targetFrac·N, rate = min(1,
+    * q_s/n_s), decided per row by the growth-stable Knuth id hash (the
+    * weightedSourceSample rule — a doc keeps its fate as the corpus
+    * grows).
+    *
+    * Every step after the single exp(α·ln n_s) is INTEGER arithmetic:
+    * weights micro-round first, the shared total is an integer sum
+    * (order-immune), rates divide integers in a fixed association, the
+    * hash threshold is an integer — so the kept row SET (not just its
+    * size) replays exactly cross-engine. One source-count aggregate
+    * (broadcast back) + a per-row projection; no data shuffle. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+                     targetFrac: Double = 0.5, byCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature_mix: need 0 < alpha <= 1")
+    require(targetFrac > 0 && targetFrac <= 1,
+      "temperature_mix: need 0 < targetFrac <= 1")
+    val counts = docs.groupBy(col(byCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_u",
+        round(exp(lit(alpha) * log(col("n_s").cast("double"))) * 1e6)
+          .cast("long"))
+    val totals = counts.agg(sum("n_s").as("n_total"), sum("w_u").as("w_total"))
+    val rated = counts.crossJoin(broadcast(totals))
+      .withColumn("n_target",
+        round(col("n_total").cast("double") * targetFrac).cast("long"))
+      .withColumn("rate_u", least(lit(1000000L),
+        expr("((w_u * 1000000L) div w_total) * n_target div n_s")))
+      .select(col(byCol), col("n_s"), col("w_u"), col("rate_u"))
+    docs.join(broadcast(rated), Seq(byCol))
+      .filter(idHash(col(idCol)) <
+        expr("(rate_u * 4294967296L) div 1000000L"))
+  }
+
   /** Vocabulary drift between two corpus snapshots: per-token
     * add-one-smoothed log frequency ratio ln((c_new+1)/(n_new+1) ÷
     * (c_old+1)/(n_old+1)) in integer micros, top movers by |drift| —

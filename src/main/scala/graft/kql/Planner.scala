@@ -840,6 +840,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate temperature_mix(alpha, targetFrac, source, id)`:
+    // α-temperature source mixing (mT5 rule) — keep-rate sampling with
+    // p_s ∝ n_s^α
+    case EvaluateOp("temperature_mix", aE :: tE :: srcE :: idE :: Nil) =>
+      graft.ext.LlmOps.temperatureMix(df, litDouble(aE), litDouble(tE),
+        colNameOf(df, srcE, "temperature_mix source"),
+        colNameOf(df, idE, "temperature_mix id"))
+
     // `evaluate vocab_drift(NewTable, k, text)`: top token-frequency
     // movers between the piped (old) snapshot and NewTable
     case EvaluateOp("vocab_drift", Col(tbl) :: kE :: textE :: Nil) =>

@@ -109,6 +109,7 @@ object Suggest {
     "similarity_pairs", "similarity_pairs_lsh", "sliding_window_counts",
     "source_cap", "source_kl", "source_sample", "stratified_sample",
     "substring_dup",
+    "temperature_mix",
     "term_freq", "text_normalize", "tfidf", "token_budget_sample",
     "unigram_segment", "vocab_drift",
     "token_count", "triangle_count", "unigram_logprob", "video_meta",

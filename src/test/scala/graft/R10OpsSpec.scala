@@ -202,6 +202,31 @@ class R10OpsSpec extends AnyFunSuite {
         "proof would be vacuous")
   }
 
+  test("temperatureMix: tail sources upsampled, rates match the integer replay") {
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "text2")
+      .withColumnRenamed("text2", "source")
+    val kept = LlmOps.temperatureMix(df, alpha = 0.3, targetFrac = 0.5)
+    val rates = kept.select("source", "n_s", "w_u", "rate_u").distinct()
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // integer replay of the rate formula
+    def wU(n: Long) = math.round(math.exp(0.3 * math.log(n.toDouble)) * 1e6)
+    val (wb, ws) = (wU(900), wU(100))
+    val wTot = wb + ws; val nTarget = 500L
+    def rate(w: Long, n: Long) =
+      math.min(1000000L, (w * 1000000L) / wTot * nTarget / n)
+    assert(rates("big") == (900L, wb, rate(wb, 900)))
+    assert(rates("small") == (100L, ws, rate(ws, 100)))
+    // α = 0.3 must give the small source a strictly higher keep rate
+    assert(rates("small")._3 > rates("big")._3)
+    // the realized kept fraction per source is within hash noise of rate
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(keptBySrc("big") - 900.0 * rates("big")._3 / 1e6) < 90)
+    assert(math.abs(keptBySrc("small") - 100.0 * rates("small")._3 / 1e6) < 30)
+  }
+
   test("vocabDrift: new-only tokens drift up, old-only down, shared ~0") {
     val old = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"))
       .toDF("doc_id", "text")
