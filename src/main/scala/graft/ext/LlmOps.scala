@@ -4154,6 +4154,68 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** EXIF/TIFF image metadata — width (0x0100), height (0x0101) and
+    * ORIENTATION (0x0112, the auto-rotate gate every multimodal
+    * pipeline applies before resize) from the TIFF IFD0, supporting
+    * BOTH byte orders (II little / MM big) and both value types
+    * (SHORT inline values are LEFT-justified in the 4-byte field —
+    * the classic endianness trap; LONG fills it). Accepts standalone
+    * TIFF payloads and JPEG APP1-Exif wrapping (SOI + APP1 +
+    * "Exif" + two NUL bytes ⇒ TIFF base 12). The IFD walk is capped at 8
+    * entries (documented contract; IFD0's curation-relevant tags lead
+    * in practice). Pure codegen hex arithmetic over a 120-byte
+    * bounded prefix, materialized as a withColumn CHAIN (the
+    * media_dims recursive-Column lesson); non-TIFF/JPEG rows and
+    * wrong-magic headers null out (total). */
+  def exifMeta(docs: DataFrame, binCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    var d = docs.withColumn("__xh",
+      upper(hex(substring(col(binCol), 1, 120))))
+    def hexAt(at: Column, nBytes: Int): Column = {
+      val h = col("__xh").substr((at * 2 + 1).cast("int"), lit(nBytes * 2))
+      when(length(h) === nBytes * 2, h)
+    }
+    def swap16(h: Column) = concat(substring(h, 3, 2), substring(h, 1, 2))
+    def swap32(h: Column) = concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+    def u16(at: Column): Column = {
+      val h = hexAt(at, 2)
+      conv(when(col("__le"), swap16(h)).otherwise(h), 16, 10).cast("long")
+    }
+    def u32(at: Column): Column = {
+      val h = hexAt(at, 4)
+      conv(when(col("__le"), swap32(h)).otherwise(h), 16, 10).cast("long")
+    }
+    d = d.withColumn("__sig", col("__xh").substr(lit(1), lit(4)))
+    d = d.withColumn("__tb",
+      when(col("__sig") === "FFD8" &&
+          col("__xh").substr(lit(5), lit(4)) === "FFE1" &&
+          col("__xh").substr(lit(13), lit(12)) === "457869660000", lit(12L))
+        .when(col("__sig").isin("4949", "4D4D"), lit(0L)))
+    d = d.withColumn("__le", hexAt(col("__tb"), 2) === "4949")
+    d = d.withColumn("__tbv",
+      when(u16(col("__tb") + 2) === 42L, col("__tb")))
+    d = d.withColumn("__ifd", col("__tbv") + u32(col("__tbv") + 4))
+    d = d.withColumn("__ne", u16(col("__ifd")))
+    for (i <- 0 until 8) {
+      val base = col("__ifd") + lit(2L + 12L * i)
+      d = d.withColumn(s"__t$i", when(lit(i) < col("__ne"), u16(base)))
+      d = d.withColumn(s"__y$i",
+        when(col(s"__t$i").isNotNull, u16(base + 2)))
+      d = d.withColumn(s"__v$i",
+        when(col(s"__y$i") === 3L, u16(base + 8))
+          .when(col(s"__y$i") === 4L, u32(base + 8)))
+    }
+    def tagVal(tag: Long) = coalesce((0 until 8).map(i =>
+      when(col(s"__t$i") === tag, col(s"__v$i"))): _*)
+    d.select(col(idCol),
+      when(col("__tbv").isNotNull,
+        when(col("__le"), lit("II")).otherwise(lit("MM"))).as("byte_order"),
+      when(col("__tbv").isNotNull, tagVal(256L)).as("width"),
+      when(col("__tbv").isNotNull, tagVal(257L)).as("height"),
+      when(col("__tbv").isNotNull, tagVal(274L)).as("orientation"))
+  }
+
   /** α-temperature source mixing (the mT5/XLM-R multilingual-mixing
     * rule): sampling probability p_s ∝ n_s^α flattens the source
     * distribution — α < 1 upsamples tail domains and downsamples mega

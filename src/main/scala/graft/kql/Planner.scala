@@ -840,6 +840,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate exif_meta(payload)`: TIFF/EXIF width/height/orientation
+    case EvaluateOp("exif_meta", binE :: Nil) =>
+      graft.ext.LlmOps.exifMeta(df,
+        colNameOf(df, binE, "exif_meta payload"))
+
     // `evaluate temperature_mix(alpha, targetFrac, source, id)`:
     // α-temperature source mixing (mT5 rule) — keep-rate sampling with
     // p_s ∝ n_s^α

@@ -79,7 +79,8 @@ object Suggest {
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
     "chunk", "cms_count", "collocations", "compact_plan",
     "containment_pairs", "dbscan",
-    "dedup_substring", "dedup_url", "doc_entropy", "heavy_hitters",
+    "dedup_substring", "dedup_url", "doc_entropy", "exif_meta",
+    "heavy_hitters",
     "iqr_outliers",
     "naive_bayes_lang", "profile",
     "readability", "source_similarity", "table_diff",

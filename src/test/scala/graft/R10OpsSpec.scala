@@ -202,6 +202,32 @@ class R10OpsSpec extends AnyFunSuite {
         "proof would be vacuous")
   }
 
+  test("exifMeta: wrong magic, truncation, and unknown types null out; entry cap holds") {
+    def payload(hex: String) = {
+      val clean = hex.replaceAll("\\s", "")
+      (0 until clean.length by 2)
+        .map(i => Integer.parseInt(clean.substring(i, i + 2), 16).toByte)
+        .toArray
+    }
+    val rows = Seq(
+      // valid II, one SHORT width entry
+      (1L, payload("49492A00 08000000 0100 0001 0300 01000000 2800 0000")),
+      // magic 43, not 42 -> all null
+      (2L, payload("49492B00 08000000 0100 0001 0300 01000000 2800 0000")),
+      // truncated mid-IFD -> header parses, width value unreadable
+      (3L, payload("49492A00 08000000 0100 0001 03")),
+      // RATIONAL type (5) is not an inline type -> width null
+      (4L, payload("49492A00 08000000 0100 0001 0500 01000000 2800 0000")),
+      (5L, Array[Byte](0, 1, 2)) // junk
+    ).toDF("doc_id", "payload")
+    val out = LlmOps.exifMeta(rows, "payload").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "II" && out(0).getLong(2) == 40L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getString(1) == "II" && out(2).isNullAt(2))
+    assert(out(3).getString(1) == "II" && out(3).isNullAt(2))
+    assert(out(4).isNullAt(1) && out(4).isNullAt(2))
+  }
+
   test("temperatureMix: tail sources upsampled, rates match the integer replay") {
     val df = ((1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "text2")
