@@ -3946,6 +3946,46 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("word")),
       Some("""WITH wrd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS w FROM documents) GROUP BY 1 HAVING len(w) <= 12), pc AS MATERIALIZED (SELECT substr(w, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l GROUP BY 1), top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 256), ch AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1), v0 AS (SELECT piece, MAX(cnt) AS cnt FROM (SELECT * FROM top UNION ALL SELECT * FROM ch) GROUP BY 1), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0), voc AS MATERIALIZED (SELECT piece, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp FROM v0, tot), ed0 AS (SELECT w, freq, CAST(j - 1 AS BIGINT) AS j, CAST(j + l - 1 AS BIGINT) AS i, substr(w, j, l) AS piece FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l), ed AS MATERIALIZED (SELECT ed0.w, ed0.freq, ed0.j, ed0.i, ed0.piece, voc.lp FROM ed0 JOIN voc ON voc.piece = ed0.piece), b0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s, '' AS pth FROM wrd), b1 AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT w, freq, CAST(1 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b0 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 1) WHERE rn = 1), b2 AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT w, freq, CAST(2 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b1 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 2) WHERE rn = 1), b3 AS MATERIALIZED (SELECT * FROM b2 UNION ALL SELECT w, freq, CAST(3 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b2 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 3) WHERE rn = 1), b4 AS MATERIALIZED (SELECT * FROM b3 UNION ALL SELECT w, freq, CAST(4 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b3 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 4) WHERE rn = 1), b5 AS MATERIALIZED (SELECT * FROM b4 UNION ALL SELECT w, freq, CAST(5 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b4 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 5) WHERE rn = 1), b6 AS MATERIALIZED (SELECT * FROM b5 UNION ALL SELECT w, freq, CAST(6 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b5 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 6) WHERE rn = 1), b7 AS MATERIALIZED (SELECT * FROM b6 UNION ALL SELECT w, freq, CAST(7 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b6 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 7) WHERE rn = 1), b8 AS MATERIALIZED (SELECT * FROM b7 UNION ALL SELECT w, freq, CAST(8 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b7 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 8) WHERE rn = 1), b9 AS MATERIALIZED (SELECT * FROM b8 UNION ALL SELECT w, freq, CAST(9 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b8 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 9) WHERE rn = 1), b10 AS MATERIALIZED (SELECT * FROM b9 UNION ALL SELECT w, freq, CAST(10 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b9 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 10) WHERE rn = 1), b11 AS MATERIALIZED (SELECT * FROM b10 UNION ALL SELECT w, freq, CAST(11 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b10 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 11) WHERE rn = 1), b12 AS MATERIALIZED (SELECT * FROM b11 UNION ALL SELECT w, freq, CAST(12 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b11 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 12) WHERE rn = 1) SELECT w AS word, freq, pth AS seg, CAST(len(string_split(pth, ' ')) AS BIGINT) AS n_pieces, s AS score_u FROM b12 WHERE pos = len(w) ORDER BY freq DESC, word LIMIT 200""")),
 
+    // OGG audio metadata: planted first pages with VARIABLE segment
+    // tables (the packet offset must be read, not assumed) carrying
+    // OpusHead on doc_id%3==0 and a Vorbis id packet on %3==1; the
+    // oracle derives every field arithmetically
+    "llm_ogg_meta" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(3))
+        val nseg = lit(1L) + pmod(col("doc_id"), lit(3))
+        val ch = lit(1L) + pmod(col("doc_id"), lit(7))
+        val skip = pmod(col("doc_id"), lit(1000))
+        val rate = lit(8000L) + pmod(col("doc_id"), lit(5)) * 8000L
+        def byteHex(c: org.apache.spark.sql.Column) =
+          lpad(conv(c, 10, 16), 2, "0")
+        def le16(c: org.apache.spark.sql.Column) = {
+          val x = lpad(conv(c, 10, 16), 4, "0")
+          concat(substring(x, 3, 2), substring(x, 1, 2))
+        }
+        def le32(c: org.apache.spark.sql.Column) = {
+          val x = lpad(conv(c, 10, 16), 8, "0")
+          concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2))
+        }
+        // OggS + ver 0 + type 02 + granule(8) + serial(4) + seq(4) +
+        // crc(4) + nseg + segment table (nseg junk length bytes)
+        val pageHex = concat(lit("4F676753"), lit("00"), lit("02"),
+          lit("0000000000000000"), lit("AABBCCDD"), lit("00000000"),
+          lit("11223344"), byteHex(nseg),
+          expr("repeat('13', CAST(1 + doc_id % 3 AS INT))"))
+        val opusHex = concat(lit("4F70757348656164"), lit("01"),
+          byteHex(ch), le16(skip), le32(rate), lit("0000"), lit("00"))
+        val vorbHex = concat(lit("01766F72626973"), lit("00000000"),
+          byteHex(ch), le32(rate), lit("00000000"))
+        val d = docs(s, dir).withColumn("payload",
+          when(m === 0, unhex(concat(pageHex, opusHex)))
+            .when(m === 1, unhex(concat(pageHex, vorbHex)))
+            .otherwise(concat(unhex(lit("00")), encode(col("text"), "UTF-8"))))
+        LlmOps.oggMeta(d, "payload").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'opus' WHEN doc_id % 3 = 1 THEN 'vorbis' END AS codec, CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 7 AS BIGINT) END AS n_channels, CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 1000 AS BIGINT) END AS pre_skip, CASE WHEN doc_id % 3 <= 1 THEN CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) END AS sample_rate FROM documents ORDER BY doc_id""")),
+
     // EXIF/TIFF metadata: planted IFDs in BOTH byte orders (II
     // standalone TIFF on doc_id%3==0, MM inside a JPEG APP1-Exif wrap
     // on %3==1, junk on %3==2), SHORT and LONG value types mixed so

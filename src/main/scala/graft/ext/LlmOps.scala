@@ -4154,6 +4154,53 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** OGG audio metadata — codec (Opus/Vorbis), channel count and
+    * sample-rate fields from the identification packet on the FIRST
+    * Ogg page, no decode: completes the audio container family next
+    * to WAV/FLAC/MP3. Page layout: "OggS" + version 0 + 21 fixed
+    * header bytes + n_segments + segment table, so the first packet
+    * starts at 27 + n_segments (variable — read, not assumed).
+    * OpusHead: channels at +9, pre-skip LE16 at +10, input rate LE32
+    * at +12; Vorbis id packet (vorbis): channels at +11, rate
+    * LE32 at +12. Pure codegen hex arithmetic over a bounded prefix;
+    * non-Ogg / unknown-codec rows null out (total). */
+  def oggMeta(docs: DataFrame, binCol: String,
+              idCol: String = "doc_id"): DataFrame = {
+    var d = docs.withColumn("__oh",
+      upper(hex(substring(col(binCol), 1, 96))))
+    def hexAt(at: Column, nBytes: Int): Column = {
+      val h = col("__oh").substr((at * 2 + 1).cast("int"), lit(nBytes * 2))
+      when(length(h) === nBytes * 2, h)
+    }
+    def u8(at: Column): Column = conv(hexAt(at, 1), 16, 10).cast("long")
+    def le16(at: Column): Column = {
+      val h = hexAt(at, 2)
+      conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10)
+        .cast("long")
+    }
+    def le32(at: Column): Column = {
+      val h = hexAt(at, 4)
+      conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+    }
+    d = d.withColumn("__pk",
+      when(col("__oh").substr(lit(1), lit(8)) === "4F676753" &&
+        col("__oh").substr(lit(9), lit(2)) === "00",
+        lit(27L) + u8(lit(26L))))
+    d = d.withColumn("__codec",
+      when(hexAt(col("__pk"), 8) === "4F70757348656164", lit("opus"))
+        .when(hexAt(col("__pk"), 7) === "01766F72626973", lit("vorbis")))
+    d.select(col(idCol), col("__codec").as("codec"),
+      when(col("__codec") === "opus", u8(col("__pk") + 9))
+        .when(col("__codec") === "vorbis", u8(col("__pk") + 11))
+        .as("n_channels"),
+      when(col("__codec") === "opus", le16(col("__pk") + 10))
+        .as("pre_skip"),
+      when(col("__codec") === "opus", le32(col("__pk") + 12))
+        .when(col("__codec") === "vorbis", le32(col("__pk") + 12))
+        .as("sample_rate"))
+  }
+
   /** EXIF/TIFF image metadata — width (0x0100), height (0x0101) and
     * ORIENTATION (0x0112, the auto-rotate gate every multimodal
     * pipeline applies before resize) from the TIFF IFD0, supporting

@@ -840,6 +840,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate ogg_meta(payload)`: OGG Opus/Vorbis id-header metadata
+    case EvaluateOp("ogg_meta", binE :: Nil) =>
+      graft.ext.LlmOps.oggMeta(df,
+        colNameOf(df, binE, "ogg_meta payload"))
+
     // `evaluate exif_meta(payload)`: TIFF/EXIF width/height/orientation
     case EvaluateOp("exif_meta", binE :: Nil) =>
       graft.ext.LlmOps.exifMeta(df,

@@ -97,7 +97,8 @@ object Suggest {
     "knn_cosine", "label_propagation",
     "lang_id", "line_dedup", "line_dedup_incremental", "linreg",
     "logreg_score", "narrow",
-    "audio_meta", "media_dims", "mmr_select", "mp3_meta", "neardup_groups",
+    "audio_meta", "media_dims", "mmr_select", "mp3_meta", "ogg_meta",
+    "neardup_groups",
     "neardup_minhash",
     "new_activity_metrics",
     "pack_sequences", "pagerank", "pca", "pii_scrub",

@@ -228,6 +228,29 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("oggMeta: variable segment table honored, non-zero version nulls") {
+    def payload(hex: String) = {
+      val clean = hex.replaceAll("\\s", "")
+      (0 until clean.length by 2)
+        .map(i => Integer.parseInt(clean.substring(i, i + 2), 16).toByte)
+        .toArray
+    }
+    val page = "4F676753 00 02 0000000000000000 AABBCCDD 00000000 11223344"
+    val rows = Seq(
+      // 2 segment-table bytes -> OpusHead at 27+2; ch=3 skip=312 rate=48000
+      (1L, payload(page + " 02 1313 4F70757348656164 01 03 3801 80BB0000 0000 00")),
+      // version byte 1 (not an Ogg v0 page) -> null
+      (2L, payload("4F676753 01 02 0000000000000000 AABBCCDD 00000000 11223344 01 13" +
+        " 4F70757348656164 01 03 3801 80BB0000 0000 00")),
+      // unknown first packet -> codec null
+      (3L, payload(page + " 01 13 DEADBEEF00000000"))
+    ).toDF("doc_id", "payload")
+    val out = LlmOps.oggMeta(rows, "payload").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "opus" && out(0).getLong(2) == 3L &&
+      out(0).getLong(3) == 312L && out(0).getLong(4) == 48000L)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("temperatureMix: tail sources upsampled, rates match the integer replay") {
     val df = ((1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "text2")
