@@ -16,6 +16,30 @@ final class Catalog(spark: SparkSession, dir: String,
   def table(name: String): DataFrame =
     extra.getOrElse(name, cache.getOrElseUpdate(name, load(name)))
 
+  /** This catalog's database name — the fixture directory's basename
+    * (a metastore supplies the real name at cluster scale). */
+  def defaultDatabase: String = new java.io.File(dir).getName
+
+  private val subCatalogs = scala.collection.mutable.Map[String, Catalog]()
+
+  /** `database('db').T` resolution: the default database resolves here;
+    * any sibling SUBDIRECTORY of the fixture dir acts as an attached
+    * database; anything else fails loudly (silently reading local data
+    * for a foreign database would be a wrong answer, not a fallback).
+    * The `cluster(...)` qualifier names the current cluster by
+    * definition in this single-cluster engine — any name is accepted
+    * (validating remote cluster names is a connectivity concern, not a
+    * planning one). */
+  def tableIn(db: String, name: String): DataFrame =
+    if (db == defaultDatabase) table(name)
+    else if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$dir/$db")))
+      subCatalogs.getOrElseUpdate(db, new Catalog(spark, s"$dir/$db"))
+        .table(name)
+    else throw new IllegalArgumentException(
+      s"unknown database '$db' (this catalog is '$defaultDatabase'; " +
+        "attached databases are subdirectories of its fixture dir)")
+
   /** Parquet is the primary at-rest format; ORC/CSV/JSON fall back by
     * file extension (ADX ingest formats, SURVEY §2.1; ORC via Spark's
     * built-in vectorized reader — same pushdown/pruning class as

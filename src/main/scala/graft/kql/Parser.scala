@@ -210,10 +210,43 @@ final class Parser(src: String) {
           eatSym(")")
         }
         ExternalData(schema.result(), uris.result(), opts.result())
+      // cluster('c').database('d').T / database('d').T — the ADX
+      // cross-database qualifiers (guarded on the following '(' so
+      // plain tables named `database` still resolve)
+      case TIdent(kw, _) if kw.equalsIgnoreCase("cluster") &&
+          ahead(1).isInstanceOf[TSym] && isAheadSym(1, "(") =>
+        p += 1
+        val cl = qualifierArg("cluster")
+        eatSym("."); eatIdent("database")
+        val db = qualifierArg("database")
+        eatSym(".")
+        QualifiedTableRef(Some(cl), db, identName())
+      case TIdent(kw, _) if kw.equalsIgnoreCase("database") &&
+          ahead(1).isInstanceOf[TSym] && isAheadSym(1, "(") =>
+        p += 1
+        val db = qualifierArg("database")
+        eatSym(".")
+        QualifiedTableRef(None, db, identName())
       case TIdent(name, _) =>
         p += 1; TableRef(name)
       case _ => fail("expected table source")
     }
+  }
+
+  private def isAheadSym(k: Int, s: String): Boolean = ahead(k) match {
+    case TSym(x, _) => x == s; case _ => false
+  }
+
+  /** `('name')` after a cluster/database qualifier keyword. */
+  private def qualifierArg(what: String): String = {
+    eatSym("(")
+    val v = cur match {
+      case TStr(s, _) => p += 1; s
+      case TIdent(s, _) => p += 1; s
+      case _ => fail(s"$what() expects a name")
+    }
+    eatSym(")")
+    v
   }
 
   private def parseDatatable(): DataTable = {

@@ -121,6 +121,8 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   private def planSource(s: Source): DataFrame = s match {
     case TableRef(name) =>
       letTables.getOrElse(name, catalog.table(name))
+    case QualifiedTableRef(_, db, name) =>
+      catalog.tableIn(db, name)
     case DataTable(schema, rows) =>
       val st = StructType(schema.map { case (n, t) => StructField(n, kqlType(t)) })
       val data = rows.map { r =>

@@ -228,6 +228,26 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("database()/cluster() qualifiers parse and resolve; unknown db fails loudly") {
+    val db = new java.io.File(TestSpark.sfDir).getName
+    val n = Kql.run(spark, s"database('$db').orders | count", cat)
+      .head.getLong(0)
+    val n2 = Kql.run(spark,
+      s"cluster('local').database('$db').orders | count", cat)
+      .head.getLong(0)
+    val plain = Kql.run(spark, "orders | count", cat).head.getLong(0)
+    assert(n == plain && n2 == plain)
+    val err = intercept[Exception] {
+      Kql.run(spark, "database('no_such_db').orders | count", cat).collect()
+    }
+    assert(err.getMessage.contains("unknown database"), err.getMessage)
+    // a let-bound name `database` (no following paren) still resolves
+    val viaLet = Kql.run(spark,
+      "let database = orders | project o_orderkey; database | count", cat)
+      .head.getLong(0)
+    assert(viaLet == plain)
+  }
+
   test("oggMeta: variable segment table honored, non-zero version nulls") {
     def payload(hex: String) = {
       val clean = hex.replaceAll("\\s", "")
