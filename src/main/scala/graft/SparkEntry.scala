@@ -421,6 +421,69 @@ object SparkEntry {
     s.table("graft_stream_join_sink").orderBy("click_id", "purchase_id")
   }
 
+  /** tmp_stream_join_left body: stream-stream LEFT OUTER join — the
+    * semantics the inner row can't show: an unmatched click emits its
+    * null-extended row only when the global watermark passes the end of
+    * its join window (state-timeout emission, not join-time emission).
+    * Sentinel batches on BOTH sides (global watermark = min across
+    * sources) push the watermark past every real click's window, and a
+    * second sentinel batch triggers the flush (emissions happen in the
+    * batch AFTER the watermark advances). Parity: the final table must
+    * equal DuckDB's plain batch LEFT JOIN — extra null rows for
+    * actually-matched clicks, or missing null rows for unmatched ones,
+    * both mismatch. */
+  def streamStreamLeftJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") <= 2000 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val maxTs = evs.map(_._3).max
+      val msC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val msP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      def side(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+               pre: String) =
+        ms.toDF().toDF(s"${pre}_id", s"${pre}_user", s"${pre}_ts_us")
+          .withColumn(s"${pre}_ts", timestamp_micros(col(s"${pre}_ts_us")))
+          .withWatermark(s"${pre}_ts", "3700 seconds")
+      val joined = side(msC, "c").join(side(msP, "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+          col("c_user").as("user_id"),
+          (col("p_ts_us") - col("c_ts_us")).as("dt_us"))
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_join_left_sink").outputMode("append").start()
+      def feed(batch: Seq[(Long, Long, Long, String)]): Unit = {
+        msC.addData(batch.filter(_._4 == "click").map(t => (t._1, t._2, t._3)): _*)
+        msP.addData(batch.filter(_._4 == "purchase").map(t => (t._1, t._2, t._3)): _*)
+      }
+      def sentinel(daysAhead: Long): Unit = {
+        msC.addData((777000L + daysAhead, -1L, maxTs + daysAhead * 86400000000L))
+        msP.addData((778000L + daysAhead, -1L, maxTs + daysAhead * 86400000000L))
+      }
+      try {
+        feed(evs.filter(_._1 < 836))
+        q.processAllAvailable()
+        feed(evs.filter(_._1 >= 836))
+        q.processAllAvailable()
+        sentinel(3); q.processAllAvailable()
+        sentinel(6); q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_stream_join_left_sink").filter(col("user_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
     * row for EMBEDDING dedup — two micro-batches of odd-id vectors
     * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
@@ -3945,6 +4008,13 @@ object SparkEntry {
       (s, dir) => LlmOps.unigramSegment(docs(s, dir))
         .orderBy(col("freq").desc, col("word")),
       Some("""WITH wrd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS w FROM documents) GROUP BY 1 HAVING len(w) <= 12), pc AS MATERIALIZED (SELECT substr(w, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l GROUP BY 1), top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 256), ch AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1), v0 AS (SELECT piece, MAX(cnt) AS cnt FROM (SELECT * FROM top UNION ALL SELECT * FROM ch) GROUP BY 1), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0), voc AS MATERIALIZED (SELECT piece, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp FROM v0, tot), ed0 AS (SELECT w, freq, CAST(j - 1 AS BIGINT) AS j, CAST(j + l - 1 AS BIGINT) AS i, substr(w, j, l) AS piece FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l), ed AS MATERIALIZED (SELECT ed0.w, ed0.freq, ed0.j, ed0.i, ed0.piece, voc.lp FROM ed0 JOIN voc ON voc.piece = ed0.piece), b0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s, '' AS pth FROM wrd), b1 AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT w, freq, CAST(1 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b0 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 1) WHERE rn = 1), b2 AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT w, freq, CAST(2 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b1 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 2) WHERE rn = 1), b3 AS MATERIALIZED (SELECT * FROM b2 UNION ALL SELECT w, freq, CAST(3 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b2 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 3) WHERE rn = 1), b4 AS MATERIALIZED (SELECT * FROM b3 UNION ALL SELECT w, freq, CAST(4 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b3 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 4) WHERE rn = 1), b5 AS MATERIALIZED (SELECT * FROM b4 UNION ALL SELECT w, freq, CAST(5 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b4 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 5) WHERE rn = 1), b6 AS MATERIALIZED (SELECT * FROM b5 UNION ALL SELECT w, freq, CAST(6 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b5 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 6) WHERE rn = 1), b7 AS MATERIALIZED (SELECT * FROM b6 UNION ALL SELECT w, freq, CAST(7 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b6 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 7) WHERE rn = 1), b8 AS MATERIALIZED (SELECT * FROM b7 UNION ALL SELECT w, freq, CAST(8 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b7 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 8) WHERE rn = 1), b9 AS MATERIALIZED (SELECT * FROM b8 UNION ALL SELECT w, freq, CAST(9 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b8 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 9) WHERE rn = 1), b10 AS MATERIALIZED (SELECT * FROM b9 UNION ALL SELECT w, freq, CAST(10 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b9 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 10) WHERE rn = 1), b11 AS MATERIALIZED (SELECT * FROM b10 UNION ALL SELECT w, freq, CAST(11 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b10 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 11) WHERE rn = 1), b12 AS MATERIALIZED (SELECT * FROM b11 UNION ALL SELECT w, freq, CAST(12 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b11 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 12) WHERE rn = 1) SELECT w AS word, freq, pth AS seg, CAST(len(string_split(pth, ' ')) AS BIGINT) AS n_pieces, s AS score_u FROM b12 WHERE pos = len(w) ORDER BY freq DESC, word LIMIT 200""")),
+
+    // Stream-stream LEFT OUTER join: unmatched clicks emit null rows
+    // via state-timeout after the watermark passes their window; final
+    // table ≡ DuckDB's batch left join
+    "tmp_stream_join_left" -> Q(
+      (s, dir) => streamStreamLeftJoinQuery(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events WHERE event_id <= 2000 AND event_type IN ('click', 'purchase')), c AS (SELECT event_id AS click_id, user_id, t AS ct FROM e WHERE event_type = 'click'), p AS (SELECT event_id AS purchase_id, user_id, t AS pt FROM e WHERE event_type = 'purchase') SELECT c.click_id, p.purchase_id, c.user_id, CAST(p.pt - c.ct AS BIGINT) AS dt_us FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000 ORDER BY click_id, purchase_id NULLS FIRST""")),
 
     // ADX cross-database qualifiers: cluster('c').database('d').T
     // parses and resolves (the db name is the fixture dir's basename —

@@ -228,6 +228,15 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("stream left-outer join: unmatched clicks emit null-extended rows") {
+    val out = SparkEntry.streamStreamLeftJoinQuery(spark, TestSpark.sfDir)
+      .collect()
+    val nulls = out.count(_.isNullAt(1))
+    val matched = out.count(!_.isNullAt(1))
+    assert(nulls > 0, "no unmatched clicks - left-outer semantics vacuous")
+    assert(matched > 0, "no matched pairs - join condition vacuous")
+  }
+
   test("database()/cluster() qualifiers parse and resolve; unknown db fails loudly") {
     val db = new java.io.File(TestSpark.sfDir).getName
     val n = Kql.run(spark, s"database('$db').orders | count", cat)
