@@ -228,6 +228,35 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("r10 plan shapes: broadcasts where promised, bounded top-k, no cartesians") {
+    val docsDf = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+    // temperature_mix: rates meet rows through a BROADCAST (no data
+    // shuffle on the corpus side)
+    val tm = LlmOps.temperatureMix(docsDf, 0.3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(tm.contains("BroadcastExchange"), tm.take(400))
+    assert(!tm.contains("CartesianProduct"), tm.take(400))
+    // mmr candidate scan ends in a bounded top-k, not a global sort
+    val readPlan = LlmOps.readability(docsDf)
+      .queryExecution.executedPlan.toString
+    assert(!readPlan.contains("Exchange"), readPlan.take(400))
+    // vocab_drift / unigram_segment selections are TakeOrderedAndProject
+    val vd = LlmOps.vocabDrift(
+        docsDf.filter(col("doc_id") % 2 === 0),
+        docsDf.filter(col("doc_id") % 2 === 1), 20)
+      .queryExecution.executedPlan.toString
+    assert(vd.contains("TakeOrderedAndProject"), vd.take(400))
+    val us = LlmOps.unigramSegment(docsDf, topK = 50)
+      .queryExecution.executedPlan.toString
+    assert(us.contains("TakeOrderedAndProject"), us.take(400))
+    assert(us.contains("BroadcastExchange"), us.take(400))
+    // per-row byte parsers stay shuffle-free
+    val ex = LlmOps.exifMeta(
+        docsDf.withColumn("payload", encode(col("text"), "UTF-8")), "payload")
+      .queryExecution.executedPlan.toString
+    assert(!ex.contains("Exchange"), ex.take(400))
+  }
+
   test("stream left-outer join: unmatched clicks emit null-extended rows") {
     val out = SparkEntry.streamStreamLeftJoinQuery(spark, TestSpark.sfDir)
       .collect()
