@@ -4154,6 +4154,55 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group + merged
+    * global — the MERGEABLE distinct cardinality primitive next to the
+    * count-min (frequencies) and Misra-Gries (top-k) sketches: each
+    * scope keeps its k lexicographically-smallest DISTINCT md5(token)
+    * fingerprints (fixed-width hex ⇒ lexicographic = numeric order on
+    * the 128-bit hash), merge = union → k smallest — so shard sketches
+    * combine without rescanning, and "merge of sketches ≡ sketch of
+    * union" is a strict identity (spec-proven). Estimate = (k−1)·2⁴⁸
+    * div value₄₈(kth) in exact integer arithmetic: Spark converts the
+    * leading 12 hex chars via conv(,16,10), DuckDB via a digit fold —
+    * different methods, equal values (the table_diff convention).
+    *
+    * Scale shape: one distinct (scope, token) aggregate, one
+    * rank-window per scope (top-k per group — never a global sort),
+    * one ≤ scopes·k-row merge. Sketch rows are index metadata. */
+  def kmvDistinct(docs: DataFrame, k: Int = 256, byCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 16, "kmv: k >= 16")
+    val st = spread(docs).select(col(byCol).as("scope"),
+        explode(filter(split(lower(txt(textCol)), "\\s+"),
+          t => length(t) >= 1)).as("tok"))
+      .select(col("scope"), md5(col("tok")).as("fp"))
+      .distinct()
+    def sketch(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("scope")).orderBy(col("fp"))
+      src.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+        .select("scope", "fp")
+    }
+    val per = sketch(st)
+    // merge = union of the per-scope sketches (NOT the corpus): distinct
+    // fps -> k smallest. Shared tokens appear in several scopes' sketches
+    // under the same fingerprint, hence the distinct.
+    val merged = sketch(
+      per.select(col("fp")).distinct().select(lit("__all__").as("scope"),
+        col("fp")))
+    def estimate(d: DataFrame): DataFrame = d
+      .groupBy("scope")
+      .agg(count(lit(1)).as("n_fp"), max(col("fp")).as("kth"))
+      .withColumn("kth48", conv(substring(col("kth"), 1, 12), 16, 10)
+        .cast("long"))
+      // saturated sketch -> interpolate from the kth value; undersized
+      // (true distinct < k) -> n_fp IS the exact count
+      .withColumn("est", when(col("n_fp") < k, col("n_fp"))
+        .otherwise(expr(s"((${k - 1} * 281474976710656L) div kth48)")))
+      .select(col("scope"), col("n_fp"), col("kth48"), col("est"))
+    estimate(per).unionByName(estimate(merged))
+  }
+
   /** OGG audio metadata — codec (Opus/Vorbis), channel count and
     * sample-rate fields from the identification packet on the FIRST
     * Ogg page, no decode: completes the audio container family next

@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate kmv_distinct(k, by, text)`: mergeable k-minimum-values
+    // distinct sketch per group + merged global
+    case EvaluateOp("kmv_distinct", kE :: byE :: textE :: Nil) =>
+      graft.ext.LlmOps.kmvDistinct(df, litLong(kE).toInt,
+        colNameOf(df, byE, "kmv_distinct by"),
+        colNameOf(df, textE, "kmv_distinct text"))
+
     // `evaluate ogg_meta(payload)`: OGG Opus/Vorbis id-header metadata
     case EvaluateOp("ogg_meta", binE :: Nil) =>
       graft.ext.LlmOps.oggMeta(df,

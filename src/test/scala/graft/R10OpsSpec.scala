@@ -257,6 +257,45 @@ class R10OpsSpec extends AnyFunSuite {
     assert(!ex.contains("Exchange"), ex.take(400))
   }
 
+  test("kmvDistinct: merge of shard sketches equals sketch of the union") {
+    // 3 shards with overlapping vocabularies; the merged (__all__) row
+    // must equal a direct sketch over the union -> mergeability is an
+    // identity, not an approximation
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3).flatMap { shard =>
+      (1 to 400).map { _ =>
+        (shard.toLong, s"s$shard", s"tok${rnd.nextInt(3000)}")
+      }
+    }.map { case (id, src, toks) => (id, src, toks) }
+    val df = rows.toDF("doc_id", "source", "text")
+    val out = LlmOps.kmvDistinct(df, k = 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val direct = LlmOps.kmvDistinct(
+      df.withColumn("source", lit("whole")), k = 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("__all__") == direct("whole"))
+  }
+
+  test("kmvDistinct: saturated estimate within KMV error; undersized is exact") {
+    val vocab = 8000
+    val df = (1 to vocab).map(i => (i.toLong, "big", s"w$i")).toDF(
+      "doc_id", "source", "text")
+    val est = LlmOps.kmvDistinct(df, k = 256).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // (k-1)/kth estimator: sigma = true/sqrt(k) ~ 500; allow 4 sigma
+    assert(math.abs(est("big") - vocab) < 2000, s"est ${est("big")}")
+    val small = Seq((1L, "tiny", "a b c a")).toDF("doc_id", "source", "text")
+    val e2 = LlmOps.kmvDistinct(small, k = 256).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(e2("tiny") == 3L) // below k -> exact count, not an estimate
+    val kq = Kql.run(spark,
+      "documents | evaluate kmv_distinct(64, source, text) | count", cat)
+      .head.getLong(0)
+    assert(kq == 21L)
+  }
+
   test("stream left-outer join: unmatched clicks emit null-extended rows") {
     val out = SparkEntry.streamStreamLeftJoinQuery(spark, TestSpark.sfDir)
       .collect()
