@@ -153,7 +153,20 @@ object SparkEntry {
     * batch-2 processing failed to carry batch-1's aggregation state,
     * every shared token's count (and likely the membership of the
     * top-10 itself) would mismatch the oracle. */
-  def streamTopkQuery(s: SparkSession, dir: String): DataFrame = {
+  /** Harness-sized streaming queries pay per-partition state-store
+    * open/commit overhead every micro-batch (the tmp_stream_join
+    * lesson: 32→4 partitions = 21.4→4.0 s); a real deployment sizes
+    * the state partition count to the cluster. */
+  private def withLowShuffle[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def streamTopkQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamTopkBody(s, dir) }
+
+  private def streamTopkBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = docs(s, dir).filter(col("doc_id") < 40)
@@ -186,7 +199,10 @@ object SparkEntry {
     * CLOSED sessions, so two far-future sentinel batches (user −1,
     * filtered out) push the watermark past every real session's end —
     * watermarks advance between batches, hence two flushes. */
-  def streamSessionQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamSessionQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamSessionBody(s, dir) }
+
+  private def streamSessionBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = s.read.parquet(s"$dir/events.parquet")
@@ -227,7 +243,10 @@ object SparkEntry {
     * a way the oracle derives arithmetically (each event contributes
     * to starts floor30(t) and floor30(t) − 30 min). Two micro-batches;
     * cumulative counts must merge across the batch boundary. */
-  def streamSlidingQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamSlidingQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamSlidingBody(s, dir) }
+
+  private def streamSlidingBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = s.read.parquet(s"$dir/events.parquet")
