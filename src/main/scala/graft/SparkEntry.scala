@@ -2749,6 +2749,22 @@ object SparkEntry {
       },
       Some("""SELECT event_id, user_id, value, ROUND(last_click_val, 4) AS last_click_val FROM (SELECT event_id, user_id, value, event_type, LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_val FROM events) WHERE event_type = 'purchase' ORDER BY event_id""")),
 
+    // As-of with tolerance: the latest prior click joins each purchase
+    // ONLY if it is <= 30 min stale — matches beyond the tolerance null
+    // out (the market-data as-of rule)
+    "tmp_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = graft.kql.Catalog(s, dir).table("events")
+        TemporalOps.asOfLastPriorWithin(ev, "user_id", "ts", "event_id",
+            col("event_type") === "click", col("value"), "last_click_val",
+            tolUs = 1800L * 1000000)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            round(col("last_click_val"), 4).as("last_click_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ROUND(CASE WHEN epoch_us(ts) - last_click_ts <= 1800000000 THEN last_click_val END, 4) AS last_click_val FROM (SELECT event_id, user_id, ts, event_type, LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_val, LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id""")),
+
     "tmp_range_join" -> Q(
       (s, dir) => {
         val ev = graft.kql.Catalog(s, dir).table("events")

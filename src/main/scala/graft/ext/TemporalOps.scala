@@ -25,6 +25,32 @@ object TemporalOps {
     df.withColumn(out, last(when(marker, value), ignoreNulls = true).over(w))
   }
 
+  /** As-of with TOLERANCE: [[asOfLastPrior]] but a match older than
+    * `tolUs` microseconds is dropped (null) — the "join to the latest
+    * quote, unless it is stale" rule of market-data as-of joins. Two
+    * last(ignoreNulls) passes over the SAME window (value + its
+    * timestamp — both pick the same row because the partition order
+    * (ts, tie) is total), then one staleness comparison. Same single
+    * key shuffle, O(1) window state. */
+  def asOfLastPriorWithin(df: DataFrame, key: String, ts: String,
+                          tie: String, marker: Column, value: Column,
+                          out: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, "asOfLastPriorWithin: tolerance must be positive")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // timestamp columns compare in micros; numeric columns as-is
+    val tsNum = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast("timestamp"))
+      case _ => col(ts).cast("long")
+    }
+    df.withColumn("__m_val", last(when(marker, value), ignoreNulls = true).over(w))
+      .withColumn("__m_ts", last(when(marker, tsNum), ignoreNulls = true).over(w))
+      .withColumn(out, when(tsNum - col("__m_ts") <= tolUs, col("__m_val")))
+      .drop("__m_val", "__m_ts")
+  }
+
   /** Ordered funnel matching — the batch emulation of KQL `scan` for its
     * dominant use (sequential step predicates, no state assignments;
     * SURVEY §2.10 marks the full step machine P3). Per key, computes the

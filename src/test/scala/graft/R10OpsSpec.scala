@@ -257,6 +257,38 @@ class R10OpsSpec extends AnyFunSuite {
     assert(!ex.contains("Exchange"), ex.take(400))
   }
 
+  test("asOfLastPriorWithin: stale matches null out, fresh ones join") {
+    import graft.ext.TemporalOps
+    val ev = Seq(
+      (1L, 1L, 0L, "click", 7.5),
+      (2L, 1L, 50L, "purchase", 1.0),   // 50us after click: fresh
+      (3L, 1L, 500L, "purchase", 2.0),  // 500us after click: stale
+      (4L, 2L, 10L, "purchase", 3.0)    // no prior click at all
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = TemporalOps.asOfLastPriorWithin(ev, "user_id", "ts",
+        "event_id", col("event_type") === "click", col("value"), "lcv",
+        tolUs = 100L)
+      .filter(col("event_type") === "purchase").orderBy("event_id")
+      .collect()
+    assert(out(0).getDouble(5) == 7.5)
+    assert(out(1).isNullAt(5) && out(2).isNullAt(5))
+    // fixture non-vacuity: both matched and tolerance-dropped rows occur
+    val fx = TemporalOps.asOfLastPriorWithin(
+        spark.read.parquet(TestSpark.sfDir + "/events.parquet"),
+        "user_id", "ts", "event_id", col("event_type") === "click",
+        col("value"), "lcv", tolUs = 1800L * 1000000)
+      .filter(col("event_type") === "purchase")
+    val strict = graft.ext.TemporalOps.asOfLastPrior(
+        spark.read.parquet(TestSpark.sfDir + "/events.parquet"),
+        "user_id", "ts", "event_id", col("event_type") === "click",
+        col("value"), "lcv")
+      .filter(col("event_type") === "purchase")
+    val nTol = fx.filter(col("lcv").isNotNull).count()
+    val nAll = strict.filter(col("lcv").isNotNull).count()
+    assert(nTol > 0 && nTol < nAll,
+      s"tolerance must drop SOME stale matches ($nTol of $nAll)")
+  }
+
   test("kmvDistinct: merge of shard sketches equals sketch of the union") {
     // 3 shards with overlapping vocabularies; the merged (__all__) row
     // must equal a direct sketch over the union -> mergeability is an
