@@ -4154,6 +4154,58 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Content-defined chunking (the CDC/FastCDC idea at token
+    * granularity): a chunk boundary falls after token i whenever the
+    * rolling window hash of the last `w` tokens ≡ 0 (mod 2^maskBits) —
+    * so boundaries are anchored to CONTENT, not positions, and an
+    * insertion early in a document shifts only its local chunk while
+    * fixed-size chunking would shift every later chunk (the property
+    * that makes chunk-hash dedup robust to edits). Emits (doc, chunk,
+    * n_tokens, chunk md5) — the chunk hash is the cross-doc dedup key.
+    *
+    * Engine-portable by construction: token keys are the 6-hexchar
+    * ascii packing of md5 (the winnow convention), the window hash is
+    * a plain w-row window SUM of keys (mod is applied at the boundary
+    * test), and chunk ids are a cumulative boundary count — every step
+    * replays as SQL windows, no recursion. One posexplode + two
+    * window passes per doc + one (doc, chunk) aggregate. */
+  def cdcChunks(docs: DataFrame, w: Int = 4, maskBits: Int = 5,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2 && maskBits >= 1 && maskBits <= 20,
+      "cdc: w >= 2, 1 <= maskBits <= 20")
+    val mask = 1L << maskBits
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), t => length(t) >= 1)
+    val tp = spread(docs).select(col(idCol).as("id"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("key",
+        (ascii(substring(md5(col("tok")), 1, 1)) +
+          ascii(substring(md5(col("tok")), 2, 1)) * 100 +
+          ascii(substring(md5(col("tok")), 3, 1)) * 10000 +
+          ascii(substring(md5(col("tok")), 4, 1)) * 1000000 +
+          ascii(substring(md5(col("tok")), 5, 1)) * 100000000L +
+          ascii(substring(md5(col("tok")), 6, 1)) * 10000000000L)
+          .cast("long"))
+    val wWin = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val prevWin = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = tp
+      .withColumn("bnd",
+        when(col("pos") >= w - 1 &&
+          pmod(sum(col("key")).over(wWin), lit(mask)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("cid",
+        coalesce(sum(col("bnd")).over(prevWin), lit(0L)))
+    marked.groupBy(col("id"), col("cid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_md5"))
+      .select(col("id").as(idCol), col("cid").as("chunk_id"),
+        col("n_tokens"), col("chunk_md5"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group + merged
     * global — the MERGEABLE distinct cardinality primitive next to the
     * count-min (frequencies) and Misra-Gries (top-k) sketches: each

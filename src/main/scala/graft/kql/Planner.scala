@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate cdc_chunks(w, maskBits, text, id)`: content-defined
+    // chunking via rolling window-sum boundaries
+    case EvaluateOp("cdc_chunks", wE :: mE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.cdcChunks(df, litLong(wE).toInt, litLong(mE).toInt,
+        colNameOf(df, textE, "cdc_chunks text"),
+        colNameOf(df, idE, "cdc_chunks id"))
+
     // `evaluate kmv_distinct(k, by, text)`: mergeable k-minimum-values
     // distinct sketch per group + merged global
     case EvaluateOp("kmv_distinct", kE :: byE :: textE :: Nil) =>

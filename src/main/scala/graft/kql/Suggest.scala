@@ -77,7 +77,7 @@ object Suggest {
     "ann_pq", "ann_sq8", "autocluster", "bag_unpack", "basket", "bigram_logprob",
     "bm25",
     "boilerplate_remove", "bpe_pair_counts", "bpe_tokenize", "bpe_train",
-    "chunk", "cms_count", "collocations", "compact_plan",
+    "cdc_chunks", "chunk", "cms_count", "collocations", "compact_plan",
     "containment_pairs", "dbscan",
     "dedup_substring", "dedup_url", "doc_entropy", "exif_meta",
     "heavy_hitters",

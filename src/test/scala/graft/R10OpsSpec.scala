@@ -289,6 +289,25 @@ class R10OpsSpec extends AnyFunSuite {
       s"tolerance must drop SOME stale matches ($nTol of $nAll)")
   }
 
+  test("cdcChunks: an early insertion shifts only local chunks (content-defined)") {
+    val rnd = new scala.util.Random(23)
+    val toks = Seq.fill(300)(s"w${rnd.nextInt(40)}")
+    val base = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val edited = Seq((1L, (toks.take(3) ++ Seq("INSERTED") ++ toks.drop(3))
+      .mkString(" "))).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      LlmOps.cdcChunks(df, w = 4, maskBits = 4).orderBy("chunk_id")
+        .collect().map(_.getString(3)).toSeq
+    val hB = hashes(base); val hE = hashes(edited)
+    assert(hB.length >= 5, s"need several chunks, got ${hB.length}")
+    // every chunk after the edited region re-synchronizes: the suffix
+    // chunk hashes are identical (fixed-size chunking would shift ALL)
+    val common = hB.toSet.intersect(hE.toSet).size
+    assert(common >= hB.length - 2,
+      s"only $common of ${hB.length} chunks survived a 1-token edit")
+    assert(hB != hE, "the edited chunk itself must change")
+  }
+
   test("kmvDistinct: merge of shard sketches equals sketch of the union") {
     // 3 shards with overlapping vocabularies; the merged (__all__) row
     // must equal a direct sketch over the union -> mergeability is an
