@@ -4044,6 +4044,37 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("word")),
       Some("""WITH wrd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS w FROM documents) GROUP BY 1 HAVING len(w) <= 12), pc AS MATERIALIZED (SELECT substr(w, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l GROUP BY 1), top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 256), ch AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1), v0 AS (SELECT piece, MAX(cnt) AS cnt FROM (SELECT * FROM top UNION ALL SELECT * FROM ch) GROUP BY 1), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0), voc AS MATERIALIZED (SELECT piece, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp FROM v0, tot), ed0 AS (SELECT w, freq, CAST(j - 1 AS BIGINT) AS j, CAST(j + l - 1 AS BIGINT) AS i, substr(w, j, l) AS piece FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l), ed AS MATERIALIZED (SELECT ed0.w, ed0.freq, ed0.j, ed0.i, ed0.piece, voc.lp FROM ed0 JOIN voc ON voc.piece = ed0.piece), b0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s, '' AS pth FROM wrd), b1 AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT w, freq, CAST(1 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b0 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 1) WHERE rn = 1), b2 AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT w, freq, CAST(2 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b1 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 2) WHERE rn = 1), b3 AS MATERIALIZED (SELECT * FROM b2 UNION ALL SELECT w, freq, CAST(3 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b2 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 3) WHERE rn = 1), b4 AS MATERIALIZED (SELECT * FROM b3 UNION ALL SELECT w, freq, CAST(4 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b3 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 4) WHERE rn = 1), b5 AS MATERIALIZED (SELECT * FROM b4 UNION ALL SELECT w, freq, CAST(5 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b4 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 5) WHERE rn = 1), b6 AS MATERIALIZED (SELECT * FROM b5 UNION ALL SELECT w, freq, CAST(6 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b5 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 6) WHERE rn = 1), b7 AS MATERIALIZED (SELECT * FROM b6 UNION ALL SELECT w, freq, CAST(7 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b6 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 7) WHERE rn = 1), b8 AS MATERIALIZED (SELECT * FROM b7 UNION ALL SELECT w, freq, CAST(8 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b7 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 8) WHERE rn = 1), b9 AS MATERIALIZED (SELECT * FROM b8 UNION ALL SELECT w, freq, CAST(9 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b8 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 9) WHERE rn = 1), b10 AS MATERIALIZED (SELECT * FROM b9 UNION ALL SELECT w, freq, CAST(10 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b9 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 10) WHERE rn = 1), b11 AS MATERIALIZED (SELECT * FROM b10 UNION ALL SELECT w, freq, CAST(11 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b10 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 11) WHERE rn = 1), b12 AS MATERIALIZED (SELECT * FROM b11 UNION ALL SELECT w, freq, CAST(12 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b11 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 12) WHERE rn = 1) SELECT w AS word, freq, pth AS seg, CAST(len(string_split(pth, ' ')) AS BIGINT) AS n_pieces, s AS score_u FROM b12 WHERE pos = len(w) ORDER BY freq DESC, word LIMIT 200""")),
 
+    // Composed curation pipeline v3 over the r9/r10 ops: token-entropy
+    // quality gate (integer rule 2*types >= n) -> exact substring dedup
+    // -> alpha-temperature source mixing -> per-source accounting.
+    // Every stage is value-exact, so the WHOLE chain hash-matches the
+    // composed DuckDB replay — the "a user can run their pipeline"
+    // proof for the new operators.
+    "llm_pipeline_v3" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val q = LlmOps.docEntropy(d)
+          .filter(col("n_types") * 2 >= col("n_tokens"))
+          .select(col("doc_id"))
+        val kept = d.join(q, Seq("doc_id"))
+        val dd = LlmOps.dedupSubstringRemove(kept, spanLen = 8)
+        val withSrc = dd.join(d.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        val mixed = LlmOps.temperatureMix(withSrc, 0.3, 0.5)
+        val a1 = d.groupBy("source").agg(count(lit(1)).as("n_in"))
+        val a2 = withSrc.groupBy("source").agg(
+          count(lit(1)).as("n_quality"), sum("n_removed").as("removed_q"))
+        val a3 = mixed.groupBy("source").agg(count(lit(1)).as("n_final"))
+        a1.join(a2, Seq("source"), "left_outer")
+          .join(a3, Seq("source"), "left_outer")
+          .select(col("source"), col("n_in"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("removed_q"), lit(0L)).as("removed_q"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS tok FROM documents), tq AS (SELECT doc_id FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT tok) AS BIGINT) AS types FROM tk GROUP BY 1) WHERE types * 2 >= n), b2 AS (SELECT d.doc_id, list_filter(string_split(COALESCE(d.text,''),' '), x->len(x)>=1) AS toks, CAST(len(list_filter(string_split(COALESCE(d.text,''),' '), x->len(x)>=1)) AS BIGINT) AS n FROM documents d JOIN tq USING (doc_id)), w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h FROM b2, unnest(generate_series(1, CAST(n AS INTEGER) - 7)) s(i) WHERE n >= 8), own AS (SELECT h, MIN(doc_id * 1000000 + pos) AS o, COUNT(*) AS cnt FROM w GROUP BY 1), dup AS (SELECT w.doc_id, w.pos FROM w JOIN own ON w.h = own.h WHERE own.cnt > 1 AND w.doc_id * 1000000 + w.pos <> own.o), cov AS (SELECT DISTINCT doc_id, t FROM dup, unnest(generate_series(pos, pos + 7)) s(t)), tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t FROM b2, unnest(generate_series(1, CAST(n AS INTEGER))) s(i) WHERE n >= 1), keptt AS (SELECT tp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.t WHERE cov.doc_id IS NULL GROUP BY 1), ws AS (SELECT b2.doc_id, d.source, b2.n - COALESCE(k.n_kept, 0) AS n_removed FROM b2 LEFT JOIN keptt k USING (doc_id) JOIN documents d ON d.doc_id = b2.doc_id), c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM ws GROUP BY 1), wgt AS (SELECT source, n_s, CAST(ROUND(EXP(CAST(0.3 AS DOUBLE) * LN(CAST(n_s AS DOUBLE))) * 1000000) AS BIGINT) AS w_u FROM c), tt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total, CAST(SUM(w_u) AS BIGINT) AS w_total FROM wgt), r AS (SELECT source, CAST(LEAST(1000000, ((w_u * 1000000) // w_total) * CAST(ROUND(n_total * CAST(0.5 AS DOUBLE)) AS BIGINT) // n_s) AS BIGINT) AS rate_u FROM wgt, tt), mix AS (SELECT ws.doc_id, ws.source FROM ws JOIN r USING (source) WHERE (ws.doc_id * 2654435761) % 4294967296 < (r.rate_u * 4294967296) // 1000000), a1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM documents GROUP BY 1), a2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality, CAST(SUM(n_removed) AS BIGINT) AS removed_q FROM ws GROUP BY 1), a3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final FROM mix GROUP BY 1) SELECT a1.source, a1.n_in, COALESCE(a2.n_quality, 0) AS n_quality, COALESCE(a2.removed_q, 0) AS removed_q, COALESCE(a3.n_final, 0) AS n_final FROM a1 LEFT JOIN a2 USING (source) LEFT JOIN a3 USING (source) ORDER BY a1.source""")),
+
     // Content-defined chunking: boundaries from a rolling window-sum
     // hash (mod 32) -> chunk ids are cumulative boundary counts; the
     // whole pipeline replays as SQL windows
