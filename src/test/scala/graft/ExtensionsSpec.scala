@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the spark.sql.extensions / registerAll integration
+  * surface — the codegen kernels become plain SQL functions. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.registerAll(s)
+    s
+  }
+
+  test("graft functions register and run in SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot_product(array(1.0D, 2.0D, 3.0D),
+        |                         array(4.0D, 5.0D, 6.0D)) AS dp,
+        |       graft_sorted_intersect_count(array(1L, 3L, 5L, 7L),
+        |                                    array(3L, 4L, 5L)) AS ic""".stripMargin)
+      .head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("adc score function registers and scores a 1-subspace code") {
+    // codes = [1], table = scores for (sub 0: code 0, code 1)
+    val r = spark.sql(
+      "SELECT graft_adc_score(array(1), array(0.5D, 2.5D), 2) AS sc").head
+    assert(r.getDouble(0) == 2.5)
+  }
+
+  test("the extensions class injects the same set (builder contract)") {
+    // the class delegates to the shared list — a drift guard between
+    // the withExtensions path and registerAll
+    val ext = new GraftExtensions
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("graft_adc_score", "graft_dot_product",
+        "graft_sorted_intersect_count"))
+    assert(ext.isInstanceOf[
+      org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+}
