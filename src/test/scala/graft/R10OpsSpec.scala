@@ -347,6 +347,24 @@ class R10OpsSpec extends AnyFunSuite {
     assert(kq == 21L)
   }
 
+  test("RocksDB state store: session windows equal the default provider's") {
+    // the disk-backed state path (state larger than executor memory at
+    // 100 TB): same query, same results, different state backend
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val viaRocks =
+      try SparkEntry.streamSessionQuery(spark, TestSpark.sfDir).collect().toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val viaDefault =
+      SparkEntry.streamSessionQuery(spark, TestSpark.sfDir).collect().toSeq
+    assert(viaRocks.nonEmpty && viaRocks == viaDefault)
+  }
+
   test("stream left-outer join: unmatched clicks emit null-extended rows") {
     val out = SparkEntry.streamStreamLeftJoinQuery(spark, TestSpark.sfDir)
       .collect()
