@@ -232,6 +232,12 @@ object Scale {
       "source_similarity" -> (() =>
         LlmOps.sourceSimilarity(docs).count()),
       "unigram_segment" -> (() =>
-        LlmOps.unigramSegment(docs, topK = 200).count()))
+        LlmOps.unigramSegment(docs, topK = 200).count()),
+      // cdc: two window passes + one aggregate; kmv: distinct aggregate
+      // + per-scope rank windows (scopes grow with K — per-copy suffixed)
+      "cdc_chunks" -> (() =>
+        LlmOps.cdcChunks(docs, w = 4, maskBits = 5).count()),
+      "kmv_distinct" -> (() =>
+        LlmOps.kmvDistinct(docs, k = 256).count()))
   }
 }
