@@ -4154,6 +4154,37 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Per-source embedding-centroid drift: squared distance between each
+    * source's mean embedding and the corpus mean, in pure INTEGER
+    * micro-units — the embedding-space counterpart of source_kl's
+    * token-distribution drift (a source whose centroid sits far from
+    * the corpus is a mode the mixture over/under-represents). Vectors
+    * quantize to round(x·1000); means are integer divisions (remainder
+    * dropped identically in both engines) ⇒ value-exact. One posexplode
+    * + two (scope, dim)-keyed aggregates + a 64-row broadcast. */
+  def embeddingDrift(embs: DataFrame, docs: DataFrame,
+                     srcCol: String = "source"): DataFrame = {
+    val joined = embs.join(
+      docs.select(col("doc_id").as("vec_id"), col(srcCol).as("src")),
+      Seq("vec_id"))
+    val ex = spread(joined).select(col("src"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")))
+          .as(Seq("d", "v")))
+    val per = ex.groupBy("src", "d")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_u", expr("(s * 1000) div n"))
+    val glob = ex.groupBy("d")
+      .agg(sum("v").as("sg"), count(lit(1)).as("ng"))
+      .withColumn("gmean_u", expr("(sg * 1000) div ng"))
+    per.join(broadcast(glob.select(col("d"), col("gmean_u"))), Seq("d"))
+      .groupBy("src")
+      .agg((sum(expr("(mean_u - gmean_u) * (mean_u - gmean_u)")))
+        .as("drift_sq_u"),
+        (max(col("n"))).as("n_vecs"))
+      .select(col("src").as(srcCol), col("n_vecs"), col("drift_sq_u"))
+  }
+
   /** Content-defined chunking (the CDC/FastCDC idea at token
     * granularity): a chunk boundary falls after token i whenever the
     * rolling window hash of the last `w` tokens ≡ 0 (mod 2^maskBits) —

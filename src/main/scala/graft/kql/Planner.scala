@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate embedding_drift(DocsTable, source)`: per-source centroid
+    // drift over an embeddings-shaped frame
+    case EvaluateOp("embedding_drift", Col(tbl) :: srcE :: Nil) =>
+      val dt = letTables.getOrElse(tbl, catalog.table(tbl))
+      graft.ext.LlmOps.embeddingDrift(df, dt,
+        colNameOf(dt, srcE, "embedding_drift source"))
+
     // `evaluate cdc_chunks(w, maskBits, text, id)`: content-defined
     // chunking via rolling window-sum boundaries
     case EvaluateOp("cdc_chunks", wE :: mE :: textE :: idE :: Nil) =>

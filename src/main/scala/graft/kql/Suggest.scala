@@ -90,7 +90,7 @@ object Suggest {
     "diffpatterns", "diffpatterns_text",
     "dedup_contained",
     "dedup_cosine_incremental", "dedup_incremental", "dsir",
-    "dsir_resample", "feature_hash", "fingerprint",
+    "dsir_resample", "embedding_drift", "feature_hash", "fingerprint",
     "flac_meta",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "hits", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
