@@ -4154,6 +4154,28 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Log₂-bucketed token-length histogram per group — the dataset-card
+    * length profile (truncation risk, fragment detection) every corpus
+    * release ships. Bucket = floor(log₂ n) computed by INTEGER bit
+    * length (never floating log — exact at every boundary: 2^k lands in
+    * bucket k in both engines); empty docs take bucket −1. One per-row
+    * projection + one hash aggregate. */
+  def lengthHistogram(docs: DataFrame, byCol: String = "source",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val n = size(filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)).cast("long")
+    // floor(log2(n)) = (length of n in binary) - 1, exact integers only
+    val bucket = when(n <= 0, lit(-1L))
+      .otherwise((length(conv(n, 10, 2)) - 1).cast("long"))
+    docs.select(col(byCol).as("grp"), bucket.as("len_bucket"), n.as("n"))
+      .groupBy("grp", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("n").as("min_len"), max("n").as("max_len"))
+      .select(col("grp").as(byCol), col("len_bucket"), col("n_docs"),
+        col("n_tokens"), col("min_len"), col("max_len"))
+  }
+
   /** Per-source embedding-centroid drift: squared distance between each
     * source's mean embedding and the corpus mean, in pure INTEGER
     * micro-units — the embedding-space counterpart of source_kl's

@@ -842,6 +842,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate length_histogram(by, text, id)`: log2 token-length
+    // histogram per group
+    case EvaluateOp("length_histogram", byE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.lengthHistogram(df,
+        colNameOf(df, byE, "length_histogram by"),
+        colNameOf(df, textE, "length_histogram text"),
+        colNameOf(df, idE, "length_histogram id"))
+
     // `evaluate embedding_drift(DocsTable, source)`: per-source centroid
     // drift over an embeddings-shaped frame
     case EvaluateOp("embedding_drift", Col(tbl) :: srcE :: Nil) =>

@@ -95,7 +95,8 @@ object Suggest {
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "hits", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
     "kmv_distinct", "knn_cosine", "label_propagation",
-    "lang_id", "line_dedup", "line_dedup_incremental", "linreg",
+    "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",
+    "linreg",
     "logreg_score", "narrow",
     "audio_meta", "media_dims", "mmr_select", "mp3_meta", "ogg_meta",
     "neardup_groups",
