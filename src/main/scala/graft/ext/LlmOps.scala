@@ -4154,6 +4154,50 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a doc's distinct n-grams absent from the reference —
+    * the memorization/generalization audit (inverse of contamination:
+    * low novelty on eval data means the benchmark leaks; low novelty on
+    * generated data means the model parrots). Train/eval split by the
+    * doc_id-hash fold. Grams ride xxhash64 equality keys Spark-side
+    * (the contamination convention — the ORACLE counts raw gram
+    * strings, so a hash collision would mismatch and be caught);
+    * novelty is integer micros ⇒ value-exact.
+    *
+    * Scale shape: the eval gram set is distinct-reduced and BROADCAST,
+    * so the reference corpus stream never shuffles (winnow_contaminate
+    * convention); per-pair dedup happens after the map-side join. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, holdMod: Int = 7,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && holdMod >= 2, "ngram_novelty: n >= 1, holdMod >= 2")
+    val train = docs.filter(pmod(col(idCol), lit(holdMod)) =!= 0)
+    val ev = docs.filter(pmod(col(idCol), lit(holdMod)) === 0)
+    def grams(df: DataFrame, keepId: Boolean): DataFrame = {
+      val toks = filter(split(lower(txt(textCol)), "\\s+"),
+        t => length(t) >= 1)
+      val g = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+      spread(df).select(
+        (if (keepId) Seq(col(idCol).as("eid")) else Seq.empty[Column]) :+
+          explode(array_distinct(g)).as("gram"): _*)
+    }
+    val eg = grams(ev, keepId = true).distinct()
+    val totals = eg.groupBy("eid").agg(count(lit(1)).as("n_grams"))
+    val known = grams(train, keepId = false)
+      .join(broadcast(eg), Seq("gram"))
+      .select("eid", "gram").distinct()
+      .groupBy("eid").agg(count(lit(1)).as("n_known"))
+    totals.join(known, Seq("eid"), "left_outer")
+      .withColumn("n_novel",
+        col("n_grams") - coalesce(col("n_known"), lit(0L)))
+      .withColumn("novelty_u", expr("(n_novel * 1000000L) div n_grams"))
+      .select(col("eid").as(idCol), col("n_grams"), col("n_novel"),
+        col("novelty_u"))
+  }
+
   /** Log₂-bucketed token-length histogram per group — the dataset-card
     * length profile (truncation risk, fragment detection) every corpus
     * release ships. Bucket = floor(log₂ n) computed by INTEGER bit

@@ -842,6 +842,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate ngram_novelty(n, holdMod, text, id)`: per-doc n-gram
+    // novelty of the eval fold vs the train fold
+    case EvaluateOp("ngram_novelty", nE :: mE :: textE :: idE :: Nil) =>
+      graft.ext.LlmOps.ngramNovelty(df, litLong(nE).toInt,
+        litLong(mE).toInt,
+        colNameOf(df, textE, "ngram_novelty text"),
+        colNameOf(df, idE, "ngram_novelty id"))
+
     // `evaluate length_histogram(by, text, id)`: log2 token-length
     // histogram per group
     case EvaluateOp("length_histogram", byE :: textE :: idE :: Nil) =>

@@ -84,7 +84,7 @@ object Suggest {
     "iqr_outliers",
     "naive_bayes_lang", "profile",
     "readability", "source_similarity", "table_diff",
-    "contamination", "cosine_groups", "ngram_counts",
+    "contamination", "cosine_groups", "ngram_counts", "ngram_novelty",
     "connected_components",
     "dcount_intersect", "dedup_bloom", "dedup_cosine", "dedup_exact",
     "diffpatterns", "diffpatterns_text",
