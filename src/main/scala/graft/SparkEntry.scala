@@ -37,6 +37,23 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** 9×8 planted grayscale bitmap as hex: px(r, c) = (d·7 + r·13 +
+    * c·31) mod 256; doc_id%5==4 docs copy the PREDECESSOR's bitmap with
+    * px(0,0) bumped by one — a planted image near-duplicate whose dHash
+    * differs in at most one bit. */
+  private def plantedBitmapHex: org.apache.spark.sql.Column = {
+    def pxv(r: Int, c: Int): org.apache.spark.sql.Column = {
+      val base = pmod(col("doc_id") * 7 + lit(r * 13 + c * 31), lit(256))
+      val prev = pmod((col("doc_id") - 1) * 7 + lit(r * 13 + c * 31),
+        lit(256))
+      when(pmod(col("doc_id"), lit(5)) === 4,
+        if (r == 0 && c == 0) pmod(prev + 1, lit(256)) else prev)
+        .otherwise(base)
+    }
+    concat((for (r <- 0 until 8; c <- 0 until 9)
+      yield lpad(conv(pxv(r, c), 10, 16), 2, "0")): _*)
+  }
+
   /** tmp_bucketed_join body: write both sides bucketed + sorted on the
     * join key (one-time layout prep, overwritten per run), join over the
     * bucketed catalog tables. The join itself needs no exchange —
@@ -4086,6 +4103,32 @@ object SparkEntry {
       (s, dir) => LlmOps.unigramSegment(docs(s, dir))
         .orderBy(col("freq").desc, col("word")),
       Some("""WITH wrd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(list_filter(string_split(lower(COALESCE(text,'')),' '), x->len(x)>=1)) AS w FROM documents) GROUP BY 1 HAVING len(w) <= 12), pc AS MATERIALIZED (SELECT substr(w, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l GROUP BY 1), top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 256), ch AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1), v0 AS (SELECT piece, MAX(cnt) AS cnt FROM (SELECT * FROM top UNION ALL SELECT * FROM ch) GROUP BY 1), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0), voc AS MATERIALIZED (SELECT piece, CAST(ROUND(LN(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT) AS lp FROM v0, tot), ed0 AS (SELECT w, freq, CAST(j - 1 AS BIGINT) AS j, CAST(j + l - 1 AS BIGINT) AS i, substr(w, j, l) AS piece FROM wrd, unnest(generate_series(1, 4)) s(l), unnest(generate_series(1, len(w) - l + 1)) t(j) WHERE len(w) >= l), ed AS MATERIALIZED (SELECT ed0.w, ed0.freq, ed0.j, ed0.i, ed0.piece, voc.lp FROM ed0 JOIN voc ON voc.piece = ed0.piece), b0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s, '' AS pth FROM wrd), b1 AS MATERIALIZED (SELECT * FROM b0 UNION ALL SELECT w, freq, CAST(1 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b0 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 1) WHERE rn = 1), b2 AS MATERIALIZED (SELECT * FROM b1 UNION ALL SELECT w, freq, CAST(2 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b1 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 2) WHERE rn = 1), b3 AS MATERIALIZED (SELECT * FROM b2 UNION ALL SELECT w, freq, CAST(3 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b2 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 3) WHERE rn = 1), b4 AS MATERIALIZED (SELECT * FROM b3 UNION ALL SELECT w, freq, CAST(4 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b3 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 4) WHERE rn = 1), b5 AS MATERIALIZED (SELECT * FROM b4 UNION ALL SELECT w, freq, CAST(5 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b4 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 5) WHERE rn = 1), b6 AS MATERIALIZED (SELECT * FROM b5 UNION ALL SELECT w, freq, CAST(6 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b5 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 6) WHERE rn = 1), b7 AS MATERIALIZED (SELECT * FROM b6 UNION ALL SELECT w, freq, CAST(7 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b6 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 7) WHERE rn = 1), b8 AS MATERIALIZED (SELECT * FROM b7 UNION ALL SELECT w, freq, CAST(8 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b7 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 8) WHERE rn = 1), b9 AS MATERIALIZED (SELECT * FROM b8 UNION ALL SELECT w, freq, CAST(9 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b8 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 9) WHERE rn = 1), b10 AS MATERIALIZED (SELECT * FROM b9 UNION ALL SELECT w, freq, CAST(10 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b9 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 10) WHERE rn = 1), b11 AS MATERIALIZED (SELECT * FROM b10 UNION ALL SELECT w, freq, CAST(11 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b10 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 11) WHERE rn = 1), b12 AS MATERIALIZED (SELECT * FROM b11 UNION ALL SELECT w, freq, CAST(12 AS BIGINT) AS pos, s, pth FROM (SELECT e.w, e.freq, b.s + e.lp AS s, CASE WHEN e.j = 0 THEN e.piece ELSE b.pth || ' ' || e.piece END AS pth, ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY b.s + e.lp DESC, e.j ASC) AS rn FROM ed e JOIN b11 b ON b.w = e.w AND b.pos = e.j WHERE e.i = 12) WHERE rn = 1) SELECT w AS word, freq, pth AS seg, CAST(len(string_split(pth, ' ')) AS BIGINT) AS n_pieces, s AS score_u FROM b12 WHERE pos = len(w) ORDER BY freq DESC, word LIMIT 200""")),
+
+    // Perceptual image dHash over planted 9x8 grayscale bitmaps:
+    // px(r,c) = (d*7 + r*13 + c*31) % 256, except doc_id%5==4 docs copy
+    // their predecessor's bitmap with pixel (0,0) bumped — a planted
+    // near-duplicate. The oracle computes every gradient bit
+    // ARITHMETICALLY (never parsing bytes); bit 63 lands on the sign
+    // bit, added as Long.MinValue in both engines (two's complement
+    // exact)
+    "llm_image_dhash" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("payload", unhex(plantedBitmapHex))
+        LlmOps.imageDhash(d, "payload").orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, r, c, CASE WHEN (CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((doc_id - 1) * 7) % 256 + 1 WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + c * 31) % 256 ELSE (doc_id * 7 + r * 13 + c * 31) % 256 END) % 256 < (CASE WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + (c + 1) * 31) % 256 ELSE (doc_id * 7 + r * 13 + (c + 1) * 31) % 256 END) THEN 1 ELSE 0 END AS bit FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 7)) t(c)) SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dhash FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // Near-dup image pairs by dHash hamming <= 3 via the 4x16-bit
+    // pigeonhole (lossless to hamming 3); the oracle recomputes hashes
+    // arithmetically and checks ALL pairs — any candidate the split
+    // missed would surface
+    "llm_image_neardup" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("payload", unhex(plantedBitmapHex))
+        LlmOps.imageNearDupPairs(LlmOps.imageDhash(d, "payload"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH g AS (SELECT doc_id, r, c, CASE WHEN (CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((doc_id - 1) * 7) % 256 + 1 WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + c * 31) % 256 ELSE (doc_id * 7 + r * 13 + c * 31) % 256 END) % 256 < (CASE WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + (c + 1) * 31) % 256 ELSE (doc_id * 7 + r * 13 + (c + 1) * 31) % 256 END) THEN 1 ELSE 0 END AS bit FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 7)) t(c)), h AS (SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dh FROM g GROUP BY 1) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.dh, b.dh)) <= 3 ORDER BY 1, 2""")),
 
     // n-gram novelty of the eval fold vs the train fold: fraction of
     // distinct trigrams absent from train, integer micros; the oracle

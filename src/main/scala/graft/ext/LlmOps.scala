@@ -4154,6 +4154,64 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Perceptual image hash (dHash) over raw 9×8 grayscale bitmaps —
+    * image NEAR-duplicate identity: bit (r, c) = [px(r, c) < px(r,
+    * c+1)], 64 horizontal-gradient bits packed into one long, robust
+    * to brightness/contrast shifts because only the SIGN of each
+    * gradient survives. The resize-to-9×8 step is the decoder stub
+    * this environment documents (no image libs); the hash math — the
+    * real algorithm — runs as pure codegen byte arithmetic over the
+    * 72-byte payload (hex reads, no UDF), one column per pixel ROW
+    * (the media_dims chain lesson). Short/absent payloads null out. */
+  def imageDhash(docs: DataFrame, binCol: String,
+                 idCol: String = "doc_id"): DataFrame = {
+    var d = docs.withColumn("__ih",
+      upper(hex(substring(col(binCol), 1, 72))))
+    def px(r: Int, c: Int): Column =
+      conv(substring(col("__ih"), (r * 9 + c) * 2 + 1, 2), 16, 10)
+        .cast("long")
+    for (r <- 0 until 8) {
+      d = d.withColumn(s"__row$r",
+        (0 until 8).map(c =>
+          when(px(r, c) < px(r, c + 1),
+            lit(1L << (r * 8 + c))).otherwise(lit(0L)))
+          .reduce(_ + _))
+    }
+    d.select(col(idCol),
+      when(length(col("__ih")) === 144,
+        (0 until 8).map(r => col(s"__row$r")).reduce(_ + _))
+        .as("dhash"))
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance ≤ k: the
+    * pigeonhole split (4 × 16-bit chunks — any pair within hamming 3
+    * shares at least one chunk exactly) makes candidate generation an
+    * equi-join, never all-pairs; bit_count(xor) verifies exactly. The
+    * simhash-pairs machinery applied to the image identity. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "doc_id",
+                        hashCol: String = "dhash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "image_neardup: 4 chunks guarantee losslessness only to hamming 3")
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = h.select(col("id"), col("h"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          pmod(shiftright(col("h"), i * 16), lit(65536L)).as("cv"))): _*))
+        .as("c"))
+      .select(col("id"), col("h"), col("c.ci"), col("c.cv"))
+    val a = chunks.select(col("id").as("id_a"), col("h").as("h_a"),
+      col("ci"), col("cv"))
+    val b = chunks.select(col("id").as("id_b"), col("h").as("h_b"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(expr("h_a ^ h_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Per-document n-gram NOVELTY against a reference corpus: the
     * fraction of a doc's distinct n-grams absent from the reference —
     * the memorization/generalization audit (inverse of contamination:

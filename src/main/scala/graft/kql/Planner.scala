@@ -842,6 +842,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate image_dhash(payload)`: 64-bit perceptual gradient hash
+    case EvaluateOp("image_dhash", binE :: Nil) =>
+      graft.ext.LlmOps.imageDhash(df,
+        colNameOf(df, binE, "image_dhash payload"))
+
+    // `evaluate image_neardup(maxHamming, id, dhash)`: pigeonhole
+    // near-dup pairs over a dhash frame
+    case EvaluateOp("image_neardup", kE :: idE :: hE :: Nil) =>
+      graft.ext.LlmOps.imageNearDupPairs(df, litLong(kE).toInt,
+        colNameOf(df, idE, "image_neardup id"),
+        colNameOf(df, hE, "image_neardup dhash"))
+
     // `evaluate ngram_novelty(n, holdMod, text, id)`: per-doc n-gram
     // novelty of the eval fold vs the train fold
     case EvaluateOp("ngram_novelty", nE :: mE :: textE :: idE :: Nil) =>

@@ -93,7 +93,7 @@ object Suggest {
     "dsir_resample", "embedding_drift", "feature_hash", "fingerprint",
     "flac_meta",
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
-    "hash_split", "hits", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
+    "hash_split", "hits", "image_dhash", "image_neardup", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",
     "linreg",

@@ -308,6 +308,55 @@ class R10OpsSpec extends AnyFunSuite {
     assert(hB != hE, "the edited chunk itself must change")
   }
 
+  test("imageDhash: brightness-invariant, one-pixel edits flip at most 2 bits") {
+    val rnd = new scala.util.Random(31)
+    def bmp(px: (Int, Int) => Int): Array[Byte] =
+      (for (r <- 0 until 8; c <- 0 until 9)
+        yield (px(r, c) & 0xff).toByte).toArray
+    val base = Array.fill(8, 9)(rnd.nextInt(200))
+    val rows = Seq(
+      (1L, bmp((r, c) => base(r)(c))),
+      (2L, bmp((r, c) => base(r)(c) + 40)),               // brightness shift
+      (3L, bmp((r, c) => if (r == 4 && c == 4) base(r)(c) + 90
+                         else base(r)(c))),               // one-pixel edit
+      (4L, Array[Byte](1, 2, 3))                          // short payload
+    ).toDF("doc_id", "payload")
+    val h = LlmOps.imageDhash(rows, "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(h(1L).isDefined && h(1L) == h(2L),
+      "uniform brightness shift must not change a gradient-sign hash")
+    val d = java.lang.Long.bitCount(h(1L).get ^ h(3L).get)
+    assert(d >= 1 && d <= 2, s"one pixel touches 2 gradients, flipped $d")
+    assert(h(4L).isEmpty)
+  }
+
+  test("imageNearDupPairs: pigeonhole candidates are LOSSLESS to hamming 3") {
+    val rnd = new scala.util.Random(41)
+    val hashes = (1L to 300L).map { i =>
+      // clustered hashes: groups of 10 share a base with few bit flips
+      val base = rnd.nextLong() // advances deterministically per i
+      (i, if (i % 10 == 0) base else base ^ (1L << rnd.nextInt(64)))
+    }.toDF("doc_id", "dhash")
+    val got = LlmOps.imageNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+  }
+
+  test("image_dhash/image_neardup reachable from KQL") {
+    val r = Kql.run(spark,
+      """documents
+        | extend payload = tostring(doc_id)
+        | evaluate image_dhash(payload)
+        | count""", cat).collect()
+    assert(r.head.getLong(0) == 500L) // short payloads -> null hashes, rows kept
+  }
+
   test("kmvDistinct: merge of shard sketches equals sketch of the union") {
     // 3 shards with overlapping vocabularies; the merged (__all__) row
     // must equal a direct sketch over the union -> mergeability is an
