@@ -42,10 +42,20 @@ object SparkEntry {
     * px(0,0) bumped by one — a planted image near-duplicate whose dHash
     * differs in at most one bit. */
   private def plantedBitmapHex: org.apache.spark.sql.Column = {
-    def pxv(r: Int, c: Int): org.apache.spark.sql.Column = {
-      val base = pmod(col("doc_id") * 7 + lit(r * 13 + c * 31), lit(256))
-      val prev = pmod((col("doc_id") - 1) * 7 + lit(r * 13 + c * 31),
+    // md5-derived pseudorandom pixels (the portable ascii convention):
+    // an ARITHMETIC plant (d*7 + r*13 + c*31 mod 256) makes wrap
+    // patterns of nearby ids hamming-close, so incidental near-pairs
+    // grow with the corpus (measured 21.6 s at sf0.1); random pixels
+    // leave only the PLANTED predecessor copies pairing up
+    def pxOf(id: org.apache.spark.sql.Column, r: Int,
+             c: Int): org.apache.spark.sql.Column = {
+      val k = md5(concat(id.cast("string"), lit(s"_${r}_$c")))
+      pmod(ascii(substring(k, 1, 1)) * 7 + ascii(substring(k, 2, 1)) * 13,
         lit(256))
+    }
+    def pxv(r: Int, c: Int): org.apache.spark.sql.Column = {
+      val base = pxOf(col("doc_id"), r, c)
+      val prev = pxOf(col("doc_id") - 1, r, c)
       when(pmod(col("doc_id"), lit(5)) === 4,
         if (r == 0 && c == 0) pmod(prev + 1, lit(256)) else prev)
         .otherwise(base)
@@ -4116,7 +4126,7 @@ object SparkEntry {
         val d = docs(s, dir).withColumn("payload", unhex(plantedBitmapHex))
         LlmOps.imageDhash(d, "payload").orderBy("doc_id")
       },
-      Some("""WITH g AS (SELECT doc_id, r, c, CASE WHEN (CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((doc_id - 1) * 7) % 256 + 1 WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + c * 31) % 256 ELSE (doc_id * 7 + r * 13 + c * 31) % 256 END) % 256 < (CASE WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + (c + 1) * 31) % 256 ELSE (doc_id * 7 + r * 13 + (c + 1) * 31) % 256 END) THEN 1 ELSE 0 END AS bit FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 7)) t(c)) SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dhash FROM g GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH px AS (SELECT doc_id, r, c, CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 + 1) % 256 WHEN doc_id % 5 = 4 THEN (ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 ELSE (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 END AS v FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 8)) t(c)), g AS (SELECT a.doc_id, a.r, a.c, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c <= 7) SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dhash FROM g GROUP BY 1 ORDER BY 1""")),
 
     // Near-dup image pairs by dHash hamming <= 3 via the 4x16-bit
     // pigeonhole (lossless to hamming 3); the oracle recomputes hashes
@@ -4128,7 +4138,7 @@ object SparkEntry {
         LlmOps.imageNearDupPairs(LlmOps.imageDhash(d, "payload"))
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH g AS (SELECT doc_id, r, c, CASE WHEN (CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((doc_id - 1) * 7) % 256 + 1 WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + c * 31) % 256 ELSE (doc_id * 7 + r * 13 + c * 31) % 256 END) % 256 < (CASE WHEN doc_id % 5 = 4 THEN ((doc_id - 1) * 7 + r * 13 + (c + 1) * 31) % 256 ELSE (doc_id * 7 + r * 13 + (c + 1) * 31) % 256 END) THEN 1 ELSE 0 END AS bit FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 7)) t(c)), h AS (SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dh FROM g GROUP BY 1) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.dh, b.dh)) <= 3 ORDER BY 1, 2""")),
+      Some("""WITH px AS (SELECT doc_id, r, c, CASE WHEN doc_id % 5 = 4 AND r = 0 AND c = 0 THEN ((ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 + 1) % 256 WHEN doc_id % 5 = 4 THEN (ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id - 1 AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 ELSE (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '_' || r || '_' || c), 1, 1)) * 7 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '_' || r || '_' || c), 2, 1)) * 13) % 256 END AS v FROM documents, unnest(generate_series(0, 7)) s(r), unnest(generate_series(0, 8)) t(c)), g AS (SELECT a.doc_id, a.r, a.c, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c <= 7), h AS (SELECT doc_id, CAST(SUM(CASE WHEN r = 7 AND c = 7 THEN bit * (-9223372036854775807 - 1) ELSE bit * (CAST(1 AS BIGINT) << (r * 8 + c)) END) AS BIGINT) AS dh FROM g GROUP BY 1) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.dh, b.dh)) <= 3 ORDER BY 1, 2""")),
 
     // n-gram novelty of the eval fold vs the train fold: fraction of
     // distinct trigrams absent from train, integer micros; the oracle

@@ -4193,8 +4193,12 @@ object LlmOps {
                         hashCol: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "image_neardup: 4 chunks guarantee losslessness only to hamming 3")
-    val h = hashes.filter(col(hashCol).isNotNull)
-      .select(col(idCol).as("id"), col(hashCol).as("h"))
+    // the hash frame feeds BOTH sides of the self-join — persist it or
+    // the upstream hash computation (and whatever produced the
+    // payloads) runs twice (measured 34.9 -> 1.3 s on the planted
+    // bench row); reclaimed by releaseCaches
+    val h = persistTracked(hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("h")))
     val chunks = h.select(col("id"), col("h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),
