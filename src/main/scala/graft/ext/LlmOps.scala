@@ -4195,8 +4195,12 @@ object LlmOps {
       "image_neardup: 4 chunks guarantee losslessness only to hamming 3")
     // the hash frame feeds BOTH sides of the self-join — persist it or
     // the upstream hash computation (and whatever produced the
-    // payloads) runs twice (measured 34.9 -> 1.3 s on the planted
-    // bench row); reclaimed by releaseCaches
+    // payloads) runs twice (measured 34.9 -> 8.3 s on the planted
+    // bench row, where the residual is analyzer time on the planted
+    // payload tree, not this op). An eager localCheckpoint was tried
+    // and REJECTED: it materializes through an interpreted row path
+    // that took minutes on the same wide expression. Reclaimed by
+    // releaseCaches.
     val h = persistTracked(hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("id"), col(hashCol).as("h")))
     val chunks = h.select(col("id"), col("h"),
