@@ -4098,6 +4098,17 @@ object SparkEntry {
               d = dynamic_to_json(series_iir(pack_array(5, 3, 8, 2), pack_array(1.0, -1.0), pack_array(1.0)))"""),
       Some("""SELECT '[0.5,1.25,2.125,3.0625,4.03125,5.015625,6.0078125,7.00390625]' AS e, '[5.0,-2.0,5.0,-6.0]' AS d""")),
 
+    // Dynamic-time-warping distance (alignment-tolerant series
+    // similarity): stretch-aligned series score 0 where euclidean
+    // would not; known-answer print oracle over integer series (every
+    // DP cell exact)
+    "q177_series_dtw" -> Q(kqlQ(
+      """print d0 = series_dtw(pack_array(1, 2, 3), pack_array(1, 1, 2, 2, 3, 3)),
+              d1 = series_dtw(pack_array(0, 0, 0), pack_array(1, 1, 1)),
+              d2 = series_dtw(pack_array(1, 5, 1, 1), pack_array(1, 1, 5, 1)),
+              d3 = series_dtw(pack_array(1, 2), pack_array(2, 4))"""),
+      Some("""SELECT CAST(0 AS DOUBLE) AS d0, CAST(3 AS DOUBLE) AS d1, CAST(0 AS DOUBLE) AS d2, CAST(3 AS DOUBLE) AS d3""")),
+
     // Streaming cumulative top-k (complete mode, 2 micro-batches):
     // the oracle recomputes over BOTH batches in one pass — equality
     // proves the aggregation state crossed the batch boundary

@@ -372,6 +372,7 @@ object Functions {
         transform(sc, x => when(x > excess, 1L).when(x < -excess, -1L)
           .otherwise(0L)) },
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
+    "series_dtw" -> f { case a :: b :: Nil => seriesDtw(a, b) },
     "series_iir" -> f { case x :: b :: a :: Nil => seriesIir(x, b, a) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
     // degree-k polynomial least squares (x = 0..n−1): normal equations +
@@ -1418,6 +1419,42 @@ object Functions {
         (acc, j) => acc + element_at(coefs, j).cast("double"))
       num / den
     })
+  }
+
+  /** Dynamic-time-warping distance between two series (classic
+    * symmetric step, |·| local cost, no window): D(i,j) = |aᵢ−bⱼ| +
+    * min(D(i−1,j), D(i,j−1), D(i−1,j−1)) — alignment-tolerant series
+    * similarity where plain euclidean/fir breaks on phase shifts.
+    * Nested aggregate FOLDS (outer over a's elements carrying the
+    * previous DP row, inner over b's building the current row — the
+    * row's own left neighbor makes a flat transform impossible):
+    * O(n·m) runtime iteration, constant plan size (the series_iir
+    * lesson). Integer-valued inputs keep every cell exact (< 2⁵³).
+    * Empty inputs yield null (no alignment exists). */
+  private def seriesDtw(a0: Column, b0: Column): Column = {
+    val a = a0.cast("array<double>")
+    val b = b0.cast("array<double>")
+    val inf = lit(Double.MaxValue)
+    // row 0: D(0,0) = 0, D(0,j>0) = inf
+    val row0 = concat(array(lit(0.0d)),
+      transform(b, _ => inf))
+    // current row starts with D(i,0) = inf, then appends
+    // min(up, upleft, left) + |a_i - b_j| left to right
+    val last = aggregate(a, row0, (prev, av) =>
+      aggregate(
+        zip_with(b, sequence(lit(1), size(b)),
+          (bv, j) => struct(bv.as("bv"), j.as("j"))),
+        array(inf),
+        (cur, e) => {
+          val j = e.getField("j").cast("int")
+          val up = element_at(prev, j + 1)
+          val upLeft = element_at(prev, j)
+          val left = element_at(cur, size(cur))
+          concat(cur, array(
+            least(up, upLeft, left) + abs(av - e.getField("bv"))))
+        }))
+    when(size(a) >= 1 && size(b) >= 1,
+      element_at(last, size(b) + 1))
   }
 
   /** ADX series_iir(x, b, a): infinite-impulse-response filter

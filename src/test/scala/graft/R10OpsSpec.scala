@@ -308,6 +308,37 @@ class R10OpsSpec extends AnyFunSuite {
     assert(hB != hE, "the edited chunk itself must change")
   }
 
+  test("series_dtw matches a reference Scala DP on random integer series") {
+    val rnd = new scala.util.Random(17)
+    def refDtw(a: Seq[Int], b: Seq[Int]): Double = {
+      val inf = Double.MaxValue
+      var prev = 0.0 +: Seq.fill(b.length)(inf)
+      for (av <- a) {
+        val cur = scala.collection.mutable.ArrayBuffer(inf)
+        for (j <- b.indices) {
+          val c = math.abs(av - b(j)).toDouble
+          cur += math.min(math.min(prev(j + 1), prev(j)), cur(j)) + c
+        }
+        prev = cur.toSeq
+      }
+      prev.last
+    }
+    for (_ <- 1 to 10) {
+      val a = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(9))
+      val b = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(9))
+      val got = Kql.run(spark,
+        s"""print d = series_dtw(pack_array(${a.mkString(",")}),
+                                 pack_array(${b.mkString(",")}))""", cat)
+        .head.getDouble(0)
+      assert(got == refDtw(a, b), s"a=$a b=$b: $got != ${refDtw(a, b)}")
+    }
+    // empty side -> null (no alignment exists)
+    val r = Kql.run(spark,
+      "print d = series_dtw(pack_array(1), array_slice(pack_array(1), 2, 1))",
+      cat).head
+    assert(r.isNullAt(0))
+  }
+
   test("imageDhash: brightness-invariant, one-pixel edits flip at most 2 bits") {
     val rnd = new scala.util.Random(31)
     def bmp(px: (Int, Int) => Int): Array[Byte] =
