@@ -4154,6 +4154,28 @@ object LlmOps {
         round(col("types").cast("double") / col("n"), 4).as("ttr"))
   }
 
+  /** Audio fingerprint over a 65-byte ENERGY ENVELOPE (per-frame
+    * energies 0..255): 64 gradient-sign bits — the chromaprint-family
+    * idea simplified to the time-energy axis (the spectral transform
+    * rides the documented decode stub; the gradient-sign hash — what
+    * makes fingerprints robust to gain changes — is real codegen byte
+    * arithmetic). Volume/gain shifts preserve gradient signs, so
+    * re-encoded copies hash identically; near-dups pair via
+    * [[imageNearDupPairs]], which is generic over any 64-bit hash.
+    * Short payloads null out. */
+  def audioDhash(docs: DataFrame, binCol: String,
+                 idCol: String = "doc_id"): DataFrame = {
+    val d = docs.withColumn("__ah",
+      upper(hex(substring(col(binCol), 1, 65))))
+    def px(i: Int): Column =
+      conv(substring(col("__ah"), i * 2 + 1, 2), 16, 10).cast("long")
+    val hash = (0 until 64).map(i =>
+      when(px(i) < px(i + 1), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    d.select(col(idCol),
+      when(length(col("__ah")) === 130, hash).as("dhash"))
+  }
+
   /** Perceptual image hash (dHash) over raw 9×8 grayscale bitmaps —
     * image NEAR-duplicate identity: bit (r, c) = [px(r, c) < px(r,
     * c+1)], 64 horizontal-gradient bits packed into one long, robust

@@ -842,6 +842,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate audio_dhash(payload)`: 64-bit energy-envelope gradient
+    // fingerprint
+    case EvaluateOp("audio_dhash", binE :: Nil) =>
+      graft.ext.LlmOps.audioDhash(df,
+        colNameOf(df, binE, "audio_dhash payload"))
+
     // `evaluate image_dhash(payload)`: 64-bit perceptual gradient hash
     case EvaluateOp("image_dhash", binE :: Nil) =>
       graft.ext.LlmOps.imageDhash(df,

@@ -98,7 +98,7 @@ object Suggest {
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",
     "linreg",
     "logreg_score", "narrow",
-    "audio_meta", "media_dims", "mmr_select", "mp3_meta", "ogg_meta",
+    "audio_dhash", "audio_meta", "media_dims", "mmr_select", "mp3_meta", "ogg_meta",
     "neardup_groups",
     "neardup_minhash",
     "new_activity_metrics",

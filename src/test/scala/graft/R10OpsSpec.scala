@@ -339,6 +339,28 @@ class R10OpsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("audioDhash: gain-invariant, short payloads null, pairs machinery reusable") {
+    val rnd = new scala.util.Random(53)
+    val env = Array.fill(65)(rnd.nextInt(180))
+    def pay(f: Int => Int): Array[Byte] =
+      (0 until 65).map(i => (f(i) & 0xff).toByte).toArray
+    val rows = Seq(
+      (1L, pay(env(_))),
+      (2L, pay(i => env(i) + 60)),  // uniform gain shift
+      (3L, Array[Byte](9))          // short
+    ).toDF("doc_id", "payload")
+    val h = LlmOps.audioDhash(rows, "payload").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(h(1L).isDefined && h(1L) == h(2L),
+      "a uniform gain shift must not change a gradient-sign fingerprint")
+    assert(h(3L).isEmpty)
+    // the pigeonhole pair engine is hash-generic: reuse it on audio
+    val pairs = LlmOps.imageNearDupPairs(
+      LlmOps.audioDhash(rows, "payload"), maxHamming = 3).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
   test("imageDhash: brightness-invariant, one-pixel edits flip at most 2 bits") {
     val rnd = new scala.util.Random(31)
     def bmp(px: (Int, Int) => Int): Array[Byte] =
