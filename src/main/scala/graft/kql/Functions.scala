@@ -608,6 +608,9 @@ object Functions {
     // strip comments + every remaining tag, decode the six standard
     // entities, collapse whitespace; total on any string (see htmlStrip)
     "html_strip" -> f { case h :: Nil => htmlStrip(h.cast("string")) },
+    // crawl-layer politeness check: robots_allow(robots_txt, agent, path)
+    "robots_allow" -> f { case b :: a :: p :: Nil =>
+      robotsAllow(b.cast("string"), a.cast("string"), p.cast("string")) },
     // simplified UA parsing (the public token heuristics: Edge before
     // Chrome before Safari; OS from platform tokens) — pure when-chains
     // and regexp_extract, no UDF, no lookup tables
@@ -767,6 +770,68 @@ object Functions {
     "series_cusum_detect" -> f { case a :: t :: k :: Nil =>
       seriesCusumDetect(a, t, k) },
   )
+
+  /** robots.txt permission check (REP, the documented simplification):
+    * comment/blank lines dropped; groups = runs headed by one or more
+    * consecutive User-agent lines; the group whose UA equals the agent
+    * (case-insensitive) wins, else the `*` group, else everything is
+    * allowed; within the chosen group the LONGEST Allow/Disallow value
+    * that prefixes the path decides, Allow winning length ties (the
+    * published Google rule); empty Disallow values are no-ops; no
+    * matching rule ⇒ allowed. Two aggregate FOLDS over the line array
+    * (group assignment needs run state; best-rule needs a running max)
+    * — runtime iteration, constant plan size. */
+  private def robotsAllow(body: Column, agent: Column,
+                          path: Column): Column = {
+    val lines = filter(
+      transform(split(coalesce(body, lit("")), "\n"), l => trim(l)),
+      l => length(l) >= 1 && !l.startsWith("#"))
+    // everything after the FIRST colon (path values may contain colons)
+    def valOf(l: Column): Column =
+      trim(l.substr(instr(l, ":") + 1, length(l)))
+    // fold 1: tag each line (kind, value, gid) — consecutive UA lines
+    // share a group; state = (gid, prevWasUa, tagged lines)
+    val tagged = aggregate(lines,
+      struct(lit(0L).as("gid"), lit(false).as("pua"),
+        array().cast("array<struct<kind:string,value:string,gid:bigint>>")
+          .as("out")),
+      (acc, l) => {
+        val low = lower(l)
+        val kind = when(low.startsWith("user-agent:"), lit("ua"))
+          .when(low.startsWith("allow:"), lit("allow"))
+          .when(low.startsWith("disallow:"), lit("disallow"))
+          .otherwise(lit("other"))
+        val isUa = kind === "ua"
+        val gid = when(isUa && !acc.getField("pua"),
+          acc.getField("gid") + 1L).otherwise(acc.getField("gid"))
+        struct(gid.as("gid"), isUa.as("pua"),
+          concat(acc.getField("out"), array(struct(kind.as("kind"),
+            lower(valOf(l)).as("value"), gid.as("gid")))).as("out"))
+      }).getField("out")
+    val agentLc = lower(agent)
+    def uaGid(matchVal: Column): Column = {
+      val hits = filter(tagged, e =>
+        e.getField("kind") === "ua" && e.getField("value") === matchVal)
+      when(size(hits) >= 1, element_at(hits, 1).getField("gid"))
+    }
+    val gid = coalesce(uaGid(agentLc), uaGid(lit("*")))
+    val rules = filter(tagged, e =>
+      e.getField("gid") === gid &&
+        (e.getField("kind") === "allow" || e.getField("kind") === "disallow") &&
+        length(e.getField("value")) >= 1 &&
+        path.startsWith(e.getField("value")))
+    // fold 2: longest rule wins, Allow beats Disallow on ties
+    val best = aggregate(rules,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, e) => {
+        val l = length(e.getField("value"))
+        val isAllow = e.getField("kind") === "allow"
+        when(l > acc.getField("len") ||
+            (l === acc.getField("len") && isAllow),
+          struct(l.as("len"), isAllow.as("allow"))).otherwise(acc)
+      })
+    when(gid.isNull, lit(true)).otherwise(best.getField("allow"))
+  }
 
   /** Crawl-layer HTML → text extraction (the step between media-type
     * routing and every text-quality op): remove script/style elements

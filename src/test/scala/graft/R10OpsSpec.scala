@@ -308,6 +308,28 @@ class R10OpsSpec extends AnyFunSuite {
     assert(hB != hE, "the edited chunk itself must change")
   }
 
+  test("robots_allow: group fallback, longest rule, Allow beats Disallow, totality") {
+    def check(agent: String, path: String): Boolean = {
+      val body = "# c\nUser-agent: alpha\nUser-agent: beta\n" +
+        "Disallow: /private\nAllow: /private/open\n" +
+        "User-agent: *\nDisallow: /tmp\nDisallow:\n"
+      Kql.run(spark,
+        s"""print a = robots_allow("${body.replace("\n", "\\n")}",
+                                   "$agent", "$path")""", cat)
+        .head.getBoolean(0)
+    }
+    assert(!check("alpha", "/private/y"))        // group rule blocks
+    assert(check("BETA", "/private/open/x"))     // longer Allow wins, UA case-insens
+    assert(check("alpha", "/tmp/z"))             // other group's rule ignored
+    assert(!check("gamma", "/tmp/z"))            // * fallback blocks
+    assert(check("gamma", "/private/y"))         // * has no /private rule
+    assert(check("alpha", "/pub"))               // no matching rule -> allow
+    // no robots / no groups at all -> allowed (total)
+    val empty = Kql.run(spark,
+      """print a = robots_allow("", "any", "/x")""", cat).head.getBoolean(0)
+    assert(empty)
+  }
+
   test("series_dtw matches a reference Scala DP on random integer series") {
     val rnd = new scala.util.Random(17)
     def refDtw(a: Seq[Int], b: Seq[Int]): Double = {
