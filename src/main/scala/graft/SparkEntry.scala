@@ -2833,7 +2833,7 @@ object SparkEntry {
             round(col("last_click_val"), 4).as("last_click_val"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id, ROUND(CASE WHEN epoch_us(ts) - last_click_ts <= 1800000000 THEN last_click_val END, 4) AS last_click_val FROM (SELECT event_id, user_id, ts, event_type, LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_val, LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts FROM events) WHERE event_type = 'purchase' ORDER BY event_id""")),
+      Some("""SELECT event_id, user_id, ROUND(CASE WHEN epoch_us(ts) - struct_extract(m, 'mts') <= 1800000000 THEN struct_extract(m, 'mv') END, 4) AS last_click_val FROM (SELECT event_id, user_id, ts, event_type, LAST_VALUE(CASE WHEN event_type = 'click' THEN struct_pack(mts := epoch_us(ts), mv := value) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM events) WHERE event_type = 'purchase' ORDER BY event_id""")),
 
     "tmp_range_join" -> Q(
       (s, dir) => {
@@ -4127,28 +4127,33 @@ object SparkEntry {
 
     // robots.txt permission check: one planted policy, agent and path
     // varied arithmetically per doc; the oracle states the expected
-    // decision as a pure CASE over (id%3, id%4) — group fallback,
-    // longest-rule, and Allow-beats-Disallow are all exercised
+    // decision as a pure CASE over (id%3, id%6) — group fallback,
+    // longest-rule, Allow-beats-Disallow, and REP's case-SENSITIVE
+    // path matching (mixed-case rules hit only same-case paths) are
+    // all exercised
     "llm_robots_allow" -> Q(
       (s, dir) => {
         val robots = lit("# crawl policy\nUser-agent: alpha\n" +
           "User-agent: beta\nDisallow: /private\nAllow: /private/open\n" +
-          "User-agent: *\nDisallow: /tmp\n")
+          "Disallow: /Docs\n" +
+          "User-agent: *\nDisallow: /tmp\nDisallow: /Admin\n")
         val agent = when(pmod(col("doc_id"), lit(3)) === 0, lit("Alpha"))
           .when(pmod(col("doc_id"), lit(3)) === 1, lit("beta"))
           .otherwise(lit("gamma"))
-        val path = when(pmod(col("doc_id"), lit(4)) === 0,
-            lit("/private/open/x"))
-          .when(pmod(col("doc_id"), lit(4)) === 1, lit("/private/y"))
-          .when(pmod(col("doc_id"), lit(4)) === 2, lit("/tmp/z"))
-          .otherwise(lit("/pub"))
+        val m6 = pmod(col("doc_id"), lit(6))
+        val path = when(m6 === 0, lit("/private/open/x"))
+          .when(m6 === 1, lit("/private/y"))
+          .when(m6 === 2, lit("/tmp/z"))
+          .when(m6 === 3, lit("/Docs/q"))
+          .when(m6 === 4, lit("/Admin/x"))
+          .otherwise(lit("/admin/x"))
         docs(s, dir).select(col("doc_id"), agent.as("agent"),
             path.as("path"),
             graft.kql.Functions.registry("robots_allow")(
               List(robots, agent, path)).as("allowed"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'Alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END AS agent, CASE doc_id % 4 WHEN 0 THEN '/private/open/x' WHEN 1 THEN '/private/y' WHEN 2 THEN '/tmp/z' ELSE '/pub' END AS path, CASE WHEN doc_id % 3 <= 1 THEN (CASE doc_id % 4 WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE TRUE END) ELSE (CASE doc_id % 4 WHEN 2 THEN FALSE ELSE TRUE END) END AS allowed FROM documents ORDER BY doc_id""")),
+      Some("""SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'Alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END AS agent, CASE doc_id % 6 WHEN 0 THEN '/private/open/x' WHEN 1 THEN '/private/y' WHEN 2 THEN '/tmp/z' WHEN 3 THEN '/Docs/q' WHEN 4 THEN '/Admin/x' ELSE '/admin/x' END AS path, CASE WHEN doc_id % 3 <= 1 THEN (CASE doc_id % 6 WHEN 1 THEN FALSE WHEN 3 THEN FALSE ELSE TRUE END) ELSE (CASE doc_id % 6 WHEN 2 THEN FALSE WHEN 4 THEN FALSE ELSE TRUE END) END AS allowed FROM documents ORDER BY doc_id""")),
 
     // Audio energy-envelope fingerprint: 64 gradient-sign bits over a
     // planted 65-byte envelope (md5-ascii bytes); the oracle derives

@@ -27,11 +27,15 @@ object TemporalOps {
 
   /** As-of with TOLERANCE: [[asOfLastPrior]] but a match older than
     * `tolUs` microseconds is dropped (null) — the "join to the latest
-    * quote, unless it is stale" rule of market-data as-of joins. Two
-    * last(ignoreNulls) passes over the SAME window (value + its
-    * timestamp — both pick the same row because the partition order
-    * (ts, tie) is total), then one staleness comparison. Same single
-    * key shuffle, O(1) window state. */
+    * quote, unless it is stale" rule of market-data as-of joins. ONE
+    * last(ignoreNulls) pass picks a (ts, value) struct, so the value
+    * and its timestamp provably come from the SAME marker row even
+    * when the latest marker carries a NULL value (two independent
+    * passes would pair an older value with the newer row's timestamp:
+    * `when(marker, value)` is null-skipped while `when(marker, ts)`
+    * is not). A null-valued latest marker within tolerance yields
+    * null — the honest as-of answer. Same single key shuffle, O(1)
+    * window state. */
   def asOfLastPriorWithin(df: DataFrame, key: String, ts: String,
                           tie: String, marker: Column, value: Column,
                           out: String, tolUs: Long): DataFrame = {
@@ -45,10 +49,12 @@ object TemporalOps {
         unix_micros(col(ts).cast("timestamp"))
       case _ => col(ts).cast("long")
     }
-    df.withColumn("__m_val", last(when(marker, value), ignoreNulls = true).over(w))
-      .withColumn("__m_ts", last(when(marker, tsNum), ignoreNulls = true).over(w))
-      .withColumn(out, when(tsNum - col("__m_ts") <= tolUs, col("__m_val")))
-      .drop("__m_val", "__m_ts")
+    df.withColumn("__m", last(when(marker,
+        struct(tsNum.as("ts"), value.as("v"))), ignoreNulls = true).over(w))
+      .withColumn(out,
+        when(tsNum - col("__m").getField("ts") <= tolUs,
+          col("__m").getField("v")))
+      .drop("__m")
   }
 
   /** Ordered funnel matching — the batch emulation of KQL `scan` for its

@@ -32,8 +32,12 @@ final class Catalog(spark: SparkSession, dir: String,
     * planning one). */
   def tableIn(db: String, name: String): DataFrame =
     if (db == defaultDatabase) table(name)
-    else if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(s"$dir/$db")))
+    // the db name becomes a single path SEGMENT — reject separators
+    // and dot-runs so database('../x') cannot escape the fixture dir
+    else if (db.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") &&
+        !db.contains("..") &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$dir/$db")))
       subCatalogs.getOrElseUpdate(db, new Catalog(spark, s"$dir/$db"))
         .table(name)
     else throw new IllegalArgumentException(

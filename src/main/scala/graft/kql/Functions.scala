@@ -777,7 +777,8 @@ object Functions {
     * (case-insensitive) wins, else the `*` group, else everything is
     * allowed; within the chosen group the LONGEST Allow/Disallow value
     * that prefixes the path decides, Allow winning length ties (the
-    * published Google rule); empty Disallow values are no-ops; no
+    * published Google rule); path matching is CASE-SENSITIVE per REP
+    * (only the UA token folds); empty Disallow values are no-ops; no
     * matching rule ⇒ allowed. Two aggregate FOLDS over the line array
     * (group assignment needs run state; best-rule needs a running max)
     * — runtime iteration, constant plan size. */
@@ -804,14 +805,17 @@ object Functions {
         val isUa = kind === "ua"
         val gid = when(isUa && !acc.getField("pua"),
           acc.getField("gid") + 1L).otherwise(acc.getField("gid"))
+        // rule values stay VERBATIM — REP path matching is
+        // case-sensitive; only the UA token compares folded (uaGid)
         struct(gid.as("gid"), isUa.as("pua"),
           concat(acc.getField("out"), array(struct(kind.as("kind"),
-            lower(valOf(l)).as("value"), gid.as("gid")))).as("out"))
+            valOf(l).as("value"), gid.as("gid")))).as("out"))
       }).getField("out")
     val agentLc = lower(agent)
     def uaGid(matchVal: Column): Column = {
       val hits = filter(tagged, e =>
-        e.getField("kind") === "ua" && e.getField("value") === matchVal)
+        e.getField("kind") === "ua" &&
+          lower(e.getField("value")) === matchVal)
       when(size(hits) >= 1, element_at(hits, 1).getField("gid"))
     }
     val gid = coalesce(uaGid(agentLc), uaGid(lit("*")))

@@ -73,7 +73,13 @@ final class MisraGries(val m: Int) extends Serializable {
     val out = new java.io.DataOutputStream(bos)
     val res = result()
     out.writeInt(m); out.writeLong(subtracted); out.writeInt(res.size)
-    res.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws on
+    // tokens whose encoding exceeds 65535 bytes, and one pathological
+    // n-gram/URL would fail the whole aggregation
+    res.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -83,7 +89,12 @@ object MisraGries {
   def deserialize(bytes: Array[Byte]): (Int, Long, Seq[(String, Long)]) = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val m = in.readInt(); val sub = in.readLong(); val n = in.readInt()
-    val entries = (0 until n).map(_ => (in.readUTF(), in.readLong()))
+    val entries = (0 until n).map { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      (new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     (m, sub, entries)
   }
 

@@ -272,6 +272,21 @@ class R10OpsSpec extends AnyFunSuite {
       .collect()
     assert(out(0).getDouble(5) == 7.5)
     assert(out(1).isNullAt(5) && out(2).isNullAt(5))
+    // the latest marker row wins even when its value is NULL: the ts
+    // and value must come from the SAME picked row (a null-valued
+    // fresh quote nulls the output; it must NOT resurrect the older
+    // value under the newer row's timestamp)
+    val ev2 = Seq(
+      (1L, 1L, 0L, "click", Some(7.5)),
+      (2L, 1L, 40L, "click", None),      // fresher click, null value
+      (3L, 1L, 60L, "purchase", Some(1.0))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out2 = TemporalOps.asOfLastPriorWithin(ev2, "user_id", "ts",
+        "event_id", col("event_type") === "click", col("value"), "lcv",
+        tolUs = 100L)
+      .filter(col("event_type") === "purchase").collect()
+    assert(out2(0).isNullAt(5),
+      "null-valued latest marker must null the as-of value")
     // fixture non-vacuity: both matched and tolerance-dropped rows occur
     val fx = TemporalOps.asOfLastPriorWithin(
         spark.read.parquet(TestSpark.sfDir + "/events.parquet"),
@@ -311,8 +326,8 @@ class R10OpsSpec extends AnyFunSuite {
   test("robots_allow: group fallback, longest rule, Allow beats Disallow, totality") {
     def check(agent: String, path: String): Boolean = {
       val body = "# c\nUser-agent: alpha\nUser-agent: beta\n" +
-        "Disallow: /private\nAllow: /private/open\n" +
-        "User-agent: *\nDisallow: /tmp\nDisallow:\n"
+        "Disallow: /private\nAllow: /private/open\nDisallow: /Docs\n" +
+        "User-agent: *\nDisallow: /tmp\nDisallow: /Admin\nDisallow:\n"
       Kql.run(spark,
         s"""print a = robots_allow("${body.replace("\n", "\\n")}",
                                    "$agent", "$path")""", cat)
@@ -324,6 +339,11 @@ class R10OpsSpec extends AnyFunSuite {
     assert(!check("gamma", "/tmp/z"))            // * fallback blocks
     assert(check("gamma", "/private/y"))         // * has no /private rule
     assert(check("alpha", "/pub"))               // no matching rule -> allow
+    // REP path matching is CASE-SENSITIVE (only UA folds):
+    assert(!check("alpha", "/Docs/q"))           // mixed-case rule matches same-case path
+    assert(check("alpha", "/docs/q"))            // ...but NOT a lowercased path
+    assert(!check("gamma", "/Admin/x"))          // * group mixed-case rule blocks
+    assert(check("gamma", "/admin/x"))           // case mismatch -> no match -> allow
     // no robots / no groups at all -> allowed (total)
     val empty = Kql.run(spark,
       """print a = robots_allow("", "any", "/x")""", cat).head.getBoolean(0)
@@ -511,6 +531,16 @@ class R10OpsSpec extends AnyFunSuite {
       Kql.run(spark, "database('no_such_db').orders | count", cat).collect()
     }
     assert(err.getMessage.contains("unknown database"), err.getMessage)
+    // path-traversal db names must fail loudly, never resolve a
+    // sibling directory outside the fixture (they ARE directories,
+    // which is exactly why the name filter has to reject them)
+    Seq("..", "../sf0.001", "a/b", "./x").foreach { evil =>
+      val e2 = intercept[Exception] {
+        Kql.run(spark, s"database('$evil').orders | count", cat).collect()
+      }
+      assert(e2.getMessage.contains("unknown database"),
+        s"'$evil' -> ${e2.getMessage}")
+    }
     // a let-bound name `database` (no following paren) still resolves
     val viaLet = Kql.run(spark,
       "let database = orders | project o_orderkey; database | count", cat)

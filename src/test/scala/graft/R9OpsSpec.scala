@@ -45,6 +45,21 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: serialization round-trips tokens beyond writeUTF's 64 KiB limit") {
+    // raw n-grams/URLs are the stated use case — one pathological long
+    // token must degrade to a correct round-trip, not throw
+    val big = "x" * 70000 // > 65535 UTF-8 bytes: writeUTF would throw
+    val uni = "é中" * 100 // multi-byte UTF-8 sanity
+    val mg = new MisraGries(8)
+    (1 to 5).foreach(_ => mg.add(big))
+    (1 to 3).foreach(_ => mg.add(uni))
+    mg.add("small")
+    val (m, sub, entries) = MisraGries.deserialize(mg.serialized())
+    assert(m == 8 && sub == 0)
+    val got = entries.toMap
+    assert(got(big) == 5L && got(uni) == 3L && got("small") == 1L)
+  }
+
   test("misra-gries: merge of partial summaries keeps the additive bound") {
     val n = 40000; val vocab = 2000; val m = 48
     val stream = zipfStream(n, vocab)
