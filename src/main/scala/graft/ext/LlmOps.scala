@@ -4447,7 +4447,7 @@ object LlmOps {
     * header bytes + n_segments + segment table, so the first packet
     * starts at 27 + n_segments (variable — read, not assumed).
     * OpusHead: channels at +9, pre-skip LE16 at +10, input rate LE32
-    * at +12; Vorbis id packet (vorbis): channels at +11, rate
+    * at +12; Vorbis id packet (\x01 vorbis): channels at +11, rate
     * LE32 at +12. Pure codegen hex arithmetic over a bounded prefix;
     * non-Ogg / unknown-codec rows null out (total). */
   def oggMeta(docs: DataFrame, binCol: String,
