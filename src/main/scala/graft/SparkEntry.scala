@@ -4221,6 +4221,14 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Per-label embedding cluster-quality audit: cohesion (mean squared
+    // member->centroid distance), nearest-other-centroid separation and
+    // the squared Davies-Bouldin score, all in integer milli-units ->
+    // the whole audit replays value-exactly in DuckDB
+    "llm_cluster_metrics" -> Q(
+      (s, dir) => LlmOps.clusterMetrics(embs(s, dir)).orderBy("label"),
+      Some("""WITH ex AS (SELECT label AS lbl, i - 1 AS d, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, 64)) s(i)), cent AS (SELECT lbl, d, CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_m, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2), i2 AS (SELECT lbl, CAST(SUM((ex.v - cent.mean_m) * (ex.v - cent.mean_m)) AS BIGINT) AS inertia_m2, CAST(MAX(cent.n) AS BIGINT) AS n_vecs FROM ex JOIN cent USING (lbl, d) GROUP BY 1), i3 AS (SELECT lbl, inertia_m2, n_vecs, CAST(inertia_m2 // n_vecs AS BIGINT) AS mean_sq_m2 FROM i2), sep AS (SELECT a.lbl AS la, b.lbl AS lb, CAST(SUM((a.mean_m - b.mean_m) * (a.mean_m - b.mean_m)) AS BIGINT) AS sep_m2 FROM cent a JOIN cent b ON a.d = b.d AND a.lbl <> b.lbl GROUP BY 1, 2), r AS (SELECT sep.la, sep.lb, sep.sep_m2, CAST(((sa.mean_sq_m2 + sb.mean_sq_m2) * 1000000) // sep.sep_m2 AS BIGINT) AS r_u, ROW_NUMBER() OVER (PARTITION BY sep.la ORDER BY sep.sep_m2 ASC, sep.lb ASC) AS rn FROM sep JOIN i3 sa ON sa.lbl = sep.la JOIN i3 sb ON sb.lbl = sep.lb) SELECT i3.lbl AS label, i3.n_vecs, i3.inertia_m2, i3.mean_sq_m2, near.nearest_lbl, near.nearest_sep_m2, agg.db_sq_u FROM i3 JOIN (SELECT la, lb AS nearest_lbl, sep_m2 AS nearest_sep_m2 FROM r WHERE rn = 1) near ON near.la = i3.lbl JOIN (SELECT la, CAST(MAX(r_u) AS BIGINT) AS db_sq_u FROM r GROUP BY 1) agg ON agg.la = i3.lbl ORDER BY label""")),
+
     "llm_embedding_drift" -> Q(
       (s, dir) => LlmOps.embeddingDrift(embs(s, dir), docs(s, dir))
         .orderBy("source"),

@@ -4890,4 +4890,61 @@ object LlmOps {
       .select(col("doc_id"), col("true_lang"), col("b.l").as("pred_lang"),
         (-col("b.ns")).as("score_u"))
   }
+
+  /** Embedding cluster-quality audit per label (r8): for every cluster
+    * label, size, cohesion (mean SQUARED member→centroid distance) and
+    * separation (squared distance to the NEAREST other centroid), plus
+    * the squared Davies-Bouldin score max_b (S²_a + S²_b) / M²_ab — the
+    * "are my clusters real" question every semdedup/kmeans/IVF run
+    * should answer before its assignment is trusted. The squared
+    * variant keeps every step in INTEGER milli-units (no sqrt), so the
+    * whole audit replays value-exactly in SQL.
+    *
+    * Arithmetic: v_m = round(x·1000) (milli); centroid mean_m =
+    * Σv_m div n (truncating div — DuckDB `//` truncates identically);
+    * member diff ≤ ~2·10³ milli ⇒ per-vector Σ_d diff² ≤ ~10⁸, so the
+    * per-label sum stays far from Long overflow to ~10⁹ vectors.
+    *
+    * 100 TB shape: ONE posexplode over the corpus + two (label, dim)
+    * hash aggregates; centroids are label×dim rows (model metadata) —
+    * broadcast back for the member pass; the pairwise-centroid
+    * separation join is labels² on that bounded frame, never data².
+    * No driver collect, no windows. */
+  def clusterMetrics(embs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val ex = spread(embs).select(col(labelCol).as("lbl"),
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long")))
+        .as(Seq("d", "v")))
+    val cent = ex.groupBy("lbl", "d")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_m", expr("s div n"))
+      .select(col("lbl"), col("d"), col("n"), col("mean_m"))
+    val inert = ex
+      .join(broadcast(cent), Seq("lbl", "d"))
+      .groupBy("lbl")
+      .agg(sum(expr("(v - mean_m) * (v - mean_m)")).as("inertia_m2"),
+        max(col("n")).as("n_vecs"))
+      .withColumn("mean_sq_m2", expr("inertia_m2 div n_vecs"))
+    // nearest-other-centroid separation: labels² on the bounded frame
+    val a = cent.select(col("lbl").as("la"), col("d"), col("mean_m").as("ma"))
+    val b = cent.select(col("lbl").as("lb"), col("d"), col("mean_m").as("mb"))
+    val pairSep = a.join(b, Seq("d")).filter(col("la") =!= col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(expr("(ma - mb) * (ma - mb)")).as("sep_m2"))
+    val sa = inert.select(col("lbl").as("la"), col("mean_sq_m2").as("s2a"))
+    val sb = inert.select(col("lbl").as("lb"), col("mean_sq_m2").as("s2b"))
+    val db = pairSep.join(broadcast(sa), Seq("la"))
+      .join(broadcast(sb), Seq("lb"))
+      .withColumn("r_u", expr("((s2a + s2b) * 1000000) div sep_m2"))
+      .groupBy("la")
+      .agg(min(struct((-col("r_u")).as("nr"), col("lb").as("l"))).as("worst"),
+        min(struct(col("sep_m2").as("s"), col("lb").as("l"))).as("near"))
+      .select(col("la").as("lbl"), (-col("worst.nr")).as("db_sq_u"),
+        col("near.s").as("nearest_sep_m2"), col("near.l").as("nearest_lbl"))
+    inert.join(db, Seq("lbl"))
+      .select(col("lbl").as(labelCol), col("n_vecs"), col("inertia_m2"),
+        col("mean_sq_m2"), col("nearest_lbl"), col("nearest_sep_m2"),
+        col("db_sq_u"))
+  }
 }

@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate cluster_metrics(label, embedding)`: per-label cluster
+    // cohesion/separation audit (squared Davies-Bouldin, integer milli)
+    case EvaluateOp("cluster_metrics", lblE :: vecE :: Nil) =>
+      graft.ext.LlmOps.clusterMetrics(df,
+        colNameOf(df, lblE, "cluster_metrics label"),
+        colNameOf(df, vecE, "cluster_metrics embedding"))
+
     // `evaluate audio_dhash(payload)`: 64-bit energy-envelope gradient
     // fingerprint
     case EvaluateOp("audio_dhash", binE :: Nil) =>

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.LlmOps
+import graft.kql.{Kql, Catalog}
+
+/** Round-11 operators: cluster-quality metrics and friends. */
+class R11OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = Catalog(spark, TestSpark.sfDir)
+  import spark.implicits._
+
+  test("clusterMetrics: planted clusters give hand-computable metrics") {
+    // two tight clusters far apart + one loose cluster nearby; dim=4
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1.0, 0, 0, 0), 0), (2L, v(1.002, 0, 0, 0), 0),
+      (3L, v(-1.0, 0, 0, 0), 1), (4L, v(-1.002, 0, 0, 0), 1),
+      (5L, v(0, 1.0, 0, 0), 2), (6L, v(0, 0.8, 0, 0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = LlmOps.clusterMetrics(rows, "label", "embedding")
+      .orderBy("label").collect()
+    assert(out.length == 3)
+    val r0 = out(0)
+    // label 0: v_m = 1000, 1002 -> mean_m = 2002 div 2 = 1001;
+    // inertia = (1000-1001)^2 + (1002-1001)^2 = 2
+    assert(r0.getAs[Long]("n_vecs") == 2L)
+    assert(r0.getAs[Long]("inertia_m2") == 2L)
+    assert(r0.getAs[Long]("mean_sq_m2") == 1L)
+    // nearest centroid to label 0 (at x=1001): label 2 (at y=900):
+    // sep = 1001^2 + 900^2 = 1002001 + 810000
+    assert(r0.getAs[Int]("nearest_lbl") == 2)
+    assert(r0.getAs[Long]("nearest_sep_m2") == 1002001L + 810000L)
+    // label 2: v_m = 1000, 800 -> mean 900; inertia = 100^2*2 = 20000
+    val r2 = out(2)
+    assert(r2.getAs[Long]("inertia_m2") == 20000L)
+    // db ratio for label 0: worst over others of (s2a+s2b)*1e6 div sep;
+    // vs label 1 (mean -1001): sep = 2002^2, s2 = 1+1
+    val vs1 = (2L * 1000000L) / (2002L * 2002L)
+    val vs2 = ((1L + 10000L) * 1000000L) / (1002001L + 810000L)
+    assert(r0.getAs[Long]("db_sq_u") == math.max(vs1, vs2))
+    // the ratio is pair-symmetric: label 2's worst pair is the same
+    // (0,2) pair (its (1,2) ratio is identical by construction here)
+    assert(r2.getAs[Long]("db_sq_u") == vs2)
+    // the tight-vs-tight PAIR ratio is far below the loose pair's
+    assert(vs1 < vs2)
+  }
+
+  test("cluster_metrics reachable from KQL") {
+    val out = Kql.run(spark,
+      "embeddings | evaluate cluster_metrics(label, embedding)", cat)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n_vecs") > 0))
+  }
+}
