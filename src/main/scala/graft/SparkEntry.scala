@@ -4221,6 +4221,15 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // EXACT stratified split: per-stratum floor-threshold counts honored
+    // exactly (the property global hash thresholds only approximate);
+    // rank within stratum by (Knuth hash, id) replays as ROW_NUMBER
+    "llm_stratified_split" -> Q(
+      (s, dir) => LlmOps.stratifiedSplit(docs(s, dir), 0.8, 0.1, "lang")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h FROM documents), r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk, COUNT(*) OVER (PARTITION BY lang) AS ns FROM b) SELECT doc_id, lang, CASE WHEN rk <= (ns * 800000) // 1000000 THEN 'train' WHEN rk <= (ns * 900000) // 1000000 THEN 'val' ELSE 'test' END AS split FROM r ORDER BY doc_id""")),
+
     // Per-label embedding cluster-quality audit: cohesion (mean squared
     // member->centroid distance), nearest-other-centroid separation and
     // the squared Davies-Bouldin score, all in integer milli-units ->

@@ -4891,6 +4891,66 @@ object LlmOps {
         (-col("b.ns")).as("score_u"))
   }
 
+  /** EXACT stratified train/val/test split (r8): within EVERY stratum
+    * the split sizes are exactly the floor-threshold counts
+    * t_s = (n_s·train_u) div 10⁶ and v_s = (n_s·(train_u+val_u)) div
+    * 10⁶ — the property [[hashSplit]]'s global hash thresholds only
+    * approximate (a small language at 0.1% val can end up with zero
+    * val docs under pure thresholding). Rows rank within their stratum
+    * by (Knuth id hash, id) — deterministic and engine-portable — and
+    * the rank decides the split. The tradeoff vs hashSplit is
+    * documented and inherent: exact proportions mean an assignment CAN
+    * move when the corpus grows (n_s changes every rank); hashSplit is
+    * growth-stable but approximate. Use this for frozen snapshots,
+    * hashSplit for rolling corpora.
+    *
+    * 100 TB shape: the per-stratum rank is the two-phase GlobalWindow
+    * trick generalized per stratum — range-repartition by (stratum,
+    * hash, id) spreads EVERY stratum across many partitions (a
+    * mega-stratum never lands in one task), local ranks come from a
+    * per-(partition, stratum) window, and the cross-partition gap
+    * closes with per-(partition, stratum) prefix counts (≤ P·S stat
+    * rows, broadcast back). The only single-partition window runs over
+    * the stat rows, never over data. */
+  def stratifiedSplit(df: DataFrame, trainFrac: Double, valFrac: Double,
+                      strataCol: String, idCol: String = "doc_id",
+                      out: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to <= 1")
+    val trainU = math.round(trainFrac * 1e6)
+    val valU = math.round(valFrac * 1e6)
+    val p = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    // explicit partition count: AQE must not re-coalesce the range
+    // exchange differently across the two subtrees below (pid drift
+    // would misalign local ranks and their offsets)
+    val ranged = df.withColumn("__h", idHash(col(idCol)))
+      .repartitionByRange(p, col(strataCol), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val wLoc = Window.partitionBy(col("__pid"), col(strataCol))
+      .orderBy(col("__h"), col(idCol))
+    val local = ranged.withColumn("__lr", row_number().over(wLoc).cast("long"))
+    val stats = ranged.groupBy(col("__pid"), col(strataCol))
+      .agg(count(lit(1)).as("__c"))
+    val wPre = Window.partitionBy(col(strataCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = stats
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .withColumn("__ns", sum(col("__c")).over(wAll))
+      .select(col("__pid"), col(strataCol), col("__off"), col("__ns"))
+    local.join(broadcast(off), Seq("__pid", strataCol))
+      .withColumn("__rank", col("__lr") + col("__off"))
+      .withColumn(out,
+        when(col("__rank") <= expr(s"(__ns * ${trainU}L) div 1000000"),
+          "train")
+        .when(col("__rank") <=
+            expr(s"(__ns * ${trainU + valU}L) div 1000000"), "val")
+        .otherwise("test"))
+      .drop("__h", "__pid", "__lr", "__off", "__ns", "__rank")
+  }
+
   /** Embedding cluster-quality audit per label (r8): for every cluster
     * label, size, cohesion (mean SQUARED member→centroid distance) and
     * separation (squared distance to the NEAREST other centroid), plus

@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate stratified_split(trainFrac, valFrac, strata, id)`:
+    // exact per-stratum train/val/test assignment
+    case EvaluateOp("stratified_split", tE :: vE :: sE :: idE :: Nil) =>
+      graft.ext.LlmOps.stratifiedSplit(df, litDouble(tE), litDouble(vE),
+        colNameOf(df, sE, "stratified_split strata"),
+        colNameOf(df, idE, "stratified_split id"))
+
     // `evaluate cluster_metrics(label, embedding)`: per-label cluster
     // cohesion/separation audit (squared Davies-Bouldin, integer milli)
     case EvaluateOp("cluster_metrics", lblE :: vecE :: Nil) =>

@@ -47,11 +47,52 @@ class R11OpsSpec extends AnyFunSuite {
     assert(vs1 < vs2)
   }
 
+  test("stratifiedSplit: per-stratum counts honor the floor thresholds exactly") {
+    // skewed strata incl. a tiny one where hash thresholding would
+    // plausibly give zero val docs — the exact split cannot
+    val rows = (1L to 997L).map(i => (i, if (i <= 7) "tiny" else "big"))
+      .toDF("doc_id", "lang")
+    val out = LlmOps.stratifiedSplit(rows, 0.8, 0.1, "lang")
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def t(n: Long, u: Long) = n * u / 1000000L
+    // tiny: n=7 -> train 5, val (7*900000 div 1e6)=6-5=1, test 1
+    assert(counts(("tiny", "train")) == t(7, 800000))
+    assert(counts.getOrElse(("tiny", "val"), 0L) == t(7, 900000) - t(7, 800000))
+    assert(counts.getOrElse(("tiny", "test"), 0L) == 7 - t(7, 900000))
+    assert(counts(("big", "train")) == t(990, 800000))
+    assert(counts(("big", "val")) == t(990, 900000) - t(990, 800000))
+    // disjoint + total: every row assigned exactly once
+    assert(out.count() == 997L &&
+      out.filter(col("split").isin("train", "val", "test")).count() == 997L)
+    // determinism: two runs assign identically
+    val a = out.orderBy("doc_id").collect().map(_.toSeq)
+    val b = LlmOps.stratifiedSplit(rows, 0.8, 0.1, "lang")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("stratifiedSplit plan: no single-partition window over data") {
+    val rows = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "lang")
+    val plan = LlmOps.stratifiedSplit(rows, 0.5, 0.25, "lang")
+      .queryExecution.executedPlan.toString
+    // the data-side window partitions by (__pid, stratum); only the
+    // <= P*S stat rows may pass through a partition-less window
+    assert(plan.contains("__pid"), plan.take(500))
+  }
+
   test("cluster_metrics reachable from KQL") {
     val out = Kql.run(spark,
       "embeddings | evaluate cluster_metrics(label, embedding)", cat)
       .collect()
     assert(out.length == 10)
     assert(out.forall(_.getAs[Long]("n_vecs") > 0))
+  }
+
+  test("stratified_split reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate stratified_split(0.8, 0.1, lang, doc_id)" +
+        " | summarize n = count() by split", cat).collect()
+    assert(out.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
   }
 }
