@@ -4221,6 +4221,13 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Heaps-law vocabulary growth: distinct vocab at power-of-2
+    // checkpoints along the deterministic hash shuffle + fitted beta;
+    // bit-length buckets and integer-milli ln/slope replay in DuckDB
+    "llm_heaps_law" -> Q(
+      (s, dir) => LlmOps.heapsLaw(docs(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, lower(COALESCE(text, '')) AS t, (doc_id * 2654435761) % 4294967296 AS h FROM documents), rk AS (SELECT doc_id, t, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM d), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM rk), tk AS (SELECT rk, unnest(list_distinct(list_filter(string_split(t, ' '), z -> len(z) >= 1))) AS tok FROM rk), fr AS (SELECT tok, CAST(MIN(rk) AS BIGINT) AS r FROM tk GROUP BY 1), bu AS (SELECT CASE WHEN r = 1 THEN 0 ELSE len(bin(r - 1)) END AS j, CAST(COUNT(*) AS BIGINT) AS c FROM fr GROUP BY 1), js AS (SELECT CAST(x.j AS INT) AS j, n.nd FROM n, unnest(generate_series(0, CAST(len(bin(n.nd - 1)) AS BIGINT))) x(j)), cum AS (SELECT js.j, js.nd, CAST(SUM(COALESCE(bu.c, 0)) OVER (ORDER BY js.j) AS BIGINT) AS v FROM js LEFT JOIN bu ON bu.j = js.j), pts AS (SELECT LEAST(CAST(1 AS BIGINT) << j, nd) AS checkpoint, v, CAST(ROUND(LN(CAST(LEAST(CAST(1 AS BIGINT) << j, nd) AS DOUBLE)) * 1000) AS BIGINT) AS x_m, CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS y_m FROM cum WHERE v > 0), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(x_m) AS BIGINT) AS sx, CAST(SUM(y_m) AS BIGINT) AS sy FROM pts), ctr AS (SELECT x_m - (sx // np) AS dx, y_m - (sy // np) AS dy FROM pts, st), beta AS (SELECT CAST((CAST(SUM(dx * dy) AS BIGINT) * 1000000) // CAST(SUM(dx * dx) AS BIGINT) AS BIGINT) AS beta_u FROM ctr) SELECT checkpoint, v AS vocab, x_m AS ln_n_m, y_m AS ln_v_m, beta.beta_u FROM pts, beta ORDER BY checkpoint""")),
+
     // EXACT stratified split: per-stratum floor-threshold counts honored
     // exactly (the property global hash thresholds only approximate);
     // rank within stratum by (Knuth hash, id) replays as ROW_NUMBER

@@ -4951,6 +4951,70 @@ object LlmOps {
       .drop("__h", "__pid", "__lr", "__off", "__ns", "__rank")
   }
 
+  /** Heaps-law vocabulary-growth audit (r8): distinct-vocabulary size
+    * at geometric corpus checkpoints 2⁰, 2¹, …, N along a DETERMINISTIC
+    * corpus shuffle (docs ranked by (Knuth id hash, id) — Heaps' law
+    * V(n) ≈ K·n^β assumes random arrival order, and the hash rank is
+    * the engine-portable version of "random"), plus the fitted growth
+    * exponent β. A sublinear β (typically 0.4–0.6 for natural text) is
+    * the dataset-card number; β near 1 flags synthetic/ID-heavy text,
+    * a β collapse after dedup quantifies vocabulary loss.
+    *
+    * Exactness: checkpoints are integer bit-length buckets (a token
+    * first seen at rank r belongs to bucket ceil(log₂ r) = bitlen(r−1);
+    * never floating log); V(2ʲ) = cumulative bucket counts; ln's in
+    * integer MILLI units; β = integer-mean-centered least-squares slope
+    * (Σdx·dy·10⁶ div Σdx², dx = x_m − (Σx_m div n)) — every step
+    * replays in SQL, and milli precision keeps the fit sums within
+    * Long to ~10¹² docs.
+    *
+    * 100 TB shape: the global doc rank is the two-phase GlobalWindow
+    * (range exchange + broadcast prefix counts — no single-partition
+    * data window); then ONE distinct-token explode + a (token) min
+    * aggregate; everything after is ≤ log₂ N checkpoint rows. */
+  def heapsLaw(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val withH = docs.select(col(idCol).as("id"), txt(textCol).as("t"))
+      .withColumn("__h", idHash(col("id")))
+    val ranked = graft.kql.GlobalWindow.compute(withH,
+      Seq(col("__h").asc, col("id").asc), Seq(col("__h"), col("id")),
+      Seq(graft.kql.GlobalWindow.RowNumber("rk", None)), preRanged = false)
+    val toks = ranked.select(col("rk"),
+      explode(array_distinct(filter(split(lower(col("t")), "\\s+"),
+        x => length(x) >= 1))).as("tok"))
+    val firstR = toks.groupBy("tok").agg(min(col("rk")).as("r"))
+    val bucketed = firstR
+      .withColumn("j", when(col("r") === 1, lit(0))
+        .otherwise(length(conv(col("r") - 1, 10, 2))).cast("int"))
+      .groupBy("j").agg(count(lit(1)).as("c"))
+    val ndF = ranked.agg(max(col("rk")).as("nd"))
+    val jsF = ndF.select(col("nd"),
+      explode(sequence(lit(0),
+        length(conv(col("nd") - 1, 10, 2)).cast("int"))).as("j"))
+    val wj = Window.orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = jsF.join(bucketed, Seq("j"), "left")
+      .withColumn("v", sum(coalesce(col("c"), lit(0L))).over(wj))
+      .withColumn("checkpoint",
+        least(expr("shiftleft(CAST(1 AS BIGINT), j)"), col("nd")))
+    val pts = cum.filter(col("v") > 0)
+      .withColumn("x_m",
+        round(log(col("checkpoint").cast("double")) * 1000).cast("long"))
+      .withColumn("y_m",
+        round(log(col("v").cast("double")) * 1000).cast("long"))
+    val st = pts.agg(count(lit(1)).as("np"),
+      sum(col("x_m")).as("sx"), sum(col("y_m")).as("sy"))
+    val ctr = pts.crossJoin(broadcast(st))
+      .withColumn("dx", col("x_m") - expr("sx div np"))
+      .withColumn("dy", col("y_m") - expr("sy div np"))
+    val beta = ctr.agg(
+      expr("(sum(dx * dy) * 1000000) div sum(dx * dx)").as("beta_u"))
+    pts.crossJoin(broadcast(beta))
+      .select(col("checkpoint"), col("v").as("vocab"),
+        col("x_m").as("ln_n_m"), col("y_m").as("ln_v_m"), col("beta_u"))
+      .orderBy("checkpoint")
+  }
+
   /** Embedding cluster-quality audit per label (r8): for every cluster
     * label, size, cohesion (mean SQUARED member→centroid distance) and
     * separation (squared distance to the NEAREST other centroid), plus

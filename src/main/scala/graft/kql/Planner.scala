@@ -842,6 +842,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate heaps_law(text, id)`: vocabulary-growth checkpoints +
+    // fitted Heaps exponent along the deterministic hash shuffle
+    case EvaluateOp("heaps_law", textE :: idE :: Nil) =>
+      graft.ext.LlmOps.heapsLaw(df, colNameOf(df, textE, "heaps_law text"),
+        colNameOf(df, idE, "heaps_law id"))
+
     // `evaluate stratified_split(trainFrac, valFrac, strata, id)`:
     // exact per-stratum train/val/test assignment
     case EvaluateOp("stratified_split", tE :: vE :: sE :: idE :: Nil) =>

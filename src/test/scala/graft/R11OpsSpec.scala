@@ -89,6 +89,42 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_vecs") > 0))
   }
 
+  test("heapsLaw: checkpoints equal the brute-force prefix vocabulary") {
+    val rnd = new scala.util.Random(41)
+    // growing vocabulary: doc i draws from a pool of size ~sqrt scale
+    val docsL = (1L to 300L).map { i =>
+      val words = Seq.fill(20)(s"w${rnd.nextInt(math.max(4, (i * 3).toInt))}")
+      (i, words.mkString(" "))
+    }
+    val df = docsL.toDF("doc_id", "text")
+    val out = LlmOps.heapsLaw(df).collect()
+    // brute-force replay: docs in (knuth hash, id) order, prefix vocab
+    def knuth(id: Long): Long = (id * 2654435761L) % 4294967296L
+    val ordered = docsL.sortBy { case (id, _) => (knuth(id), id) }
+    def vocabAt(c: Int): Long =
+      ordered.take(c).flatMap(_._2.split("\\s+")).toSet.size.toLong
+    out.foreach { r =>
+      val c = r.getAs[Long]("checkpoint")
+      assert(r.getAs[Long]("vocab") == vocabAt(c.toInt),
+        s"checkpoint $c vocab mismatch")
+    }
+    // checkpoints are 1,2,4,...,N
+    val cps = out.map(_.getAs[Long]("checkpoint")).toSeq
+    assert(cps == Seq(1L, 2, 4, 8, 16, 32, 64, 128, 256, 300))
+    // a growing-vocabulary corpus fits a beta well inside (0, 1)
+    val beta = out.head.getAs[Long]("beta_u")
+    assert(beta > 100000L && beta < 1000000L, s"beta_u $beta")
+  }
+
+  test("heaps_law reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate heaps_law(text, doc_id)", cat).collect()
+    assert(out.length >= 5)
+    val vs = out.sortBy(_.getAs[Long]("checkpoint")).map(_.getAs[Long]("vocab"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b },
+      "vocab must be non-decreasing in the checkpoint")
+  }
+
   test("stratified_split reachable from KQL") {
     val out = Kql.run(spark,
       "documents | evaluate stratified_split(0.8, 0.1, lang, doc_id)" +
