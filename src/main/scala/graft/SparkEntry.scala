@@ -4098,6 +4098,18 @@ object SparkEntry {
               d = dynamic_to_json(series_iir(pack_array(5, 3, 8, 2), pack_array(1.0, -1.0), pack_array(1.0)))"""),
       Some("""SELECT '[0.5,1.25,2.125,3.0625,4.03125,5.015625,6.0078125,7.00390625]' AS e, '[5.0,-2.0,5.0,-6.0]' AS d""")),
 
+    // Autocorrelation at lags 1..L in integer micro units (the
+    // periodicity probe series_periods_detect maximises, exposed
+    // directly): floor-mean centering keeps every step in Long
+    // arithmetic -> known-answer print oracle; constant / too-short
+    // series null
+    "q178_series_acf" -> Q(kqlQ(
+      """print a = dynamic_to_json(series_acf(pack_array(1, 3, 1, 3, 1, 3), 3)),
+              b = dynamic_to_json(series_acf(pack_array(1, 2, 3, 4, 5), 2)),
+              c = dynamic_to_json(series_acf(pack_array(5, 5, 5), 2)),
+              d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
+      Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
+
     // Dynamic-time-warping distance (alignment-tolerant series
     // similarity): stretch-aligned series score 0 where euclidean
     // would not; known-answer print oracle over integer series (every

@@ -374,6 +374,9 @@ object Functions {
     "series_fir" -> f { case a :: coefs :: Nil => seriesFir(a, coefs) },
     "series_dtw" -> f { case a :: b :: Nil => seriesDtw(a, b) },
     "series_iir" -> f { case x :: b :: a :: Nil => seriesIir(x, b, a) },
+    "series_acf" -> f {
+      case a :: Nil => seriesAcf(a, lit(8))
+      case a :: l :: Nil => seriesAcf(a, l) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
     // degree-k polynomial least squares (x = 0..n−1): normal equations +
     // Gaussian elimination with partial pivoting; coefficients
@@ -751,11 +754,9 @@ object Functions {
     "series_seasonal" -> f {
       case a :: Nil => seriesSeasonalUdf(a.cast("array<double>"), lit(-1))
       case a :: p :: Nil => seriesSeasonalUdf(a.cast("array<double>"), p.cast("int")) },
-    // recursive IIR filter — y depends on previous y, inherently
-    // sequential per row (compact-UDF trade, COVERAGE §2.11)
-    "series_iir" -> f { case x :: b :: a :: Nil =>
-      seriesIirUdf(x.cast("array<double>"), b.cast("array<double>"),
-        a.cast("array<double>")) },
+    // (series_iir lives in the main block above as a pure aggregate
+    // fold — a duplicate UDF entry here used to SHADOW it, since the
+    // last duplicate key wins in a Map literal)
     // train simplified-STL on all but the last `points` elements, emit
     // trend(line-fit)+seasonal baseline across the whole horizon
     "series_decompose_forecast" -> f { case a :: pts :: p :: Nil =>
@@ -1534,6 +1535,33 @@ object Functions {
     * incrementally (the recurrence needs its own history, so unlike
     * series_fir this cannot be a flat transform). Empty/short coef
     * guards matter: Spark's sequence(lo, hi) DESCENDS when lo > hi. */
+  /** Autocorrelation of an integer series at lags 1..L, in integer
+    * MICRO units: r_k = Σᵢ dxᵢ·dxᵢ₊ₖ ·10⁶ div Σᵢ dxᵢ² with
+    * dx = x − floor(mean). The periodicity/seasonality probe (the same
+    * measure series_periods_detect maximises) exposed directly — lag-k
+    * spikes reveal ingest cadences, repeated templates, weekly cycles.
+    * Centering uses floor(S/n) so every later step stays in Long
+    * arithmetic (exact when the mean is integral — count series from
+    * make-series detrend to that; the ≤1-unit centering bias is the
+    * documented tradeoff for cross-engine integer exactness). O(n·L)
+    * aggregate folds, constant plan size; null when n < 2 or the
+    * series is constant (den = 0). */
+  private def seriesAcf(x0: Column, lags0: Column): Column = {
+    val x = x0.cast("array<long>")
+    val lags = lags0.cast("int")
+    val n = size(x)
+    val s = aggregate(x, lit(0L), (a, v) => a + v)
+    val mu = floor(s.cast("double") / n.cast("double")).cast("long")
+    val dx = transform(x, v => v - mu)
+    val den = aggregate(dx, lit(0L), (a, v) => a + v * v)
+    def acfAt(k: Column): Column =
+      aggregate(sequence(lit(1), n - k), lit(0L),
+        (a, i) => a + element_at(dx, i) * element_at(dx, i + k))
+    when(n >= lit(2) && den > 0 && lags >= 1,
+      transform(sequence(lit(1), least(lags, n - 1)),
+        k => call_function("div", acfAt(k) * lit(1000000L), den)))
+  }
+
   private def seriesIir(x: Column, b: Column, a: Column): Column = {
     val a0 = element_at(a, 1).cast("double")
     aggregate(sequence(lit(1), size(x)),
@@ -2216,24 +2244,6 @@ object Functions {
       while (i < n) { phaseSum(i % p) += v(i); phaseCnt(i % p) += 1; i += 1 }
       Seq.tabulate(n)(i => phaseSum(i % p) / math.max(phaseCnt(i % p), 1))
     }
-  }
-
-  /** Direct-form-I IIR filter: y[i] = (Σ b[j]·x[i-j] − Σ a[j]·y[i-j]) / a[0].
-    * Output recursion ⇒ inherently sequential per row. */
-  private val seriesIirUdf = udf { (x: Seq[Double], b: Seq[Double], a: Seq[Double]) =>
-    val n = x.length
-    val y = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      var s = 0.0
-      var j = 0
-      while (j < b.length) { if (i - j >= 0) s += b(j) * x(i - j); j += 1 }
-      j = 1
-      while (j < a.length) { if (i - j >= 0) s -= a(j) * y(i - j); j += 1 }
-      y(i) = s / a(0)
-      i += 1
-    }
-    y.toSeq
   }
 
   /** Forecast: train trend (least-squares line) + seasonal (phase means)

@@ -125,6 +125,37 @@ class R11OpsSpec extends AnyFunSuite {
       "vocab must be non-decreasing in the checkpoint")
   }
 
+  test("series_acf matches a reference Scala implementation on random integers") {
+    val rnd = new scala.util.Random(29)
+    def refAcf(xs: Seq[Long], lags: Int): Seq[Long] = {
+      val n = xs.length
+      val mu = math.floorDiv(xs.sum, n.toLong)
+      val dx = xs.map(_ - mu)
+      val den = dx.map(d => d * d).sum
+      (1 to math.min(lags, n - 1)).map { k =>
+        val num = (0 until n - k).map(i => dx(i) * dx(i + k)).sum
+        num * 1000000L / den // Scala / truncates toward zero, like div
+      }
+    }
+    (1 to 10).foreach { _ =>
+      val n = 3 + rnd.nextInt(40)
+      val xs = Seq.fill(n)(rnd.nextInt(2000).toLong - 400)
+      val lags = 1 + rnd.nextInt(6)
+      val got = Kql.run(spark,
+        s"""print a = series_acf(pack_array(${xs.mkString(", ")}), $lags)""",
+        cat).head.getSeq[Long](0)
+      assert(got == refAcf(xs, lags), s"xs=$xs lags=$lags")
+    }
+    // lag-k spike on a perfectly periodic series: the biased estimator
+    // (full-den normalization) gives exactly (n-k)/n at the period —
+    // here 6/9 of the matched mass, and the period lag dominates
+    val per = Kql.run(spark,
+      "print a = series_acf(pack_array(1, 9, 5, 1, 9, 5, 1, 9, 5), 3)", cat)
+      .head.getSeq[Long](0)
+    assert(per(2) == 666666L, s"period-3 acf: $per")
+    assert(per(2) > per(0) && per(2) > per(1), s"period lag must spike: $per")
+  }
+
   test("stratified_split reachable from KQL") {
     val out = Kql.run(spark,
       "documents | evaluate stratified_split(0.8, 0.1, lang, doc_id)" +
