@@ -1141,6 +1141,18 @@ class PlannerSpec extends AnyFunSuite {
     assert(r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("function registry declares no duplicate keys") {
+    // a Scala Map literal silently keeps only the LAST entry for a
+    // duplicated key — this shadowed the series_iir aggregate fold with
+    // an older UDF for three rounds; scan the source so it cannot recur
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/kql/Functions.scala")))
+    val keys = "\"([a-zA-Z_0-9]+)\" -> f \\{".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate registry keys: ${dups.mkString(", ")}")
+  }
+
   test("Suggest.operators stays in sync with the parser's tab-op cases") {
     // same drift guard as the plugins one: scan parseTabOp's source for
     // its case-string literals so a new operator keyword (or a removed
