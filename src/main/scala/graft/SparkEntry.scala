@@ -4233,6 +4233,45 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // AVIF/HEIC dims from the ISO-BMFF ispe box: planted meta->iprp->
+    // ipco walks with optional filler boxes at two levels; the oracle
+    // derives brand/width/height arithmetically (never parsing), so
+    // any size/offset/fullbox-header bug mismatches
+    "llm_avif_dims" -> Q(
+      (s, dir) => {
+        val w = lit(16L) + pmod(col("doc_id"), lit(1200L))
+        val h = lit(16L) + pmod(col("doc_id") * 7, lit(900L))
+        val f1 = pmod(col("doc_id"), lit(2)) === 0 // meta-level filler
+        val f2 = pmod(col("doc_id"), lit(4)) === 1 // ipco-level filler
+        val brandHex = when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("61766966"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("68656963"))
+          .otherwise(lit("6D696631"))
+        def szHex(b: org.apache.spark.sql.Column) =
+          lpad(conv(b, 10, 16), 8, "0")
+        val free8 = "0000000866726565"
+        val ispeHex = concat(lit("0000001469737065" + "00000000"),
+          lpad(conv(w, 10, 16), 8, "0"), lpad(conv(h, 10, 16), 8, "0"))
+        val ipcoB = when(f2, lit(36L)).otherwise(lit(28L))
+        val iprpB = ipcoB + 8L
+        val metaB = iprpB + when(f1, lit(20L)).otherwise(lit(12L))
+        val hexAll = concat(
+          lit("0000001066747970"), brandHex, lit("00000000"),
+          szHex(metaB), lit("6D65746100000000"),
+          when(f1, lit(free8)).otherwise(lit("")),
+          szHex(iprpB), lit("69707270"),
+          szHex(ipcoB), lit("6970636F"),
+          when(f2, lit(free8)).otherwise(lit("")),
+          ispeHex)
+        val d = docs(s, dir).withColumn("payload",
+          when(pmod(col("doc_id"), lit(5)) === 4, unhex(lit("0001")))
+            .otherwise(unhex(hexAll)))
+        LlmOps.avifDims(d, "payload")
+          .select(col("doc_id"), col("brand"), col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CASE doc_id % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'heic' ELSE 'mif1' END END AS brand, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CAST(16 + doc_id % 1200 AS INT) END AS width, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CAST(16 + (doc_id * 7) % 900 AS INT) END AS height FROM documents ORDER BY doc_id""")),
+
     // Heaps-law vocabulary growth: distinct vocab at power-of-2
     // checkpoints along the deterministic hash shuffle + fitted beta;
     // bit-length buckets and integer-milli ln/slope replay in DuckDB

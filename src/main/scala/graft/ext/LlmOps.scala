@@ -3952,6 +3952,78 @@ object LlmOps {
           (0 until 3).map(k => s"__vk$k")): _*)
   }
 
+  /** AVIF/HEIC image dimensions (r8) from the ISO-BMFF `ispe` (image
+    * spatial extents) property — the still-image siblings of
+    * [[videoMeta]]'s MP4 walk, and the formats a modern crawl actually
+    * serves (AVIF/HEIC need the dims gate exactly like JPEG/PNG do; no
+    * decode, header bytes only). Route: top-level boxes → `meta`
+    * (FULLBOX — children start 4 bytes into the payload) → `iprp` →
+    * `ipco` → `ispe` v0: width BE32 + height BE32. Major brand
+    * (avif/avis/heic/heif/mif1) is read from `ftyp` and emitted —
+    * non-ISO-BMFF payloads and unknown brands null every field.
+    *
+    * Each nesting level is a withColumn CHAIN of materialized
+    * positions (one bound attribute per level — the recursive-Column
+    * walk is exponential, the r7 media_dims lesson); all reads are
+    * codegen hex arithmetic over a bounded prefix. Scale: per-row
+    * projection, no shuffle, no UDF. */
+  def avifDims(df: DataFrame, binCol: String,
+               headerBytes: Int = 1024): DataFrame = {
+    require(headerBytes >= 32, "need headerBytes >= 32")
+    def hexAt(pos: Column, nBytes: Int): Column =
+      col("__ah").substr(pos * 2 - 1, lit(nBytes * 2))
+    def beC(pos: Column, nBytes: Int): Column = {
+      val s = hexAt(pos, nBytes)
+      when(length(s) === nBytes * 2, conv(s, 16, 10).cast("long"))
+    }
+    def walk(out0: DataFrame, pre: String, start: Column,
+             depth: Int): (DataFrame, Seq[Column]) = {
+      var out = out0.withColumn(s"${pre}0", start)
+      for (k <- 1 until depth) {
+        val prev = col(s"$pre${k - 1}")
+        out = out.withColumn(s"$pre$k", prev + beC(prev, 4))
+      }
+      (out, (0 until depth).map(k => col(s"$pre$k")))
+    }
+    def findPayload(levels: Seq[Column], targetHex: String): Column =
+      coalesce(levels.map(p =>
+        when(hexAt(p + 4, 4) === targetHex, p + 8)) :+
+        lit(null).cast("long"): _*)
+    val brands = Seq("61766966" -> "avif", "61766973" -> "avis",
+      "68656963" -> "heic", "68656966" -> "heif", "6D696631" -> "mif1")
+    var out = df.withColumn("__ah",
+      upper(hex(substring(col(binCol), 1, headerBytes))))
+    val isFtyp = substring(col("__ah"), 9, 8) === "66747970"
+    val brand = when(isFtyp,
+      coalesce(brands.map { case (h, n) =>
+        when(substring(col("__ah"), 17, 8) === h, lit(n)) } :+
+        lit(null).cast("string"): _*))
+    out = out.withColumn("__abr", brand)
+    val (out1, top) = walk(out, "__at",
+      when(col("__abr").isNotNull, lit(1L)), 4)
+    // meta is a FULLBOX: version/flags precede its children
+    out = out1.withColumn("__ameta",
+      findPayload(top, "6D657461") + 4)
+    val (out2, inMeta) = walk(out, "__am", col("__ameta"), 6)
+    out = out2.withColumn("__aiprp", findPayload(inMeta, "69707270"))
+    val (out3, inIprp) = walk(out, "__ap", col("__aiprp"), 2)
+    out = out3.withColumn("__aipco", findPayload(inIprp, "6970636F"))
+    val (out4, inIpco) = walk(out, "__ac", col("__aipco"), 4)
+    out = out4.withColumn("__aispe", findPayload(inIpco, "69737065"))
+    val ispeV0 = hexAt(col("__aispe"), 1) === "00"
+    out
+      .withColumn("brand", col("__abr"))
+      .withColumn("width",
+        when(ispeV0, beC(col("__aispe") + 4, 4)).cast("int"))
+      .withColumn("height",
+        when(ispeV0, beC(col("__aispe") + 8, 4)).cast("int"))
+      .drop("__ah" +: "__abr" +: "__ameta" +: "__aiprp" +: "__aipco" +:
+        "__aispe" +:
+        ((0 until 4).map(k => s"__at$k") ++ (0 until 6).map(k => s"__am$k") ++
+          (0 until 2).map(k => s"__ap$k") ++
+          (0 until 4).map(k => s"__ac$k")): _*)
+  }
+
   // exact integer floor-division as a Column (Column./ is double
   // division — but floor of a correctly-rounded double quotient of two
   // non-negative longs is EXACT while the dividend < 2^52: a non-integer

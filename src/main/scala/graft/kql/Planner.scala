@@ -842,6 +842,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate avif_dims(payload)`: AVIF/HEIC dims from the ISO-BMFF
+    // ispe box (meta -> iprp -> ipco walk), header bytes only
+    case EvaluateOp("avif_dims", binE :: Nil) =>
+      graft.ext.LlmOps.avifDims(df, colNameOf(df, binE, "avif_dims payload"))
+
     // `evaluate heaps_law(text, id)`: vocabulary-growth checkpoints +
     // fitted Heaps exponent along the deterministic hash shuffle
     case EvaluateOp("heaps_law", textE :: idE :: Nil) =>

@@ -156,6 +156,49 @@ class R11OpsSpec extends AnyFunSuite {
     assert(per(2) > per(0) && per(2) > per(1), s"period lag must spike: $per")
   }
 
+  test("avifDims: hand-built ispe walks, version refusal, unknown brands") {
+    def hexToBytes(hx: String): Array[Byte] = {
+      val clean = hx.replaceAll("\\s", "")
+      (0 until clean.length by 2)
+        .map(i => Integer.parseInt(clean.substring(i, i + 2), 16).toByte)
+        .toArray
+    }
+    def build(brand: String, ispeVer: String, w: Int, h: Int): String = {
+      val ispe = "00000014" + "69737065" + ispeVer + "00" * 3 +
+        f"$w%08X" + f"$h%08X"
+      val ipco = "0000001C" + "6970636F" + ispe
+      val iprp = "00000024" + "69707270" + ipco
+      val meta = "00000030" + "6D657461" + "00000000" + iprp
+      "00000010" + "66747970" + brand + "00000000" + meta
+    }
+    val rows = Seq(
+      (1L, hexToBytes(build("61766973", "00", 640, 480))),  // avis
+      (2L, hexToBytes(build("68656966", "00", 99, 7))),     // heif
+      (3L, hexToBytes(build("61766966", "01", 10, 10))),    // ispe v1: refuse dims
+      (4L, hexToBytes(build("6A756E6B", "00", 5, 5))),      // unknown brand
+      (5L, hexToBytes("FFD8FFE0"))                          // not ISO-BMFF
+    ).toDF("doc_id", "payload")
+    val out = LlmOps.avifDims(rows, "payload").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("brand") == "avis" &&
+      out(0).getAs[Int]("width") == 640 && out(0).getAs[Int]("height") == 480)
+    assert(out(1).getAs[String]("brand") == "heif" &&
+      out(1).getAs[Int]("width") == 99 && out(1).getAs[Int]("height") == 7)
+    assert(out(2).getAs[String]("brand") == "avif" &&
+      out(2).isNullAt(out(2).fieldIndex("width")),
+      "non-v0 ispe must refuse dims, not misparse them")
+    assert(out(3).isNullAt(out(3).fieldIndex("brand")) &&
+      out(3).isNullAt(out(3).fieldIndex("width")))
+    assert(out(4).isNullAt(out(4).fieldIndex("brand")))
+  }
+
+  test("avif_dims reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | extend payload = tostring(doc_id) " +
+        "| evaluate avif_dims(payload) | where isnull(brand) | count",
+      cat).head.getLong(0)
+    assert(out == 500L, "text payloads must all null out")
+  }
+
   test("stratified_split reachable from KQL") {
     val out = Kql.run(spark,
       "documents | evaluate stratified_split(0.8, 0.1, lang, doc_id)" +
