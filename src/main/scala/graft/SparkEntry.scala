@@ -302,6 +302,61 @@ object SparkEntry {
     s.table("graft_stream_sliding_sink").orderBy("start_us")
   }
 
+  /** tmp_stream_dedup_wm body: Spark's NATIVE watermarked streaming
+    * dedup (dropDuplicatesWithinWatermark) driver-visible, proving BOTH
+    * halves of its contract across three micro-batches:
+    *  - cross-batch state: batch 2 re-sends keys batch 1 emitted (with
+    *    a 'b2' marker payload) — all dropped, so any emitted 'b2' row
+    *    means state did not cross the boundary;
+    *  - watermark EVICTION: a far-future sentinel in batch 2 pushes the
+    *    global watermark past every batch-1 key's expiry (first-seen ts
+    *    + 1 h delay), so batch 3's re-sends of batch-1 keys EMIT — a
+    *    missing 'b3' row means state never ages out (unbounded state =
+    *    the thing the watermark bound exists to prevent at 100 TB).
+    * The oracle states the expected final table arithmetically (batch-1
+    * rows + batch-2 new keys + the id%5==1 re-sends). */
+  def streamDedupWmQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .as[(Long, Long)].collect().toSeq
+      val half = evs.map(_._1).max / 2
+      val b1 = evs.filter(_._1 < half).map { case (id, ts) => (id, ts, "b1") }
+      val maxTs1 = b1.map(_._2).max
+      val b2dups = b1.collect { case (id, _, _) if id % 3 == 0 =>
+        (id, maxTs1 + 600L * 1000000, "b2") }
+      val b2new = evs.filter(_._1 >= half)
+        .map { case (id, ts) => (id, ts, "b2n") }
+      // the fixture slice spans up to ~30 days: the 90-day delay keeps
+      // EVERY batch-1 key alive through batch 2 (no accidental
+      // eviction), and the +400-day sentinel pushes the watermark past
+      // every expiry before batch 3 (guaranteed eviction)
+      val sentinelTs = maxTs1 + 400L * 86400 * 1000000
+      val b3 = b1.collect { case (id, _, _) if id % 5 == 1 =>
+        (id, sentinelTs + 86400L * 1000000, "b3") }
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      val src = ms.toDF().toDF("key", "ts_us", "src")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val dd = graft.streaming.StreamingOps.dedupStream(src, "key", "90 days")
+        .select(col("key"), col("src"), col("ts_us"))
+      val q = dd.writeStream.format("memory")
+        .queryName("graft_stream_ddwm_sink").outputMode("append").start()
+      try {
+        ms.addData(b1: _*)
+        q.processAllAvailable()
+        ms.addData((b2dups ++ b2new) :+ ((-1L, sentinelTs, "s")): _*)
+        q.processAllAvailable()
+        ms.addData(b3: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_stream_ddwm_sink").filter(col("key") >= 0)
+        .orderBy("key", "src")
+    }
+
   /** tmp_stream_scan body: ARBITRARY streaming state driver-visible —
     * the KQL `scan` state machine (per-user running cents sum) runs on
     * a stream via flatMapGroupsWithState: batch 2's sums must CONTINUE
@@ -4300,6 +4355,14 @@ object SparkEntry {
       (s, dir) => LlmOps.embeddingDrift(embs(s, dir), docs(s, dir))
         .orderBy("source"),
       Some("""WITH j AS (SELECT d.source AS src, e.embedding FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id), ex AS (SELECT src, i - 1 AS d, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v FROM j, unnest(generate_series(1, 64)) s(i)), per AS (SELECT src, d, CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2), pm AS (SELECT src, d, n, CAST((sv * 1000) // n AS BIGINT) AS mean_u FROM per), g AS (SELECT d, CAST((CAST(SUM(v) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS gmean_u FROM ex GROUP BY 1) SELECT pm.src AS source, CAST(MAX(pm.n) AS BIGINT) AS n_vecs, CAST(SUM((pm.mean_u - g.gmean_u) * (pm.mean_u - g.gmean_u)) AS BIGINT) AS drift_sq_u FROM pm JOIN g USING (d) GROUP BY 1 ORDER BY 1""")),
+
+    // Native watermarked streaming dedup (dropDuplicatesWithinWatermark):
+    // batch-2 duplicates drop on batch-1 state (cross-batch proof) AND
+    // batch-3 re-sends emit after the watermark evicted their keys
+    // (bounded-state proof); oracle = the arithmetic expected table
+    "tmp_stream_dedup_wm" -> Q(
+      (s, dir) => streamDedupWmQuery(s, dir),
+      Some("""WITH e AS (SELECT event_id AS key, epoch_us(ts) AS ts_us FROM events WHERE event_id <= 2000), h AS (SELECT MAX(key) // 2 AS half FROM e), b1 AS (SELECT key, ts_us, 'b1' AS src FROM e, h WHERE key < h.half), m1 AS (SELECT MAX(ts_us) AS mt FROM b1), b2n AS (SELECT key, ts_us, 'b2n' AS src FROM e, h WHERE key >= h.half), b3 AS (SELECT key, m1.mt + CAST(401 AS BIGINT) * 86400 * 1000000 AS ts_us, 'b3' AS src FROM b1, m1 WHERE key % 5 = 1) SELECT key, src, CAST(ts_us AS BIGINT) AS ts_us FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2n UNION ALL SELECT * FROM b3) ORDER BY key, src""")),
 
     // Streaming KQL scan (arbitrary per-key state): running cents sums
     // continue across the micro-batch boundary; oracle = the batch

@@ -167,6 +167,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 4) // 5 in, 1 duplicate id dropped
   }
 
+  test("watermark dedup row: cross-batch drops AND post-eviction re-emits both occur") {
+    // the driver row's two proofs must be non-vacuous on the fixture:
+    // zero 'b2' rows (batch-2 duplicates dropped on batch-1 state) and
+    // >0 'b3' rows (re-sends emitted only because the watermark evicted
+    // their keys) — plus the dup/re-send sets are non-empty going in
+    val out = graft.SparkEntry.streamDedupWmQuery(spark, TestSpark.sfDir)
+      .collect()
+    val srcs = out.map(_.getAs[String]("src"))
+    assert(!srcs.contains("b2"), "a batch-2 duplicate leaked through state")
+    val nB3 = srcs.count(_ == "b3")
+    assert(nB3 > 0, "no post-eviction re-emits — watermark eviction vacuous")
+    assert(srcs.count(_ == "b1") > nB3, "batch-1 emission set vacuous")
+  }
+
   test("batch/stream parity: same builder runs on a static frame") {
     val staticDf = spark.createDataFrame(batch1)
     val agg = StreamingOps.tumblingAgg(staticDf, "5 minutes", "10 minutes")
