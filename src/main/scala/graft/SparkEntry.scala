@@ -4288,6 +4288,53 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // WARC + embedded-HTTP header fields from planted crawl records:
+    // every field an arithmetic function of doc_id (status/mime/charset
+    // CASEs), request records prove the http gate, lowercase header
+    // names prove RFC case-insensitivity, raw text docs null out
+    "llm_warc_meta" -> Q(
+      (s, dir) => {
+        val did = col("doc_id")
+        val crlf = "\r\n"
+        val uri = concat(lit("http://h"), pmod(did, lit(50)),
+          lit(".example/p"), did)
+        val wtype = when(pmod(did, lit(7)) === 0, lit("request"))
+          .otherwise(lit("response"))
+        val status = when(pmod(did, lit(3)) === 0, lit("200"))
+          .when(pmod(did, lit(3)) === 1, lit("404")).otherwise(lit("301"))
+        val mime = when(pmod(did, lit(2)) === 0, lit("text/html"))
+          .otherwise(lit("text/plain"))
+        val cs = when(pmod(did, lit(4)) === 0, lit("; charset=UTF-8"))
+          .when(pmod(did, lit(4)) === 1, lit("; charset=ISO-8859-1"))
+          .otherwise(lit(""))
+        val wdate = concat(lit("2024-01-"),
+          lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0"),
+          lit("T00:00:00Z"))
+        // lowercase names on odd ids: header NAMES are case-insensitive
+        val clName = when(pmod(did, lit(2)) === 1, lit("content-length"))
+          .otherwise(lit("Content-Length"))
+        val inner = when(wtype === "request",
+            lit(s"GET / HTTP/1.1${crlf}Host: x$crlf$crlf"))
+          .otherwise(concat(lit("HTTP/1.1 "), status, lit(s" OK$crlf"),
+            lit("Content-Type: "), mime, cs, lit(s"$crlf$crlf")))
+        val rec = concat(
+          lit(s"WARC/1.0${crlf}WARC-Type: "), wtype, lit(crlf),
+          lit("WARC-Target-URI: "), uri, lit(crlf),
+          lit("WARC-Date: "), wdate, lit(crlf),
+          clName, lit(": "), col("n_chars").cast("string"), lit(crlf),
+          lit(s"Content-Type: application/http$crlf$crlf"),
+          inner, coalesce(col("text"), lit("")))
+        val d = docs(s, dir).withColumn("rec",
+          when(pmod(did, lit(5)) === 4, coalesce(col("text"), lit("")))
+            .otherwise(rec))
+        LlmOps.warcMeta(d, "rec")
+          .select(col("doc_id"), col("warc_version"), col("warc_type"),
+            col("target_uri"), col("warc_date"), col("content_length"),
+            col("http_status"), col("mime"), col("charset"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE '1.0' END AS warc_version, CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 7 = 0 THEN 'request' ELSE 'response' END AS warc_type, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) END AS target_uri, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z' END AS warc_date, CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS content_length, CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 0 THEN NULL ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INT) END AS http_status, CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS mime, CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 0 THEN NULL WHEN doc_id % 4 = 0 THEN 'UTF-8' WHEN doc_id % 4 = 1 THEN 'ISO-8859-1' ELSE NULL END AS charset FROM documents ORDER BY doc_id""")),
+
     // AVIF/HEIC dims from the ISO-BMFF ispe box: planted meta->iprp->
     // ipco walks with optional filler boxes at two levels; the oracle
     // derives brand/width/height arithmetically (never parsing), so

@@ -3952,6 +3952,53 @@ object LlmOps {
           (0 until 3).map(k => s"__vk$k")): _*)
   }
 
+  /** WARC record metadata (r8) — the container format a web crawl
+    * actually arrives in (Common-Crawl-style): the WARC named-header
+    * block (version, WARC-Type, WARC-Target-URI, WARC-Date,
+    * Content-Length) plus, for `application/http` response records,
+    * the embedded HTTP status line and Content-Type/charset. These are
+    * the route-and-filter fields every crawl pipeline reads BEFORE any
+    * body processing (status 200 gate, mime routing, charset pick) —
+    * header parsing only, bodies untouched.
+    *
+    * Pure regexp/substring Column chain (codegen, no UDF): the WARC
+    * block is the text before the first CRLFCRLF, the HTTP block the
+    * text between the first and second; header NAMES match
+    * case-insensitively per RFC, values come back verbatim; absent
+    * headers / non-WARC payloads null per-field. Per-row projection,
+    * zero shuffle. */
+  def warcMeta(df: DataFrame, textCol: String): DataFrame = {
+    val s = coalesce(col(textCol), lit(""))
+    def nn(c: Column): Column = when(length(c) >= 1, c)
+    val hdrEnd = instr(s, "\r\n\r\n")
+    val warcHdr = when(hdrEnd >= 1, s.substr(lit(1), hdrEnd - 1))
+      .otherwise(s)
+    val version = nn(regexp_extract(warcHdr, "^WARC/(\\d+\\.\\d+)\r\n", 1))
+    def warcField(name: String): Column =
+      when(version.isNotNull,
+        nn(regexp_extract(warcHdr, s"(?mi)^$name:[ \\t]*([^\r\n]+)", 1)))
+    val rest = when(version.isNotNull && hdrEnd >= 1,
+      s.substr(hdrEnd + 4, length(s)))
+    val httpEnd = instr(rest, "\r\n\r\n")
+    val httpHdr = when(httpEnd >= 1, rest.substr(lit(1), httpEnd - 1))
+      .otherwise(rest)
+    val isHttp = regexp_extract(httpHdr, "^HTTP/[0-9.]+ (\\d{3})", 1)
+    df
+      .withColumn("warc_version", version)
+      .withColumn("warc_type", warcField("WARC-Type"))
+      .withColumn("target_uri", warcField("WARC-Target-URI"))
+      .withColumn("warc_date", warcField("WARC-Date"))
+      .withColumn("content_length",
+        warcField("Content-Length").cast("long"))
+      .withColumn("http_status", nn(isHttp).cast("int"))
+      .withColumn("mime", when(nn(isHttp).isNotNull,
+        nn(trim(regexp_extract(httpHdr,
+          "(?mi)^Content-Type:[ \\t]*([^;\r\n]+)", 1)))))
+      .withColumn("charset", when(nn(isHttp).isNotNull,
+        nn(regexp_extract(httpHdr,
+          "(?i)charset=([A-Za-z0-9_.:-]+)", 1))))
+  }
+
   /** AVIF/HEIC image dimensions (r8) from the ISO-BMFF `ispe` (image
     * spatial extents) property — the still-image siblings of
     * [[videoMeta]]'s MP4 walk, and the formats a modern crawl actually

@@ -842,6 +842,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate warc_meta(text)`: WARC + embedded-HTTP header fields
+    // (the crawl container's route-and-filter metadata)
+    case EvaluateOp("warc_meta", tE :: Nil) =>
+      graft.ext.LlmOps.warcMeta(df, colNameOf(df, tE, "warc_meta text"))
+
     // `evaluate avif_dims(payload)`: AVIF/HEIC dims from the ISO-BMFF
     // ispe box (meta -> iprp -> ipco walk), header bytes only
     case EvaluateOp("avif_dims", binE :: Nil) =>

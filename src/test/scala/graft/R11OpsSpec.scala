@@ -199,6 +199,37 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 500L, "text payloads must all null out")
   }
 
+  test("warcMeta: header-only records, folded case, missing fields, totality") {
+    val rec1 = "WARC/1.1\r\nwarc-type: metadata\r\n" +
+      "WARC-Target-URI: http://a/b?q=1\r\nContent-Length: 0\r\n\r\n"
+    val rec2 = "WARC/1.0\r\nWARC-Type: response\r\n\r\n" + // no uri/date/len
+      "HTTP/2 503 Service Unavailable\r\n" +
+      "content-type:  application/json ; charset=utf-8\r\n\r\n{}"
+    val rows = Seq((1L, rec1), (2L, rec2), (3L, "just words"), (4L, null))
+      .toDF("doc_id", "rec")
+    val out = LlmOps.warcMeta(rows, "rec").orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("warc_version") == "1.1")
+    assert(r1.getAs[String]("warc_type") == "metadata") // folded name
+    assert(r1.getAs[String]("target_uri") == "http://a/b?q=1")
+    assert(r1.getAs[Long]("content_length") == 0L)
+    assert(r1.isNullAt(r1.fieldIndex("http_status"))) // no http block
+    val r2 = out(1)
+    assert(r2.getAs[Int]("http_status") == 503)
+    assert(r2.getAs[String]("mime") == "application/json")
+    assert(r2.getAs[String]("charset") == "utf-8")
+    assert(r2.isNullAt(r2.fieldIndex("target_uri"))) // absent header
+    assert(out(2).isNullAt(out(2).fieldIndex("warc_version")))
+    assert(out(3).isNullAt(out(3).fieldIndex("warc_version"))) // null total
+  }
+
+  test("warc_meta reachable from KQL") {
+    val n = Kql.run(spark,
+      "documents | evaluate warc_meta(text) | where isnull(warc_version) | count",
+      cat).head.getLong(0)
+    assert(n == 500L)
+  }
+
   test("stratified_split reachable from KQL") {
     val out = Kql.run(spark,
       "documents | evaluate stratified_split(0.8, 0.1, lang, doc_id)" +
