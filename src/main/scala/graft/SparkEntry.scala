@@ -4165,6 +4165,13 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // Cross-covariance at lags -L..L (lead-lag detection): a shift-by-1
+    // copy peaks at lag +1; length mismatch nulls; known-answer oracle
+    "q179_series_xcorr" -> Q(kqlQ(
+      """print a = dynamic_to_json(series_xcorr(pack_array(1, 5, 1, 1), pack_array(1, 1, 5, 1), 2)),
+              b = dynamic_to_json(series_xcorr(pack_array(1, 2, 3), pack_array(1, 2), 2))"""),
+      Some("""SELECT '[2,-5,-4,11,-6]' AS a, CAST(NULL AS VARCHAR) AS b""")),
+
     // Dynamic-time-warping distance (alignment-tolerant series
     // similarity): stretch-aligned series score 0 where euclidean
     // would not; known-answer print oracle over integer series (every

@@ -377,6 +377,9 @@ object Functions {
     "series_acf" -> f {
       case a :: Nil => seriesAcf(a, lit(8))
       case a :: l :: Nil => seriesAcf(a, l) },
+    "series_xcorr" -> f {
+      case a :: b :: Nil => seriesXcorr(a, b, lit(4))
+      case a :: b :: l :: Nil => seriesXcorr(a, b, l) },
     "series_fit_2lines" -> f { case a :: Nil => seriesFit2Udf(a.cast("array<double>")) },
     // degree-k polynomial least squares (x = 0..n−1): normal equations +
     // Gaussian elimination with partial pivoting; coefficients
@@ -1560,6 +1563,38 @@ object Functions {
     when(n >= lit(2) && den > 0 && lags >= 1,
       transform(sequence(lit(1), least(lags, n - 1)),
         k => call_function("div", acfAt(k) * lit(1000000L), den)))
+  }
+
+  /** Cross-covariance of two aligned integer series at lags −L..L (the
+    * lead-lag/alignment detector next to [[seriesAcf]]): element 1+L+k
+    * holds Σᵢ dxᵢ·dyᵢ₊ₖ over the valid overlap, dx/dy floor-mean
+    * centered like series_acf. UNNORMALIZED by design — normalising
+    * needs √(Σdx²·Σdy²), which breaks integer cross-engine exactness;
+    * the argmax lag (what lead-lag analysis actually reads) is
+    * invariant to the scale. Null when lengths differ or n < 2.
+    * O(n·L) folds, constant plan size. */
+  private def seriesXcorr(x0: Column, y0: Column, lags0: Column): Column = {
+    val x = x0.cast("array<long>")
+    val y = y0.cast("array<long>")
+    val lags = lags0.cast("int")
+    val n = size(x)
+    def centered(a: Column): Column = {
+      val s = aggregate(a, lit(0L), (acc, v) => acc + v)
+      val mu = floor(s.cast("double") / size(a).cast("double")).cast("long")
+      transform(a, v => v - mu)
+    }
+    val dx = centered(x)
+    val dy = centered(y)
+    def covAt(k: Column): Column = {
+      val lo = greatest(lit(1), lit(1) - k)
+      val hi = least(n, n - k)
+      when(hi >= lo,
+        aggregate(sequence(lo, hi), lit(0L),
+          (acc, i) => acc + element_at(dx, i) * element_at(dy, i + k)))
+        .otherwise(lit(0L))
+    }
+    when(n >= 2 && size(y) === n && lags >= 0,
+      transform(sequence(lit(0) - lags, lags), k => covAt(k)))
   }
 
   private def seriesIir(x: Column, b: Column, a: Column): Column = {

@@ -199,6 +199,42 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 500L, "text payloads must all null out")
   }
 
+  test("series_xcorr matches a reference Scala implementation; shift peaks at the shift") {
+    val rnd = new scala.util.Random(31)
+    def ref(xs: Seq[Long], ys: Seq[Long], lags: Int): Seq[Long] = {
+      val n = xs.length
+      def ctr(a: Seq[Long]) = {
+        val mu = math.floorDiv(a.sum, a.length.toLong); a.map(_ - mu)
+      }
+      val dx = ctr(xs); val dy = ctr(ys)
+      (-lags to lags).map { k =>
+        (0 until n).collect {
+          case i if i + k >= 0 && i + k < n => dx(i) * dy(i + k)
+        }.sum
+      }
+    }
+    (1 to 8).foreach { _ =>
+      val n = 4 + rnd.nextInt(20)
+      val xs = Seq.fill(n)(rnd.nextInt(200).toLong - 50)
+      val ys = Seq.fill(n)(rnd.nextInt(200).toLong - 50)
+      val lags = 1 + rnd.nextInt(4)
+      val got = Kql.run(spark,
+        s"""print a = series_xcorr(pack_array(${xs.mkString(",")}),
+                                   pack_array(${ys.mkString(",")}), $lags)""",
+        cat).head.getSeq[Long](0)
+      assert(got == ref(xs, ys, lags), s"xs=$xs ys=$ys lags=$lags")
+    }
+    // y = x shifted right by s: the covariance peaks exactly at lag +s
+    val xs = Seq.fill(30)(rnd.nextInt(1000).toLong)
+    val s2 = 3
+    val ys = Seq.fill(s2)(0L) ++ xs.dropRight(s2)
+    val got = Kql.run(spark,
+      s"""print a = series_xcorr(pack_array(${xs.mkString(",")}),
+                                 pack_array(${ys.mkString(",")}), 5)""",
+      cat).head.getSeq[Long](0)
+    assert(got.indexOf(got.max) == 5 + s2, s"peak must sit at +$s2: $got")
+  }
+
   test("warcMeta: header-only records, folded case, missing fields, totality") {
     val rec1 = "WARC/1.1\r\nwarc-type: metadata\r\n" +
       "WARC-Target-URI: http://a/b?q=1\r\nContent-Length: 0\r\n\r\n"
