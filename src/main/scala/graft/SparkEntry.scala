@@ -4295,6 +4295,27 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Code-vs-prose routing gate: planted code docs (id%6==0) score
+    // ~10x the natural-text docs; the oracle REBUILDS the same planted
+    // text and recomputes every count/ratio in SQL, so the two engines
+    // agree on the formula, not just the verdict
+    "llm_code_detect" -> Q(
+      (s, dir) => {
+        val did = col("doc_id")
+        val codeTxt = concat(lit("import mod\ndef f_"), did,
+          lit("(x):\n  y = (x + "), did,
+          lit(");\n  return {x: y};\nclass c_"), did,
+          lit(":\n  void = 1;"))
+        val d = docs(s, dir).withColumn("t2",
+          when(pmod(did, lit(6)) === 0, codeTxt)
+            .otherwise(coalesce(col("text"), lit(""))))
+        LlmOps.codeDetect(d, "t2")
+          .select(col("doc_id"), col("n_sym"), col("n_kw"),
+            col("code_score_u"), col("is_code"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN 'import mod' || chr(10) || 'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || '  y = (x + ' || CAST(doc_id AS VARCHAR) || ');' || chr(10) || '  return {x: y};' || chr(10) || 'class c_' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || '  void = 1;' ELSE COALESCE(text, '') END AS t FROM documents), m AS (SELECT doc_id, CAST(len(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS ns, CAST(len(t) - len(regexp_replace(t, '[{};()=\[\]<>]', '', 'g')) AS BIGINT) AS sym, string_split(t, chr(10)) AS lines, list_filter(regexp_split_to_array(lower(t), '\s+'), z -> len(z) >= 1) AS toks FROM d), c AS (SELECT doc_id, ns, sym, CAST(len(lines) AS BIGINT) AS nl, CAST(len(list_filter(lines, l -> l LIKE '  %' OR l LIKE chr(9) || '%')) AS BIGINT) AS ind, CAST(len(list_filter(lines, l -> l LIKE '%;' OR l LIKE '%{' OR l LIKE '%}')) AS BIGINT) AS nsemi, CAST(len(list_filter(toks, z -> z IN ('def', 'return', 'import', 'class', 'const', 'function', 'void', 'public', 'lambda', 'elif'))) AS BIGINT) AS kw FROM m) SELECT doc_id, sym AS n_sym, kw AS n_kw, CAST(2 * ((sym * 1000000) // GREATEST(ns, 1)) + ((ind + nsemi) * 1000000) // GREATEST(nl, 1) + LEAST(kw, 10) * 50000 AS BIGINT) AS code_score_u, (2 * ((sym * 1000000) // GREATEST(ns, 1)) + ((ind + nsemi) * 1000000) // GREATEST(nl, 1) + LEAST(kw, 10) * 50000) >= 300000 AS is_code FROM c ORDER BY doc_id""")),
+
     // WARC + embedded-HTTP header fields from planted crawl records:
     // every field an arithmetic function of doc_id (status/mime/charset
     // CASEs), request records prove the http gate, lowercase header

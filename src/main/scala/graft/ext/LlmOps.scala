@@ -3952,6 +3952,46 @@ object LlmOps {
           (0 until 3).map(k => s"__vk$k")): _*)
   }
 
+  /** Code-vs-prose detection (r8) — the routing gate before text
+    * quality ops (code must SKIP prose gates like stopword/readability
+    * scoring or it gets wrongly dropped, and the code fraction is a
+    * dataset-card number). Four dictionary-light signals, all exact
+    * integers: structural-symbol density ({};()=[]<> per non-space
+    * char), indented-line fraction, statement-terminator line fraction
+    * (;/{/} endings), and a 10-capped programming-keyword count.
+    * score_u = 2·sym_ratio_u + (indent+semi)_ratio_u + 50000·kw;
+    * is_code = score_u ≥ 300000 (a planted code doc scores ~10× a
+    * natural-text doc). Per-row projection, zero shuffle, value-exact
+    * replay (counts via length diffs, ratios via integer div). */
+  def codeDetect(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = txt(textCol)
+    val kws = Seq("def", "return", "import", "class", "const", "function",
+      "void", "public", "lambda", "elif")
+    val lines = split(t, "\n")
+    val toks = filter(split(lower(t), "\\s+"), x => length(x) >= 1)
+    docs
+      .withColumn("__ns", length(regexp_replace(t, "\\s", "")))
+      .withColumn("__sym", length(t) -
+        length(regexp_replace(t, "[{};()=\\[\\]<>]", "")))
+      .withColumn("__nl", size(lines).cast("long"))
+      .withColumn("__ind", size(filter(lines,
+        l => l.startsWith("  ") || l.startsWith("\t"))).cast("long"))
+      .withColumn("__semi", size(filter(lines,
+        l => l.endsWith(";") || l.endsWith("{") || l.endsWith("}")))
+        .cast("long"))
+      .withColumn("__kw", size(filter(toks,
+        x => x.isin(kws: _*))).cast("long"))
+      .withColumn("code_score_u",
+        expr("2 * ((__sym * 1000000) div greatest(__ns, 1)) + " +
+          "((__ind + __semi) * 1000000) div greatest(__nl, 1) + " +
+          "least(__kw, 10) * 50000"))
+      .withColumn("is_code", col("code_score_u") >= 300000L)
+      .withColumnRenamed("__sym", "n_sym")
+      .withColumnRenamed("__kw", "n_kw")
+      .drop("__ns", "__nl", "__ind", "__semi")
+  }
+
   /** WARC record metadata (r8) — the container format a web crawl
     * actually arrives in (Common-Crawl-style): the WARC named-header
     * block (version, WARC-Type, WARC-Target-URI, WARC-Date,

@@ -842,6 +842,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate code_detect(text)`: code-vs-prose routing gate
+    case EvaluateOp("code_detect", tE :: Nil) =>
+      graft.ext.LlmOps.codeDetect(df,
+        colNameOf(df, tE, "code_detect text"))
+
     // `evaluate warc_meta(text)`: WARC + embedded-HTTP header fields
     // (the crawl container's route-and-filter metadata)
     case EvaluateOp("warc_meta", tE :: Nil) =>

@@ -235,6 +235,32 @@ class R11OpsSpec extends AnyFunSuite {
     assert(got.indexOf(got.max) == 5 + s2, s"peak must sit at +$s2: $got")
   }
 
+  test("codeDetect: real code flags, prose and empty text do not") {
+    val code =
+      "import os\ndef main(argv):\n  x = {1: 2};\n  return x[1];\n" +
+        "class Foo:\n  void = None;"
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "some more plain words follow here without any symbols at all"
+    val rows = Seq((1L, code), (2L, prose), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val out = LlmOps.codeDetect(rows).orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("is_code"), out(0).toString)
+    assert(!out(1).getAs[Boolean]("is_code"), out(1).toString)
+    assert(!out(2).getAs[Boolean]("is_code") &&
+      out(2).getAs[Long]("code_score_u") == 0L)
+    assert(!out(3).getAs[Boolean]("is_code"))
+    // code scores dominate prose by a wide margin (routing headroom)
+    assert(out(0).getAs[Long]("code_score_u") >
+      10 * math.max(out(1).getAs[Long]("code_score_u"), 1L))
+  }
+
+  test("code_detect reachable from KQL") {
+    val n = Kql.run(spark,
+      "documents | evaluate code_detect(text) | where is_code | count",
+      cat).head.getLong(0)
+    assert(n == 0L, "natural-text fixture docs must not flag as code")
+  }
+
   test("warcMeta: header-only records, folded case, missing fields, totality") {
     val rec1 = "WARC/1.1\r\nwarc-type: metadata\r\n" +
       "WARC-Target-URI: http://a/b?q=1\r\nContent-Length: 0\r\n\r\n"
