@@ -2972,6 +2972,60 @@ object LlmOps {
           .as("mean_neg_logp2"))
   }
 
+  /** Stupid Backoff bigram scoring (Brants et al., EMNLP 2007 — the
+    * web-scale LM scheme built for exactly this setting: counts too
+    * big for proper discounting, scoring not generation): a held-out
+    * fold (doc_id % holdMod == 0) scores against the TRAIN fold's
+    * counts, s(cur|prev) = c₂/c₁ when the bigram was seen, else
+    * 0.4·(c_u+1)/(N+V) (unigram backoff, add-one so unseen words stay
+    * finite). Unlike [[bigramLogProb]] (self-scored MLE — every bigram
+    * is seen by construction) this exercises the UNSEEN path, which is
+    * where LM-quality filters actually differ on fresh data; n_backoff
+    * says how often. Shape: two explodes, three train-side hash
+    * aggregates (bigram, context, unigram), broadcast (N, V) totals,
+    * three joins onto the test gram stream, one per-doc aggregate;
+    * per-pair integer-micro rounding keeps sums engine-exact. */
+  def stupidBackoff(docs: DataFrame, holdMod: Int = 5, alpha: Double = 0.4,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(holdMod >= 2, "stupidBackoff: holdMod >= 2")
+    val toks = split(lower(txt(textCol)), "\\s+")
+    def gramsOf(d: DataFrame) = d
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(2), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 1).as("prev"),
+          element_at(col("toks"), i).as("cur")))).as("g"))
+      .select(col("id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+    val train = spread(docs).filter(pmod(col(idCol), lit(holdMod)) =!= 0)
+    val test = spread(docs).filter(pmod(col(idCol), lit(holdMod)) === 0)
+    val trainToks = train.select(
+      explode(filter(toks, t => length(t) >= 1)).as("tok"))
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = trainToks.agg(count(lit(1)).as("nn"),
+      count_distinct(col("tok")).as("vv"))
+    val tg = gramsOf(train)
+    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    gramsOf(test)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(uni.select(col("tok").as("cur"), col("cu")), Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("nlp_u", when(col("c2").isNotNull,
+          round(-log(col("c2").cast("double") / col("c1")) * 1e6)
+            .cast("long"))
+        .otherwise(round(-log(
+          (lit(alpha) * (coalesce(col("cu"), lit(0L)) + 1).cast("double")) /
+            (col("nn") + col("vv")).cast("double")) * 1e6).cast("long")))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(sum(col("nlp_u")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("mean_neg_logp_sb"))
+  }
+
   /** Okapi BM25 top-k retrieval (Robertson et al., TREC-3; the idf is
     * Lucene's ln(1 + (N − df + 0.5)/(df + 0.5)) form, positive for every
     * df) — THE lexical ranking baseline a RAG corpus needs next to the

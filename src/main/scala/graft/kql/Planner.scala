@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate stupid_backoff(holdMod, text, id)`: held-out bigram LM
+    // scoring with unigram backoff (Brants 2007)
+    case EvaluateOp("stupid_backoff", hE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.stupidBackoff(df, litLong(hE).toInt,
+        textCol = colNameOf(df, tE, "stupid_backoff text"),
+        idCol = colNameOf(df, idE, "stupid_backoff id"))
+
     // `evaluate code_detect(text)`: code-vs-prose routing gate
     case EvaluateOp("code_detect", tE :: Nil) =>
       graft.ext.LlmOps.codeDetect(df,

@@ -235,6 +235,33 @@ class R11OpsSpec extends AnyFunSuite {
     assert(got.indexOf(got.max) == 5 + s2, s"peak must sit at +$s2: $got")
   }
 
+  test("stupidBackoff: seen bigrams use c2/c1, unseen back off to the unigram") {
+    // train (ids 1..4): "a b" x3 and "a c" -> c2(a,b)=3, c2(a,c)=1, c1(a)=4
+    // test (id 5): "a b a x" -> (a,b) seen; (b,a) unseen, cu(a)=4;
+    //              (a,x) unseen, cu(x)=0
+    val rows = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "a b a x")).toDF("doc_id", "text")
+    val out = LlmOps.stupidBackoff(rows, holdMod = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bigrams") == 3L && r.getAs[Long]("n_backoff") == 2L)
+    // replay: N=8 train tokens, V=3 distinct (a, b, c)
+    val lnSeen = math.round(-math.log(3.0 / 4) * 1e6)
+    val lnBoA = math.round(-math.log(0.4 * (4 + 1) / (8 + 3)) * 1e6)
+    val lnBoX = math.round(-math.log(0.4 * (0 + 1) / (8 + 3)) * 1e6)
+    val want = BigDecimal((lnSeen + lnBoA + lnBoX).toDouble / 3 / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("mean_neg_logp_sb") - want) < 1e-9,
+      s"got ${r.getAs[Double]("mean_neg_logp_sb")} want $want")
+  }
+
+  test("stupid_backoff reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate stupid_backoff(5, text, doc_id) | count", cat)
+      .head.getLong(0)
+    assert(out == 100L)
+  }
+
   test("codeDetect: real code flags, prose and empty text do not") {
     val code =
       "import os\ndef main(argv):\n  x = {1: 2};\n  return x[1];\n" +
