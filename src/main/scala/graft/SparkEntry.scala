@@ -4295,6 +4295,13 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Per-doc top-k tf-idf keywords: integer tf x micro-idf scores make
+    // the order, ties and the k-cut replay exactly
+    "llm_keyword_extract" -> Q(
+      (s, dir) => LlmOps.keywordExtract(docs(s, dir), k = 5)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH t AS (SELECT doc_id AS id, unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1)) AS term FROM documents), tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), sc AS (SELECT id, term, tf, CAST(tf * CAST(ROUND(LN(CAST(nd.nd AS DOUBLE) / df) * 1000000) AS BIGINT) AS BIGINT) AS score_u FROM tf JOIN dft USING (term), nd), r AS (SELECT id, term, tf, score_u, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score_u DESC, term ASC) AS rk FROM sc) SELECT id AS doc_id, CAST(rk AS BIGINT) AS "rank", term, tf, score_u FROM r WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
     // Stupid Backoff held-out bigram scoring (Brants 2007): the test
     // fold scores against the train fold's counts; planted zzz<id>
     // tokens on id%10==0 force the unseen-unigram backoff branch so

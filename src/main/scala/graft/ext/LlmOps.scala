@@ -2972,6 +2972,42 @@ object LlmOps {
           .as("mean_neg_logp2"))
   }
 
+  /** Per-doc keyword extraction (r8): the top-k tf·idf terms of every
+    * document — the doc-tagging/routing primitive (cluster labeling,
+    * topic-mix dataset cards, retrieval keywords) next to the corpus-
+    * level tfidf op. score = tf · round(ln(N/df)·10⁶) stays INTEGER
+    * (tf is a count, idf is micro-rounded once per term), so the
+    * per-doc order, tie rule (score desc, term asc) and the k-cut all
+    * replay exactly in SQL.
+    *
+    * Shape: one token explode → (doc, term) tf aggregate → term df
+    * aggregate joined back (vocabulary-sized, broadcast) → per-doc
+    * row_number window (partitioned BY DOC — state is one doc's terms,
+    * never a global sort) → rank ≤ k. */
+  def keywordExtract(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "keywordExtract: k >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    val tf = spread(docs).select(col(idCol).as("id"),
+        explode(toks).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = spread(docs).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_u",
+        round(log(col("nd").cast("double") / col("df")) * 1e6)
+          .cast("long"))
+      .withColumn("score_u", col("tf") * col("idf_u"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_u").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("score_u"))
+  }
+
   /** Stupid Backoff bigram scoring (Brants et al., EMNLP 2007 — the
     * web-scale LM scheme built for exactly this setting: counts too
     * big for proper discounting, scoring not generation): a held-out

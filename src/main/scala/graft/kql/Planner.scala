@@ -842,6 +842,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate keyword_extract(k, text, id)`: per-doc top-k tf-idf
+    // terms (doc tagging / cluster labeling)
+    case EvaluateOp("keyword_extract", kE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.keywordExtract(df, litLong(kE).toInt,
+        textCol = colNameOf(df, tE, "keyword_extract text"),
+        idCol = colNameOf(df, idE, "keyword_extract id"))
+
     // `evaluate stupid_backoff(holdMod, text, id)`: held-out bigram LM
     // scoring with unigram backoff (Brants 2007)
     case EvaluateOp("stupid_backoff", hE :: tE :: idE :: Nil) =>

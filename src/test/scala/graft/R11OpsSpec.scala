@@ -262,6 +262,34 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 100L)
   }
 
+  test("keywordExtract: rare terms outrank common ones; ties break on term") {
+    // "rare" appears only in doc 1 (high idf); "common" in all docs (idf 0)
+    val rows = Seq(
+      (1L, "common rare rare other"),
+      (2L, "common other"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = LlmOps.keywordExtract(rows, k = 2).orderBy("doc_id", "rank")
+      .collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1(0).getAs[String]("term") == "rare", d1.mkString("; "))
+    // idf(rare) = ln(3/1), tf 2
+    assert(d1(0).getAs[Long]("score_u") ==
+      2L * math.round(math.log(3.0) * 1e6))
+    // doc 2: common and other both score 0 (df: common 3, other 3) ->
+    // tie breaks alphabetically
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getAs[String]("term")).toSeq == Seq("common", "other"))
+    // k-cut: no doc emits more than k rows
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+
+  test("keyword_extract reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate keyword_extract(3, text, doc_id) | count", cat)
+      .head.getLong(0)
+    assert(out == 1500L)
+  }
+
   test("codeDetect: real code flags, prose and empty text do not") {
     val code =
       "import os\ndef main(argv):\n  x = {1: 2};\n  return x[1];\n" +
