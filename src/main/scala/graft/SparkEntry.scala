@@ -3875,6 +3875,26 @@ object SparkEntry {
       },
       Some("""SELECT doc_id, n_chars, CAST((doc_id * 2654435761) % 4294967296 % 1000 AS BIGINT) AS h FROM documents WHERE n_chars > 200 AND (doc_id * 2654435761) % 4294967296 % 1000 < 500 ORDER BY doc_id""")),
 
+    // Hilbert layout round-trip (r11): same contract as tmp_zorder_scan
+    // for the locality-tighter curve — placement changes, content never
+    // does, so the 2-D filtered read is value-exact vs DuckDB on the
+    // original table (adjacency/bijection proven in R11OpsSpec)
+    "tmp_hilbert_scan" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("h", pmod(pmod(col("doc_id") * 2654435761L,
+            lit(4294967296L)), lit(1000L)))
+          .select("doc_id", "n_chars", "h")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_hq").toString + "/t"
+        graft.sources.HilbertLayout.hilbertWrite(d, path,
+          Seq("n_chars", "h"), bits = 4, files = 8)
+        s.read.parquet(path)
+          .filter(col("n_chars") > 200 && col("h") < 500)
+          .select("doc_id", "n_chars", "h").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, CAST((doc_id * 2654435761) % 4294967296 % 1000 AS BIGINT) AS h FROM documents WHERE n_chars > 200 AND (doc_id * 2654435761) % 4294967296 % 1000 < 500 ORDER BY doc_id""")),
+
     // Weighted shortest paths (r8): 3 Bellman-Ford rounds from region
     // r0 over the region→nation→customer tree with integer weights —
     // the oracle unrolls every round verbatim (the q156_pagerank

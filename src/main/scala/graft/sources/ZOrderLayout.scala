@@ -54,9 +54,15 @@ object ZOrderLayout {
     * that whole cluster into the upper bucket (measured: 4 equal
     * clusters collapsed to 3 buckets), while > keeps the cut's own
     * cluster below it. Nulls fail every test → bucket 0. */
-  private def bucketOf(c: Column, cuts: Array[Double]): Column =
+  private[sources] def bucketOf(c: Column, cuts: Array[Double]): Column =
     cuts.map(cut => when(c.cast("double") > cut, 1).otherwise(0))
       .reduce(_ + _)
+
+  private[sources] def quantileCuts(df: DataFrame, c: String,
+                                    bits: Int): Array[Double] = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    df.stat.approxQuantile(c, probs, 0.001)
+  }
 
   /** Compute the z-value column for `df` over `cols` (each bucketed
     * into 2^bits quantile buckets). Exposed for the spec. */

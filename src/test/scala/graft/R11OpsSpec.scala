@@ -290,6 +290,58 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 1500L)
   }
 
+  test("hilbert index: bijective on the grid, consecutive cells always adjacent") {
+    import graft.sources.HilbertLayout
+    for (bits <- Seq(2, 3)) {
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n) yield (x, y)
+      val df = cells.toDF("x", "y")
+      val got = HilbertLayout
+        .withHilbertBuckets(df, col("x"), col("y"), bits, "h")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("h"))
+        .toMap
+      // bijection onto 0 .. n^2-1
+      assert(got.values.toSet == (0L until n.toLong * n).toSet,
+        s"bits=$bits not a bijection")
+      // THE Hilbert property z-order lacks: consecutive indices are
+      // grid-adjacent (manhattan distance exactly 1)
+      val byD = got.map(_.swap)
+      (0L until n.toLong * n - 1).foreach { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits=$bits jump at d=$d: ($x1,$y1)->($x2,$y2)")
+      }
+    }
+  }
+
+  test("hilbert layout narrows per-file ranges on both dimensions") {
+    import graft.sources.HilbertLayout
+    val d = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .withColumn("h", pmod(pmod(col("doc_id") * 2654435761L,
+        lit(4294967296L)), lit(1000L)))
+      .select("doc_id", "n_chars", "h")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hil").toString + "/t"
+    HilbertLayout.hilbertWrite(d, path, Seq("n_chars", "h"),
+      bits = 4, files = 8)
+    val re = spark.read.parquet(path)
+    // content identical (placement-only transform)
+    assert(re.count() == d.count())
+    assert(re.agg(sum("doc_id")).head.getLong(0) ==
+      d.agg(sum("doc_id")).head.getLong(0))
+    // per-file ranges on BOTH dims are narrower than the global range
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    val spans = re.groupBy(input_file_name())
+      .agg((smax("n_chars") - smin("n_chars")).as("s1"),
+        (smax("h") - smin("h")).as("s2")).collect()
+    val g1 = d.agg(smax("n_chars") - smin("n_chars")).head.getLong(0).toDouble
+    val g2 = d.agg(smax("h") - smin("h")).head.getLong(0).toDouble
+    val m1 = spans.map(_.getAs[Long]("s1")).sum.toDouble / spans.length
+    val m2 = spans.map(_.getAs[Long]("s2")).sum.toDouble / spans.length
+    assert(m1 < 0.8 * g1, s"dim1 mean span $m1 vs global $g1")
+    assert(m2 < 0.8 * g2, s"dim2 mean span $m2 vs global $g2")
+  }
+
   test("codeDetect: real code flags, prose and empty text do not") {
     val code =
       "import os\ndef main(argv):\n  x = {1: 2};\n  return x[1];\n" +
