@@ -4315,6 +4315,20 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Crawl-frontier politeness scheduling: per-host (priority desc,
+    // id) ranks -> fetch slots of 3; ROW_NUMBER replay is value-exact
+    "llm_frontier_schedule" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("host", concat(lit("h"), pmod(col("doc_id"), lit(50))))
+          .withColumn("priority", col("n_chars"))
+        LlmOps.frontierSchedule(d, perSlot = 3)
+          .select(col("doc_id"), col("host"), col("rank_in_host"),
+            col("fetch_slot"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS host, ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY n_chars DESC, doc_id) AS rk FROM documents) SELECT doc_id, host, CAST(rk AS BIGINT) AS rank_in_host, CAST((rk - 1) // 3 AS BIGINT) AS fetch_slot FROM r ORDER BY doc_id""")),
+
     // Per-doc top-k tf-idf keywords: integer tf x micro-idf scores make
     // the order, ties and the k-cut replay exactly
     "llm_keyword_extract" -> Q(

@@ -5264,6 +5264,47 @@ object LlmOps {
       .orderBy("checkpoint")
   }
 
+  /** Crawl-frontier politeness scheduling (r8): per host, URLs rank by
+    * (priority desc, id) and the rank maps to a fetch SLOT of
+    * `perSlot` URLs — the "at most k requests per host per politeness
+    * interval" rule every crawler runs after [[robots_allow]] filtering
+    * (the slot is the wave number a fetcher drains). Deterministic and
+    * value-exact (ROW_NUMBER replay).
+    *
+    * Same scale shape as [[stratifiedSplit]]: the per-host rank is the
+    * two-phase trick — range-repartition by (host, order keys), local
+    * (partition, host) windows, broadcast prefix counts — so a
+    * mega-host (the wikipedia.org of the crawl) spreads across
+    * partitions instead of landing in one task. */
+  def frontierSchedule(df: DataFrame, perSlot: Int,
+                       hostCol: String = "host",
+                       priorityCol: String = "priority",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(perSlot >= 1, "frontierSchedule: perSlot >= 1")
+    val p = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val ord = Seq(col(priorityCol).desc, col(idCol).asc)
+    val ranged = df
+      .repartitionByRange(p, (col(hostCol) +: ord): _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val wLoc = Window.partitionBy(col("__pid"), col(hostCol))
+      .orderBy(ord: _*)
+    val local = ranged
+      .withColumn("__lr", row_number().over(wLoc).cast("long"))
+    val stats = ranged.groupBy(col("__pid"), col(hostCol))
+      .agg(count(lit(1)).as("__c"))
+    val wPre = Window.partitionBy(col(hostCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = stats
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .select(col("__pid"), col(hostCol), col("__off"))
+    local.join(broadcast(off), Seq("__pid", hostCol))
+      .withColumn("rank_in_host", col("__lr") + col("__off"))
+      .withColumn("fetch_slot",
+        expr(s"(rank_in_host - 1) div ${perSlot}L"))
+      .drop("__pid", "__lr", "__off")
+  }
+
   /** Embedding cluster-quality audit per label (r8): for every cluster
     * label, size, cohesion (mean SQUARED member→centroid distance) and
     * separation (squared distance to the NEAREST other centroid), plus

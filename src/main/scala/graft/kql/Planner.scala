@@ -842,6 +842,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate frontier_schedule(perSlot, host, priority, id)`:
+    // crawl politeness fetch slots per host
+    case EvaluateOp("frontier_schedule", nE :: hE :: pE :: idE :: Nil) =>
+      graft.ext.LlmOps.frontierSchedule(df, litLong(nE).toInt,
+        colNameOf(df, hE, "frontier_schedule host"),
+        colNameOf(df, pE, "frontier_schedule priority"),
+        colNameOf(df, idE, "frontier_schedule id"))
+
     // `evaluate keyword_extract(k, text, id)`: per-doc top-k tf-idf
     // terms (doc tagging / cluster labeling)
     case EvaluateOp("keyword_extract", kE :: tE :: idE :: Nil) =>

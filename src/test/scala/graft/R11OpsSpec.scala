@@ -290,6 +290,33 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 1500L)
   }
 
+  test("frontierSchedule: slots fill in priority order, at most perSlot per host") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 1L)).toDF("doc_id", "host", "priority")
+    val out = LlmOps.frontierSchedule(rows, perSlot = 2)
+      .orderBy("host", "rank_in_host").collect()
+    // host a: priority desc, ties by id -> 2, 4, 3, 1
+    assert(out.take(4).map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 4L, 3L, 1L))
+    assert(out.take(4).map(_.getAs[Long]("fetch_slot")).toSeq ==
+      Seq(0L, 0L, 1L, 1L))
+    assert(out(4).getAs[Long]("doc_id") == 5L &&
+      out(4).getAs[Long]("fetch_slot") == 0L)
+    // per-slot cap holds per host
+    val caps = out.groupBy(r => (r.getAs[String]("host"),
+      r.getAs[Long]("fetch_slot"))).values.map(_.length)
+    assert(caps.forall(_ <= 2))
+  }
+
+  test("frontier_schedule reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | extend host = strcat('h', tostring(doc_id % 10)), " +
+        "priority = n_chars " +
+        "| evaluate frontier_schedule(5, host, priority, doc_id) " +
+        "| summarize mx = max(fetch_slot)", cat).head.getLong(0)
+    assert(out == 9L, s"50 urls/host at 5 per slot -> slots 0..9, got $out")
+  }
+
   test("hilbert index: bijective on the grid, consecutive cells always adjacent") {
     import graft.sources.HilbertLayout
     for (bits <- Seq(2, 3)) {
