@@ -238,6 +238,20 @@ object Scale {
       "cdc_chunks" -> (() =>
         LlmOps.cdcChunks(docs, w = 4, maskBits = 5).count()),
       "kmv_distinct" -> (() =>
-        LlmOps.kmvDistinct(docs, k = 256).count()))
+        LlmOps.kmvDistinct(docs, k = 256).count()),
+      // r11 additions. heaps_law: GlobalWindow rank + distinct-token
+      // explode (vocab grows with K under the disjoint-prefix copies).
+      // stratified_split: the two-phase per-stratum rank (sources ×
+      // copies strata). keyword_extract: tf aggregate + per-doc window.
+      // stupid_backoff: three train aggregates + three joins onto the
+      // test gram stream.
+      "heaps_law" -> (() =>
+        LlmOps.heapsLaw(docs).count()),
+      "stratified_split" -> (() =>
+        LlmOps.stratifiedSplit(docs, 0.8, 0.1, "source").count()),
+      "keyword_extract" -> (() =>
+        LlmOps.keywordExtract(docs, k = 5).count()),
+      "stupid_backoff" -> (() =>
+        LlmOps.stupidBackoff(docs).count()))
   }
 }

@@ -4315,6 +4315,12 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Per-source dataset card: doc/token counts, mean tokens, vocab,
+    // exact-dup docs, language-mix entropy — all integer/micro exact
+    "llm_dataset_card" -> Q(
+      (s, dir) => LlmOps.datasetCard(docs(s, dir)).orderBy("source"),
+      Some("""WITH b AS (SELECT source AS src, lang AS lng, doc_id AS id, lower(trim(COALESCE(text, ''))) AS norm, list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1) AS toks FROM documents), tk AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM (SELECT src, unnest(toks) AS tok FROM b) GROUP BY 1), ds AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(*) - COUNT(DISTINCT norm) AS BIGINT) AS dup_docs FROM b GROUP BY 1), lm AS (SELECT src, lng, CAST(COUNT(*) AS BIGINT) AS cl FROM b GROUP BY 1, 2), en AS (SELECT lm.src, CAST(SUM(lm.cl * CAST(ROUND(LN(CAST(ds.n_docs AS DOUBLE) / lm.cl) * 1000000) AS BIGINT)) AS BIGINT) AS ent_sum FROM lm JOIN ds ON ds.src = lm.src GROUP BY 1) SELECT ds.src AS source, ds.n_docs, tk.n_tokens, CAST((tk.n_tokens * 1000000) // ds.n_docs AS BIGINT) AS mean_tokens_u, tk.vocab, ds.dup_docs, CAST(en.ent_sum // ds.n_docs AS BIGINT) AS lang_entropy_u FROM ds JOIN tk ON tk.src = ds.src JOIN en ON en.src = ds.src ORDER BY source""")),
+
     // Crawl-frontier politeness scheduling: per-host (priority desc,
     // id) ranks -> fetch slots of 3; ROW_NUMBER replay is value-exact
     "llm_frontier_schedule" -> Q(

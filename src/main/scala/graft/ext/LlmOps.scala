@@ -5264,6 +5264,51 @@ object LlmOps {
       .orderBy("checkpoint")
   }
 
+  /** Per-source dataset card (r8): the one-row-per-source summary a
+    * dataset release ships — doc/token counts, mean tokens per doc,
+    * vocabulary size, exact-duplicate doc count (normalized-text
+    * identity), and the language-mix entropy. Every number is an exact
+    * integer or integer-micro value (entropy via the [[docEntropy]]
+    * convention: Σ c_l·round(ln(n/c_l)·10⁶) div n), so the whole card
+    * replays in SQL. Shape: one token explode + three (source)-keyed
+    * hash aggregates (token stats, lang mix, dup identity) + two joins
+    * on the ≤|sources| frames — corpus-sized work is the explode, the
+    * card itself is model-metadata-sized. */
+  def datasetCard(docs: DataFrame, srcCol: String = "source",
+                  langCol: String = "lang", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    val base = spread(docs).select(col(srcCol).as("src"),
+      col(langCol).as("lng"), col(idCol).as("id"),
+      toks.as("toks"), lower(trim(txt(textCol))).as("norm"))
+    val tokStats = base
+      .select(col("src"), col("id"), explode(col("toks")).as("tok"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("vocab"))
+    val docStats = base.groupBy("src")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("norm")).as("n_distinct"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+    val langMix = base.groupBy("src", "lng")
+      .agg(count(lit(1)).as("cl"))
+    val ent = langMix
+      .join(docStats.select(col("src"), col("n_docs")), Seq("src"))
+      .withColumn("term_u", col("cl") *
+        round(log(col("n_docs").cast("double") / col("cl")) * 1e6)
+          .cast("long"))
+      .groupBy("src")
+      .agg(sum(col("term_u")).as("ent_sum"))
+    docStats.join(tokStats, Seq("src"))
+      .join(ent, Seq("src"))
+      .withColumn("mean_tokens_u", expr("(n_tokens * 1000000) div n_docs"))
+      .withColumn("lang_entropy_u", expr("ent_sum div n_docs"))
+      .select(col("src").as(srcCol), col("n_docs"), col("n_tokens"),
+        col("mean_tokens_u"), col("vocab"), col("dup_docs"),
+        col("lang_entropy_u"))
+  }
+
   /** Crawl-frontier politeness scheduling (r8): per host, URLs rank by
     * (priority desc, id) and the rank maps to a fetch SLOT of
     * `perSlot` URLs — the "at most k requests per host per politeness

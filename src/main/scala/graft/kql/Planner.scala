@@ -842,6 +842,15 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate dataset_card(source, lang, text, id)`: one-row-per-
+    // source release summary
+    case EvaluateOp("dataset_card", sE :: lE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.datasetCard(df,
+        colNameOf(df, sE, "dataset_card source"),
+        colNameOf(df, lE, "dataset_card lang"),
+        colNameOf(df, tE, "dataset_card text"),
+        colNameOf(df, idE, "dataset_card id"))
+
     // `evaluate frontier_schedule(perSlot, host, priority, id)`:
     // crawl politeness fetch slots per host
     case EvaluateOp("frontier_schedule", nE :: hE :: pE :: idE :: Nil) =>

@@ -290,6 +290,37 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 1500L)
   }
 
+  test("datasetCard: hand-computed per-source summary") {
+    val rows = Seq(
+      (1L, "s1", "en", "a b a"),
+      (2L, "s1", "en", "a b a"),     // exact dup of doc 1
+      (3L, "s1", "fr", "c d"),
+      (4L, "s2", "en", "x")).toDF("doc_id", "source", "lang", "text")
+    val out = LlmOps.datasetCard(rows).orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_tokens") == 8L)
+    assert(s1.getAs[Long]("vocab") == 4L)
+    assert(s1.getAs[Long]("dup_docs") == 1L)
+    assert(s1.getAs[Long]("mean_tokens_u") == 8000000L / 3)
+    // lang entropy: en 2/3, fr 1/3 ->
+    // (2*round(ln(3/2)e6) + 1*round(ln(3)e6)) div 3
+    val want = (2 * math.round(math.log(1.5) * 1e6) +
+      math.round(math.log(3.0) * 1e6)) / 3
+    assert(s1.getAs[Long]("lang_entropy_u") == want)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_docs") == 1L &&
+      s2.getAs[Long]("lang_entropy_u") == 0L &&
+      s2.getAs[Long]("dup_docs") == 0L)
+  }
+
+  test("dataset_card reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate dataset_card(source, lang, text, doc_id)", cat)
+      .collect()
+    assert(out.length >= 2 && out.forall(_.getAs[Long]("n_docs") > 0))
+  }
+
   test("frontierSchedule: slots fill in priority order, at most perSlot per host") {
     val rows = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
