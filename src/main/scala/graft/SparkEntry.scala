@@ -4315,6 +4315,48 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Unicode-script mix: planted per-script phrases; the oracle
+    // recomputes every count with RE2's spelling of the SAME Unicode
+    // script classes (\p{Latin} vs Java's \p{IsLatin})
+    "llm_script_detect" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(6))
+        val t2 = when(m === 0, lit("hello world latin only"))
+          .when(m === 1, lit("привет мир and latin"))
+          .when(m === 2, lit("你好 世界 漢字"))
+          .when(m === 3, lit("مرحبا بالعالم"))
+          .when(m === 4, lit("한국어 텍스트 안녕"))
+          .otherwise(lit("नमस्ते दुनिया"))
+        LlmOps.scriptDetect(docs(s, dir).withColumn("t2", t2), "t2")
+          .select(col("doc_id"), col("n_arabic"), col("n_cjk"),
+            col("n_cyrillic"), col("n_devanagari"), col("n_hangul"),
+            col("n_latin"), col("n_letters"), col("dominant_script"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'hello world latin only' WHEN 1 THEN 'привет мир and latin' WHEN 2 THEN '你好 世界 漢字' WHEN 3 THEN 'مرحبا بالعالم' WHEN 4 THEN '한국어 텍스트 안녕' ELSE 'नमस्ते दुनिया' END AS t FROM documents), c AS (SELECT doc_id, CAST(len(t) - len(regexp_replace(t, '\p{Arabic}', '', 'g')) AS BIGINT) AS n_arabic, CAST(len(t) - len(regexp_replace(t, '[\p{Han}\p{Hiragana}\p{Katakana}]', '', 'g')) AS BIGINT) AS n_cjk, CAST(len(t) - len(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic, CAST(len(t) - len(regexp_replace(t, '\p{Devanagari}', '', 'g')) AS BIGINT) AS n_devanagari, CAST(len(t) - len(regexp_replace(t, '\p{Hangul}', '', 'g')) AS BIGINT) AS n_hangul, CAST(len(t) - len(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin FROM d) SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_devanagari, n_hangul, n_latin, n_arabic + n_cjk + n_cyrillic + n_devanagari + n_hangul + n_latin AS n_letters, CASE WHEN n_arabic + n_cjk + n_cyrillic + n_devanagari + n_hangul + n_latin = 0 THEN NULL ELSE (SELECT s FROM (VALUES (n_arabic, 'arabic'), (n_cjk, 'cjk'), (n_cyrillic, 'cyrillic'), (n_devanagari, 'devanagari'), (n_hangul, 'hangul'), (n_latin, 'latin')) v(n, s) ORDER BY n DESC, s ASC LIMIT 1) END AS dominant_script FROM c ORDER BY doc_id""")),
+
+    // License detection: SPDX tags win over phrase matches; planted
+    // headers per id class, decision = a pure CASE in the oracle
+    "llm_license_detect" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(6))
+        val t2 = when(m === 0,
+            lit("SPDX-License-Identifier: MIT\nGNU General Public License text below"))
+          .when(m === 1,
+            lit("Permission is hereby granted, free of charge, to any person obtaining a copy"))
+          .when(m === 2,
+            lit("Licensed under the Apache License, Version 2.0 (the \"License\")"))
+          .when(m === 3,
+            lit("This program is free software: GNU General Public License v3"))
+          .when(m === 4,
+            lit("Redistribution and use in source and binary forms, with or without modification"))
+          .otherwise(coalesce(col("text"), lit("")))
+        LlmOps.licenseDetect(docs(s, dir).withColumn("t2", t2), "t2")
+          .select(col("doc_id"), col("license"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'mit' WHEN 1 THEN 'mit' WHEN 2 THEN 'apache-2.0' WHEN 3 THEN 'gpl' WHEN 4 THEN 'bsd' ELSE NULL END AS license FROM documents ORDER BY doc_id""")),
+
     // Per-source dataset card: doc/token counts, mean tokens, vocab,
     // exact-dup docs, language-mix entropy — all integer/micro exact
     "llm_dataset_card" -> Q(

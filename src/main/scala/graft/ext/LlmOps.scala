@@ -5264,6 +5264,67 @@ object LlmOps {
       .orderBy("checkpoint")
   }
 
+  /** Unicode-script mix detection (r8) — the multilingual-curation
+    * router one level below language ID: per doc, counts of Latin,
+    * Cyrillic, CJK, Arabic, Devanagari and Hangul letters plus the
+    * dominant script — mixed-script text flags spam/obfuscation, and
+    * script routing picks the right tokenizer/langid model BEFORE any
+    * model runs. Counts come from length-diffs of codegen
+    * regexp_replace over Unicode SCRIPT classes — java.util.regex
+    * spells them \p{IsLatin}, DuckDB's RE2 \p{Latin}; same Unicode
+    * script property, different prefix, so the oracle uses the RE2
+    * spelling of the same class. Dominant script = max count with
+    * alphabetical tiebreak. Per-row projection, zero shuffle. */
+  def scriptDetect(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = txt(textCol)
+    // (name, java block class, total-order tiebreak is the name)
+    val scripts = Seq(
+      "arabic" -> "\\p{IsArabic}",
+      "cjk" -> "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]",
+      "cyrillic" -> "\\p{IsCyrillic}",
+      "devanagari" -> "\\p{IsDevanagari}",
+      "hangul" -> "\\p{IsHangul}",
+      "latin" -> "\\p{IsLatin}")
+    var out = docs
+    scripts.foreach { case (n, rx) =>
+      out = out.withColumn(s"n_$n",
+        (length(t) - length(regexp_replace(t, rx, ""))).cast("long"))
+    }
+    val total = scripts.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    val best = scripts.map { case (n, _) =>
+      struct((-col(s"n_$n")).as("nc"), lit(n).as("s")) }
+    out
+      .withColumn("n_letters", total)
+      .withColumn("dominant_script",
+        when(total > 0, least(best: _*).getField("s")))
+  }
+
+  /** License detection for code/document corpora (r8): SPDX-style
+    * phrase matching over the leading header region — license
+    * filtering is a REQUIRED curation gate for code datasets (keep
+    * permissive, drop copyleft/unknown). Matches the canonical phrase
+    * of MIT / Apache-2.0 / GPL (2/3 folded) / BSD / MPL-2.0 plus bare
+    * SPDX-License-Identifier tags (which win — they are declarations,
+    * not prose). Case-folded regexp over the first `headBytes` chars
+    * (licenses live in headers; bodies quoting a license elsewhere do
+    * not relicense the file). Pure codegen, per-row, zero shuffle. */
+  def licenseDetect(docs: DataFrame, textCol: String = "text",
+                    headChars: Int = 2048): DataFrame = {
+    val head = lower(substring(txt(textCol), 1, headChars))
+    val spdx = regexp_extract(head,
+      "spdx-license-identifier:\\s*([a-z0-9.+-]+)", 1)
+    val phrase = when(head.contains(
+        "permission is hereby granted, free of charge"), lit("mit"))
+      .when(head.contains("licensed under the apache license, version 2.0"),
+        lit("apache-2.0"))
+      .when(head.contains("gnu general public license"), lit("gpl"))
+      .when(head.contains("redistribution and use in source and binary forms"),
+        lit("bsd"))
+      .when(head.contains("mozilla public license, v. 2.0"), lit("mpl-2.0"))
+    docs.withColumn("license",
+      coalesce(when(length(spdx) >= 1, spdx), phrase))
+  }
+
   /** Per-source dataset card (r8): the one-row-per-source summary a
     * dataset release ships — doc/token counts, mean tokens per doc,
     * vocabulary size, exact-duplicate doc count (normalized-text

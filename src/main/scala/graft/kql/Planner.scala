@@ -842,6 +842,17 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.docEntropy(df, colNameOf(df, textE, "doc_entropy text"),
         colNameOf(df, idE, "doc_entropy id"))
 
+    // `evaluate script_detect(text)`: Unicode-script mix + dominant
+    // script (the pre-langid router)
+    case EvaluateOp("script_detect", tE :: Nil) =>
+      graft.ext.LlmOps.scriptDetect(df,
+        colNameOf(df, tE, "script_detect text"))
+
+    // `evaluate license_detect(text)`: SPDX/phrase license detection
+    case EvaluateOp("license_detect", tE :: Nil) =>
+      graft.ext.LlmOps.licenseDetect(df,
+        colNameOf(df, tE, "license_detect text"))
+
     // `evaluate dataset_card(source, lang, text, id)`: one-row-per-
     // source release summary
     case EvaluateOp("dataset_card", sE :: lE :: tE :: idE :: Nil) =>

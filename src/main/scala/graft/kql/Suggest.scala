@@ -96,6 +96,7 @@ object Suggest {
     "hash_split", "hits", "image_dhash", "image_neardup", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
     "avif_dims", "cluster_metrics", "code_detect", "dataset_card",
     "frontier_schedule", "heaps_law", "keyword_extract",
+    "license_detect", "script_detect",
     "stratified_split", "stupid_backoff", "warc_meta",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",

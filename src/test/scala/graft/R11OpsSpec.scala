@@ -290,6 +290,51 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out == 1500L)
   }
 
+  test("scriptDetect: counts per script, mixed text picks the max, ties alphabetical") {
+    val rows = Seq(
+      (1L, "abc привет"),      // 3 latin vs 6 cyrillic
+      (2L, "ab пр"),           // 2 vs 2 tie -> cyrillic (alphabetical)
+      (3L, "12345 !!!"),       // no letters
+      (4L, null)
+    ).toDF("doc_id", "text")
+    val out = LlmOps.scriptDetect(rows).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_latin") == 3L &&
+      out(0).getAs[Long]("n_cyrillic") == 6L &&
+      out(0).getAs[String]("dominant_script") == "cyrillic")
+    assert(out(1).getAs[String]("dominant_script") == "cyrillic",
+      "equal counts must tie alphabetically")
+    assert(out(2).isNullAt(out(2).fieldIndex("dominant_script")) &&
+      out(2).getAs[Long]("n_letters") == 0L)
+    assert(out(3).getAs[Long]("n_letters") == 0L)
+  }
+
+  test("licenseDetect: SPDX wins over phrases; headers only; null when unknown") {
+    val mitBody = "x" * 3000 + " Permission is hereby granted, free of charge"
+    val rows = Seq(
+      (1L, "// SPDX-License-Identifier: BSD-3-Clause\ncode"),
+      (2L, "Mozilla Public License, v. 2.0 terms apply"),
+      (3L, mitBody), // phrase past headChars: must NOT match
+      (4L, "no license text at all")
+    ).toDF("doc_id", "text")
+    val out = LlmOps.licenseDetect(rows).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("license") == "bsd-3-clause")
+    assert(out(1).getAs[String]("license") == "mpl-2.0")
+    assert(out(2).isNullAt(out(2).fieldIndex("license")),
+      "body mentions do not relicense the file")
+    assert(out(3).isNullAt(out(3).fieldIndex("license")))
+  }
+
+  test("script/license detect reachable from KQL") {
+    val a = Kql.run(spark,
+      "documents | evaluate script_detect(text) " +
+        "| where dominant_script == 'latin' | count", cat).head.getLong(0)
+    assert(a == 500L, "fixture text is all-latin")
+    val b = Kql.run(spark,
+      "documents | evaluate license_detect(text) | where isnull(license) | count",
+      cat).head.getLong(0)
+    assert(b == 500L)
+  }
+
   test("datasetCard: hand-computed per-source summary") {
     val rows = Seq(
       (1L, "s1", "en", "a b a"),
