@@ -4315,6 +4315,30 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Bucket-PRUNED point lookup: a key-equality read on a bucketed
+    // table touches 2 of 8 buckets (SelectedBucketsCount asserted in
+    // R11OpsSpec) — the at-rest layout's read-side half, next to the
+    // exchange-free join tmp_bucketed_join proves
+    "tmp_bucket_pruned_scan" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "source", "n_chars")
+        graft.sources.BucketedLayout.writeBucketed(
+          d, "graft_bprune_docs", Seq("doc_id"), buckets = 8)
+        // autoBucketedScan would un-bucket a plain filter scan and
+        // forfeit pruning — pin it off so this row exercises the
+        // pruned read path (R11OpsSpec asserts SelectedBucketsCount),
+        // materialize EAGERLY, and restore the conf so the rest of
+        // the suite plans under defaults
+        s.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try s.table("graft_bprune_docs")
+          .filter(col("doc_id").isin(7L, 123L))
+          .orderBy("doc_id").localCheckpoint(true)
+        finally s.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents WHERE doc_id IN (7, 123) ORDER BY doc_id""")),
+
     // Unicode-script mix: planted per-script phrases; the oracle
     // recomputes every count with RE2's spelling of the SAME Unicode
     // script classes (\p{Latin} vs Java's \p{IsLatin})

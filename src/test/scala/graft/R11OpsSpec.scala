@@ -335,6 +335,29 @@ class R11OpsSpec extends AnyFunSuite {
     assert(b == 500L)
   }
 
+  test("bucketed point lookup PRUNES buckets (SelectedBucketsCount < total)") {
+    val d = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    graft.sources.BucketedLayout.writeBucketed(
+      d, "graft_bprune_spec", Seq("doc_id"), buckets = 8)
+    // autoBucketedScan un-buckets scans with no distribution requirement
+    // and silently forfeits bucket PRUNING with them — pin it off for
+    // the point-lookup path (the conf the layout's readers must set)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val q = try spark.table("graft_bprune_spec")
+      .filter(col("doc_id") === 7L)
+    finally ()
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan: ${plan.take(600)}")
+    assert(m.get.group(1).toInt == 1 && m.get.group(2).toInt == 8,
+      s"expected 1 of 8 buckets, got ${m.get.group(0)}")
+    assert(q.count() == 1L)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "true")
+  }
+
   test("datasetCard: hand-computed per-source summary") {
     val rows = Seq(
       (1L, "s1", "en", "a b a"),
