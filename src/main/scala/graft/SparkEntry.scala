@@ -4315,6 +4315,40 @@ object SparkEntry {
     // Embedding-centroid drift per source: integer micro means (div
     // remainder dropped identically), squared distance to the corpus
     // centroid -> value-exact
+    // Composed crawl front-end v4: robots gate -> URL canonicalization
+    // + keep-best dedup -> politeness frontier scheduling -> per-host
+    // accounting; every stage arithmetic-planted so ONE composed SQL
+    // replay is value-exact end to end
+    "llm_pipeline_v4" -> Q(
+      (s, dir) => {
+        val did = col("doc_id")
+        val hostn = expr("(doc_id div 2) % 50")
+        val pid = expr("doc_id div 2")
+        val seg = when(pmod(did, lit(7)) === 0, lit("x")).otherwise(lit("y"))
+        val path = concat(lit("/d"), seg, lit("/p"), pid)
+        val url = concat(lit("HTTP://H"), hostn, lit(".Example"), path,
+          lit("?utm_source=t&q="), pmod(pid, lit(3)))
+        val policy = lit("User-agent: *\nDisallow: /dx\n")
+        val d0 = docs(s, dir)
+          .withColumn("host", concat(lit("h"), hostn))
+          .withColumn("url", url)
+          .withColumn("pth", path)
+        val kept = d0.filter(graft.kql.Functions.registry("robots_allow")(
+          List(policy, lit("bot"), col("pth"))))
+        // the dedup projects down to its output schema — re-derive the
+        // host from the surviving ids (same arithmetic)
+        val dd = LlmOps.dedupByCanonicalUrl(kept, "url", "n_chars")
+          .withColumn("host", concat(lit("h"), expr("(doc_id div 2) % 50")))
+        val fs = LlmOps.frontierSchedule(dd, perSlot = 2,
+          hostCol = "host", priorityCol = "n_chars")
+        fs.groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            max(col("fetch_slot")).as("max_slot"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("host")
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars, (doc_id // 2) % 50 AS hostn, doc_id // 2 AS pid FROM documents WHERE doc_id % 7 <> 0), dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY hostn, pid ORDER BY n_chars DESC, doc_id ASC) AS rn FROM b), fs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY hostn ORDER BY n_chars DESC, doc_id ASC) AS rk FROM dd WHERE rn = 1) SELECT 'h' || CAST(hostn AS VARCHAR) AS host, CAST(COUNT(*) AS BIGINT) AS n_urls, CAST(MAX((rk - 1) // 2) AS BIGINT) AS max_slot, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM fs GROUP BY 1 ORDER BY 1""")),
+
     // Bucket-PRUNED point lookup: a key-equality read on a bucketed
     // table touches 2 of 8 buckets (SelectedBucketsCount asserted in
     // R11OpsSpec) — the at-rest layout's read-side half, next to the

@@ -358,6 +358,22 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("pipeline_v4 stages are each non-vacuous on the fixture") {
+    // robots gate drops some rows, URL dedup collapses some canonical
+    // pairs, and scheduling spreads hosts over >1 slot — if any stage
+    // were a no-op the composed row would prove less than it claims
+    val d = spark.read.parquet(TestSpark.sfDir + "/documents.parquet")
+    val n = d.count()
+    val out = graft.SparkEntry.queries("llm_pipeline_v4")(
+      spark, TestSpark.sfDir).collect()
+    val kept = out.map(_.getAs[Long]("n_urls")).sum
+    assert(kept < n, "robots gate + dedup must drop rows")
+    // ~6/7 pass robots, canonical PAIRS (2k, 2k+1) then collapse -> ~n/2
+    assert(kept > n / 4, "gates are selective, not mass-drops")
+    assert(out.exists(_.getAs[Long]("max_slot") > 0),
+      "scheduling must spread some host over multiple slots")
+  }
+
   test("datasetCard: hand-computed per-source summary") {
     val rows = Seq(
       (1L, "s1", "en", "a b a"),
