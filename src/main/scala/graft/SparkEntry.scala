@@ -357,6 +357,42 @@ object SparkEntry {
         .orderBy("key", "src")
     }
 
+  /** tmp_stream_enrich body: stream-STATIC enrichment join — the
+    * dominant production stream shape (events joined to a dimension
+    * table) that needs NO watermark and no state: the static side
+    * broadcasts into every micro-batch. Two micro-batches of events
+    * left-join a planted per-user dimension (some users deliberately
+    * absent — outer semantics on a stream); final table ≡ the batch
+    * left join, value-exact. */
+  def streamEnrichQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val half = evs.map(_._1).max / 2
+      // planted dimension: only users with user_id % 3 != 1 have a tier
+      val dim = s.range(0, 10000).select(col("id").as("user_id"))
+        .filter(pmod(col("user_id"), lit(3)) =!= 1)
+        .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(4))))
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val src = ms.toDF().toDF("event_id", "user_id", "cents")
+      val joined = src.join(broadcast(dim), Seq("user_id"), "left_outer")
+        .select(col("event_id"), col("user_id"), col("cents"), col("tier"))
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_enrich_sink").outputMode("append").start()
+      try {
+        ms.addData(evs.filter(_._1 < half): _*)
+        q.processAllAvailable()
+        ms.addData(evs.filter(_._1 >= half): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_stream_enrich_sink").orderBy("event_id")
+    }
+
   /** tmp_stream_scan body: ARBITRARY streaming state driver-visible —
     * the KQL `scan` state machine (per-user running cents sum) runs on
     * a stream via flatMapGroupsWithState: batch 2's sums must CONTINUE
@@ -4593,6 +4629,41 @@ object SparkEntry {
       (s, dir) => LlmOps.embeddingDrift(embs(s, dir), docs(s, dir))
         .orderBy("source"),
       Some("""WITH j AS (SELECT d.source AS src, e.embedding FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id), ex AS (SELECT src, i - 1 AS d, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v FROM j, unnest(generate_series(1, 64)) s(i)), per AS (SELECT src, d, CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2), pm AS (SELECT src, d, n, CAST((sv * 1000) // n AS BIGINT) AS mean_u FROM per), g AS (SELECT d, CAST((CAST(SUM(v) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS gmean_u FROM ex GROUP BY 1) SELECT pm.src AS source, CAST(MAX(pm.n) AS BIGINT) AS n_vecs, CAST(SUM((pm.mean_u - g.gmean_u) * (pm.mean_u - g.gmean_u)) AS BIGINT) AS drift_sq_u FROM pm JOIN g USING (d) GROUP BY 1 ORDER BY 1""")),
+
+    // CDC MERGE apply: updates win, inserts append, tombstones delete
+    // (the write-side complement of tmp_table_diff); the oracle states
+    // the merged snapshot arithmetically
+    "tmp_merge_apply" -> Q(
+      (s, dir) => {
+        val old = docs(s, dir).select("doc_id", "source", "n_chars")
+        val updates = docs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .withColumn("__del", lit(false))
+        val inserts = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
+            col("n_chars"))
+          .withColumn("__del", lit(false))
+        // tombstones exclude update keys: one verdict per key in the
+        // change batch (ambiguous update+delete is the caller's bug)
+        val deletes = docs(s, dir)
+          .filter(pmod(col("doc_id"), lit(7)) === 3 &&
+            pmod(col("doc_id"), lit(4)) =!= 0)
+          .select("doc_id", "source", "n_chars")
+          .withColumn("__del", lit(true))
+        graft.ext.TableOps.mergeUpsert(old,
+            updates.unionByName(inserts).unionByName(deletes),
+            Seq("doc_id"), deleteCol = Some("__del"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM (SELECT doc_id, source, CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 7 <> 3 OR doc_id % 4 = 0 UNION ALL SELECT doc_id + 10000, source, n_chars FROM documents WHERE doc_id % 5 = 0) ORDER BY doc_id""")),
+
+    // Stream-static enrichment join (broadcast dim into every micro-
+    // batch, left-outer so dimension misses stay visible): final table
+    // equals the batch left join
+    "tmp_stream_enrich" -> Q(
+      (s, dir) => streamEnrichQuery(s, dir),
+      Some("""SELECT e.event_id, e.user_id, CAST(ROUND(e.value * 100) AS BIGINT) AS cents, CASE WHEN e.user_id % 3 <> 1 AND e.user_id < 10000 THEN 't' || CAST(e.user_id % 4 AS VARCHAR) END AS tier FROM events e WHERE e.event_id <= 2000 ORDER BY e.event_id""")),
 
     // Native watermarked streaming dedup (dropDuplicatesWithinWatermark):
     // batch-2 duplicates drop on batch-1 state (cross-batch proof) AND

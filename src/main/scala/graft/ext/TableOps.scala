@@ -49,6 +49,31 @@ object TableOps {
       .drop("__h_old", "__h_new")
   }
 
+  /** CDC MERGE apply (r8) — the write-side complement of [[tableDiff]]:
+    * upsert a change batch into a snapshot. Rows whose key appears in
+    * `changes` take the change row (update or insert); every other old
+    * row passes through. Optionally, change rows with `deleteCol` true
+    * are TOMBSTONES: their key is removed and the tombstone itself is
+    * not emitted — the Delta/Iceberg MERGE WHEN MATCHED THEN
+    * UPDATE/DELETE + WHEN NOT MATCHED THEN INSERT triple in one pass.
+    *
+    * Scale shape: ONE left-anti shuffle join (old vs change keys — both
+    * sides hash-partition by key) + a union with the non-tombstone
+    * changes. No windows, no driver state; the change batch is
+    * typically small enough that Catalyst broadcasts the anti-join
+    * build side on its own. */
+  def mergeUpsert(oldDf: DataFrame, changes: DataFrame, keys: Seq[String],
+                  deleteCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert: need at least one key column")
+    val survivors = oldDf.join(
+      changes.select(keys.map(col): _*), keys, "left_anti")
+    val applied = deleteCol match {
+      case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => changes
+    }
+    survivors.unionByName(applied)
+  }
+
   /** Tukey-fence outlier detection per group over an INTEGER measure
     * (cents/micros) — the classical numeric-column cleaning rule.
     * Quartiles are NEAREST-RANK (value at row ceil(p·n) of the

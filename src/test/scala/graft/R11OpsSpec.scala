@@ -358,6 +358,28 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("mergeUpsert: update wins, insert appends, tombstone deletes, rest pass") {
+    import graft.ext.TableOps
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ch = Seq((2L, "B", false), (4L, "d", false), (3L, "", true))
+      .toDF("k", "v", "del")
+    val out = TableOps.mergeUpsert(old, ch, Seq("k"), Some("del"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // without a delete column every change row applies
+    val out2 = TableOps.mergeUpsert(old, Seq((3L, "C")).toDF("k", "v"),
+      Seq("k")).orderBy("k").collect().map(_.getString(1))
+    assert(out2.toSeq == Seq("a", "b", "C"))
+  }
+
+  test("streamEnrich row: dimension misses stay null (outer semantics on a stream)") {
+    val out = graft.SparkEntry.streamEnrichQuery(spark, TestSpark.sfDir)
+      .collect()
+    val nulls = out.count(_.isNullAt(3))
+    assert(nulls > 0 && nulls < out.length,
+      s"need both matched and unmatched rows, got $nulls of ${out.length}")
+  }
+
   test("pipeline_v4 stages are each non-vacuous on the fixture") {
     // robots gate drops some rows, URL dedup collapses some canonical
     // pairs, and scheduling spreads hosts over >1 slot — if any stage
