@@ -4221,6 +4221,14 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // union isfuzzy=true: the unresolvable leg is skipped (ADX
+    // semantics), the resolvable one fully answers — driver-visible
+    // proof the flag changes planning, not just parsing
+    "q180_union_isfuzzy" -> Q(kqlQ(
+      """union isfuzzy=true no_such_table, nation
+         | summarize n = count(), s = sum(n_nationkey)"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation""")),
+
     // Cross-covariance at lags -L..L (lead-lag detection): a shift-by-1
     // copy peaks at lag +1; length mismatch nulls; known-answer oracle
     "q179_series_xcorr" -> Q(kqlQ(

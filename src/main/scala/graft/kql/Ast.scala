@@ -58,7 +58,8 @@ object Ast {
   final case class JoinKey(left: String, right: String)
   final case class LookupOp(right: Query, keys: List[JoinKey]) extends TabOp
   final case class UnionOp(kind: String, withSource: Option[String],
-                           others: List[Query]) extends TabOp
+                           others: List[Query],
+                           isFuzzy: Boolean = false) extends TabOp
   final case class MvExpand(cols: List[(Option[String], Expr)],
                             withItemIndex: Option[String]) extends TabOp
   /** mv-apply x on ( subquery-ops ): per-row subtable pipeline. */
@@ -147,7 +148,8 @@ object Ast {
   /** `find in (T1, T2, ...) where pred` — cross-table search. */
   final case class FindSource(tables: List[String], pred: Expr) extends Source
   final case class UnionSource(kind: String, withSource: Option[String],
-                               tables: List[Query]) extends Source
+                               tables: List[Query],
+                               isFuzzy: Boolean = false) extends Source
   /** `externaldata (schema) ['uri', ...] with (format='csv', ...)` —
     * external files as a typed table (local/file URIs in this env). */
   final case class ExternalData(schema: List[(String, String)], uris: List[String],

@@ -171,9 +171,9 @@ final class Parser(src: String) {
         FindSource(tables.result(), parseExpr())
       case TIdent(kw, _) if kw.equalsIgnoreCase("union") =>
         p += 1
-        val (kind, withSource) = parseUnionParams()
+        val (kind, withSource, fuzzy) = parseUnionParams()
         val tables = parseUnionOperands()
-        UnionSource(kind, withSource, tables)
+        UnionSource(kind, withSource, tables, fuzzy)
       case TIdent(kw, _) if kw.equalsIgnoreCase("externaldata") =>
         p += 1
         eatSym("(")
@@ -319,8 +319,8 @@ final class Parser(src: String) {
           eatIdent("on")
           LookupOp(right, parseJoinKeys())
         case "union" =>
-          val (kind, withSource) = parseUnionParams()
-          UnionOp(kind, withSource, parseUnionOperands())
+          val (kind, withSource, fuzzy) = parseUnionParams()
+          UnionOp(kind, withSource, parseUnionOperands(), fuzzy)
         case "mv-apply" =>
           val item = parseNamedExpr()
           eatIdent("on")
@@ -719,9 +719,10 @@ final class Parser(src: String) {
     out.result()
   }
 
-  private def parseUnionParams(): (String, Option[String]) = {
+  private def parseUnionParams(): (String, Option[String], Boolean) = {
     var kind = "outer"
     var withSource: Option[String] = None
+    var fuzzy = false
     var more = true
     while (more) {
       if (isIdent("kind") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
@@ -729,12 +730,12 @@ final class Parser(src: String) {
       } else if (isIdent("withsource") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
         p += 2; withSource = Some(identName())
       } else if (isIdent("isfuzzy") && (ahead(1) match { case TSym("=", _) => true; case _ => false })) {
-        // accepted and ignored: isfuzzy tolerates unresolvable tables,
-        // which cannot arise against this static catalog
-        p += 2; identName()
+        // ADX semantics: isfuzzy=true tolerates unresolvable legs
+        // (skipped at plan time); at least one leg must resolve
+        p += 2; fuzzy = identName().equalsIgnoreCase("true")
       } else more = false
     }
-    (kind, withSource)
+    (kind, withSource, fuzzy)
   }
 
   private def parseUnionOperands(): List[Query] = {

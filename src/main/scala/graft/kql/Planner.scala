@@ -143,8 +143,22 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
             expr(s"INTERVAL ${st} MICROSECOND"))).as(colName))
         case other => throw PlanError(s"unsupported range bounds: $other")
       }
-    case UnionSource(kind, withSource, tables) =>
-      planUnion(kind, withSource, tables.map(q => branchName(q) -> plan(q)))
+    case UnionSource(kind, withSource, tables, fuzzy) =>
+      val branches =
+        if (!fuzzy) tables.map(q => branchName(q) -> plan(q))
+        else {
+          val resolved = tables.flatMap { q =>
+            try Some(branchName(q) -> plan(q))
+            catch {
+              case _: PlanError | _: IllegalArgumentException |
+                   _: org.apache.spark.sql.AnalysisException => None
+            }
+          }
+          if (resolved.isEmpty)
+            throw PlanError("union isfuzzy=true: no operand resolved")
+          resolved
+        }
+      planUnion(kind, withSource, branches)
 
     case ExternalData(schema, uris, options) =>
       // external files as a typed table. Zero-egress environment: only
@@ -358,9 +372,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       val dropCols = keys.map(k => rightRenamed._2.getOrElse(k.right, k.right))
       dropCols.foldLeft(joined)((d, c) => d.drop(rightRenamed._1(c)))
 
-    case UnionOp(kind, withSource, others) =>
-      planUnion(kind, withSource,
-        ("self" -> df) :: others.map(q => branchName(q) -> plan(q)))
+    case UnionOp(kind, withSource, others, fuzzy) =>
+      // the piped-in frame always resolves, so fuzzy legs may ALL drop
+      val rest =
+        if (!fuzzy) others.map(q => branchName(q) -> plan(q))
+        else others.flatMap { q =>
+          try Some(branchName(q) -> plan(q))
+          catch {
+              case _: PlanError | _: IllegalArgumentException |
+                   _: org.apache.spark.sql.AnalysisException => None
+            }
+        }
+      planUnion(kind, withSource, ("self" -> df) :: rest)
 
     case MvExpand(items, withItemIndex) =>
       items match {

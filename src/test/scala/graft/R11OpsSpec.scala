@@ -358,6 +358,29 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("union isfuzzy=true skips unresolvable legs; false still fails loudly") {
+    val plain = Kql.run(spark, "orders | count", cat).head.getLong(0)
+    // source form: the bad leg drops, the good one survives
+    val a = Kql.run(spark,
+      "union isfuzzy=true no_such_table, orders | count", cat)
+      .head.getLong(0)
+    assert(a == plain)
+    // op form: ALL fuzzy legs may drop -> just the piped frame
+    val b = Kql.run(spark,
+      "orders | union isfuzzy=true no_such_table | count", cat)
+      .head.getLong(0)
+    assert(b == plain)
+    // nothing resolves -> loud error
+    val e1 = intercept[Exception] {
+      Kql.run(spark, "union isfuzzy=true nope1, nope2 | count", cat).collect()
+    }
+    assert(e1.getMessage.contains("no operand resolved"), e1.getMessage)
+    // without isfuzzy the unresolvable leg still fails loudly
+    intercept[Exception] {
+      Kql.run(spark, "union no_such_table, orders | count", cat).collect()
+    }
+  }
+
   test("mergeUpsert: update wins, insert appends, tombstone deletes, rest pass") {
     import graft.ext.TableOps
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
