@@ -4625,6 +4625,13 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some("""WITH b AS (SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h FROM documents), r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk, COUNT(*) OVER (PARTITION BY lang) AS ns FROM b) SELECT doc_id, lang, CASE WHEN rk <= (ns * 800000) // 1000000 THEN 'train' WHEN rk <= (ns * 900000) // 1000000 THEN 'val' ELSE 'test' END AS split FROM r ORDER BY doc_id""")),
 
+    // Per-vector embedding outlier quarantine: distance-to-own-centroid
+    // past the per-label nearest-rank Tukey fence, all integer milli
+    "llm_embedding_outliers" -> Q(
+      (s, dir) => LlmOps.embeddingOutliers(embs(s, dir))
+        .orderBy("vec_id"),
+      Some("""WITH ex AS (SELECT label AS lbl, vec_id AS vid, i - 1 AS d, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, 64)) s(i)), cent AS (SELECT lbl, d, CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_m FROM ex GROUP BY 1, 2), dist AS (SELECT ex.lbl, ex.vid, CAST(SUM((ex.v - cent.mean_m) * (ex.v - cent.mean_m)) AS BIGINT) AS dist_m2 FROM ex JOIN cent USING (lbl, d) GROUP BY 1, 2), rk AS (SELECT lbl, vid, dist_m2, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY dist_m2, vid) AS r, COUNT(*) OVER (PARTITION BY lbl) AS n FROM dist), qs AS (SELECT lbl, CAST(MIN(CASE WHEN r = CAST(ceil(0.25 * n) AS BIGINT) THEN dist_m2 END) AS BIGINT) AS p25, CAST(MIN(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT) THEN dist_m2 END) AS BIGINT) AS p75 FROM rk GROUP BY 1), f AS (SELECT lbl, CAST(p75 + (3 * (p75 - p25)) // 2 AS BIGINT) AS hi_fence FROM qs) SELECT dist.vid AS vec_id, dist.lbl AS label, dist.dist_m2, f.hi_fence, dist.dist_m2 > f.hi_fence AS is_outlier FROM dist JOIN f USING (lbl) ORDER BY vec_id""")),
+
     // Per-label embedding cluster-quality audit: cohesion (mean squared
     // member->centroid distance), nearest-other-centroid separation and
     // the squared Davies-Bouldin score, all in integer milli-units ->

@@ -5200,6 +5200,54 @@ object LlmOps {
       .drop("__h", "__pid", "__lr", "__off", "__ns", "__rank")
   }
 
+  /** Per-VECTOR embedding outlier quarantine (r8): squared distance to
+    * the own-label centroid, flagged past the per-label Tukey upper
+    * fence — the row-level companion of [[clusterMetrics]] (which
+    * scores clusters) and the embedding-space twin of the numeric
+    * iqr_outliers rule. Outliers are the mislabeled/garbage vectors a
+    * curation pass quarantines BEFORE semdedup/ANN trust the space.
+    * Same integer milli-units as clusterMetrics; quartiles NEAREST-RANK
+    * per label (iqr_outliers convention: value at ceil(p·n), fences
+    * q ± (3·iqr) div 2) — everything replays in SQL.
+    *
+    * 100 TB shape: one posexplode + (label, dim) centroid aggregate
+    * (broadcast back) + per-vector distance aggregate + a per-LABEL
+    * rank window (labels spread; a label's vectors sort within their
+    * partition group) + a broadcast fence join. */
+  def embeddingOutliers(embs: DataFrame, labelCol: String = "label",
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    val ex = spread(embs).select(col(labelCol).as("lbl"),
+      col(idCol).as("vid"),
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long")))
+        .as(Seq("d", "v")))
+    val cent = ex.groupBy("lbl", "d")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_m", expr("s div n"))
+      .select(col("lbl"), col("d"), col("mean_m"))
+    val dist = ex.join(broadcast(cent), Seq("lbl", "d"))
+      .groupBy("lbl", "vid")
+      .agg(sum(expr("(v - mean_m) * (v - mean_m)")).as("dist_m2"))
+    val ranked = dist.withColumn("r",
+      row_number().over(Window.partitionBy(col("lbl"))
+        .orderBy(col("dist_m2"), col("vid"))).cast("long"))
+    val ns = dist.groupBy("lbl").agg(count(lit(1)).as("n"))
+    val quarts = ranked.join(broadcast(ns), Seq("lbl"))
+      .withColumn("r25", expr("CAST(ceil(0.25 * n) AS BIGINT)"))
+      .withColumn("r75", expr("CAST(ceil(0.75 * n) AS BIGINT)"))
+      .groupBy("lbl")
+      .agg(min(when(col("r") === col("r25"), col("dist_m2"))).as("p25"),
+        min(when(col("r") === col("r75"), col("dist_m2"))).as("p75"))
+      .withColumn("hi_fence",
+        expr("p75 + (3L * (p75 - p25)) div 2"))
+      .select(col("lbl"), col("hi_fence"))
+    dist.join(broadcast(quarts), Seq("lbl"))
+      .withColumn("is_outlier", col("dist_m2") > col("hi_fence"))
+      .select(col("vid").as(idCol), col("lbl").as(labelCol),
+        col("dist_m2"), col("hi_fence"), col("is_outlier"))
+  }
+
   /** Heaps-law vocabulary-growth audit (r8): distinct-vocabulary size
     * at geometric corpus checkpoints 2⁰, 2¹, …, N along a DETERMINISTIC
     * corpus shuffle (docs ranked by (Knuth id hash, id) — Heaps' law

@@ -935,6 +935,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, sE, "stratified_split strata"),
         colNameOf(df, idE, "stratified_split id"))
 
+    // `evaluate embedding_outliers(label, embedding, id)`: per-vector
+    // distance-to-centroid Tukey quarantine
+    case EvaluateOp("embedding_outliers", lblE :: vecE :: idE :: Nil) =>
+      graft.ext.LlmOps.embeddingOutliers(df,
+        colNameOf(df, lblE, "embedding_outliers label"),
+        colNameOf(df, vecE, "embedding_outliers embedding"),
+        colNameOf(df, idE, "embedding_outliers id"))
+
     // `evaluate cluster_metrics(label, embedding)`: per-label cluster
     // cohesion/separation audit (squared Davies-Bouldin, integer milli)
     case EvaluateOp("cluster_metrics", lblE :: vecE :: Nil) =>

@@ -95,6 +95,7 @@ object Suggest {
     "funnel_sequence", "funnel_sequence_completion", "fuzzy_token_pairs",
     "hash_split", "hits", "image_dhash", "image_neardup", "ipv4_lookup", "jaccard_pairs", "kcore", "kmeans",
     "avif_dims", "cluster_metrics", "code_detect", "dataset_card",
+    "embedding_outliers",
     "frontier_schedule", "heaps_law", "keyword_extract",
     "license_detect", "script_detect",
     "stratified_split", "stupid_backoff", "warc_meta",

@@ -358,6 +358,32 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("embeddingOutliers: a planted far vector flags, the tight cluster does not") {
+    def v(x: Double): Array[Float] = Array(x.toFloat, 0f, 0f, 0f)
+    val rows = (1L to 20L).map(i => (i, v(1.0 + 0.001 * i), 0)) :+
+      ((21L, v(50.0), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = LlmOps.embeddingOutliers(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(out(21L), "the far vector must flag")
+    assert((1L to 20L).count(out(_)) == 0, "the tight cluster must not flag")
+    // fixture non-vacuity: some outliers exist, most vectors pass
+    val fx = LlmOps.embeddingOutliers(
+      spark.read.parquet(TestSpark.sfDir + "/embeddings.parquet"))
+    val nOut = fx.filter(col("is_outlier")).count()
+    assert(nOut > 0 && nOut < fx.count() / 10)
+  }
+
+  test("embedding_outliers reachable from KQL") {
+    val n = Kql.run(spark,
+      "embeddings | evaluate embedding_outliers(label, embedding, vec_id) | count",
+      cat).head.getLong(0)
+    val want = spark.read.parquet(TestSpark.sfDir + "/embeddings.parquet")
+      .count()
+    assert(n == want, s"one verdict per vector: $n vs $want")
+  }
+
   test("union isfuzzy=true skips unresolvable legs; false still fails loudly") {
     val plain = Kql.run(spark, "orders | count", cat).head.getLong(0)
     // source form: the bad leg drops, the good one survives
