@@ -4221,6 +4221,15 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // Multi-column mv-expand (ADX lockstep/zip semantics): columns
+    // expand by position, the shorter array null-pads to the longest
+    "q181_mvexpand_multi" -> Q(kqlQ(
+      """nation | where n_nationkey < 3
+         | extend xs = pack_array(1, 2, 3), ys = pack_array('a', 'b')
+         | mv-expand xs, ys
+         | project n_nationkey, xs, ys"""),
+      Some("""SELECT n_nationkey, CAST(v.xs AS BIGINT) AS xs, v.ys FROM (SELECT n_nationkey FROM nation WHERE n_nationkey < 3) n, (VALUES (1, 'a'), (2, 'b'), (3, NULL)) v(xs, ys) ORDER BY n_nationkey, xs""")),
+
     // union isfuzzy=true: the unresolvable leg is skipped (ADX
     // semantics), the resolvable one fully answers — driver-visible
     // proof the flag changes planning, not just parsing

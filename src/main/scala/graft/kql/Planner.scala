@@ -408,7 +408,42 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
                 case _ => df.withColumn(name, explode_outer(arrCol))
               }
           }
-        case _ => throw PlanError("mv-expand: exactly one column supported")
+        case multi =>
+          // ADX multi-column mv-expand: columns expand in LOCKSTEP
+          // (zip by position, shorter arrays null-padded to the
+          // longest — exactly arrays_zip's contract), one output row
+          // per zipped position. Itemindex rides posexplode.
+          val prepared = multi.zipWithIndex.map { case ((alias, e), i) =>
+            val c = toCol(e, df)
+            val arr = typeOf(df, c) match {
+              case _: ArrayType => c
+              case StringType => from_json(c, ArrayType(StringType))
+              case t => throw PlanError(s"mv-expand over $t")
+            }
+            val outName = (alias, e) match {
+              case (Some(a), _) => a
+              case (None, Col(n)) => resolveName(df, n)
+              case _ => defaultName(e, i)
+            }
+            (outName, arr)
+          }
+          val names = prepared.map(_._1)
+          if (names.distinct.size != names.size)
+            throw PlanError("mv-expand: duplicate output column names")
+          val zipped = arrays_zip(prepared.map { case (n, a) =>
+            a.as(n) }: _*)
+          val others = df.columns.filterNot(names.contains).map(col).toSeq
+          withItemIndex match {
+            case Some(ix) =>
+              df.select(others :+
+                  posexplode_outer(zipped).as(Seq(ix, "__mv")): _*)
+                .select((others ++ Seq(col(ix)) ++ names.map(n =>
+                  col("__mv").getField(n).as(n))): _*)
+            case None =>
+              df.select(others :+ explode_outer(zipped).as("__mv"): _*)
+                .select((others ++ names.map(n =>
+                  col("__mv").getField(n).as(n))): _*)
+          }
       }
 
     case MvCombine(colsIn) =>

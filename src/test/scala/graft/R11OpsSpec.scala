@@ -358,6 +358,27 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("mv-expand multi-column: lockstep zip, null padding, itemindex") {
+    val out = Kql.run(spark,
+      """print k = 1
+        | extend a = pack_array(10, 20, 30), b = pack_array('x', 'y')
+        | mv-expand with_itemindex = ix a, b
+        | project ix, a, b""", cat).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        Option(r.get(1)).map(_.asInstanceOf[Number].longValue),
+        Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (0L, Some(10L), Some("x")),
+      (1L, Some(20L), Some("y")),
+      (2L, Some(30L), None)), out.mkString("; "))
+    // duplicate output names fail loudly
+    val e = intercept[Exception] {
+      Kql.run(spark,
+        "print a = pack_array(1) | mv-expand a, a | count", cat).collect()
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("embeddingOutliers: a planted far vector flags, the tight cluster does not") {
     def v(x: Double): Array[Float] = Array(x.toFloat, 0f, 0f, 0f)
     val rows = (1L to 20L).map(i => (i, v(1.0 + 0.001 * i), 0)) :+
