@@ -4221,6 +4221,13 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // `set` request-option statements parse and drop (ADX request
+    // properties steer service behavior with no local counterpart)
+    "q182_set_statements" -> Q(kqlQ(
+      """set notruncation; set truncationmaxsize = 1048576;
+         nation | summarize n = count()"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation""")),
+
     // Multi-column mv-expand (ADX lockstep/zip semantics): columns
     // expand by position, the shorter array null-pads to the longest
     "q181_mvexpand_multi" -> Q(kqlQ(

@@ -41,6 +41,25 @@ final class Parser(src: String) {
     var funcs = Map.empty[String, (List[String], Expr)]
     var tabFuncs = Map.empty[String, (String, List[String], Query)]
     var materialized = Set.empty[String]
+    // ADX `set option[= value];` request properties: accepted and
+    // dropped — the options steer SERVICE behavior (truncation limits,
+    // result caching, consistency) that has no local counterpart; this
+    // engine never truncates and has no results cache, so every option
+    // is already satisfied vacuously. Paren-free guard: only `set`
+    // followed by an option ident then `;` or `=` is a statement, so a
+    // TABLE named `set` still resolves.
+    while (isIdent("set") && (ahead(1) match {
+        case TIdent(_, _) => ahead(2) match {
+          case TSym(";", _) | TSym("=", _) => true
+          case _ => false
+        }
+        case _ => false
+      })) {
+      p += 1
+      identName() // option name
+      if (trySym("=")) parseExpr() // option value, dropped
+      eatSym(";")
+    }
     while (isIdent("let")) {
       p += 1
       val name = identName()

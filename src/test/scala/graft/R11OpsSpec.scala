@@ -358,6 +358,23 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("set statements: accepted request options; a table named set still works") {
+    val plain = Kql.run(spark, "orders | count", cat).head.getLong(0)
+    val a = Kql.run(spark,
+      "set notruncation; orders | count", cat).head.getLong(0)
+    assert(a == plain)
+    val b = Kql.run(spark,
+      "set truncationmaxsize = 1048576; set notruncation; " +
+        "let x = 1; orders | where o_orderkey >= x - 1 | count",
+      cat).head.getLong(0)
+    assert(b == plain)
+    // a let-bound name `set` (no option shape after it) still resolves
+    val c = Kql.run(spark,
+      "let set = orders | project o_orderkey; set | count", cat)
+      .head.getLong(0)
+    assert(c == plain)
+  }
+
   test("mv-expand multi-column: lockstep zip, null padding, itemindex") {
     val out = Kql.run(spark,
       """print k = 1
