@@ -4495,6 +4495,15 @@ object SparkEntry {
       },
       Some("""WITH r AS (SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) AS host, ROW_NUMBER() OVER (PARTITION BY doc_id % 50 ORDER BY n_chars DESC, doc_id) AS rk FROM documents) SELECT doc_id, host, CAST(rk AS BIGINT) AS rank_in_host, CAST((rk - 1) // 3 AS BIGINT) AS fetch_slot FROM r ORDER BY doc_id""")),
 
+    // Windowed co-occurrence PMI: top-5 association contexts per word
+    // over +/-2 windows; symmetric pair space, marginals from the pair
+    // table itself; micro-rounded once per pair -> exact order and cut
+    "llm_pmi_contexts" -> Q(
+      (s, dir) => LlmOps.pmiContexts(docs(s, dir), window = 2,
+          minCount = 2, k = 5)
+        .orderBy("target", "rank"),
+      Some("""WITH t AS (SELECT list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1) AS ts FROM documents), pr AS (SELECT ts[i] AS a, ts[i + o] AS b FROM t, unnest(generate_series(1, 2)) s(o), unnest(generate_series(1, len(ts))) u(i) WHERE len(ts) >= 2 AND i + o <= len(ts)), sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr), fl AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1, 2), marg AS (SELECT a, CAST(SUM(c) AS BIGINT) AS m FROM fl GROUP BY 1), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS mm FROM fl), sc AS (SELECT f.a, f.b, f.c AS c_ab, CAST(ROUND(LN((CAST(f.c AS DOUBLE) * tot.mm) / (CAST(ma.m AS DOUBLE) * mb.m)) * 1000000) AS BIGINT) AS pmi_u FROM fl f JOIN marg ma ON ma.a = f.a JOIN marg mb ON mb.a = f.b, tot WHERE f.c >= 2), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY pmi_u DESC, b ASC) AS rk FROM sc) SELECT a AS target, CAST(rk AS BIGINT) AS "rank", b AS context, c_ab, pmi_u FROM r WHERE rk <= 5 ORDER BY target, rk""")),
+
     // Per-doc top-k tf-idf keywords: integer tf x micro-idf scores make
     // the order, ties and the k-cut replay exactly
     "llm_keyword_extract" -> Q(

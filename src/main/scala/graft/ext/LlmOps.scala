@@ -3008,6 +3008,68 @@ object LlmOps {
         col("score_u"))
   }
 
+  /** Windowed co-occurrence PMI (r8): top-k association contexts per
+    * word from ±window co-occurrence counts — the count-based
+    * distributional-similarity primitive (Church & Hanks 1990; the
+    * statistics under PPMI word vectors) that needs no model: cluster
+    * labeling, query expansion, tokenizer-merge sanity checks. PMI =
+    * ln(c_ab·M / (m_a·m_b)) over the symmetric pair space (both
+    * directions counted, marginals from the pair table itself — one
+    * probability space, no token/pair mixing); pairs below `minCount`
+    * are noise and drop. pmi_u is micro-rounded once per (a, b), so
+    * the per-target order, (pmi desc, context asc) ties and the k-cut
+    * replay exactly.
+    *
+    * Shape: ONE positional explode per offset 1..window built from
+    * array slices (zip-with-shifted-self — NO self-join: work is
+    * Σ len·window, linear in the corpus), one (a, b) hash aggregate,
+    * marginals re-aggregated from it (vocabulary²-bounded by OBSERVED
+    * pairs), broadcast total, per-TARGET rank window. */
+  def pmiContexts(docs: DataFrame, window: Int = 2, minCount: Int = 2,
+                  k: Int = 5, textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= 8, "pmiContexts: 1 <= window <= 8")
+    require(k >= 1 && minCount >= 1, "pmiContexts: k, minCount >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"),
+      t => length(t) >= 1)
+    val base = spread(docs).select(toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+    // directional pairs for every offset: (t_i, t_{i+off}) and back
+    val pairCols = (1 to window).map { off =>
+      filter(zip_with(col("ts"),
+        concat(slice(col("ts"), lit(off + 1), size(col("ts"))),
+          array_repeat(lit(null).cast("string"), off)),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+        p => p.getField("b").isNotNull)
+    }
+    val pairs = base.select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val cab = sym.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    // marginals/total from the UNFILTERED symmetric pair space (the
+    // probability space; filtering only prunes which pairs are SCORED)
+    val full = sym.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val marg = full.groupBy("a").agg(sum("c").as("m_a"))
+    val tot = full.agg(sum("c").as("mm"))
+    val scored = cab
+      .join(broadcast(marg), Seq("a"))
+      .join(broadcast(marg.select(col("a").as("b"), col("m_a").as("m_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_u",
+        // cast each marginal BEFORE the product: m_a·m_b in Long wraps
+        // at web-scale counts; in double it stays finite (and below
+        // 2^53 at fixture scale, so the oracle value is identical)
+        round(log((col("c_ab").cast("double") * col("mm")) /
+          (col("m_a").cast("double") * col("m_b"))) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("pmi_u").desc, col("b").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a").as("target"), col("rank"), col("b").as("context"),
+        col("c_ab"), col("pmi_u"))
+  }
+
   /** Stupid Backoff bigram scoring (Brants et al., EMNLP 2007 — the
     * web-scale LM scheme built for exactly this setting: counts too
     * big for proper discounting, scoring not generation): a held-out

@@ -928,6 +928,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, pE, "frontier_schedule priority"),
         colNameOf(df, idE, "frontier_schedule id"))
 
+    // `evaluate pmi_contexts(window, minCount, k, text)`: top-k PMI
+    // association contexts per word
+    case EvaluateOp("pmi_contexts", wE :: mE :: kE :: tE :: Nil) =>
+      graft.ext.LlmOps.pmiContexts(df, litLong(wE).toInt,
+        litLong(mE).toInt, litLong(kE).toInt,
+        textCol = colNameOf(df, tE, "pmi_contexts text"))
+
     // `evaluate keyword_extract(k, text, id)`: per-doc top-k tf-idf
     // terms (doc tagging / cluster labeling)
     case EvaluateOp("keyword_extract", kE :: tE :: idE :: Nil) =>

@@ -97,7 +97,7 @@ object Suggest {
     "avif_dims", "cluster_metrics", "code_detect", "dataset_card",
     "embedding_outliers",
     "frontier_schedule", "heaps_law", "keyword_extract",
-    "license_detect", "script_detect",
+    "license_detect", "pmi_contexts", "script_detect",
     "stratified_split", "stupid_backoff", "warc_meta",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",

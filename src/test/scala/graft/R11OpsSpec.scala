@@ -358,6 +358,32 @@ class R11OpsSpec extends AnyFunSuite {
       "true")
   }
 
+  test("pmiContexts: planted collocation tops its partners' lists") {
+    // "strong tea" co-occur only with each other; filler words mix
+    val rows = (1L to 40L).map { i =>
+      val filler = s"w${i % 3} w${(i + 1) % 3}"
+      (i, if (i % 2 == 0) s"strong tea $filler" else s"$filler strong tea")
+    }.toDF("doc_id", "text")
+    val out = LlmOps.pmiContexts(rows, window = 1, minCount = 2, k = 2)
+      .collect()
+    val teaTop = out.filter(r => r.getAs[String]("target") == "tea" &&
+      r.getAs[Long]("rank") == 1L).head
+    assert(teaTop.getAs[String]("context") == "strong",
+      s"tea's top PMI context must be strong: $teaTop")
+    val strongTop = out.filter(r => r.getAs[String]("target") == "strong" &&
+      r.getAs[Long]("rank") == 1L).head
+    assert(strongTop.getAs[String]("context") == "tea")
+    // every emitted pair respects minCount and the k-cut
+    assert(out.forall(_.getAs[Long]("c_ab") >= 2L))
+    assert(out.groupBy(_.getAs[String]("target")).forall(_._2.length <= 2))
+  }
+
+  test("pmi_contexts reachable from KQL") {
+    val out = Kql.run(spark,
+      "documents | evaluate pmi_contexts(2, 2, 3, text)", cat).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("rank") <= 3L))
+  }
+
   test("set statements: accepted request options; a table named set still works") {
     val plain = Kql.run(spark, "orders | count", cat).head.getLong(0)
     val a = Kql.run(spark,
