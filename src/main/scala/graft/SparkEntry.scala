@@ -393,6 +393,46 @@ object SparkEntry {
       s.table("graft_stream_enrich_sink").orderBy("event_id")
     }
 
+  /** tmp_stream_union body: MULTI-SOURCE streaming plan — two
+    * independent streams (disjoint event slices standing in for, e.g.,
+    * two regional ingest topics) union into ONE aggregation whose
+    * state spans both sources and both micro-batch rounds. Complete
+    * mode; the oracle recomputes over the union of both slices in one
+    * batch pass, so dropped/duplicated legs or per-source state
+    * mismatch. */
+  def streamUnionQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, String, Long)].collect().toSeq
+      val half = evs.map(_._1).max / 2
+      val msA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+      val msB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]
+      def frame(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Long)]) =
+        ms.toDF().toDF("event_id", "user_id", "event_type", "cents")
+      val agg = frame(msA).unionByName(frame(msB))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val q = agg.writeStream.format("memory")
+        .queryName("graft_stream_union_sink").outputMode("complete").start()
+      try {
+        // each source delivers HALF its slice per round: state must
+        // merge across sources AND rounds
+        val (a, b) = evs.partition(_._1 < half)
+        val (a1, a2) = a.splitAt(a.size / 2)
+        val (b1, b2) = b.splitAt(b.size / 2)
+        msA.addData(a1: _*); msB.addData(b1: _*)
+        q.processAllAvailable()
+        msA.addData(a2: _*); msB.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_stream_union_sink").orderBy("event_type")
+    }
+
   /** tmp_stream_scan body: ARBITRARY streaming state driver-visible —
     * the KQL `scan` state machine (per-user running cents sum) runs on
     * a stream via flatMapGroupsWithState: batch 2's sums must CONTINUE
@@ -4697,6 +4737,12 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, source, n_chars FROM (SELECT doc_id, source, CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars FROM documents WHERE doc_id % 7 <> 3 OR doc_id % 4 = 0 UNION ALL SELECT doc_id + 10000, source, n_chars FROM documents WHERE doc_id % 5 = 0) ORDER BY doc_id""")),
+
+    // Multi-source streaming union: two streams feed ONE aggregation
+    // across two rounds each; oracle = the single-pass batch recompute
+    "tmp_stream_union" -> Q(
+      (s, dir) => streamUnionQuery(s, dir),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events WHERE event_id <= 2000 GROUP BY 1 ORDER BY 1""")),
 
     // Stream-static enrichment join (broadcast dim into every micro-
     // batch, left-outer so dimension misses stay visible): final table
