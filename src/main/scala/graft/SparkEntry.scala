@@ -4261,6 +4261,39 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // ADX materialized view as a first-class source function (r12):
+    // build persists PARTIAL aggregation states (avg = (sum, count),
+    // dcount = HLL sketch, arg_max = (ord, val) struct) as of cursor
+    // 700, refresh folds the (700, 1100] delta in at the partial level
+    // and advances the cursor, and materialized_view('V') reads
+    // store ∪ re-aggregated tail — so the oracle's FULL-table GROUP BY
+    // matches only if build, refresh-merge, delta-merge and every
+    // finalizer are all exact. dcount rides the sketch's exact
+    // small-cardinality range (≤3 statuses); arg_max's ord is the
+    // unique o_orderkey.
+    "q183_matview_fn" -> Q(
+      (s, dir) => {
+        val cat = graft.kql.Catalog(s, dir)
+        graft.sources.MatViewLayout.build(cat.table("orders"),
+          "graft_mv_orders", "orders", Seq("o_orderpriority"),
+          Seq(graft.sources.MatAgg("count", "", "n"),
+            graft.sources.MatAgg("sum", "cents", "rev_c"),
+            graft.sources.MatAgg("min", "o_orderdate", "min_d"),
+            graft.sources.MatAgg("max", "o_orderdate", "max_d"),
+            graft.sources.MatAgg("avg", "cents", "avg_c"),
+            graft.sources.MatAgg("dcount", "o_orderstatus", "d_status"),
+            graft.sources.MatAgg("arg_max", "o_orderkey|o_orderstatus",
+              "latest_status")),
+          "o_orderkey", 700L,
+          derive = Seq("cents" -> "CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        graft.sources.MatViewLayout.refresh(s, "graft_mv_orders",
+          cat.table(_), 1100L)
+        Kql.run(s,
+          "materialized_view('graft_mv_orders') | sort by o_orderpriority asc",
+          cat)
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c, MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_c, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status, ARG_MAX(o_orderstatus, o_orderkey) AS latest_status FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // `set` request-option statements parse and drop (ADX request
     // properties steer service behavior with no local counterpart)
     "q182_set_statements" -> Q(kqlQ(

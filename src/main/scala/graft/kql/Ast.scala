@@ -141,6 +141,7 @@ object Ast {
     * cross-database qualifiers. */
   final case class QualifiedTableRef(cluster: Option[String], db: String,
       table: String) extends Source
+  final case class MaterializedViewRef(name: String) extends Source
   final case class DataTable(schema: List[(String, String)], rows: List[List[Expr]]) extends Source
   final case class PrintSource(items: List[(Option[String], Expr)]) extends Source
   final case class RangeSource(col: String, from: Expr, to: Expr, step: Expr) extends Source

@@ -246,6 +246,13 @@ final class Parser(src: String) {
         val db = qualifierArg("database")
         eatSym(".")
         QualifiedTableRef(None, db, identName())
+      // materialized_view('V') — ADX materialized-view source function
+      // (guarded on the following '(' so a plain table named
+      // materialized_view still resolves)
+      case TIdent(kw, _) if kw.equalsIgnoreCase("materialized_view") &&
+          ahead(1).isInstanceOf[TSym] && isAheadSym(1, "(") =>
+        p += 1
+        MaterializedViewRef(qualifierArg("materialized_view"))
       case TIdent(name, _) =>
         p += 1; TableRef(name)
       case _ => fail("expected table source")

@@ -123,6 +123,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       letTables.getOrElse(name, catalog.table(name))
     case QualifiedTableRef(_, db, name) =>
       catalog.tableIn(db, name)
+    case MaterializedViewRef(name) =>
+      // store ∪ delta merge — the view's source table resolves through
+      // THIS catalog, so the delta always reads current data
+      graft.sources.MatViewLayout.read(spark, name,
+        t => letTables.getOrElse(t, catalog.table(t)))
     case DataTable(schema, rows) =>
       val st = StructType(schema.map { case (n, t) => StructField(n, kqlType(t)) })
       val data = rows.map { r =>
