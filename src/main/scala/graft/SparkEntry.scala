@@ -4509,6 +4509,61 @@ object SparkEntry {
     // Unicode-script mix: planted per-script phrases; the oracle
     // recomputes every count with RE2's spelling of the SAME Unicode
     // script classes (\p{Latin} vs Java's \p{IsLatin})
+    // Mojibake / encoding-damage detection: three planted damage
+    // classes (double-encoded UTF-8 digraphs on id%5==1, replacement
+    // chars on 2, C1 controls on 3), every count recomputed by the
+    // oracle with the equivalent RE2 classes over the same planted
+    // text — an offset/class/weighting bug mismatches
+    "llm_mojibake" -> Q(
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(5))
+        val base = coalesce(col("text"), lit(""))
+        val t2 = when(m === 1, regexp_replace(
+            regexp_replace(base, "a", "Ã¡"), "e", "Ã©"))
+          .when(m === 2, regexp_replace(base, "o", "\ufffd"))
+          .when(m === 3, regexp_replace(base, "t", "\u0092"))
+          .otherwise(base)
+        LlmOps.mojibakeDetect(docs(s, dir).withColumn("t2", t2), "t2")
+          .select(col("doc_id"), col("n_chars"), col("n_repl"),
+            col("n_c1"), col("n_digraph"), col("mojibake_u"),
+            col("mojibake_flag"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE doc_id % 5 WHEN 1 THEN replace(replace(COALESCE(text, ''), 'a', 'Ã¡'), 'e', 'Ã©') WHEN 2 THEN replace(COALESCE(text, ''), 'o', chr(65533)) WHEN 3 THEN replace(COALESCE(text, ''), 't', chr(146)) ELSE COALESCE(text, '') END AS t FROM documents), c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars, CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT) AS n_repl, CAST(len(t) - len(regexp_replace(t, '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT) AS n_c1, CAST((len(t) - len(regexp_replace(t, '[ÃÂâÊ][\x{0080}-\x{00FF}\x{20AC}\x{2018}\x{2019}\x{201C}\x{201D}\x{2122}]', '', 'g'))) // 2 AS BIGINT) AS n_digraph FROM d) SELECT doc_id, n_chars, n_repl, n_c1, n_digraph, CAST(CASE WHEN n_chars > 0 THEN (3 * n_repl + 2 * n_c1 + 2 * n_digraph) * 1000000 // n_chars ELSE 0 END AS BIGINT) AS mojibake_u, (CASE WHEN n_chars > 0 THEN (3 * n_repl + 2 * n_c1 + 2 * n_digraph) * 1000000 // n_chars ELSE 0 END) >= 5000 AS mojibake_flag FROM c ORDER BY doc_id""")),
+
+    // T5 span corruption: every mask decision is block-local hash
+    // arithmetic the oracle replays verbatim (block b of doc id masks
+    // iff knuth(id·31+b)%4==0, hides 1+(h div 4)%3 tokens from in-block
+    // position 2); sentinel numbering and the terminator are replayed
+    // with ROW_NUMBER — any span/sentinel/assembly bug mismatches the
+    // full input/target strings
+    "llm_span_corruption" -> Q(
+      (s, dir) => LlmOps.spanCorrupt(docs(s, dir), 8)
+        .select("doc_id", "n_spans", "input_text", "target_text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), z -> len(z) >= 1) AS tk FROM documents), b AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 8.0) AS INT) AS nb FROM t), blk AS (SELECT doc_id, i, tk[i*8+1 : i*8+8] AS bt, ((doc_id * 31 + i) * 2654435761) % 4294967296 AS h FROM (SELECT doc_id, tk, unnest(generate_series(0, nb - 1)) AS i FROM b WHERE nb > 0)), blk2 AS (SELECT doc_id, i, bt, 1 + (h // 4) % 3 AS sl, (h % 4 = 0) AND (len(bt) >= (1 + (h // 4) % 3) + 2) AS m FROM blk), mk AS (SELECT doc_id, i, sl, bt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k FROM blk2 WHERE m), pieces AS (SELECT b2.doc_id, b2.i, CASE WHEN mk.k IS NOT NULL THEN array_to_string(b2.bt[1:1], ' ') || ' <extra_id_' || mk.k || '>' || CASE WHEN len(b2.bt) > mk.sl + 1 THEN ' ' || array_to_string(b2.bt[mk.sl+2 : len(b2.bt)], ' ') ELSE '' END ELSE array_to_string(b2.bt, ' ') END AS piece FROM blk2 b2 LEFT JOIN mk ON mk.doc_id = b2.doc_id AND mk.i = b2.i), inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS input_text FROM pieces GROUP BY 1), tgt AS (SELECT doc_id, string_agg('<extra_id_' || k || '> ' || array_to_string(bt[2 : sl+1], ' '), ' ' ORDER BY i) AS tgt_body, COUNT(*) AS n_spans FROM mk GROUP BY 1) SELECT t.doc_id, CAST(COALESCE(tgt.n_spans, 0) AS BIGINT) AS n_spans, COALESCE(inp.input_text, '') AS input_text, COALESCE(tgt.tgt_body || ' ', '') || '<extra_id_' || CAST(COALESCE(tgt.n_spans, 0) AS BIGINT) || '>' AS target_text FROM t LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id) ORDER BY doc_id""")),
+
+    // BLEU: candidate = the doc with every 7th token dropped; clipped
+    // n-gram matches are exact integers the oracle recomputes from its
+    // own n-gram explode, and the combined score is the published
+    // BP·exp(mean ln pₙ) in integer micros
+    "llm_bleu" -> Q(
+      (s, dir) => {
+        val tk = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val d2 = docs(s, dir)
+          .withColumn("ref", coalesce(col("text"), lit("")))
+          .withColumn("cand", array_join(
+            filter(tk, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+        LlmOps.bleuScore(d2, "ref", "cand")
+          .select(col("doc_id"), col("r_len"), col("c_len"),
+            col("match_1"), col("total_1"), col("match_2"), col("total_2"),
+            col("match_3"), col("total_3"), col("match_4"), col("total_4"),
+            col("bleu_u"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), z -> len(z) >= 1) AS r FROM documents), c AS (SELECT doc_id, r, list_filter(r, (z, i) -> i % 7 != 0) AS cd FROM t), ns AS (SELECT doc_id, r, cd, unnest(generate_series(1, 4)) AS n FROM c), cgr AS (SELECT doc_id, n, array_to_string(cd[i : i+n-1], ' ') AS g FROM (SELECT doc_id, n, cd, unnest(generate_series(1, len(cd) - n + 1)) AS i FROM ns WHERE len(cd) >= n)), rgr AS (SELECT doc_id, n, array_to_string(r[i : i+n-1], ' ') AS g FROM (SELECT doc_id, n, r, unnest(generate_series(1, len(r) - n + 1)) AS i FROM ns WHERE len(r) >= n)), ccnt AS (SELECT doc_id, n, g, COUNT(*) AS cc FROM cgr GROUP BY 1, 2, 3), rcnt AS (SELECT doc_id, n, g, COUNT(*) AS rc FROM rgr GROUP BY 1, 2, 3), mt AS (SELECT cc.doc_id, cc.n, SUM(LEAST(cc.cc, COALESCE(rc.rc, 0))) AS m FROM ccnt cc LEFT JOIN rcnt rc USING (doc_id, n, g) GROUP BY 1, 2), bs AS (SELECT doc_id, CAST(len(r) AS BIGINT) AS r_len, CAST(len(cd) AS BIGINT) AS c_len FROM c), pv AS (SELECT bs.doc_id, bs.r_len, bs.c_len, CAST(COALESCE(MAX(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS match_1, CAST(COALESCE(MAX(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS match_2, CAST(COALESCE(MAX(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS match_3, CAST(COALESCE(MAX(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS match_4 FROM bs LEFT JOIN mt ON mt.doc_id = bs.doc_id GROUP BY 1, 2, 3) SELECT doc_id, r_len, c_len, match_1, CAST(GREATEST(c_len - 0, 0) AS BIGINT) AS total_1, match_2, CAST(GREATEST(c_len - 1, 0) AS BIGINT) AS total_2, match_3, CAST(GREATEST(c_len - 2, 0) AS BIGINT) AS total_3, match_4, CAST(GREATEST(c_len - 3, 0) AS BIGINT) AS total_4, CASE WHEN match_1 > 0 AND match_2 > 0 AND match_3 > 0 AND match_4 > 0 THEN CAST(ROUND(LEAST(CAST(1 AS DOUBLE), EXP(CAST(1 AS DOUBLE) - CAST(r_len AS DOUBLE) / c_len)) * EXP((LN(CAST(match_1 AS DOUBLE) / GREATEST(c_len - 0, 0)) + LN(CAST(match_2 AS DOUBLE) / GREATEST(c_len - 1, 0)) + LN(CAST(match_3 AS DOUBLE) / GREATEST(c_len - 2, 0)) + LN(CAST(match_4 AS DOUBLE) / GREATEST(c_len - 3, 0))) / CAST(4 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bleu_u FROM pv ORDER BY doc_id""")),
+
     "llm_script_detect" -> Q(
       (s, dir) => {
         val m = pmod(col("doc_id"), lit(6))

@@ -5577,4 +5577,158 @@ object LlmOps {
         col("mean_sq_m2"), col("nearest_lbl"), col("nearest_sep_m2"),
         col("db_sq_u"))
   }
+  /** Mojibake / encoding-damage detection (r12): the curation gate that
+    * drops documents whose bytes were decoded with the wrong charset —
+    * a major defect class in web crawls (ftfy exists because of it).
+    * Three dictionary-free signals, each a pure regexp count the oracle
+    * recomputes over the same text:
+    *   - n_repl:    U+FFFD replacement characters (decoder gave up);
+    *   - n_c1:      C1 control chars U+0080–U+009F (CP1252 bytes passed
+    *                through as Latin-1 — never legitimate in text);
+    *   - n_digraph: UTF-8 lead bytes Ã/Â/â/Ê read as Latin-1 followed by
+    *                a continuation-range char — the classic double-
+    *                encoding signature ("Ã©" for "é", "â€™" for "'").
+    * score_u = (3·n_repl + 2·n_c1 + 2·n_digraph)·10⁶ div n_chars stays
+    * integer (micro units) ⇒ value-exact cross-engine; flagged at
+    * ≥ 5000 µ (0.5 % of chars damage-weighted). Per-row codegen, zero
+    * shuffle — scales as a map over the corpus. */
+  def mojibakeDetect(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = txt(textCol)
+    def nMatches(rx: String): Column =
+      (length(t) - length(regexp_replace(t, rx, ""))).cast("long")
+    // counts divided by pattern length where the pattern eats 2 chars
+    val nRepl = nMatches("\\uFFFD")
+    val nC1 = nMatches("[\\u0080-\\u009F]")
+    val nDigraph = (nMatches("[\\u00C3\\u00C2\\u00E2\\u00CA][\\u0080-\\u00FF\\u20AC\\u2018\\u2019\\u201C\\u201D\\u2122]") / 2).cast("long")
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_repl", nRepl)
+      .withColumn("n_c1", nC1)
+      .withColumn("n_digraph", nDigraph)
+      .withColumn("mojibake_u",
+        when(col("n_chars") > 0,
+          expr("(3 * n_repl + 2 * n_c1 + 2 * n_digraph) * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("mojibake_flag", col("mojibake_u") >= 5000)
+  }
+
+  /** T5-style span corruption (r12, Raffel et al. 2020 §3.1.4): the
+    * denoising-objective preprocessing step that turns raw text into
+    * (input with sentinel gaps, target of gap contents) pairs. Tokens
+    * partition into fixed blocks of `blockSize`; block b of doc id is
+    * masked iff idHash(id·31 + b) % 4 == 0, and then hides
+    * 1 + (hash div 4) % 3 tokens starting at in-block position 1 —
+    * block-local decisions, so the whole transform is one per-row
+    * expression chain (no window, no shuffle) AND the oracle can replay
+    * every decision arithmetically. Sentinels number masked blocks in
+    * order (<extra_id_0>, <extra_id_1>, …); the target terminates with
+    * the next unused sentinel, per the published convention. Short final
+    * blocks (< 3 tokens past the span start) are never masked — the
+    * span must fit. */
+  def spanCorrupt(docs: DataFrame, blockSize: Int = 8,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockSize >= 4, "spanCorrupt: blockSize must be >= 4")
+    val toks = split(txt(textCol), " ")
+    val base = docs
+      .withColumn("__tk", filter(toks, z => length(z) >= 1))
+      .withColumn("__nb",
+        ceil(size(col("__tk")).cast("double") / blockSize).cast("int"))
+    // per-block struct: (masked?, spanLen, tokens) — block-local.
+    // greatest(...) guards the empty doc: sequence(0, -1) DESCENDS in
+    // Spark (it is not empty); the extra block over an empty token
+    // array folds to nothing
+    val blocks = base.withColumn("__blk",
+      transform(sequence(lit(0), greatest(col("__nb") - 1, lit(0))), b => {
+        val bt = slice(col("__tk"), b * blockSize + 1, lit(blockSize))
+        val h = idHash(col(idCol).cast("long") * 31 + b.cast("long"))
+        val spanLen = lit(1) + pmod((h / 4).cast("long"), lit(3L)).cast("int")
+        val fits = size(bt) >= spanLen + 2 // span at pos 1 + a token after
+        val masked = pmod(h, lit(4L)) === 0 && fits
+        struct(masked.as("m"), spanLen.as("sl"), bt.as("t"))
+      }))
+    blocks
+      .withColumn("__masked",
+        filter(col("__blk"), b => b.getField("m")))
+      .withColumn("n_spans", size(col("__masked")).cast("long"))
+      // input: per block, masked span replaced by its sentinel; sentinel
+      // index = number of masked blocks BEFORE this one (a running count
+      // via a fold over the block array — runtime iteration, plan-constant)
+      .withColumn("input_text",
+        array_join(aggregate(col("__blk"),
+          struct(lit(0).as("k"), array().cast("array<string>").as("out")),
+          (acc, b) => {
+            val sent = concat(lit("<extra_id_"),
+              acc.getField("k").cast("string"), lit(">"))
+            val piece = when(b.getField("m"),
+              flatten(array(
+                slice(b.getField("t"), 1, 1),
+                array(sent),
+                when(size(b.getField("t")) >= b.getField("sl") + 2,
+                  slice(b.getField("t"), b.getField("sl") + 2,
+                    size(b.getField("t")) - b.getField("sl") - 1))
+                  .otherwise(array().cast("array<string>"))))
+            ).otherwise(b.getField("t"))
+            struct(
+              (acc.getField("k") +
+                when(b.getField("m"), 1).otherwise(0)).as("k"),
+              concat(acc.getField("out"), piece).as("out"))
+          },
+          acc => acc.getField("out")), " "))
+      // target: sentinel + hidden span per masked block, then terminator
+      .withColumn("target_text",
+        concat(array_join(transform(col("__masked"),
+          (b, k) => concat(lit("<extra_id_"), k.cast("string"), lit("> "),
+            array_join(slice(b.getField("t"), lit(2),
+              b.getField("sl")), " "))), " "),
+          when(col("n_spans") >= 0, concat(
+            when(col("n_spans") > 0, lit(" ")).otherwise(lit("")),
+            lit("<extra_id_"), col("n_spans").cast("string"), lit(">")))))
+      .drop("__tk", "__nb", "__blk", "__masked")
+  }
+
+  /** Sentence-level BLEU (r12, Papineni et al. 2002): the standard
+    * machine-translation / generation-quality metric, needed the moment
+    * a corpus pipeline scores model outputs against references. Exact
+    * clipped n-gram matches for n = 1..4 (integers, oracle-replayable),
+    * plus the combined score in integer micros:
+    *   bleu_u = round(BP · exp(Σₙ ln(mₙ/tₙ) / 4) · 10⁶),
+    * BP = min(1, exp(1 − r/c)); zero if any mₙ = 0 (unsmoothed, the
+    * published definition). One expression chain per row — n-gram maps
+    * are per-doc fold state, never a corpus-wide shuffle. */
+  def bleuScore(docs: DataFrame, refCol: String, candCol: String,
+                idCol: String = "doc_id"): DataFrame = {
+    def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
+      z => length(z) >= 1)
+    def grams(t: Column, n: Int): Column =
+      when(size(t) >= n, transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    var out = docs
+      .withColumn("__r", tk(refCol))
+      .withColumn("__c", tk(candCol))
+      .withColumn("r_len", size(col("__r")).cast("long"))
+      .withColumn("c_len", size(col("__c")).cast("long"))
+    for (n <- 1 to 4) {
+      // clipped matches: Σ_g min(cnt_cand(g), cnt_ref(g)) — counted by
+      // walking the DISTINCT cand grams (size ≤ doc length, per row)
+      out = out
+        .withColumn(s"__cg", grams(col("__c"), n))
+        .withColumn(s"__rg", grams(col("__r"), n))
+        .withColumn(s"match_$n",
+          aggregate(array_distinct(col("__cg")), lit(0L), (acc, g) =>
+            acc + least(
+              size(filter(col("__cg"), x => x === g)),
+              size(filter(col("__rg"), x => x === g))).cast("long")))
+        .withColumn(s"total_$n", size(col("__cg")).cast("long"))
+    }
+    out.drop("__r", "__c", "__cg", "__rg")
+      .withColumn("bleu_u",
+        when((1 to 4).map(n => col(s"match_$n") > 0).reduce(_ && _),
+          round(
+            least(lit(1.0), exp(lit(1.0) - col("r_len").cast("double") / col("c_len"))) *
+            exp((1 to 4).map(n =>
+              log(col(s"match_$n").cast("double") / col(s"total_$n")))
+              .reduce(_ + _) / 4.0) * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -916,6 +916,22 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.licenseDetect(df,
         colNameOf(df, tE, "license_detect text"))
 
+    // `evaluate mojibake_detect(text)`: encoding-damage signals + flag
+    case EvaluateOp("mojibake_detect", tE :: Nil) =>
+      graft.ext.LlmOps.mojibakeDetect(df,
+        colNameOf(df, tE, "mojibake_detect text"))
+
+    // `evaluate span_corrupt(blockSize, text, id)`: T5 denoising pairs
+    case EvaluateOp("span_corrupt", bE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.spanCorrupt(df, litLong(bE).toInt,
+        colNameOf(df, tE, "span_corrupt text"),
+        colNameOf(df, idE, "span_corrupt id"))
+
+    // `evaluate bleu(ref, cand, id)`: clipped n-gram precision + BLEU
+    case EvaluateOp("bleu", rE :: cE :: idE :: Nil) =>
+      graft.ext.LlmOps.bleuScore(df, colNameOf(df, rE, "bleu ref"),
+        colNameOf(df, cE, "bleu cand"), colNameOf(df, idE, "bleu id"))
+
     // `evaluate dataset_card(source, lang, text, id)`: one-row-per-
     // source release summary
     case EvaluateOp("dataset_card", sE :: lE :: tE :: idE :: Nil) =>

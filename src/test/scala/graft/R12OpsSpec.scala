@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.LlmOps
+
+/** Round-12 ops: mojibake detection, T5 span corruption, BLEU. */
+class R12OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- mojibake
+
+  test("mojibakeDetect: each signal counts its own damage class") {
+    val df = Seq(
+      (0L, "café ok clean text"),          // plain é is NOT mojibake
+      (1L, "CafÃ© bistro"),           // Ã© = UTF-8 é read as Latin-1
+      (2L, "bad � char"),
+      (3L, "ctl \u0092 here"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = LlmOps.mojibakeDetect(df).orderBy("doc_id")
+      .select("n_repl", "n_c1", "n_digraph", "mojibake_flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got(0) == (0L, 0L, 0L, false))
+    assert(got(1) == (0L, 0L, 1L, true)) // 2·1e6 div 12 = 166666µ ≥ 5000
+    assert(got(2) == (1L, 0L, 0L, true))
+    assert(got(3) == (0L, 1L, 0L, true))
+    assert(got(4) == (0L, 0L, 0L, false)) // empty: score 0, no div-by-zero
+  }
+
+  test("mojibakeDetect: score is integer micros of weighted damage per char") {
+    val df = Seq((0L, "x" * 17 + "\ufffd\ufffd" + "\u0092")).toDF("doc_id", "text")
+    val r = LlmOps.mojibakeDetect(df).head()
+    // n_chars 20, 3·2 + 2·1 = 8 → 8·1e6 div 20 = 400000
+    assert(r.getAs[Long]("n_chars") == 20L)
+    assert(r.getAs[Long]("mojibake_u") == 400000L)
+  }
+
+  // ------------------------------------------------------- span corruption
+
+  private def toks(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+
+  private def corrupt(rows: (Long, String)*) =
+    LlmOps.spanCorrupt(rows.toSeq.toDF("doc_id", "text"), 8)
+      .select("doc_id", "n_spans", "input_text", "target_text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+
+  test("spanCorrupt: doc 0 masks block 0 (len 1), block 1 passes through") {
+    // idHash(0·31+0)%4 = 0, sl 1; idHash(0·31+1)%4 = 1
+    val Array((_, n, in, tgt)) = corrupt(0L -> toks(16, "a"))
+    assert(n == 1L)
+    assert(in == "a0 <extra_id_0> " + (2 to 7).map("a" + _).mkString(" ") +
+      " " + (8 to 15).map("a" + _).mkString(" "))
+    assert(tgt == "<extra_id_0> a1 <extra_id_1>")
+  }
+
+  test("spanCorrupt: doc 8 hides a 3-token span; doc 1 masks the SECOND block") {
+    val Array((_, n8, in8, tgt8), _) = corrupt(8L -> toks(16, "x"), 9L -> "")
+    assert(n8 == 1L && tgt8 == "<extra_id_0> x1 x2 x3 <extra_id_1>")
+    assert(in8.startsWith("x0 <extra_id_0> x4 x5 x6 x7 x8"))
+    // doc 1: block 0 unmasked (h%4=3), block 1 masked (h%4=0, sl=2)
+    val Array((_, n1, in1, tgt1)) = corrupt(1L -> toks(16, "b"))
+    assert(n1 == 1L && tgt1 == "<extra_id_0> b9 b10 <extra_id_1>")
+    assert(in1 == (0 to 7).map("b" + _).mkString(" ") +
+      " b8 <extra_id_0> " + (11 to 15).map("b" + _).mkString(" "))
+  }
+
+  test("spanCorrupt: spans never break the fits rule; empty docs are total") {
+    // doc 4 block 0: h%4=0, sl=1 → needs ≥3 tokens to mask
+    val got = corrupt(4L -> "p0 p1 p2", 35L -> "q0 q1", 36L -> "")
+    assert(got(0) == (4L, 1L, "p0 <extra_id_0> p2", "<extra_id_0> p1 <extra_id_1>"))
+    assert(got(1)._2 == 0L) // 2 tokens: no room for span+tail whatever the hash
+    assert(got(1)._3 == "q0 q1" && got(1)._4 == "<extra_id_0>")
+    assert(got(2) == (36L, 0L, "", "<extra_id_0>"))
+  }
+
+  test("spanCorrupt: reassembling input+target recovers every token") {
+    val d = docsFixture.limit(40)
+    val out = LlmOps.spanCorrupt(d, 8)
+    // every token of the original appears in input ∪ target (sentinels aside)
+    val bad = out.withColumn("orig",
+        filter(split(coalesce(col("text"), lit("")), " "), z => length(z) >= 1))
+      .withColumn("recon", concat(
+        filter(split(col("input_text"), " "),
+          z => length(z) >= 1 && !z.startsWith("<extra_id_")),
+        filter(split(col("target_text"), " "),
+          z => length(z) >= 1 && !z.startsWith("<extra_id_"))))
+      .filter(size(col("orig")) =!= size(col("recon")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  private def docsFixture =
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  // ------------------------------------------------------------------ bleu
+
+  private def bleu(ref: String, cand: String): org.apache.spark.sql.Row =
+    LlmOps.bleuScore(Seq((0L, ref, cand)).toDF("doc_id", "ref", "cand"),
+      "ref", "cand").head()
+
+  test("bleu: identical sentences score exactly 1.0 (10⁶ micros)") {
+    val r = bleu("the cat sat on the mat", "the cat sat on the mat")
+    assert(r.getAs[Long]("match_1") == 6 && r.getAs[Long]("total_1") == 6)
+    assert(r.getAs[Long]("match_4") == 3 && r.getAs[Long]("total_4") == 3)
+    assert(r.getAs[Long]("bleu_u") == 1000000L)
+  }
+
+  test("bleu: clipping caps repeated-gram credit; missing 2-grams zero it") {
+    val r = bleu("the cat", "the the the the")
+    assert(r.getAs[Long]("match_1") == 1) // 'the' clipped to ref count 1
+    assert(r.getAs[Long]("total_1") == 4)
+    assert(r.getAs[Long]("match_2") == 0)
+    assert(r.getAs[Long]("bleu_u") == 0L)
+  }
+
+  test("bleu: brevity penalty for a shorter candidate; hand-checked value") {
+    val r = bleu("a b c d e", "a b c d")
+    // all p_n = 1, BP = exp(1 - 5/4)
+    val expect = Math.round(Math.exp(1.0 - 5.0 / 4.0) * 1e6)
+    assert(r.getAs[Long]("bleu_u") == expect)
+  }
+
+  test("bleu: KQL reach for all three r12 plugins") {
+    val cat = new graft.kql.Catalog(spark, TestSpark.sfDir)
+    val n1 = graft.kql.Kql.run(spark,
+      "documents | evaluate mojibake_detect(text) | where not(mojibake_flag) | count",
+      cat).head().getLong(0)
+    assert(n1 > 0)
+    val n2 = graft.kql.Kql.run(spark,
+      "documents | evaluate span_corrupt(8, text, doc_id) | where n_spans > 0 | count",
+      cat).head().getLong(0)
+    assert(n2 > 0)
+    val n3 = graft.kql.Kql.run(spark,
+      "documents | extend ref = text, cand = text | evaluate bleu(ref, cand, doc_id) | where bleu_u == 1000000 | count",
+      cat).head().getLong(0)
+    assert(n3 > 0)
+  }
+}
