@@ -4261,6 +4261,30 @@ object SparkEntry {
               d = dynamic_to_json(series_acf(pack_array(7), 2))"""),
       Some("""SELECT '[-833333,666666,-500000]' AS a, '[400000,-100000]' AS b, CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS d""")),
 
+    // Scalar batch 8 (r12): hash_sha1 (JDK digest; DuckDB has no sha1,
+    // so known-answer literals — the guid_base64 convention) and
+    // erf/erfc (incomplete-gamma UDF, nano-rounded against reference
+    // values; every pinned value sits ≥ 0.02 from its rounding boundary
+    // so a last-ulp wobble cannot flip it)
+    "q184_scalar_batch8" -> Q(kqlQ(
+      """print h1 = hash_sha1('abc'), h2 = hash_sha1(''),
+              e1 = tolong(round(erf(0.5) * 1000000000)),
+              e2 = tolong(round(erf(1.0) * 1000000000)),
+              e3 = tolong(round(erf(2.0) * 1000000000)),
+              e4 = tolong(round(erf(-1.0) * 1000000000)),
+              e5 = tolong(round(erfc(1.5) * 1000000000))"""),
+      Some("""SELECT 'a9993e364706816aba3e25717850c26c9cd0d89d' AS h1, 'da39a3ee5e6b4b0d3255bfef95601890afd80709' AS h2, CAST(520499878 AS BIGINT) AS e1, CAST(842700793 AS BIGINT) AS e2, CAST(995322265 AS BIGINT) AS e3, CAST(-842700793 AS BIGINT) AS e4, CAST(33894854 AS BIGINT) AS e5""")),
+
+    // ingestion_time() resolves per record over file-backed sources
+    // (parquet mtime as the single-writer analog of ADX extent
+    // ingestion time): non-null for every row, one distinct value for
+    // the single-file fixture
+    "q185_ingestion_time" -> Q(kqlQ(
+      """orders | extend it = ingestion_time()
+         | summarize n = count(), n_with = countif(isnotnull(it)),
+                     n_files = count_distinct(it)"""),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_with, CAST(1 AS BIGINT) AS n_files FROM orders""")),
+
     // ADX materialized view as a first-class source function (r12):
     // build persists PARTIAL aggregation states (avg = (sum, count),
     // dcount = HLL sketch, arg_max = (ord, val) struct) as of cursor

@@ -33,6 +33,18 @@ object Functions {
     "trim_ws" -> f { case c :: Nil => trim(c) },
     "hash_sha256" -> f { case c :: Nil => sha2(c.cast("string"), 256) },
     "hash_md5" -> f { case c :: Nil => md5(c.cast("string")) },
+    "hash_sha1" -> f { case c :: Nil => sha1(c.cast("string")) },
+    // ADX erf/erfc: full double precision via the regularized incomplete
+    // gamma P(1/2, x²) (series / Lentz continued fraction) — iterative
+    // with data-dependent exit, hence a compact UDF (the beta_cdf trade)
+    "erf" -> f { case x :: Nil => erfUdf(x.cast("double")) },
+    "erfc" -> f { case x :: Nil => lit(1.0) - erfUdf(x.cast("double")) },
+    // ingestion_time(): per-record ingestion timestamp. The parquet
+    // file's modification time is the single-writer analog of ADX's
+    // per-extent ingestion time (a metastore supplies the real value on
+    // a cluster); resolves only over file-backed sources, by design.
+    "ingestion_time" -> f { case Nil =>
+      col("_metadata").getField("file_modification_time") },
     "hash" -> f { case c :: Nil => xxhash64(c)
                   case c :: m :: Nil => pmod(xxhash64(c), m.cast("long")) },
     "hash_many" -> f { cs => xxhash64(cs: _*) },
@@ -2233,6 +2245,50 @@ object Functions {
   }
 
   private val betaCdfUdf = udf { (x: Double, a: Double, b: Double) => betaCdf(x, a, b) }
+
+  /** erf via the regularized lower incomplete gamma P(1/2, x²):
+    * series expansion for x² < 1.5, Lentz continued fraction for the
+    * complement above it (Numerical-Recipes gammp/gammq structure) —
+    * accurate to ~1 ulp over the whole line, unlike the 1.5e-7
+    * Abramowitz–Stegun polynomial. */
+  private def erfImpl(x: Double): Double = {
+    if (x == 0.0) return 0.0
+    val a = 0.5
+    val xx = x * x
+    val lnGammaHalf = 0.5723649429247001 // ln Γ(1/2) = ln √π
+    val p =
+      if (xx < 1.5) { // series: P(a,x) = e^{-x} x^a / Γ(a) · Σ x^n / (a)_{n+1}
+        var ap = a; var sum = 1.0 / a; var del = sum
+        var n = 0
+        while (n < 200 && math.abs(del) >= math.abs(sum) * 1e-16) {
+          ap += 1.0; del *= xx / ap; sum += del; n += 1
+        }
+        sum * math.exp(-xx + a * math.log(xx) - lnGammaHalf)
+      } else { // Lentz continued fraction for Q(a,x); P = 1 − Q
+        val tiny = 1e-300
+        var b = xx + 1.0 - a
+        var c = 1.0 / tiny
+        var d = 1.0 / b
+        var h = d
+        var i = 1
+        var done = false
+        while (i <= 200 && !done) {
+          val an = -i * (i - a)
+          b += 2.0
+          d = an * d + b; if (math.abs(d) < tiny) d = tiny
+          c = b + an / c; if (math.abs(c) < tiny) c = tiny
+          d = 1.0 / d
+          val del = d * c
+          h *= del
+          if (math.abs(del - 1.0) <= 1e-16) done = true
+          i += 1
+        }
+        1.0 - math.exp(-xx + a * math.log(xx) - lnGammaHalf) * h
+      }
+    if (x > 0) p else -p
+  }
+
+  private val erfUdf = udf { (x: Double) => erfImpl(x) }
 
   /** Inverse beta CDF by bisection on the monotone CDF — 60 halvings
     * reach ~1e-18 interval width, beyond double resolution. */
