@@ -1331,6 +1331,15 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_found, true AS hamming_bounded FROM documents""")),
 
+    // Contrastive hard-negative mining: per anchor (every 50th id),
+    // top-5 different-label candidates by cosine, near-dups (> 0.9)
+    // excluded; ranking on the 1e-4-quantized score with id tiebreak
+    // makes the k-cut cross-engine deterministic
+    "llm_hard_negatives" -> Q(
+      (s, dir) => LlmOps.hardNegatives(embs(s, dir), 50, 5)
+        .orderBy("anchor_id", "rank"),
+      Some("""WITH a AS (SELECT vec_id AS anchor_id, label AS al, embedding AS av FROM embeddings WHERE vec_id % 50 = 0), d AS (SELECT a.anchor_id, e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne, SQRT(SUM(CAST(a.av[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE))) AS na FROM embeddings e JOIN a ON e.label != a.al, generate_series(1, 64) g(i) GROUP BY 1, 2), q AS (SELECT anchor_id, vec_id, CAST(ROUND(dp / (ne * na) * 10000) AS BIGINT) AS cos_u FROM d), r AS (SELECT anchor_id, vec_id, cos_u, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_u DESC, vec_id) AS "rank" FROM q WHERE cos_u <= 9000) SELECT anchor_id, CAST("rank" AS BIGINT) AS "rank", vec_id AS neg_id, cos_u FROM r WHERE "rank" <= 5 ORDER BY anchor_id, "rank" """)),
+
     "llm_knn_cosine" -> Q(
       (s, dir) => LlmOps.knnCosine(embs(s, dir), queryId = 0, k = 20),
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), dots AS (SELECT e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS na, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nb FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY e.vec_id) SELECT vec_id, ROUND(dp / (na * nb), 4) AS cos FROM dots ORDER BY cos DESC, vec_id LIMIT 20""")),

@@ -5731,4 +5731,47 @@ object LlmOps {
               .reduce(_ + _) / 4.0) * 1e6).cast("long"))
           .otherwise(lit(0L)))
   }
+  /** Hard-negative mining for contrastive embedding training (r12):
+    * for each anchor, the k nearest candidates by cosine that are (a)
+    * NOT the anchor's class (labelCol differs — they can never be
+    * positives) and (b) not near-duplicates (cos ≤ hiCos — a clone
+    * teaches nothing and may be a mislabeled positive). This is the
+    * candidate-generation step of every dual-encoder training loop
+    * (DPR, SimCSE hard negatives).
+    *
+    * Ranking quantizes the score to 1e-4 FIRST (cos_u) and breaks ties
+    * by id, so the k-cut is deterministic and cross-engine stable (raw
+    * double cosines differ in the last ulp between summation orders).
+    *
+    * Scale shape: anchors are a bounded query set (broadcast); the
+    * candidate scan is one embarrassingly parallel projection over the
+    * corpus (DotProductD codegen kernel per pair) and the per-anchor
+    * k-cut runs through a window over anchor partitions — at real
+    * corpus scale, swap the scan for annCosineIvfIndexed probes per
+    * anchor (the at-rest index path); the contract is unchanged. */
+  def hardNegatives(emb: DataFrame, anchorEvery: Int = 50, k: Int = 5,
+                    hiCos: Double = 0.9, idCol: String = "vec_id",
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(anchorEvery >= 1 && k >= 1, "hardNegatives: bad params")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol), col(labelCol),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", normD(col("__v")))
+    val anchors = base.filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0)
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
+        col("__v").as("__av"), col("__n").as("__an"))
+    base.join(broadcast(anchors), col(labelCol) =!= col("__al"))
+      .withColumn("__cos",
+        graft.expr.DotProductD(spark, col("__av"), col("__v")) /
+          (col("__an") * col("__n")))
+      .withColumn("cos_u", round(col("__cos") * 10000).cast("long"))
+      .filter(col("cos_u") <= math.round(hiCos * 10000))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cos_u").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
+        col("cos_u"))
+  }
 }

@@ -932,6 +932,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bleuScore(df, colNameOf(df, rE, "bleu ref"),
         colNameOf(df, cE, "bleu cand"), colNameOf(df, idE, "bleu id"))
 
+    // `evaluate hard_negatives(anchorEvery, k, id, label, vec)`:
+    // contrastive hard-negative mining
+    case EvaluateOp("hard_negatives", aE :: kE :: idE :: lE :: vE :: Nil) =>
+      graft.ext.LlmOps.hardNegatives(df, litLong(aE).toInt, litLong(kE).toInt,
+        idCol = colNameOf(df, idE, "hard_negatives id"),
+        labelCol = colNameOf(df, lE, "hard_negatives label"),
+        vecCol = colNameOf(df, vE, "hard_negatives vec"))
+
     // `evaluate dataset_card(source, lang, text, id)`: one-row-per-
     // source release summary
     case EvaluateOp("dataset_card", sE :: lE :: tE :: idE :: Nil) =>

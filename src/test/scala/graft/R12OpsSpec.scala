@@ -122,6 +122,24 @@ class R12OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bleu_u") == expect)
   }
 
+  // --------------------------------------------------------- hard negatives
+
+  test("hardNegatives: same-label and near-dup candidates are excluded, " +
+      "rank follows quantized cosine") {
+    val df = Seq(
+      (0L, 0, Seq(1f, 0f)),       // anchor (label 0)
+      (1L, 0, Seq(0.99f, 0.1f)),  // same label → never a negative
+      (2L, 1, Seq(1f, 0.01f)),    // cos ≈ 0.99995 > 0.9 → near-dup, excluded
+      (3L, 1, Seq(1f, 0.6f)),     // cos ≈ 0.857 → hard negative, rank 1
+      (4L, 1, Seq(1f, 1.2f)),     // cos ≈ 0.640 → rank 2
+      (5L, 2, Seq(0f, 1f)))       // cos 0 → rank 3
+      .toDF("vec_id", "label", "embedding")
+    val got = LlmOps.hardNegatives(df, anchorEvery = 6, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 3L), (0L, 2L, 4L), (0L, 3L, 5L)))
+  }
+
   test("bleu: KQL reach for all three r12 plugins") {
     val cat = new graft.kql.Catalog(spark, TestSpark.sfDir)
     val n1 = graft.kql.Kql.run(spark,
@@ -136,5 +154,9 @@ class R12OpsSpec extends AnyFunSuite {
       "documents | extend ref = text, cand = text | evaluate bleu(ref, cand, doc_id) | where bleu_u == 1000000 | count",
       cat).head().getLong(0)
     assert(n3 > 0)
+    val n4 = graft.kql.Kql.run(spark,
+      "embeddings | evaluate hard_negatives(50, 5, vec_id, label, embedding) | count",
+      cat).head().getLong(0)
+    assert(n4 == 50L)
   }
 }
