@@ -252,6 +252,25 @@ object Scale {
       "keyword_extract" -> (() =>
         LlmOps.keywordExtract(docs, k = 5).count()),
       "stupid_backoff" -> (() =>
-        LlmOps.stupidBackoff(docs).count()))
+        LlmOps.stupidBackoff(docs).count()),
+      // r12 additions. span_corrupt/bleu are per-row expression chains
+      // (linearity is the whole claim); hard_negatives pins the ANCHOR
+      // count at ~10 while the candidate corpus grows K× — the
+      // production shape (bounded query set, growing corpus).
+      "span_corrupt" -> (() =>
+        LlmOps.spanCorrupt(docs, 8).count()),
+      "bleu" -> (() => {
+        val tk = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val d2 = docs.withColumn("ref", coalesce(col("text"), lit("")))
+          .withColumn("cand", array_join(
+            filter(tk, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+        LlmOps.bleuScore(d2, "ref", "cand").count()
+      }),
+      "hard_negatives" -> (() => {
+        val n = embs.count()
+        LlmOps.hardNegatives(embs,
+          anchorEvery = math.max(1L, n / 10).toInt, k = 5).count()
+      }))
   }
 }

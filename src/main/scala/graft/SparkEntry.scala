@@ -476,6 +476,59 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy("user_id", "event_id")
     }
 
+  /** tmp_stream_matview_refresh body (r12): the AT-REST materialized
+    * view (MatViewLayout) maintained BY a stream. The store seeds from
+    * rows ≤ 700; two micro-batches (split at 1400) each append their
+    * rows to the live source path and fold them into the store at the
+    * partial level, advancing the cursor. After the stream the cursor
+    * sits at the high-water mark, so the final read is served from the
+    * STORE ALONE (the delta scan matches nothing) — yet it must equal
+    * DuckDB's one-shot aggregation over all 2000 source rows. A
+    * dropped/duplicated batch row, a broken partial merge (avg, HLL
+    * dcount, arg_max struct), or a cursor bug all mismatch. */
+  def streamMatViewRefreshQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.kql.Catalog(s, dir).table("events")
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("bin_h"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_type"))
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mv_live_stage"
+    ev.filter(col("event_id") <= 700)
+      .write.mode("overwrite").parquet(stage)
+    val aggs = Seq(
+      graft.sources.MatAgg("count", "", "n"),
+      graft.sources.MatAgg("sum", "cents", "s"),
+      graft.sources.MatAgg("avg", "cents", "avg_c"),
+      graft.sources.MatAgg("dcount", "event_type", "d_types"),
+      graft.sources.MatAgg("arg_max", "event_id|event_type", "latest_type"))
+    graft.sources.MatViewLayout.build(s.read.parquet(stage),
+      "graft_mv_stream", "events_live", Seq("bin_h"), aggs,
+      "event_id", 700L)
+    val rows = ev.filter(col("event_id") > 700)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, String)]
+    val src = ms.toDF().toDF("event_id", "bin_h", "cents", "event_type")
+    val q = graft.streaming.StreamingOps.matViewMaintainStream(
+      src, "graft_mv_stream", stage, "event_id")
+    try {
+      ms.addData(rows.filter(_._1 <= 1400): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 > 1400): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cursor must sit at the stream's high-water mark: the read below
+    // is then served from the store alone (delta scan empty)
+    val cur = s.table("graft_mv_stream_meta").head().getLong(4)
+    require(cur == rows.map(_._1).max,
+      s"matview maintainer left cursor at $cur")
+    graft.sources.MatViewLayout.read(s, "graft_mv_stream",
+      _ => s.read.parquet(stage))
+      .orderBy("bin_h")
+  }
+
   def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2563,6 +2616,15 @@ object SparkEntry {
     "tmp_stream_matview" -> Q(
       (s, dir) => streamMatViewQuery(s, dir),
       Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bin_h, CAST(ROUND(value * 100) AS BIGINT) AS c, event_id FROM events WHERE event_id <= 2000) SELECT bin_h, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(DISTINCT CASE WHEN event_id < 1000 THEN 0 ELSE 1 END) AS BIGINT) AS n_updates FROM e GROUP BY 1 ORDER BY 1""")),
+
+    // At-rest matview maintained BY a stream (r12): per batch, append
+    // to the live source + fold the delta into the partial-state store
+    // (MatViewLayout.refresh); final read served from the store alone
+    // must equal the one-shot batch aggregation — see
+    // streamMatViewRefreshQuery's scaladoc for what mismatches
+    "tmp_stream_matview_refresh" -> Q(
+      (s, dir) => streamMatViewRefreshQuery(s, dir),
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) // 3600000000 AS bin_h, CAST(ROUND(value * 100) AS BIGINT) AS c, event_type FROM events WHERE event_id <= 2000) SELECT bin_h, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_c, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_types, ARG_MAX(event_type, event_id) AS latest_type FROM e GROUP BY 1 ORDER BY 1""")),
 
     // Watermark/late-data parity (r7): the update-mode view with a
     // 3700 s watermark must DROP the batch-2 straggler that replays

@@ -326,6 +326,45 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Streaming maintenance of an AT-REST [[graft.sources.MatViewLayout]]
+    * view (r12) — the ADX update-policy shape where ingest both lands in
+    * the source table and advances a materialized view: each micro-batch
+    * (1) appends its rows to the live source path the view's resolver
+    * reads and (2) folds exactly those rows into the store at the
+    * PARTIAL level, advancing the cursor to the batch's own high-water
+    * mark. foreachBatch runs batches sequentially, so append → refresh
+    * ordering is safe; a REPLAYED batch is harmless to the view (its
+    * rows sit at or below the cursor, so refresh folds nothing — a
+    * production deployment also makes the source append idempotent by
+    * writing per-batch partitions, the processDedupBatch contract).
+    *
+    * Complements [[matViewStream]]: that one keeps view state in the
+    * STREAMING state store with a changelog sink; this one keeps NO
+    * streaming state at all — the store/cursor pair at rest IS the
+    * state, so the maintainer can restart anywhere, and a batch query
+    * over `materialized_view('V')` between refreshes stays exact via
+    * the delta-merge read path. */
+  def matViewMaintainStream(stream: DataFrame, view: String,
+                            stagePath: String, cursorCol: String,
+                            checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          if (b.count() > 0) {
+            b.write.mode("append").parquet(stagePath)
+            val hi = b.agg(max(col(cursorCol))).head().getLong(0)
+            graft.sources.MatViewLayout.refresh(spark, view,
+              _ => spark.read.parquet(stagePath), hi)
+          }
+        } finally b.unpersist()
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Materialize the current state of a [[matViewStream]] changelog:
     * latest `__batch_id` row per key, plus `n_updates` = number of
     * batches that updated the key (each batch emits a key at most
