@@ -1384,6 +1384,32 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_found, true AS hamming_bounded FROM documents""")),
 
+    // ROUGE-L over two ANALYTIC candidate plants (first 40 tokens):
+    // even docs drop every 7th token (a subsequence ⇒ LCS = |cand|
+    // exactly), odd docs replace 0-based positions i%5==0 with unique
+    // zzz<i> tokens absent from the corpus (⇒ LCS = n − ceil(n/5)
+    // exactly) — so the oracle derives LCS and all three micro scores
+    // arithmetically, and any DP/boundary bug in the fold mismatches
+    "llm_rouge_l" -> Q(
+      (s, dir) => {
+        val tk0 = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val rt = slice(tk0, 1, 40)
+        val m = pmod(col("doc_id"), lit(2))
+        val cand = when(m === 0,
+            array_join(filter(rt, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+          .otherwise(array_join(transform(rt, (z, i) =>
+            when(pmod(i, lit(5)) === 0,
+              concat(lit("zzz"), i.cast("string"))).otherwise(z)), " "))
+        LlmOps.rougeL(docs(s, dir)
+            .withColumn("ref", array_join(rt, " "))
+            .withColumn("cand", cand), "ref", "cand")
+          .select(col("doc_id"), col("r_len"), col("c_len"), col("lcs"),
+            col("rouge_p_u"), col("rouge_r_u"), col("rouge_f_u"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, len(list_filter(string_split(COALESCE(text, ''), ' '), z -> len(z) >= 1)[1:40]) AS n FROM documents), b AS (SELECT doc_id, n, CASE WHEN doc_id % 2 = 0 THEN n - n // 7 ELSE n END AS cl, CASE WHEN doc_id % 2 = 0 THEN n - n // 7 ELSE n - (n + 4) // 5 END AS lcs FROM t) SELECT doc_id, CAST(n AS BIGINT) AS r_len, CAST(cl AS BIGINT) AS c_len, CAST(lcs AS BIGINT) AS lcs, CAST(CASE WHEN cl > 0 THEN lcs * 1000000 // cl ELSE 0 END AS BIGINT) AS rouge_p_u, CAST(CASE WHEN n > 0 THEN lcs * 1000000 // n ELSE 0 END AS BIGINT) AS rouge_r_u, CAST(CASE WHEN n + cl > 0 THEN 2 * lcs * 1000000 // (n + cl) ELSE 0 END AS BIGINT) AS rouge_f_u FROM b ORDER BY doc_id""")),
+
     // Contrastive hard-negative mining: per anchor (every 50th id),
     // top-5 different-label candidates by cosine, near-dups (> 0.9)
     // excluded; ranking on the 1e-4-quantized score with id tiebreak

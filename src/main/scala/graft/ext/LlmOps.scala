@@ -5774,4 +5774,52 @@ object LlmOps {
       .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
         col("cos_u"))
   }
+  /** ROUGE-L (r12, Lin 2004): longest-common-subsequence overlap — the
+    * standard summarization/generation recall metric next to [[bleuScore]]'s
+    * precision view. Every output is an INTEGER (LCS length; P/R in
+    * integer micros; F1 = 2·LCS·10⁶ div (|ref|+|cand|), exact because
+    * the β=1 LCS F-measure algebraically reduces to that ratio) ⇒
+    * value-exact cross-engine.
+    *
+    * The LCS DP runs as nested per-row folds (the series_dtw shape:
+    * outer over ref carrying the previous DP row, inner over cand
+    * building the current row — the left-neighbor dependency rules out
+    * flat transforms). O(|ref|·|cand|) cells per row, embarrassingly
+    * parallel across the corpus, no shuffle; callers bound token counts
+    * (the oracle row slices to 40) because immutable row-building makes
+    * the interpreted fold ~O(n·m²) element copies. */
+  def rougeL(docs: DataFrame, refCol: String, candCol: String,
+             idCol: String = "doc_id"): DataFrame = {
+    def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
+      z => length(z) >= 1)
+    val base = docs
+      .withColumn("__r", tk(refCol))
+      .withColumn("__c", tk(candCol))
+      .withColumn("r_len", size(col("__r")).cast("long"))
+      .withColumn("c_len", size(col("__c")).cast("long"))
+    val prev0 = transform(sequence(lit(0), size(col("__c"))), _ => lit(0L))
+    val lastRow = aggregate(col("__r"), prev0, (prev, rt) =>
+      aggregate(col("__c"),
+        struct(array(lit(0L)).as("cur"), lit(1).as("j")),
+        (st, ct) => {
+          val j = st.getField("j")
+          val v = when(ct === rt, element_at(prev, j) + 1L)
+            .otherwise(greatest(element_at(prev, j + 1),
+              element_at(st.getField("cur"), j)))
+          struct(concat(st.getField("cur"), array(v)).as("cur"),
+            (j + 1).as("j"))
+        },
+        st => st.getField("cur")))
+    base
+      .withColumn("lcs", when(col("c_len") === 0 || col("r_len") === 0, lit(0L))
+        .otherwise(element_at(lastRow, size(col("__c")) + 1)))
+      .withColumn("rouge_p_u",
+        when(col("c_len") > 0, expr("lcs * 1000000 div c_len")).otherwise(lit(0L)))
+      .withColumn("rouge_r_u",
+        when(col("r_len") > 0, expr("lcs * 1000000 div r_len")).otherwise(lit(0L)))
+      .withColumn("rouge_f_u",
+        when(col("r_len") + col("c_len") > 0,
+          expr("2 * lcs * 1000000 div (r_len + c_len)")).otherwise(lit(0L)))
+      .drop("__r", "__c")
+  }
 }

@@ -932,6 +932,11 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bleuScore(df, colNameOf(df, rE, "bleu ref"),
         colNameOf(df, cE, "bleu cand"), colNameOf(df, idE, "bleu id"))
 
+    // `evaluate rouge_l(ref, cand, id)`: LCS recall/precision/F1
+    case EvaluateOp("rouge_l", rE :: cE :: idE :: Nil) =>
+      graft.ext.LlmOps.rougeL(df, colNameOf(df, rE, "rouge_l ref"),
+        colNameOf(df, cE, "rouge_l cand"), colNameOf(df, idE, "rouge_l id"))
+
     // `evaluate hard_negatives(anchorEvery, k, id, label, vec)`:
     // contrastive hard-negative mining
     case EvaluateOp("hard_negatives", aE :: kE :: idE :: lE :: vE :: Nil) =>

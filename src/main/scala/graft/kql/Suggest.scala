@@ -98,7 +98,7 @@ object Suggest {
     "embedding_outliers",
     "frontier_schedule", "heaps_law", "keyword_extract",
     "license_detect", "pmi_contexts", "script_detect",
-    "mojibake_detect", "span_corrupt", "bleu", "hard_negatives",
+    "mojibake_detect", "span_corrupt", "bleu", "hard_negatives", "rouge_l",
     "stratified_split", "stupid_backoff", "warc_meta",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",

@@ -122,6 +122,50 @@ class R12OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bleu_u") == expect)
   }
 
+  // ---------------------------------------------------------------- rouge-l
+
+  private def lcsRef(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Long](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                 else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("rougeL: hand case + F1 reduces to 2·LCS/(|r|+|c|)") {
+    val r = LlmOps.rougeL(
+      Seq((0L, "a b c d", "a x c")).toDF("doc_id", "ref", "cand"),
+      "ref", "cand").head()
+    assert(r.getAs[Long]("lcs") == 2L)
+    assert(r.getAs[Long]("rouge_p_u") == 666666L)  // 2e6 div 3
+    assert(r.getAs[Long]("rouge_r_u") == 500000L)
+    assert(r.getAs[Long]("rouge_f_u") == 571428L)  // 4e6 div 7
+  }
+
+  test("rougeL: fold matches a reference DP on random token arrays") {
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 10).map { i =>
+      def arr = Seq.fill(2 + rnd.nextInt(12))("tok" + rnd.nextInt(5))
+      (i.toLong, arr.mkString(" "), arr.mkString(" "))
+    }
+    val got = LlmOps.rougeL(cases.toDF("doc_id", "ref", "cand"), "ref", "cand")
+      .select("doc_id", "lcs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, rs, cs) =>
+      assert(got(id) == lcsRef(rs.split(" ").toSeq, cs.split(" ").toSeq),
+        s"doc $id: '$rs' vs '$cs'")
+    }
+  }
+
+  test("rougeL: empty sides are total and score zero") {
+    val rows = LlmOps.rougeL(
+      Seq((0L, "", "a b"), (1L, "a b", ""), (2L, null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("doc_id", "ref", "cand"), "ref", "cand")
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lcs") == 0L && r.getAs[Long]("rouge_f_u") == 0L)
+    }
+  }
+
   // --------------------------------------------------------- hard negatives
 
   test("hardNegatives: same-label and near-dup candidates are excluded, " +
