@@ -1384,6 +1384,46 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_found, true AS hamming_bounded FROM documents""")),
 
+    // k-anonymity release gate: per (source, lang) combo counts + the
+    // ≥ k flag and the corpus rollup — all integers, trivial exact
+    // oracle; k=5 splits the fixture (≈50 risky and ≈45 anonymous
+    // combos at both SFs — non-vacuous both ways)
+    "llm_k_anonymity" -> Q(
+      (s, dir) => {
+        val combos = LlmOps.kAnonymity(docs(s, dir), Seq("source", "lang"), 5)
+        val roll = LlmOps.kAnonymitySummary(docs(s, dir), Seq("source", "lang"), 5)
+          .select(lit("__total").as("source"), lit("").as("lang"),
+            col("n_risky_rows").as("n"), (col("min_group") >= 5).as("k_anonymous"))
+        combos.unionByName(roll).orderBy("source", "lang")
+      },
+      Some("""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) >= 5 AS k_anonymous FROM documents GROUP BY 1, 2) SELECT * FROM (SELECT source, lang, n, k_anonymous FROM c UNION ALL SELECT '__total', '', CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT), MIN(n) >= 5 FROM c) ORDER BY source, lang""")),
+
+    // Token WER over the same two analytic plants as llm_rouge_l: for
+    // BOTH, edit distance = max(|r|,|h|) − LCS is tight (ed ≥ that
+    // bound always; deletions/substitutions achieve it), so the oracle
+    // derives the distance arithmetically whatever the text content —
+    // even docs: ed = n div 7 (pure deletions), odd: ed = ceil(n/5)
+    // (pure substitutions with corpus-absent tokens)
+    "llm_wer" -> Q(
+      (s, dir) => {
+        val tk0 = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val rt = slice(tk0, 1, 40)
+        val m = pmod(col("doc_id"), lit(2))
+        val hyp = when(m === 0,
+            array_join(filter(rt, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+          .otherwise(array_join(transform(rt, (z, i) =>
+            when(pmod(i, lit(5)) === 0,
+              concat(lit("zzz"), i.cast("string"))).otherwise(z)), " "))
+        LlmOps.werScore(docs(s, dir)
+            .withColumn("ref", array_join(rt, " "))
+            .withColumn("hyp", hyp), "ref", "hyp")
+          .select(col("doc_id"), col("r_len"), col("h_len"),
+            col("edit_dist"), col("wer_u"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, len(list_filter(string_split(COALESCE(text, ''), ' '), z -> len(z) >= 1)[1:40]) AS n FROM documents), b AS (SELECT doc_id, n, CASE WHEN doc_id % 2 = 0 THEN n - n // 7 ELSE n END AS hl, CASE WHEN doc_id % 2 = 0 THEN n // 7 ELSE (n + 4) // 5 END AS ed FROM t) SELECT doc_id, CAST(n AS BIGINT) AS r_len, CAST(hl AS BIGINT) AS h_len, CAST(ed AS BIGINT) AS edit_dist, CAST(CASE WHEN n > 0 THEN ed * 1000000 // n ELSE 0 END AS BIGINT) AS wer_u FROM b ORDER BY doc_id""")),
+
     // ROUGE-L over two ANALYTIC candidate plants (first 40 tokens):
     // even docs drop every 7th token (a subsequence ⇒ LCS = |cand|
     // exactly), odd docs replace 0-based positions i%5==0 with unique
@@ -2258,6 +2298,17 @@ object SparkEntry {
           .orderBy("feature")
       },
       Some("""SELECT feature, coef FROM (SELECT '_intercept' AS feature, 7.0 AS coef UNION ALL SELECT '_n', CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) UNION ALL SELECT '_r2', 1.0 UNION ALL SELECT 'dmod', -2.0 UNION ALL SELECT 'n_chars', 3.0) ORDER BY feature""")),
+
+    // BM25 against the AT-REST inverted index (r12): bucket-pruned
+    // postings for the query terms only — scores bit-identical to the
+    // corpus-pass llm_bm25, so the SAME DuckDB replay is the oracle
+    "llm_bm25_indexed" -> Q(
+      (s, dir) => {
+        LlmOps.buildBm25Index(docs(s, dir), "graft_bm25_idx")
+        LlmOps.bm25Indexed(s, "graft_bm25_idx",
+          "fast window merge sort stream", k = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks FROM documents), d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM t), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), h AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d) WHERE tok IN ('fast', 'window', 'merge', 'sort', 'stream') GROUP BY 1, 2, 3), dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1), c AS (SELECT doc_id, CAST(ROUND(LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (tf * (CAST(1.2 AS DOUBLE) + 1.0) / (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))) * 1000000.0) AS BIGINT) AS cu FROM h JOIN dfq USING (tok) CROSS JOIN s) SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(cu) AS BIGINT) AS score_u FROM c GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 10""")),
 
     // Okapi BM25 top-10 retrieval (r8): lexical ranking next to the ANN
     // family — per-(doc, term) contributions in integer micros make the

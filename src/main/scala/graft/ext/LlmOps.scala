@@ -5822,4 +5822,134 @@ object LlmOps {
           expr("2 * lcs * 1000000 div (r_len + c_len)")).otherwise(lit(0L)))
       .drop("__r", "__c")
   }
+  /** Token-level WER (r12): Levenshtein edit distance between reference
+    * and hypothesis token sequences — the ASR/transcription quality
+    * metric (the audio sibling of [[rougeL]]/[[bleuScore]]); in a
+    * multimodal corpus it gates transcript quality against a reference
+    * pass. Same nested-fold DP shape as [[rougeL]] with the
+    * edit-distance recurrence (substitution/insert/delete all cost 1);
+    * outputs are integers (distance; WER in integer micros of the
+    * reference length) ⇒ value-exact cross-engine. Callers bound token
+    * counts (the oracle row slices to 40). */
+  def werScore(docs: DataFrame, refCol: String, hypCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
+      z => length(z) >= 1)
+    val base = docs
+      .withColumn("__r", tk(refCol))
+      .withColumn("__h", tk(hypCol))
+      .withColumn("r_len", size(col("__r")).cast("long"))
+      .withColumn("h_len", size(col("__h")).cast("long"))
+    // row 0 = [0, 1, .., m]; row i starts at i (delete-prefix cost)
+    val prev0 = transform(sequence(lit(0), size(col("__h"))),
+      j => j.cast("long"))
+    val lastRow = aggregate(
+      zip_with(col("__r"), sequence(lit(1), size(col("__r"))),
+        (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+      prev0, (prev, rt) =>
+        aggregate(col("__h"),
+          struct(array(rt.getField("i")).as("cur"), lit(1).as("j")),
+          (st, ht) => {
+            val j = st.getField("j")
+            val sub = element_at(prev, j) +
+              when(ht === rt.getField("t"), 0L).otherwise(1L)
+            val del = element_at(prev, j + 1) + 1L
+            val ins = element_at(st.getField("cur"), j) + 1L
+            struct(concat(st.getField("cur"),
+              array(least(sub, del, ins))).as("cur"), (j + 1).as("j"))
+          },
+          st => st.getField("cur")))
+    base
+      .withColumn("edit_dist",
+        when(col("r_len") === 0, col("h_len"))
+          .when(col("h_len") === 0, col("r_len"))
+          .otherwise(element_at(lastRow, size(col("__h")) + 1)))
+      .withColumn("wer_u",
+        when(col("r_len") > 0, expr("edit_dist * 1000000 div r_len"))
+          .otherwise(lit(0L)))
+      .drop("__r", "__h")
+  }
+  /** k-anonymity audit (r12): the release gate that checks whether any
+    * quasi-identifier combination (source, language, …) isolates fewer
+    * than k records — re-identification risk screening before a corpus
+    * ships (Sweeney 2002). Per-combo counts plus the corpus-level
+    * rollup every release checklist wants: rows in sub-k groups and
+    * the smallest group size. One hash aggregate on the combo key —
+    * scales as any groupBy; no windows, no driver state. */
+  def kAnonymity(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "kAnonymity: need columns and k >= 1")
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", col("n") >= k)
+  }
+
+  /** One-row rollup of [[kAnonymity]]: total rows, combos, rows at
+    * re-identification risk (in groups below k), smallest group. */
+  def kAnonymitySummary(df: DataFrame, cols: Seq[String], k: Int): DataFrame =
+    kAnonymity(df, cols, k).agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_combos"),
+      coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("n_risky_rows"),
+      min(col("n")).as("min_group"))
+  /** At-rest BM25 inverted index (r12) — the retrieval sibling of the
+    * IVF/PQ family: [[bm25]] rescans and re-explodes the corpus per
+    * query; at 100 TB a query must touch postings for ITS terms only.
+    *   - `<t>_post`  (term, id, dl, tf)  bucketed+sorted on term — a
+    *     query's `term IN (...)` is a bucket-pruned read (only the
+    *     buckets holding query terms open), never a corpus scan;
+    *   - `<t>_terms` (term, df)          bucketed on term — exact
+    *     document frequencies at rest (df over the FULL corpus, so
+    *     indexed scores are bit-identical to the corpus-pass bm25);
+    *   - `<t>_meta`  (n_corpus, sum_dl)  the two corpus constants.
+    * Postings carry dl denormalized so scoring needs NO doc-side join.
+    * Tokenization matches [[bm25]] exactly (lower, \\s+). */
+  def buildBm25Index(docs: DataFrame, table: String,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     buckets: Int = 16): Unit = {
+    val base = docs.select(col(idCol).as("id"),
+        split(lower(txt(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val postings = persistTracked(base
+      .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy("tok", "id", "dl").agg(count(lit(1)).as("tf")))
+    graft.sources.BucketedLayout.writeBucketed(
+      postings, s"${table}_post", Seq("tok"), buckets)
+    graft.sources.BucketedLayout.writeBucketed(
+      postings.groupBy("tok").agg(count(lit(1)).as("df")),
+      s"${table}_terms", Seq("tok"), buckets)
+    graft.sources.BucketedLayout.writePlain(
+      base.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl")),
+      s"${table}_meta")
+    releaseCaches()
+  }
+
+  /** BM25 top-k against [[buildBm25Index]]'s tables: reads only the
+    * query terms' postings (bucket-prunable term filter), joins the
+    * term-bucketed df table exchange-light, and reproduces [[bm25]]'s
+    * integer-micro per-term contributions bit-identically — same
+    * formula, same rounding, df/avgdl from the SAME corpus statistics,
+    * so `bm25Indexed(...) ≡ bm25(...)` row for row. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, table: String, query: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id"): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qTerms.nonEmpty, "bm25Indexed: query has no terms")
+    val hits = spark.table(s"${table}_post")
+      .filter(col("tok").isin(qTerms: _*))
+    val dfc = spark.table(s"${table}_terms")
+      .filter(col("tok").isin(qTerms: _*))
+    val stats = spark.table(s"${table}_meta")
+    val avgdl = col("sum_dl").cast("double") / col("n_corpus")
+    val idf = log(lit(1.0) +
+      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    hits.join(dfc, "tok").crossJoin(broadcast(stats))
+      .withColumn("c_u", round(idf * tfn * lit(1e6)).cast("long"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_u")).as("score_u"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
+  }
 }

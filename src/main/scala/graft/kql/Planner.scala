@@ -932,6 +932,25 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       graft.ext.LlmOps.bleuScore(df, colNameOf(df, rE, "bleu ref"),
         colNameOf(df, cE, "bleu cand"), colNameOf(df, idE, "bleu id"))
 
+    // `evaluate bm25_indexed('table', 'query', k)`: BM25 against the
+    // at-rest inverted index (postings for the query terms only)
+    case EvaluateOp("bm25_indexed", tblE :: qE :: kE :: Nil) =>
+      graft.ext.LlmOps.bm25Indexed(df.sparkSession,
+        litString(tblE, "bm25_indexed index table"),
+        litString(qE, "bm25_indexed query"), litLong(kE).toInt)
+
+    // `evaluate k_anonymity(k, col1, col2, ...)`: re-identification
+    // risk audit — per quasi-identifier-combo counts + the ≥ k flag
+    case EvaluateOp("k_anonymity", kE :: colEs) if colEs.nonEmpty =>
+      graft.ext.LlmOps.kAnonymity(df,
+        colEs.map(e => colNameOf(df, e, "k_anonymity column")),
+        litLong(kE).toInt)
+
+    // `evaluate wer(ref, hyp, id)`: token edit distance + WER micros
+    case EvaluateOp("wer", rE :: hE :: idE :: Nil) =>
+      graft.ext.LlmOps.werScore(df, colNameOf(df, rE, "wer ref"),
+        colNameOf(df, hE, "wer hyp"), colNameOf(df, idE, "wer id"))
+
     // `evaluate rouge_l(ref, cand, id)`: LCS recall/precision/F1
     case EvaluateOp("rouge_l", rE :: cE :: idE :: Nil) =>
       graft.ext.LlmOps.rougeL(df, colNameOf(df, rE, "rouge_l ref"),

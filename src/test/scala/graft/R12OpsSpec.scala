@@ -166,6 +166,86 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------------- wer
+
+  private def edRef(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.tabulate[Long](a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j.toLong else if (j == 0) i.toLong else 0L)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(
+        dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("wer: hand cases incl. the shift that beats hamming") {
+    val rows = LlmOps.werScore(Seq(
+      (0L, "the cat sat", "the cat sat"),
+      (1L, "the cat sat", "the dog sat"),
+      (2L, "a b c d", "b c d e"),      // hamming 4, edit 2 (shift)
+      (3L, "a b", "")).toDF("doc_id", "ref", "hyp"), "ref", "hyp")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("edit_dist"))
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 2L))
+  }
+
+  test("wer: fold matches a reference DP on random token arrays") {
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 10).map { i =>
+      def arr = Seq.fill(1 + rnd.nextInt(12))("t" + rnd.nextInt(4))
+      (i.toLong, arr.mkString(" "), arr.mkString(" "))
+    }
+    val got = LlmOps.werScore(cases.toDF("doc_id", "ref", "hyp"), "ref", "hyp")
+      .select("doc_id", "edit_dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, rs, hs) =>
+      assert(got(id) == edRef(rs.split(" ").toSeq, hs.split(" ").toSeq),
+        s"doc $id: '$rs' vs '$hs'")
+    }
+  }
+
+  // ------------------------------------------------------------ bm25 index
+
+  test("bm25Indexed ≡ corpus-pass bm25 row for row; postings read is " +
+      "bucket-pruned") {
+    val d = docsFixture
+    LlmOps.buildBm25Index(d, "bm25_spec_idx", buckets = 8)
+    val q = "fast window merge sort stream"
+    val direct = LlmOps.bm25(d, q, k = 10).collect().map(_.toSeq).toSeq
+    val indexed = LlmOps.bm25Indexed(spark, "bm25_spec_idx", q, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == direct)
+    // term IN (...) prunes buckets on the postings read (pin the
+    // auto-bucketed-scan rule off, the tmp_bucket_pruned_scan lesson)
+    val saved = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val plan = spark.table("bm25_spec_idx_post")
+        .filter(col("tok").isin("fast", "window"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).get
+      assert(m.group(1).toInt < m.group(2).toInt)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved)
+  }
+
+  // ------------------------------------------------------------ k-anonymity
+
+  test("kAnonymity: per-combo counts, flag, and risk rollup") {
+    val df = Seq(("a", "en"), ("a", "en"), ("a", "en"),
+                 ("a", "fr"), ("b", "en")).toDF("src", "lng")
+    val combos = LlmOps.kAnonymity(df, Seq("src", "lng"), 2)
+      .orderBy("src", "lng").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(combos.toSeq == Seq(("a", "en", 3L, true), ("a", "fr", 1L, false),
+      ("b", "en", 1L, false)))
+    val roll = LlmOps.kAnonymitySummary(df, Seq("src", "lng"), 2).head()
+    assert(roll.getLong(0) == 5L && roll.getLong(1) == 3L &&
+      roll.getLong(2) == 2L && roll.getLong(3) == 1L)
+  }
+
   // --------------------------------------------------------- hard negatives
 
   test("hardNegatives: same-label and near-dup candidates are excluded, " +
