@@ -257,20 +257,26 @@ object Scale {
       // (linearity is the whole claim); hard_negatives pins the ANCHOR
       // count at ~10 while the candidate corpus grows K× — the
       // production shape (bounded query set, growing corpus).
+      // the filters REFERENCE the computed columns so column pruning
+      // cannot skip the per-row chains a bare count() would drop
       "span_corrupt" -> (() =>
-        LlmOps.spanCorrupt(docs, 8).count()),
+        LlmOps.spanCorrupt(docs, 8)
+          .filter(length(col("input_text")) +
+            length(col("target_text")) >= 0).count()),
       "bleu" -> (() => {
         val tk = filter(split(coalesce(col("text"), lit("")), " "),
           z => length(z) >= 1)
         val d2 = docs.withColumn("ref", coalesce(col("text"), lit("")))
           .withColumn("cand", array_join(
             filter(tk, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
-        LlmOps.bleuScore(d2, "ref", "cand").count()
+        LlmOps.bleuScore(d2, "ref", "cand")
+          .filter(col("bleu_u") >= 0 && col("total_1") >= 0).count()
       }),
-      "hard_negatives" -> (() => {
-        val n = embs.count()
-        LlmOps.hardNegatives(embs,
-          anchorEvery = math.max(1L, n / 10).toInt, k = 5).count()
-      }))
+      // anchors pinned to the base copy (ids < ID_SHIFT): the query
+      // set stays 10 anchors at every K, so the measured slope is the
+      // corpus side only
+      "hard_negatives" -> (() =>
+        LlmOps.hardNegatives(embs, anchorEvery = 200, k = 5,
+          anchorMax = ID_SHIFT - 1).count()))
   }
 }

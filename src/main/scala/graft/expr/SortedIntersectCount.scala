@@ -21,7 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * no UDF boundary). Callers sort each document's token-hash array
   * ONCE (per doc, not per pair) with `sort_array`.
   *
-  * Inputs must be duplicate-free and ascending; null in → null out
+  * Inputs must be ascending. Duplicate-free inputs give |A ∩ B| set
+  * semantics (the Jaccard callers' contract); WITH duplicates the
+  * merge pairs equal values one-by-one, so the count is the MULTISET
+  * intersection Σ_v min(multA(v), multB(v)) — which is exactly the
+  * clipped n-gram match BLEU needs (`LlmOps.bleuScore`, r12).
+  * Null in → null out
   * (BinaryExpression's null-safe contract). Null ELEMENTS are not
   * expected from the hash pipelines and are treated as absent by
   * ArrayData.getLong (undefined content, never a crash).

@@ -5703,22 +5703,29 @@ object LlmOps {
       when(size(t) >= n, transform(sequence(lit(1), size(t) - (n - 1)),
         i => array_join(slice(t, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
+    val spark = docs.sparkSession
     var out = docs
       .withColumn("__r", tk(refCol))
       .withColumn("__c", tk(candCol))
       .withColumn("r_len", size(col("__r")).cast("long"))
       .withColumn("c_len", size(col("__c")).cast("long"))
     for (n <- 1 to 4) {
-      // clipped matches: Σ_g min(cnt_cand(g), cnt_ref(g)) — counted by
-      // walking the DISTINCT cand grams (size ≤ doc length, per row)
+      // clipped matches: Σ_g min(cnt_cand(g), cnt_ref(g)). Grams hash
+      // to longs and sort once per row; the merge scan of the two
+      // sorted arrays pairs equal values one-by-one, which IS the
+      // min-multiplicity count — O(len log len) codegen per row where
+      // the first cut's distinct-×-filter double lambda was an
+      // interpreted O(len²) (measured minutes at the ×32 scale corpus;
+      // this form re-measured seconds). Equality is on xxhash64 of the
+      // gram (collision ≈ 1e-16 at doc sizes; the value-exact
+      // string-grouped oracle would catch one).
       out = out
-        .withColumn(s"__cg", grams(col("__c"), n))
-        .withColumn(s"__rg", grams(col("__r"), n))
-        .withColumn(s"match_$n",
-          aggregate(array_distinct(col("__cg")), lit(0L), (acc, g) =>
-            acc + least(
-              size(filter(col("__cg"), x => x === g)),
-              size(filter(col("__rg"), x => x === g))).cast("long")))
+        .withColumn(s"__cg", sort_array(transform(grams(col("__c"), n),
+          g => xxhash64(g))))
+        .withColumn(s"__rg", sort_array(transform(grams(col("__r"), n),
+          g => xxhash64(g))))
+        .withColumn(s"match_$n", graft.expr.SortedIntersectCount(spark,
+          col("__cg"), col("__rg")).cast("long"))
         .withColumn(s"total_$n", size(col("__cg")).cast("long"))
     }
     out.drop("__r", "__c", "__cg", "__rg")
@@ -5752,13 +5759,18 @@ object LlmOps {
   def hardNegatives(emb: DataFrame, anchorEvery: Int = 50, k: Int = 5,
                     hiCos: Double = 0.9, idCol: String = "vec_id",
                     labelCol: String = "label",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    anchorMax: Long = Long.MaxValue): DataFrame = {
     require(anchorEvery >= 1 && k >= 1, "hardNegatives: bad params")
     val spark = emb.sparkSession
     val base = emb.select(col(idCol), col(labelCol),
       transform(col(vecCol), _.cast("double")).as("__v"))
       .withColumn("__n", normD(col("__v")))
-    val anchors = base.filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0)
+    // anchorMax bounds the QUERY set (production shape: fixed anchors,
+    // growing corpus) — the scale harness pins it so measured work is
+    // anchors × corpus, linear in the corpus
+    val anchors = base.filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0
+      && col(idCol) <= anchorMax)
       .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
         col("__v").as("__av"), col("__n").as("__an"))
     base.join(broadcast(anchors), col(labelCol) =!= col("__al"))
