@@ -1384,6 +1384,33 @@ object SparkEntry {
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_found, true AS hamming_bounded FROM documents""")),
 
+    // Sentence segmentation over a planted terminator layout: the doc
+    // rebuilt as 6-token sentences joined by ". " with a final "." —
+    // after the tag-and-split rule each sentence is exactly its chunk
+    // plus the terminator, so the oracle derives every row from pure
+    // slicing arithmetic (no regex on its side)
+    "llm_sentence_split" -> Q(
+      (s, dir) => {
+        val tk = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val t2 = when(size(tk) === 0, lit(""))
+          .otherwise(concat(array_join(transform(
+            sequence(lit(0), floor((size(tk) - 1) / lit(6)).cast("int")),
+            x => array_join(slice(tk, x * 6 + 1, lit(6)), " ")), ". "),
+            lit(".")))
+        LlmOps.sentenceSplit(docs(s, dir).withColumn("t2", t2), "t2")
+          .orderBy("doc_id", "sent_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '), z -> len(z) >= 1) AS tk FROM documents), b AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 6.0) AS BIGINT) AS nb FROM t WHERE len(tk) > 0) SELECT doc_id, CAST(k AS BIGINT) AS sent_idx, array_to_string(tk[k*6+1 : k*6+6], ' ') || '.' AS sentence, nb AS n_sents FROM (SELECT doc_id, tk, nb, unnest(generate_series(0, CAST(nb - 1 AS INT))) AS k FROM b) ORDER BY doc_id, sent_idx""")),
+
+    // Soft dedup: duplicate groups keep unit TOTAL influence (weight
+    // 1/n micros per copy) instead of dropping copies — integer-exact
+    "llm_dedup_soft" -> Q(
+      (s, dir) => LlmOps.dedupSoft(docs(s, dir))
+        .select(col("doc_id"), col("dup_count"), col("weight_u"))
+        .orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id, lower(trim(COALESCE(text, ''))) AS nk FROM documents), c AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS dup_count FROM k GROUP BY 1) SELECT doc_id, dup_count, CAST(1000000 // dup_count AS BIGINT) AS weight_u FROM k JOIN c USING (nk) ORDER BY doc_id""")),
+
     // k-anonymity release gate: per (source, lang) combo counts + the
     // ≥ k flag and the corpus rollup — all integers, trivial exact
     // oracle; k=5 splits the fixture (≈50 risky and ≈45 anonymous

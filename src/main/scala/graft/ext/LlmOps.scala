@@ -5964,4 +5964,41 @@ object LlmOps {
       .orderBy(col("score_u").desc, col(idCol))
       .limit(k)
   }
+  /** Sentence segmentation (r12): the chunking-prep step between raw
+    * text and [[chunk]]/[[packSequences]] — terminator-bounded splits
+    * ([.!?] followed by whitespace), one output row per sentence with
+    * its in-doc index. Lookbehind is deliberately avoided (RE2 engines
+    * have none): the terminator is TAGGED with a \\u0001 sentinel by a
+    * capture-group replace, then split on the sentinel — both engines
+    * replay the identical two-step rule. Pure per-row codegen +
+    * posexplode; empty docs yield zero rows. */
+  def sentenceSplit(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tagged = split(
+      regexp_replace(txt(textCol), "([.!?])\\s+", "$1\u0001"), "\u0001")
+    val sents = filter(transform(tagged, z => trim(z)), z => length(z) >= 1)
+    docs
+      .withColumn("n_sents", size(sents).cast("long"))
+      .select(col(idCol), col("n_sents"), posexplode(sents)
+        .as(Seq("sent_idx", "sentence")))
+      .withColumn("sent_idx", col("sent_idx").cast("long"))
+      .select(col(idCol), col("sent_idx"), col("sentence"), col("n_sents"))
+  }
+
+  /** Soft deduplication (r12): instead of DROPPING exact duplicates
+    * (dedupExact), every doc keeps a training weight 1/n where n is its
+    * normalized-text duplicate-group size — the SoftDeDup idea: the
+    * group's total influence stays one document, but no single copy is
+    * privileged. weight_u is integer micros (10⁶ div n) ⇒ value-exact.
+    * One hash aggregate on the normalized-text key joined back —
+    * group-key shuffle only, no windows. */
+  def dedupSoft(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(txt(textCol)))
+    val counts = docs.groupBy(norm.as("__k"))
+      .agg(count(lit(1)).as("dup_count"))
+    docs.withColumn("__k", norm)
+      .join(counts, "__k")
+      .withColumn("weight_u", expr("1000000 div dup_count"))
+      .drop("__k")
+  }
 }

@@ -946,6 +946,19 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colEs.map(e => colNameOf(df, e, "k_anonymity column")),
         litLong(kE).toInt)
 
+    // `evaluate sentence_split(text, id)`: terminator-bounded sentence
+    // rows with in-doc indexes (chunking prep)
+    case EvaluateOp("sentence_split", tE :: idE :: Nil) =>
+      graft.ext.LlmOps.sentenceSplit(df,
+        colNameOf(df, tE, "sentence_split text"),
+        colNameOf(df, idE, "sentence_split id"))
+
+    // `evaluate dedup_soft(text)`: duplicate-group training weights
+    // (1/n micros) instead of drops
+    case EvaluateOp("dedup_soft", tE :: Nil) =>
+      graft.ext.LlmOps.dedupSoft(df,
+        colNameOf(df, tE, "dedup_soft text"))
+
     // `evaluate wer(ref, hyp, id)`: token edit distance + WER micros
     case EvaluateOp("wer", rE :: hE :: idE :: Nil) =>
       graft.ext.LlmOps.werScore(df, colNameOf(df, rE, "wer ref"),

@@ -203,6 +203,41 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- sentence split
+
+  test("sentenceSplit: terminators bound sentences, indexes are in-doc, " +
+      "empty docs vanish") {
+    val df = Seq(
+      (0L, "One two. Three four! Five?"),
+      (1L, "No terminator here"),
+      (2L, "Trailing dot."),
+      (3L, "")).toDF("doc_id", "text")
+    val got = LlmOps.sentenceSplit(df).orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, "One two.", 3L), (0L, 1L, "Three four!", 3L),
+      (0L, 2L, "Five?", 3L),
+      (1L, 0L, "No terminator here", 1L),
+      (2L, 0L, "Trailing dot.", 1L)))
+  }
+
+  test("sentenceSplit: mid-sentence periods without whitespace do not split") {
+    val got = LlmOps.sentenceSplit(
+      Seq((0L, "Version 2.5 shipped. Done.")).toDF("doc_id", "text"))
+      .orderBy("sent_idx").collect().map(_.getString(2))
+    assert(got.toSeq == Seq("Version 2.5 shipped.", "Done."))
+  }
+
+  // --------------------------------------------------------------- softdedup
+
+  test("dedupSoft: group weights sum to one document each") {
+    val df = Seq((0L, "same text"), (1L, "Same Text  "), (2L, "unique"))
+      .toDF("doc_id", "text")
+    val got = LlmOps.dedupSoft(df).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("dup_count"), r.getAs[Long]("weight_u")))
+    assert(got.toSeq == Seq((2L, 500000L), (2L, 500000L), (1L, 1000000L)))
+  }
+
   // ------------------------------------------------------------ bm25 index
 
   test("bm25Indexed ≡ corpus-pass bm25 row for row; postings read is " +
@@ -262,6 +297,14 @@ class R12OpsSpec extends AnyFunSuite {
       .orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((0L, 1L, 3L), (0L, 2L, 4L), (0L, 3L, 5L)))
+  }
+
+  test("hardNegatives: anchors broadcast — no corpus-side shuffle for the pair scan") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val plan = LlmOps.hardNegatives(e, 50, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
   test("bleu: KQL reach for all three r12 plugins") {
