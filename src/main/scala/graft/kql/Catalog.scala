@@ -61,6 +61,11 @@ final class Catalog(spark: SparkSession, dir: String,
         .csv(s"$dir/$name.csv"), Set.empty)
     else if (exists(s"$dir/$name.json"))
       normalize(spark.read.json(s"$dir/$name.json"), Set.empty)
+    // raw text (ADX txt ingest): one string column `line` per line —
+    // the natural front for line-oriented corpora (WARC/WET dumps,
+    // log shards) feeding the line ops
+    else if (exists(s"$dir/$name.txt"))
+      spark.read.text(s"$dir/$name.txt").withColumnRenamed("value", "line")
     else normalize(spark.read.parquet(s"$dir/$name.parquet"), Set.empty) // error path
   }
 

@@ -203,6 +203,19 @@ class R12OpsSpec extends AnyFunSuite {
     }
   }
 
+
+  test("catalog: .txt tables read as one `line` string column per line") {
+    val d = java.nio.file.Files.createTempDirectory("graft_txt_cat")
+    java.nio.file.Files.writeString(d.resolve("logs.txt"),
+      "alpha beta\ngamma\n")
+    val cat = new graft.kql.Catalog(spark, d.toString)
+    val got = graft.kql.Kql.run(spark,
+      "logs | where line has 'alpha' | count", cat)
+    assert(got.head().getLong(0) == 1L)
+    assert(cat.table("logs").columns.toSeq == Seq("line"))
+    assert(cat.table("logs").count() == 2L)
+  }
+
   // -------------------------------------------------------- sentence split
 
   test("sentenceSplit: terminators bound sentences, indexes are in-doc, " +
