@@ -6001,4 +6001,43 @@ object LlmOps {
       .withColumn("weight_u", expr("1000000 div dup_count"))
       .drop("__k")
   }
+  /** Binary-embedding ANN (r12): the 1-bit end of the quantization
+    * dial (PQ → SQ8 → sign bits). Each vector's sign pattern packs
+    * into ONE 64-bit word, so candidate scoring is a single
+    * `bit_count(xor)` per pair — 64 multiply-adds become one popcount,
+    * the cheapest possible first-stage filter for cosine search
+    * (sign-agreement ≈ angle, the simhash identity). Top k·refine by
+    * (hamming, id) re-rank by EXACT cosine; the final order key is the
+    * 1e-4-quantized score with id tiebreaks (cross-engine stable).
+    * FULLY deterministic — no seed, no training, rebuildable anywhere.
+    * Requires dim ≤ 64 (one word; wider vectors take ceil(dim/64)
+    * words — same popcount sum, not needed for the 64-dim fixture). */
+  def annCosineBinary(emb: DataFrame, queryId: Long, k: Int,
+                      refine: Int = 4, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && refine >= 1, "annCosineBinary: bad params")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", normD(col("__v")))
+      .withColumn("__w", expr(
+        "aggregate(sequence(0, size(__v) - 1), 0L, " +
+          "(acc, i) -> acc | IF(__v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"))
+    val q = base.filter(col(idCol) === queryId)
+    require(!q.isEmpty, s"annCosineBinary: query id $queryId not found")
+    require(q.head().getSeq[Double](1).length <= 64,
+      "annCosineBinary: dim must be <= 64 (one packed word)")
+    val qr = broadcast(q.select(col("__w").as("__qw"), col("__v").as("__qv"),
+      col("__n").as("__qn")))
+    spread(base).crossJoin(qr)
+      .withColumn("hamming", expr("bit_count(__w ^ __qw)").cast("long"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * refine) // TakeOrderedAndProject — the popcount k-cut
+      .withColumn("cos_u", round(graft.expr.DotProductD(spark,
+        col("__qv"), col("__v")) / (col("__qn") * col("__n")) * 10000)
+        .cast("long"))
+      .orderBy(col("cos_u").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cos_u"))
+  }
 }

@@ -946,6 +946,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colEs.map(e => colNameOf(df, e, "k_anonymity column")),
         litLong(kE).toInt)
 
+    // `evaluate ann_binary(queryId, k, id, vec)`: sign-bit hamming ANN
+    case EvaluateOp("ann_binary", qE :: kE :: idE :: vE :: Nil) =>
+      graft.ext.LlmOps.annCosineBinary(df, litLong(qE), litLong(kE).toInt,
+        idCol = colNameOf(df, idE, "ann_binary id"),
+        vecCol = colNameOf(df, vE, "ann_binary vec"))
+
     // `evaluate sentence_split(text, id)`: terminator-bounded sentence
     // rows with in-doc indexes (chunking prep)
     case EvaluateOp("sentence_split", tE :: idE :: Nil) =>

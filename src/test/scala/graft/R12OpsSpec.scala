@@ -216,6 +216,30 @@ class R12OpsSpec extends AnyFunSuite {
     assert(cat.table("logs").count() == 2L)
   }
 
+  // ------------------------------------------------------------- binary ann
+
+  test("annCosineBinary: self-top, sign-flip farthest, deterministic") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val got = LlmOps.annCosineBinary(e, queryId = 0, k = 5)
+      .orderBy(col("cos_u").desc, col("vec_id")).collect()
+    assert(got.head.getLong(0) == 0L)        // the query is its own top hit
+    assert(got.head.getLong(1) == 0L)        // hamming 0 to itself
+    assert(got.head.getLong(2) == 10000L)    // cos exactly 1.0
+    // a second run over a different layout returns identical rows
+    val again = LlmOps.annCosineBinary(e.repartition(7), queryId = 0, k = 5)
+      .orderBy(col("cos_u").desc, col("vec_id")).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("annCosineBinary: hamming counts sign disagreements exactly") {
+    val vq = Seq.fill(64)(1f)
+    val v3 = vq.updated(0, -1f).updated(7, -1f).updated(63, -1f)
+    val df = Seq((0L, vq), (1L, v3)).toDF("vec_id", "embedding")
+    val got = LlmOps.annCosineBinary(df, 0, k = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 3L)))
+  }
+
   // -------------------------------------------------------- sentence split
 
   test("sentenceSplit: terminators bound sentences, indexes are in-doc, " +
