@@ -1486,6 +1486,21 @@ object SparkEntry {
         .orderBy("anchor_id", "rank"),
       Some("""WITH a AS (SELECT vec_id AS anchor_id, label AS al, embedding AS av FROM embeddings WHERE vec_id % 50 = 0), d AS (SELECT a.anchor_id, e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne, SQRT(SUM(CAST(a.av[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE))) AS na FROM embeddings e JOIN a ON e.label != a.al, generate_series(1, 64) g(i) GROUP BY 1, 2), q AS (SELECT anchor_id, vec_id, CAST(ROUND(dp / (ne * na) * 10000) AS BIGINT) AS cos_u FROM d), r AS (SELECT anchor_id, vec_id, cos_u, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_u DESC, vec_id) AS "rank" FROM q WHERE cos_u <= 9000) SELECT anchor_id, CAST("rank" AS BIGINT) AS "rank", vec_id AS neg_id, cos_u FROM r WHERE "rank" <= 5 ORDER BY anchor_id, "rank" """)),
 
+    // The binary index AT REST: 8-byte-per-vector words scan + bounded
+    // candidate collect + bucket-pruned vec fetch — value-identical to
+    // the in-memory path, so the SAME replay oracles it
+    "llm_ann_binary_indexed" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        LlmOps.buildBinaryIndex(e, "graft_bin_idx")
+        val qv = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast("double")))
+          .head().getSeq[Double](0).toArray
+        LlmOps.annCosineBinaryIndexed(s, "graft_bin_idx", qv, k = 10)
+          .orderBy(col("cos_u").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), h AS (SELECT e.vec_id, SUM(CASE WHEN (CAST(e.embedding[g.i] AS DOUBLE) > CAST(0 AS DOUBLE)) != (CAST(q.qv[g.i] AS DOUBLE) > CAST(0 AS DOUBLE)) THEN 1 ELSE 0 END) AS hamming, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne, SQRT(SUM(CAST(q.qv[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE))) AS nq FROM embeddings e, q, generate_series(1, 64) g(i) GROUP BY 1), c AS (SELECT vec_id, CAST(hamming AS BIGINT) AS hamming, CAST(ROUND(dp / (ne * nq) * 10000) AS BIGINT) AS cos_u, ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS hr FROM h) SELECT vec_id, hamming, cos_u FROM c WHERE hr <= 40 ORDER BY cos_u DESC, vec_id LIMIT 10""")),
+
     // Sign-bit hamming ANN (the 1-bit quantization end): candidates by
     // popcount of xor'd sign words, exact-cosine re-rank; the oracle
     // replays the sign-disagreement count, the (hamming, id) k·refine

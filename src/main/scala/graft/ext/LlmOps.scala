@@ -6040,4 +6040,56 @@ object LlmOps {
       .limit(k)
       .select(col(idCol), col("hamming"), col("cos_u"))
   }
+  /** At-rest binary ANN index (r12): [[annCosineBinary]]'s scan stage
+    * persisted as an 8-BYTE-per-vector words table — at 100 TB of
+    * 64-dim float vectors (256 B each) the popcount scan reads 1/32 of
+    * the bytes, and the full vectors are fetched ONLY for the k·refine
+    * candidates through a bucket-pruned id lookup (the ids are a
+    * bounded literal set, so the vec read opens just their buckets).
+    * No training, no seed: rebuilds are bit-identical anywhere. */
+  def buildBinaryIndex(emb: DataFrame, table: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       buckets: Int = 16): Unit = {
+    val base = emb.select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__w", expr(
+        "aggregate(sequence(0, size(__v) - 1), 0L, " +
+          "(acc, i) -> acc | IF(__v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"))
+    graft.sources.BucketedLayout.writePlain(
+      base.select(col(idCol), col("__w")), s"${table}_words")
+    graft.sources.BucketedLayout.writeBucketed(
+      base.select(col(idCol), col("__v").as("vec")),
+      s"${table}_vecs", Seq(idCol), buckets)
+  }
+
+  /** Probe [[buildBinaryIndex]]: popcount scan over the words table,
+    * (hamming, id) k·refine cut, bounded candidate-id collect (≤
+    * k·refine — index metadata, not data), bucket-prunable vec fetch,
+    * exact-cosine re-rank. Same output contract as [[annCosineBinary]]
+    * — the in-memory and at-rest paths are value-identical. */
+  def annCosineBinaryIndexed(spark: org.apache.spark.sql.SparkSession,
+                             table: String, queryVec: Array[Double],
+                             k: Int, refine: Int = 4,
+                             idCol: String = "vec_id"): DataFrame = {
+    require(queryVec.length <= 64, "annCosineBinaryIndexed: dim <= 64")
+    var qw = 0L
+    queryVec.zipWithIndex.foreach { case (x, i) => if (x > 0) qw |= 1L << i }
+    val cand = spark.table(s"${table}_words")
+      .withColumn("hamming", expr(s"bit_count(__w ^ ${qw}L)").cast("long"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * refine)
+      .select(col(idCol), col("hamming"))
+    val ids = cand.collect().map(_.getLong(0)) // ≤ k·refine — bounded
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val vecs = spark.table(s"${table}_vecs")
+      .filter(col(idCol).isin(ids.map(Long.box): _*))
+    cand.join(vecs, idCol)
+      .withColumn("cos_u", round(graft.expr.DotProductD(spark,
+        typedLit(queryVec.toSeq), col("vec")) /
+        (lit(qn) * normD(col("vec"))) * 10000).cast("long"))
+      .orderBy(col("cos_u").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cos_u"))
+  }
 }

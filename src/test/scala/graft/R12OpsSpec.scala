@@ -240,6 +240,22 @@ class R12OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L), (1L, 3L)))
   }
 
+  test("annCosineBinaryIndexed ≡ in-memory path; words table is 2 columns") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    LlmOps.buildBinaryIndex(e, "bin_spec_idx", buckets = 8)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0).toArray
+    val direct = LlmOps.annCosineBinary(e, 0, k = 10)
+      .orderBy(col("cos_u").desc, col("vec_id")).collect().map(_.toSeq).toSeq
+    val indexed = LlmOps.annCosineBinaryIndexed(spark, "bin_spec_idx", qv, k = 10)
+      .orderBy(col("cos_u").desc, col("vec_id")).collect().map(_.toSeq).toSeq
+    assert(indexed == direct)
+    // the scan side is id + one long word — 8 payload bytes per vector
+    assert(spark.table("bin_spec_idx_words").columns.toSeq ==
+      Seq("vec_id", "__w"))
+  }
+
   // -------------------------------------------------------- sentence split
 
   test("sentenceSplit: terminators bound sentences, indexes are in-doc, " +
