@@ -4518,6 +4518,17 @@ object SparkEntry {
       },
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c, MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_c, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status, ARG_MAX(o_orderstatus, o_orderkey) AS latest_status FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // ADX buildschema aggregate: the minimal schema of a dynamic
+    // column unioned across rows — single-typed keys render as the
+    // type string, multi-typed keys as the sorted type array
+    "q186_buildschema" -> Q(kqlQ(
+      """nation | where n_nationkey < 9
+         | extend d = case(n_nationkey % 3 == 0, '{"x": 1, "y": "s"}',
+                           n_nationkey % 3 == 1, '{"x": 1.5, "z": [1, 2]}',
+                           '{"x": true, "w": {"a": 1}}')
+         | summarize s = buildschema(d)"""),
+      Some("""SELECT '{"w":"object","x":["bool","long","real"],"y":"string","z":"array"}' AS s""")),
+
     // `set` request-option statements parse and drop (ADX request
     // properties steer service behavior with no local counterpart)
     "q182_set_statements" -> Q(kqlQ(

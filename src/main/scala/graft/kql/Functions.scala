@@ -2290,6 +2290,51 @@ object Functions {
 
   private val erfUdf = udf { (x: Double) => erfImpl(x) }
 
+  /** Per-row (key, type) extraction for the `buildschema` aggregate:
+    * JSON type inspection is Jackson-bound — no Column primitive can
+    * distinguish the NUMBER 1 from the STRING "1" inside a JSON text
+    * (the COVERAGE 2.11 JDK/library-bound UDF class). Types use the
+    * ADX spellings (long/real/string/bool/array/object/null); a
+    * non-object top level reports under the __value key. */
+  private[kql] val jsonKeyTypesUdf = udf { (s: String) =>
+    if (s == null) Seq.empty[String]
+    else try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      def ty(n: com.fasterxml.jackson.databind.JsonNode): String =
+        if (n == null || n.isNull) "null"
+        else if (n.isTextual) "string"
+        else if (n.isIntegralNumber) "long"
+        else if (n.isFloatingPointNumber) "real"
+        else if (n.isBoolean) "bool"
+        else if (n.isArray) "array"
+        else if (n.isObject) "object" else "null"
+      if (m != null && m.isObject) {
+        val it = m.fields()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey + "\u0001" + ty(e.getValue)
+        }
+        b.result()
+      } else Seq("__value\u0001" + ty(m))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+  }
+
+  /** Render the unioned (key, type) pairs as ADX buildschema JSON:
+    * single-typed keys map to the type string, multi-typed keys to the
+    * sorted type array. Runs once per AGGREGATED row (group-sized). */
+  private[kql] val schemaFormatUdf = udf { (pairs: Seq[String]) =>
+    val m = scala.collection.mutable.LinkedHashMap[String, List[String]]()
+    pairs.sorted.foreach { pr =>
+      val i = pr.indexOf('\u0001')
+      val (k, t) = (pr.substring(0, i), pr.substring(i + 1))
+      m(k) = m.getOrElse(k, Nil) :+ t
+    }
+    m.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.size == 1) "\"" + ts.head + "\""
+        else ts.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
+  }
+
   /** Inverse beta CDF by bisection on the monotone CDF — 60 halvings
     * reach ~1e-18 interval width, beyond double resolution. */
   private val betaInvUdf = udf { (p: Double, a: Double, b: Double) =>

@@ -2081,6 +2081,12 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
           aggregate(array_sort(collect_list(when(a(1), a(0)))), lit("{}"),
             (acc, x) => Functions.mergeBags(acc, x))
         case "hll" => hll_sketch_agg(a(0))
+        // ADX buildschema: minimal schema of a dynamic column — per-row
+        // (key, type) extraction (Jackson UDF, Functions.jsonKeyTypesUdf)
+        // unioned across the group, rendered once per aggregated row
+        case "buildschema" =>
+          Functions.schemaFormatUdf(array_sort(array_distinct(
+            flatten(collect_list(Functions.jsonKeyTypesUdf(a(0)))))))
         case "hll_merge" => hll_union_agg(a(0))
         case "tdigest" => graft.sketch.TDigest.tdigestAgg(a(0))
         case "tdigest_merge" | "merge_tdigest" =>
@@ -2658,7 +2664,7 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
     "covariance", "covariancep", "covarianceif", "binary_all_and",
     "binary_all_or", "binary_all_xor", "hll", "hll_merge", "tdigest",
     "tdigest_merge", "merge_tdigest", "max_by", "min_by", "arg_max",
-    "arg_min")
+    "arg_min", "buildschema")
 
   private def isIntegral(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType => true
