@@ -4744,6 +4744,36 @@ object SparkEntry {
     // Unicode-script mix: planted per-script phrases; the oracle
     // recomputes every count with RE2's spelling of the SAME Unicode
     // script classes (\p{Latin} vs Java's \p{IsLatin})
+    // Training-pair ASSEMBLY pipeline (r12) — the new ops composed
+    // end-to-end: mojibake gate (planted U+FFFD damage on id%5==2 —
+    // ASCII fixture, so the replayed score reduces to the repl term;
+    // id%7==3 docs plant per-bucket DUPLICATE text so the weight
+    // stage is non-vacuous) →
+    // soft-dedup weights among survivors → T5 span corruption → only
+    // docs that yielded spans ship as (input, target, weight) rows.
+    // One composed DuckDB replay: a wrong gate decision, weight, mask
+    // bit, or sentinel breaks the hash
+    "llm_pipeline_v5" -> Q(
+      (s, dir) => {
+        val damaged = docs(s, dir).withColumn("t2",
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            regexp_replace(coalesce(col("text"), lit("")), "o", "\ufffd"))
+            .when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(lit("shared duplicate corpus block "),
+                expr("doc_id div 100").cast("string")))
+            .otherwise(coalesce(col("text"), lit(""))))
+        val gated = LlmOps.mojibakeDetect(damaged, "t2")
+          .filter(col("mojibake_u") < 5000)
+          .select(col("doc_id"), col("t2"))
+        val weighted = LlmOps.dedupSoft(gated, "t2")
+        LlmOps.spanCorrupt(weighted, 8, textCol = "t2")
+          .filter(col("n_spans") > 0)
+          .select(col("doc_id"), col("weight_u"), col("n_spans"),
+            col("input_text"), col("target_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dmg AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN replace(COALESCE(text, ''), 'o', chr(65533)) WHEN doc_id % 7 = 3 THEN 'shared duplicate corpus block ' || CAST(doc_id // 100 AS BIGINT) ELSE COALESCE(text, '') END AS t FROM documents), sc AS (SELECT doc_id, t, CASE WHEN len(t) > 0 THEN (3 * (len(t) - len(replace(t, chr(65533), '')))) * 1000000 // len(t) ELSE 0 END AS mu FROM dmg), keep AS (SELECT doc_id, t FROM sc WHERE mu < 5000), w AS (SELECT doc_id, t, CAST(1000000 // (COUNT(*) OVER (PARTITION BY lower(trim(t)))) AS BIGINT) AS weight_u FROM keep), tw AS (SELECT doc_id, weight_u, list_filter(string_split(t, ' '), z -> len(z) >= 1) AS tk FROM w), b AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 8.0) AS INT) AS nb FROM tw), blk AS (SELECT doc_id, i, tk[i*8+1 : i*8+8] AS bt, ((doc_id * 31 + i) * 2654435761) % 4294967296 AS h FROM (SELECT doc_id, tk, unnest(generate_series(0, nb - 1)) AS i FROM b WHERE nb > 0)), blk2 AS (SELECT doc_id, i, bt, 1 + (h // 4) % 3 AS sl, (h % 4 = 0) AND (len(bt) >= (1 + (h // 4) % 3) + 2) AS m FROM blk), mk AS (SELECT doc_id, i, sl, bt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k FROM blk2 WHERE m), pieces AS (SELECT b2.doc_id, b2.i, CASE WHEN mk.k IS NOT NULL THEN array_to_string(b2.bt[1:1], ' ') || ' <extra_id_' || mk.k || '>' || CASE WHEN len(b2.bt) > mk.sl + 1 THEN ' ' || array_to_string(b2.bt[mk.sl+2 : len(b2.bt)], ' ') ELSE '' END ELSE array_to_string(b2.bt, ' ') END AS piece FROM blk2 b2 LEFT JOIN mk ON mk.doc_id = b2.doc_id AND mk.i = b2.i), inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS input_text FROM pieces GROUP BY 1), tgt AS (SELECT doc_id, string_agg('<extra_id_' || k || '> ' || array_to_string(bt[2 : sl+1], ' '), ' ' ORDER BY i) AS tgt_body, COUNT(*) AS n_spans FROM mk GROUP BY 1) SELECT tw.doc_id, tw.weight_u, CAST(tgt.n_spans AS BIGINT) AS n_spans, inp.input_text, tgt.tgt_body || ' <extra_id_' || CAST(tgt.n_spans AS BIGINT) || '>' AS target_text FROM tw JOIN inp USING (doc_id) JOIN tgt USING (doc_id) WHERE tgt.n_spans > 0 ORDER BY doc_id""")),
+
     // Mojibake / encoding-damage detection: three planted damage
     // classes (double-encoded UTF-8 digraphs on id%5==1, replacement
     // chars on 2, C1 controls on 3), every count recomputed by the

@@ -216,6 +216,28 @@ class R12OpsSpec extends AnyFunSuite {
     assert(cat.table("logs").count() == 2L)
   }
 
+  // ------------------------------------------------------------ pipeline v5
+
+  test("pipeline v5: every stage is non-vacuous on the fixture") {
+    val d = docsFixture
+    val damaged = d.withColumn("t2",
+      when(pmod(col("doc_id"), lit(5)) === 2,
+        regexp_replace(coalesce(col("text"), lit("")), "o", "\ufffd"))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(lit("shared duplicate corpus block "),
+            expr("doc_id div 100").cast("string")))
+        .otherwise(coalesce(col("text"), lit(""))))
+    val gated = LlmOps.mojibakeDetect(damaged, "t2")
+      .filter(col("mojibake_u") < 5000).select(col("doc_id"), col("t2"))
+    assert(gated.count() < d.count())             // the gate drops damage
+    assert(gated.filter(pmod(col("doc_id"), lit(5)) === 2).count() == 0)
+    val weighted = LlmOps.dedupSoft(gated, "t2")
+    assert(weighted.filter(col("weight_u") < 1000000).count() > 0) // dups exist
+    val pairs = LlmOps.spanCorrupt(weighted, 8, textCol = "t2")
+    assert(pairs.filter(col("n_spans") === 0).count() > 0)  // span cut bites
+    assert(pairs.filter(col("n_spans") > 0).count() > 0)
+  }
+
   // ------------------------------------------------------------- binary ann
 
   test("annCosineBinary: self-top, sign-flip farthest, deterministic") {
