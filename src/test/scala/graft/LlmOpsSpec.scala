@@ -1203,7 +1203,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("textNormalize: NFC composition, control strip, whitespace collapse") {
     val d = Seq(
       (1L, "café du  monde"),        // decomposed é + double space
-      (2L, "tab\there null"),          // control chars → spaces
+      (2L, "tab\there\u0000null"),          // control chars → spaces
       (3L, "  padded  "),
       (4L, null.asInstanceOf[String])       // null-text policy: empty doc
     ).toDF("doc_id", "text")
