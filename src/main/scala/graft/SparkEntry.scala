@@ -4744,6 +4744,14 @@ object SparkEntry {
     // Unicode-script mix: planted per-script phrases; the oracle
     // recomputes every count with RE2's spelling of the SAME Unicode
     // script classes (\p{Latin} vs Java's \p{IsLatin})
+    // Tokenizer vocabulary coverage: per-doc OOV rate vs the corpus
+    // top-500 word vocabulary ((count desc, token asc) deterministic
+    // cut); integer micros, replayed with the same ROW_NUMBER cut
+    "llm_tokenizer_oov" -> Q(
+      (s, dir) => LlmOps.tokenizerOov(docs(s, dir), 500)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1)) AS tok FROM documents), v AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn FROM tk GROUP BY tok) WHERE rn <= 500) SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS oov_u FROM tk t LEFT JOIN v ON v.tok = t.tok GROUP BY 1 ORDER BY 1""")),
+
     // Training-pair ASSEMBLY pipeline (r12) — the new ops composed
     // end-to-end: mojibake gate (planted U+FFFD damage on id%5==2 —
     // ASCII fixture, so the replayed score reduces to the repl term;

@@ -6092,4 +6092,29 @@ object LlmOps {
       .limit(k)
       .select(col(idCol), col("hamming"), col("cos_u"))
   }
+  /** Tokenizer vocabulary coverage (r12): per-doc out-of-vocabulary
+    * rate against the corpus top-`vocabTop` word vocabulary — the
+    * pre-training audit that decides whether a tokenizer's word list
+    * (or a BPE vocab's full-word entries) covers a new source; sources
+    * with spiking OOV need vocab refresh or transliteration first.
+    * Vocabulary selection is deterministic ((count desc, token asc) —
+    * the bpe/keyword convention); oov_u is integer micros ⇒
+    * value-exact. One token explode + one vocabulary aggregate
+    * (vocab-sized, broadcast back) + a per-doc aggregate. */
+  def tokenizerOov(docs: DataFrame, vocabTop: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(vocabTop >= 1, "tokenizerOov: vocabTop >= 1")
+    val toks = docs.select(col(idCol),
+        explode(filter(split(lower(txt(textCol)), " "),
+          z => length(z) >= 1)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabTop)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_u", expr("n_oov * 1000000 div n_tokens"))
+  }
 }

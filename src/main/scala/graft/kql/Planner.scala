@@ -952,6 +952,13 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         idCol = colNameOf(df, idE, "ann_binary id"),
         vecCol = colNameOf(df, vE, "ann_binary vec"))
 
+    // `evaluate tokenizer_oov(vocabTop, text, id)`: per-doc OOV rate
+    // vs the corpus top-K word vocabulary
+    case EvaluateOp("tokenizer_oov", vE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.tokenizerOov(df, litLong(vE).toInt,
+        colNameOf(df, tE, "tokenizer_oov text"),
+        colNameOf(df, idE, "tokenizer_oov id"))
+
     // `evaluate sentence_split(text, id)`: terminator-bounded sentence
     // rows with in-doc indexes (chunking prep)
     case EvaluateOp("sentence_split", tE :: idE :: Nil) =>

@@ -216,6 +216,18 @@ class R12OpsSpec extends AnyFunSuite {
     assert(cat.table("logs").count() == 2L)
   }
 
+  // ---------------------------------------------------------- tokenizer oov
+
+  test("tokenizerOov: rare words past the vocab cut count as OOV") {
+    // vocab top-2 by (count desc, tok asc): 'the' (3), 'cat' (2)
+    val df = Seq((0L, "the cat the"), (1L, "the cat zebra"), (2L, "qux zebra"))
+      .toDF("doc_id", "text")
+    val got = LlmOps.tokenizerOov(df, 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L, 0L, 0L), (1L, 3L, 1L, 333333L),
+      (2L, 2L, 2L, 1000000L)))
+  }
+
   // ------------------------------------------------------------ pipeline v5
 
   test("pipeline v5: every stage is non-vacuous on the fixture") {
