@@ -496,8 +496,12 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"),
         col("event_type"))
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mv_live_stage"
+    // seed under __batch_id=-1: the maintainer writes each micro-batch
+    // to its own __batch_id partition (idempotent replays), so the
+    // stage layout must be uniformly partitioned
     ev.filter(col("event_id") <= 700)
-      .write.mode("overwrite").parquet(stage)
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(stage)
     val aggs = Seq(
       graft.sources.MatAgg("count", "", "n"),
       graft.sources.MatAgg("sum", "cents", "s"),

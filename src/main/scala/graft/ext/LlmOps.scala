@@ -3051,10 +3051,14 @@ object LlmOps {
     val full = sym.groupBy("a", "b").agg(count(lit(1)).as("c"))
     val marg = full.groupBy("a").agg(sum("c").as("m_a"))
     val tot = full.agg(sum("c").as("mm"))
+    // marg is VOCABULARY-sized (one row per distinct token) — at web
+    // scale that is 1e8–1e9 rows, so the joins must stay plain
+    // shuffled equi-joins (AQE broadcasts them when actually small);
+    // a forced broadcast() here would OOM the driver at scale. Only
+    // tot (exactly 1 row) is bounded and safe to force.
     val scored = cab
-      .join(broadcast(marg), Seq("a"))
-      .join(broadcast(marg.select(col("a").as("b"), col("m_a").as("m_b"))),
-        Seq("b"))
+      .join(marg, Seq("a"))
+      .join(marg.select(col("a").as("b"), col("m_a").as("m_b")), Seq("b"))
       .crossJoin(broadcast(tot))
       .withColumn("pmi_u",
         // cast each marginal BEFORE the product: m_a·m_b in Long wraps
@@ -5753,9 +5757,14 @@ object LlmOps {
     * Scale shape: anchors are a bounded query set (broadcast); the
     * candidate scan is one embarrassingly parallel projection over the
     * corpus (DotProductD codegen kernel per pair) and the per-anchor
-    * k-cut runs through a window over anchor partitions — at real
-    * corpus scale, swap the scan for annCosineIvfIndexed probes per
-    * anchor (the at-rest index path); the contract is unchanged. */
+    * k-cut is TWO-PHASE (the sourceCap trick): rank within
+    * (anchor, input-partition) and keep <= k there — each task sorts
+    * only its own slice — then final-rank the <= k·P survivors. A
+    * single-phase Window.partitionBy(anchor_id) would shuffle
+    * anchors × corpus rows into one corpus-sized sort per anchor; at
+    * 100× data that one task IS the job. At real corpus scale, swap
+    * the scan for annCosineIvfIndexed probes per anchor (the at-rest
+    * index path); the contract is unchanged. */
   def hardNegatives(emb: DataFrame, anchorEvery: Int = 50, k: Int = 5,
                     hiCos: Double = 0.9, idCol: String = "vec_id",
                     labelCol: String = "label",
@@ -5773,15 +5782,25 @@ object LlmOps {
       && col(idCol) <= anchorMax)
       .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
         col("__v").as("__av"), col("__n").as("__an"))
-    base.join(broadcast(anchors), col(labelCol) =!= col("__al"))
+    val scored = base.join(broadcast(anchors), col(labelCol) =!= col("__al"))
       .withColumn("__cos",
         graft.expr.DotProductD(spark, col("__av"), col("__v")) /
           (col("__an") * col("__n")))
       .withColumn("cos_u", round(col("__cos") * 10000).cast("long"))
       .filter(col("cos_u") <= math.round(hiCos * 10000))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("anchor_id"))
-          .orderBy(col("cos_u").desc, col(idCol))).cast("long"))
+    // phase 1: per-(anchor, input-partition) cut — the window keys on
+    // a projected spark_partition_id column, so each sort group holds
+    // at most one input partition's candidates for one anchor (never
+    // the whole different-label corpus); survivors <= k·P
+    val localW = Window.partitionBy(col("anchor_id"), col("__p"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    // phase 2: final rank over the bounded survivor set
+    val globalW = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    scored.withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .drop("__lr", "__p")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
         col("cos_u"))
@@ -6012,6 +6031,16 @@ object LlmOps {
     * FULLY deterministic — no seed, no training, rebuildable anywhere.
     * Requires dim ≤ 64 (one word; wider vectors take ceil(dim/64)
     * words — same popcount sum, not needed for the 64-dim fixture). */
+  /** Sign-bit packing for the binary ANN family. Guarded: Java's
+    * shiftleft is mod 64, so a vector with dim > 64 would silently
+    * WRAP into a corrupted sign word — raise per-row instead (every
+    * corpus row is checked, not just the query). */
+  private val packSignWord: String =
+    "CASE WHEN size(__v) > 64 THEN " +
+      "CAST(raise_error('binary ANN: vector dim > 64 (one packed word)') AS BIGINT) " +
+    "ELSE aggregate(sequence(0, size(__v) - 1), 0L, " +
+      "(acc, i) -> acc | IF(__v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L)) END"
+
   def annCosineBinary(emb: DataFrame, queryId: Long, k: Int,
                       refine: Int = 4, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
@@ -6020,9 +6049,7 @@ object LlmOps {
     val base = emb.select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
       .withColumn("__n", normD(col("__v")))
-      .withColumn("__w", expr(
-        "aggregate(sequence(0, size(__v) - 1), 0L, " +
-          "(acc, i) -> acc | IF(__v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"))
+      .withColumn("__w", expr(packSignWord))
     val q = base.filter(col(idCol) === queryId)
     require(!q.isEmpty, s"annCosineBinary: query id $queryId not found")
     require(q.head().getSeq[Double](1).length <= 64,
@@ -6053,9 +6080,7 @@ object LlmOps {
                        buckets: Int = 16): Unit = {
     val base = emb.select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
-      .withColumn("__w", expr(
-        "aggregate(sequence(0, size(__v) - 1), 0L, " +
-          "(acc, i) -> acc | IF(__v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"))
+      .withColumn("__w", expr(packSignWord))
     graft.sources.BucketedLayout.writePlain(
       base.select(col(idCol), col("__w")), s"${table}_words")
     graft.sources.BucketedLayout.writeBucketed(

@@ -2330,9 +2330,23 @@ object Functions {
       m(k) = m.getOrElse(k, Nil) :+ t
     }
     m.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.size == 1) "\"" + ts.head + "\""
+      "\"" + escJsonKey(k) + "\":" + (if (ts.size == 1) "\"" + ts.head + "\""
         else ts.map("\"" + _ + "\"").mkString("[", ",", "]"))
     }.mkString("{", ",", "}")
+  }
+
+  /** JSON-escape a buildschema key: dynamic-column keys are arbitrary
+    * data, so a quote/backslash/control char must be escaped or the
+    * rendered schema string is invalid JSON. */
+  private def escJsonKey(k: String): String = {
+    val b = new StringBuilder(k.length + 2)
+    k.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.result()
   }
 
   /** Inverse beta CDF by bisection on the monotone CDF — 60 halvings

@@ -17,13 +17,19 @@ final case class MatAgg(fn: String, col: String, alias: String)
   * continuously fresh without rescanning history).
   *
   * The view persists as two catalog tables:
-  *   - `<view>_store` — PARTIAL aggregation states (mergeable, never
-  *     finalized at rest: avg keeps (sum, count), dcount keeps an HLL
-  *     sketch, arg_max keeps the (ord, val) struct) grouped by the view
-  *     keys, valid for source rows with `cursorCol <= cursor`;
+  *   - `<view>_store_c<cursor>` — PARTIAL aggregation states (mergeable,
+  *     never finalized at rest: avg keeps (sum, count), dcount keeps an
+  *     HLL sketch, arg_max keeps the (ord, val) struct) grouped by the
+  *     view keys, valid for source rows with `cursorCol <= cursor`. The
+  *     store is VERSIONED by its cursor: a refresh writes a NEW store
+  *     table and never overwrites the one readers resolve;
   *   - `<view>_meta` — one row pinning the source table, the derive
-  *     expressions, keys, aggregate specs, and the cursor high-water
-  *     mark, so a read reconstructs the view from the store alone.
+  *     expressions, keys, aggregate specs, the cursor high-water mark,
+  *     and the store table that cursor is valid for, so a read
+  *     reconstructs the view from the store alone. The meta write is
+  *     the COMMIT POINT: it always references a store consistent with
+  *     its cursor, so a crash anywhere inside refresh leaves the prior
+  *     (store, cursor) pair intact and reads exact.
   *
   * `materialized_view('V')` then reads store ∪ partials(delta) merged —
   * the delta being only source rows PAST the cursor, reached through a
@@ -54,7 +60,7 @@ object MatViewLayout {
     val store = base.groupBy(keys.map(col): _*)
       .agg(aggs.flatMap(partialExprs).head,
         aggs.flatMap(partialExprs).tail: _*)
-    BucketedLayout.writePlain(store, s"${view}_store")
+    BucketedLayout.writePlain(store, storeTableName(view, cursor))
     writeMeta(source.sparkSession, view, sourceTable, keys, aggs,
       cursorCol, cursor, derive)
   }
@@ -78,23 +84,33 @@ object MatViewLayout {
     val m = readMeta(spark, view)
     require(newCursor >= m.cursor,
       s"matview refresh: cursor must advance (${m.cursor} -> $newCursor)")
+    if (newCursor == m.cursor) return // delta (c, c] is empty by construction
     // merge store + delta rows in (oldCursor, newCursor]
     val merged = mergedPartials(spark, view, m, name =>
       resolve(name).filter(col(m.cursorCol) <= newCursor))
-    // a bounded eager copy breaks the read-what-you-overwrite cycle on
-    // the store table (group-key-sized, not corpus-sized)
-    val snap = merged.localCheckpoint(true)
-    BucketedLayout.writePlain(snap, s"${view}_store")
-    snap.unpersist()
+    // commit protocol: write the merged snapshot to a NEW store table
+    // keyed by the new cursor, THEN flip the meta pointer. The store
+    // readers resolve is never overwritten, so a crash before the meta
+    // write leaves (old store, old cursor) — reads stay exact and the
+    // next refresh redoes the fold idempotently (a half-written
+    // orphan store is unreferenced and overwritten on retry). The old
+    // version is dropped only after meta commits.
+    val newStore = storeTableName(view, newCursor)
+    BucketedLayout.writePlain(merged, newStore)
     writeMeta(spark, view, m.sourceTable, m.keys, m.aggs, m.cursorCol,
       newCursor, m.derive)
+    if (m.storeTable != newStore)
+      spark.sql(s"DROP TABLE IF EXISTS ${m.storeTable}")
   }
 
   // ------------------------------------------------------------- internals
 
   private final case class Meta(sourceTable: String, keys: Seq[String],
       aggs: Seq[MatAgg], cursorCol: String, cursor: Long,
-      derive: Seq[(String, String)])
+      derive: Seq[(String, String)], storeTable: String)
+
+  private def storeTableName(view: String, cursor: Long): String =
+    s"${view}_store_c$cursor"
 
   // unit/record separators — cannot occur in identifiers or the SQL
   // expressions we emit (escape sequences, not literal control bytes,
@@ -109,8 +125,10 @@ object MatViewLayout {
     val df = Seq((sourceTable, keys.mkString(Sep),
       aggs.map(a => s"${a.fn}$Sep${a.col}$Sep${a.alias}").mkString(Rec),
       cursorCol, cursor,
-      derive.map { case (n, e) => s"$n$Sep$e" }.mkString(Rec)))
-      .toDF("source_table", "keys", "aggs", "cursor_col", "cursor", "derive")
+      derive.map { case (n, e) => s"$n$Sep$e" }.mkString(Rec),
+      storeTableName(view, cursor)))
+      .toDF("source_table", "keys", "aggs", "cursor_col", "cursor",
+        "derive", "store_table")
     BucketedLayout.writePlain(df, s"${view}_meta")
   }
 
@@ -130,7 +148,9 @@ object MatViewLayout {
       if (r.getString(5).isEmpty) Nil
       else r.getString(5).split(Rec).toSeq.map { s =>
         val p = s.split(Sep, 2); (p(0), p(1))
-      })
+      },
+      // pre-versioning metas (6 columns) read the unversioned store
+      if (r.length > 6) r.getString(6) else s"${view}_store")
   }
 
   private def applyDerive(df: DataFrame,
@@ -142,7 +162,7 @@ object MatViewLayout {
     * back as the next store. */
   private def mergedPartials(spark: SparkSession, view: String, m: Meta,
       resolve: String => DataFrame): DataFrame = {
-    val store = spark.table(s"${view}_store")
+    val store = spark.table(m.storeTable)
     val delta = applyDerive(
       resolve(m.sourceTable).filter(col(m.cursorCol) > m.cursor), m.derive)
       .groupBy(m.keys.map(col): _*)

@@ -333,10 +333,14 @@ object StreamingOps {
     * reads and (2) folds exactly those rows into the store at the
     * PARTIAL level, advancing the cursor to the batch's own high-water
     * mark. foreachBatch runs batches sequentially, so append → refresh
-    * ordering is safe; a REPLAYED batch is harmless to the view (its
-    * rows sit at or below the cursor, so refresh folds nothing — a
-    * production deployment also makes the source append idempotent by
-    * writing per-batch partitions, the processDedupBatch contract).
+    * ordering is safe; and the append is IDEMPOTENT per batch — each
+    * batch lands in its own `__batch_id=<id>` partition with dynamic
+    * partition OVERWRITE, so a batch replayed after a crash (including
+    * a crash between the append and the refresh, when the cursor has
+    * not advanced) overwrites its own partition instead of appending a
+    * second copy that the next refresh would double-count. The stage
+    * path must therefore be uniformly `__batch_id`-partitioned; seed
+    * data goes in as `__batch_id=-1` (see the SparkEntry harness).
     *
     * Complements [[matViewStream]]: that one keeps view state in the
     * STREAMING state store with a changelog sink; this one keeps NO
@@ -349,15 +353,19 @@ object StreamingOps {
                             checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
         try {
           if (b.count() > 0) {
-            b.write.mode("append").parquet(stagePath)
+            // idempotent: replays overwrite their own partition only
+            b.withColumn("__batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__batch_id").parquet(stagePath)
             val hi = b.agg(max(col(cursorCol))).head().getLong(0)
             graft.sources.MatViewLayout.refresh(spark, view,
-              _ => spark.read.parquet(stagePath), hi)
+              _ => spark.read.parquet(stagePath).drop("__batch_id"), hi)
           }
         } finally b.unpersist()
       }

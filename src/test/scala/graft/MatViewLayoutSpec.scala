@@ -55,8 +55,10 @@ class MatViewLayoutSpec extends AnyFunSuite {
     val meta = spark.table("mv_spec_orders2_meta").head()
     assert(meta.getLong(4) == 1100L)
     // store row count == number of groups (partial states, not history)
-    assert(spark.table("mv_spec_orders2_store").count() ==
+    assert(spark.table("mv_spec_orders2_store_c1100").count() ==
       orders.select("o_orderpriority").distinct().count())
+    // the superseded store version was dropped after the meta commit
+    assert(!spark.catalog.tableExists("mv_spec_orders2_store_c400"))
     val got = MatViewLayout.read(spark, "mv_spec_orders2", _ => orders)
     assert(sortedRows(got) == sortedRows(direct))
     // a cursor that moves backwards is refused
@@ -118,6 +120,39 @@ class MatViewLayoutSpec extends AnyFunSuite {
     val ast = new graft.kql.Parser("materialized_view | count")
       .parseStatements().query
     assert(ast.source == graft.kql.Ast.TableRef("materialized_view"))
+  }
+
+  test("refresh commit order: a crash before the meta flip leaves reads exact") {
+    // simulate the failure window the versioned-store protocol exists
+    // for: the NEW store version is fully written but the meta pointer
+    // was never flipped (crash between the two writes). Reads must
+    // resolve the OLD (store, cursor) pair and stay exact; the orphan
+    // new version must be unreferenced.
+    MatViewLayout.build(orders, "mv_spec_crash", "orders",
+      Seq("o_orderpriority"), aggs, "o_orderkey", 500L, derive)
+    // hand-write the orphan: what refresh would produce at cursor 1200,
+    // but poisoned (zeroed counts) so reading it would provably mismatch
+    val poisoned = spark.table("mv_spec_crash_store_c500")
+      .withColumn("__p_n", lit(0L))
+    graft.sources.BucketedLayout.writePlain(poisoned, "mv_spec_crash_store_c1200")
+    // meta still points at c500 ⇒ the poisoned orphan is invisible
+    val got = MatViewLayout.read(spark, "mv_spec_crash", _ => orders)
+    assert(sortedRows(got) == sortedRows(direct))
+    // the retried refresh overwrites the orphan and commits atomically
+    MatViewLayout.refresh(spark, "mv_spec_crash", _ => orders, 1200L)
+    assert(spark.table("mv_spec_crash_meta").head().getLong(4) == 1200L)
+    val after = MatViewLayout.read(spark, "mv_spec_crash", _ => orders)
+    assert(sortedRows(after) == sortedRows(direct))
+    assert(!spark.catalog.tableExists("mv_spec_crash_store_c500"))
+  }
+
+  test("refresh to the same cursor is a no-op that keeps the store version") {
+    MatViewLayout.build(orders, "mv_spec_same", "orders",
+      Seq("o_orderpriority"), aggs, "o_orderkey", 800L, derive)
+    MatViewLayout.refresh(spark, "mv_spec_same", _ => orders, 800L)
+    assert(spark.catalog.tableExists("mv_spec_same_store_c800"))
+    val got = MatViewLayout.read(spark, "mv_spec_same", _ => orders)
+    assert(sortedRows(got) == sortedRows(direct))
   }
 
   test("non-mergeable aggregates are refused at build time") {
