@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-build extensions hook: graft_* SQL functions (the
+      // tmp_extensions_sql driver row proves the injection end-to-end)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // Kryo for the one RDD path (connected components): Tuple2[Long,
       // Long] shuffle rounds are ~2x cheaper than Java serialization;

@@ -47,6 +47,9 @@ object Scale {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-build extensions hook: graft_* SQL functions (the
+      // tmp_extensions_sql driver row proves the injection end-to-end)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.codegen.cache.maxEntries", "5000")

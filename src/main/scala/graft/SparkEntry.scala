@@ -229,7 +229,71 @@ object SparkEntry {
   def streamSessionQuery(s: SparkSession, dir: String): DataFrame =
     withLowShuffle(s) { streamSessionBody(s, dir) }
 
-  private def streamSessionBody(s: SparkSession, dir: String): DataFrame = {
+  /** tmp_rocksdb_session body (r13): the EXACT tmp_stream_session query
+    * re-run with the RocksDB state store provider — the disk-backed
+    * state backend a 100 TB deployment uses when streaming state
+    * outgrows executor memory. Hash-compared against the SAME oracle as
+    * tmp_stream_session: the backend must be invisible to results
+    * (merge-across-batch sessions, watermark flushes, all of it). */
+  def streamSessionRocksQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try streamSessionBody(s, dir, "graft_stream_session_rocks_sink")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
+  /** tmp_extensions_sql body (r13): the spark.sql.extensions hook made
+    * driver-visible. The harness sessions (Verify/Bench/TestSpark) are
+    * BUILT with `spark.sql.extensions=graft.GraftExtensions` — the
+    * exact path a cluster session takes from `spark-submit --conf`
+    * (SparkSession.applyExtensions reads the static conf at session
+    * build; a live session ignores it, which is why the conf sits in
+    * the builders and ExtensionsSpec covers the live-session
+    * registerAll alternative separately). This query then runs through
+    * the injected `graft_*` functions as PLAIN SQL — no Scala-API
+    * touch — and every output is integer-exact for the DuckDB oracle:
+    * sorted-intersect over distinct token lengths, an integer-valued
+    * self dot product, and an ADC table lookup with an arithmetic
+    * plant. */
+  def extensionsSqlQuery(s: SparkSession, dir: String): DataFrame = {
+    // the functions must have arrived via the session-build hook: this
+    // row never calls registerAll, so resolution failing here means
+    // the extensions config was dropped from the harness builder
+    require(s.catalog.functionExists("graft_dot_product"),
+      "session not built with spark.sql.extensions=graft.GraftExtensions")
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 500)
+      .createOrReplaceTempView("graft_ext_docs")
+    s.sql("""
+      SELECT doc_id,
+        CAST(graft_sorted_intersect_count(lens, sequence(1L, 10L)) AS BIGINT)
+          AS n_common,
+        CAST(graft_dot_product(transform(lens, x -> CAST(x AS DOUBLE)),
+                               transform(lens, x -> CAST(x AS DOUBLE)))
+          AS BIGINT) AS dot_ll,
+        CAST(graft_adc_score(
+               array(CAST(pmod(doc_id, 4) AS INT)),
+               transform(sequence(0, 3),
+                 i -> CAST(pmod(doc_id, 7) * 10 + i AS DOUBLE)),
+               4) AS BIGINT) AS adc_u
+      FROM (
+        SELECT doc_id,
+          array_sort(array_distinct(transform(
+            filter(split(lower(coalesce(text, '')), '\\s+'),
+                   t -> length(t) >= 1),
+            t -> CAST(length(t) AS BIGINT)))) AS lens
+        FROM graft_ext_docs)
+      ORDER BY doc_id""")
+  }
+
+  private def streamSessionBody(s: SparkSession, dir: String,
+      sink: String = "graft_stream_session_sink"): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = s.read.parquet(s"$dir/events.parquet")
@@ -250,7 +314,7 @@ object SparkEntry {
       .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
         unix_micros(col("sess_end")).as("end_us"), col("n_events"))
     val q = sess.writeStream.format("memory")
-      .queryName("graft_stream_session_sink").outputMode("append").start()
+      .queryName(sink).outputMode("append").start()
     try {
       ms.addData(evs.filter(_._1 < halfId): _*)
       q.processAllAvailable()
@@ -260,7 +324,7 @@ object SparkEntry {
       ms.addData((888889L, maxTs + 2 * 86400L * 1000000L, -1L))
       q.processAllAvailable()
     } finally q.stop()
-    s.table("graft_stream_session_sink").filter(col("user_id") >= 0)
+    s.table(sink).filter(col("user_id") >= 0)
       .orderBy("user_id", "start_us")
   }
 
@@ -5335,6 +5399,21 @@ object SparkEntry {
     "tmp_stream_session" -> Q(
       (s, dir) => streamSessionQuery(s, dir),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_id <= 2000), o AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) SELECT user_id, CAST(MIN(t) AS BIGINT) AS start_us, CAST(MAX(t) + 1800000000 AS BIGINT) AS end_us, CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+
+    // The session-window query on the RocksDB state store (disk-backed
+    // state for 100 TB streaming deployments) — same oracle as
+    // tmp_stream_session: the backend must not change a single value
+    "tmp_rocksdb_session" -> Q(
+      (s, dir) => streamSessionRocksQuery(s, dir),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_id <= 2000), o AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) SELECT user_id, CAST(MIN(t) AS BIGINT) AS start_us, CAST(MAX(t) + 1800000000 AS BIGINT) AS end_us, CAST(COUNT(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+
+    // The spark.sql.extensions hook end-to-end: graft_* codegen kernels
+    // as plain SQL functions in an extensions-configured session,
+    // integer-exact outputs (distinct-token-length intersect, integer
+    // self dot product, arithmetic ADC plant)
+    "tmp_extensions_sql" -> Q(
+      (s, dir) => extensionsSqlQuery(s, dir),
+      Some("""WITH base AS (SELECT doc_id, list_sort(list_distinct(list_transform(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), t -> len(t) >= 1), t -> CAST(len(t) AS BIGINT)))) AS lens FROM documents WHERE doc_id <= 500) SELECT doc_id, CAST(len(list_intersect(lens, CAST([1,2,3,4,5,6,7,8,9,10] AS BIGINT[]))) AS BIGINT) AS n_common, CAST(coalesce(list_sum(list_transform(lens, x -> x * x)), 0) AS BIGINT) AS dot_ll, CAST((doc_id % 7) * 10 + (doc_id % 4) AS BIGINT) AS adc_u FROM base ORDER BY doc_id""")),
 
     // Exact duplicated-substring removal (Lee et al. 2021, token
     // granular): DuckDB replays the whole rewrite — windows, md5

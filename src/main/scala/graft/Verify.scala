@@ -20,6 +20,9 @@ object Verify {
       // fixture events.ts is TIMESTAMP(NANOS); read as long + normalize
       // in graft.kql.Catalog
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-build extensions hook: graft_* SQL functions (the
+      // tmp_extensions_sql driver row proves the injection end-to-end)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // Kryo for the one RDD path (connected components): Tuple2[Long,
       // Long] shuffle rounds are ~2x cheaper than Java serialization;

@@ -378,6 +378,22 @@ class R11OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_.getAs[String]("target")).forall(_._2.length <= 2))
   }
 
+  test("pmiContexts: marginal joins are NOT forced broadcasts") {
+    // marg is vocabulary-sized (a row per distinct token: 1e8-1e9 at
+    // web scale) — a forced broadcast() would OOM the driver where a
+    // plain shuffled join is exactly as correct. The LOGICAL plan must
+    // carry no broadcast hint on the marginal joins; AQE may still
+    // choose a broadcast at runtime when the side is actually small
+    // (that is the point). The 1-row total stays hinted.
+    val rows = (1L to 40L)
+      .map(i => (i, s"a b c w${i % 5}")).toDF("doc_id", "text")
+    val logical = LlmOps.pmiContexts(rows, 1, 2, 2)
+      .queryExecution.optimizedPlan.toString
+    val hints = "(?i)broadcast".r.findAllIn(logical).length
+    // exactly the crossJoin(broadcast(tot)) hint survives optimization
+    assert(hints <= 1, s"marginal join carries a broadcast hint:\n$logical")
+  }
+
   test("pmi_contexts reachable from KQL") {
     val out = Kql.run(spark,
       "documents | evaluate pmi_contexts(2, 2, 3, text)", cat).collect()

@@ -394,6 +394,47 @@ class R12OpsSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("hardNegatives: two-phase k-cut — no corpus-sized single-partition window") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val q = LlmOps.hardNegatives(e, 50, 5)
+    val plan = q.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // phase 1 must key on (anchor_id, __p): each sort group holds at
+    // most one input partition's candidates for one anchor — the
+    // single-phase shape (anchor_id alone on the full candidate set)
+    // sorts ~the whole different-label corpus in ONE task per anchor
+    assert(specs.exists(s => s.contains("anchor_id") && s.contains("__p")),
+      s"no (anchor_id, __p) pre-cut window in plan:\n${plan.take(2000)}")
+    // and the anchor-only final rank exists too (over <= k*P survivors)
+    assert(specs.exists(s => s.contains("anchor_id") && !s.contains("__p")),
+      s"no final per-anchor rank window:\n${plan.take(2000)}")
+    // two-phase ≡ the naive single-phase cut (same deterministic key)
+    import org.apache.spark.sql.expressions.Window
+    val base = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val anchors = base.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("al"),
+        col("v").as("av"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val naive = base.join(broadcast(anchors), col("label") =!= col("al"))
+      .withColumn("cos_u", round(dot(col("av"), col("v")) /
+        (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("v"), col("v")))) *
+        10000).cast("long"))
+      .filter(col("cos_u") <= 9000)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("anchor_id"), col("rank"), col("vec_id").as("neg_id"),
+        col("cos_u"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(q.collect().map(key).sorted.toSeq ==
+      naive.collect().map(key).sorted.toSeq)
+  }
+
   test("bleu: KQL reach for all three r12 plugins") {
     val cat = new graft.kql.Catalog(spark, TestSpark.sfDir)
     val n1 = graft.kql.Kql.run(spark,

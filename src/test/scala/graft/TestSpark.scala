@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-build extensions hook: graft_* SQL functions (the
+      // tmp_extensions_sql driver row proves the injection end-to-end)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
