@@ -3044,11 +3044,15 @@ object LlmOps {
     val pairs = base.select(explode(flatten(array(pairCols: _*))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-    val cab = sym.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    // marginals/total from the UNFILTERED symmetric pair space (the
-    // probability space; filtering only prunes which pairs are SCORED)
+    // ONE pair aggregation feeds everything: the scored pairs are the
+    // unfiltered space filtered by minCount (identical aggregate, so
+    // rewriting cab as a filter of full halves the explode+aggregate
+    // work and lets the three consumers reuse the same exchange);
+    // marginals/total come from the UNFILTERED symmetric pair space
+    // (the probability space; filtering only prunes what is SCORED)
     val full = sym.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cab = full.filter(col("c") >= minCount)
+      .select(col("a"), col("b"), col("c").as("c_ab"))
     val marg = full.groupBy("a").agg(sum("c").as("m_a"))
     val tot = full.agg(sum("c").as("mm"))
     // marg is VOCABULARY-sized (one row per distinct token) — at web
