@@ -34,6 +34,15 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // loadavg BEFORE the warm-up pass: loadavg_before is sampled after
+    // warm-up, when the bench's own 32 threads have already driven the
+    // 1-min average to 5+ — only this pre-warmup sample can prove the
+    // host was externally quiet (the r8 verdict's clean-host ask)
+    def loadavg0(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg0()
     // JIT/codegen warm-up: run every query once against the smallest
     // fixture so the timed pass below measures the engine, not
     // first-touch class loading and codegen compilation (cold-vs-warm
@@ -159,7 +168,7 @@ object Bench {
     val unbudgeted = results.keys.filterNot(budgets.contains).toSeq.sorted
     val payload =
       s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
-      s""""loadavg_before":"$loadBefore","loadavg_mid":"$loadMid","loadavg_after":"$loadAfter",""" +
+      s""""loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_mid":"$loadMid","loadavg_after":"$loadAfter",""" +
       s""""storage_bytes_mid":$storageMid,"storage_bytes_after":$storageAfter,""" +
       s""""class_subtotals":$classJson,""" +
       s""""budget_violations":${violations.mkString("[", ",", "]")},""" +

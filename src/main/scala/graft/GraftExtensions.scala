@@ -55,6 +55,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 3, "graft_adc_score(codes, table, ksub)")
         graft.expr.AdcScoreD(children(0), children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_sorted_gram_hashes"),
+      info("graft_sorted_gram_hashes",
+        "graft_sorted_gram_hashes(token_hashes, n) - sorted xxhash64-fold n-gram identities"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sorted_gram_hashes(token_hashes, n)")
+        graft.expr.SortedGramHashes(children(0), children(1))
       }))
 
   /** Register into an ALREADY-RUNNING session (withExtensions only

@@ -5707,36 +5707,41 @@ object LlmOps {
                 idCol: String = "doc_id"): DataFrame = {
     def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
       z => length(z) >= 1)
-    def grams(t: Column, n: Int): Column =
-      when(size(t) >= n, transform(sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+    // n-gram identities fold-hashed and SORTED in one codegen loop over
+    // once-hashed tokens (expr/SortedGramHashes — see its scaladoc for
+    // the measured A/B: the r12 array_join-over-slices string form and
+    // an HOF hash-combine rewrite both paid interpreted per-element
+    // prices; the codegen loop measures 2.6×/8× under them at the ×32
+    // scale corpus). Equal token sequences hash equal by construction;
+    // collision risk is the same xxhash64 1e-16 class the string form
+    // already accepted (the value-exact string-grouped oracle would
+    // catch one).
     val spark = docs.sparkSession
+    def gramHashes(h: Column, n: Int): Column =
+      graft.expr.SortedGramHashes(spark, h, n)
     var out = docs
       .withColumn("__r", tk(refCol))
       .withColumn("__c", tk(candCol))
+      .withColumn("__rh", transform(col("__r"), z => xxhash64(z)))
+      .withColumn("__ch", transform(col("__c"), z => xxhash64(z)))
       .withColumn("r_len", size(col("__r")).cast("long"))
       .withColumn("c_len", size(col("__c")).cast("long"))
     for (n <- 1 to 4) {
       // clipped matches: Σ_g min(cnt_cand(g), cnt_ref(g)). Grams hash
       // to longs and sort once per row; the merge scan of the two
       // sorted arrays pairs equal values one-by-one, which IS the
-      // min-multiplicity count — O(len log len) codegen per row where
-      // the first cut's distinct-×-filter double lambda was an
+      // min-multiplicity count — O(len log len) per row where the
+      // first cut's distinct-×-filter double lambda was an
       // interpreted O(len²) (measured minutes at the ×32 scale corpus;
-      // this form re-measured seconds). Equality is on xxhash64 of the
-      // gram (collision ≈ 1e-16 at doc sizes; the value-exact
-      // string-grouped oracle would catch one).
+      // this form re-measured seconds).
       out = out
-        .withColumn(s"__cg", sort_array(transform(grams(col("__c"), n),
-          g => xxhash64(g))))
-        .withColumn(s"__rg", sort_array(transform(grams(col("__r"), n),
-          g => xxhash64(g))))
+        .withColumn(s"__cg", gramHashes(col("__ch"), n))
+        .withColumn(s"__rg", gramHashes(col("__rh"), n))
         .withColumn(s"match_$n", graft.expr.SortedIntersectCount(spark,
           col("__cg"), col("__rg")).cast("long"))
         .withColumn(s"total_$n", size(col("__cg")).cast("long"))
     }
-    out.drop("__r", "__c", "__cg", "__rg")
+    out.drop("__r", "__c", "__rh", "__ch", "__cg", "__rg")
       .withColumn("bleu_u",
         when((1 to 4).map(n => col(s"match_$n") > 0).reduce(_ && _),
           round(

@@ -22,6 +22,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
   }
 
+  test("sorted gram hashes: sorted, shift-consistent, len<n empty") {
+    // the same token subsequence yields the same gram hash wherever it
+    // sits, so ["a","b","c"] vs ["x","a","b","c"] share exactly the
+    // ("a","b") and ("b","c") bigram identities
+    val r = spark.sql(
+      """SELECT graft_sorted_gram_hashes(transform(array('a','b','c'), t -> xxhash64(t)), 2) AS g1,
+        |       graft_sorted_gram_hashes(transform(array('x','a','b','c'), t -> xxhash64(t)), 2) AS g2,
+        |       graft_sorted_gram_hashes(transform(array('a'), t -> xxhash64(t)), 2) AS em""".stripMargin)
+      .head
+    val g1 = r.getSeq[Long](0); val g2 = r.getSeq[Long](1)
+    assert(g1 == g1.sorted && g2 == g2.sorted)
+    assert(g1.toSet.subsetOf(g2.toSet) && g2.size == 3 && g1.size == 2)
+    assert(r.getSeq[Long](2).isEmpty)
+  }
+
   test("adc score function registers and scores a 1-subspace code") {
     // codes = [1], table = scores for (sub 0: code 0, code 1)
     val r = spark.sql(
@@ -35,7 +50,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new GraftExtensions
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("graft_adc_score", "graft_dot_product",
-        "graft_sorted_intersect_count"))
+        "graft_sorted_gram_hashes", "graft_sorted_intersect_count"))
     assert(ext.isInstanceOf[
       org.apache.spark.sql.SparkSessionExtensions => Unit])
   }

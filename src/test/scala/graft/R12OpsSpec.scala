@@ -290,6 +290,44 @@ class R12OpsSpec extends AnyFunSuite {
       Seq("vec_id", "__w"))
   }
 
+  test("annCosineBinary/buildBinaryIndex: a corpus vector wider than 64 raises") {
+    // Java's shiftleft is mod 64 — without the per-row guard a dim-65
+    // vector would silently WRAP into a corrupted sign word
+    val bad = Seq((0L, Seq.fill(64)(1f)), (1L, Seq.fill(65)(1f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      LlmOps.annCosineBinary(bad, 0, k = 2).collect()
+    }
+    assert(e1.getMessage.contains("dim > 64") ||
+      Option(e1.getCause).exists(_.getMessage.contains("dim > 64")),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      LlmOps.buildBinaryIndex(bad, "bin_spec_bad")
+    }
+    assert(e2.getMessage.contains("dim > 64") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dim > 64")),
+      e2.getMessage)
+  }
+
+  test("buildschema renders quote/backslash keys as valid JSON") {
+    // keys are arbitrary dynamic-column data: build a JSON doc whose
+    // keys contain " and \ (codepoints 34/92, avoiding KQL literal
+    // escape ambiguity) and require the rendered schema to RE-PARSE
+    val cat2 = new graft.kql.Catalog(spark, TestSpark.sfDir)
+    val out = graft.kql.Kql.run(spark,
+      """nation | where n_nationkey == 0
+         | extend q = unicode_codepoints_to_string(34),
+                  b = unicode_codepoints_to_string(92)
+         | extend d = strcat('{"a', b, q, 'b": 1, "c', b, b,
+                             'd": "x", "e": true}')
+         | summarize s = buildschema(d)""", cat2).head.getString(0)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    assert(node.isObject, out)
+    assert(node.get("a\"b") != null && node.get("a\"b").asText == "long", out)
+    assert(node.get("c\\d") != null && node.get("c\\d").asText == "string", out)
+    assert(node.get("e").asText == "bool", out)
+  }
+
   // -------------------------------------------------------- sentence split
 
   test("sentenceSplit: terminators bound sentences, indexes are in-doc, " +
