@@ -4820,6 +4820,39 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some("""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1)) AS tok FROM documents), v AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn FROM tk GROUP BY tok) WHERE rn <= 500) SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS oov_u FROM tk t LEFT JOIN v ON v.tok = t.tok GROUP BY 1 ORDER BY 1""")),
 
+    // SFT pair assembly (r13): loss-mask geometry in pure integer
+    // arithmetic over token counts — per-row projection, zero shuffle
+    "llm_sft_pack" -> Q(
+      (s, dir) => LlmOps.sftPack(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1)) AS n FROM documents) SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(greatest(1, (n * 330000) // 1000000) AS BIGINT) AS n_prompt, CAST(n - greatest(1, (n * 330000) // 1000000) AS BIGINT) AS n_response, CAST(n + 2 AS BIGINT) AS total_len, CAST(greatest(1, (n * 330000) // 1000000) + 2 AS BIGINT) AS loss_start, CAST(n - greatest(1, (n * 330000) // 1000000) + 1 AS BIGINT) AS loss_len FROM t WHERE n >= 2 ORDER BY doc_id""")),
+
+    // DPO preference pairs (r13): per-prompt (argmax, argmin) of the
+    // deterministic type-token-ratio score with id tie-breaks — ONE
+    // hash aggregate of packed structs, never a window or self-join
+    "llm_dpo_pairs" -> Q(
+      (s, dir) => LlmOps.dpoPairs(docs(s, dir), groups = 50)
+        .orderBy("prompt_id"),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 50 AS prompt_id, len(toks) AS n, len(list_distinct(toks)) AS d FROM (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1) AS toks FROM documents) WHERE len(toks) >= 1), s AS (SELECT doc_id, prompt_id, (d * 1000000) // n AS score FROM t), g AS (SELECT prompt_id, doc_id, score, ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rb, ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id ASC) AS rw, COUNT(*) OVER (PARTITION BY prompt_id) AS nc FROM s) SELECT b.prompt_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id, CAST(b.score - w.score AS BIGINT) AS margin_u, CAST(b.nc AS BIGINT) AS n_candidates FROM g b JOIN g w ON b.prompt_id = w.prompt_id AND b.rb = 1 AND w.rw = 1 WHERE b.nc >= 2 AND b.score - w.score > 0 ORDER BY b.prompt_id""")),
+
+    // Matryoshka truncation-fidelity audit (r13): per-width prefix
+    // energy ‖v[:d]‖/‖v‖ in per-row micros, dims-sized aggregate
+    "llm_matryoshka" -> Q(
+      (s, dir) => LlmOps.matryoshkaEval(embs(s, dir)).orderBy("dim"),
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), f AS (SELECT vec_id, vv, list_sum(list_transform(vv, x -> x * x)) AS fe FROM v), e AS (SELECT vec_id, d.dim AS dim, CAST(ROUND(sqrt(list_sum(list_transform(vv[1:d.dim], x -> x * x)) / fe) * 1000000) AS BIGINT) AS fid FROM f, (VALUES (8), (16), (32), (64)) d(dim) WHERE fe > 0) SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(fid) // COUNT(*) AS BIGINT) AS avg_fid_u, CAST(MIN(fid) AS BIGINT) AS min_fid_u FROM e GROUP BY dim ORDER BY dim""")),
+
+    // Curriculum shards (r13): global two-phase rank by difficulty
+    // score, contiguous shard cut by rank arithmetic
+    "llm_curriculum" -> Q(
+      (s, dir) => LlmOps.curriculumShards(docs(s, dir), shards = 8)
+        .orderBy("rank"),
+      Some("""WITH t AS (SELECT doc_id, len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1)) AS n, len(coalesce(text, '')) AS c FROM documents), s AS (SELECT doc_id, (c * 1000000) // n AS score_u FROM t WHERE n >= 1), r AS (SELECT doc_id, score_u, ROW_NUMBER() OVER (ORDER BY score_u, doc_id) AS rk, COUNT(*) OVER () AS nn FROM s) SELECT doc_id, CAST(score_u AS BIGINT) AS score_u, CAST(rk AS BIGINT) AS rank, CAST(((rk - 1) * 8) // nn AS BIGINT) AS shard FROM r ORDER BY rk""")),
+
+    // CCNet-style per-language LM terciles (r13): unigram neg-logprob
+    // micros + two-phase per-language rank -> head/middle/tail
+    "llm_ccnet_buckets" -> Q(
+      (s, dir) => LlmOps.ccnetBuckets(docs(s, dir)).orderBy("doc_id"),
+      Some("""WITH terms AS (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1)) AS term FROM documents), tfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1), nx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM terms), sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(CAST(ROUND(-LN(tf / n) * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS score_u FROM terms JOIN tfx USING (term), nx GROUP BY 1, 2), r AS (SELECT doc_id, lang, n_tokens, score_u, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_u, doc_id) AS rk, COUNT(*) OVER (PARTITION BY lang) AS nl FROM sc) SELECT doc_id, lang, n_tokens, score_u, CASE ((rk - 1) * 3) // nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket FROM r ORDER BY doc_id""")),
+
     // Training-pair ASSEMBLY pipeline (r12) — the new ops composed
     // end-to-end: mojibake gate (planted U+FFFD damage on id%5==2 —
     // ASCII fixture, so the replayed score reduces to the repl term;

@@ -6151,4 +6151,200 @@ object LlmOps {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_u", expr("n_oov * 1000000 div n_tokens"))
   }
+
+  // ================================================== r13 training-data ops
+
+  /** SFT training-pair assembly (r13): split each document into a
+    * prompt prefix and a response suffix and emit the LOSS-MASK
+    * geometry an SFT data loader needs — with BOS before the prompt
+    * and EOS after the response, loss applies to positions
+    * [loss_start, loss_start + loss_len) = the response tokens plus
+    * EOS (the standard completions-only masking). Everything is
+    * integer arithmetic over token counts ⇒ value-exact; documents
+    * with fewer than 2 tokens cannot form a pair and are dropped.
+    *
+    * 100 TB shape: pure per-row projection, zero shuffle. */
+  def sftPack(docs: DataFrame, promptFrac: Double = 0.33,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(promptFrac > 0 && promptFrac < 1, "sftPack: 0 < promptFrac < 1")
+    val fracU = math.round(promptFrac * 1e6)
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), t => length(t) >= 1)
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("n_prompt",
+        greatest(lit(1L), expr(s"(n_tokens * ${fracU}L) div 1000000")))
+      .withColumn("n_response", col("n_tokens") - col("n_prompt"))
+      .withColumn("total_len", col("n_tokens") + 2) // + BOS + EOS
+      .withColumn("loss_start", col("n_prompt") + 2) // 1-based, after BOS+prompt
+      .withColumn("loss_len", col("n_response") + 1) // response + EOS
+  }
+
+  /** DPO/RLHF preference-pair mining (r13): candidate responses group
+    * by prompt; the pair is (argmax, argmin) of a deterministic
+    * quality score with id tie-breaks, emitted with its score margin —
+    * the standard construction of preference data from scored
+    * generations. The score here is the type-token ratio in integer
+    * micros (distinct/total tokens — a lexical-diversity proxy with
+    * the fixture's schema); production swaps in any per-row score
+    * column without changing the aggregate. Groups with one candidate
+    * (or margin 0) cannot teach a preference and are dropped.
+    *
+    * 100 TB shape: one per-row projection + ONE hash aggregate by
+    * prompt (max/min of packed structs — partial aggregation applies);
+    * never a self-join or window. */
+  def dpoPairs(docs: DataFrame, groups: Int = 50,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(groups >= 1, "dpoPairs: groups >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), t => length(t) >= 1)
+    val scored = docs
+      .select(col(idCol),
+        pmod(col(idCol), lit(groups.toLong)).as("prompt_id"),
+        size(toks).cast("long").as("__n"),
+        size(array_distinct(toks)).cast("long").as("__d"))
+      .filter(col("__n") >= 1)
+      .withColumn("score_u", expr("(__d * 1000000) div __n"))
+    scored.groupBy("prompt_id")
+      .agg(
+        max(struct(col("score_u"), (-col(idCol)).as("__nid"))).as("__best"),
+        min(struct(col("score_u"), col(idCol))).as("__worst"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("prompt_id"),
+        (-col("__best.__nid")).as("chosen_id"),
+        col("__worst." + idCol).as("rejected_id"),
+        (col("__best.score_u") - col("__worst.score_u")).as("margin_u"),
+        col("n_candidates"))
+      .filter(col("n_candidates") >= 2 && col("margin_u") > 0)
+  }
+
+  /** Matryoshka prefix-fidelity audit (r13, Kusupati et al. 2022): for
+    * each truncation width d, the fraction of a vector's L2 energy its
+    * first d dimensions carry — cos(v, truncate_d(v)) = ‖v[:d]‖/‖v‖ —
+    * aggregated over the corpus. The audit that decides which MRL
+    * truncation widths are safe to serve from an index. Per-row values
+    * round to integer micros BEFORE aggregation (the unigram_logprob
+    * convention), so the corpus means are value-exact integers.
+    *
+    * 100 TB shape: per-row slices + one dims-sized aggregate. */
+  def matryoshkaEval(embs: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64),
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "matryoshkaEval: dims >= 1")
+    val v = transform(col(vecCol), _.cast("double"))
+    def sumsq(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x * x)
+    val perRow = embs.select(col(idCol), v.as("__v"))
+      .withColumn("__full", sumsq(col("__v")))
+      .filter(col("__full") > 0)
+      .select(col(idCol), explode(typedLit(dims.sorted)).as("dim"),
+        col("__v"), col("__full"))
+      .withColumn("fid_u",
+        round(sqrt(sumsq(slice(col("__v"), lit(1), col("dim"))) / col("__full"))
+          * 1e6).cast("long"))
+    perRow.groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(fid_u) div count(1)").as("avg_fid_u"),
+        min("fid_u").as("min_fid_u"))
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
+  /** Curriculum sharding (r13): order the corpus by a difficulty score
+    * and cut it into S contiguous shards — the easy-to-hard schedule a
+    * curriculum-training loader consumes shard by shard. Score here is
+    * mean token length in micros (a crude readability proxy; swap any
+    * per-row score in production). The global rank runs TWO-PHASE
+    * (range-partition by (score, id), local row_number + broadcast
+    * per-partition offsets — the stratifiedSplit machinery with one
+    * stratum): no single task ever sorts the corpus.
+    *
+    * 100 TB shape: one range exchange + key-count-sized offset
+    * broadcast; shard assignment is pure arithmetic on the rank. */
+  def curriculumShards(docs: DataFrame, shards: Int = 8,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, "curriculumShards: shards >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), t => length(t) >= 1)
+    val scored = docs
+      .select(col(idCol), size(toks).cast("long").as("__n"),
+        length(txt(textCol)).cast("long").as("__c"))
+      .filter(col("__n") >= 1)
+      .withColumn("score_u", expr("(__c * 1000000) div __n"))
+    val p = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    // explicit partition count: AQE must not re-coalesce the range
+    // exchange differently across the two subtrees (pid drift would
+    // misalign local ranks and their offsets)
+    val ranged = scored.repartitionByRange(p, col("score_u"), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val wLoc = Window.partitionBy(col("__pid"))
+      .orderBy(col("score_u"), col(idCol))
+    val local = ranged.withColumn("__lr", row_number().over(wLoc).cast("long"))
+    val stats = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c2"))
+    val wPre = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // partition-count frame is P rows — the tiny global window is fine
+    val off = stats
+      .withColumn("__off", coalesce(sum(col("__c2")).over(wPre), lit(0L)))
+      .withColumn("__nn", sum(col("__c2")).over(wAll))
+      .select(col("__pid"), col("__off"), col("__nn"))
+    local.join(broadcast(off), Seq("__pid"))
+      .withColumn("rank", col("__lr") + col("__off"))
+      .withColumn("shard", expr(s"((rank - 1) * ${shards}L) div __nn"))
+      .select(col(idCol), col("score_u"), col("rank"), col("shard"))
+  }
+
+  /** CCNet-style per-language LM buckets (r13, Wenzek et al. 2020):
+    * score each document by unigram mean negative log-probability
+    * (integer micros — the unigram_logprob convention) and split EACH
+    * LANGUAGE into head/middle/tail terciles by score rank — the
+    * published pre-filter that keeps a per-language quality dial
+    * instead of one global threshold (which would drop whole
+    * low-resource languages). Rank-based terciles (not approximate
+    * quantile thresholds) so the cut replays exactly cross-engine.
+    *
+    * 100 TB shape: token explode + vocabulary aggregate + per-doc
+    * aggregate for the score; then the two-phase per-LANGUAGE rank
+    * (languages spread across range partitions; a mega-language never
+    * lands in one task). */
+  def ccnetBuckets(docs: DataFrame, langCol: String = "lang",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), col(langCol).as("__lang"),
+      explode(filter(split(lower(txt(textCol)), "\\s+"),
+        t => length(t) >= 1)).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("__tf"))
+    val n = toks.agg(count(lit(1)).as("__nn"))
+    val scoredDocs = toks.join(tf, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("__nlp_u", round(-log(col("__tf").cast("double") /
+        col("__nn")) * 1e6).cast("long"))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(__nlp_u) div count(1)").as("score_u"))
+    val p = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = scoredDocs
+      .repartitionByRange(p, col("__lang"), col("score_u"), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val wLoc = Window.partitionBy(col("__pid"), col("__lang"))
+      .orderBy(col("score_u"), col(idCol))
+    val local = ranged.withColumn("__lr", row_number().over(wLoc).cast("long"))
+    val stats = ranged.groupBy(col("__pid"), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val wPre = Window.partitionBy(col("__lang")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = stats
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .withColumn("__nl", sum(col("__c")).over(wAll))
+      .select(col("__pid"), col("__lang"), col("__off"), col("__nl"))
+    local.join(broadcast(off), Seq("__pid", "__lang"))
+      .withColumn("__rank", col("__lr") + col("__off"))
+      .withColumn("bucket",
+        when(expr("((__rank - 1) * 3) div __nl") === 0, "head")
+          .when(expr("((__rank - 1) * 3) div __nl") === 1, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col("__lang").as(langCol), col("n_tokens"),
+        col("score_u"), col("bucket"))
+  }
 }

@@ -959,6 +959,37 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tE, "tokenizer_oov text"),
         colNameOf(df, idE, "tokenizer_oov id"))
 
+    // `evaluate sft_pack(text, id)`: SFT loss-mask geometry per doc
+    case EvaluateOp("sft_pack", tE :: idE :: Nil) =>
+      graft.ext.LlmOps.sftPack(df,
+        textCol = colNameOf(df, tE, "sft_pack text"),
+        idCol = colNameOf(df, idE, "sft_pack id"))
+
+    // `evaluate dpo_pairs(groups, text, id)`: per-prompt preference pairs
+    case EvaluateOp("dpo_pairs", gE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.dpoPairs(df, litLong(gE).toInt,
+        colNameOf(df, tE, "dpo_pairs text"),
+        colNameOf(df, idE, "dpo_pairs id"))
+
+    // `evaluate matryoshka(vec, id)`: prefix-energy truncation audit
+    case EvaluateOp("matryoshka", vE :: idE :: Nil) =>
+      graft.ext.LlmOps.matryoshkaEval(df,
+        vecCol = colNameOf(df, vE, "matryoshka vec"),
+        idCol = colNameOf(df, idE, "matryoshka id"))
+
+    // `evaluate curriculum_shards(shards, text, id)`: easy-to-hard cut
+    case EvaluateOp("curriculum_shards", sE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.curriculumShards(df, litLong(sE).toInt,
+        colNameOf(df, tE, "curriculum_shards text"),
+        colNameOf(df, idE, "curriculum_shards id"))
+
+    // `evaluate ccnet_buckets(lang, text, id)`: per-language LM terciles
+    case EvaluateOp("ccnet_buckets", lE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.ccnetBuckets(df,
+        colNameOf(df, lE, "ccnet_buckets lang"),
+        colNameOf(df, tE, "ccnet_buckets text"),
+        colNameOf(df, idE, "ccnet_buckets id"))
+
     // `evaluate sentence_split(text, id)`: terminator-bounded sentence
     // rows with in-doc indexes (chunking prep)
     case EvaluateOp("sentence_split", tE :: idE :: Nil) =>

@@ -101,6 +101,8 @@ object Suggest {
     "mojibake_detect", "span_corrupt", "bleu", "hard_negatives", "rouge_l",
     "wer", "k_anonymity", "bm25_indexed", "sentence_split", "dedup_soft",
     "ann_binary", "tokenizer_oov",
+    "sft_pack", "dpo_pairs", "matryoshka", "curriculum_shards",
+    "ccnet_buckets",
     "stratified_split", "stupid_backoff", "warc_meta",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",
