@@ -357,6 +357,17 @@ object Scale {
           _ => spark.read.parquet(s"$dir/documents_by_id.parquet")).count()),
       "matview_read_hi" -> (() =>
         graft.sources.MatViewLayout.read(spark, s"graft_scale_mvhi_x$k",
-          _ => spark.read.parquet(s"$dir/documents_by_id.parquet")).count()))
+          _ => spark.read.parquet(s"$dir/documents_by_id.parquet")).count()),
+      // r13 additions: the two shuffle-bearing training-data ops.
+      // ccnet: token explode + SHUFFLED vocab join (K× distinct tokens
+      // under the prefix-disjoint copies) + two-phase per-lang rank.
+      // curriculum: one range exchange + P-row offset broadcast.
+      // the filters reference computed outputs (forced evaluation)
+      "ccnet_buckets" -> (() =>
+        LlmOps.ccnetBuckets(docs)
+          .filter(col("score_u") >= 0 && length(col("bucket")) >= 4).count()),
+      "curriculum_shards" -> (() =>
+        LlmOps.curriculumShards(docs, shards = 8)
+          .filter(col("rank") >= 1 && col("shard") >= 0).count()))
   }
 }
