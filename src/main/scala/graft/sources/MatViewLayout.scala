@@ -93,21 +93,26 @@ object MatViewLayout {
     // readers resolve is never overwritten, so a crash before the meta
     // write leaves (old store, old cursor) — reads stay exact and the
     // next refresh redoes the fold idempotently (a half-written
-    // orphan store is unreferenced and overwritten on retry). The old
-    // version is dropped only after meta commits.
+    // orphan store is unreferenced and overwritten on retry). The
+    // directly superseded version is KEPT one refresh longer — an
+    // in-flight read that resolved meta before the flip still scans
+    // it safely (bounded snapshot isolation) — and the grandparent
+    // version is dropped only after this meta commit.
     val newStore = storeTableName(view, newCursor)
     BucketedLayout.writePlain(merged, newStore)
     writeMeta(spark, view, m.sourceTable, m.keys, m.aggs, m.cursorCol,
-      newCursor, m.derive)
-    if (m.storeTable != newStore)
-      spark.sql(s"DROP TABLE IF EXISTS ${m.storeTable}")
+      newCursor, m.derive, prevStore = m.storeTable)
+    if (m.prevStore.nonEmpty && m.prevStore != newStore &&
+        m.prevStore != m.storeTable)
+      spark.sql(s"DROP TABLE IF EXISTS ${m.prevStore}")
   }
 
   // ------------------------------------------------------------- internals
 
   private final case class Meta(sourceTable: String, keys: Seq[String],
       aggs: Seq[MatAgg], cursorCol: String, cursor: Long,
-      derive: Seq[(String, String)], storeTable: String)
+      derive: Seq[(String, String)], storeTable: String,
+      prevStore: String)
 
   private def storeTableName(view: String, cursor: Long): String =
     s"${view}_store_c$cursor"
@@ -120,15 +125,15 @@ object MatViewLayout {
 
   private def writeMeta(spark: SparkSession, view: String, sourceTable: String,
       keys: Seq[String], aggs: Seq[MatAgg], cursorCol: String, cursor: Long,
-      derive: Seq[(String, String)]): Unit = {
+      derive: Seq[(String, String)], prevStore: String = ""): Unit = {
     import spark.implicits._
     val df = Seq((sourceTable, keys.mkString(Sep),
       aggs.map(a => s"${a.fn}$Sep${a.col}$Sep${a.alias}").mkString(Rec),
       cursorCol, cursor,
       derive.map { case (n, e) => s"$n$Sep$e" }.mkString(Rec),
-      storeTableName(view, cursor)))
+      storeTableName(view, cursor), prevStore))
       .toDF("source_table", "keys", "aggs", "cursor_col", "cursor",
-        "derive", "store_table")
+        "derive", "store_table", "prev_store")
     BucketedLayout.writePlain(df, s"${view}_meta")
   }
 
@@ -150,7 +155,8 @@ object MatViewLayout {
         val p = s.split(Sep, 2); (p(0), p(1))
       },
       // pre-versioning metas (6 columns) read the unversioned store
-      if (r.length > 6) r.getString(6) else s"${view}_store")
+      if (r.length > 6) r.getString(6) else s"${view}_store",
+      if (r.length > 7) r.getString(7) else "")
   }
 
   private def applyDerive(df: DataFrame,

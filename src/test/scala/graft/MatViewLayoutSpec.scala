@@ -57,8 +57,12 @@ class MatViewLayoutSpec extends AnyFunSuite {
     // store row count == number of groups (partial states, not history)
     assert(spark.table("mv_spec_orders2_store_c1100").count() ==
       orders.select("o_orderpriority").distinct().count())
-    // the superseded store version was dropped after the meta commit
+    // the directly superseded version is KEPT for in-flight readers;
+    // a second refresh drops it (grandparent collection)
+    assert(spark.catalog.tableExists("mv_spec_orders2_store_c400"))
+    MatViewLayout.refresh(spark, "mv_spec_orders2", _ => orders, 1200L)
     assert(!spark.catalog.tableExists("mv_spec_orders2_store_c400"))
+    assert(spark.catalog.tableExists("mv_spec_orders2_store_c1100"))
     val got = MatViewLayout.read(spark, "mv_spec_orders2", _ => orders)
     assert(sortedRows(got) == sortedRows(direct))
     // a cursor that moves backwards is refused
@@ -143,7 +147,21 @@ class MatViewLayoutSpec extends AnyFunSuite {
     assert(spark.table("mv_spec_crash_meta").head().getLong(4) == 1200L)
     val after = MatViewLayout.read(spark, "mv_spec_crash", _ => orders)
     assert(sortedRows(after) == sortedRows(direct))
+    // superseded c500 kept one refresh (in-flight readers), then collected
+    assert(spark.catalog.tableExists("mv_spec_crash_store_c500"))
+    MatViewLayout.refresh(spark, "mv_spec_crash", _ => orders, 1300L)
     assert(!spark.catalog.tableExists("mv_spec_crash_store_c500"))
+  }
+
+  test("a read planned BEFORE a refresh still collects exactly after it") {
+    // snapshot isolation, bounded at one version back: the read's plan
+    // resolved the pre-refresh meta and store; the refresh commits and
+    // keeps that superseded store, so the in-flight collect is exact
+    MatViewLayout.build(orders, "mv_spec_inflight", "orders",
+      Seq("o_orderpriority"), aggs, "o_orderkey", 600L, derive)
+    val planned = MatViewLayout.read(spark, "mv_spec_inflight", _ => orders)
+    MatViewLayout.refresh(spark, "mv_spec_inflight", _ => orders, 1400L)
+    assert(sortedRows(planned) == sortedRows(direct))
   }
 
   test("refresh to the same cursor is a no-op that keeps the store version") {
