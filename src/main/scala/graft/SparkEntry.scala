@@ -4820,6 +4820,37 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some("""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '), z -> len(z) >= 1)) AS tok FROM documents), v AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn FROM tk GROUP BY tok) WHERE rn <= 500) SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS oov_u FROM tk t LEFT JOIN v ON v.tok = t.tok GROUP BY 1 ORDER BY 1""")),
 
+    // Deterministic global training shuffle (r13): md5(seed:id) order
+    // key (exact in every engine), two-phase global rank, round-robin
+    // shard cut — randomness paid once at prep, sequential reads at
+    // train time
+    "llm_global_shuffle" -> Q(
+      (s, dir) => LlmOps.globalShuffle(docs(s, dir), shards = 8)
+        .orderBy("shard", "pos_in_shard"),
+      Some("""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM documents) SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard, CAST(pos // 8 AS BIGINT) AS pos_in_shard FROM r ORDER BY shard, pos_in_shard""")),
+
+    // Classifier calibration audit (r13): fixed-width reliability bins
+    // of (TTR score, length outcome) — per-bin support, positives,
+    // mean predicted and observed rate, all integer micros
+    "llm_calibration" -> Q(
+      (s, dir) => LlmOps.calibrationBins(docs(s, dir)).orderBy("bin"),
+      Some("""WITH t AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d, len(coalesce(text, '')) AS c FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1) AS toks FROM documents) WHERE len(toks) >= 1), s AS (SELECT (d * 1000000) // n AS score_u, CASE WHEN c >= 200 THEN 1 ELSE 0 END AS label FROM t), b AS (SELECT least((score_u * 10) // 1000000, 9) AS bin, score_u, label FROM s) SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS positives, CAST(SUM(score_u) // COUNT(*) AS BIGINT) AS mean_score_u, CAST((SUM(label) * 1000000) // COUNT(*) AS BIGINT) AS observed_u FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // ROUGE-1/2 recall (r13): same subsequence cand plant as llm_bleu;
+    // the oracle recomputes the multiset gram intersection from its own
+    // explode — value-exact integers end-to-end
+    "llm_rouge_n" -> Q(
+      (s, dir) => {
+        val tk = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val d2 = docs(s, dir)
+          .withColumn("ref", coalesce(col("text"), lit("")))
+          .withColumn("cand", array_join(
+            filter(tk, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+        LlmOps.rougeN(d2, "ref", "cand").orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) >= 1) AS r FROM documents), t AS (SELECT doc_id, r, list_filter(r, (x, i) -> i % 7 != 0) AS c FROM base), r1c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(r) AS g FROM t) GROUP BY 1, 2), c1c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(c) AS g FROM t) GROUP BY 1, 2), m1 AS (SELECT r1c.doc_id, SUM(LEAST(r1c.n, c1c.n)) AS m FROM r1c JOIN c1c ON r1c.doc_id = c1c.doc_id AND r1c.g = c1c.g GROUP BY 1), r2c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(r) - 1), i -> concat(r[i], chr(31), r[i+1]))) AS g FROM t WHERE len(r) >= 2) GROUP BY 1, 2), c2c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(c) - 1), i -> concat(c[i], chr(31), c[i+1]))) AS g FROM t WHERE len(c) >= 2) GROUP BY 1, 2), m2 AS (SELECT r2c.doc_id, SUM(LEAST(r2c.n, c2c.n)) AS m FROM r2c JOIN c2c ON r2c.doc_id = c2c.doc_id AND r2c.g = c2c.g GROUP BY 1), ln AS (SELECT doc_id, len(r) AS rl FROM t) SELECT ln.doc_id, CAST(COALESCE(m1.m, 0) AS BIGINT) AS match_1, CAST(rl AS BIGINT) AS ref_1, CAST(CASE WHEN rl > 0 THEN (COALESCE(m1.m, 0) * 1000000) // rl ELSE 0 END AS BIGINT) AS recall_1_u, CAST(COALESCE(m2.m, 0) AS BIGINT) AS match_2, CAST(greatest(rl - 1, 0) AS BIGINT) AS ref_2, CAST(CASE WHEN rl - 1 > 0 THEN (COALESCE(m2.m, 0) * 1000000) // (rl - 1) ELSE 0 END AS BIGINT) AS recall_2_u FROM ln LEFT JOIN m1 ON ln.doc_id = m1.doc_id LEFT JOIN m2 ON ln.doc_id = m2.doc_id ORDER BY ln.doc_id""")),
+
     // SFT pair assembly (r13): loss-mask geometry in pure integer
     // arithmetic over token counts — per-row projection, zero shuffle
     "llm_sft_pack" -> Q(

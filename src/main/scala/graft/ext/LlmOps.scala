@@ -6293,6 +6293,111 @@ object LlmOps {
       .select(col(idCol), col("score_u"), col("rank"), col("shard"))
   }
 
+  /** Deterministic global training shuffle (r13): reshard the corpus
+    * into S shards in a pseudorandom but fully REPRODUCIBLE order —
+    * order key md5(seed ":" id) (the fingerprint convention: exact in
+    * every engine), global position via the two-phase rank, shard =
+    * round-robin over positions so every shard is a uniform sample of
+    * the hash order. This is the "shuffle once globally, then stream
+    * shards sequentially" step every large-scale training run does
+    * (sequential I/O at train time, randomness paid once at prep).
+    *
+    * 100 TB shape: one range exchange on the hash key + P-row offset
+    * broadcast; no corpus-sized single-task sort. */
+  def globalShuffle(docs: DataFrame, shards: Int = 8, seed: Long = 42L,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, "globalShuffle: shards >= 1")
+    val keyed = docs.select(col(idCol))
+      .withColumn("__h", md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))))
+    val p = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = keyed.repartitionByRange(p, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val wLoc = Window.partitionBy(col("__pid"))
+      .orderBy(col("__h"), col(idCol))
+    val local = ranged.withColumn("__lr", row_number().over(wLoc).cast("long"))
+    val stats = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    val wPre = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partition-count frame is P rows — the tiny global window is fine
+    val off = stats
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(off), Seq("__pid"))
+      .withColumn("pos", col("__lr") + col("__off") - 1)
+      .withColumn("shard", pmod(col("pos"), lit(shards.toLong)))
+      .withColumn("pos_in_shard", expr(s"pos div ${shards}L"))
+      .select(col(idCol), col("shard"), col("pos_in_shard"))
+  }
+
+  /** Classifier calibration audit (r13): reliability bins for a
+    * (score, outcome) pair — fixed-width score bins, per-bin support
+    * and observed positive rate in integer micros. The standard check
+    * before a quality-classifier score is used as a keep/drop
+    * threshold or a sampling weight (an uncalibrated score silently
+    * skews the kept mix). Here score = type-token ratio and outcome =
+    * "document longer than `charCut` chars" — deterministic fixture
+    * stand-ins; production swaps any score/label columns.
+    *
+    * 100 TB shape: per-row projection + ONE bins-sized aggregate. */
+  def calibrationBins(docs: DataFrame, bins: Int = 10, charCut: Int = 200,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 1, "calibrationBins: bins >= 1")
+    val toks = filter(split(lower(txt(textCol)), "\\s+"), t => length(t) >= 1)
+    val scored = docs
+      .select(col(idCol), size(toks).cast("long").as("__n"),
+        length(txt(textCol)).cast("long").as("__c"),
+        size(array_distinct(toks)).cast("long").as("__d"))
+      .filter(col("__n") >= 1)
+      .withColumn("score_u", expr("(__d * 1000000) div __n"))
+      .withColumn("label", (col("__c") >= charCut).cast("long"))
+      // fixed-width bins over [0, 1e6]; a perfect 1e6 score clamps
+      // into the top bin
+      .withColumn("bin", least(expr(s"(score_u * ${bins}L) div 1000000"),
+        lit((bins - 1).toLong)))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).as("positives"),
+        expr("sum(score_u) div count(1)").as("mean_score_u"))
+      .withColumn("observed_u", expr("(positives * 1000000) div n"))
+  }
+
+  /** ROUGE-N (r13, Lin 2004 §2): n-gram RECALL of the candidate
+    * against the reference — the precision-side complement lives in
+    * [[bleuScore]]; ROUGE-1/2 are the standard summarization
+    * companions of [[rougeL]]'s LCS view. Clipped matches come from
+    * the same [[graft.expr.SortedGramHashes]] + SortedIntersectCount
+    * merge-scan kernel BLEU uses (multiset min-multiplicity). Outputs
+    * are integers (match/total counts; recall in integer micros) ⇒
+    * value-exact cross-engine.
+    *
+    * 100 TB shape: per-row codegen chains, zero shuffle. */
+  def rougeN(docs: DataFrame, refCol: String, candCol: String,
+             idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
+      z => length(z) >= 1)
+    var out = docs
+      .withColumn("__rh", transform(tk(refCol), z => xxhash64(z)))
+      .withColumn("__ch", transform(tk(candCol), z => xxhash64(z)))
+    for (n <- 1 to 2) {
+      out = out
+        .withColumn(s"__rg", graft.expr.SortedGramHashes(spark, col("__rh"), n))
+        .withColumn(s"__cg", graft.expr.SortedGramHashes(spark, col("__ch"), n))
+        .withColumn(s"match_$n", graft.expr.SortedIntersectCount(spark,
+          col("__cg"), col("__rg")).cast("long"))
+        .withColumn(s"ref_$n", size(col("__rg")).cast("long"))
+        .withColumn(s"recall_${n}_u",
+          when(col(s"ref_$n") > 0,
+            expr(s"(match_$n * 1000000) div ref_$n")).otherwise(lit(0L)))
+    }
+    out.drop("__rh", "__ch", "__rg", "__cg")
+      .select(col(idCol), col("match_1"), col("ref_1"), col("recall_1_u"),
+        col("match_2"), col("ref_2"), col("recall_2_u"))
+  }
+
   /** CCNet-style per-language LM buckets (r13, Wenzek et al. 2020):
     * score each document by unigram mean negative log-probability
     * (integer micros — the unigram_logprob convention) and split EACH

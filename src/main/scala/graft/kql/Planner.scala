@@ -959,6 +959,24 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         colNameOf(df, tE, "tokenizer_oov text"),
         colNameOf(df, idE, "tokenizer_oov id"))
 
+    // `evaluate global_shuffle(shards, id)`: deterministic training reshard
+    case EvaluateOp("global_shuffle", sE :: idE :: Nil) =>
+      graft.ext.LlmOps.globalShuffle(df, litLong(sE).toInt,
+        idCol = colNameOf(df, idE, "global_shuffle id"))
+
+    // `evaluate calibration_bins(bins, charCut, text, id)`: reliability bins
+    case EvaluateOp("calibration_bins", bE :: cE :: tE :: idE :: Nil) =>
+      graft.ext.LlmOps.calibrationBins(df, litLong(bE).toInt,
+        litLong(cE).toInt, colNameOf(df, tE, "calibration_bins text"),
+        colNameOf(df, idE, "calibration_bins id"))
+
+    // `evaluate rouge_n(ref, cand, id)`: ROUGE-1/2 n-gram recall
+    case EvaluateOp("rouge_n", rE :: cE :: idE :: Nil) =>
+      graft.ext.LlmOps.rougeN(df,
+        colNameOf(df, rE, "rouge_n ref"),
+        colNameOf(df, cE, "rouge_n cand"),
+        colNameOf(df, idE, "rouge_n id"))
+
     // `evaluate sft_pack(text, id)`: SFT loss-mask geometry per doc
     case EvaluateOp("sft_pack", tE :: idE :: Nil) =>
       graft.ext.LlmOps.sftPack(df,

@@ -102,7 +102,7 @@ object Suggest {
     "wer", "k_anonymity", "bm25_indexed", "sentence_split", "dedup_soft",
     "ann_binary", "tokenizer_oov",
     "sft_pack", "dpo_pairs", "matryoshka", "curriculum_shards",
-    "ccnet_buckets",
+    "ccnet_buckets", "global_shuffle", "calibration_bins", "rouge_n",
     "stratified_split", "stupid_backoff", "warc_meta",
     "kmv_distinct", "knn_cosine", "label_propagation",
     "lang_id", "length_histogram", "line_dedup", "line_dedup_incremental",

@@ -108,6 +108,67 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalShuffle: permutation, round-robin shards, seed-stable") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val a = LlmOps.globalShuffle(docs, shards = 4).collect()
+    val n = a.length
+    // every doc appears exactly once; positions within a shard are
+    // contiguous 0..size-1
+    assert(a.map(_.getLong(0)).distinct.length == n)
+    a.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // round-robin cut: shard sizes within 1 of each other
+    val sizes = a.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // deterministic across layouts
+    val b = LlmOps.globalShuffle(docs.repartition(7), shards = 4).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    // and NOT the identity order (it actually shuffles)
+    val firstShardIds = a.filter(_.getLong(1) == 0).sortBy(_.getLong(2))
+      .map(_.getLong(0)).toSeq
+    assert(firstShardIds != firstShardIds.sorted)
+  }
+
+  test("calibrationBins: bin arithmetic and observed rates on a plant") {
+    // scores: "a b" -> 1e6 (top bin 9), "a a" -> 500000 (bin 5);
+    // labels: text length >= 6 chars with charCut 6
+    val df = Seq((1L, "a b c"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = LlmOps.calibrationBins(df, bins = 10, charCut = 6)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // "a b c": TTR 1e6 -> clamped bin 9, label 0 (5 chars);
+    // "a a a": TTR 333333 -> bin 3, label 0
+    assert(got.toSeq == Seq((3L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
+    val got2 = LlmOps.calibrationBins(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      bins = 10, charCut = 6).collect()
+    assert(got2.head.getLong(2) == 1L) // 16 chars >= 6 -> positive
+    assert(got2.head.getAs[Long]("observed_u") == 1000000L)
+  }
+
+  test("rougeN: hand-computed recall on a known pair") {
+    // ref = a b c d, cand = a b d: match_1 = 3, ref_1 = 4 (recall .75);
+    // bigrams ref {ab, bc, cd}, cand {ab, bd} -> match_2 = 1, ref_2 = 3
+    val df = Seq((1L, "a b c d", "a b d")).toDF("doc_id", "ref", "cand")
+    val r = LlmOps.rougeN(df, "ref", "cand").head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (3L, 4L, 750000L, 1L, 3L, 333333L))
+  }
+
+  test("KQL reach for the batch-2 r13 plugins") {
+    assert(Kql.run(spark,
+      "documents | evaluate global_shuffle(8, doc_id) | summarize n = count() by shard | count",
+      cat).head.getLong(0) == 8L)
+    assert(Kql.run(spark,
+      "documents | evaluate calibration_bins(10, 200, text, doc_id) | count",
+      cat).head.getLong(0) > 0)
+    assert(Kql.run(spark,
+      "documents | extend r = text, c = text | evaluate rouge_n(r, c, doc_id) | where recall_1_u == 1000000 | count",
+      cat).head.getLong(0) > 0)
+  }
+
   test("KQL reach for the five r13 plugins") {
     assert(Kql.run(spark,
       "documents | evaluate sft_pack(text, doc_id) | count", cat)
