@@ -563,4 +563,51 @@ class KqlPropertySpec extends AnyFunSuite {
       graft.ext.LlmOps.releaseCaches()
     }
   }
+
+  test("SortedGramHashes match counts ≡ a string-gram recompute (random docs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random token sequences over a tiny alphabet (forces duplicate
+    // grams, exercising the multiset min-multiplicity semantics)
+    val word = Gen.oneOf("a", "b", "c", "ab", "ba")
+    val doc = Gen.listOfN(23, word)
+    val pair = for { r <- doc; c <- doc } yield (r, c)
+    val cases = samples(Gen.listOfN(8, pair), 3)
+    for ((ps, k) <- cases.zipWithIndex) {
+      val df = ps.zipWithIndex
+        .map { case ((r, c), i) => (i.toLong, r.mkString(" "), c.mkString(" ")) }
+        .toDF("doc_id", "ref", "cand")
+      val got = graft.ext.LlmOps.bleuScore(df, "ref", "cand")
+        .orderBy("doc_id").collect()
+        .map(r => (1 to 4).map(n => r.getAs[Long](s"match_$n")))
+      def grams(ws: Seq[String], n: Int): Seq[Seq[String]] =
+        if (ws.length < n) Seq.empty else ws.sliding(n).map(_.toSeq).toSeq
+      val want = ps.map { case (r, c) =>
+        (1 to 4).map { n =>
+          val rg = grams(r, n).groupBy(identity).view.mapValues(_.size)
+          grams(c, n).groupBy(identity).map { case (g, o) =>
+            math.min(o.size, rg.getOrElse(g, 0))
+          }.sum.toLong
+        }
+      }
+      assert(got.toSeq == want, s"case $k")
+    }
+  }
+
+  test("two-phase md5 global shuffle ≡ a naive driver-side sort (random ids)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = Gen.listOfN(41, Gen.chooseNum(0L, 5000L)).map(_.distinct)
+    for ((ids, k) <- samples(gen, 3).zipWithIndex) {
+      val df = ids.map(Tuple1(_)).toDF("doc_id").repartition(5)
+      val got = graft.ext.LlmOps.globalShuffle(df, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def m5(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = ids.sortBy(id => (m5(s"42:$id"), id)).zipWithIndex
+        .map { case (id, p) => (id, (p % 3).toLong, (p / 3).toLong) }.toSet
+      assert(got == want, s"case $k")
+    }
+  }
 }
