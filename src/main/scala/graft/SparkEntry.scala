@@ -4851,6 +4851,29 @@ object SparkEntry {
       },
       Some("""WITH base AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) >= 1) AS r FROM documents), t AS (SELECT doc_id, r, list_filter(r, (x, i) -> i % 7 != 0) AS c FROM base), r1c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(r) AS g FROM t) GROUP BY 1, 2), c1c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(c) AS g FROM t) GROUP BY 1, 2), m1 AS (SELECT r1c.doc_id, SUM(LEAST(r1c.n, c1c.n)) AS m FROM r1c JOIN c1c ON r1c.doc_id = c1c.doc_id AND r1c.g = c1c.g GROUP BY 1), r2c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(r) - 1), i -> concat(r[i], chr(31), r[i+1]))) AS g FROM t WHERE len(r) >= 2) GROUP BY 1, 2), c2c AS (SELECT doc_id, g, COUNT(*) AS n FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(c) - 1), i -> concat(c[i], chr(31), c[i+1]))) AS g FROM t WHERE len(c) >= 2) GROUP BY 1, 2), m2 AS (SELECT r2c.doc_id, SUM(LEAST(r2c.n, c2c.n)) AS m FROM r2c JOIN c2c ON r2c.doc_id = c2c.doc_id AND r2c.g = c2c.g GROUP BY 1), ln AS (SELECT doc_id, len(r) AS rl FROM t) SELECT ln.doc_id, CAST(COALESCE(m1.m, 0) AS BIGINT) AS match_1, CAST(rl AS BIGINT) AS ref_1, CAST(CASE WHEN rl > 0 THEN (COALESCE(m1.m, 0) * 1000000) // rl ELSE 0 END AS BIGINT) AS recall_1_u, CAST(COALESCE(m2.m, 0) AS BIGINT) AS match_2, CAST(greatest(rl - 1, 0) AS BIGINT) AS ref_2, CAST(CASE WHEN rl - 1 > 0 THEN (COALESCE(m2.m, 0) * 1000000) // (rl - 1) ELSE 0 END AS BIGINT) AS recall_2_u FROM ln LEFT JOIN m1 ON ln.doc_id = m1.doc_id LEFT JOIN m2 ON ln.doc_id = m2.doc_id ORDER BY ln.doc_id""")),
 
+    // Composed training-run prep pipeline v6 (r13): CCNet per-language
+    // quality gate (drop the tail tercile) -> SFT loss-mask geometry
+    // (drop <2-token docs) -> deterministic global shuffle of the
+    // SURVIVING set into 8 shards. The oracle replays all three stages
+    // as chained CTEs — a drift anywhere (tercile cut, mask
+    // arithmetic, md5 order) mismatches
+    "llm_pipeline_v6" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val kept = LlmOps.ccnetBuckets(d).filter(col("bucket") =!= "tail")
+          .select(col("doc_id"), col("lang"), col("bucket"))
+        val sft = LlmOps.sftPack(d)
+          .select(col("doc_id"), col("loss_start"), col("loss_len"))
+        val base = kept.join(sft, "doc_id")
+        val shuf = LlmOps.globalShuffle(base, shards = 8)
+        base.join(shuf, "doc_id")
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            col("loss_start"), col("loss_len"), col("shard"),
+            col("pos_in_shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH terms AS (SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) >= 1)) AS term FROM documents), tfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1), nx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM terms), sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(CAST(ROUND(-LN(tf / n) * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS score_u FROM terms JOIN tfx USING (term), nx GROUP BY 1, 2), rk AS (SELECT doc_id, lang, n_tokens, CASE ((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_u, doc_id) - 1) * 3) // (COUNT(*) OVER (PARTITION BY lang)) WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket FROM sc), keep AS (SELECT doc_id, lang, bucket, n_tokens FROM rk WHERE bucket != 'tail'), b AS (SELECT doc_id, lang, bucket, CAST(greatest(1, (n_tokens * 330000) // 1000000) + 2 AS BIGINT) AS loss_start, CAST(n_tokens - greatest(1, (n_tokens * 330000) // 1000000) + 1 AS BIGINT) AS loss_len FROM keep WHERE n_tokens >= 2), sh AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos FROM b) SELECT b.doc_id, lang, bucket, loss_start, loss_len, CAST(pos % 8 AS BIGINT) AS shard, CAST(pos // 8 AS BIGINT) AS pos_in_shard FROM b JOIN sh ON b.doc_id = sh.doc_id ORDER BY b.doc_id""")),
+
     // SFT pair assembly (r13): loss-mask geometry in pure integer
     // arithmetic over token counts — per-row projection, zero shuffle
     "llm_sft_pack" -> Q(
