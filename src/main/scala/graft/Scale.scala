@@ -363,6 +363,27 @@ object Scale {
       // under the prefix-disjoint copies) + two-phase per-lang rank.
       // curriculum: one range exchange + P-row offset broadcast.
       // the filters reference computed outputs (forced evaluation)
+      // rouge_l / wer: per-row sequence-DP metrics over FULL document
+      // token counts (the r12 interpreted-fold form had to slice bench
+      // rows to 40 tokens; these hooks measure the unbounded shape)
+      "rouge_l" -> (() => {
+        val tk2 = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val d2 = docs.withColumn("ref", coalesce(col("text"), lit("")))
+          .withColumn("cand", array_join(
+            filter(tk2, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+        LlmOps.rougeL(d2, "ref", "cand")
+          .filter(col("rouge_f_u") >= 0 && col("lcs") >= 0).count()
+      }),
+      "wer" -> (() => {
+        val tk2 = filter(split(coalesce(col("text"), lit("")), " "),
+          z => length(z) >= 1)
+        val d2 = docs.withColumn("ref", coalesce(col("text"), lit("")))
+          .withColumn("hyp", array_join(
+            filter(tk2, (z, i) => pmod(i + 1, lit(7)) =!= 0), " "))
+        LlmOps.werScore(d2, "ref", "hyp")
+          .filter(col("wer_u") >= 0 && col("edit_dist") >= 0).count()
+      }),
       "ccnet_buckets" -> (() =>
         LlmOps.ccnetBuckets(docs)
           .filter(col("score_u") >= 0 && length(col("bucket")) >= 4).count()),

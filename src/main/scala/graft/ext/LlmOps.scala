@@ -5830,6 +5830,7 @@ object LlmOps {
     * the interpreted fold ~O(n·m²) element copies. */
   def rougeL(docs: DataFrame, refCol: String, candCol: String,
              idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
     def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
       z => length(z) >= 1)
     val base = docs
@@ -5837,22 +5838,15 @@ object LlmOps {
       .withColumn("__c", tk(candCol))
       .withColumn("r_len", size(col("__r")).cast("long"))
       .withColumn("c_len", size(col("__c")).cast("long"))
-    val prev0 = transform(sequence(lit(0), size(col("__c"))), _ => lit(0L))
-    val lastRow = aggregate(col("__r"), prev0, (prev, rt) =>
-      aggregate(col("__c"),
-        struct(array(lit(0L)).as("cur"), lit(1).as("j")),
-        (st, ct) => {
-          val j = st.getField("j")
-          val v = when(ct === rt, element_at(prev, j) + 1L)
-            .otherwise(greatest(element_at(prev, j + 1),
-              element_at(st.getField("cur"), j)))
-          struct(concat(st.getField("cur"), array(v)).as("cur"),
-            (j + 1).as("j"))
-        },
-        st => st.getField("cur")))
+    // LCS through the codegen rolling-array kernel over once-hashed
+    // tokens (expr/SeqDp.scala — replaces the r12 nested aggregate
+    // fold, which rebuilt an immutable row per DP CELL: O(n·m²)
+    // allocations, the reason bench rows had to slice to 40 tokens;
+    // measured A/B in BASELINE.md round-13)
     base
-      .withColumn("lcs", when(col("c_len") === 0 || col("r_len") === 0, lit(0L))
-        .otherwise(element_at(lastRow, size(col("__c")) + 1)))
+      .withColumn("lcs", graft.expr.LcsLength(spark,
+        transform(col("__r"), z => xxhash64(z)),
+        transform(col("__c"), z => xxhash64(z))).cast("long"))
       .withColumn("rouge_p_u",
         when(col("c_len") > 0, expr("lcs * 1000000 div c_len")).otherwise(lit(0L)))
       .withColumn("rouge_r_u",
@@ -5875,35 +5869,19 @@ object LlmOps {
                idCol: String = "doc_id"): DataFrame = {
     def tk(c: String) = filter(split(coalesce(col(c), lit("")), " "),
       z => length(z) >= 1)
+    val spark = docs.sparkSession
     val base = docs
       .withColumn("__r", tk(refCol))
       .withColumn("__h", tk(hypCol))
       .withColumn("r_len", size(col("__r")).cast("long"))
       .withColumn("h_len", size(col("__h")).cast("long"))
-    // row 0 = [0, 1, .., m]; row i starts at i (delete-prefix cost)
-    val prev0 = transform(sequence(lit(0), size(col("__h"))),
-      j => j.cast("long"))
-    val lastRow = aggregate(
-      zip_with(col("__r"), sequence(lit(1), size(col("__r"))),
-        (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
-      prev0, (prev, rt) =>
-        aggregate(col("__h"),
-          struct(array(rt.getField("i")).as("cur"), lit(1).as("j")),
-          (st, ht) => {
-            val j = st.getField("j")
-            val sub = element_at(prev, j) +
-              when(ht === rt.getField("t"), 0L).otherwise(1L)
-            val del = element_at(prev, j + 1) + 1L
-            val ins = element_at(st.getField("cur"), j) + 1L
-            struct(concat(st.getField("cur"),
-              array(least(sub, del, ins))).as("cur"), (j + 1).as("j"))
-          },
-          st => st.getField("cur")))
+    // edit distance through the codegen rolling-array kernel over
+    // once-hashed tokens (expr/SeqDp.scala — replaces the r12 nested
+    // aggregate fold; see rougeL's note and BASELINE.md round-13 A/B)
     base
-      .withColumn("edit_dist",
-        when(col("r_len") === 0, col("h_len"))
-          .when(col("h_len") === 0, col("r_len"))
-          .otherwise(element_at(lastRow, size(col("__h")) + 1)))
+      .withColumn("edit_dist", graft.expr.EditDistanceLong(spark,
+        transform(col("__r"), z => xxhash64(z)),
+        transform(col("__h"), z => xxhash64(z))).cast("long"))
       .withColumn("wer_u",
         when(col("r_len") > 0, expr("edit_dist * 1000000 div r_len"))
           .otherwise(lit(0L)))
