@@ -61,6 +61,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchGot)
   }
 
+  test("stateless r13 ops run on streams: sft_pack + rouge_n via evaluate") {
+    import spark.implicits._
+    val rows = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "x y"))
+    val docsB = rows.toDF("doc_id", "text")
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(rows: _*)
+    val sdf = ms.toDF().toDF("doc_id", "text")
+    val sft = graft.kql.Kql.runStream(spark,
+      "src | evaluate sft_pack(text, doc_id)", TestSpark.sfDir,
+      Map("src" -> sdf))
+    assert(sft.isStreaming)
+    val sunk = StreamingOps.runToMemory(spark, sft, "t_sft", "append")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = graft.ext.LlmOps.sftPack(docsB)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(sunk.toSeq == batch.toSeq)
+    val rn = graft.kql.Kql.runStream(spark,
+      "src | extend r = text, c = text | evaluate rouge_n(r, c, doc_id)",
+      TestSpark.sfDir, Map("src" -> sdf))
+    assert(rn.isStreaming)
+    val sunkR = StreamingOps.runToMemory(spark, rn, "t_rn", "append")
+      .orderBy("doc_id").collect()
+    assert(sunkR.forall(_.getAs[Long]("recall_1_u") == 1000000L))
+  }
+
   test("stateless r5 text ops run on streams: text_normalize + chunk via evaluate") {
     import spark.implicits._
     val docsB = Seq((1L, "hello  world from  stream"), (2L, "a b c d e")).toDF("doc_id", "text")
