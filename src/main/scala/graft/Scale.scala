@@ -77,6 +77,12 @@ object Scale {
         LlmOps.buildBm25Index(
           spark.read.parquet(s"$base/x$k/documents.parquet"),
           s"graft_scale_bm25_x$k")
+      // LM model trained per scale OUTSIDE the timer (train once,
+      // score forever); the probe scores a FIXED base-copy test set
+      if (wanted("backoff_indexed_probe"))
+        LlmOps.buildLmIndex(
+          spark.read.parquet(s"$base/x$k/documents.parquet"),
+          s"graft_scale_lm_x$k")
       if (wanted("matview_read_delta") || wanted("matview_read_hi")) {
         // ingest-ordered live table for the matview rows: production
         // ingest is id/time-ordered, which is what lets the pushed
@@ -389,6 +395,13 @@ object Scale {
           .filter(col("score_u") >= 0 && length(col("bucket")) >= 4).count()),
       "curriculum_shards" -> (() =>
         LlmOps.curriculumShards(docs, shards = 8)
-          .filter(col("rank") >= 1 && col("shard") >= 0).count()))
+          .filter(col("rank") >= 1 && col("shard") >= 0).count()),
+      // probe-only against the LM model main() built outside the
+      // timer: the FIXED test set's grams join count tables that grow
+      // with the corpus vocabulary — never the corpus itself
+      "backoff_indexed_probe" -> (() =>
+        LlmOps.stupidBackoffIndexed(spark, s"graft_scale_lm_x$k",
+          docs.filter(col("doc_id") < ID_SHIFT &&
+            pmod(col("doc_id"), lit(97L)) === 0)).count()))
   }
 }

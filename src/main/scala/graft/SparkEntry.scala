@@ -5083,6 +5083,25 @@ object SparkEntry {
       },
       Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN COALESCE(text, '') || ' zzz' || CAST(doc_id AS VARCHAR) ELSE COALESCE(text, '') END AS t FROM documents), tr AS (SELECT doc_id, string_split(lower(t), ' ') AS toks FROM d WHERE doc_id % 5 <> 0), te AS (SELECT doc_id, string_split(lower(t), ' ') AS toks FROM d WHERE doc_id % 5 = 0), trt AS (SELECT unnest(list_filter(toks, z -> len(z) >= 1)) AS tok FROM tr), uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM trt GROUP BY 1), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM trt), tg AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM tr WHERE len(toks) >= 2)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM tg GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM tg GROUP BY 1), eg AS (SELECT doc_id AS id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM te WHERE len(toks) >= 2)), sc AS (SELECT eg.id, CASE WHEN c2.c2 IS NOT NULL THEN CAST(ROUND(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000) AS BIGINT) ELSE CAST(ROUND(-LN((CAST(0.4 AS DOUBLE) * (COALESCE(uni.cu, 0) + 1)) / (tot.nn + tot.vv)) * 1000000) AS BIGINT) END AS nlp_u, CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bo FROM eg LEFT JOIN c2 ON c2.prev = eg.prev AND c2.cur = eg.cur LEFT JOIN c1 ON c1.prev = eg.prev LEFT JOIN uni ON uni.tok = eg.cur, tot) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(bo) AS BIGINT) AS n_backoff, ROUND(CAST(SUM(nlp_u) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp_sb FROM sc GROUP BY 1 ORDER BY 1""")),
 
+    // At-rest Stupid-Backoff LM index (r13): the trained count model
+    // persisted once (c2/c1 bucketed on the scorer's join key), the
+    // held-out split scored AGAINST THE TABLES — bit-identical to the
+    // direct path, so it shares llm_stupid_backoff's oracle verbatim
+    "llm_backoff_indexed" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("t2",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(coalesce(col("text"), lit("")), lit(" zzz"),
+              col("doc_id")))
+          .otherwise(coalesce(col("text"), lit(""))))
+        LlmOps.buildLmIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "graft_lm_idx", textCol = "t2")
+        LlmOps.stupidBackoffIndexed(s, "graft_lm_idx",
+          d.filter(pmod(col("doc_id"), lit(5)) === 0), textCol = "t2")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN COALESCE(text, '') || ' zzz' || CAST(doc_id AS VARCHAR) ELSE COALESCE(text, '') END AS t FROM documents), tr AS (SELECT doc_id, string_split(lower(t), ' ') AS toks FROM d WHERE doc_id % 5 <> 0), te AS (SELECT doc_id, string_split(lower(t), ' ') AS toks FROM d WHERE doc_id % 5 = 0), trt AS (SELECT unnest(list_filter(toks, z -> len(z) >= 1)) AS tok FROM tr), uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM trt GROUP BY 1), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM trt), tg AS (SELECT toks[i-1] AS prev, toks[i] AS cur FROM (SELECT toks, unnest(generate_series(2, len(toks))) AS i FROM tr WHERE len(toks) >= 2)), c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM tg GROUP BY 1, 2), c1 AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM tg GROUP BY 1), eg AS (SELECT doc_id AS id, toks[i-1] AS prev, toks[i] AS cur FROM (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM te WHERE len(toks) >= 2)), sc AS (SELECT eg.id, CASE WHEN c2.c2 IS NOT NULL THEN CAST(ROUND(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000) AS BIGINT) ELSE CAST(ROUND(-LN((CAST(0.4 AS DOUBLE) * (COALESCE(uni.cu, 0) + 1)) / (tot.nn + tot.vv)) * 1000000) AS BIGINT) END AS nlp_u, CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bo FROM eg LEFT JOIN c2 ON c2.prev = eg.prev AND c2.cur = eg.cur LEFT JOIN c1 ON c1.prev = eg.prev LEFT JOIN uni ON uni.tok = eg.cur, tot) SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(bo) AS BIGINT) AS n_backoff, ROUND(CAST(SUM(nlp_u) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_neg_logp_sb FROM sc GROUP BY 1 ORDER BY 1""")),
+
     // Code-vs-prose routing gate: planted code docs (id%6==0) score
     // ~10x the natural-text docs; the oracle REBUILDS the same planted
     // text and recomputes every count/ratio in SQL, so the two engines

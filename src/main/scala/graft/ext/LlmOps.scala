@@ -3091,30 +3091,27 @@ object LlmOps {
     * aggregates (bigram, context, unigram), broadcast (N, V) totals,
     * three joins onto the test gram stream, one per-doc aggregate;
     * per-pair integer-micro rounding keeps sums engine-exact. */
-  def stupidBackoff(docs: DataFrame, holdMod: Int = 5, alpha: Double = 0.4,
-                    textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    require(holdMod >= 2, "stupidBackoff: holdMod >= 2")
+  /** Bigram pairs (prev, cur) per document — shared by the direct and
+    * at-rest Stupid-Backoff paths (identical derivation is what makes
+    * indexed ≡ direct bit-identical). */
+  private def sbBigramPairs(d: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
     val toks = split(lower(txt(textCol)), "\\s+")
-    def gramsOf(d: DataFrame) = d
-      .select(col(idCol).as("id"), toks.as("toks"))
+    d.select(col(idCol).as("id"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("id"), explode(transform(
         sequence(lit(2), size(col("toks"))),
         i => struct(element_at(col("toks"), i - 1).as("prev"),
           element_at(col("toks"), i).as("cur")))).as("g"))
       .select(col("id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
-    val train = spread(docs).filter(pmod(col(idCol), lit(holdMod)) =!= 0)
-    val test = spread(docs).filter(pmod(col(idCol), lit(holdMod)) === 0)
-    val trainToks = train.select(
-      explode(filter(toks, t => length(t) >= 1)).as("tok"))
-    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
-    val totals = trainToks.agg(count(lit(1)).as("nn"),
-      count_distinct(col("tok")).as("vv"))
-    val tg = gramsOf(train)
-    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
-    gramsOf(test)
+  }
+
+  /** Score bigram streams against an LM model (uni/c1/c2/totals frames)
+    * — the single scoring expression both Stupid-Backoff paths share. */
+  private def sbScore(testGrams: DataFrame, c2: DataFrame, c1: DataFrame,
+                      uni: DataFrame, totals: DataFrame, alpha: Double,
+                      idCol: String): DataFrame =
+    testGrams
       .join(c2, Seq("prev", "cur"), "left")
       .join(c1, Seq("prev"), "left")
       .join(uni.select(col("tok").as("cur"), col("cu")), Seq("cur"), "left")
@@ -3130,7 +3127,66 @@ object LlmOps {
         sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
         round(sum(col("nlp_u")).cast("double") / count(lit(1)) / 1e6, 4)
           .as("mean_neg_logp_sb"))
+
+  def stupidBackoff(docs: DataFrame, holdMod: Int = 5, alpha: Double = 0.4,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(holdMod >= 2, "stupidBackoff: holdMod >= 2")
+    val toks = split(lower(txt(textCol)), "\\s+")
+    val train = spread(docs).filter(pmod(col(idCol), lit(holdMod)) =!= 0)
+    val test = spread(docs).filter(pmod(col(idCol), lit(holdMod)) === 0)
+    val trainToks = train.select(
+      explode(filter(toks, t => length(t) >= 1)).as("tok"))
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = trainToks.agg(count(lit(1)).as("nn"),
+      count_distinct(col("tok")).as("vv"))
+    val tg = sbBigramPairs(train, textCol, idCol)
+    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    sbScore(sbBigramPairs(test, textCol, idCol), c2, c1, uni, totals,
+      alpha, idCol)
   }
+
+  /** At-rest Stupid-Backoff LM index (r13): [[stupidBackoff]]'s trained
+    * count model persisted as catalog tables — c2/c1 BUCKETED on
+    * `prev` (the scorer's join key: the index side of the score join
+    * needs no exchange) plus the unigram table and the 1-row totals.
+    * Train once over the corpus; every later scoring job reads count
+    * tables (vocabulary / observed-bigram sized), never the train
+    * corpus — the bm25_indexed contract applied to LM scoring. Fully
+    * deterministic: rebuilds are bit-identical. */
+  def buildLmIndex(train: DataFrame, table: String,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): Unit = {
+    val toks = split(lower(txt(textCol)), "\\s+")
+    val trainToks = spread(train).select(
+      explode(filter(toks, t => length(t) >= 1)).as("tok"))
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = trainToks.agg(count(lit(1)).as("nn"),
+      count_distinct(col("tok")).as("vv"))
+    val tg = sbBigramPairs(spread(train), textCol, idCol)
+    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    graft.sources.BucketedLayout.writeBucketed(c2, s"${table}_c2",
+      Seq("prev"), 16)
+    graft.sources.BucketedLayout.writeBucketed(c1, s"${table}_c1",
+      Seq("prev"), 16)
+    graft.sources.BucketedLayout.writeBucketed(uni, s"${table}_uni",
+      Seq("tok"), 16)
+    graft.sources.BucketedLayout.writePlain(totals, s"${table}_tot")
+  }
+
+  /** Score documents against [[buildLmIndex]]'s stored model — same
+    * output contract as [[stupidBackoff]]; on the same train/test
+    * split the two paths are bit-identical. */
+  def stupidBackoffIndexed(spark: org.apache.spark.sql.SparkSession,
+                           table: String, test: DataFrame,
+                           alpha: Double = 0.4, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    sbScore(sbBigramPairs(spread(test), textCol, idCol),
+      spark.table(s"${table}_c2"), spark.table(s"${table}_c1"),
+      spark.table(s"${table}_uni"), spark.table(s"${table}_tot"),
+      alpha, idCol)
 
   /** Okapi BM25 top-k retrieval (Robertson et al., TREC-3; the idf is
     * Lucene's ln(1 + (N − df + 0.5)/(df + 0.5)) form, positive for every

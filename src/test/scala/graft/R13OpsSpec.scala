@@ -157,6 +157,28 @@ class R13OpsSpec extends AnyFunSuite {
       (3L, 4L, 750000L, 1L, 3L, 333333L))
   }
 
+  test("stupidBackoffIndexed ≡ the direct path; model tables are count-sized") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    LlmOps.buildLmIndex(train, "lm_spec_idx")
+    val indexed = LlmOps.stupidBackoffIndexed(spark, "lm_spec_idx", test)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = LlmOps.stupidBackoff(docs, holdMod = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(indexed == direct)
+    // the model is count-sized, not corpus-sized: c1 rows = distinct
+    // bigram-prefix tokens; totals is exactly one row
+    assert(spark.table("lm_spec_idx_tot").count() == 1)
+    assert(spark.table("lm_spec_idx_c1").count() ==
+      spark.table("lm_spec_idx_c2").select("prev").distinct().count())
+    // rebuild is bit-identical (no seed, no sampling)
+    LlmOps.buildLmIndex(train.repartition(7), "lm_spec_idx2")
+    val again = LlmOps.stupidBackoffIndexed(spark, "lm_spec_idx2", test)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(again == indexed)
+  }
+
   test("KQL reach for the batch-2 r13 plugins") {
     assert(Kql.run(spark,
       "documents | evaluate global_shuffle(8, doc_id) | summarize n = count() by shard | count",
