@@ -550,7 +550,10 @@ object SparkEntry {
     * DuckDB's one-shot aggregation over all 2000 source rows. A
     * dropped/duplicated batch row, a broken partial merge (avg, HLL
     * dcount, arg_max struct), or a cursor bug all mismatch. */
-  def streamMatViewRefreshQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamMatViewRefreshQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamMatViewRefreshQueryBody(s, dir) }
+
+  private def streamMatViewRefreshQueryBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = graft.kql.Catalog(s, dir).table("events")
@@ -597,7 +600,10 @@ object SparkEntry {
       .orderBy("bin_h")
   }
 
-  def streamMatViewQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamMatViewQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamMatViewQueryBody(s, dir) }
+
+  private def streamMatViewQueryBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     s.sql("DROP TABLE IF EXISTS graft_stream_matview")
@@ -644,7 +650,10 @@ object SparkEntry {
     * sit ABOVE batch 1's max ts, so no real row is near the
     * watermark boundary — the drop decision is unambiguous on any
     * boundary convention. */
-  def streamMatViewLateQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamMatViewLateQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamMatViewLateQueryBody(s, dir) }
+
+  private def streamMatViewLateQueryBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     s.sql("DROP TABLE IF EXISTS graft_stream_matview_late")
