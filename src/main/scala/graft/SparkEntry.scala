@@ -1085,6 +1085,17 @@ object SparkEntry {
         | sort by o_orderkey asc"""),
       Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS mo, CAST(dayofmonth(o_orderdate) AS INT) AS d, CAST(dayofweek(o_orderdate) AS INT) AS dow, date_trunc('day', o_orderdate) AS sod, date_trunc('month', o_orderdate) AS som, CAST(weekofyear(o_orderdate) AS INT) AS wk, o_orderdate + INTERVAL 7 DAY AS nextweek, CAST(datediff('day', date_trunc('day', o_orderdate), TIMESTAMP '1998-01-01') AS BIGINT) AS dd FROM orders ORDER BY o_orderkey""")),
 
+    // Window functions inside `project` items (not just `extend`):
+    // desugars through the same two-phase GlobalWindow — plan-asserted
+    // in PlannerSpec ("window functions inside `project` take the
+    // two-phase GlobalWindow path")
+    "q187_project_window" -> Q(kqlQ(
+      """orders
+        | sort by o_orderkey asc
+        | project o_orderkey, r = row_number(), p = prev(o_orderkey),
+                  c = row_cumsum(o_custkey)"""),
+      Some("""SELECT o_orderkey, CAST(ROW_NUMBER() OVER w AS BIGINT) AS r, LAG(o_orderkey) OVER w AS p, CAST(SUM(o_custkey) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM orders WINDOW w AS (ORDER BY o_orderkey)""")),
+
     "q18_window_fns" -> Q(kqlQ(
       """events
         | sort by user_id asc, ts asc, event_id asc

@@ -308,7 +308,27 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       df
 
     case Project(items) =>
-      df.select(items.zipWithIndex.map { case ((alias, e), i) =>
+      val windowed = items.exists { case (_, e) =>
+        containsWindowFn(e) || (e match {
+          case App("row_window_session", _) => true; case _ => false })
+      }
+      if (windowed) {
+        // Window-bearing project items desugar through applyExtend so
+        // they take the same two-phase GlobalWindow path as `extend`
+        // (range partition + per-partition window + broadcast prefix
+        // offsets) — NOT the single-partition Window.orderBy fallback,
+        // which is a one-task global sort at warehouse scale. Temp
+        // names preserve project semantics: every item is evaluated
+        // against the INPUT frame, never against a sibling item (so
+        // `project x = prev(x)` still reads the source x).
+        val tmps: List[(Option[String], Expr)] =
+          items.zipWithIndex.map { case ((_, e), i) =>
+            (Some(s"__pj_$i"): Option[String], e) }
+        val ext = applyExtend(df, tmps)
+        ext.select(items.zipWithIndex.map { case ((alias, e), i) =>
+          col(s"__pj_$i").as(alias.getOrElse(defaultName(e, i)))
+        }: _*)
+      } else df.select(items.zipWithIndex.map { case ((alias, e), i) =>
         toCol(e, df).as(alias.getOrElse(defaultName(e, i)))
       }: _*)
 
@@ -2454,6 +2474,21 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
   }
 
   private def windowSpec(df: DataFrame): org.apache.spark.sql.expressions.WindowSpec = {
+    // Residual single-partition path. `extend` and `project` both
+    // desugar window functions into the two-phase GlobalWindow, so this
+    // is only reachable from other expression contexts (`where`,
+    // `summarize` args, sort keys, …). Those plan a ONE-task global
+    // Window.orderBy — fine for small frames, a silent stall at scale —
+    // so apply the same size guard as the bare-serialize `scan`.
+    val maxSerial = spark.conf
+      .get("graft.scan.maxSerialBytes", (1L << 30).toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(Long.MaxValue) && est > maxSerial) throw PlanError(
+      s"window function outside extend/project plans a single-partition " +
+      s"global sort; the input is estimated at $est bytes " +
+      s"(> graft.scan.maxSerialBytes=$maxSerial). Move the window " +
+      s"function into `extend`/`project` (two-phase, distributed), or " +
+      s"raise the limit if the input really is small")
     if (sortCols.nonEmpty) Window.orderBy(sortCols: _*)
     else if (serialized) Window.orderBy(monotonically_increasing_id())
     else throw PlanError("window function requires `serialize` or `sort by` first")

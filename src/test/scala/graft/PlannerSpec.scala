@@ -122,6 +122,46 @@ class PlannerSpec extends AnyFunSuite {
     assert(rows(1).getLong(2) == 10L && rows(1).getLong(3) == 30L)
   }
 
+  test("window functions inside `project` take the two-phase GlobalWindow path") {
+    // `sort | project r = row_number()` is legal KQL; it must plan the
+    // same __gw_pid two-phase shape as the extend form, never the
+    // single-partition Window.orderBy fallback (a one-task global sort
+    // at warehouse scale).
+    val q = graft.kql.Kql.run(spark,
+      """lineitem
+        | sort by l_orderkey asc, l_linenumber asc, l_partkey asc
+        | project r = row_number(), c = row_cumsum(l_quantity), l_orderkey""", cat)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__gw_pid"), plan.take(1500))
+    // value parity with the extend form on a small deterministic frame
+    val viaProject = run(
+      """datatable(x:long) [10, 30, 20]
+        | sort by x asc
+        | project x, r = row_number(), p = prev(x), c = row_cumsum(x)""")
+    assert(viaProject.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) ==
+      Seq((10L, 1L, 10L), (20L, 2L, 30L), (30L, 3L, 60L)))
+    assert(viaProject(1).getLong(2) == 10L)
+    // project items always read the INPUT frame: x = prev(x) sees source x
+    val shadow = run(
+      """datatable(x:long) [10, 30, 20]
+        | sort by x asc
+        | project x = prev(x), orig = x""")
+    assert(shadow.map(r => (Option(r.get(0)), r.getLong(1))) ==
+      Seq((None, 10L), (Some(10L), 20L), (Some(20L), 30L)))
+    // the residual single-partition fallback (window fns outside
+    // extend/project) refuses large file-backed inputs
+    spark.conf.set("graft.scan.maxSerialBytes", "1")
+    try {
+      val e = intercept[RuntimeException](graft.kql.Kql.run(spark,
+        """lineitem
+          | sort by l_orderkey asc
+          | top-nested 2 of l_returnflag by max(row_number())""", cat)
+        .collect())
+      assert(e.getMessage.contains("single-partition") ||
+        e.getMessage.contains("maxSerialBytes"), e.getMessage)
+    } finally spark.conf.unset("graft.scan.maxSerialBytes")
+  }
+
   test("prev/next n=1 ascending: boundary values ride the stats broadcast, no edge joins") {
     // fast path = ONE broadcast join (the prefix offsets); the per-call
     // edge-row joins only exist for n>1 or descending keys (r4)
