@@ -34,6 +34,15 @@ import graft.ext.LlmOps
 object Scale {
   private val ID_SHIFT = 10000000L
 
+  // IVF sizing for the growing-anchor hard-negatives row: lists grow
+  // √K with the corpus (the standard IVF dial), so the probed fraction
+  // shrinks as data grows. Quantizers are trained once per scale
+  // OUTSIDE the timers (index metadata, the pq_index convention).
+  private def ivfLists(k: Int): Int =
+    16 * math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+  private val ivfCentroids =
+    scala.collection.mutable.Map[Int, Array[Array[Double]]]()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,6 +92,9 @@ object Scale {
         LlmOps.buildLmIndex(
           spark.read.parquet(s"$base/x$k/documents.parquet"),
           s"graft_scale_lm_x$k")
+      if (wanted("hard_negatives_ivf_growing"))
+        ivfCentroids(k) = LlmOps.trainIvfCentroids(
+          spark.read.parquet(s"$base/x$k/embeddings.parquet"), ivfLists(k))
       if (wanted("matview_read_delta") || wanted("matview_read_hi")) {
         // ingest-ordered live table for the matview rows: production
         // ingest is id/time-ordered, which is what lets the pushed
@@ -156,14 +168,17 @@ object Scale {
       java.nio.file.Paths.get(outName), sb.toString,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    val roundNum = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
-      .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(f"scale_detail_r$roundNum%02d.jsonl"),
-      sb.toString,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // FULL runs only get the round-numbered archive (subset reruns must
+    // never pollute the rows behind BASELINE.md's slope tables), and the
+    // round comes from an explicit env var — inferring it from BENCH_r*
+    // files misnumbers when Scale runs before the round's Bench artifact
+    if (only.isEmpty) sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"scale_detail_r${r.toInt}%02d.jsonl"),
+        sb.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 
@@ -343,6 +358,16 @@ object Scale {
       // is IVF probes per anchor, not this scan
       "hard_negatives_growing" -> (() =>
         LlmOps.hardNegatives(embs, anchorEvery = 2000, k = 5).count()),
+      // r14: the IVF-probed form with the SAME growing anchors — the
+      // 100 TB remedy the scan row's comment promises. nLists grows
+      // √K (the standard IVF sizing; quantizer pre-trained OUTSIDE the
+      // timer as index metadata), so the probed fraction 2/nLists
+      // FALLS with the corpus: expected slope ~K^1.5 where the scan
+      // form is K² by construction
+      "hard_negatives_ivf_growing" -> (() =>
+        LlmOps.hardNegativesIvf(embs, anchorEvery = 2000, k = 5,
+          nLists = ivfLists(k), nProbe = 2,
+          pretrained = ivfCentroids.get(k)).count()),
       // pmi: Σ len·window positional pairs + (a,b)/(a) hash aggregates
       // + per-target rank; vocab-disjoint copies keep pair cardinality
       // linear in K

@@ -1574,6 +1574,51 @@ object SparkEntry {
         .orderBy("anchor_id", "rank"),
       Some("""WITH a AS (SELECT vec_id AS anchor_id, label AS al, embedding AS av FROM embeddings WHERE vec_id % 50 = 0), d AS (SELECT a.anchor_id, e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne, SQRT(SUM(CAST(a.av[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE))) AS na FROM embeddings e JOIN a ON e.label != a.al, generate_series(1, 64) g(i) GROUP BY 1, 2), q AS (SELECT anchor_id, vec_id, CAST(ROUND(dp / (ne * na) * 10000) AS BIGINT) AS cos_u FROM d), r AS (SELECT anchor_id, vec_id, cos_u, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_u DESC, vec_id) AS "rank" FROM q WHERE cos_u <= 9000) SELECT anchor_id, CAST("rank" AS BIGINT) AS "rank", vec_id AS neg_id, cos_u FROM r WHERE "rank" <= 5 ORDER BY anchor_id, "rank" """)),
 
+    // IVF-probed hard negatives (r14, the growing-anchor scale path):
+    // three contract facts, all deterministic for a given corpus
+    // (hash-ordered seeded quantizer): (1) probing ALL cells returns
+    // the scan form's rows EXACTLY (pruning only selects candidates —
+    // the ranking is the same quantized cut); (2) pruned-probe scores
+    // survive an independent exact recompute (IVF never approximates a
+    // returned score); (3) pruned probes keep >= half the scan form's
+    // top-k pairs (measured well above at both declared SFs)
+    "llm_hard_negatives_ivf" -> Q(
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cents = LlmOps.trainIvfCentroids(e, nLists = 8)
+        val bf = LlmOps.hardNegatives(e, 50, 5)
+        val full = LlmOps.hardNegativesIvf(e, 50, 5, nLists = 8,
+          nProbe = 8, pretrained = Some(cents))
+        val pruned = LlmOps.hardNegativesIvf(e, 50, 5, nLists = 8,
+          nProbe = 3, pretrained = Some(cents))
+        val v = e.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .withColumn("n", sqrt(aggregate(col("v"), lit(0d), (a, x) => a + x * x)))
+        val chk = pruned
+          .join(v.select(col("vec_id").as("anchor_id"), col("v").as("av"),
+            col("n").as("an")), "anchor_id")
+          .join(v.select(col("vec_id").as("neg_id"), col("v").as("nv"),
+            col("n").as("nn")), "neg_id")
+          .withColumn("ok",
+            round(graft.expr.DotProductD(s, col("av"), col("nv")) /
+              (col("an") * col("nn")) * 10000).cast("long") === col("cos_u"))
+        bf.agg(count(lit(1)).as("bf_n"))
+          .crossJoin(full.agg(count(lit(1)).as("full_n")))
+          .crossJoin(full.exceptAll(bf).agg(count(lit(1)).as("d1")))
+          .crossJoin(bf.exceptAll(full).agg(count(lit(1)).as("d2")))
+          .crossJoin(chk.agg(
+            sum(when(!col("ok"), 1L).otherwise(0L)).as("mism"),
+            count(lit(1)).as("pn")))
+          .crossJoin(pruned.join(bf, Seq("anchor_id", "neg_id"))
+            .agg(count(lit(1)).as("hit")))
+          .select(
+            (col("bf_n") > 0 && col("full_n") === col("bf_n") &&
+              col("d1") === 0 && col("d2") === 0).as("full_probe_parity"),
+            (col("pn") > 0 && col("mism") === 0).as("scores_exact"),
+            (col("hit") * 2 >= col("bf_n")).as("recall_ge_half"))
+      },
+      Some("""SELECT true AS full_probe_parity, true AS scores_exact, true AS recall_ge_half""")),
+
     // The binary index AT REST: 8-byte-per-vector words scan + bounded
     // candidate collect + bucket-pruned vec fetch — value-identical to
     // the in-memory path, so the SAME replay oracles it

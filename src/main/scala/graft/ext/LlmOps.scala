@@ -5870,6 +5870,81 @@ object LlmOps {
       .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
         col("cos_u"))
   }
+  /** [[hardNegatives]] with IVF candidate pruning — the declared 100 TB
+    * path for GROWING anchor sets. The scan form scores
+    * anchors × corpus pairs (K² when anchors grow with the corpus);
+    * here every corpus row carries its IVF cell (the [[buildIvfIndex]]
+    * quantizer) and an anchor only meets the rows of its nProbe probed
+    * cells, so scored pairs shrink to ~anchors × corpus × nProbe/nLists.
+    * nLists is the scale dial: grown with the corpus (√n lists, the
+    * standard IVF sizing), the probed fraction FALLS as data grows —
+    * sub-K² measured work where the scan form is K² by construction
+    * (the hard_negatives_ivf_growing slope row).
+    *
+    * Exactness contract: pruning only SELECTS candidates — every
+    * returned score is the exact quantized cosine; what nProbe buys is
+    * recall (a true negative living outside the probed cells is
+    * missed). nProbe = nLists degenerates to the brute-force result
+    * EXACTLY (parity-pinned in R14OpsSpec).
+    *
+    * Plan shape: centroids are bounded driver metadata (≤256·nLists
+    * sample); the anchors×nProbe probe frame joins the corpus on the
+    * cell key — broadcast while anchors are bounded (AQE decides; we
+    * deliberately do NOT force it, the pmi lesson: anchors grow by
+    * design here), hash-on-cell beyond that, where nLists ~ √corpus
+    * also supplies the join parallelism. The k-cut is the same
+    * two-phase form as the scan path. Pass `pretrained` to reuse an
+    * at-rest quantizer (index metadata) instead of re-training. */
+  def hardNegativesIvf(emb: DataFrame, anchorEvery: Int = 50, k: Int = 5,
+                       hiCos: Double = 0.9, nLists: Int = 16, nProbe: Int = 4,
+                       seed: Long = 42, idCol: String = "vec_id",
+                       labelCol: String = "label",
+                       vecCol: String = "embedding",
+                       anchorMax: Long = Long.MaxValue,
+                       pretrained: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(anchorEvery >= 1 && k >= 1 && nProbe >= 1 && nProbe <= nLists,
+      "hardNegativesIvf: bad params")
+    val spark = emb.sparkSession
+    val centroids = pretrained.getOrElse(
+      trainIvfCentroids(emb, nLists, seed, idCol, vecCol))
+    val base = spread(emb).select(col(idCol), col(labelCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", normD(col("__v")))
+      .withColumn("__cell",
+        cellOf(centroids)(transform(col("__v"), x => x / col("__n"))))
+    val probeOf = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.map(x => x * x).sum).max(1e-300)
+      probeCells(centroids, v.map(_ / n).toArray, nProbe)
+    }
+    val anchors = base
+      .filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0
+        && col(idCol) <= anchorMax)
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
+        col("__v").as("__av"), col("__n").as("__an"),
+        explode(probeOf(col("__v"))).as("__cell"))
+    // cell-equi join: a corpus row belongs to exactly ONE cell, so a
+    // (anchor, candidate) pair can only form once — no post-join dedup
+    val scored = base.join(anchors, Seq("__cell"))
+      .filter(col(labelCol) =!= col("__al"))
+      .withColumn("__cos",
+        graft.expr.DotProductD(spark, col("__av"), col("__v")) /
+          (col("__an") * col("__n")))
+      .withColumn("cos_u", round(col("__cos") * 10000).cast("long"))
+      .filter(col("cos_u") <= math.round(hiCos * 10000))
+    // same two-phase k-cut as the scan form (never a corpus-sized
+    // single sort group per anchor)
+    val localW = Window.partitionBy(col("anchor_id"), col("__p"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    val globalW = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    scored.withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .drop("__lr", "__p")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
+        col("cos_u"))
+  }
   /** ROUGE-L (r12, Lin 2004): longest-common-subsequence overlap — the
     * standard summarization/generation recall metric next to [[bleuScore]]'s
     * precision view. Every output is an INTEGER (LCS length; P/R in
