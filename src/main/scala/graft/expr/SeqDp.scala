@@ -25,14 +25,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * Null in → null out. */
 abstract class SeqDpBase extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull = false only: ArrayData.getLong reads a null slot as
+    // 0, so a nullable-element array would DP over silently wrong
+    // values for SQL callers (internal callers hash via xxhash64,
+    // which never yields null elements)
     def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, " +
-        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+      s"$prettyName requires two array<bigint> arguments with non-null " +
+        s"elements, got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = IntegerType
 }

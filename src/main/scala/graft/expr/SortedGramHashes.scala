@@ -37,13 +37,18 @@ case class SortedGramHashes(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull = false only: ArrayData.getLong reads a null slot as
+    // 0, so a nullable-element array would hash silently wrong for SQL
+    // callers (internal callers hash via xxhash64, which never yields
+    // null elements)
     val leftOk = left.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (!leftOk)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<bigint> input, got ${left.dataType.catalogString}")
+        s"$prettyName requires array<bigint> with non-null elements, " +
+          s"got ${left.dataType.catalogString}")
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable int gram width")

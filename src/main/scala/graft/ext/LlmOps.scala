@@ -4539,17 +4539,13 @@ object LlmOps {
     * [[imageNearDupPairs]], which is generic over any 64-bit hash.
     * Short payloads null out. */
   def audioDhash(docs: DataFrame, binCol: String,
-                 idCol: String = "doc_id"): DataFrame = {
-    val d = docs.withColumn("__ah",
-      upper(hex(substring(col(binCol), 1, 65))))
-    def px(i: Int): Column =
-      conv(substring(col("__ah"), i * 2 + 1, 2), 16, 10).cast("long")
-    val hash = (0 until 64).map(i =>
-      when(px(i) < px(i + 1), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    d.select(col(idCol),
-      when(length(col("__ah")) === 130, hash).as("dhash"))
-  }
+                 idCol: String = "doc_id"): DataFrame =
+    // one codegen byte loop (expr/DhashBits.scala, r14) — replaces the
+    // 65× hex/conv/substring Column chain; identical contract (null
+    // under 65 bytes, leading envelope of longer payloads)
+    docs.select(col(idCol),
+      graft.expr.DhashBits(docs.sparkSession, col(binCol), 1, 65)
+        .as("dhash"))
 
   /** Perceptual image hash (dHash) over raw 9×8 grayscale bitmaps —
     * image NEAR-duplicate identity: bit (r, c) = [px(r, c) < px(r,
@@ -4561,24 +4557,15 @@ object LlmOps {
     * 72-byte payload (hex reads, no UDF), one column per pixel ROW
     * (the media_dims chain lesson). Short/absent payloads null out. */
   def imageDhash(docs: DataFrame, binCol: String,
-                 idCol: String = "doc_id"): DataFrame = {
-    var d = docs.withColumn("__ih",
-      upper(hex(substring(col(binCol), 1, 72))))
-    def px(r: Int, c: Int): Column =
-      conv(substring(col("__ih"), (r * 9 + c) * 2 + 1, 2), 16, 10)
-        .cast("long")
-    for (r <- 0 until 8) {
-      d = d.withColumn(s"__row$r",
-        (0 until 8).map(c =>
-          when(px(r, c) < px(r, c + 1),
-            lit(1L << (r * 8 + c))).otherwise(lit(0L)))
-          .reduce(_ + _))
-    }
-    d.select(col(idCol),
-      when(length(col("__ih")) === 144,
-        (0 until 8).map(r => col(s"__row$r")).reduce(_ + _))
+                 idCol: String = "doc_id"): DataFrame =
+    // one codegen byte loop (expr/DhashBits.scala, r14) — replaces the
+    // 72× hex/conv/substring chain (8 per-row withColumns) whose
+    // ~500-node tree dominated the llm_image_neardup bench row;
+    // identical contract (null under 72 bytes, leading 9×8 grid of
+    // longer payloads, bit 63 on the sign bit)
+    docs.select(col(idCol),
+      graft.expr.DhashBits(docs.sparkSession, col(binCol), 8, 9)
         .as("dhash"))
-  }
 
   /** Near-duplicate image pairs by dHash hamming distance ≤ k: the
     * pigeonhole split (4 × 16-bit chunks — any pair within hamming 3
