@@ -146,6 +146,21 @@ object Bench {
         s""""n":${results.keys.count(benchClass(_) == c)}}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine-readable 2×-of-baseline gate (r9 verdict task 7): per-query
+    // seconds against the recorded r2 clean-host band (0.344 s/query at
+    // sf0.1 / local[32] — BASELINE.md), all-in and plan-class. The gate
+    // is a fact of the artifact, not a BASELINE.md hand computation.
+    val baselinePerQ = 0.344
+    val planSec = classTotals.getOrElse("plan", 0.0)
+    val planN = results.keys.count(benchClass(_) == "plan")
+    val allInPerQ = if (results.nonEmpty) total / results.size else 0.0
+    val planPerQ = if (planN > 0) planSec / planN else 0.0
+    val gateJson =
+      s"""{"metric":"gate","baseline_per_q":$baselinePerQ,""" +
+      s""""all_in_per_q":$allInPerQ,"plan_per_q":$planPerQ,""" +
+      s""""all_in_vs_baseline":${allInPerQ / baselinePerQ},""" +
+      s""""plan_vs_baseline":${planPerQ / baselinePerQ}}"""
+    println(gateJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"class_subtotals":$classJson,"sf":"$sfDir"}""")
     // Complete per-query artifact ON DISK (r2/r3 verdicts: both driver
     // stdout tails truncate at 2k chars, which made the r3 75.6s-vs-48.3s
@@ -170,6 +185,7 @@ object Bench {
       s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
       s""""loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_mid":"$loadMid","loadavg_after":"$loadAfter",""" +
       s""""storage_bytes_mid":$storageMid,"storage_bytes_after":$storageAfter,""" +
+      s""""gate":$gateJson,""" +
       s""""class_subtotals":$classJson,""" +
       s""""budget_violations":${violations.mkString("[", ",", "]")},""" +
       s""""unbudgeted":${unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

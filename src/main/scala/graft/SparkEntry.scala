@@ -116,7 +116,10 @@ object SparkEntry {
     * bounded slice of `events`, drain it with an AvailableNow memory
     * sink, and return the sunk rows (hash-checked against DuckDB's batch
     * recompute by the driver). */
-  def streamParityQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamParityQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamParityBody(s, dir) }
+
+  private def streamParityBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = s.read.parquet(s"$dir/events.parquet")
@@ -144,7 +147,10 @@ object SparkEntry {
     * every invocation so bench/verify reruns in one JVM stay
     * idempotent; the memory stream is fed a BOUNDED 40-doc slice
     * (harness plumbing, not a data pass). */
-  def streamLineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamLineDedupQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamLineDedupBody(s, dir) }
+
+  private def streamLineDedupBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     graft.ext.LlmOps.buildLineIndex(
@@ -869,7 +875,13 @@ object SparkEntry {
     *   lower-batch-2 partner — explainable ONLY by batch-1 kept state,
     *   the driver-visible proof the stream is stateful;
     * - n_batches = 2 (both partitions committed). */
-  def streamCosineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+  def streamCosineDedupQuery(s: SparkSession, dir: String): DataFrame =
+    // 800 label<=3 vectors through 2 micro-batches + a closed audit: at
+    // 32 shuffle partitions every foreachBatch join/commit is pure task
+    // overhead (the tmp_stream_join 21.4->4.0 s lesson)
+    withLowShuffle(s) { streamCosineDedupBody(s, dir) }
+
+  private def streamCosineDedupBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val e = embs(s, dir).filter(col("label") <= 3)

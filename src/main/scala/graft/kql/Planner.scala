@@ -3133,8 +3133,14 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
       case other =>
         Functions.registry.get(other) match {
           case Some(builder) => builder(args.map(toCol(_, df, agg)))
-          case None => throw PlanError(s"unknown function '$other'" +
-            Suggest.hint(other, Functions.registry.keys))
+          case None => Suggest.unsupported.get(other) match {
+            // declared-out-of-scope KQL functions refuse with the
+            // decision and the shipped alternative, not a typo hint
+            case Some(why) =>
+              throw PlanError(s"unsupported function '$other': $why")
+            case None => throw PlanError(s"unknown function '$other'" +
+              Suggest.hint(other, Functions.registry.keys))
+          }
         }
     }
   }

@@ -69,6 +69,33 @@ object Suggest {
     "graph-mark-components", "invoke",
     "reduce", "partition", "evaluate")
 
+  /** Functions a Kusto user could legitimately type that this engine
+    * DELIBERATELY does not build, each with the remedy (the only two
+    * declared-out-of-scope KQL-surface families). A loud, specific
+    * refusal beats a generic unknown-name error: the user learns the
+    * decision and the shipped alternative, not "typo?". */
+  val unsupported: Map[String, String] = {
+    val h3 = "H3 cells need Uber's H3 library (not available in this " +
+      "environment); use geo_point_to_geohash or geo_point_to_s2cell — " +
+      "both shipped, same spatial-bucketing role"
+    val principal = "security-principal functions need a connected " +
+      "cluster's authentication context; this engine executes without " +
+      "an auth concept"
+    Map(
+      "geo_point_to_h3cell" -> h3,
+      "geo_h3cell_to_central_point" -> h3,
+      "geo_h3cell_to_polygon" -> h3,
+      "geo_h3cell_children" -> h3,
+      "geo_h3cell_parent" -> h3,
+      "geo_h3cell_level" -> h3,
+      "geo_h3cell_neighbors" -> h3,
+      "geo_h3cell_rings" -> h3,
+      "geo_polygon_to_h3cells" -> h3,
+      "current_principal" -> principal,
+      "current_principal_details" -> principal,
+      "current_principal_is_member_of" -> principal)
+  }
+
   /** Registered `evaluate` plugin names (the Planner's EvaluateOp
     * cases) — for the unsupported-plugin error. */
   val plugins: Seq[String] = Seq(

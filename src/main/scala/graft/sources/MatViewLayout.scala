@@ -107,6 +107,12 @@ object MatViewLayout {
       spark.sql(s"DROP TABLE IF EXISTS ${m.prevStore}")
   }
 
+  /** The committed cursor — what the store has folded through. Exposed
+    * for maintainers that must validate batch monotonicity BEFORE
+    * touching any state (matViewMaintainStream's late-batch guard). */
+  def cursorOf(spark: SparkSession, view: String): Long =
+    readMeta(spark, view).cursor
+
   // ------------------------------------------------------------- internals
 
   private final case class Meta(sourceTable: String, keys: Seq[String],

@@ -332,7 +332,10 @@ object StreamingOps {
     * (1) appends its rows to the live source path the view's resolver
     * reads and (2) folds exactly those rows into the store at the
     * PARTIAL level, advancing the cursor to the batch's own high-water
-    * mark. foreachBatch runs batches sequentially, so append → refresh
+    * mark. `cursorCol` must be MONOTONE non-decreasing across batches
+    * (an ingest cursor — the update-policy shape); an all-late batch is
+    * refused loudly before any state changes (see the in-body contract
+    * note). foreachBatch runs batches sequentially, so append → refresh
     * ordering is safe; and the append is IDEMPOTENT per batch — each
     * batch lands in its own `__batch_id=<id>` partition with dynamic
     * partition OVERWRITE, so a batch replayed after a crash (including
@@ -358,12 +361,31 @@ object StreamingOps {
         val b = batch.persist()
         try {
           if (b.count() > 0) {
+            // CONTRACT: cursorCol is an INGEST cursor — monotone
+            // non-decreasing across batches (update-policy ingest ids /
+            // arrival times). A batch whose high-water mark sits below
+            // the committed cursor would be silently unreadable forever
+            // (the fold window (cursor, hi] and the delta read both
+            // exclude it), so refuse it LOUDLY and BEFORE any state
+            // changes — stage and store stay exactly as committed.
+            // Event-time-late data belongs to matViewStream, whose
+            // watermark semantics the tmp_stream_matview_late harness
+            // pins. Exact replays (hi == cursor after a crash between
+            // refresh and checkpoint commit) pass through: the stage
+            // overwrite is per-partition idempotent and refresh
+            // early-returns on an unchanged cursor.
+            val hi = b.agg(max(col(cursorCol))).head().getLong(0)
+            val committed = graft.sources.MatViewLayout.cursorOf(spark, view)
+            if (hi < committed) throw new IllegalStateException(
+              s"matview maintain: batch $batchId high-water $hi is below " +
+              s"the committed cursor $committed — '$cursorCol' must be " +
+              s"monotone non-decreasing across batches (ingest cursor). " +
+              s"For event-time-late rows use matViewStream (watermarked).")
             // idempotent: replays overwrite their own partition only
             b.withColumn("__batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("__batch_id").parquet(stagePath)
-            val hi = b.agg(max(col(cursorCol))).head().getLong(0)
             graft.sources.MatViewLayout.refresh(spark, view,
               _ => spark.read.parquet(stagePath).drop("__batch_id"), hi)
           }

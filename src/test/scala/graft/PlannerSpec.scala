@@ -162,6 +162,20 @@ class PlannerSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.scan.maxSerialBytes")
   }
 
+  test("declared-out-of-scope functions refuse with the decision and the alternative") {
+    val h3 = intercept[RuntimeException](run(
+      "print c = geo_point_to_h3cell(-122.3, 47.6, 6)"))
+    assert(h3.getMessage.contains("unsupported function 'geo_point_to_h3cell'"))
+    assert(h3.getMessage.contains("geo_point_to_geohash"), h3.getMessage)
+    val pr = intercept[RuntimeException](run(
+      "print p = current_principal()"))
+    assert(pr.getMessage.contains("unsupported function 'current_principal'"))
+    assert(pr.getMessage.contains("auth"), pr.getMessage)
+    // a plain typo still gets the did-you-mean hint, not a refusal
+    val typo = intercept[RuntimeException](run("print x = strlenn('a')"))
+    assert(typo.getMessage.contains("did you mean"), typo.getMessage)
+  }
+
   test("prev/next n=1 ascending: boundary values ride the stats broadcast, no edge joins") {
     // fast path = ONE broadcast join (the prefix offsets); the per-call
     // edge-row joins only exist for n>1 or descending keys (r4)

@@ -462,6 +462,42 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not self-match the batch against its own index entries")
   }
 
+  test("matview maintainer: an all-late batch is refused loudly, state untouched") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mv_late_stage"
+    val seed = Seq((1L, "a", 5L), (2L, "b", 10L)).toDF("id", "k", "v")
+    seed.withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(stage)
+    graft.sources.MatViewLayout.build(spark.read.parquet(stage),
+      "graft_mv_late_m", "src", Seq("k"),
+      Seq(graft.sources.MatAgg("count", "", "n"),
+        graft.sources.MatAgg("sum", "v", "s")), "id", 2L)
+    val ms = MemoryStream[(Long, String, Long)]
+    val src = ms.toDF().toDF("id", "k", "v")
+    val q = graft.streaming.StreamingOps.matViewMaintainStream(
+      src, "graft_mv_late_m", stage, "id")
+    try {
+      ms.addData((3L, "a", 1L)); q.processAllAvailable() // cursor -> 3
+      // an all-late batch (hi = 1 < 3) violates the monotone-ingest
+      // contract: it must fail with the NAMED error, not fold or
+      // silently vanish
+      ms.addData((1L, "c", 9L))
+      val e = intercept[Exception](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("monotone")), msgs(e).mkString(" | "))
+    } finally q.stop()
+    // nothing changed: cursor still at 3, stage holds no late partition,
+    // and the read over committed rows is still exact
+    assert(graft.sources.MatViewLayout.cursorOf(spark, "graft_mv_late_m") == 3L)
+    val rows = graft.sources.MatViewLayout.read(spark, "graft_mv_late_m",
+        _ => spark.read.parquet(stage).drop("__batch_id"))
+      .orderBy("k").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 6L), ("b", 1L, 10L)))
+  }
+
   test("matview: update-mode changelog holds only touched keys; read = latest per key") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
