@@ -92,9 +92,19 @@ object Scale {
         LlmOps.buildLmIndex(
           spark.read.parquet(s"$base/x$k/documents.parquet"),
           s"graft_scale_lm_x$k")
-      if (wanted("hard_negatives_ivf_growing"))
-        ivfCentroids(k) = LlmOps.trainIvfCentroids(
-          spark.read.parquet(s"$base/x$k/embeddings.parquet"), ivfLists(k))
+      if (wanted("hard_negatives_ivf_growing")) {
+        // index built ONCE per scale outside the timer (train-once/
+        // probe-forever; the pq_index convention) — the ×128 run showed
+        // inline per-call cell assignment (nLists·dim UDF work per row)
+        // overtaking the scan form, which is an index build hiding in a
+        // query, not probe cost
+        val e = spark.read.parquet(s"$base/x$k/embeddings.parquet")
+        if (!new java.io.File(s"$base/x$k/hn_ivf_index/_SUCCESS").exists())
+          ivfCentroids(k) = LlmOps.buildIvfIndex(
+            e, s"$base/x$k/hn_ivf_index", nLists = ivfLists(k))
+        else if (!ivfCentroids.contains(k))
+          ivfCentroids(k) = LlmOps.trainIvfCentroids(e, ivfLists(k))
+      }
       if (wanted("matview_read_delta") || wanted("matview_read_hi")) {
         // ingest-ordered live table for the matview rows: production
         // ingest is id/time-ordered, which is what lets the pushed
@@ -359,15 +369,16 @@ object Scale {
       "hard_negatives_growing" -> (() =>
         LlmOps.hardNegatives(embs, anchorEvery = 2000, k = 5).count()),
       // r14: the IVF-probed form with the SAME growing anchors — the
-      // 100 TB remedy the scan row's comment promises. nLists grows
-      // √K (the standard IVF sizing; quantizer pre-trained OUTSIDE the
-      // timer as index metadata), so the probed fraction 2/nLists
-      // FALLS with the corpus: expected slope ~K^1.5 where the scan
-      // form is K² by construction
+      // 100 TB remedy the scan row's comment promises. The at-rest
+      // index (cells in the parquet partition column, built outside
+      // the timer) is probed per anchor; nLists grows √K (the standard
+      // IVF sizing), so the probed fraction 2/nLists FALLS with the
+      // corpus: expected slope ~K^1.5 where the scan form is K² by
+      // construction
       "hard_negatives_ivf_growing" -> (() =>
-        LlmOps.hardNegativesIvf(embs, anchorEvery = 2000, k = 5,
-          nLists = ivfLists(k), nProbe = 2,
-          pretrained = ivfCentroids.get(k)).count()),
+        LlmOps.hardNegativesIvfIndexed(spark, s"$dir/hn_ivf_index",
+          ivfCentroids(k), anchorEvery = 2000, k = 5,
+          nProbe = 2).count()),
       // pmi: Σ len·window positional pairs + (a,b)/(a) hash aggregates
       // + per-target rank; vocab-disjoint copies keep pair cardinality
       // linear in K

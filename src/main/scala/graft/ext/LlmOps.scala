@@ -5932,6 +5932,61 @@ object LlmOps {
       .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
         col("cos_u"))
   }
+  /** [[hardNegativesIvf]] against an AT-REST [[buildIvfIndex]] layout —
+    * the deployed form. The inline variant re-assigns every corpus row
+    * to its cell per call (nLists·dim work per row — an index BUILD
+    * hiding inside a query; the ×128 slope run measured it overtaking
+    * the brute-force scan). Here cells were assigned ONCE at index
+    * build time and sit in the parquet partition column, so a probe
+    * pays only anchors × probed-cell scanning + exact re-rank — the
+    * same train-once/probe-forever split as annCosineIvfIndexed and
+    * the LM index. Scores remain exact; nProbe = nLists still probes
+    * every cell and therefore reproduces the brute-force result
+    * exactly (cells partition the corpus whatever the quantizer did).
+    * Anchors default to the same id-comb as the scan form and read
+    * FROM THE INDEX (one pushdown-filtered scan). */
+  def hardNegativesIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              centroids: Array[Array[Double]],
+                              anchorEvery: Int = 50, k: Int = 5,
+                              hiCos: Double = 0.9, nProbe: Int = 4,
+                              idCol: String = "vec_id",
+                              labelCol: String = "label",
+                              vecCol: String = "embedding",
+                              anchorMax: Long = Long.MaxValue): DataFrame = {
+    require(anchorEvery >= 1 && k >= 1 && nProbe >= 1 &&
+      nProbe <= centroids.length, "hardNegativesIvfIndexed: bad params")
+    val idx = spark.read.parquet(indexPath)
+    val base = idx.select(col("__cell"), col(idCol), col(labelCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", normD(col("__v")))
+    val nP = nProbe
+    val probeOf = udf { v: Seq[Double] => ivfProbeCells(centroids, v.toArray, nP) }
+    val anchors = base
+      .filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0
+        && col(idCol) <= anchorMax)
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
+        col("__v").as("__av"), col("__n").as("__an"),
+        explode(probeOf(col("__v"))).as("__cell"))
+    val scored = base.join(anchors, Seq("__cell"))
+      .filter(col(labelCol) =!= col("__al"))
+      .withColumn("__cos",
+        graft.expr.DotProductD(spark, col("__av"), col("__v")) /
+          (col("__an") * col("__n")))
+      .withColumn("cos_u", round(col("__cos") * 10000).cast("long"))
+      .filter(col("cos_u") <= math.round(hiCos * 10000))
+    val localW = Window.partitionBy(col("anchor_id"), col("__p"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    val globalW = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_u").desc, col(idCol))
+    scored.withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW)).filter(col("__lr") <= k)
+      .drop("__lr", "__p")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col(idCol).as("neg_id"),
+        col("cos_u"))
+  }
   /** ROUGE-L (r12, Lin 2004): longest-common-subsequence overlap — the
     * standard summarization/generation recall metric next to [[bleuScore]]'s
     * precision view. Every output is an INTEGER (LCS length; P/R in

@@ -53,6 +53,33 @@ class R14OpsSpec extends AnyFunSuite {
     assert(total > 0 && hit / total >= 0.5, s"recall ${hit / total}")
   }
 
+  test("hardNegativesIvfIndexed: at-rest probes — full-probe parity, pruned recall") {
+    // the deployed form: cells assigned ONCE at buildIvfIndex time (the
+    // parquet partition column), probes pay no per-call assignment
+    val path = sys.props("java.io.tmpdir") + "/graft_hn_ivf_spec"
+    val cents = LlmOps.buildIvfIndex(embs, path, nLists = 8)
+    val bf = LlmOps.hardNegatives(embs, anchorEvery = 100, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // probing all cells scans the whole corpus regardless of how the
+    // quantizer assigned it — exact parity with the scan form
+    val full = LlmOps.hardNegativesIvfIndexed(spark, path, cents,
+        anchorEvery = 100, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(bf.nonEmpty && full == bf)
+    // pruned probes: dense per-anchor ranks and a recall floor
+    val pruned = LlmOps.hardNegativesIvfIndexed(spark, path, cents,
+      anchorEvery = 100, k = 5, nProbe = 3)
+    pruned.groupBy("anchor_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val bfSet = bf.map(t => (t._1, t._3)).toSet
+    val hit = pruned.collect().count(r => bfSet((r.getLong(0), r.getLong(2))))
+    assert(bf.nonEmpty && hit.toDouble / bf.size >= 0.5,
+      s"recall ${hit.toDouble / bf.size}")
+  }
+
   test("hardNegativesIvf: pretrained centroids short-circuit training") {
     val cents = LlmOps.trainIvfCentroids(embs, nLists = 8)
     val a = LlmOps.hardNegativesIvf(embs, anchorEvery = 200, k = 3,
