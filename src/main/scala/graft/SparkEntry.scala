@@ -741,12 +741,15 @@ object SparkEntry {
     // shuffle partition per micro-batch; at the session's 32 partitions
     // × 3 batches that is ~400 store open/commit cycles on a ~600-row
     // harness feed (measured 21.4 s — pure fixed overhead, not data).
-    // Pin the join's state partitioning to 4 for this query and
+    // Pin the join's state partitioning to 2 for this query and
     // restore; a real deployment sizes this to the cluster (the state
     // partition count is a per-query deployment dial, not a library
-    // default).
+    // default). Stream-stream joins open 4 state stores PER partition
+    // PER micro-batch — at sub-kilobyte harness batches the commit
+    // overhead is the whole cost (32->4 measured 21.4->4.0 s in r8;
+    // 4->2 shaves the remaining floor).
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try streamStreamJoinBody(s, dir)
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
@@ -807,7 +810,8 @@ object SparkEntry {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // 2 partitions: same state-store-commit reasoning as the inner join
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val evs = s.read.parquet(s"$dir/events.parquet")
         .filter(col("event_id") <= 2000 &&

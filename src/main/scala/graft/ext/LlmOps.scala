@@ -4543,8 +4543,10 @@ object LlmOps {
     // one codegen byte loop (expr/DhashBits.scala, r14) — replaces the
     // 65× hex/conv/substring Column chain; identical contract (null
     // under 65 bytes, leading envelope of longer payloads)
+    // cast('binary') keeps the KQL plugin path's string payloads legal
+    // (UTF8 bytes — what the old hex chain hashed for ASCII strings)
     docs.select(col(idCol),
-      graft.expr.DhashBits(docs.sparkSession, col(binCol), 1, 65)
+      graft.expr.DhashBits(docs.sparkSession, col(binCol).cast("binary"), 1, 65)
         .as("dhash"))
 
   /** Perceptual image hash (dHash) over raw 9×8 grayscale bitmaps —
@@ -4563,8 +4565,9 @@ object LlmOps {
     // ~500-node tree dominated the llm_image_neardup bench row;
     // identical contract (null under 72 bytes, leading 9×8 grid of
     // longer payloads, bit 63 on the sign bit)
+    // cast('binary'): see audioDhash — string payloads stay legal
     docs.select(col(idCol),
-      graft.expr.DhashBits(docs.sparkSession, col(binCol), 8, 9)
+      graft.expr.DhashBits(docs.sparkSession, col(binCol).cast("binary"), 8, 9)
         .as("dhash"))
 
   /** Near-duplicate image pairs by dHash hamming distance ≤ k: the
