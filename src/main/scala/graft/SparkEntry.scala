@@ -859,6 +859,54 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** tmp_stream_hard_negatives body (r14): ONLINE hard-negative mining —
+    * two micro-batches of anchor vectors probe the at-rest IVF index
+    * ([[graft.streaming.StreamingOps.hardNegativesStream]]); committed
+    * per-batch partitions union to the final table. nProbe = nLists
+    * probes every cell, so the stream's output equals the brute-force
+    * scan over the same anchors EXACTLY — the oracle is the plain
+    * all-pairs SQL replay (quantized cosine ranking, id tie-breaks),
+    * no index state in the oracle at all. Statelessness is the point:
+    * the index is read-only, so batch boundaries cannot change results
+    * (pruned-probe parity is spec-pinned in StreamingSpec). */
+  def streamHardNegativesQuery(s: SparkSession, dir: String): DataFrame =
+    withLowShuffle(s) { streamHardNegativesBody(s, dir) }
+
+  private def streamHardNegativesBody(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = embs(s, dir)
+    val path = sys.props("java.io.tmpdir") + "/graft_hn_stream_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    // the index is deterministic per corpus — build once per fixture dir
+    val cents =
+      if (new java.io.File(path + "/_SUCCESS").exists())
+        LlmOps.trainIvfCentroids(e, nLists = 8)
+      else LlmOps.buildIvfIndex(e, path, nLists = 8)
+    s.sql("DROP TABLE IF EXISTS graft_stream_hn")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_stream_hn")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    val anchors = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Seq[Double])]
+    val src = ms.toDF().toDF("vec_id", "label", "embedding")
+    val q = graft.streaming.StreamingOps.hardNegativesStream(
+      src, path, cents, "graft_stream_hn", k = 5, nProbe = 8)
+    try {
+      ms.addData(anchors.filter(_._1 % 200 == 0): _*)
+      q.processAllAvailable()
+      ms.addData(anchors.filter(_._1 % 200 != 0): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.catalog.refreshTable("graft_stream_hn")
+    s.table("graft_stream_hn")
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("cos_u"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** tmp_stream_cosine_dedup body (r6): the stateful streaming parity
     * row for EMBEDDING dedup — two micro-batches of odd-id vectors
     * through [[graft.streaming.StreamingOps.dedupCosineIncrementalStream]]
@@ -2937,6 +2985,14 @@ object SparkEntry {
     // state (no even or lower-batch-2 explanation exists). Facts per
     // the streamCosineDedupQuery scaladoc; n_should_seed is
     // DuckDB-recomputed exactly from the closed label<=3 pair set.
+    // ONLINE hard-negative mining over the at-rest IVF index (r14):
+    // two anchor micro-batches, per-batch committed partitions; with
+    // every cell probed the stream output equals the brute-force scan
+    // over the same anchors, so the plain all-pairs SQL replays it
+    "tmp_stream_hard_negatives" -> Q(
+      (s, dir) => streamHardNegativesQuery(s, dir),
+      Some("""WITH a AS (SELECT vec_id AS anchor_id, label AS al, embedding AS av FROM embeddings WHERE vec_id % 100 = 0), d AS (SELECT a.anchor_id, e.vec_id, SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE)) AS dp, SQRT(SUM(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE))) AS ne, SQRT(SUM(CAST(a.av[g.i] AS DOUBLE) * CAST(a.av[g.i] AS DOUBLE))) AS na FROM embeddings e JOIN a ON e.label != a.al, generate_series(1, 64) g(i) GROUP BY 1, 2), q AS (SELECT anchor_id, vec_id, CAST(ROUND(dp / (ne * na) * 10000) AS BIGINT) AS cos_u FROM d), r AS (SELECT anchor_id, vec_id, cos_u, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_u DESC, vec_id) AS "rank" FROM q WHERE cos_u <= 9000) SELECT anchor_id, CAST("rank" AS BIGINT) AS "rank", vec_id AS neg_id, cos_u FROM r WHERE "rank" <= 5 ORDER BY anchor_id, "rank" """)),
+
     "tmp_stream_cosine_dedup" -> Q(
       (s, dir) => streamCosineDedupQuery(s, dir),
       Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE label <= 3), ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM base a JOIN base b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2), pr AS (SELECT i, j FROM dots WHERE dp / (na * nb) >= 0.3), und AS (SELECT i AS x, j AS y FROM pr UNION ALL SELECT j AS x, i AS y FROM pr), sd AS (SELECT DISTINCT x FROM und WHERE x % 2 = 1 AND y % 2 = 0) SELECT CAST((SELECT COUNT(*) FROM sd) AS BIGINT) AS n_should_seed, CAST(0 AS BIGINT) AS n_false_drops, true AS recall_seed_ok, true AS cross_state_drop, CAST(2 AS BIGINT) AS n_batches""")),

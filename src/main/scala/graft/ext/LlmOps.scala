@@ -5957,20 +5957,43 @@ object LlmOps {
                               labelCol: String = "label",
                               vecCol: String = "embedding",
                               anchorMax: Long = Long.MaxValue): DataFrame = {
-    require(anchorEvery >= 1 && k >= 1 && nProbe >= 1 &&
-      nProbe <= centroids.length, "hardNegativesIvfIndexed: bad params")
+    require(anchorEvery >= 1, "hardNegativesIvfIndexed: anchorEvery >= 1")
+    val anchors = spark.read.parquet(indexPath)
+      .filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0
+        && col(idCol) <= anchorMax)
+      .select(col(idCol), col(labelCol), col(vecCol))
+    hardNegativesForIndexed(spark, indexPath, centroids, anchors, k, hiCos,
+      nProbe, idCol, labelCol, vecCol)
+  }
+  /** [[hardNegativesIvfIndexed]] for a CALLER-SUPPLIED anchor frame —
+    * the deployment shape: the anchors are whatever new training
+    * examples arrived (a stream micro-batch, a labeling run's output),
+    * not an id-comb of the corpus. Anchors need (idCol, labelCol,
+    * vecCol); negatives come from the at-rest index. Stateless per
+    * anchor, so the streaming wrapper
+    * [[graft.streaming.StreamingOps.hardNegativesStream]] is exact
+    * batch-parity by construction. */
+  def hardNegativesForIndexed(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              centroids: Array[Array[Double]],
+                              anchorFrame: DataFrame, k: Int = 5,
+                              hiCos: Double = 0.9, nProbe: Int = 4,
+                              idCol: String = "vec_id",
+                              labelCol: String = "label",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= centroids.length,
+      "hardNegativesForIndexed: bad params")
     val idx = spark.read.parquet(indexPath)
     val base = idx.select(col("__cell"), col(idCol), col(labelCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
       .withColumn("__n", normD(col("__v")))
     val nP = nProbe
     val probeOf = udf { v: Seq[Double] => ivfProbeCells(centroids, v.toArray, nP) }
-    val anchors = base
-      .filter(pmod(col(idCol), lit(anchorEvery.toLong)) === 0
-        && col(idCol) <= anchorMax)
+    val anchors = anchorFrame
       .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
-        col("__v").as("__av"), col("__n").as("__an"),
-        explode(probeOf(col("__v"))).as("__cell"))
+        transform(col(vecCol), _.cast("double")).as("__av"))
+      .withColumn("__an", normD(col("__av")))
+      .withColumn("__cell", explode(probeOf(col("__av"))))
     val scored = base.join(anchors, Seq("__cell"))
       .filter(col(labelCol) =!= col("__al"))
       .withColumn("__cos",

@@ -1059,6 +1059,18 @@ final class Planner(spark: SparkSession, catalog: Catalog) {
         labelCol = colNameOf(df, lE, "hard_negatives label"),
         vecCol = colNameOf(df, vE, "hard_negatives vec"))
 
+    // `evaluate hard_negatives_ivf(anchorEvery, k, nLists, nProbe, id,
+    // label, vec)` — the IVF-pruned form (nProbe = nLists reproduces
+    // the scan form exactly; see LlmOps.hardNegativesIvf)
+    case EvaluateOp("hard_negatives_ivf",
+        aE :: kE :: nlE :: npE :: idE :: lE :: vE :: Nil) =>
+      graft.ext.LlmOps.hardNegativesIvf(df, litLong(aE).toInt,
+        litLong(kE).toInt,
+        nLists = litLong(nlE).toInt, nProbe = litLong(npE).toInt,
+        idCol = colNameOf(df, idE, "hard_negatives_ivf id"),
+        labelCol = colNameOf(df, lE, "hard_negatives_ivf label"),
+        vecCol = colNameOf(df, vE, "hard_negatives_ivf vec"))
+
     // `evaluate dataset_card(source, lang, text, id)`: one-row-per-
     // source release summary
     case EvaluateOp("dataset_card", sE :: lE :: tE :: idE :: Nil) =>

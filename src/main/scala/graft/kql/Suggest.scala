@@ -125,7 +125,8 @@ object Suggest {
     "embedding_outliers",
     "frontier_schedule", "heaps_law", "keyword_extract",
     "license_detect", "pmi_contexts", "script_detect",
-    "mojibake_detect", "span_corrupt", "bleu", "hard_negatives", "rouge_l",
+    "mojibake_detect", "span_corrupt", "bleu", "hard_negatives",
+    "hard_negatives_ivf", "rouge_l",
     "wer", "k_anonymity", "bm25_indexed", "sentence_split", "dedup_soft",
     "ann_binary", "tokenizer_oov",
     "sft_pack", "dpo_pairs", "matryoshka", "curriculum_shards",

@@ -395,6 +395,40 @@ object StreamingOps {
     writer.start()
   }
 
+  /** Streaming hard-negative mining (r14): each micro-batch of anchors
+    * (new training examples) probes the AT-REST IVF index
+    * ([[graft.ext.LlmOps.hardNegativesForIndexed]]) and commits its
+    * (anchor_id, rank, neg_id, cos_u) rows to a per-batch partition
+    * (dynamic overwrite ⇒ replay-safe). STATELESS per anchor — the
+    * index is read-only here, so batch parity with the one-shot form
+    * is exact by construction and replays are pure overwrites. The
+    * online flavor of the dual-encoder mining loop: negatives are
+    * ready as soon as an example arrives, no corpus rescan. */
+  def hardNegativesStream(anchors: DataFrame, indexPath: String,
+                          centroids: Array[Array[Double]], outTable: String,
+                          k: Int = 5, hiCos: Double = 0.9, nProbe: Int = 4,
+                          idCol: String = "vec_id",
+                          labelCol: String = "label",
+                          vecCol: String = "embedding",
+                          checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = anchors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val out = graft.ext.LlmOps.hardNegativesForIndexed(spark, indexPath,
+            centroids, batch, k, hiCos, nProbe, idCol, labelCol, vecCol)
+          .withColumn("__batch_id", lit(batchId))
+        if (!spark.catalog.tableExists(outTable))
+          out.limit(0).write.format("parquet")
+            .partitionBy("__batch_id").saveAsTable(outTable)
+        out.write.mode("overwrite").insertInto(outTable)
+        graft.ext.LlmOps.releaseCaches()
+      }
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
   /** Materialize the current state of a [[matViewStream]] changelog:
     * latest `__batch_id` row per key, plus `n_updates` = number of
     * batches that updated the key (each batch emits a key at most

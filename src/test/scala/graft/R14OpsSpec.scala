@@ -80,6 +80,42 @@ class R14OpsSpec extends AnyFunSuite {
       s"recall ${hit.toDouble / bf.size}")
   }
 
+  test("hardNegativesStream: pruned-probe batch parity with the one-shot form") {
+    // the index is read-only under the stream, so batch boundaries
+    // cannot change results — union of two micro-batches' commits must
+    // equal the one-shot indexed form over the same anchors, at the
+    // SAME pruned nProbe (parity must not rely on exhaustive probes)
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = sys.props("java.io.tmpdir") + "/graft_hn_stream_spec"
+    val cents = LlmOps.buildIvfIndex(embs, path, nLists = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_hn_stream_spec_out")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_hn_stream_spec_out")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val anchors = embs.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Seq[Double])]
+    val src = ms.toDF().toDF("vec_id", "label", "embedding")
+    val q = graft.streaming.StreamingOps.hardNegativesStream(
+      src, path, cents, "graft_hn_stream_spec_out", k = 5, nProbe = 3)
+    try {
+      ms.addData(anchors.filter(_._1 % 200 == 0): _*); q.processAllAvailable()
+      ms.addData(anchors.filter(_._1 % 200 != 0): _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("graft_hn_stream_spec_out")
+    val streamed = spark.table("graft_hn_stream_spec_out")
+      .select("anchor_id", "rank", "neg_id", "cos_u").collect()
+      .map(_.toString).sorted.toSeq
+    val oneShot = LlmOps.hardNegativesIvfIndexed(spark, path, cents,
+        anchorEvery = 100, k = 5, nProbe = 3).collect()
+      .map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("hardNegativesIvf: pretrained centroids short-circuit training") {
     val cents = LlmOps.trainIvfCentroids(embs, nLists = 8)
     val a = LlmOps.hardNegativesIvf(embs, anchorEvery = 200, k = 3,
