@@ -369,61 +369,70 @@ object GraphOps {
     * round deep at all times. */
   def hits(edges: DataFrame, iters: Int, srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
-    // Unlike pageRank's single linear rank chain, each HITS round
-    // references its intermediate frames SEVERAL times (raw sums feed
-    // both the data join and the 1-row max, and the new authorities
-    // feed both the hub half-step and the final assembly) — a lazy
-    // chain multiplies the planned subtree ~8× per round (the analyzer
-    // blow-up the audioMeta scaladoc documents; measured: an iters=6
-    // lazy chain stalled for minutes). So every half-step materializes
-    // via an EAGER localCheckpoint — per round that is two node-sized
-    // materializations, the connectedComponents per-round cadence, and
-    // the previous round's blocks are freed as soon as the next exists.
-    var prevCkpt: DataFrame = null
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // RDD loop (r14) — the escalation path the r8 notes promised. Each
+    // HITS round references its intermediate frames SEVERAL times (raw
+    // sums feed both the data join and the 1-row max; new authorities
+    // feed the hub half-step and the final assembly), which in
+    // DataFrame form multiplied the planned subtree ~8× per round and
+    // needed an eager localCheckpoint per HALF-step — two node-sized
+    // materializations of pure Catalyst floor every round. On pair
+    // RDDs with ONE pinned partitioner (the connectedComponents
+    // machinery) every join/reduceByKey below is co-partitioned and
+    // narrow: per round the only shuffles are the two reduceByKey
+    // fan-ins, and there is no per-round planning at all. All
+    // arithmetic is the same integer micros (Long sums are exact and
+    // order-independent; `div` and Scala Long `/` both truncate toward
+    // zero on the non-negative values here), so the RDD form is
+    // VALUE-IDENTICAL to the DataFrame form it replaces — the
+    // hand-computed and random-digraph replay specs pin that.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val ePairs = edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"))
+      .distinct().as[(String, String)].rdd
+    val bySrc = ePairs.partitionBy(part).persist()
+    val byDst = ePairs.map(_.swap).partitionBy(part).persist()
+    val nodes = bySrc.keys.union(byDst.keys).distinct()
+      .map((_, ())).partitionBy(part).persist()
     try {
-      var scores = nodes.select(col("id"), lit(1000000L).as("h"),
-        lit(1000000L).as("a")).localCheckpoint()
-      prevCkpt = scores
+      var h = nodes.mapValues(_ => 1000000L).persist()
+      var a = h
       for (_ <- 1 to iters) {
         // authority half-step: a'(v) = Σ_{u→v} h(u), max-normalized
-        val aRaw = e.join(scores.select(col("id").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
-        val aMax = aRaw.agg(max(col("ar")).as("am"))
-        val aNew = nodes.join(aRaw, Seq("id"), "left_outer")
-          .crossJoin(broadcast(aMax))
-          .select(col("id"),
-            expr("(coalesce(ar, 0L) * 1000000) div am").as("a"))
-          .localCheckpoint()
+        val aRaw = bySrc.join(h)
+          .map { case (_, (dst, hu)) => (dst, hu) }
+          .reduceByKey(part, _ + _)
+        val am = aRaw.values.fold(0L)(math.max)
+        val aNew = nodes.leftOuterJoin(aRaw)
+          .mapValues { case (_, o) => o.getOrElse(0L) * 1000000L / am }
+          .persist()
         // hub half-step reads the NEW authorities (Kleinberg's order)
-        val hRaw = e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
-        val hMax = hRaw.agg(max(col("hr")).as("hm"))
-        val sNew = nodes.join(hRaw, Seq("id"), "left_outer")
-          .crossJoin(broadcast(hMax))
-          .select(col("id"),
-            expr("(coalesce(hr, 0L) * 1000000) div hm").as("h"))
-          .join(aNew, "id")
-          .select(col("id"), col("h"), col("a"))
-          .localCheckpoint()
-        prevCkpt.unpersist(false)
-        aNew.unpersist(false)
-        prevCkpt = sNew
-        scores = sNew
+        val hRaw = byDst.join(aNew)
+          .map { case (_, (src, av)) => (src, av) }
+          .reduceByKey(part, _ + _)
+        val hm = hRaw.values.fold(0L)(math.max)
+        val hNew = nodes.leftOuterJoin(hRaw)
+          .mapValues { case (_, o) => o.getOrElse(0L) * 1000000L / hm }
+          .persist()
+        // materialize before freeing the parents (each round's RDDs are
+        // consumed twice: next round + final assembly)
+        hNew.count()
+        h.unpersist(false); if (a ne h) a.unpersist(false)
+        h = hNew; a = aNew
       }
       val out = graft.ext.LlmOps.persistTracked(
-        scores.select(col("id"), col("h").as("hub_micros"),
-          col("a").as("auth_micros"),
-          (col("h").cast("double") / 1000000.0d).as("hub"),
-          (col("a").cast("double") / 1000000.0d).as("auth")))
+        h.join(a).map { case (id, (hv, av)) => (id, hv, av) }
+          .toDF("id", "hub_micros", "auth_micros")
+          .select(col("id"), col("hub_micros"), col("auth_micros"),
+            (col("hub_micros").cast("double") / 1000000.0d).as("hub"),
+            (col("auth_micros").cast("double") / 1000000.0d).as("auth")))
       out.count()
+      h.unpersist(false); if (a ne h) a.unpersist(false)
       out
     } finally {
-      if (prevCkpt != null) prevCkpt.unpersist(false)
-      e.unpersist(false); nodes.unpersist(false)
+      bySrc.unpersist(false); byDst.unpersist(false); nodes.unpersist(false)
     }
   }
 
