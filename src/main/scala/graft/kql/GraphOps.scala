@@ -693,47 +693,48 @@ object GraphOps {
             srcCol: String, dstCol: String): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
-    val und0 = edges.select(col(srcCol).cast("string").as("x"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // RDD peel loop (r14, the [[hits]] rewrite): each peel references
+    // the surviving edge set FOUR times (both halves of the degree
+    // count + both semi-join sides) — in DataFrame form that multiplied
+    // the planned subtree ~4× per round and needed an eager
+    // localCheckpoint per round of pure Catalyst floor (the r8 property
+    // replay at rounds=6 stalled the analyzer for minutes). On pair
+    // RDDs with one pinned partitioner the degree count and the a-side
+    // semi-join are co-partitioned narrow ops; per round the only
+    // shuffles are the degree reduceByKey fan-in and the b-side re-key,
+    // with zero per-round planning. Integer degree counts ⇒
+    // value-identical (random-graph replay spec pins it).
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    var cur = edges.select(col(srcCol).cast("string").as("x"),
         col(dstCol).cast("string").as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct().persist()
-    // Each peel references `cur` FOUR times (both unions of the degree
-    // count + both semi-join sides), so a lazy chain multiplies the
-    // planned subtree ~4× per round — the r8 property replay at
-    // rounds=6 stalled the analyzer for minutes (the [[hits]] lesson,
-    // found the same way). Every round therefore materializes via an
-    // EAGER localCheckpoint; the previous round's blocks are freed as
-    // soon as the next exists. Edge-set-sized materializations, the
-    // connectedComponents per-round cadence.
-    var prevCkpt: DataFrame = null
+      .distinct().as[(String, String)].rdd
+      .partitionBy(part).persist()
     try {
-      var cur = und0
       for (_ <- 1 to rounds) {
-        val keep = cur.select(col("a").as("id"))
-          .unionByName(cur.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select(col("id"))
-        val ck = cur
-          .join(keep.select(col("id").as("a")), "a")
-          .join(keep.select(col("id").as("b")), "b")
-          .select(col("a"), col("b"))
-          .localCheckpoint()
-        if (prevCkpt != null) prevCkpt.unpersist(false)
-        prevCkpt = ck
-        cur = ck
+        val keep = cur
+          .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+          .reduceByKey(part, _ + _).filter(_._2 >= k)
+        val next = cur.join(keep).mapValues(_._1)        // a-side, narrow
+          .map { case (a, b) => (b, a) }.partitionBy(part)
+          .join(keep).map { case (b, (a, _)) => (a, b) } // b-side
+          .partitionBy(part).persist()
+        next.count()
+        cur.unpersist(false)
+        cur = next
       }
       val out = graft.ext.LlmOps.persistTracked(
-        cur.select(col("a").as("id"))
-          .unionByName(cur.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("degree")))
+        cur.flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+          .reduceByKey(part, _ + _)
+          .toDF("id", "degree"))
       out.count()
       out
-    } finally {
-      if (prevCkpt != null) prevCkpt.unpersist(false)
-      und0.unpersist(false)
-    }
+    } finally cur.unpersist(false)
   }
 
   def graphToTable(ctx: GraphCtx, what: String): DataFrame = what match {
