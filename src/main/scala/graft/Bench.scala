@@ -150,16 +150,21 @@ object Bench {
     // seconds against the recorded r2 clean-host band (0.344 s/query at
     // sf0.1 / local[32] — BASELINE.md), all-in and plan-class. The gate
     // is a fact of the artifact, not a BASELINE.md hand computation.
-    val baselinePerQ = 0.344
+    // the 0.344 band was recorded at sf0.1/local[32] ONLY — on any other
+    // fixture the ratios would be meaningless, so they are emitted null
+    // there (the per-query seconds stay; ADVICE r10)
+    val baselinePerQ: Option[Double] =
+      if (new java.io.File(sfDir).getName == "sf0.1") Some(0.344) else None
     val planSec = classTotals.getOrElse("plan", 0.0)
     val planN = results.keys.count(benchClass(_) == "plan")
     val allInPerQ = if (results.nonEmpty) total / results.size else 0.0
     val planPerQ = if (planN > 0) planSec / planN else 0.0
+    def j(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
     val gateJson =
-      s"""{"metric":"gate","baseline_per_q":$baselinePerQ,""" +
+      s"""{"metric":"gate","baseline_per_q":${j(baselinePerQ)},""" +
       s""""all_in_per_q":$allInPerQ,"plan_per_q":$planPerQ,""" +
-      s""""all_in_vs_baseline":${allInPerQ / baselinePerQ},""" +
-      s""""plan_vs_baseline":${planPerQ / baselinePerQ}}"""
+      s""""all_in_vs_baseline":${j(baselinePerQ.map(allInPerQ / _))},""" +
+      s""""plan_vs_baseline":${j(baselinePerQ.map(planPerQ / _))}}"""
     println(gateJson)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"class_subtotals":$classJson,"sf":"$sfDir"}""")
     // Complete per-query artifact ON DISK (r2/r3 verdicts: both driver

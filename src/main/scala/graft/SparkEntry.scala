@@ -47,12 +47,24 @@ object SparkEntry {
     * fixture dir and the timed rows READ it (the buildIvfIndex path
     * convention). Payloads are a pure function of doc_id, so a
     * previously-written table can never be stale. */
+  private val plantLock = new Object
   private def plantedImages(s: SparkSession, dir: String): DataFrame = {
+    // payload VALUES are a pure function of doc_id, but the doc-id SET is
+    // not a function of the path — a regenerated/grown fixture at the
+    // same dir must not silently reuse the old plant, so the cache key
+    // carries (count, max doc_id) of the CURRENT corpus (ADVICE r10).
+    // The count is parquet-metadata-cheap; the lock serializes same-JVM
+    // first builds (Bench/Verify are single-threaded, but harness code
+    // should not corrupt on a concurrent first touch).
+    val stat = docs(s, dir).agg(count(lit(1)), max(col("doc_id"))).head()
     val path = sys.props("java.io.tmpdir") + "/graft_img_plant_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    if (!new java.io.File(path + "/_SUCCESS").exists())
-      docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload"))
-        .write.mode("overwrite").parquet(path)
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${stat.getLong(0)}_${stat.getLong(1)}"
+    plantLock.synchronized {
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload"))
+          .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
   }
 
@@ -5744,6 +5756,56 @@ object SparkEntry {
           .orderBy("bin", "file_id")
       },
       Some("""WITH f AS (SELECT CAST(l_orderkey % 503 AS BIGINT) AS file_id, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes FROM lineitem GROUP BY 1), c AS (SELECT file_id, size_bytes, SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM f) SELECT file_id, size_bytes, CAST((cum - size_bytes) // 2000000000 AS BIGINT) AS bin FROM c ORDER BY bin, file_id""")),
+
+    // The two declared refusal families as a DRIVER artifact (r10
+    // verdict task 9): the spec-pinned loud errors become a correctness
+    // row, so CORRECTNESS_r*.json itself proves the refusal contract —
+    // each message names the gap AND the shipped alternative, with no
+    // silent fallback. (Spec twin: PlannerSpec's unsupported-name traps.)
+    "q188_refusals" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def msgOf(q: String): String =
+          try { Kql.run(s, q, dir).count(); "NO-ERROR" }
+          catch {
+            case e: Exception =>
+              def walk(t: Throwable): String =
+                Option(t.getMessage).getOrElse("") +
+                  Option(t.getCause).map(walk).getOrElse("")
+              walk(e)
+          }
+        val h3 = msgOf("nation | extend c = geo_point_to_h3cell(1.0, 2.0, 9)")
+        val pr = msgOf("nation | extend p = current_principal()")
+        Seq((h3.contains("H3"), h3.contains("geo_point_to_geohash"),
+            h3.contains("geo_point_to_s2cell"),
+            pr.contains("auth"), !h3.contains("NO-ERROR") && !pr.contains("NO-ERROR")))
+          .toDF("h3_names_gap", "h3_offers_geohash", "h3_offers_s2",
+            "principal_names_auth", "both_refused")
+      },
+      Some("SELECT true AS h3_names_gap, true AS h3_offers_geohash, true AS h3_offers_s2, true AS principal_names_auth, true AS both_refused")),
+
+    // fork as a DRIVER row (r10 verdict task 8): Kql.runMulti
+    // materializes each named branch of the fork; the single-DataFrame
+    // driver contract hosts the multi-result by tagging every branch row
+    // with its branch name and unioning on a common (branch, k, v)
+    // schema — multi-result execution is artifact-pinned end-to-end,
+    // not just spec-pinned (PlannerSpec's runMulti tests stay the
+    // branch-shape twin).
+    "q189_fork_multi" -> Q(
+      (s, dir) => {
+        val rs = Kql.runMulti(s,
+          """lineitem
+            | where l_quantity > 45
+            | fork flags = (summarize n = count() by l_returnflag)
+                   heavy = (where l_discount >= 0.05 | summarize n = count())""",
+          dir).toMap
+        val flags = rs("flags").select(lit("flags").as("branch"),
+          col("l_returnflag").as("k"), col("n").cast("long").as("v"))
+        val heavy = rs("heavy").select(lit("heavy").as("branch"),
+          lit("").as("k"), col("n").cast("long").as("v"))
+        flags.unionByName(heavy).orderBy("branch", "k")
+      },
+      Some("""SELECT 'flags' AS branch, l_returnflag AS k, CAST(COUNT(*) AS BIGINT) AS v FROM lineitem WHERE l_quantity > 45 GROUP BY 2 UNION ALL SELECT 'heavy' AS branch, '' AS k, CAST(COUNT(*) AS BIGINT) AS v FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05 ORDER BY branch, k""")),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

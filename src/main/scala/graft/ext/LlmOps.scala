@@ -874,7 +874,14 @@ object LlmOps {
     (best + 1, vv - 2.0 * bestS)
   }
 
-  private def cellOf(centroids: Array[Array[Double]]) = {
+  /** NORM-INVARIANT by construction: [[bestCell]] normalizes its input
+    * internally, so feeding a raw vector (the [[buildIvfIndex]] at-rest
+    * path) or a pre-normalized one (the inline [[hardNegativesIvf]]
+    * path) assigns the same cell — the two conventions differ only in
+    * ulp-level FP (an extra ÷‖v̂‖≈1), never in geometry, including on
+    * non-unit-norm corpora. Pinned by the LlmOpsSpec raw-vs-normalized
+    * assignment test (ADVICE r10). private[graft] for that spec. */
+  private[graft] def cellOf(centroids: Array[Array[Double]]) = {
     val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
     udf { v: Seq[Double] => bestCell(v, centroids, halfNorm)._1 }
   }
@@ -1740,12 +1747,47 @@ object LlmOps {
         .select("__cell").collect().map(_.getLong(0)).toSet
       if (oversize.isEmpty) done = true
       else {
+        // ONE bounded sample job for ALL oversize cells (r10 verdict
+        // task 5): the previous form called trainIvfCentroids once per
+        // skew cell — one sequential Spark job each through the driver,
+        // so a pathological corpus with hundreds of oversize cells
+        // serialized hundreds of sample jobs. A single window pass ranks
+        // every oversize cell's rows in trainIvfCentroids' own sample
+        // order (idHash, id) and keeps, per cell, both the 1/16
+        // hash-sample prefix and the full prefix (≤ 2·256·kSub rows per
+        // cell — the same bounded index-metadata collect, batched). The
+        // driver then trains each cell's sub-quantizer from the same
+        // rows, in the same order, with the same seed, so the refined
+        // assignment is BIT-IDENTICAL to the per-cell form (the skew
+        // spec pins equality against serial trainIvfCentroids).
+        val cap = 256 * kSub
+        val nrm = normD(col(vecCol))
+        val unit = transform(col(vecCol), x => x.cast("double") / nrm)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__cell").orderBy(idHash(col(idCol)), col(idCol))
+        val picked = cur.filter(col("__cell").isin(oversize.toSeq: _*))
+          .select(col("__cell"), col(idCol), unit.as("__uv"),
+            (pmod(xxhash64(col(idCol)), lit(16)) === 0).as("__hs"))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__rnh",
+            sum(when(col("__hs"), 1).otherwise(0)).over(w).cast("int"))
+          .filter(col("__rn") <= cap || (col("__hs") && col("__rnh") <= cap))
+          .select(col("__cell"), col("__uv"), col("__hs"),
+            col("__rn"), col("__rnh"))
+          .collect()
         val subs: Map[Long, (Array[Array[Double]], Array[Double])] =
-          oversize.iterator.map { c =>
-            val cents = trainIvfCentroids(cur.filter(col("__cell") === c),
-              kSub, seed + 7919L * (depth + 1) + c, idCol, vecCol)
+          picked.groupBy(_.getLong(0)).map { case (c, rows) =>
+            val ordered = rows.sortBy(_.getInt(3))
+            val hashPick = ordered
+              .filter(r => r.getBoolean(2) && r.getInt(4) <= cap)
+            val sample =
+              (if (hashPick.length >= 4 * kSub) hashPick.take(cap)
+               else ordered.filter(_.getInt(3) <= cap))
+                .map(_.getSeq[Double](1).toArray)
+            val cents = kmeansDriver(sample, kSub,
+              seed + 7919L * (depth + 1) + c, iters = 8)
             c -> (cents, cents.map(x => x.map(y => y * y).sum / 2))
-          }.toMap
+          }
         val subsB = cur.sparkSession.sparkContext.broadcast(subs)
         val refine = udf { (cell: Long, v: Seq[Double]) =>
           subsB.value.get(cell) match {
@@ -2464,10 +2506,16 @@ object LlmOps {
     // to 1e7 on the fixture's ~25 corpus-wide tokens); ln(N/df) sends
     // exactly those features to 0, removing the degenerate direction
     // structurally. The frame is REPARTITIONED BY id before the
-    // persist so each round's per-doc margin window finds its
+    // persist so each round's per-doc margin aggregate finds its
     // clustering already satisfied — the training loop then shuffles
     // only the dim+1-row gradient aggregate, not the corpus.
-    val nDocs = spread(docs).count().toDouble
+    // corpus stats in ONE bounded job over docs (r11): n is every doc
+    // (each gets the bias row, so it equals count_distinct(id) over the
+    // feature frame — the old form, which paid a 2-phase distinct agg
+    // over the exploded frame just to re-derive these two numbers)
+    val statsRow = spread(docs).agg(count(lit(1)).cast("double"),
+      coalesce(sum(col(labelCol).cast("double")), lit(0.0d))).head()
+    val nDocs = statsRow.getDouble(0)
     val dfq = present.groupBy("j").agg(count(lit(1)).as("dfj"))
     val feats = persistTracked(
       present.join(dfq, "j")
@@ -2477,13 +2525,10 @@ object LlmOps {
         .unionByName(spread(docs).select(col(idCol).as("id"),
           col(labelCol).cast("double").as("y"),
           lit(dim).as("j"), lit(1.0d).as("x")))
-        .repartition(col("id")))
+        .repartition(col("id")).sortWithinPartitions("id"))
     val w = Array.fill(dim + 1)(0.0)
-    val stats = feats.agg(
-      count_distinct(col("id")).cast("double"),
-      count_distinct(when(col("y") === 1.0, col("id"))).cast("double")).head()
-    val n = stats.getDouble(0)
-    val n1 = stats.getDouble(1)
+    val n = nDocs
+    val n1 = statsRow.getDouble(1)
     // bias starts at the log-prior: round-1 margins then equal the base
     // rate, so features present in BOTH classes get ~zero gradient and
     // all early signal flows to the discriminative features — without
@@ -2496,7 +2541,13 @@ object LlmOps {
     // weights travel as a BROADCAST dim+1-row frame, not a typedLit
     // array — a literal embeds the values in the plan, so every round
     // would recompile fresh codegen; the broadcast-join plan is
-    // identical across rounds and hits the generated-class cache
+    // identical across rounds and hits the generated-class cache.
+    // The cached frame is SORTED by id at persist time (r11): the
+    // per-doc margin window requires child ordering by its partition
+    // key, the cache's InMemoryTableScan reports the persisted
+    // ordering, and the broadcast join preserves its streamed side's
+    // order — so each GD round is ONE sort-free scan of the cache
+    // (the window's per-round corpus sort was the dominant loop cost).
     def withMargin(arr: Array[Double]) = {
       val wDf = broadcast(
         arr.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "wv"))
@@ -2524,8 +2575,14 @@ object LlmOps {
       grad.foreach(row =>
         w(row.getInt(0)) -= lr * row.getDouble(1) / n)
     }
-    withMargin(w)
-      .select(col("id"), col("y"), col("mg")).distinct()
+    // final per-doc margins via a hash aggregate (64k groups), not the
+    // window + row-level distinct (the distinct re-shuffled the whole
+    // exploded frame just to collapse it back to one row per doc)
+    val wDfF = broadcast(
+      w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "wv"))
+    feats.join(wDfF, "j").groupBy("id")
+      .agg(sum(col("x") * col("wv")).as("mg"), first(col("y")).as("y"))
+      .select(col("id"), col("y"), col("mg"))
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("mg"))))
       .withColumn("predicted", (col("prob") >= 0.5).cast("int"))
       .withColumn(labelCol, col("y").cast("int")) // 0/1 by contract

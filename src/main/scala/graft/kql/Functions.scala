@@ -2299,7 +2299,10 @@ object Functions {
   private[kql] val jsonKeyTypesUdf = udf { (s: String) =>
     if (s == null) Seq.empty[String]
     else try {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      // shared mapper (the treepathFn lesson): constructing an
+      // ObjectMapper PER ROW dominated the walk itself; readTree on a
+      // configured mapper is thread-safe
+      val m = treepathMapper.readTree(s)
       def ty(n: com.fasterxml.jackson.databind.JsonNode): String =
         if (n == null || n.isNull) "null"
         else if (n.isTextual) "string"

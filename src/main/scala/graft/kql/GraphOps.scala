@@ -447,51 +447,50 @@ object GraphOps {
     * exact on any graph without negative cycles; fewer rounds = a
     * bounded-hop horizon, often exactly what a radius query wants).
     *
-    * Scale shape: per round ONE equi-join of the edge frame with the
-    * current distance frontier + one min aggregate — no driver state;
-    * each round's distance frame is referenced twice (the relax join
-    * and the keep-old union), so rounds materialize via eager
-    * localCheckpoint (the [[hits]] lesson — a lazy chain doubles the
-    * planned subtree per round), previous blocks freed immediately. */
+    * Scale shape (RDD loop, r11 — the [[hits]] escalation applied here):
+    * the edge list is keyed by src on ONE pinned HashPartitioner, so the
+    * per-round relax join is co-partitioned and narrow; the only shuffle
+    * per round is the min-fold reduceByKey (with map-side combine), and
+    * there is no per-round Catalyst planning at all — the DataFrame form
+    * paid an analysis+optimize+codegen floor per round plus an eager
+    * localCheckpoint to stop plan doubling. Long min is exact and
+    * order-independent, so the RDD form is VALUE-IDENTICAL to the
+    * DataFrame rounds it replaces (the unrolled-round oracle replays). */
   def shortestPathsWeighted(edges: DataFrame, sourceId: String, iters: Int,
                             srcCol: String, dstCol: String,
                             wCol: String): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val bySrc = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") >= 0) // negative edges break the exactness bound
       .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
-      .persist()
-    var prevCkpt: DataFrame = null
+      .as[(String, String, Long)].rdd
+      .map { case (s, d, w) => (s, (d, w)) }
+      .partitionBy(part).persist()
     try {
-      var dist = e.sparkSession.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(sourceId, 0L)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("d",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-        .localCheckpoint()
-      prevCkpt = dist
+      var dist = spark.sparkContext
+        .parallelize(Seq((sourceId, 0L))).partitionBy(part).persist()
       for (_ <- 1 to iters) {
-        val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
-        val next = dist.unionByName(relaxed)
-          .groupBy("id").agg(min(col("d")).as("d"))
-          .localCheckpoint()
-        prevCkpt.unpersist(false)
-        prevCkpt = next
+        val relaxed = bySrc.join(dist)
+          .map { case (_, ((dst, w), d)) => (dst, d + w) }
+        val next = dist.union(relaxed)
+          .reduceByKey(part, math.min(_: Long, _: Long)).persist()
+        // materialize before freeing the parent (next reads dist lazily)
+        next.count()
+        dist.unpersist(false)
         dist = next
       }
       val out = graft.ext.LlmOps.persistTracked(
-        dist.select(col("id"), col("d").as("dist")))
+        dist.toDF("id", "dist"))
       out.count()
+      dist.unpersist(false)
       out
-    } finally {
-      if (prevCkpt != null) prevCkpt.unpersist(false)
-      e.unpersist(false)
-    }
+    } finally bySrc.unpersist(false)
   }
 
   /** Synchronous label-propagation communities (Raghavan et al. 2007)
@@ -507,53 +506,85 @@ object GraphOps {
     * min-tie form is deterministic). Isolated nodes keep their own
     * label. Output: (id, community, community_size).
     *
-    * Scale shape: per round ONE equi-join of the symmetric edge frame
-    * with the label frame + one (node, label) count aggregate + one
-    * min-struct argmax aggregate — no driver state, no collect; lineage
-    * capped by the pageRank localCheckpoint cadence. Synchronous LPA
-    * can oscillate on bipartite structures — `iters` bounds it (the
-    * caller picks convergence vs cost, as with pagerank). */
+    * Scale shape (RDD loop, r11 — the [[hits]] escalation applied here):
+    * the symmetric neighbor list is keyed by the LABEL-side endpoint on
+    * ONE pinned HashPartitioner, so the per-round neighbor-label join is
+    * co-partitioned and narrow; the vote count AND the argmax fold into
+    * a single aggregateByKey per round (per-node label→count maps,
+    * bounded by degree, combined map-side), landing already partitioned
+    * for the narrow keep-own-label leftOuterJoin — ONE shuffle per round
+    * and zero per-round Catalyst planning (the DataFrame form paid an
+    * analysis+codegen floor per round plus two aggregates' exchanges).
+    * Counts are exact Longs and the (count desc, label asc) argmax is
+    * deterministic, so the RDD form is VALUE-IDENTICAL to the DataFrame
+    * rounds it replaces (the unrolled-round oracle replays verbatim).
+    * Synchronous LPA can oscillate on bipartite structures — `iters`
+    * bounds it (the caller picks convergence vs cost, as with
+    * pagerank). */
   def labelPropagation(edges: DataFrame, iters: Int,
                        srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e0 = edges.select(col(srcCol).cast("string").as("a"),
-        col(dstCol).cast("string").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
-    val nodes = edges.select(col(srcCol).cast("string").as("id"))
-      .union(edges.select(col(dstCol).cast("string").as("id")))
-      .distinct().persist()
-    sym.count(); nodes.count()
-    var prevCkpt: DataFrame = null
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val raw = edges.select(col(srcCol).cast("string"),
+      col(dstCol).cast("string")).as[(String, String)].rdd
+    // keyed by the neighbor whose LABEL each vote reads: edge (a,b)
+    // contributes (b -> a) and (a -> b); self-loops drop (they vote for
+    // the node's own current label symmetrically — the DataFrame form
+    // filtered them too)
+    val sym = raw.filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Iterator((b, a), (a, b)) }
+      .distinct().partitionBy(part).persist()
+    // nodes from the UNFILTERED edges: a self-loop-only node still
+    // appears in the output with its own label
+    val nodes = raw.flatMap { case (a, b) => Iterator(a, b) }
+      .distinct().map((_, ())).partitionBy(part).persist()
+    nodes.count()
     try {
-      var labels = nodes.withColumn("lbl", col("id"))
-      for (i <- 1 to iters) {
-        val votes = sym.join(labels.select(col("id").as("b"), col("lbl")), "b")
-          .groupBy(col("a").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
-        // argmax (count desc, label asc) as one min-struct aggregate:
-        // struct ordering is lexicographic, so min((-c, lbl)) is the
-        // deterministic winner
-        val winner = votes.groupBy("id")
-          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
-          .select(col("id"), col("m.l").as("__nl"))
-        labels = nodes.join(winner, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("__nl"), col("id")).as("lbl"))
-        if (i % 5 == 0 && i < iters) {
-          val ck = labels.localCheckpoint()
-          if (prevCkpt != null) prevCkpt.unpersist(false)
-          prevCkpt = ck
-          labels = ck
-        }
+      var labels = nodes.mapPartitions(
+        _.map { case (id, _) => (id, id) }, preservesPartitioning = true)
+        .persist()
+      for (_ <- 1 to iters) {
+        // votes: for node a, count neighbor labels; argmax (count desc,
+        // label asc) inside the same shuffle via per-node count maps
+        val winner = sym.join(labels)
+          .map { case (_, (a, lbl)) => (a, lbl) }
+          .aggregateByKey(
+            scala.collection.mutable.Map.empty[String, Long], part)(
+            (m, l) => { m.updateWith(l) { o => Some(o.getOrElse(0L) + 1L) }; m },
+            (m1, m2) => {
+              m2.foreach { case (l, c) =>
+                m1.updateWith(l) { o => Some(o.getOrElse(0L) + c) } }
+              m1
+            })
+          .mapValues { m =>
+            var bestL: String = null; var bestC = 0L
+            m.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && (bestL == null || l < bestL))) {
+                bestL = l; bestC = c
+              }
+            }
+            bestL
+          }
+        val next = nodes.leftOuterJoin(winner)
+          .mapPartitions(_.map { case (id, (_, o)) =>
+            (id, o.getOrElse(id)) }, preservesPartitioning = true)
+          .persist()
+        next.count() // materialize before freeing the parent
+        labels.unpersist(false)
+        labels = next
       }
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      val ldf = labels.toDF("id", "lbl")
+      val sizes = ldf.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       val out = graft.ext.LlmOps.persistTracked(
-        labels.join(sizes, "lbl")
+        ldf.join(sizes, "lbl")
           .select(col("id"), col("lbl").as("community"), col("community_size")))
       out.count()
+      labels.unpersist(false)
       out
     } finally {
-      if (prevCkpt != null) prevCkpt.unpersist(false)
       sym.unpersist(false); nodes.unpersist(false)
     }
   }

@@ -374,13 +374,30 @@ object StreamingOps {
             // refresh and checkpoint commit) pass through: the stage
             // overwrite is per-partition idempotent and refresh
             // early-returns on an unchanged cursor.
-            val hi = b.agg(max(col(cursorCol))).head().getLong(0)
+            val bounds = b.agg(max(col(cursorCol)), min(col(cursorCol))).head()
+            val hi = bounds.getLong(0)
+            val lo = bounds.getLong(1)
             val committed = graft.sources.MatViewLayout.cursorOf(spark, view)
             if (hi < committed) throw new IllegalStateException(
               s"matview maintain: batch $batchId high-water $hi is below " +
               s"the committed cursor $committed — '$cursorCol' must be " +
               s"monotone non-decreasing across batches (ingest cursor). " +
               s"For event-time-late rows use matViewStream (watermarked).")
+            // A MIXED batch (hi advances past the cursor but some rows sit
+            // at or below it) would stage every row yet fold only the
+            // (cursor, hi] window — the low rows become silently
+            // unreadable forever, the exact loss the all-late refuse
+            // exists to prevent. Refuse it too. Exact replays are NOT
+            // mixed: a replayed batch has hi == committed (the cursor
+            // already advanced to this batch's own high-water mark), so
+            // hi > committed is false and the idempotent-overwrite path
+            // stays open.
+            if (hi > committed && lo <= committed) throw new IllegalStateException(
+              s"matview maintain: batch $batchId mixes rows at-or-below the " +
+              s"committed cursor $committed (min $lo) with rows above it " +
+              s"(max $hi) — the low rows would stage but never fold. " +
+              s"'$cursorCol' must be monotone non-decreasing across batches; " +
+              s"for event-time-late rows use matViewStream (watermarked).")
             // idempotent: replays overwrite their own partition only
             b.withColumn("__batch_id", lit(batchId))
               .write.mode("overwrite")

@@ -783,6 +783,80 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exactKept2.subsetOf(capped))
   }
 
+  test("IVF cell assignment is norm-invariant: raw and pre-normalized inputs land in the same cell") {
+    import spark.implicits._
+    // ADVICE r10 flagged buildIvfIndex (raw input) vs the inline
+    // hardNegativesIvf (pre-normalized input) as a geometry mismatch.
+    // It is not one: bestCell normalizes internally, so the two input
+    // conventions agree on every assignment — including on corpora that
+    // are FAR from unit norm. This pin makes that a machine fact.
+    val cents = LlmOps.trainIvfCentroids(embs, nLists = 8)
+    val asg = LlmOps.cellOf(cents)
+    def normed(c: org.apache.spark.sql.Column) = {
+      val n = sqrt(aggregate(c, lit(0.0d), (a, x) => a + x * x))
+      transform(c, x => x / n)
+    }
+    // scale by 37.5 => decidedly non-unit-norm raw vectors
+    val vRaw = transform(col("embedding"), x => x.cast("double") * 37.5)
+    val diff = embs.select(
+        asg(vRaw).as("rawCell"), asg(normed(vRaw)).as("normCell"))
+      .filter(col("rawCell") =!= col("normCell")).count()
+    assert(diff == 0L,
+      s"$diff vectors changed IVF cell between raw and normalized input")
+  }
+
+  test("mega-cell split: batched one-pass sampling trains the SAME sub-quantizers as serial per-cell calls") {
+    import spark.implicits._
+    // r10 verdict task 5: the split now samples ALL oversize cells in one
+    // window pass instead of one trainIvfCentroids job per cell. This pin
+    // replays the SERIAL form per cell (trainIvfCentroids on the filtered
+    // frame with the split's own seed formula) and checks the batched
+    // refinement assigned every row to exactly parent·64 + bestCell —
+    // bit-identity, not a contract bound. Two oversize cells exercise
+    // both sample branches: cell 1 (1200 rows, ~75 hash-sample rows)
+    // takes the 1/16 hash sample; cell 2 (200 rows, ~12 hash rows < 4·8)
+    // takes the full-prefix fallback.
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    def jit2(k: Int): Seq[Double] =
+      Array.tabulate(dim)(d => (if (d == k) 1.0 else 0.0) +
+        rnd.nextGaussian() * 0.01).toSeq
+    val cell1 = (0 until 1200).map(i => (i.toLong, jit2(i % 4), 1L))
+    val cell2 = (5000 until 5200).map(i => (i.toLong, jit2(i % 3 + 4), 2L))
+    val small = (9000 until 9020).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()), 3L))
+    val assigned = (cell1 ++ cell2 ++ small)
+      .toDF("vec_id", "embedding", "__cell")
+    val split = LlmOps.splitOversizeCells(assigned, maxCellSize = 150L,
+        seed = 42, idCol = "vec_id", vecCol = "embedding", maxDepth = 1)
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local replica of the private bestCell kernel (first-max tie rule)
+    def localCell(v: Seq[Double], cents: Array[Array[Double]]): Long = {
+      val n = math.sqrt(v.map(x => x * x).sum).max(1e-300)
+      var best = 0; var bestS = Double.MinValue
+      for (c <- cents.indices) {
+        var s = 0.0
+        for (i <- v.indices) s += v(i) / n * cents(c)(i)
+        s -= cents(c).map(x => x * x).sum / 2
+        if (s > bestS) { bestS = s; best = c }
+      }
+      best + 1L
+    }
+    for ((cell, rows) <- Seq(1L -> cell1, 2L -> cell2)) {
+      val cents = LlmOps.trainIvfCentroids(
+        assigned.filter($"__cell" === cell), 8,
+        42 + 7919L * 1 + cell, "vec_id", "embedding")
+      rows.foreach { case (id, v, _) =>
+        assert(split(id) == cell * 64L + localCell(v, cents),
+          s"row $id of cell $cell diverged from the serial sub-quantizer")
+      }
+    }
+    small.foreach { case (id, _, _) =>
+      assert(split(id) == 3L, "under-cap cells must pass through untouched")
+    }
+  }
+
   test("plan shapes: semDedup pair join is an equi-join; sourceCap phase-1 partitions on (source, slice)") {
     // the within-cell pair step must plan as a hash/sort-merge EQUI-join
     // on (cell, salt) — a cartesian/nested-loop here is the O(n²) trap

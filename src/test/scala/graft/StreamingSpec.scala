@@ -498,6 +498,58 @@ class StreamingSpec extends AnyFunSuite {
       Seq(("a", 2L, 6L), ("b", 1L, 10L)))
   }
 
+  test("matview maintainer: a MIXED batch (rows below and above the cursor) is refused; exact replays pass") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_mv_mixed_stage"
+    val seed = Seq((1L, "a", 5L), (2L, "b", 10L)).toDF("id", "k", "v")
+    seed.withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(stage)
+    graft.sources.MatViewLayout.build(spark.read.parquet(stage),
+      "graft_mv_mixed_m", "src", Seq("k"),
+      Seq(graft.sources.MatAgg("count", "", "n"),
+        graft.sources.MatAgg("sum", "v", "s")), "id", 2L)
+    val ms0 = MemoryStream[(Long, String, Long)]
+    val q0 = graft.streaming.StreamingOps.matViewMaintainStream(
+      ms0.toDF().toDF("id", "k", "v"), "graft_mv_mixed_m", stage, "id")
+    try { ms0.addData((3L, "a", 1L)); q0.processAllAvailable() } // cursor -> 3
+    finally q0.stop()
+    assert(graft.sources.MatViewLayout.cursorOf(spark, "graft_mv_mixed_m") == 3L)
+    def readRows() = graft.sources.MatViewLayout.read(spark, "graft_mv_mixed_m",
+        _ => spark.read.parquet(stage).drop("__batch_id"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = readRows()
+    // mixed batch: id 2 sits at-or-below the committed cursor, id 5 above
+    // it — staging would keep id 2 forever outside every fold window
+    // (fold window is (cursor, hi]), so the maintainer must refuse BEFORE
+    // any state changes
+    val ms1 = MemoryStream[(Long, String, Long)]
+    val q1 = graft.streaming.StreamingOps.matViewMaintainStream(
+      ms1.toDF().toDF("id", "k", "v"), "graft_mv_mixed_m", stage, "id")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    try {
+      ms1.addData((2L, "c", 100L), (5L, "c", 1L))
+      val e = intercept[Exception](q1.processAllAvailable())
+      assert(msgs(e).exists(_.contains("mixes")), msgs(e).mkString(" | "))
+    } finally q1.stop()
+    assert(graft.sources.MatViewLayout.cursorOf(spark, "graft_mv_mixed_m") == 3L)
+    assert(readRows() == before, "the refused mixed batch must change nothing")
+    // exact replay (hi == committed == 3): the guard lets it through and
+    // the per-partition idempotent overwrite + early-return refresh leave
+    // the view exact — the crash-between-refresh-and-checkpoint case
+    val ms2 = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.StreamingOps.matViewMaintainStream(
+      ms2.toDF().toDF("id", "k", "v"), "graft_mv_mixed_m", stage, "id")
+    try {
+      ms2.addData((3L, "a", 1L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(graft.sources.MatViewLayout.cursorOf(spark, "graft_mv_mixed_m") == 3L)
+    assert(readRows() == before, "an exact replay must not double-fold")
+  }
+
   test("matview: update-mode changelog holds only touched keys; read = latest per key") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
