@@ -119,13 +119,16 @@ object Bench {
     // query plans. Classes are in-code name rules so the artifact and
     // the classification can never drift apart.
     def benchClass(name: String): String =
-      if (name.startsWith("tmp_stream_") || name == "tmp_rocksdb_session" ||
-          name == "tmp_merge_apply") "streaming-harness"
-      else if (Set("llm_ann_binary_indexed", "llm_ann_ivf_indexed",
+      if (Set("llm_ann_binary_indexed", "llm_ann_ivf_indexed",
         "llm_ann_pq_indexed", "llm_bm25_indexed", "llm_dedup_incremental",
         "llm_line_dedup_incr", "llm_dedup_cosine_incr", "q183_matview_fn",
         "tmp_bucketed_join", "tmp_hilbert_scan", "tmp_zorder_scan",
-        "tmp_bucket_pruned_scan")(name)) "index-build"
+        "tmp_bucket_pruned_scan",
+        // the streaming harness's one-time seed-index build (r11) — an
+        // at-rest artifact, checked BEFORE the tmp_stream_ prefix rule
+        "tmp_stream_cosine_index")(name)) "index-build"
+      else if (name.startsWith("tmp_stream_") || name == "tmp_rocksdb_session" ||
+          name == "tmp_merge_apply") "streaming-harness"
       else "plan"
     val loadBefore = loadavg()
     val p1 = pass()

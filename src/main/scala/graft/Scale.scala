@@ -438,6 +438,17 @@ object Scale {
       "backoff_indexed_probe" -> (() =>
         LlmOps.stupidBackoffIndexed(spark, s"graft_scale_lm_x$k",
           docs.filter(col("doc_id") < ID_SHIFT &&
-            pmod(col("doc_id"), lit(97L)) === 0)).count()))
+            pmod(col("doc_id"), lit(97L)) === 0)).count()),
+      // r11 (r10 verdict task 7): buildschema is the one remaining
+      // per-row JVM-library (Jackson) UDF — measure its interpreted
+      // per-row cost so the dial is a recorded fact. One synthetic JSON
+      // doc per corpus row, aggregated per source: pure per-row parse +
+      // a tiny distinct-union, so the slope should be ~linear
+      "buildschema" -> (() =>
+        graft.kql.Kql.run(spark,
+          """documents
+            | extend d = strcat('{"x": ', tostring(doc_id % 10),
+                                ', "s": "', source, '"}')
+            | summarize s = buildschema(d) by source""", dir).count()))
   }
 }

@@ -859,11 +859,16 @@ object SparkEntry {
         msP.addData((778000L + daysAhead, -1L, maxTs + daysAhead * 86400000000L))
       }
       try {
+        // 3 blocking rounds, not 4 (r11): the first sentinel pair rides
+        // the second data batch — watermarks update BETWEEN batches, so
+        // the combined batch still joins its real rows under the old
+        // watermark, and the final sentinel batch flushes every
+        // unmatched click exactly as before (output-invariant; each
+        // round is 4 state stores × partitions of commit overhead)
         feed(evs.filter(_._1 < 836))
         q.processAllAvailable()
-        feed(evs.filter(_._1 >= 836))
+        feed(evs.filter(_._1 >= 836)); sentinel(3)
         q.processAllAvailable()
-        sentinel(3); q.processAllAvailable()
         sentinel(6); q.processAllAvailable()
       } finally q.stop()
       s.table("graft_stream_join_left_sink").filter(col("user_id") >= 0)
@@ -945,12 +950,63 @@ object SparkEntry {
     // overhead (the tmp_stream_join 21.4->4.0 s lesson)
     withLowShuffle(s) { streamCosineDedupBody(s, dir) }
 
+  /** Pristine-state manager for the streaming cosine-dedup harness (r10
+    * verdict task 1: the one-time index build must not be timed inside
+    * the streaming row). The build is an at-rest artifact — a deployed
+    * pipeline builds the seed index ONCE and streams forever — so the
+    * timed streaming row only needs the index RESTORED to its seed
+    * state (the stream's appends are new files in the bucketed tables;
+    * deleting them is O(appended files), not a rebuild). The full build
+    * is carried by the tmp_stream_cosine_index row in the index-build
+    * bench class. */
+  private val cosIdxTables = Seq("graft_stream_cos_idx_bands",
+    "graft_stream_cos_idx_vecs", "graft_stream_cos_idx_meta")
+  private val cosIdxState =
+    new java.util.concurrent.atomic.AtomicReference[(String, Set[String])](null)
+
+  private def tableFiles(s: SparkSession, table: String): Set[String] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) Set.empty
+    else {
+      val it = fs.listFiles(loc, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result()
+    }
+  }
+
+  private[graft] def buildPristineCosIndex(s: SparkSession, dir: String): Unit = {
+    val e = embs(s, dir).filter(col("label") <= 3)
+    LlmOps.buildCosineIndex(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_stream_cos_idx", 0.3)
+    cosIdxState.set((dir, cosIdxTables.flatMap(tableFiles(s, _)).toSet))
+  }
+
+  /** Restore the seed index if this session already built it for `dir`
+    * (delete the stream's appended files, refresh); build it otherwise. */
+  private def ensurePristineCosIndex(s: SparkSession, dir: String): Unit =
+    cosIdxState.get() match {
+      case (d, pristine) if d == dir =>
+        cosIdxTables.foreach { t =>
+          val extra = tableFiles(s, t) -- pristine
+          if (extra.nonEmpty) {
+            val fs = new org.apache.hadoop.fs.Path(extra.head)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            extra.foreach(f =>
+              fs.delete(new org.apache.hadoop.fs.Path(f), false))
+            s.catalog.refreshTable(t)
+          }
+        }
+      case _ => buildPristineCosIndex(s, dir)
+    }
+
   private def streamCosineDedupBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val e = embs(s, dir).filter(col("label") <= 3)
-    LlmOps.buildCosineIndex(
-      e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_stream_cos_idx", 0.3)
+    ensurePristineCosIndex(s, dir)
     s.sql("DROP TABLE IF EXISTS graft_stream_cos_kept")
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), "graft_stream_cos_kept")
@@ -5756,6 +5812,23 @@ object SparkEntry {
           .orderBy("bin", "file_id")
       },
       Some("""WITH f AS (SELECT CAST(l_orderkey % 503 AS BIGINT) AS file_id, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS size_bytes FROM lineitem GROUP BY 1), c AS (SELECT file_id, size_bytes, SUM(size_bytes) OVER (ORDER BY size_bytes DESC, file_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM f) SELECT file_id, size_bytes, CAST((cum - size_bytes) // 2000000000 AS BIGINT) AS bin FROM c ORDER BY bin, file_id""")),
+
+    // The streaming cosine-dedup harness's one-time SEED INDEX build as
+    // its own row (r10 verdict task 1): a deployed pipeline builds the
+    // seed index once and streams forever, so the build cost belongs in
+    // the index-build bench class, not inside the timed streaming row
+    // (tmp_stream_cosine_dedup now restores the seed state instead of
+    // rebuilding). The audit pins the at-rest shape: one _vecs row per
+    // even label<=3 vector and exactly nBands=16 banded rows each.
+    "tmp_stream_cosine_index" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildPristineCosIndex(s, dir)
+        val nv = s.table("graft_stream_cos_idx_vecs").count()
+        val nb = s.table("graft_stream_cos_idx_bands").count()
+        Seq((nv, nb == nv * 16)).toDF("n_vecs", "banded_16x")
+      },
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, true AS banded_16x FROM embeddings WHERE label <= 3 AND vec_id % 2 = 0")),
 
     // The two declared refusal families as a DRIVER artifact (r10
     // verdict task 9): the spec-pinned loud errors become a correctness
