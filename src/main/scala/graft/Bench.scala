@@ -124,9 +124,12 @@ object Bench {
         "llm_line_dedup_incr", "llm_dedup_cosine_incr", "q183_matview_fn",
         "tmp_bucketed_join", "tmp_hilbert_scan", "tmp_zorder_scan",
         "tmp_bucket_pruned_scan",
-        // the streaming harness's one-time seed-index build (r11) — an
-        // at-rest artifact, checked BEFORE the tmp_stream_ prefix rule
-        "tmp_stream_cosine_index")(name)) "index-build"
+        // r11 additions: the streaming harness's one-time seed-index
+        // build (an at-rest artifact, checked BEFORE the tmp_stream_
+        // prefix rule), and the LM-index row that was always
+        // build-train-probe like llm_ann_pq_indexed but was never
+        // carried in this set
+        "tmp_stream_cosine_index", "llm_backoff_indexed")(name)) "index-build"
       else if (name.startsWith("tmp_stream_") || name == "tmp_rocksdb_session" ||
           name == "tmp_merge_apply") "streaming-harness"
       else "plan"

@@ -297,50 +297,55 @@ object GraphOps {
     * the node set are computed once and reused across iterations. */
   def pageRank(edges: DataFrame, iters: Int, srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // persisted: the degree-joined edge frame is read once per
-    // iteration — without the persist the e⋈outdeg join re-runs
-    // `iters` times inside the one final DAG
-    val eDeg = e.join(outdeg, "src").persist()
-    var prevCkpt: DataFrame = null
+    // RDD loop (r15 — the HITS/LPA escalation applied to the linear
+    // chain too): the degree-joined edge list is keyed by src on ONE
+    // pinned HashPartitioner, so the per-round contribution join is
+    // co-partitioned and narrow; the only shuffle per round is the
+    // contribution reduceByKey (map-side combined), and there is no
+    // per-round Catalyst planning or checkpoint cadence at all. All
+    // arithmetic is the same integer micros (non-negative Longs, where
+    // Scala / equals SQL div), so the RDD rounds are VALUE-IDENTICAL to
+    // the DataFrame rounds they replace — the unrolled-round oracles
+    // replay verbatim.
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val ePairs = edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"))
+      .distinct().as[(String, String)].rdd
+    val bySrc = ePairs.partitionBy(part).persist()
+    val nodes = bySrc.keys.union(bySrc.values).distinct()
+      .map((_, ())).partitionBy(part).persist()
+    // (src, (dst, outdeg)): outdeg rides every edge row so the round
+    // join needs only ranks
+    val eDeg = bySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .join(bySrc)
+      .map { case (src, (deg, dst)) => (src, (dst, deg)) }
+      .partitionBy(part).persist()
+    eDeg.count()
     try {
-      var ranks = nodes.withColumn("r", lit(1000000L))
-      for (i <- 1 to iters) {
-        val contrib = eDeg
-          .join(ranks.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), expr("r div outdeg").as("c"))
-          .groupBy("id").agg(sum(col("c")).as("s"))
-        ranks = nodes.join(contrib, Seq("id"), "left_outer")
-          .select(col("id"),
-            (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        if (i % 5 == 0 && i < iters) {
-          // eager localCheckpoint: materializes THIS round's ranks and
-          // truncates the join+agg chain. Once it exists, the previous
-          // checkpoint's blocks back nothing (the new one was computed
-          // from them and localCheckpoint recovery is already
-          // truncation-limited), so free them immediately.
-          val ck = ranks.localCheckpoint()
-          if (prevCkpt != null) prevCkpt.unpersist(false)
-          prevCkpt = ck
-          ranks = ck
-        }
+      var ranks = nodes.mapValues(_ => 1000000L).persist()
+      for (_ <- 1 to iters) {
+        val contrib = eDeg.join(ranks)
+          .map { case (_, ((dst, deg), r)) => (dst, r / deg) }
+          .reduceByKey(part, _ + _)
+        val next = nodes.leftOuterJoin(contrib)
+          .mapValues { case (_, o) => 150000L + 85L * o.getOrElse(0L) / 100L }
+          .persist()
+        next.count() // materialize before freeing the parent
+        ranks.unpersist(false)
+        ranks = next
       }
-      // hand the final ranks to a TRACKED catalog-visible DataFrame
-      // cache (the connectedComponents handoff convention — released by
-      // LlmOps.releaseCaches / the harness per-query clear), materialize
-      // once under the input persists, then free the internals
       val out = graft.ext.LlmOps.persistTracked(
-        ranks.select(col("id"), col("r").as("rank_micros"),
-          (col("r").cast("double") / 1000000.0d).as("rank")))
+        ranks.map { case (id, r) => (id, r) }.toDF("id", "rank_micros")
+          .select(col("id"), col("rank_micros"),
+            (col("rank_micros").cast("double") / 1000000.0d).as("rank")))
       out.count()
+      ranks.unpersist(false)
       out
     } finally {
-      if (prevCkpt != null) prevCkpt.unpersist(false)
-      eDeg.unpersist(false); e.unpersist(false); nodes.unpersist(false)
+      bySrc.unpersist(false); eDeg.unpersist(false); nodes.unpersist(false)
     }
   }
 
@@ -747,7 +752,15 @@ object GraphOps {
       .distinct().as[(String, String)].rdd
       .partitionBy(part).persist()
     try {
-      for (_ <- 1 to rounds) {
+      // early convergence exit (r15): peeling only REMOVES edges, so an
+      // unchanged edge count means no node lost degree ⇒ every later
+      // round is the identity — skipping them is value-identical to the
+      // oracle's fixed-round replay (which replays identities too). The
+      // count is the same action that already materializes each round.
+      var curCount = cur.count()
+      var round = 0
+      var converged = false
+      while (round < rounds && !converged) {
         val keep = cur
           .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
           .reduceByKey(part, _ + _).filter(_._2 >= k)
@@ -755,9 +768,12 @@ object GraphOps {
           .map { case (a, b) => (b, a) }.partitionBy(part)
           .join(keep).map { case (b, (a, _)) => (a, b) } // b-side
           .partitionBy(part).persist()
-        next.count()
+        val nextCount = next.count()
+        converged = nextCount == curCount
+        curCount = nextCount
         cur.unpersist(false)
         cur = next
+        round += 1
       }
       val out = graft.ext.LlmOps.persistTracked(
         cur.flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
