@@ -48,18 +48,27 @@ object SparkEntry {
     * convention). Payloads are a pure function of doc_id, so a
     * previously-written table can never be stale. */
   private val plantLock = new Object
+  private val plantStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private def plantedImages(s: SparkSession, dir: String): DataFrame = {
     // payload VALUES are a pure function of doc_id, but the doc-id SET is
     // not a function of the path — a regenerated/grown fixture at the
     // same dir must not silently reuse the old plant, so the cache key
     // carries (count, max doc_id) of the CURRENT corpus (ADVICE r10).
-    // The count is parquet-metadata-cheap; the lock serializes same-JVM
-    // first builds (Bench/Verify are single-threaded, but harness code
-    // should not corrupt on a concurrent first touch).
-    val stat = docs(s, dir).agg(count(lit(1)), max(col("doc_id"))).head()
+    // The stat is memoized per dir for the life of the JVM (fixtures are
+    // immutable within a session; a regenerated fixture is seen by the
+    // NEXT process, which recomputes) — without the memo every timed
+    // image row paid the aggregate job (~0.1 s, measured as a 2× budget
+    // flag on llm_image_dhash). The lock serializes same-JVM first
+    // builds (Bench/Verify are single-threaded, but harness code should
+    // not corrupt on a concurrent first touch).
+    val stat = plantStats.computeIfAbsent(dir, { d =>
+      val r = docs(s, d).agg(count(lit(1)), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    })
     val path = sys.props("java.io.tmpdir") + "/graft_img_plant_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${stat.getLong(0)}_${stat.getLong(1)}"
+      s"_${stat._1}_${stat._2}"
     plantLock.synchronized {
       if (!new java.io.File(path + "/_SUCCESS").exists())
         docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload"))
@@ -2081,7 +2090,11 @@ object SparkEntry {
     // assignment, cell bound, Lloyd descent.
     "llm_text_cluster" -> Q(
       (s, dir) => {
-        val dense = LlmOps.featureHashDense(docs(s, dir), dim = 32)
+        // persisted (r15): BOTH kmeansFit calls consume the hashed
+        // feature frame — without the persist the token explode + hash
+        // pivot runs twice (the image_neardup shared-lineage lesson)
+        val dense = LlmOps.persistTracked(
+          LlmOps.featureHashDense(docs(s, dir), dim = 32))
         val w1 = LlmOps.kmeansFit(dense, 4, iters = 1, idCol = "doc_id")
           .agg(sum(col("dist2")).as("w1"))
         LlmOps.kmeansFit(dense, 4, iters = 3, idCol = "doc_id")

@@ -550,6 +550,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(readRows() == before, "an exact replay must not double-fold")
   }
 
+  test("cosine-dedup stream: pristine-restore path is deterministic across reruns") {
+    // r15: tmp_stream_cosine_dedup no longer rebuilds its seed index —
+    // it deletes the stream's appended files and refreshes. Three
+    // consecutive runs (build, restore, restore) plus one after an
+    // explicit rebuild must agree exactly, or the restore is leaking
+    // state between runs (a poisoned index makes every odd drop).
+    val dir = TestSpark.sfDir
+    def run() = {
+      val r = SparkEntry.queries("tmp_stream_cosine_dedup")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      graft.ext.LlmOps.releaseCaches(); spark.catalog.clearCache()
+      r
+    }
+    val a = run()
+    val b = run()
+    val c = run()
+    assert(a == b && b == c, s"restore drifted: a=$a b=$b c=$c")
+    val idx = SparkEntry.queries("tmp_stream_cosine_index")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(idx.head(1) == true, s"index audit failed: $idx")
+    val d = run()
+    assert(d == a, s"post-rebuild run diverged: d=$d a=$a")
+  }
+
   test("matview: update-mode changelog holds only touched keys; read = latest per key") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
