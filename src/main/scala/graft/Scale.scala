@@ -300,6 +300,16 @@ object Scale {
         graft.kql.GraphOps.hits(
           docs.select(col("doc_id").cast("string").as("s"),
             col("source").as("d")), 2, "s", "d").count()),
+      // r15: pagerank moved to the pinned-partitioner RDD loop — same
+      // doc→source edges as hits so the two link-analysis slopes are
+      // directly comparable. (kCore's per-round shape is the same
+      // co-partitioned join + reduceByKey, measured via hits/LPA; on
+      // the bipartite fixture graph its early-convergence exit fires
+      // after one peel, so a dedicated slope row would time setup.)
+      "pagerank" -> (() =>
+        graft.kql.GraphOps.pageRank(
+          docs.select(col("doc_id").cast("string").as("s"),
+            col("source").as("d")), 5, "s", "d").count()),
       // r10 additions. heavy_hitters: two corpus passes, aggregate
       // cardinality capped at m. dedup_substring: window explode +
       // owner aggregate; copies are vocab-disjoint so duplicate spans
