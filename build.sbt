@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // LLM ops (minhash signatures, token intersections) allocate fast enough
   // that an 8g heap GC-thrashes at 32 threads — size for the host.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -988,8 +988,13 @@ object SparkEntry {
 
   private[graft] def buildPristineCosIndex(s: SparkSession, dir: String): Unit = {
     val e = embs(s, dir).filter(col("label") <= 3)
+    // table-bucket count sized to the harness corpus (~400 seed vectors):
+    // 4 file-buckets keeps every append at 4 files instead of 16 — the
+    // bucket count is the at-rest layout dial (thousands at 100 TB), and
+    // the LSH (band, bucket) join keys are untouched by it
     LlmOps.buildCosineIndex(
-      e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_stream_cos_idx", 0.3)
+      e.filter(pmod(col("vec_id"), lit(2)) === 0), "graft_stream_cos_idx", 0.3,
+      buckets = 4)
     cosIdxState.set((dir, cosIdxTables.flatMap(tableFiles(s, _)).toSet))
   }
 

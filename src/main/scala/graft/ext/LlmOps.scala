@@ -886,10 +886,16 @@ object LlmOps {
     udf { v: Seq[Double] => bestCell(v, centroids, halfNorm)._1 }
   }
 
-  /** [[bestCell]] as a (cell, dist²) udf — the k-means assignment pass. */
-  private def assignOf(centroids: Array[Array[Double]]) = {
-    val halfNorm = centroids.map(c => c.map(x => x * x).sum / 2)
-    udf { v: Seq[Double] => bestCell(v, centroids, halfNorm) }
+  /** Scala twin of the [[idHash]] Column expression — value-identical
+    * Knuth multiplicative hash (id·2654435761 mod 2³²) via the same
+    * 16-bit decomposition, so RDD-side seeding orders exactly as the
+    * DataFrame form did. */
+  private[graft] def idHashLong(id: Long): Long = {
+    val k = 2654435761L
+    val id32 = java.lang.Math.floorMod(id, 4294967296L)
+    val lo = id32 % 65536L
+    val hi = id32 / 65536L
+    ((lo * k) % 4294967296L + 65536L * ((hi * k) % 65536L)) % 4294967296L
   }
 
   /** Distributed Lloyd's k-means over (L2-normalized) embedding vectors
@@ -898,12 +904,15 @@ object LlmOps {
     * input: (id, cell 1-based, dist2 = squared distance to its final
     * centroid).
     *
-    * Iteration shape at scale: assignment is an embarrassingly parallel
-    * broadcast-kernel pass (no shuffle); the centroid update is ONE
-    * hash aggregate producing k·dim rows — the only driver traffic per
-    * round is that k·dim-row result (bounded model metadata, the same
-    * class as the IVF centroid sample, NOT a data pass). Seeds are the
-    * k lowest-(Knuth-hash, id) vectors, so runs are deterministic up to
+    * Iteration shape at scale: the L2-normalized vectors are cached as
+    * a pinned RDD (the logRegScore/q170_hits loop pattern — the
+    * DataFrame form re-planned an assignment UDF + posexplode + hash
+    * aggregate every round); each round is ONE shuffle-free
+    * mapPartitions accumulating k×dim partial sums + k counts locally,
+    * reduced to the driver — the only driver traffic per round is that
+    * k·dim partial (bounded model metadata, the same class as the IVF
+    * centroid sample, NOT a data pass). Seeds are the k
+    * lowest-(Knuth-hash, id) vectors, so runs are deterministic up to
     * FP summation order in the update; empty cells keep their previous
     * centroid. Lloyd's descent property (WCSS non-increasing per round)
     * is pinned in LlmOpsSpec and bench-visible as a contract row. */
@@ -911,36 +920,62 @@ object LlmOps {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
-    val vnorm = spread(emb)
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("r"))
-      // norm once per row, not per element (a transform-inlined norm
-      // would duplicate the O(dim) subtree dim times)
-      .withColumn("n", sqrt(greatest(
-        aggregate(col("r"), lit(0d), (a, y) => a + y * y), lit(1e-300))))
-      .select(col("id"), transform(col("r"), x => x / col("n")).as("v"))
-      .persist()
-    try {
-      var centroids: Array[Array[Double]] = vnorm
-        .orderBy(idHash(col("id")), col("id")).limit(k)
-        .collect().map(_.getSeq[Double](1).toArray)
-      for (_ <- 1 to iters) {
-        val upd = vnorm.withColumn("cell", cellOf(centroids)(col("v")))
-          .select(col("cell"), posexplode(col("v")))
-          .groupBy("cell", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = centroids.map(_.clone())
-        upd.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-          val dim = rows.map(r => r.getInt(1) ->
-            r.getDouble(2) / r.getLong(3)).toMap
-          next(cell - 1) = Array.tabulate(centroids(0).length)(i =>
-            dim.getOrElse(i, next(cell - 1)(i)))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = spread(emb)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("r"))
+      .as[(Long, Seq[Double])].rdd
+      .map { case (id, r) =>
+        val a = r.toArray
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val n = math.sqrt(s).max(1e-300)
+        val v = new Array[Double](a.length)
+        i = 0; while (i < a.length) { v(i) = a(i) / n; i += 1 }
+        (id, v)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = data
+      .map { case (id, v) => ((idHashLong(id), id), v) }
+      .takeOrdered(k)(Ordering.by(_._1)).map(_._2)
+    for (_ <- 1 to iters) {
+      val cents = centroids
+      val halfNorm = cents.map(c => c.map(x => x * x).sum / 2)
+      val (sums, cnts) = data.mapPartitions { it =>
+        val ps = Array.fill(cents.length)(
+          new Array[Double](if (cents.isEmpty) 0 else cents(0).length))
+        val pc = new Array[Long](cents.length)
+        it.foreach { case (_, v) =>
+          val cell = bestCell(v, cents, halfNorm)._1 - 1
+          val s = ps(cell)
+          var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+          pc(cell) += 1
         }
-        centroids = next
+        Iterator.single((ps, pc))
+      }.reduce { case ((s1, c1), (s2, c2)) =>
+        var ci = 0
+        while (ci < s1.length) {
+          val a = s1(ci); val b = s2(ci)
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }
+          c1(ci) += c2(ci); ci += 1
+        }
+        (s1, c1)
       }
-      vnorm.withColumn("a", assignOf(centroids)(col("v")))
-        .select(col("id").as(idCol), col("a._1").as("cell"),
-          col("a._2").as("dist2"))
-    } finally vnorm.unpersist(false)
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        if (cnts(ci) == 0L) old else sums(ci).map(_ / cnts(ci))
+      }
+    }
+    val centsF = centroids
+    val halfNormF = centsF.map(c => c.map(x => x * x).sum / 2)
+    // materialize the per-row assignment into the tracked DF cache (one
+    // narrow row per vector) so the vector RDD can be dropped eagerly
+    val out = persistTracked(data.map { case (id, v) =>
+      val (cell, d2) = bestCell(v, centsF, halfNormF)
+      (id, cell, d2)
+    }.toDF(idCol, "cell", "dist2"))
+    out.count()
+    data.unpersist(false)
+    out
   }
 
   /** Probe cells for a query vector: driver-side math against the
@@ -1604,8 +1639,14 @@ object LlmOps {
       .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bucket")))
     // probe-side partition count pinned against AQE coalescing (the
     // kilobyte probe shuffle otherwise folds to one partition and
-    // serializes the fan-out — same measured effect as dedupIncremental)
-    val probe = keyed.repartition(spark.sparkContext.defaultParallelism, col("id"))
+    // serializes the fan-out — same measured effect as dedupIncremental).
+    // Pinned to the SESSION's shuffle width, not defaultParallelism: the
+    // streaming harness runs its micro-batches under a low-shuffle conf
+    // (4), and forcing 32-way fan-out on a hundreds-of-rows batch just
+    // multiplies task-launch overhead through every downstream stage
+    val probeParts = math.max(2,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val probe = keyed.repartition(probeParts, col("id"))
     val idxBands = graft.sources.BucketedLayout.readTable(spark, s"${table}_bands")
     val idxVecs = graft.sources.BucketedLayout.readTable(spark, s"${table}_vecs")
     // keep a pair only at its FIRST colliding band — a filter in the
@@ -2473,14 +2514,49 @@ object LlmOps {
     * so only contract facts — loss descent, accuracy — are
     * cross-engine stable, the [[kmeansFit]] convention).
     *
-    * Scale shape: the sparse feature frame is built once and persisted;
-    * each round is ONE broadcast-weights margin aggregate + ONE join
-    * back + ONE per-dimension gradient aggregate whose dim+1-row result
-    * is the only driver traffic (bounded model metadata). No per-pair
-    * work, no O(dim²) anywhere.
+    * Scale shape: the sparse feature frame is built once — id-clustered
+    * and id-sorted — and cached as a pinned RDD; each round is ONE
+    * shuffle-free mapPartitions streaming doc-by-doc (margin from the
+    * closure-shipped dim+1 weights, gradient into a per-partition
+    * double[dim+1]) whose dim+1 partials are the only driver traffic
+    * (bounded model metadata). No Catalyst re-planning per round, no
+    * per-pair work, no O(dim²) anywhere.
     *
     * Output: (id, label, margin, prob, predicted) for every input row.
     */
+  /** Stream an id-sorted (id, y, j, x) iterator as contiguous same-id
+    * runs: buffer ONE document's (j, x) rows, compute its margin
+    * against `w`, hand (id, y, margin, rows) to `perDoc`. The
+    * [[logRegScore]] RDD-loop kernel — partitions are id-clustered and
+    * id-sorted by construction, so memory is bounded by one document's
+    * feature count. */
+  private[graft] def foldDocRuns[A](it: Iterator[(Long, Double, Int, Double)],
+      w: Array[Double],
+      perDoc: (Long, Double, Double,
+               scala.collection.mutable.ArrayBuffer[(Int, Double)]) => A)
+      : Iterator[A] =
+    new Iterator[A] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[(Int, Double)](64)
+      private var nextRow: (Long, Double, Int, Double) = _
+      private var has = it.hasNext
+      if (has) nextRow = it.next()
+      def hasNext: Boolean = has
+      def next(): A = {
+        val id = nextRow._1; val y = nextRow._2
+        buf.clear()
+        var cont = true
+        while (cont) {
+          buf += ((nextRow._3, nextRow._4))
+          if (it.hasNext) { nextRow = it.next(); cont = nextRow._1 == id }
+          else { has = false; cont = false }
+        }
+        var mg = 0.0
+        var k = 0
+        while (k < buf.length) { mg += buf(k)._2 * w(buf(k)._1); k += 1 }
+        perDoc(id, y, mg, buf)
+      }
+    }
+
   def logRegScore(docs: DataFrame, labelCol: String, dim: Int = 256,
                   iters: Int = 20, lr: Double = 1.0,
                   textCol: String = "text",
@@ -2505,10 +2581,9 @@ object LlmOps {
     // under any per-coordinate step rule (measured: weights diverged
     // to 1e7 on the fixture's ~25 corpus-wide tokens); ln(N/df) sends
     // exactly those features to 0, removing the degenerate direction
-    // structurally. The frame is REPARTITIONED BY id before the
-    // persist so each round's per-doc margin aggregate finds its
-    // clustering already satisfied — the training loop then shuffles
-    // only the dim+1-row gradient aggregate, not the corpus.
+    // structurally. The frame is REPARTITIONED BY id + sorted within
+    // partitions so one document's rows are CONTIGUOUS — the invariant
+    // [[foldDocRuns]] needs to stream margins without any grouping.
     // corpus stats in ONE bounded job over docs (r11): n is every doc
     // (each gets the bias row, so it equals count_distinct(id) over the
     // feature frame — the old form, which paid a 2-phase distinct agg
@@ -2517,7 +2592,7 @@ object LlmOps {
       coalesce(sum(col(labelCol).cast("double")), lit(0.0d))).head()
     val nDocs = statsRow.getDouble(0)
     val dfq = present.groupBy("j").agg(count(lit(1)).as("dfj"))
-    val feats = persistTracked(
+    val featsDf =
       present.join(dfq, "j")
         .select(col("id"), col("y"), col("j"),
           log(lit(nDocs) / col("dfj")).as("x"))
@@ -2525,7 +2600,7 @@ object LlmOps {
         .unionByName(spread(docs).select(col(idCol).as("id"),
           col(labelCol).cast("double").as("y"),
           lit(dim).as("j"), lit(1.0d).as("x")))
-        .repartition(col("id")).sortWithinPartitions("id"))
+        .repartition(col("id")).sortWithinPartitions("id")
     val w = Array.fill(dim + 1)(0.0)
     val n = nDocs
     val n1 = statsRow.getDouble(1)
@@ -2538,23 +2613,21 @@ object LlmOps {
     if (n1 > 0 && n1 < n) w(dim) = math.log(n1 / (n - n1))
     val spark2 = docs.sparkSession
     import spark2.implicits._
-    // weights travel as a BROADCAST dim+1-row frame, not a typedLit
-    // array — a literal embeds the values in the plan, so every round
-    // would recompile fresh codegen; the broadcast-join plan is
-    // identical across rounds and hits the generated-class cache.
-    // The cached frame is SORTED by id at persist time (r11): the
-    // per-doc margin window requires child ordering by its partition
-    // key, the cache's InMemoryTableScan reports the persisted
-    // ordering, and the broadcast join preserves its streamed side's
-    // order — so each GD round is ONE sort-free scan of the cache
-    // (the window's per-round corpus sort was the dominant loop cost).
-    def withMargin(arr: Array[Double]) = {
-      val wDf = broadcast(
-        arr.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "wv"))
-      feats.join(wDf, "j").withColumn("mg",
-        sum(col("x") * col("wv")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    }
+    // The training loop runs on a PINNED RDD of the id-clustered,
+    // id-sorted feature rows (the q170_hits/q166 lesson applied to GD —
+    // r11's DataFrame form re-planned a broadcast-join + window + hash
+    // aggregate every round): rows of one doc are contiguous within a
+    // partition, so each round is ONE shuffle-free mapPartitions that
+    // streams doc-by-doc — margin from the broadcast weights, then the
+    // gradient contribution into a per-partition double[dim+1] — and
+    // reduces the dim+1 partials on the driver (bounded model
+    // metadata, the only traffic). No Catalyst planning, no window, no
+    // per-round shuffle: iters × (one stage over the cache).
+    val featRdd = featsDf
+      .select(col("id").cast("long"), col("y"), col("j"), col("x"))
+      .as[(Long, Double, Int, Double)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = spark2.sparkContext
     // plain full-batch gradient steps w_j -= lr·Σx·r/n. With the idf
     // features the per-row squared norm is small and uniform (~3 on
     // the fixture), so the logistic Hessian bound L ≈ max‖x‖²/4 < 1
@@ -2567,22 +2640,33 @@ object LlmOps {
     // joint correction 1/x² times per member. The idf transform is
     // what makes the plain rule sufficient.)
     for (_ <- 1 to iters) {
-      val grad = withMargin(w)
-        .withColumn("r",
-          lit(1.0) / (lit(1.0) + exp(-col("mg"))) - col("y"))
-        .groupBy("j").agg(sum(col("x") * col("r")).as("g"))
-        .collect()
-      grad.foreach(row =>
-        w(row.getInt(0)) -= lr * row.getDouble(1) / n)
+      val ww = w.clone() // ships in each task closure: dim+1 doubles
+      val grad = featRdd.mapPartitions { it =>
+        val acc = new Array[Double](dim + 1)
+        LlmOps.foldDocRuns(it, ww, (_, y, mg, rows) => {
+          val r = 1.0 / (1.0 + math.exp(-mg)) - y
+          var k = 0
+          while (k < rows.length) { acc(rows(k)._1) += rows(k)._2 * r; k += 1 }
+          ()
+        }).foreach(_ => ())
+        Iterator.single(acc)
+      }.reduce { (a, b) =>
+        var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a
+      }
+      var k = 0
+      while (k < w.length) { w(k) -= lr * grad(k) / n; k += 1 }
     }
-    // final per-doc margins via a hash aggregate (64k groups), not the
-    // window + row-level distinct (the distinct re-shuffled the whole
-    // exploded frame just to collapse it back to one row per doc)
-    val wDfF = broadcast(
-      w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "wv"))
-    feats.join(wDfF, "j").groupBy("id")
-      .agg(sum(col("x") * col("wv")).as("mg"), first(col("y")).as("y"))
-      .select(col("id"), col("y"), col("mg"))
+    // final per-doc margins from the same cached layout (one more
+    // shuffle-free pass) — materialized into the tracked DF cache (one
+    // narrow row per doc) so featRdd can be dropped eagerly
+    val wF = w.clone()
+    val scored = featRdd.mapPartitions { it =>
+      LlmOps.foldDocRuns(it, wF, (id, y, mg, _) => (id, y, mg))
+    }
+    val scoredDf = persistTracked(scored.toDF("id", "y", "mg"))
+    scoredDf.count()
+    featRdd.unpersist(false)
+    scoredDf
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("mg"))))
       .withColumn("predicted", (col("prob") >= 0.5).cast("int"))
       .withColumn(labelCol, col("y").cast("int")) // 0/1 by contract
