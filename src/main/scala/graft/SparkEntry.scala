@@ -174,8 +174,12 @@ object SparkEntry {
   private def streamLineDedupBody(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // 4 file-buckets, sized to the 40-doc harness corpus (the cosine
+    // harness convention — bucket count is the at-rest layout dial);
+    // appends read the spec off the table, so batches land in 4 files
     graft.ext.LlmOps.buildLineIndex(
-      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_stream_line_idx")
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "graft_stream_line_idx",
+      buckets = 4)
     s.sql("DROP TABLE IF EXISTS graft_stream_line_kept")
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), "graft_stream_line_kept")

@@ -54,16 +54,28 @@ object BucketedLayout {
   private def align(df: DataFrame, keys: Seq[String], buckets: Int): DataFrame =
     df.repartition(buckets, keys.map(df.col): _*)
 
-  /** Append to an existing bucketed table (same keys/bucket count —
-    * saveAsTable validates the spec matches). The incremental-ingest
+  /** Bucket count of an existing catalog table's bucket spec, if any. */
+  def bucketCountOf(spark: SparkSession, table: String): Option[Int] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
+  /** Append to an existing bucketed table. The write honors the TABLE'S
+    * OWN bucket spec when one exists (`buckets` is only the fallback for
+    * a first write) — an index built with a corpus-sized bucket count
+    * must never be appended to under a caller's different default, which
+    * saveAsTable would reject loudly at best. The incremental-ingest
     * path: new rows land in the right buckets, so joins against the
     * table stay exchange-free as it grows. */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
-                     buckets: Int): Unit =
-    align(df, keys, buckets).write.mode("append").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
+                     buckets: Int): Unit = {
+    val n = bucketCountOf(df.sparkSession, table).getOrElse(buckets)
+    align(df, keys, n).write.mode("append").format("parquet")
+      .bucketBy(n, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
