@@ -1906,7 +1906,24 @@ object LlmOps {
     * materialized; only the final labels checkpoint outlives the call.
     * `maxIters` bounds adversarial inputs; hitting it throws rather
     * than returning silently-wrong groups. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** Edge-count bound under which [[connectedComponents]] solves the
+    * graph with a driver-side union-find instead of the distributed
+    * star loop. The continuation of the partitioner-sizing logic: a
+    * graph this small pays 10+ synchronous distributed rounds of pure
+    * scheduling for work a single core finishes in milliseconds. 2M
+    * directed edges ≈ 32 MB of longs — bounded driver memory, far
+    * below any data-sized collect; the banded pair graphs of a real
+    * corpus exceed it and take the distributed path unchanged. The two
+    * paths are output-identical (min reachable id per node) — pinned by
+    * the forced-path equality spec and the CC ≡ union-find property
+    * test. */
+  private[graft] val smallGraphEdgeLimit = 2000000L
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsImpl(pairs, maxIters, smallGraphEdgeLimit)
+
+  private[graft] def connectedComponentsImpl(pairs: DataFrame, maxIters: Int,
+                                             smallLimit: Long): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
@@ -1949,6 +1966,36 @@ object LlmOps {
     // (a few MB), capped at 4× cores for skew headroom at scale; the
     // count() is one cheap job over the (caller-persisted) pair frame.
     val nEdges = edgePairs.count()
+    if (nEdges <= smallLimit) {
+      // driver union-find with path compression; components resolve to
+      // their MIN member, exactly the distributed loop's labels
+      val es = edgePairs.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (i, j) =>
+        parent.putIfAbsent(i, i); parent.putIfAbsent(j, j)
+        val ri = find(i); val rj = find(j)
+        if (ri != rj) parent.put(math.max(ri, rj), math.min(ri, rj))
+      }
+      // roots are already component minima: unions always hang the
+      // larger root under the smaller, so find() lands on the min id
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val kit = parent.keySet.iterator()
+      while (kit.hasNext) { val n: Long = kit.next(); labels += ((n, find(n))) }
+      import spark.implicits._
+      val out = persistTracked(
+        spark.createDataset(labels.toSeq).toDF("node", "group_id"))
+      out.count()
+      return out
+    }
     val part = new HashPartitioner(math.max(1, math.min(
       4L * math.max(1, sc.defaultParallelism),
       4L * nEdges / 250000L + 1L).toInt))

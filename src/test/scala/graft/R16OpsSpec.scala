@@ -43,6 +43,28 @@ class R16OpsSpec extends AnyFunSuite {
     assert(out == List(3.0, 5.0))
   }
 
+  test("connectedComponents: driver union-find path == forced distributed path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // chains (long diameter), a clique, a self-loop, reversed edges,
+    // duplicate edges — the shapes that distinguish sloppy CC variants
+    val edges =
+      (1L to 40L).map(i => (i, i + 1)) ++          // path 1..41
+      Seq((100L, 103L), (103L, 101L), (101L, 102L), (102L, 100L)) ++ // cycle
+      Seq((200L, 201L), (201L, 200L), (200L, 201L)) ++ // dup + reversed
+      Seq((300L, 300L)) ++                          // self-loop
+      Seq((41L, 500L))                              // bridge extends the path
+    val df = edges.toDF("i", "j")
+    val fast = LlmOps.connectedComponents(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = LlmOps.connectedComponentsImpl(df, 50, smallLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist)
+    // and the labels are the component minima
+    assert(fast.filter(_._1 <= 41L).forall(_._2 == 1L))
+    assert(fast(300L -> 300L) && fast(500L -> 1L) && fast(100L -> 100L))
+  }
+
   test("idHashLong matches (id * 2654435761) mod 2^32 exactly (BigInt)") {
     val k = BigInt(2654435761L)
     val m = BigInt(4294967296L)
