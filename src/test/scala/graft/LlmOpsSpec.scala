@@ -217,8 +217,12 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(cc(_) == 10L))
     assert(Seq(20L, 21L, 22L, 23L).forall(cc(_) == 20L))
     // a path graph longer than maxIters must throw, not silently mislabel
+    // (forced onto the distributed star loop: the union-find fast path
+    // needs no iteration guard — it is exact at any diameter)
     val path = (0L until 12L).map(k => (k, k + 1)).toDF("i", "j")
-    intercept[IllegalStateException] { LlmOps.connectedComponents(path, maxIters = 2) }
+    intercept[IllegalStateException] {
+      LlmOps.connectedComponentsImpl(path, maxIters = 2, smallLimit = 0L)
+    }
   }
 
   test("nearDupGroups: transitive closure of pairs, keep = min id, sizes consistent") {
