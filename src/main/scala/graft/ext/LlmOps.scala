@@ -3617,6 +3617,91 @@ object LlmOps {
     reassembleLines(lines, kept, delim, idCol)
   }
 
+  /** Fused [[boilerplateRemove]] → [[lineDedup]] — value-identical to
+    * the composition `lineDedup(boilerplateRemove(docs).select(id,
+    * clean_text as text))` (spec-pinned row-for-row, fixture + edge
+    * corpora), at one explode and ONE reassemble instead of two of
+    * each. The composed form re-splits boilerplateRemove's reassembled
+    * `clean_text` and recomputes that whole upstream subtree on the
+    * dedup stage's owner side, join side and per-doc count side
+    * (profiled 3× at sf0.1: the dedup stage alone cost 4.0 s of
+    * llm_pipeline_v2's 6.1 s).
+    *
+    * Equivalence sketch: re-splitting the reassembled text yields
+    * exactly the boilerplate-surviving lines with positions renumbered
+    * monotonically, so min(struct(id, pos)) picks the same occurrence
+    * with either numbering (cross-doc comparisons never reach pos;
+    * within-doc order is preserved), and ordering kept lines by
+    * original pos reassembles the same text. The one non-obvious case:
+    * a doc whose EVERY line was boilerplate reassembles to
+    * clean_text = '' and re-enters the dedup stage as one empty
+    * pseudo-line (split('', delim) = ['']) — modeled here as an
+    * explicit phantom row instead of a round-trip through the string.
+    * Lines cannot contain `delim` (they are produced by splitting on
+    * it), so the re-split is lossless. */
+  def boilerplateLineDedup(docs: DataFrame, minDf: Int = 3,
+                           delim: String = "\n", textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    // Single corpus-sized shuffle: groupBy (lh, id) with map-side partial
+    // aggregation collapses in-doc duplicate lines BEFORE the exchange
+    // (guide §2.3 "aggregate before you shuffle") and carries each line's
+    // text exactly once per (doc, line). Everything downstream operates
+    // on per-(lh, id) rows: the lh-level stats frame computes doc
+    // frequency AND the dedup owner in one aggregate (both are mins over
+    // the same key — a kept line's occurrences are ALL boilerplate-
+    // surviving, so the global (id, pos) min over the corpus IS the
+    // post-boilerplate owner), and the owner row carries the line text,
+    // so no join back to the exploded corpus is ever needed: each kept
+    // line contributes exactly one (owner-doc, pos, text) row to the
+    // reassembly. Replaces two reassembles + a text-carrying df join +
+    // a full-line-frame persist (measured 3.75 → 2.44 s at sf0.1;
+    // composed chain 5.7 s).
+    val lines = lineRows(docs, delim, textCol, idCol)
+    val perDocLh = persistTracked(lines.groupBy("lh", "id")
+      .agg(min(struct(col("pos"), col("line"))).as("m"),
+        count(lit(1)).as("occ")))
+    val stats = perDocLh.groupBy("lh")
+      .agg(count(lit(1)).as("df"), min(struct(col("id"), col("m"))).as("ow"))
+    // per-doc view: boilerplate-surviving occurrence count + whether any
+    // line survived at all (the all-boilerplate docs feed the phantom
+    // '' pseudo-line below). Narrow (lh, id, occ) rows only — the text
+    // never rides this join (guide §2.3 project-before-exchange).
+    val docStats = persistTracked(perDocLh.select("lh", "id", "occ")
+      .join(stats.select("lh", "df"), "lh")
+      .groupBy("id").agg(
+        sum(when(col("df") < minDf, col("occ")).otherwise(0L)).as("n_bp"),
+        max((col("df") < minDf).cast("int")).as("has_kept")))
+    // a doc whose EVERY line was boilerplate reassembles to '' and
+    // re-enters the dedup stage as one empty pseudo-line (split('',
+    // delim) = ['']): only the minimum such doc id competes for
+    // ownership of the '' line (phantom pos 0 ties below any real
+    // occurrence only via doc id — within a doc a phantom can never
+    // coexist with real kept lines)
+    val phantomCand = docStats.filter(col("has_kept") === 0)
+      .agg(min(col("id")).as("pid"))
+      .filter(col("pid").isNotNull)
+      .select(xxhash64(lit("")).as("lh"),
+        struct(col("pid").as("id"),
+          struct(lit(0).cast("int").as("pos"), lit("").as("line")).as("m"))
+          .as("ow"))
+    val owners = stats.filter(col("df") < minDf).select("lh", "ow")
+      .unionByName(phantomCand)
+      .groupBy("lh").agg(min(col("ow")).as("ow"))
+    val keptAgg = owners
+      .select(col("ow.id").as("id"), col("ow.m.pos").as("pos"),
+        col("ow.m.line").as("line"))
+      .groupBy("id").agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), delim).as("clean_text"))
+    docStats.join(keptAgg, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        when(col("has_kept") === 0, 1L).otherwise(col("n_bp")).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** One BPE-training statistics pass (Sennrich et al. 2016): the count
     * of every adjacent CHARACTER pair across the corpus, each distinct
     * word weighted by its frequency — the argmax row is the pair a BPE

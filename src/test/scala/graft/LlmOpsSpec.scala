@@ -1120,6 +1120,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kql.count() == docs.count())
   }
 
+  test("boilerplateLineDedup ≡ lineDedup ∘ boilerplateRemove (fixture + edge corpora)") {
+    def composed(d: org.apache.spark.sql.DataFrame, minDf: Int) = {
+      val bp = LlmOps.boilerplateRemove(d, minDf = minDf)
+      LlmOps.lineDedup(bp.select(col("doc_id"), col("clean_text").as("text")))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1).toSeq
+    // edge corpus: all-boilerplate docs (phantom '' line enters the dedup
+    // stage — only the FIRST such doc keeps its ''), in-doc dups of a
+    // rare line, an empty doc, and a doc that loses everything to dedup
+    val edge = Seq(
+      (1L, "cookie banner\nreal content a"),
+      (2L, "cookie banner\nreal content a\nreal content a"),
+      (3L, "cookie banner"),            // all boilerplate → clean ''
+      (4L, "cookie banner"),            // second all-boilerplate doc
+      (5L, ""),                         // empty doc: '' line, df 1
+      (6L, "real content a\nrare\nrare") // loses a to dedup, keeps 1 rare
+    ).toDF("doc_id", "text")
+    assert(rows(LlmOps.boilerplateLineDedup(edge, minDf = 3)) ==
+      rows(composed(edge, 3)))
+    // fixture corpus, relined to 10-token lines (the llm_pipeline_v2 shape)
+    val toks = split(col("text"), "\\s+")
+    val relined = docs.limit(300).withColumn("text", array_join(transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+      k => array_join(slice(toks, k * 10 + 1, lit(10)), " ")), "\n"))
+    assert(rows(LlmOps.boilerplateLineDedup(relined, minDf = 3)) ==
+      rows(composed(relined, 3)))
+    LlmOps.releaseCaches()
+  }
+
   test("chunkDocs: stride/overlap boundaries and short tail chunks") {
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
       .toDF("doc_id", "text")
