@@ -3241,14 +3241,21 @@ object LlmOps {
     }
     val pairs = base.select(explode(flatten(array(pairCols: _*))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    // aggregate the DIRECTED pair stream first, then symmetrize the
+    // aggregated frame: sym-before-agg referenced `pairs` twice, so the
+    // corpus explode ran twice and the exchange carried 2× the pair
+    // occurrences; c_sym(a,b) = c_dir(a,b) + c_dir(b,a) is the same
+    // count from one explode plus a vocabulary-pair-sized re-aggregate
+    val fullDir = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
     // ONE pair aggregation feeds everything: the scored pairs are the
     // unfiltered space filtered by minCount (identical aggregate, so
     // rewriting cab as a filter of full halves the explode+aggregate
     // work and lets the three consumers reuse the same exchange);
     // marginals/total come from the UNFILTERED symmetric pair space
     // (the probability space; filtering only prunes what is SCORED)
-    val full = sym.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val full = fullDir.unionByName(
+        fullDir.select(col("b").as("a"), col("a").as("b"), col("c")))
+      .groupBy("a", "b").agg(sum(col("c")).as("c"))
     val cab = full.filter(col("c") >= minCount)
       .select(col("a"), col("b"), col("c").as("c_ab"))
     val marg = full.groupBy("a").agg(sum("c").as("m_a"))
@@ -3966,12 +3973,20 @@ object LlmOps {
         i => bucketOf(concat_ws(" ",
           (0 until n).map(o => element_at(col("toks"), i + o)): _*)))).as("b"))
     }
-    val rg = gramRows(raw)
+    // the raw gram stream is consumed twice (bucket counts + the final
+    // per-doc join) and each re-derivation pays an md5 per gram —
+    // persist it once. The corpus totals are SUMS of the ≤`buckets`-row
+    // count frames; the former dedicated count() passes re-exploded and
+    // re-hashed both gram streams end to end (5 md5 passes over the
+    // corpus → 1 materialized + 1 target pass).
+    val rg = persistTracked(gramRows(raw))
     val tg = gramRows(target)
     val cr = rg.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = tg.groupBy("b").agg(count(lit(1)).as("ct"))
-    val nrDf = rg.select(count(lit(1)).cast("double").as("__nr"))
-    val ntDf = tg.select(count(lit(1)).cast("double").as("__nt"))
+    val nrDf = cr.agg(coalesce(sum(col("cr")), lit(0L))
+      .cast("double").as("__nr"))
+    val ntDf = ct.agg(coalesce(sum(col("ct")), lit(0L))
+      .cast("double").as("__nt"))
     // λ per bucket: buckets absent from the raw corpus can't occur in a
     // raw doc, so a left join from cr is complete; absent target counts
     // smooth to the add-one floor

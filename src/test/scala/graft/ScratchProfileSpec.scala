@@ -81,6 +81,14 @@ class ScratchProfileSpec extends AnyFunSuite {
         .orderBy("source", "seq_id"))
       ext.LlmOps.releaseCaches()
     }
+    time("dsirWeights") {
+      noop(ext.LlmOps.dsirWeights(d, d.filter(col("lang") === "en")))
+      ext.LlmOps.releaseCaches()
+    }
+    time("pmiContexts") {
+      noop(ext.LlmOps.pmiContexts(d, window = 2, minCount = 2, k = 5))
+      ext.LlmOps.releaseCaches()
+    }
     // ---- single-shuffle prototype of boilerplate+lineDedup ----
     def singleShuffle(docs0: org.apache.spark.sql.DataFrame, minDf: Int) = {
       val lines = docs0.repartition(32)
