@@ -3342,12 +3342,19 @@ object LlmOps {
     val test = spread(docs).filter(pmod(col(idCol), lit(holdMod)) === 0)
     val trainToks = train.select(
       explode(filter(toks, t => length(t) >= 1)).as("tok"))
-    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
-    val totals = trainToks.agg(count(lit(1)).as("nn"),
-      count_distinct(col("tok")).as("vv"))
+    // totals from the unigram aggregate (nn = Σcu, vv = its row count)
+    // and c1 from the bigram aggregate (c1(prev) = Σ_cur c2) — each was
+    // a separate full re-explode of the train corpus (4 passes → 2);
+    // the re-aggregated frames are vocabulary-sized
+    val uni = persistTracked(
+      trainToks.groupBy("tok").agg(count(lit(1)).as("cu")))
+    val totals = uni.agg(coalesce(sum(col("cu")), lit(0L)).as("nn"),
+      count(lit(1)).as("vv"))
     val tg = sbBigramPairs(train, textCol, idCol)
-    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val c2 = persistTracked(
+      tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")))
+    val c1 = c2.groupBy("prev")
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("c1"))
     sbScore(sbBigramPairs(test, textCol, idCol), c2, c1, uni, totals,
       alpha, idCol)
   }
@@ -3366,19 +3373,28 @@ object LlmOps {
     val toks = split(lower(txt(textCol)), "\\s+")
     val trainToks = spread(train).select(
       explode(filter(toks, t => length(t) >= 1)).as("tok"))
-    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
-    val totals = trainToks.agg(count(lit(1)).as("nn"),
-      count_distinct(col("tok")).as("vv"))
+    // totals from the unigram aggregate (nn = Σcu, vv = its row count)
+    // and c1 from the bigram aggregate (c1(prev) = Σ_cur c2) — each was
+    // a separate full re-explode of the train corpus (4 passes → 2);
+    // the persisted frames also back their own table writes, so the
+    // corpus is tokenized exactly once per n-gram order. Rebuilds stay
+    // bit-identical (same counts, same bucket spec).
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu")).persist()
+    val totals = uni.agg(coalesce(sum(col("cu")), lit(0L)).as("nn"),
+      count(lit(1)).as("vv"))
     val tg = sbBigramPairs(spread(train), textCol, idCol)
-    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-    val c1 = tg.groupBy("prev").agg(count(lit(1)).as("c1"))
-    graft.sources.BucketedLayout.writeBucketed(c2, s"${table}_c2",
-      Seq("prev"), 16)
-    graft.sources.BucketedLayout.writeBucketed(c1, s"${table}_c1",
-      Seq("prev"), 16)
-    graft.sources.BucketedLayout.writeBucketed(uni, s"${table}_uni",
-      Seq("tok"), 16)
-    graft.sources.BucketedLayout.writePlain(totals, s"${table}_tot")
+    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")).persist()
+    val c1 = c2.groupBy("prev")
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("c1"))
+    try {
+      graft.sources.BucketedLayout.writeBucketed(c2, s"${table}_c2",
+        Seq("prev"), 16)
+      graft.sources.BucketedLayout.writeBucketed(c1, s"${table}_c1",
+        Seq("prev"), 16)
+      graft.sources.BucketedLayout.writeBucketed(uni, s"${table}_uni",
+        Seq("tok"), 16)
+      graft.sources.BucketedLayout.writePlain(totals, s"${table}_tot")
+    } finally { c2.unpersist(false); uni.unpersist(false) }
   }
 
   /** Score documents against [[buildLmIndex]]'s stored model — same
