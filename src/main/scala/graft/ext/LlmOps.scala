@@ -5278,7 +5278,10 @@ object LlmOps {
       .select(explode(filter(split(lower(txt(textCol)), "\\s+"),
         t => length(t) >= 1)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val o = tf(oldDocs); val n = tf(newDocs)
+    // persisted: each tf frame is consumed twice (its corpus-total
+    // action here, then the drift join) — without the cache both
+    // corpora were re-exploded and re-aggregated end to end
+    val o = persistTracked(tf(oldDocs)); val n = persistTracked(tf(newDocs))
     val nOld = o.agg(sum("c")).head.getLong(0)
     val nNew = n.agg(sum("c")).head.getLong(0)
     o.select(col("tok"), col("c").as("c_old"))
@@ -5403,10 +5406,13 @@ object LlmOps {
     * value-exact. Source sizes ride broadcast joins. */
   def sourceSimilarity(docs: DataFrame, textCol: String = "text",
                        srcCol: String = "source"): DataFrame = {
-    val st = spread(docs).select(col(srcCol).as("src"),
+    // persisted: referenced by the per-source sizes and BOTH sides of
+    // the intersection self-join — without the cache the corpus explode
+    // + distinct shuffle ran three times
+    val st = persistTracked(spread(docs).select(col(srcCol).as("src"),
         explode(filter(split(lower(txt(textCol)), "\\s+"),
           t => length(t) >= 1)).as("tok"))
-      .distinct()
+      .distinct())
     val sizes = st.groupBy("src").agg(count(lit(1)).as("n"))
     val a = st.select(col("tok"), col("src").as("src_a"))
     val b = st.select(col("tok"), col("src").as("src_b"))
