@@ -3241,21 +3241,23 @@ object LlmOps {
     }
     val pairs = base.select(explode(flatten(array(pairCols: _*))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    // aggregate the DIRECTED pair stream first, then symmetrize the
-    // aggregated frame: sym-before-agg referenced `pairs` twice, so the
-    // corpus explode ran twice and the exchange carried 2× the pair
-    // occurrences; c_sym(a,b) = c_dir(a,b) + c_dir(b,a) is the same
-    // count from one explode plus a vocabulary-pair-sized re-aggregate
-    val fullDir = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
-    // ONE pair aggregation feeds everything: the scored pairs are the
-    // unfiltered space filtered by minCount (identical aggregate, so
-    // rewriting cab as a filter of full halves the explode+aggregate
-    // work and lets the three consumers reuse the same exchange);
-    // marginals/total come from the UNFILTERED symmetric pair space
-    // (the probability space; filtering only prunes what is SCORED)
-    val full = fullDir.unionByName(
+    // aggregate the DIRECTED pair stream first and PERSIST it, then
+    // symmetrize the aggregated frame: sym-before-agg referenced
+    // `pairs` twice, so the corpus explode ran twice per consumer, and
+    // ReusedExchange never fired for full's three consumers (checked in
+    // the physical plan — each recomputed the whole explode+aggregate,
+    // ~6 corpus explodes per run). With both levels cached the corpus
+    // is exploded exactly once; c_sym(a,b) = c_dir(a,b) + c_dir(b,a)
+    // is a vocabulary-pair-sized re-aggregate over the cache.
+    val fullDir = persistTracked(
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("c")))
+    // ONE symmetric pair aggregation feeds everything: the scored pairs
+    // are the unfiltered space filtered by minCount; marginals/total
+    // come from the UNFILTERED symmetric pair space (the probability
+    // space; filtering only prunes what is SCORED)
+    val full = persistTracked(fullDir.unionByName(
         fullDir.select(col("b").as("a"), col("a").as("b"), col("c")))
-      .groupBy("a", "b").agg(sum(col("c")).as("c"))
+      .groupBy("a", "b").agg(sum(col("c")).as("c")))
     val cab = full.filter(col("c") >= minCount)
       .select(col("a"), col("b"), col("c").as("c_ab"))
     val marg = full.groupBy("a").agg(sum("c").as("m_a"))
