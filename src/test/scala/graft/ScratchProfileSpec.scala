@@ -11,6 +11,49 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScratchProfileSpec extends AnyFunSuite {
   private val enabled = sys.env.get("GRAFT_SCRATCH_PROFILE").contains("1")
 
+  test("op probes at sf0.1") {
+    assume(enabled)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(body: => Unit): Unit = {
+      body
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $label%-24s best=${ts.min}%6.3f runs=${ts.map(t => f"$t%5.3f").mkString(",")}")
+    }
+    time("dsirResample") {
+      noop(ext.LlmOps.dsirResample(d, d.filter(col("lang") === "en"), k = 200))
+      ext.LlmOps.releaseCaches()
+    }
+    time("sourceSimilarity") {
+      noop(ext.LlmOps.sourceSimilarity(d))
+      ext.LlmOps.releaseCaches()
+    }
+    time("stupidBackoff") {
+      noop(ext.LlmOps.stupidBackoff(d))
+      ext.LlmOps.releaseCaches()
+    }
+    time("pmiContexts2") {
+      noop(ext.LlmOps.pmiContexts(d, window = 2, minCount = 2, k = 5))
+      ext.LlmOps.releaseCaches()
+    }
+    spark.stop()
+  }
+
   test("pipeline_v2 stage timings at sf0.1") {
     assume(enabled)
     val spark = SparkSession.builder()
