@@ -3344,17 +3344,18 @@ object LlmOps {
     val test = spread(docs).filter(pmod(col(idCol), lit(holdMod)) === 0)
     val trainToks = train.select(
       explode(filter(toks, t => length(t) >= 1)).as("tok"))
-    // totals from the unigram aggregate (nn = Σcu, vv = its row count)
-    // and c1 from the bigram aggregate (c1(prev) = Σ_cur c2) — each was
-    // a separate full re-explode of the train corpus (4 passes → 2);
-    // the re-aggregated frames are vocabulary-sized
-    val uni = persistTracked(
-      trainToks.groupBy("tok").agg(count(lit(1)).as("cu")))
+    // totals from the unigram aggregate (nn = Σcu, vv = its row count —
+    // kills the count_distinct Expand over the raw token stream) and c1
+    // from the bigram aggregate (c1(prev) = Σ_cur c2). The frames are
+    // NOT persisted: caching the string-keyed aggregates deserialized
+    // measured SLOWER than recomputing them on two quiet full rolls
+    // (0.67 → 1.68 s at sf0.1) — guide §5; recompute stays two cheap
+    // explode+agg passes that pipeline with the score join.
+    val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("cu"))
     val totals = uni.agg(coalesce(sum(col("cu")), lit(0L)).as("nn"),
       count(lit(1)).as("vv"))
     val tg = sbBigramPairs(train, textCol, idCol)
-    val c2 = persistTracked(
-      tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")))
+    val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("prev")
       .agg(coalesce(sum(col("c2")), lit(0L)).as("c1"))
     sbScore(sbBigramPairs(test, textCol, idCol), c2, c1, uni, totals,
@@ -3991,13 +3992,13 @@ object LlmOps {
         i => bucketOf(concat_ws(" ",
           (0 until n).map(o => element_at(col("toks"), i + o)): _*)))).as("b"))
     }
-    // the raw gram stream is consumed twice (bucket counts + the final
-    // per-doc join) and each re-derivation pays an md5 per gram —
-    // persist it once. The corpus totals are SUMS of the ≤`buckets`-row
-    // count frames; the former dedicated count() passes re-exploded and
-    // re-hashed both gram streams end to end (5 md5 passes over the
-    // corpus → 1 materialized + 1 target pass).
-    val rg = persistTracked(gramRows(raw))
+    // The corpus totals are SUMS of the ≤`buckets`-row count frames;
+    // the former dedicated count() passes re-exploded and re-hashed both
+    // gram streams end to end (5 md5 passes over the corpus → 3).
+    // Persisting rg was measured and REVERTED: the deserialized cache of
+    // the gram stream cost more than the recompute it saves on both
+    // quiet full rolls (llm_dsir_resample 2.15 → 2.89 s) — guide §5.
+    val rg = gramRows(raw)
     val tg = gramRows(target)
     val cr = rg.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = tg.groupBy("b").agg(count(lit(1)).as("ct"))
@@ -5408,13 +5409,16 @@ object LlmOps {
     * value-exact. Source sizes ride broadcast joins. */
   def sourceSimilarity(docs: DataFrame, textCol: String = "text",
                        srcCol: String = "source"): DataFrame = {
-    // persisted: referenced by the per-source sizes and BOTH sides of
-    // the intersection self-join — without the cache the corpus explode
-    // + distinct shuffle ran three times
-    val st = persistTracked(spread(docs).select(col(srcCol).as("src"),
+    // NOT persisted: the (src, tok) frame is referenced three times
+    // (sizes + both self-join sides), but caching it deserialized
+    // measured SLOWER than the parallel recompute on two quiet full
+    // rolls (0.89 → 1.55 s at sf0.1) — the explode+distinct is cheap
+    // next to the cache's GC cost (guide §5). At warehouse scale a
+    // deployment would persist this to disk; locally recompute wins.
+    val st = spread(docs).select(col(srcCol).as("src"),
         explode(filter(split(lower(txt(textCol)), "\\s+"),
           t => length(t) >= 1)).as("tok"))
-      .distinct())
+      .distinct()
     val sizes = st.groupBy("src").agg(count(lit(1)).as("n"))
     val a = st.select(col("tok"), col("src").as("src_a"))
     val b = st.select(col("tok"), col("src").as("src_b"))
