@@ -3994,14 +3994,17 @@ object LlmOps {
     }
     // The corpus totals are SUMS of the ≤`buckets`-row count frames;
     // the former dedicated count() passes re-exploded and re-hashed both
-    // gram streams end to end (5 md5 passes over the corpus → 3).
-    // Persisting rg was measured and REVERTED: the deserialized cache of
-    // the gram stream cost more than the recompute it saves on both
+    // gram streams end to end. Persist the TINY count frames (≤ buckets
+    // rows each — zero cache pressure) so each gram stream is exploded
+    // once for its counts and the totals read the cache: 5 md5 passes
+    // over the corpus → 3 (counts ×2 + the final per-doc join).
+    // Persisting the gram stream ITSELF was measured and REVERTED: the
+    // deserialized cache cost more than the recompute it saves on two
     // quiet full rolls (llm_dsir_resample 2.15 → 2.89 s) — guide §5.
     val rg = gramRows(raw)
     val tg = gramRows(target)
-    val cr = rg.groupBy("b").agg(count(lit(1)).as("cr"))
-    val ct = tg.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = persistTracked(rg.groupBy("b").agg(count(lit(1)).as("cr")))
+    val ct = persistTracked(tg.groupBy("b").agg(count(lit(1)).as("ct")))
     val nrDf = cr.agg(coalesce(sum(col("cr")), lit(0L))
       .cast("double").as("__nr"))
     val ntDf = ct.agg(coalesce(sum(col("ct")), lit(0L))
