@@ -129,7 +129,14 @@ object Bench {
         // prefix rule), and the LM-index row that was always
         // build-train-probe like llm_ann_pq_indexed but was never
         // carried in this set
-        "tmp_stream_cosine_index", "llm_backoff_indexed")(name)) "index-build"
+        "tmp_stream_cosine_index", "llm_backoff_indexed",
+        // r12 additions: the at-rest exact-audit artifact builders and
+        // the planted-image corpus write (r11 verdict task 2 — each
+        // rebuilds its warehouse tables from parquet on every pass;
+        // construction of at-rest artifacts, not query-plan work)
+        "llm_audit_cos_all", "llm_audit_cos_blocked",
+        "llm_audit_jaccard_blocks", "llm_audit_jaccard_incr",
+        "llm_image_plant")(name)) "index-build"
       else if (name.startsWith("tmp_stream_") || name == "tmp_rocksdb_session" ||
           name == "tmp_merge_apply") "streaming-harness"
       else "plan"
@@ -186,11 +193,21 @@ object Bench {
     // from the artifact alone (r5 verdict tasks 1+7)
     // violations: best > multiplier×budget. New queries (no budget row
     // yet) are listed separately so a missing budget is visible, not a
-    // silent pass.
-    val violations = results.toSeq.sortBy(_._1).collect {
+    // silent pass. r11 verdict task 7: budgets regenerated from quiet
+    // MINs fire on every loaded roll (22 refuted flags on the r11
+    // driver roll) and protect nothing — on a roll whose PRE-WARMUP
+    // loadavg shows external load (any of the 1/5/15-min averages
+    // > 2.0), violations land in budget_violations_suspect_load
+    // instead, still visible but not asserted; the next quiet roll
+    // confirms or clears them.
+    val hostLoaded = loadStart.split(",").take(3)
+      .exists(s => s.nonEmpty && s.toDouble > 2.0)
+    val allViolations = results.toSeq.sortBy(_._1).collect {
       case (k, v) if budgets.contains(k) && v > budgetMult * budgets(k) =>
         s"""{"q":"$k","best":$v,"budget":${budgets(k)}}"""
     }
+    val violations = if (hostLoaded) Seq.empty else allViolations
+    val suspectViolations = if (hostLoaded) allViolations else Seq.empty
     val unbudgeted = results.keys.filterNot(budgets.contains).toSeq.sorted
     val payload =
       s"""{"total":$total,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
@@ -199,6 +216,8 @@ object Bench {
       s""""gate":$gateJson,""" +
       s""""class_subtotals":$classJson,""" +
       s""""budget_violations":${violations.mkString("[", ",", "]")},""" +
+      s""""budget_violations_suspect_load":${suspectViolations.mkString("[", ",", "]")},""" +
+      s""""host_loaded":$hostLoaded,""" +
       s""""unbudgeted":${unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":$detail}"""
     java.nio.file.Files.writeString(

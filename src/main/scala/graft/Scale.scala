@@ -302,14 +302,25 @@ object Scale {
             col("source").as("d")), 2, "s", "d").count()),
       // r15: pagerank moved to the pinned-partitioner RDD loop — same
       // doc→source edges as hits so the two link-analysis slopes are
-      // directly comparable. (kCore's per-round shape is the same
-      // co-partitioned join + reduceByKey, measured via hits/LPA; on
-      // the bipartite fixture graph its early-convergence exit fires
-      // after one peel, so a dedicated slope row would time setup.)
+      // directly comparable.
       "pagerank" -> (() =>
         graft.kql.GraphOps.pageRank(
           docs.select(col("doc_id").cast("string").as("s"),
             col("source").as("d")), 5, "s", "d").count()),
+      // r12 (r11 verdict task 8): kCore's peel loop on a NON-bipartite
+      // synthetic — on the bipartite doc→source fixture graph the
+      // early-convergence exit fires after one peel and a slope row
+      // would time setup. Chord steps (1, 2, 7) give odd cycles
+      // (+1, +1, −2) and interior degree 6, so k=4 peels a genuine
+      // boundary cascade each round; the id universe scales with K.
+      "kcore" -> (() => {
+        val ids = docs.select(col("doc_id").as("a"))
+        val edges = Seq(1L, 2L, 7L).map(st =>
+          ids.select(col("a").cast("string").as("s"),
+            (col("a") + st).cast("string").as("d")))
+          .reduce(_ union _)
+        graft.kql.GraphOps.kCore(edges, k = 4, rounds = 6, "s", "d").count()
+      }),
       // r10 additions. heavy_hitters: two corpus passes, aggregate
       // cardinality capped at m. dedup_substring: window explode +
       // owner aggregate; copies are vocab-disjoint so duplicate spans

@@ -43,38 +43,29 @@ object SparkEntry {
     * differs in at most one bit. */
   /** The planted bitmap corpus AT REST: production image payloads come
     * from storage, not from a query-time expression — the 72-md5 plant
-    * is fixture CONSTRUCTION, so it is written to parquet once per
-    * fixture dir and the timed rows READ it (the buildIvfIndex path
-    * convention). Payloads are a pure function of doc_id, so a
-    * previously-written table can never be stale. */
-  private val plantLock = new Object
-  private val plantStats =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    * is fixture CONSTRUCTION. It lives in the session warehouse
+    * (`graft_img_plant`), rebuilt from the parquet inputs on every
+    * timed pass by the llm_image_plant index-build row; the image rows
+    * READ it (first touch in a fresh JVM builds it once — the same
+    * contract as the llm_audit_* tables). The r10/r11 cross-JVM tmpdir
+    * parquet is gone: nothing a timed row consumes survives a driver
+    * run any more (r11 verdict task 2's plantedImages decision). */
+  /** Which fixture dir each at-rest audit/plant table group on disk was
+    * built from in this JVM — a build-or-not dial (the cosIdxState
+    * convention), never query data: the data itself flows from the
+    * warehouse tables, whose construction the llm_audit_* and
+    * llm_image_plant rows re-pay on every timed pass. */
+  private val auditBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def buildImagePlant(s: SparkSession, dir: String): Unit = {
+    graft.sources.BucketedLayout.writePlain(
+      docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload")),
+      "graft_img_plant")
+    auditBuilt.put("img_plant", dir)
+  }
   private def plantedImages(s: SparkSession, dir: String): DataFrame = {
-    // payload VALUES are a pure function of doc_id, but the doc-id SET is
-    // not a function of the path — a regenerated/grown fixture at the
-    // same dir must not silently reuse the old plant, so the cache key
-    // carries (count, max doc_id) of the CURRENT corpus (ADVICE r10).
-    // The stat is memoized per dir for the life of the JVM (fixtures are
-    // immutable within a session; a regenerated fixture is seen by the
-    // NEXT process, which recomputes) — without the memo every timed
-    // image row paid the aggregate job (~0.1 s, measured as a 2× budget
-    // flag on llm_image_dhash). The lock serializes same-JVM first
-    // builds (Bench/Verify are single-threaded, but harness code should
-    // not corrupt on a concurrent first touch).
-    val stat = plantStats.computeIfAbsent(dir, { d =>
-      val r = docs(s, d).agg(count(lit(1)), max(col("doc_id"))).head()
-      (r.getLong(0), r.getLong(1))
-    })
-    val path = sys.props("java.io.tmpdir") + "/graft_img_plant_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${stat._1}_${stat._2}"
-    plantLock.synchronized {
-      if (!new java.io.File(path + "/_SUCCESS").exists())
-        docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload"))
-          .write.mode("overwrite").parquet(path)
-    }
-    s.read.parquet(path)
+    if (auditBuilt.get("img_plant") != dir) buildImagePlant(s, dir)
+    s.table("graft_img_plant")
   }
 
   private def plantedBitmapHex: org.apache.spark.sql.Column = {
@@ -976,19 +967,112 @@ object SparkEntry {
     "graft_stream_cos_idx_vecs", "graft_stream_cos_idx_meta")
   private val cosIdxState =
     new java.util.concurrent.atomic.AtomicReference[(String, Set[String])](null)
-  /** Fixture-derived audit ground truth, memoized per (audit, dir) —
-    * the plantStats convention generalized. The scale-path contract
-    * rows (LSH/minhash/semdedup/incremental dedup) each carry an
+  /** Fixture-derived exact-audit ground truth AT REST (r11 verdict
+    * task 2: the memoAudit JVM-lifetime map was flagged as soft result
+    * caching — its rows fed timed query plans while surviving the
+    * bench's per-query cache sweep). The scale-path contract rows
+    * (LSH/minhash/semdedup/incremental dedup) each carry an
     * EXACT-reference side whose only purpose is to check the operator
     * under test; that reference is a pure function of the fixture
-    * (DuckDB recomputes it independently on every driver run), so it
-    * prices once per JVM and the timed rows replay it as a broadcast
-    * of the cached rows. The operator-under-test side is never
-    * memoized. */
-  private val auditMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
-  private def memoAudit[T <: AnyRef](name: String, dir: String)(compute: => T): T =
-    auditMemo.computeIfAbsent((name, dir), _ => compute).asInstanceOf[T]
+    * (DuckDB recomputes it independently on every driver run). It now
+    * lives in small warehouse tables written by the dedicated
+    * llm_audit_* rows of the index-build bench class — each of those
+    * rows REBUILDS its tables from the parquet inputs on every timed
+    * pass (the tmp_stream_cosine_index convention), so the audit work
+    * is re-paid inside the bench total on every pass. Consumers read
+    * the tables; `auditBuilt` tracks only WHICH dir the tables on disk
+    * were built from, so a consumer that runs before its builder in a
+    * fresh JVM (Verify, specs, bench pass 1 under Map ordering) builds
+    * them once itself — it never skips work a builder row's timed body
+    * does not re-pay. (`auditBuilt` itself is declared with the image
+    * plant at the top of this object.) */
+
+  /** Exact UNBLOCKED cosine pairs over the full corpus, materialized as
+    * the three audit tables they ground: semdedup's all-pairs drop set,
+    * the streaming-dedup per-odd partner classes and the incremental
+    * cosine-dedup should-drop set (both over label≤3 endpoints — the
+    * label≤3 pair set is exactly the full unblocked pair set with both
+    * endpoints label≤3, so one all-pairs pass feeds all three). */
+  private[graft] def buildCosAllAudit(s: SparkSession, dir: String): Unit = {
+    val e = embs(s, dir)
+    val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
+        blockCol = "__all", salt = 64)
+      .select("i", "j").persist()
+    graft.sources.BucketedLayout.writePlain(
+      p.select(col("j").as("vec_id")).distinct(), "graft_audit_sem_drops")
+    val lab = e.select(col("vec_id"), col("label"))
+    val p3 = p
+      .join(lab.select(col("vec_id").as("i"), col("label").as("li")), "i")
+      .join(lab.select(col("vec_id").as("j"), col("label").as("lj")), "j")
+      .filter(col("li") <= 3 && col("lj") <= 3)
+      .select("i", "j").persist()
+    val undirected = p3.select(col("i").as("x"), col("j").as("y"))
+      .union(p3.select(col("j").as("x"), col("i").as("y")))
+    val cls = undirected.filter(pmod(col("x"), lit(2)) === 1)
+      .groupBy("x").agg(
+        max((pmod(col("y"), lit(2)) === 0).cast("int")).as("has_even"),
+        max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 1 &&
+          col("y") < col("x")).cast("int")).as("has_lower_b1"),
+        max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 3)
+          .cast("int")).as("has_b1"),
+        max((pmod(col("y"), lit(4)) === 3 && pmod(col("x"), lit(4)) === 3 &&
+          col("y") < col("x")).cast("int")).as("has_lower_b2"))
+    graft.sources.BucketedLayout.writePlain(cls, "graft_audit_cos_stream_cls")
+    val should = p3.filter(pmod(col("j"), lit(2)) === 1)
+      .select(col("j").as("vec_id"))
+      .union(p3.filter(pmod(col("i"), lit(2)) === 1 &&
+          pmod(col("j"), lit(2)) === 0)
+        .select(col("i").as("vec_id")))
+      .distinct()
+    graft.sources.BucketedLayout.writePlain(should, "graft_audit_cos_incr_should")
+    p3.unpersist(false); p.unpersist(false)
+    auditBuilt.put("cos_all", dir)
+  }
+
+  /** Exact LABEL-BLOCKED cosine pairs over the full corpus → the pair
+    * table (similarity-LSH recall audit), the drop set (LSH-dedup
+    * survivor audit) and the label≤3 exact clustering (LSH-groups
+    * refinement audit). */
+  private[graft] def buildCosBlockedAudit(s: SparkSession, dir: String): Unit = {
+    val e = embs(s, dir)
+    val p = LlmOps.similarityPairs(e, 0.3).select("blk", "i", "j").persist()
+    graft.sources.BucketedLayout.writePlain(
+      p.select("i", "j"), "graft_audit_sim_pairs")
+    graft.sources.BucketedLayout.writePlain(
+      p.select(col("j").as("vec_id")).distinct(), "graft_audit_cos_drops_blk")
+    val groups = LlmOps.cosineGroupsFromPairs(
+        e.filter(col("label") <= 3), p.filter(col("blk") <= 3))
+      .select(col("vec_id"), col("group_id"), col("keep"))
+    graft.sources.BucketedLayout.writePlain(groups, "graft_audit_cos_groups")
+    p.unpersist(false)
+    auditBuilt.put("cos_blocked", dir)
+  }
+
+  /** Exact Jaccard pairs over the 4 audit source blocks (minhash-LSH
+    * recall/false-positive audit). */
+  private[graft] def buildJaccardBlocksAudit(s: SparkSession, dir: String): Unit = {
+    val audit = docs(s, dir)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+    graft.sources.BucketedLayout.writePlain(
+      LlmOps.jaccardPairs(audit, 0.8, blockCol = Some("source"))
+        .select("i", "j"),
+      "graft_audit_mh_pairs")
+    auditBuilt.put("jac_blocks", dir)
+  }
+
+  /** Exact-Jaccard should-drop set for the incremental minhash dedup:
+    * batch doc ids (≥ the id-midpoint cut) with ANY lower-id exact
+    * partner over the src0/src1 corpus. */
+  private[graft] def buildJaccardIncrAudit(s: SparkSession, dir: String): Unit = {
+    val d4 = docs(s, dir).filter(col("source").isin("src0", "src1"))
+    val mm = d4.agg(min("doc_id"), max("doc_id")).head
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    graft.sources.BucketedLayout.writePlain(
+      LlmOps.jaccardPairs(d4, 0.8).select(col("j").as("doc_id"))
+        .filter(col("doc_id") >= cut).distinct(),
+      "graft_audit_mh_drops")
+    auditBuilt.put("jac_incr", dir)
+  }
 
   private def tableFiles(s: SparkSession, table: String): Set[String] = {
     val loc = new org.apache.hadoop.fs.Path(
@@ -1061,31 +1145,11 @@ object SparkEntry {
     // closed exact audit over the full label<=3 corpus. The per-odd
     // partner-class table is a PURE FUNCTION of the fixture (exact
     // cosine pairs among ≤4-label vectors — oracle-side ground truth,
-    // not engine output), so it is memoized per dir like plantStats:
-    // the all-pairs recompute prices the audit once per JVM, not once
-    // per timed pass.
-    val clsRows = memoAudit("cos_stream_cls", dir) {
-      val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
-          blockCol = "__all")
-        .select("i", "j").persist()
-      val undirected = p.select(col("i").as("x"), col("j").as("y"))
-        .union(p.select(col("j").as("x"), col("i").as("y")))
-      // per-odd partner classes (x = the odd vector, y = its partner)
-      val rows = undirected.filter(pmod(col("x"), lit(2)) === 1)
-        .groupBy("x").agg(
-          max((pmod(col("y"), lit(2)) === 0).cast("int")).as("has_even"),
-          max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 1 &&
-            col("y") < col("x")).cast("int")).as("has_lower_b1"),
-          max((pmod(col("y"), lit(4)) === 1 && pmod(col("x"), lit(4)) === 3)
-            .cast("int")).as("has_b1"),
-          max((pmod(col("y"), lit(4)) === 3 && pmod(col("x"), lit(4)) === 3 &&
-            col("y") < col("x")).cast("int")).as("has_lower_b2"))
-        .as[(Long, Int, Int, Int, Int)].collect()
-      p.unpersist(false)
-      rows
-    }
-    val cls = clsRows.toSeq
-      .toDF("x", "has_even", "has_lower_b1", "has_b1", "has_lower_b2")
+    // not engine output); it lives at rest in graft_audit_cos_stream_cls,
+    // rebuilt from parquet on every pass by the llm_audit_cos_all
+    // index-build row (r11 verdict task 2 — no JVM-memoized query data).
+    if (auditBuilt.get("cos_all") != dir) buildCosAllAudit(s, dir)
+    val cls = s.table("graft_audit_cos_stream_cls")
     val audit = e.filter(pmod(col("vec_id"), lit(2)) === 1).select(col("vec_id"))
       .join(kept, Seq("vec_id"), "left_outer")
       .join(broadcast(cls.withColumnRenamed("x", "vec_id")), Seq("vec_id"), "left_outer")
@@ -1501,17 +1565,15 @@ object SparkEntry {
         val lsh = LlmOps.nearDupPairsMinhash(d, 0.8).select("i", "j")
         val audit = d.filter(col("source").isin("src0", "src1", "src2", "src3"))
         // exact pair set over the audit blocks: fixture-derived ground
-        // truth, memoized per dir (see memoAudit)
-        val exPairs = memoAudit("minhash_exact", dir) {
-          LlmOps.jaccardPairs(audit, 0.8, blockCol = Some("source"))
-            .select(col("i"), col("j")).as[(Long, Long)].collect().sorted
-        }
+        // truth at rest in graft_audit_mh_pairs, rebuilt every pass by
+        // the llm_audit_jaccard_blocks index-build row (r11 task 2)
+        if (auditBuilt.get("jac_blocks") != dir) buildJaccardBlocksAudit(s, dir)
         val srcOf = audit.select(col("doc_id"), col("source"))
         // ONE streamed pass over the (large) LSH pair set: the source
         // map and the exact pair set are broadcast, so the check adds no
         // shuffle on top of the operator under test (a full-outer join
         // re-shuffled all 2.9M LSH pairs — measured 2× the whole LSH).
-        val exactP = exPairs.toSeq.toDF("i", "j")
+        val exactP = s.table("graft_audit_mh_pairs")
         val counts = lsh
           .join(broadcast(srcOf.select(col("doc_id").as("i"), col("source").as("si"))), "i")
           .join(broadcast(srcOf.select(col("doc_id").as("j"), col("source").as("sj"))), "j")
@@ -1887,22 +1949,11 @@ object SparkEntry {
         val kept = LlmOps.dedupCosineIncremental(batch, "graft_cos_row_idx")
           .select(col("vec_id")).withColumn("k", lit(1))
         // odd x should drop iff some exact pair links it to any even
-        // partner or a SMALLER odd one — fixture-derived ground truth,
-        // memoized per dir (see memoAudit)
-        val sdIds = memoAudit("cos_incr_should", dir) {
-          import s.implicits._
-          val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
-              blockCol = "__all")
-            .select("i", "j").persist()
-          val ids = p.filter(pmod(col("j"), lit(2)) === 1).select(col("j").as("vec_id"))
-            .union(p.filter(pmod(col("i"), lit(2)) === 1 && pmod(col("j"), lit(2)) === 0)
-              .select(col("i").as("vec_id")))
-            .distinct().as[Long].collect().sorted
-          p.unpersist(false)
-          ids
-        }
-        val sd = { import s.implicits._
-          sdIds.toSeq.toDF("vec_id").withColumn("s", lit(1)) }
+        // partner or a SMALLER odd one — fixture-derived ground truth at
+        // rest in graft_audit_cos_incr_should, rebuilt every pass by the
+        // llm_audit_cos_all index-build row (r11 task 2)
+        if (auditBuilt.get("cos_all") != dir) buildCosAllAudit(s, dir)
+        val sd = s.table("graft_audit_cos_incr_should").withColumn("s", lit(1))
         batch.select("vec_id")
           .join(kept, Seq("vec_id"), "left_outer")
           .join(sd, Seq("vec_id"), "left_outer")
@@ -2874,13 +2925,14 @@ object SparkEntry {
       (s, dir) => {
         import s.implicits._
         val e = embs(s, dir)
-        // exact survivor set: fixture-derived ground truth, memoized
-        // per dir (see memoAudit); the LSH path below is the operator
-        val exIds = memoAudit("cosine_lsh_exact", dir) {
-          LlmOps.dedupNearCosine(e, 0.3, method = "exact")
-            .select(col("vec_id")).as[Long].collect().sorted
-        }
-        val ex = exIds.toSeq.toDF("vec_id")
+        // exact survivor set = corpus minus the blocked-pair drop set —
+        // fixture-derived ground truth at rest in graft_audit_cos_drops_blk,
+        // rebuilt every pass by the llm_audit_cos_blocked index-build row
+        // (r11 task 2); the LSH path below is the operator
+        if (auditBuilt.get("cos_blocked") != dir) buildCosBlockedAudit(s, dir)
+        val ex = e.select("vec_id").join(
+          broadcast(s.table("graft_audit_cos_drops_blk")),
+          Seq("vec_id"), "left_anti")
         val ls = LlmOps.dedupNearCosine(e, 0.3).select("vec_id")
         // single full-outer pass, same rationale as llm_neardup_minhash
         ex.withColumn("x", lit(1))
@@ -2908,14 +2960,12 @@ object SparkEntry {
         import s.implicits._
         val e = embs(s, dir)
         val lsh = LlmOps.similarityPairsLsh(e, 0.3).select("i", "j")
-        // exact pair set: fixture-derived ground truth, memoized per
-        // dir (see memoAudit); feeds both the broadcast membership
-        // probe and the n_exact count
-        val exPairs = memoAudit("sim_pairs_exact", dir) {
-          LlmOps.similarityPairs(e, 0.3).select(col("i"), col("j"))
-            .as[(Long, Long)].collect().sorted
-        }
-        val exact = exPairs.toSeq.toDF("i", "j")
+        // exact pair set: fixture-derived ground truth at rest in
+        // graft_audit_sim_pairs, rebuilt every pass by the
+        // llm_audit_cos_blocked index-build row (r11 task 2); feeds both
+        // the broadcast membership probe and the n_exact count
+        if (auditBuilt.get("cos_blocked") != dir) buildCosBlockedAudit(s, dir)
+        val exact = s.table("graft_audit_sim_pairs")
         // coalesce: an empty LSH pair set must yield (0, true), not
         // (null, null) — zero pairs can be the CORRECT answer at some
         // scale/threshold and may not hash-mismatch the oracle
@@ -2955,13 +3005,13 @@ object SparkEntry {
         import s.implicits._
         val audit = e.filter(col("label") <= 3)
         // exact reference clustering over the audit labels:
-        // fixture-derived ground truth, memoized per dir (see memoAudit)
-        val exRows = memoAudit("cos_groups_exact", dir) {
-          LlmOps.cosineGroups(audit, 0.3, method = "exact")
-            .select(col("vec_id"), col("group_id"), col("keep"))
-            .as[(Long, Long, Boolean)].collect().sortBy(_._1)
-        }
-        val ex = exRows.toSeq.toDF("vec_id", "g_ex", "k_ex")
+        // fixture-derived ground truth at rest in graft_audit_cos_groups,
+        // rebuilt every pass by the llm_audit_cos_blocked index-build row
+        // (r11 task 2)
+        if (auditBuilt.get("cos_blocked") != dir) buildCosBlockedAudit(s, dir)
+        val ex = s.table("graft_audit_cos_groups")
+          .select(col("vec_id"), col("group_id").as("g_ex"),
+            col("keep").as("k_ex"))
         val ls = LlmOps.cosineGroups(e, 0.3, method = "lsh")
           .select(col("vec_id"), col("group_id").as("g_lsh"), col("keep").as("k_lsh"))
         val j = ex.join(ls, "vec_id").persist()
@@ -3008,14 +3058,11 @@ object SparkEntry {
         import s.implicits._
         val e = embs(s, dir)
         val sem = LlmOps.semDedup(e, 0.3, nClusters = 8).select("vec_id")
-        // exact all-pairs drop set: fixture-derived ground truth,
-        // memoized per dir (see memoAudit)
-        val dropIds = memoAudit("semdedup_drops", dir) {
-          LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
-              blockCol = "__all", salt = 64)
-            .select(col("j")).distinct().as[Long].collect().sorted
-        }
-        val dropsAll = dropIds.toSeq.toDF("vec_id")
+        // exact all-pairs drop set: fixture-derived ground truth at rest
+        // in graft_audit_sem_drops, rebuilt every pass by the
+        // llm_audit_cos_all index-build row (r11 task 2)
+        if (auditBuilt.get("cos_all") != dir) buildCosAllAudit(s, dir)
+        val dropsAll = s.table("graft_audit_sem_drops")
         val ex = e.select("vec_id").join(broadcast(dropsAll), Seq("vec_id"), "left_anti")
         ex.withColumn("x", lit(1))
           .join(sem.withColumn("m", lit(1)), Seq("vec_id"), "full_outer")
@@ -3053,16 +3100,12 @@ object SparkEntry {
         LlmOps.buildMinhashIndex(corpus, "graft_mh_index")
         val kept = LlmOps.dedupIncremental(batch, "graft_mh_index").select(col("doc_id"))
         // the exact-Jaccard drop set is a pure function of the fixture
-        // (oracle-side ground truth, not engine output) — memoized per
-        // dir like the cosine-stream audit, so the all-pairs recompute
-        // prices once per JVM and the timed row replays a broadcast
-        // anti-join of the cached ids
-        val dropIds = memoAudit("mh_incr_drop", dir) {
-          LlmOps.jaccardPairs(d4, 0.8).select(col("j"))
-            .filter(col("j") >= cut).distinct()
-            .as[Long].collect().sorted
-        }
-        val exactDrop = dropIds.toSeq.toDF("doc_id")
+        // (oracle-side ground truth, not engine output) — at rest in
+        // graft_audit_mh_drops, rebuilt every pass by the
+        // llm_audit_jaccard_incr index-build row (r11 task 2); the timed
+        // row replays a broadcast anti-join of the at-rest ids
+        if (auditBuilt.get("jac_incr") != dir) buildJaccardIncrAudit(s, dir)
+        val exactDrop = s.table("graft_audit_mh_drops")
         val exactKept = batch.select(col("doc_id"))
           .join(broadcast(exactDrop), Seq("doc_id"), "left_anti")
         val cmp = exactKept.withColumn("x", lit(1))
@@ -3077,6 +3120,66 @@ object SparkEntry {
             (col("nk") <= ceil(col("n_exact_kept") / 0.85)).as("extra_ok"))
       },
       Some("""WITH d4 AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')), cutv AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS cut FROM d4), toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM d4), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), prs AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8), batch AS (SELECT doc_id FROM d4, cutv WHERE doc_id >= cut), dropped AS (SELECT DISTINCT j AS doc_id FROM prs, cutv WHERE j >= cut) SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_new, CAST((SELECT COUNT(*) FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_exact_kept, CAST(0 AS BIGINT) AS n_kept_missing, true AS extra_ok""")),
+
+    // ===== fixture-audit artifact builders (r11 verdict task 2) =====
+    // The exact-reference sides of the scale-path contract rows are
+    // pure functions of the fixture; they now live in small warehouse
+    // tables. Each row below rebuilds its tables from the parquet
+    // inputs on EVERY pass (index-build bench class — at-rest artifact
+    // construction, the tmp_stream_cosine_index convention) and emits
+    // oracle-checkable counts of what it wrote, so the audit cost is
+    // honestly priced in the bench and DuckDB re-derives the same
+    // ground truth independently.
+    "llm_audit_cos_all" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildCosAllAudit(s, dir)
+        Seq((s.table("graft_audit_sem_drops").count(),
+          s.table("graft_audit_cos_stream_cls").count(),
+          s.table("graft_audit_cos_incr_should").count()))
+          .toDF("n_drops_all", "n_cls", "n_should")
+      },
+      Some("""WITH ps AS (SELECT a.vec_id AS i, b.vec_id AS j, a.label AS la, b.label AS lb, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), dots AS (SELECT i, j, la, lb, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2, 3, 4), pr AS (SELECT i, j, la, lb FROM dots WHERE dp / (na * nb) >= 0.3), pr3 AS (SELECT i, j FROM pr WHERE la <= 3 AND lb <= 3), cls AS (SELECT DISTINCT x FROM (SELECT i AS x FROM pr3 WHERE i % 2 = 1 UNION ALL SELECT j AS x FROM pr3 WHERE j % 2 = 1)), sd AS (SELECT DISTINCT x FROM (SELECT j AS x FROM pr3 WHERE j % 2 = 1 UNION ALL SELECT i AS x FROM pr3 WHERE i % 2 = 1 AND j % 2 = 0)) SELECT CAST(COALESCE((SELECT COUNT(DISTINCT j) FROM pr), 0) AS BIGINT) AS n_drops_all, CAST(COALESCE((SELECT COUNT(*) FROM cls), 0) AS BIGINT) AS n_cls, CAST(COALESCE((SELECT COUNT(*) FROM sd), 0) AS BIGINT) AS n_should""")),
+
+    "llm_audit_cos_blocked" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildCosBlockedAudit(s, dir)
+        Seq((s.table("graft_audit_sim_pairs").count(),
+          s.table("graft_audit_cos_drops_blk").count(),
+          s.table("graft_audit_cos_groups").filter(col("keep")).count()))
+          .toDF("n_pairs", "n_drops", "n_keep")
+      },
+      Some("""WITH RECURSIVE ps AS (SELECT a.label AS blk, a.vec_id AS i, b.vec_id AS j, a.embedding AS va, b.embedding AS vb FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id), dots AS (SELECT blk, i, j, SUM(CAST(va[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE)) AS dp, SQRT(SUM(CAST(va[g.x] AS DOUBLE) * CAST(va[g.x] AS DOUBLE))) AS na, SQRT(SUM(CAST(vb[g.x] AS DOUBLE) * CAST(vb[g.x] AS DOUBLE))) AS nb FROM ps, generate_series(1, 64) g(x) GROUP BY 1, 2, 3), prs AS (SELECT blk, i, j FROM dots WHERE dp / (na * nb) >= 0.3), p3 AS (SELECT i, j FROM prs WHERE blk <= 3), edges AS (SELECT i AS a, j AS b FROM p3 UNION SELECT j, i FROM p3), reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), grp AS (SELECT a AS node, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a), allg AS (SELECT e.vec_id, COALESCE(g.group_id, e.vec_id) AS group_id FROM embeddings e LEFT JOIN grp g ON e.vec_id = g.node WHERE e.label <= 3) SELECT CAST(COALESCE((SELECT COUNT(*) FROM prs), 0) AS BIGINT) AS n_pairs, CAST(COALESCE((SELECT COUNT(DISTINCT j) FROM prs), 0) AS BIGINT) AS n_drops, CAST(COALESCE((SELECT SUM(CASE WHEN vec_id = group_id THEN 1 ELSE 0 END) FROM allg), 0) AS BIGINT) AS n_keep""")),
+
+    "llm_audit_jaccard_blocks" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildJaccardBlocksAudit(s, dir)
+        Seq(s.table("graft_audit_mh_pairs").count()).toDF("n_pairs")
+      },
+      Some("""WITH toks AS (SELECT DISTINCT source, doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), ex AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8) SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ex""")),
+
+    "llm_audit_jaccard_incr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildJaccardIncrAudit(s, dir)
+        Seq(s.table("graft_audit_mh_drops").count()).toDF("n_drops")
+      },
+      Some("""WITH d4 AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')), cutv AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 2 AS cut FROM d4), toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM d4), sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1), inter AS (SELECT a.id AS i, b.id AS j, CAST(COUNT(*) AS BIGINT) AS c FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2), prs AS (SELECT i, j FROM inter JOIN sizes sa ON i = sa.id JOIN sizes sb ON j = sb.id WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8), dropped AS (SELECT DISTINCT j AS doc_id FROM prs, cutv WHERE j >= cut) SELECT CAST(COUNT(*) AS BIGINT) AS n_drops FROM dropped""")),
+
+    // The planted image corpus write as its own index-build row: image
+    // payloads are at-rest storage, and this row re-pays the plant
+    // construction on every pass (it previously survived across driver
+    // runs in java.io.tmpdir — r11 verdict task 2's plantedImages
+    // decision).
+    "llm_image_plant" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        buildImagePlant(s, dir)
+        Seq(s.table("graft_img_plant").count()).toDF("n_docs")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents""")),
 
     // Bucketed at-rest layout wired into a declared query (r4 verdict
     // task 5): both join sides written bucketed + sorted on the join key
@@ -5177,7 +5280,15 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("bucket"))
         val sft = LlmOps.sftPack(d)
           .select(col("doc_id"), col("loss_start"), col("loss_len"))
-        val base = kept.join(sft, "doc_id")
+        // base feeds BOTH the shard assignment and the final join — the
+        // ccnetBuckets lineage (corpus tokenize + tf join + two-phase
+        // tercile windows) otherwise computes twice, since the two
+        // consumers need different distributions and no exchange is
+        // reusable between them (§5 cache the right thing; the r11
+        // quiet-roll drift on this row tracked exactly that doubled
+        // upstream). Narrow survivors-only rows, freed by the harness
+        // sweep.
+        val base = LlmOps.persistTracked(kept.join(sft, "doc_id"))
         val shuf = LlmOps.globalShuffle(base, shards = 8)
         base.join(shuf, "doc_id")
           .select(col("doc_id"), col("lang"), col("bucket"),
@@ -5628,8 +5739,15 @@ object SparkEntry {
           .select(col("doc_id"))
         val kept = d.join(q, Seq("doc_id"))
         val dd = LlmOps.dedupSubstringRemove(kept, spanLen = 8)
-        val withSrc = dd.join(d.select(col("doc_id"), col("source")),
-          Seq("doc_id"))
+        // withSrc feeds temperatureMix (which reads it TWICE — the
+        // source-count aggregate and the rate filter) plus the a2
+        // aggregate below: without a persist the span-dedup lineage
+        // recomputes three times (§5 cache the right thing). Projected
+        // to the three consumed columns first so the persisted blocks
+        // carry no cleaned text.
+        val withSrc = LlmOps.persistTracked(
+          dd.select(col("doc_id"), col("n_removed"))
+            .join(d.select(col("doc_id"), col("source")), Seq("doc_id")))
         val mixed = LlmOps.temperatureMix(withSrc, 0.3, 0.5)
         val a1 = d.groupBy("source").agg(count(lit(1)).as("n_in"))
         val a2 = withSrc.groupBy("source").agg(

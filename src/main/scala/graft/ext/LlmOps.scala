@@ -512,18 +512,21 @@ object LlmOps {
                         textCol: String = "text", idCol: String = "doc_id",
                         buckets: Int = 16): Unit = {
     val (withToks, withSig, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
-    graft.sources.BucketedLayout.writeBucketed(
-      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
-    graft.sources.BucketedLayout.writeBucketed(
-      withToks, s"${table}_toks", Seq("id"), buckets)
-    // persist the banding parameters: reading the index with different
-    // ones silently collapses recall (bucket hashes from another band
-    // slicing never collide) — the read paths verify loudly instead
+    // the three tables are independent given the persisted frames —
+    // overlapped writes (§2.6) instead of three serial job+commit tails.
+    // The meta row pins the banding parameters: reading the index with
+    // different ones silently collapses recall (bucket hashes from
+    // another band slicing never collide) — the read paths verify loudly
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.sources.BucketedLayout.writePlain(
-      Seq((numHashes, bands, buckets)).toDF("num_hashes", "bands", "buckets"),
-      s"${table}_meta")
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writeBucketed(
+        banded, s"${table}_bands", Seq("band", "bucket"), buckets),
+      () => graft.sources.BucketedLayout.writeBucketed(
+        withToks, s"${table}_toks", Seq("id"), buckets),
+      () => graft.sources.BucketedLayout.writePlain(
+        Seq((numHashes, bands, buckets)).toDF("num_hashes", "bands", "buckets"),
+        s"${table}_meta"))
     withToks.unpersist(false)
     withSig.unpersist(false)
   }
@@ -555,10 +558,12 @@ object LlmOps {
                            buckets: Int = 16): Unit = {
     requireIndexParams(docs.sparkSession, table, numHashes, bands, buckets)
     val (withToks, withSig, banded) = minhashFrames(docs, numHashes, bands, textCol, idCol)
-    graft.sources.BucketedLayout.appendBucketed(
-      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
-    graft.sources.BucketedLayout.appendBucketed(
-      withToks, s"${table}_toks", Seq("id"), buckets)
+    // independent tables given the persisted frames — overlapped (§2.6)
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.appendBucketed(
+        banded, s"${table}_bands", Seq("band", "bucket"), buckets),
+      () => graft.sources.BucketedLayout.appendBucketed(
+        withToks, s"${table}_toks", Seq("id"), buckets))
     withToks.unpersist(false)
     withSig.unpersist(false)
   }
@@ -1356,21 +1361,27 @@ object LlmOps {
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // the coarse quantizer and the PQ codebooks train from independent
+    // bounded-sample collects + driver k-means — overlapped (§2.6), as
+    // are the three output writes below given the persisted base
+    val fCodebooks = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => trainPqCodebooks(emb, m, ksub, seed, idCol, vecCol))
     val centroids = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
-    val codebooks = trainPqCodebooks(emb, m, ksub, seed, idCol, vecCol)
+    val codebooks = fCodebooks.join()
     val base = persistTracked(spread(emb).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
-    base.select(col("id"),
-        pqCodesOf(codebooks)(col("v")).as("codes"),
-        cellOf(centroids)(col("v")).as("__cell"))
-      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/codes")
-    base.select(col("id"), col("v"))
-      .write.mode("overwrite").parquet(s"$path/vecs")
-    (centroids.zipWithIndex.map { case (c, i) => ("cent", i, 0, c.toSeq) } ++
-      codebooks.zipWithIndex.flatMap { case (cb, s) =>
-        cb.zipWithIndex.map { case (c, j) => ("code", s, j, c.toSeq) } }).toSeq
-      .toDF("kind", "i", "j", "vals")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.BucketedLayout.concurrently(
+      () => base.select(col("id"),
+          pqCodesOf(codebooks)(col("v")).as("codes"),
+          cellOf(centroids)(col("v")).as("__cell"))
+        .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/codes"),
+      () => base.select(col("id"), col("v"))
+        .write.mode("overwrite").parquet(s"$path/vecs"),
+      () => (centroids.zipWithIndex.map { case (c, i) => ("cent", i, 0, c.toSeq) } ++
+        codebooks.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (c, j) => ("code", s, j, c.toSeq) } }).toSeq
+        .toDF("kind", "i", "j", "vals")
+        .write.mode("overwrite").parquet(s"$path/meta"))
     (centroids, codebooks)
   }
 
@@ -1571,14 +1582,16 @@ object LlmOps {
     import spark.implicits._
     val (vecs, banded) = cosineIndexFrames(emb, nBands, b, dim, seed, idCol, vecCol)
     vecs.persist()
-    graft.sources.BucketedLayout.writeBucketed(
-      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
-    graft.sources.BucketedLayout.writeBucketed(
-      vecs, s"${table}_vecs", Seq("id"), buckets)
-    graft.sources.BucketedLayout.writePlain(
-      Seq((threshold, nBands, b, dim, seed, buckets))
-        .toDF("threshold", "n_bands", "planes_per_band", "dim", "seed", "buckets"),
-      s"${table}_meta")
+    // independent tables given the persisted vecs — overlapped (§2.6)
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writeBucketed(
+        banded, s"${table}_bands", Seq("band", "bucket"), buckets),
+      () => graft.sources.BucketedLayout.writeBucketed(
+        vecs, s"${table}_vecs", Seq("id"), buckets),
+      () => graft.sources.BucketedLayout.writePlain(
+        Seq((threshold, nBands, b, dim, seed, buckets))
+          .toDF("threshold", "n_bands", "planes_per_band", "dim", "seed", "buckets"),
+        s"${table}_meta"))
     vecs.unpersist(false)
   }
 
@@ -1593,10 +1606,12 @@ object LlmOps {
     val (_, nBands, b, dim, seed, buckets) = cosineIndexMeta(spark, table)
     val (vecs, banded) = cosineIndexFrames(emb, nBands, b, dim, seed, idCol, vecCol)
     vecs.persist()
-    graft.sources.BucketedLayout.appendBucketed(
-      banded, s"${table}_bands", Seq("band", "bucket"), buckets)
-    graft.sources.BucketedLayout.appendBucketed(
-      vecs, s"${table}_vecs", Seq("id"), buckets)
+    // independent tables given the persisted vecs — overlapped (§2.6)
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.appendBucketed(
+        banded, s"${table}_bands", Seq("band", "bucket"), buckets),
+      () => graft.sources.BucketedLayout.appendBucketed(
+        vecs, s"${table}_vecs", Seq("id"), buckets))
     vecs.unpersist(false)
   }
 
@@ -2215,14 +2230,24 @@ object LlmOps {
                    blockCol: String = "label", idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    method: String = "exact"): DataFrame = {
-    val pairs = (method match {
+    val pairs = method match {
       case "exact" => similarityPairs(emb, threshold, blockCol, idCol, vecCol)
       case "lsh" => similarityPairsLsh(emb, threshold, blockCol, idCol, vecCol)
       case other => throw new IllegalArgumentException(s"cosineGroups method '$other'")
-    }).select(col("i"), col("j")).persist()
-    val comp = connectedComponents(pairs)
-    pairs.unpersist()
-    groupRows(emb, idCol, comp)
+    }
+    cosineGroupsFromPairs(emb, pairs, idCol)
+  }
+
+  /** [[cosineGroups]] tail over a PRECOMPUTED (i, j) pair set:
+    * transitive clusters + group rows for the given universe. Lets an
+    * at-rest exact pair table be clustered without recomputing the
+    * pairs (the audit-artifact path). */
+  def cosineGroupsFromPairs(universe: DataFrame, pairs: DataFrame,
+                            idCol: String = "vec_id"): DataFrame = {
+    val p = pairs.select(col("i"), col("j")).persist()
+    val comp = connectedComponents(p)
+    p.unpersist()
+    groupRows(universe, idCol, comp)
   }
 
   // ==================================================== sampling / splits
@@ -3389,15 +3414,17 @@ object LlmOps {
     val c2 = tg.groupBy("prev", "cur").agg(count(lit(1)).as("c2")).persist()
     val c1 = c2.groupBy("prev")
       .agg(coalesce(sum(col("c2")), lit(0L)).as("c1"))
-    try {
-      graft.sources.BucketedLayout.writeBucketed(c2, s"${table}_c2",
-        Seq("prev"), 16)
-      graft.sources.BucketedLayout.writeBucketed(c1, s"${table}_c1",
-        Seq("prev"), 16)
-      graft.sources.BucketedLayout.writeBucketed(uni, s"${table}_uni",
-        Seq("tok"), 16)
-      graft.sources.BucketedLayout.writePlain(totals, s"${table}_tot")
-    } finally { c2.unpersist(false); uni.unpersist(false) }
+    // four independent tables given the persisted aggregates —
+    // overlapped writes (§2.6) instead of four serial job+commit tails
+    try graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writeBucketed(c2, s"${table}_c2",
+        Seq("prev"), 16),
+      () => graft.sources.BucketedLayout.writeBucketed(c1, s"${table}_c1",
+        Seq("prev"), 16),
+      () => graft.sources.BucketedLayout.writeBucketed(uni, s"${table}_uni",
+        Seq("tok"), 16),
+      () => graft.sources.BucketedLayout.writePlain(totals, s"${table}_tot"))
+    finally { c2.unpersist(false); uni.unpersist(false) }
   }
 
   /** Score documents against [[buildLmIndex]]'s stored model — same
@@ -6458,14 +6485,16 @@ object LlmOps {
     val postings = persistTracked(base
       .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy("tok", "id", "dl").agg(count(lit(1)).as("tf")))
-    graft.sources.BucketedLayout.writeBucketed(
-      postings, s"${table}_post", Seq("tok"), buckets)
-    graft.sources.BucketedLayout.writeBucketed(
-      postings.groupBy("tok").agg(count(lit(1)).as("df")),
-      s"${table}_terms", Seq("tok"), buckets)
-    graft.sources.BucketedLayout.writePlain(
-      base.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl")),
-      s"${table}_meta")
+    // independent tables given the persisted postings — overlapped (§2.6)
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writeBucketed(
+        postings, s"${table}_post", Seq("tok"), buckets),
+      () => graft.sources.BucketedLayout.writeBucketed(
+        postings.groupBy("tok").agg(count(lit(1)).as("df")),
+        s"${table}_terms", Seq("tok"), buckets),
+      () => graft.sources.BucketedLayout.writePlain(
+        base.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl")),
+        s"${table}_meta"))
     releaseCaches()
   }
 
@@ -6596,11 +6625,13 @@ object LlmOps {
     val base = emb.select(col(idCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
       .withColumn("__w", expr(packSignWord))
-    graft.sources.BucketedLayout.writePlain(
-      base.select(col(idCol), col("__w")), s"${table}_words")
-    graft.sources.BucketedLayout.writeBucketed(
-      base.select(col(idCol), col("__v").as("vec")),
-      s"${table}_vecs", Seq(idCol), buckets)
+    // independent tables — overlapped writes (§2.6)
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writePlain(
+        base.select(col(idCol), col("__w")), s"${table}_words"),
+      () => graft.sources.BucketedLayout.writeBucketed(
+        base.select(col(idCol), col("__v").as("vec")),
+        s"${table}_vecs", Seq(idCol), buckets))
   }
 
   /** Probe [[buildBinaryIndex]]: popcount scan over the words table,

@@ -79,4 +79,33 @@ object BucketedLayout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Run independent Spark actions concurrently from the driver (guide
+    * §2.6 overlap-independent-jobs): an index build's table writes are
+    * independent given their shared persisted inputs, but sequential
+    * driver calls leave the cluster idle through each write's task tail
+    * and single-threaded commit. 2–3 in flight back-fills those tails
+    * (FIFO scheduling gives the earlier job priority, later ones use
+    * the leftover slots — exactly the back-fill behaviour wanted).
+    * Concurrent first-computation of a shared cached frame is safe:
+    * the block manager's per-block loading locks make one task compute
+    * while the rest wait. Every task is awaited before returning and
+    * the first failure is rethrown, so no half-registered table
+    * escapes silently. */
+  def concurrently[A](tasks: (() => A)*): Seq[A] =
+    if (tasks.sizeIs <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, tasks.size))
+      try {
+        val futs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = t() }))
+        val settled = futs.map(f =>
+          try Right(f.get())
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Left(e.getCause) })
+        settled.collectFirst { case Left(e) => e }.foreach(throw _)
+        settled.collect { case Right(a) => a }
+      } finally pool.shutdown()
+    }
 }
