@@ -58,8 +58,14 @@ object SparkEntry {
   private val auditBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def buildImagePlant(s: SparkSession, dir: String): Unit = {
+    // the 72-md5 pixel expressions are compute-dense over what the scan
+    // delivers as a SINGLE split (one small fixture file) — measured 3 s
+    // single-threaded. Spread the ids across the session's cores before
+    // the per-row plant compute; the shuffled payload is ids only.
+    val par = s.sparkContext.defaultParallelism
     graft.sources.BucketedLayout.writePlain(
-      docs(s, dir).select(col("doc_id"), unhex(plantedBitmapHex).as("payload")),
+      docs(s, dir).select(col("doc_id")).repartition(par)
+        .select(col("doc_id"), unhex(plantedBitmapHex).as("payload")),
       "graft_img_plant")
     auditBuilt.put("img_plant", dir)
   }
@@ -998,8 +1004,6 @@ object SparkEntry {
     val p = LlmOps.similarityPairs(e.withColumn("__all", lit(1)), 0.3,
         blockCol = "__all", salt = 64)
       .select("i", "j").persist()
-    graft.sources.BucketedLayout.writePlain(
-      p.select(col("j").as("vec_id")).distinct(), "graft_audit_sem_drops")
     val lab = e.select(col("vec_id"), col("label"))
     val p3 = p
       .join(lab.select(col("vec_id").as("i"), col("label").as("li")), "i")
@@ -1017,14 +1021,21 @@ object SparkEntry {
           .cast("int")).as("has_b1"),
         max((pmod(col("y"), lit(4)) === 3 && pmod(col("x"), lit(4)) === 3 &&
           col("y") < col("x")).cast("int")).as("has_lower_b2"))
-    graft.sources.BucketedLayout.writePlain(cls, "graft_audit_cos_stream_cls")
     val should = p3.filter(pmod(col("j"), lit(2)) === 1)
       .select(col("j").as("vec_id"))
       .union(p3.filter(pmod(col("i"), lit(2)) === 1 &&
           pmod(col("j"), lit(2)) === 0)
         .select(col("i").as("vec_id")))
       .distinct()
-    graft.sources.BucketedLayout.writePlain(should, "graft_audit_cos_incr_should")
+    // three independent tables off the shared persisted pair frames —
+    // overlapped (§2.6): each writePlain pays a drop+create+commit tail
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writePlain(
+        p.select(col("j").as("vec_id")).distinct(), "graft_audit_sem_drops"),
+      () => graft.sources.BucketedLayout.writePlain(
+        cls, "graft_audit_cos_stream_cls"),
+      () => graft.sources.BucketedLayout.writePlain(
+        should, "graft_audit_cos_incr_should"))
     p3.unpersist(false); p.unpersist(false)
     auditBuilt.put("cos_all", dir)
   }
@@ -1036,14 +1047,18 @@ object SparkEntry {
   private[graft] def buildCosBlockedAudit(s: SparkSession, dir: String): Unit = {
     val e = embs(s, dir)
     val p = LlmOps.similarityPairs(e, 0.3).select("blk", "i", "j").persist()
-    graft.sources.BucketedLayout.writePlain(
-      p.select("i", "j"), "graft_audit_sim_pairs")
-    graft.sources.BucketedLayout.writePlain(
-      p.select(col("j").as("vec_id")).distinct(), "graft_audit_cos_drops_blk")
+    // the clustering's CC loop materializes during the call; the three
+    // table writes are then independent — overlapped (§2.6)
     val groups = LlmOps.cosineGroupsFromPairs(
         e.filter(col("label") <= 3), p.filter(col("blk") <= 3))
       .select(col("vec_id"), col("group_id"), col("keep"))
-    graft.sources.BucketedLayout.writePlain(groups, "graft_audit_cos_groups")
+    graft.sources.BucketedLayout.concurrently(
+      () => graft.sources.BucketedLayout.writePlain(
+        p.select("i", "j"), "graft_audit_sim_pairs"),
+      () => graft.sources.BucketedLayout.writePlain(
+        p.select(col("j").as("vec_id")).distinct(), "graft_audit_cos_drops_blk"),
+      () => graft.sources.BucketedLayout.writePlain(
+        groups, "graft_audit_cos_groups"))
     p.unpersist(false)
     auditBuilt.put("cos_blocked", dir)
   }

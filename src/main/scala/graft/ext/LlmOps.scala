@@ -1007,6 +1007,10 @@ object LlmOps {
     val centroids = trainIvfCentroids(emb, nLists, seed, idCol, vecCol)
     spread(emb)
       .withColumn("__cell", cellOf(centroids)(col(vecCol).cast("array<double>")))
+      // hash-cluster onto the cell before the partitioned write (§6) —
+      // same rationale as the PQ codes write: one task's files per
+      // cell instead of tasks × cells slivers
+      .repartition(col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(path)
     centroids
   }
@@ -1374,6 +1378,12 @@ object LlmOps {
       () => base.select(col("id"),
           pqCodesOf(codebooks)(col("v")).as("codes"),
           cellOf(centroids)(col("v")).as("__cell"))
+        // hash-cluster rows onto their cell before the partitioned
+        // write (§6): every input partition otherwise opens a file in
+        // every cell dir it touches (tasks × cells small files — a
+        // metadata storm at scale); clustered, each cell gets files
+        // from one task
+        .repartition(col("__cell"))
         .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/codes"),
       () => base.select(col("id"), col("v"))
         .write.mode("overwrite").parquet(s"$path/vecs"),
