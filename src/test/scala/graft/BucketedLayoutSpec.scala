@@ -69,4 +69,22 @@ class BucketedLayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_b_customer")
     }
   }
+
+  test("concurrently awaits every task and rethrows the first failure") {
+    // results arrive in task order regardless of completion order
+    val slowFast = graft.sources.BucketedLayout.concurrently(
+      () => { Thread.sleep(50); "slow" }, () => "fast")
+    assert(slowFast === Seq("slow", "fast"))
+    // a failing task must not abandon its siblings (no half-written
+    // index: the survivors run to completion before the rethrow)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ex = intercept[RuntimeException] {
+      graft.sources.BucketedLayout.concurrently[Unit](
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(20); ran.incrementAndGet(); () },
+        () => { ran.incrementAndGet(); () })
+    }
+    assert(ex.getMessage === "boom")
+    assert(ran.get() === 2)
+  }
 }
